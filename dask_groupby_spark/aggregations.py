@@ -1,0 +1,475 @@
+"""The aggregation registry: every grouped reduction of the reference
+(``flox/aggregations.py:740-776`` AGGREGATIONS dict, 30 entries) and every
+grouped scan (``flox/aggregations.py:709-737``), re-expressed as Spark SQL
+*Column expression builders*.
+
+Where the reference declares an :class:`Aggregation` as
+(chunk funcs, combine funcs, finalize) executed by ``chunk_reduce``
+(flox/core.py:938-1113) over pluggable numpy kernels, we declare a single
+aggregate ``Column`` expression and let Catalyst derive the partial/merge/
+final split (``HashAggregate(partial) → Exchange → HashAggregate(final)``) —
+the Spark-native equivalent of flox's map-reduce method (SURVEY.md §4).
+
+NaN semantics (ref: SURVEY.md §2.1 notes; flox/xrutils.py:162-186):
+the reference's arrays have ONE missing sentinel (float NaN / NaT).  Spark
+has two (NULL and float NaN), and treats NaN as an ordinary greatest value.
+We therefore define ``missing := isnull(v) OR isnan(v)`` and
+``clean := CASE WHEN NOT missing THEN v END``:
+
+- ``nan*``  (skipna) variants aggregate over ``clean`` (NULLs are skipped by
+  every Spark aggregate natively).
+- bare (propagating) variants wrap the skipna result with
+  ``CASE WHEN max(missing) THEN NaN``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import dtypes as dt_rules
+from .dtypes import NAN
+
+
+@dataclass
+class Ctx:
+    """Expression-building context for one reduction over one value column."""
+
+    v: Column  # raw value column
+    clean: Column  # value with missing (NULL|NaN) → NULL
+    missing: Column  # boolean: value is missing
+    valid: Column  # boolean: value is present
+    idx: Optional[Column]  # explicit element-order column (first/last/arg*/scans)
+    dt: T.DataType  # Spark type of the raw value column
+    is_float: bool
+    kw: dict  # finalize kwargs: ddof, q, ...
+
+
+@dataclass
+class Aggregation:
+    """Declarative grouped-reduction spec (ref: flox/aggregations.py:149-248).
+
+    The reference's (chunk, combine, finalize, fill_value, dtypes) tuple
+    collapses to: ``build(ctx) -> Column`` (Catalyst owns partial/merge),
+    ``result_type`` (the final-cast rule, ref xrdtypes.py:153-172), and
+    ``needs_idx`` (order-sensitive ops need an explicit index column —
+    SURVEY.md §7 'load-bearing design choice').
+    """
+
+    name: str
+    build: Optional[Callable[[Ctx], Column]]
+    result_type: Callable[[T.DataType, dict], T.DataType]
+    skipna: bool = True
+    needs_idx: bool = False
+    # multi-stage plans (mode) that cannot be a single aggregate expression
+    grouped_build: Optional[str] = None
+    # flox forces min_count>=1 for these (ref: aggregations.py:852-858)
+    forces_min_count: bool = False
+    # cast bool input to long before reducing (ref: core.py:2442-2443)
+    bool_to_int: bool = True
+
+
+@dataclass
+class Scan:
+    """Declarative grouped-scan spec (ref: flox/aggregations.py:577-598).
+
+    ``build(ctx, window) -> Column`` over
+    ``Window.partitionBy(keys).orderBy(idx)`` — the Spark equivalent of the
+    reference's Blelloch prefix scan (flox/core.py:2948-2992), whose
+    partition/combine machinery Catalyst's WindowExec subsumes.
+    """
+
+    name: str
+    build: Callable[[Ctx, object], Column]
+    result_type: Callable[[T.DataType, dict], T.DataType]
+
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _any_missing(ctx: Ctx) -> Column:
+    return F.max(ctx.missing.cast("int")) == 1
+
+
+def _propagate(ctx: Ctx, skipna_result: Column) -> Column:
+    """Bare-variant wrapper: any missing value in the group → NaN
+    (ref: SURVEY.md §2.1 — NaN-propagating vs NaN-skipping pairs)."""
+    if not ctx.is_float:
+        return skipna_result
+    return F.when(_any_missing(ctx), F.lit(NAN)).otherwise(skipna_result)
+
+
+def _truthy(ctx: Ctx) -> Column:
+    """numpy truthiness for any/all: NaN is truthy, 0 is falsy
+    (ref: aggregations.py:513-530; NULL rows are skipped)."""
+    if isinstance(ctx.dt, T.BooleanType):
+        return ctx.v
+    if ctx.is_float:
+        return F.when(ctx.v.isNull(), F.lit(None)).otherwise(
+            F.isnan(ctx.v) | (ctx.v != F.lit(0.0))
+        )
+    return F.when(ctx.v.isNull(), F.lit(None)).otherwise(ctx.v != F.lit(0))
+
+
+def _require_idx(ctx: Ctx, name: str) -> Column:
+    if ctx.idx is None:
+        raise ValueError(
+            f"func={name!r} is order-sensitive and requires idx_col= (an explicit "
+            "element-order column; ref SURVEY.md §7 — Spark rows are unordered)"
+        )
+    return ctx.idx
+
+
+# --------------------------------------------------------------------------
+# reduction builders
+
+
+def _count(ctx: Ctx) -> Column:
+    # ref: aggregations.py:292-301 (count == nanlen: # of non-missing)
+    return F.count(ctx.clean)
+
+
+def _nansum(ctx: Ctx) -> Column:
+    # all-missing group → 0, the sum identity (np.nansum([]) == 0)
+    zero = F.lit(0).cast(dt_rules.sum_result_type(ctx.dt))
+    return F.coalesce(F.sum(ctx.clean), zero)
+
+
+def _sum(ctx: Ctx) -> Column:
+    return _propagate(ctx, _nansum(ctx))
+
+
+def _nanprod(ctx: Ctx) -> Column:
+    one = F.lit(1).cast(dt_rules.sum_result_type(ctx.dt))
+    return F.coalesce(F.product(ctx.clean), one)
+
+
+def _prod(ctx: Ctx) -> Column:
+    return _propagate(ctx, _nanprod(ctx))
+
+
+def _nanmean(ctx: Ctx) -> Column:
+    if isinstance(ctx.dt, (T.TimestampType, T.TimestampNTZType)):
+        # datetime mean: int64 micros view + restore (ref: core.py:2506-2520)
+        micros = F.unix_micros(ctx.clean)
+        return F.timestamp_micros(F.avg(micros).cast("long"))
+    return F.avg(ctx.clean)
+
+
+def _mean(ctx: Ctx) -> Column:
+    return _propagate(ctx, _nanmean(ctx))
+
+
+def _var_expr(ctx: Ctx) -> Column:
+    ddof = int(ctx.kw.get("ddof", 0))
+    if ddof == 0:
+        return F.var_pop(ctx.clean)
+    if ddof == 1:
+        return F.var_samp(ctx.clean)
+    # generic ddof (ref: aggregations.py:337-368): (sumsq − sum²/n)/(n−ddof)
+    n = F.count(ctx.clean)
+    s = F.sum(ctx.clean.cast("double"))
+    sq = F.sum(ctx.clean.cast("double") * ctx.clean.cast("double"))
+    return F.when(n > F.lit(ddof), (sq - s * s / n) / (n - F.lit(ddof)))
+
+
+def _nanvar(ctx: Ctx) -> Column:
+    ddof = int(ctx.kw.get("ddof", 0))
+    out = _var_expr(ctx)
+    if ddof == 0:
+        # count <= ddof → NaN handled by var_pop returning NULL only for n=0;
+        # n>0, ddof=0 always defined.
+        return out
+    n = F.count(ctx.clean)
+    return F.when(n > F.lit(ddof), out)
+
+
+def _var(ctx: Ctx) -> Column:
+    return _propagate(ctx, _nanvar(ctx))
+
+
+def _nanstd(ctx: Ctx) -> Column:
+    ddof = int(ctx.kw.get("ddof", 0))
+    if ddof == 0:
+        return F.stddev_pop(ctx.clean)
+    if ddof == 1:
+        return F.stddev_samp(ctx.clean)
+    return F.sqrt(_nanvar(ctx))
+
+
+def _std(ctx: Ctx) -> Column:
+    return _propagate(ctx, _nanstd(ctx))
+
+
+def _nanmin(ctx: Ctx) -> Column:
+    # Spark min skips NULL; NaN already stripped into NULL via clean.
+    return F.min(ctx.clean)
+
+
+def _min(ctx: Ctx) -> Column:
+    return _propagate(ctx, _nanmin(ctx))
+
+
+def _nanmax(ctx: Ctx) -> Column:
+    return F.max(ctx.clean)
+
+
+def _max(ctx: Ctx) -> Column:
+    return _propagate(ctx, _nanmax(ctx))
+
+
+def _argextreme(ctx: Ctx, name: str, largest: bool, skipna: bool) -> Column:
+    """arg-reductions (ref: aggregations.py:411-494, chunk_argreduce
+    core.py:881-935): index of the first (smallest idx) extreme value.
+
+    Implemented with ``max(struct(value_key, -idx))`` so Catalyst's struct
+    ordering gives us the extreme value with smallest-index tie-break —
+    numpy argmin/argmax return the FIRST occurrence.
+    """
+    idx = _require_idx(ctx, name)
+    val = ctx.clean if largest else -ctx.clean.cast("double")
+    pair = F.when(ctx.valid, F.struct(val.alias("v"), (-idx).alias("ni")))
+    best = -F.max(pair)["ni"]
+    if skipna or not ctx.is_float:
+        return best
+    # bare variant, numpy semantics: any NaN → index of the FIRST NaN
+    # (NaN "wins" both argmin and argmax comparisons in np.argmin/argmax)
+    first_missing = F.min(F.when(ctx.missing, idx))
+    return F.when(_any_missing(ctx), first_missing).otherwise(best)
+
+
+def _first(ctx: Ctx) -> Column:
+    # order-sensitive first element incl. missing (ref: aggregations.py:496-497)
+    idx = _require_idx(ctx, "first")
+    return F.min(F.struct(idx.alias("i"), ctx.v.alias("v")))["v"]
+
+
+def _last(ctx: Ctx) -> Column:
+    idx = _require_idx(ctx, "last")
+    return F.max(F.struct(idx.alias("i"), ctx.v.alias("v")))["v"]
+
+
+def _nanfirst(ctx: Ctx) -> Column:
+    # first non-missing (ref: aggregations.py:498-511, xrutils.py:374-398)
+    idx = _require_idx(ctx, "nanfirst")
+    return F.min(F.when(ctx.valid, F.struct(idx.alias("i"), ctx.clean.alias("v"))))["v"]
+
+
+def _nanlast(ctx: Ctx) -> Column:
+    idx = _require_idx(ctx, "nanlast")
+    return F.max(F.when(ctx.valid, F.struct(idx.alias("i"), ctx.clean.alias("v"))))["v"]
+
+
+def _any(ctx: Ctx) -> Column:
+    # empty/all-null group → False, the identity (ref: aggregations.py:513-521)
+    return F.coalesce(F.bool_or(_truthy(ctx)), F.lit(False))
+
+
+def _all(ctx: Ctx) -> Column:
+    return F.coalesce(F.bool_and(_truthy(ctx)), F.lit(True))
+
+
+def _nanmedian(ctx: Ctx) -> Column:
+    # exact median — Spark percentile is exact linear interpolation, matching
+    # numpy method="linear" (ref: aggregations.py:534-547). No blockwise
+    # rechunk constraint in Spark (the reference's chunk=None limitation).
+    return F.median(ctx.clean)
+
+
+def _median(ctx: Ctx) -> Column:
+    return _propagate(ctx, _nanmedian(ctx))
+
+
+def _nanquantile(ctx: Ctx) -> Column:
+    q = ctx.kw.get("q")
+    if q is None:
+        raise ValueError("quantile requires finalize_kwargs={'q': ...} (ref core.py:2395-2405)")
+    if isinstance(q, (list, tuple)):
+        # vector q adds a leading dim in the reference
+        # (aggregations.py:550-551) → ArrayType column here.
+        return F.percentile(ctx.clean, F.array(*[F.lit(float(x)) for x in q]))
+    return F.percentile(ctx.clean, F.lit(float(q)))
+
+
+def _quantile(ctx: Ctx) -> Column:
+    q = ctx.kw.get("q")
+    out = _nanquantile(ctx)
+    if isinstance(q, (list, tuple)) and ctx.is_float:
+        n = len(q)
+        return F.when(
+            _any_missing(ctx), F.array(*[F.lit(NAN).cast("double")] * n)
+        ).otherwise(out)
+    return _propagate(ctx, out)
+
+
+def _quantile_result_type(dt: T.DataType, kw: dict) -> T.DataType:
+    q = kw.get("q")
+    elem = dt_rules.float_result_type(dt)
+    if isinstance(q, (list, tuple)):
+        return T.ArrayType(elem)
+    return elem
+
+
+# --------------------------------------------------------------------------
+# registry (ref: flox/aggregations.py:740-776 — all 30 reduction entries)
+
+_preserve = lambda dt, kw: dt_rules.preserve_result_type(dt)  # noqa: E731
+_floaty = lambda dt, kw: dt_rules.float_result_type(dt)  # noqa: E731
+_sumty = lambda dt, kw: dt_rules.sum_result_type(dt)  # noqa: E731
+_longty = lambda dt, kw: T.LongType()  # noqa: E731
+_boolty = lambda dt, kw: T.BooleanType()  # noqa: E731
+
+
+def _ts_preserving(fallback):
+    """mean/median/quantile of timestamps return timestamps."""
+
+    def rule(dt, kw):
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return dt
+        return fallback(dt, kw)
+
+    return rule
+
+
+AGGREGATIONS: dict[str, Aggregation] = {
+    "count": Aggregation("count", _count, _longty, skipna=True),
+    "sum": Aggregation("sum", _sum, _sumty, skipna=False),
+    "nansum": Aggregation("nansum", _nansum, _sumty),
+    "prod": Aggregation("prod", _prod, _sumty, skipna=False),
+    "nanprod": Aggregation("nanprod", _nanprod, _sumty),
+    "mean": Aggregation("mean", _mean, _ts_preserving(_floaty), skipna=False),
+    "nanmean": Aggregation("nanmean", _nanmean, _ts_preserving(_floaty)),
+    "var": Aggregation("var", _var, _floaty, skipna=False),
+    "nanvar": Aggregation("nanvar", _nanvar, _floaty),
+    "std": Aggregation("std", _std, _floaty, skipna=False),
+    "nanstd": Aggregation("nanstd", _nanstd, _floaty),
+    "min": Aggregation("min", _min, _preserve, skipna=False, bool_to_int=False),
+    "nanmin": Aggregation(
+        "nanmin", _nanmin, _preserve, forces_min_count=True, bool_to_int=False
+    ),
+    "max": Aggregation("max", _max, _preserve, skipna=False, bool_to_int=False),
+    "nanmax": Aggregation(
+        "nanmax", _nanmax, _preserve, forces_min_count=True, bool_to_int=False
+    ),
+    "argmin": Aggregation(
+        "argmin",
+        lambda c: _argextreme(c, "argmin", largest=False, skipna=False),
+        _longty,
+        skipna=False,
+        needs_idx=True,
+    ),
+    "argmax": Aggregation(
+        "argmax",
+        lambda c: _argextreme(c, "argmax", largest=True, skipna=False),
+        _longty,
+        skipna=False,
+        needs_idx=True,
+    ),
+    "nanargmin": Aggregation(
+        "nanargmin",
+        lambda c: _argextreme(c, "nanargmin", largest=False, skipna=True),
+        _longty,
+        needs_idx=True,
+    ),
+    "nanargmax": Aggregation(
+        "nanargmax",
+        lambda c: _argextreme(c, "nanargmax", largest=True, skipna=True),
+        _longty,
+        needs_idx=True,
+    ),
+    "first": Aggregation(
+        "first", _first, _preserve, skipna=False, needs_idx=True, bool_to_int=False
+    ),
+    "last": Aggregation(
+        "last", _last, _preserve, skipna=False, needs_idx=True, bool_to_int=False
+    ),
+    "nanfirst": Aggregation(
+        "nanfirst", _nanfirst, _preserve, needs_idx=True, bool_to_int=False
+    ),
+    "nanlast": Aggregation(
+        "nanlast", _nanlast, _preserve, needs_idx=True, bool_to_int=False
+    ),
+    "any": Aggregation("any", _any, _boolty, bool_to_int=False),
+    "all": Aggregation("all", _all, _boolty, bool_to_int=False),
+    "median": Aggregation(
+        "median", _median, _ts_preserving(_floaty), skipna=False
+    ),
+    "nanmedian": Aggregation("nanmedian", _nanmedian, _ts_preserving(_floaty)),
+    "quantile": Aggregation(
+        "quantile", _quantile, _quantile_result_type, skipna=False
+    ),
+    "nanquantile": Aggregation("nanquantile", _nanquantile, _quantile_result_type),
+    # mode needs a two-stage plan (count per value, pick max with smallest-
+    # value tie-break — scipy.stats.mode semantics, ref aggregate_npg.py:185-215)
+    "mode": Aggregation(
+        "mode", None, _preserve, skipna=False, grouped_build="mode", bool_to_int=False
+    ),
+    "nanmode": Aggregation(
+        "nanmode", None, _preserve, grouped_build="mode", bool_to_int=False
+    ),
+}
+
+
+# --------------------------------------------------------------------------
+# scans (ref: flox/aggregations.py:709-737; executed as window expressions —
+# the Spark analog of dask_groupby_scan's Blelloch scan, core.py:2948-2992)
+
+
+def _scan_nancumsum(ctx: Ctx, w) -> Column:
+    # np.nancumsum: NaN treated as 0, leading missing → 0
+    zero = F.lit(0).cast(dt_rules.sum_result_type(ctx.dt))
+    return F.coalesce(F.sum(ctx.clean).over(w), zero)
+
+
+def _scan_cumsum(ctx: Ctx, w) -> Column:
+    out = F.coalesce(F.sum(ctx.clean).over(w), F.lit(0).cast(dt_rules.sum_result_type(ctx.dt)))
+    if not ctx.is_float:
+        return out
+    return F.when(F.max(ctx.missing.cast("int")).over(w) == 1, F.lit(NAN)).otherwise(out)
+
+
+def _scan_nancumprod(ctx: Ctx, w) -> Column:
+    one = F.lit(1).cast(dt_rules.sum_result_type(ctx.dt))
+    return F.coalesce(F.product(ctx.clean).over(w), one)
+
+
+def _scan_cumprod(ctx: Ctx, w) -> Column:
+    out = _scan_nancumprod(ctx, w)
+    if not ctx.is_float:
+        return out
+    return F.when(F.max(ctx.missing.cast("int")).over(w) == 1, F.lit(NAN)).otherwise(out)
+
+
+def _scan_ffill(ctx: Ctx, w) -> Column:
+    # ref: aggregations.py:716-724, kernel aggregate_flox.py:254-277
+    filled = F.last(ctx.clean, ignorenulls=True).over(w)
+    if ctx.is_float:
+        return F.coalesce(filled, F.lit(NAN).cast(ctx.dt))  # leading gap stays NaN
+    return filled
+
+
+def _scan_bfill(ctx: Ctx, w_rev) -> Column:
+    # ref: aggregations.py:725-735 (ffill on reversed array) — here: a
+    # currentRow..unboundedFollowing frame instead of physically reversing.
+    filled = F.first(ctx.clean, ignorenulls=True).over(w_rev)
+    if ctx.is_float:
+        return F.coalesce(filled, F.lit(NAN).cast(ctx.dt))
+    return filled
+
+
+SCANS: dict[str, Scan] = {
+    # cumsum/cumprod are declared-but-disabled in the reference
+    # (aggregations.py:709-710,736-737, numpy_groupies bugs); we ship them as
+    # capability parity+ (SURVEY.md §2.2).
+    "cumsum": Scan("cumsum", _scan_cumsum, _sumty),
+    "nancumsum": Scan("nancumsum", _scan_nancumsum, _sumty),
+    "cumprod": Scan("cumprod", _scan_cumprod, _sumty),
+    "nancumprod": Scan("nancumprod", _scan_nancumprod, _sumty),
+    "ffill": Scan("ffill", _scan_ffill, _preserve),
+    "bfill": Scan("bfill", _scan_bfill, _preserve),
+}

@@ -1,0 +1,358 @@
+"""Core entry points: :func:`groupby_reduce`, :func:`groupby_scan`,
+:func:`groupby_agg` — the Spark-native equivalents of the reference's
+``flox.groupby_reduce`` (flox/core.py:2269-2284) and ``flox.groupby_scan``
+(flox/core.py:2718-2727).
+
+Data model (SURVEY.md §7): a *long* DataFrame — one row per array element —
+with a value column, one or more group-label (``by``) columns, and an
+optional explicit element-order column (``idx_col``) which supplies the
+array order that first/last/arg-reductions/scans depend on.
+
+Query lifecycle → physical plan:
+
+    df.where(by not missing)                 # NaN-label exclusion, core.py:846-849
+      .groupBy(*keys).agg(expr)              # HashAggregate(partial) → Exchange
+                                             #   → HashAggregate(final): the
+                                             # built-in equivalent of flox's
+                                             # chunk_reduce + _tree_reduce
+      → min_count mask                       # core.py:1144-1168
+      → reindex join onto expected_groups    # reindex_, core.py:667-712
+      → fill/NA coalesce + dtype restore     # xrdtypes.py:153-209
+      → ORDER BY keys (sort=True)            # core.py:2680-2686
+
+``method=``, ``engine=``, ``reindex=`` are accepted as inert hints: they
+select between numpy kernels / dask graph shapes in the reference
+(flox/core.py:2215-2266), strategies that Catalyst+AQE subsume (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import dtypes as dt_rules
+from .aggregations import AGGREGATIONS, SCANS, Aggregation, Ctx, Scan
+from .binning import Bins
+from .dtypes import NAN
+from .reindex import expected_groups_df, observed_grid, reindex_result
+
+_PRESENT = "__present"
+_NVALID = "__nvalid"
+
+
+def _make_ctx(df: DataFrame, value: str, idx_col: Optional[str], kw: dict) -> Ctx:
+    dt = df.schema[value].dataType
+    is_float = dt_rules.is_float(dt)
+    v = F.col(value)
+    if is_float:
+        missing = v.isNull() | F.isnan(v)
+    else:
+        missing = v.isNull()
+    clean = F.when(~missing, v)
+    return Ctx(
+        v=v,
+        clean=clean,
+        missing=missing,
+        valid=~missing,
+        idx=F.col(idx_col) if idx_col else None,
+        dt=dt,
+        is_float=is_float,
+        kw=kw,
+    )
+
+
+def _normalize_expected(by, expected_groups):
+    """Normalize expected_groups to a tuple aligned with ``by``; Bins objects
+    may arrive via expected_groups (flox isbin style) and define both the key
+    expression and the expected output domain."""
+    nby = len(by)
+    if expected_groups is None:
+        return (None,) * nby
+    if nby == 1 and not isinstance(expected_groups, tuple):
+        expected_groups = (expected_groups,)
+    if len(expected_groups) != nby:
+        raise ValueError("expected_groups must align with by")
+    return tuple(expected_groups)
+
+
+def _key_exprs(df, by, expected):
+    """Per-grouper (key_name, key_expr, key_sql_type, expected_values)."""
+    out = []
+    for b, exp in zip(by, expected):
+        if isinstance(exp, Bins):
+            name = f"{b}_bin"
+            expr = exp.bucket(F.col(b)).alias(name)
+            out.append((name, expr, "int", exp.expected_codes()))
+        else:
+            dt = df.schema[b].dataType
+            out.append((b, F.col(b).alias(b), dt.simpleString(), list(exp) if exp is not None else None))
+    return out
+
+
+def groupby_reduce(
+    df: DataFrame,
+    *by: str,
+    func: Union[str, Aggregation],
+    value: str = "value",
+    idx_col: Optional[str] = None,
+    expected_groups=None,
+    sort: bool = True,
+    fill_value=None,
+    dtype: Optional[str] = None,
+    min_count: Optional[int] = None,
+    finalize_kwargs: Optional[dict] = None,
+    alias: Optional[str] = None,
+    method: Optional[str] = None,  # inert hint (ref core.py:2215-2239)
+    engine: Optional[str] = None,  # inert hint (ref core.py:2242-2266)
+    reindex: Optional[bool] = None,  # inert hint (ref core.py:2003-2057)
+) -> DataFrame:
+    """Grouped reduction over a long DataFrame.
+
+    Parameters mirror ``flox.groupby_reduce`` (flox/core.py:2269-2284) with
+    DataFrame-native replacements: ``value`` names the data column, ``by``
+    are key column names, ``idx_col`` names the element-order column required
+    by order-sensitive reductions, ``expected_groups`` entries are lists of
+    labels or :class:`Bins`.
+
+    Returns a DataFrame ``(*keys, <alias>)``, one row per (expected or
+    observed) group, sorted by keys when ``sort=True``.
+    """
+    if not by:
+        raise ValueError("need at least one by column")
+    spec = AGGREGATIONS[func] if isinstance(func, str) else func
+    kw = dict(finalize_kwargs or {})
+    out_name = alias or spec.name
+
+    expected = _normalize_expected(by, expected_groups)
+    keys = _key_exprs(df, by, expected)
+    key_names = [k[0] for k in keys]
+
+    # bool → int cast before arithmetic reductions (ref core.py:2442-2443)
+    work = df
+    if spec.bool_to_int and isinstance(df.schema[value].dataType, T.BooleanType):
+        work = work.withColumn(value, F.col(value).cast("long"))
+
+    ctx = _make_ctx(work, value, idx_col, kw)
+    if spec.needs_idx and ctx.idx is None:
+        raise ValueError(f"func={spec.name!r} requires idx_col=")
+
+    # min_count defaulting (ref core.py:2545-2557 + aggregations.py:852-858)
+    mc = min_count
+    if spec.forces_min_count:
+        mc = max(mc or 0, 1)
+    if mc is None and fill_value is not None and any(e is not None for e in expected):
+        mc = 1
+
+    # 1. NaN/NULL-label exclusion (ref core.py:846-849): drop rows whose key
+    #    is missing or (for bins) out of bounds. Evaluated map-side, pushed
+    #    into the scan where possible.
+    key_cols = [expr for (_, expr, _, _) in keys]
+    keyed = work.select(*key_cols, *[c for c in work.columns if c not in key_names])
+    cond = None
+    for name, _, _, _ in keys:
+        k = F.col(name)
+        knn = k.isNotNull()
+        if isinstance(keyed.schema[name].dataType, (T.FloatType, T.DoubleType)):
+            knn = knn & ~F.isnan(k)
+        cond = knn if cond is None else (cond & knn)
+    keyed = keyed.where(cond)
+
+    # 2. aggregate
+    result_dt = spec.result_type(ctx.dt, kw) if dtype is None else T._parse_datatype_string(dtype)
+    if spec.grouped_build == "mode":
+        grouped = _mode_plan(keyed, key_names, value, ctx, skipna=spec.skipna, out=out_name, mc_needed=mc is not None)
+    else:
+        agg_cols = [spec.build(ctx).alias(out_name)]
+        if mc is not None:
+            agg_cols.append(F.count(ctx.clean).alias(_NVALID))
+        grouped = keyed.groupBy(*key_names).agg(*agg_cols)
+    grouped = grouped.withColumn(_PRESENT, F.lit(True))
+
+    # fill literal handling + integral promotion (ref core.py:707-711)
+    any_expected = any(e is not None for e in expected)
+    fills_possible = any_expected or mc is not None
+    if fills_possible and dt_rules.needs_na_promotion(fill_value, result_dt):
+        result_dt = T.DoubleType()
+    fill_final = dt_rules.fill_lit(fill_value, result_dt)
+    na = dt_rules.na_lit(result_dt)
+
+    out_col = F.col(out_name).cast(result_dt)
+    # present-group all-missing result → dtype NA (NOT fill_value; fill only
+    # applies to min_count-masked and absent expected groups, core.py:1144-1177)
+    out_col = F.coalesce(out_col, na) if dt_rules.is_float(result_dt) else out_col
+    if mc is not None:
+        out_col = F.when(F.col(_NVALID) < F.lit(mc), fill_final).otherwise(out_col)
+    grouped = grouped.withColumn(out_name, out_col)
+
+    # 3. reindex onto expected_groups (ref reindex_, core.py:667-712);
+    #    multi-by without full expected → dense observed grid
+    #    (ref _factorize_multiple, core.py:2115-2166)
+    result = grouped
+    exp_df = None
+    if any_expected and all(e[3] is not None for e in keys):
+        exp_df = expected_groups_df(
+            df.sparkSession, key_names, [k[3] for k in keys], [k[2] for k in keys]
+        )
+    elif len(key_names) > 1:
+        exp_df = observed_grid(grouped, key_names)
+    if exp_df is not None:
+        result = reindex_result(grouped, exp_df, key_names)
+        result = result.withColumn(
+            out_name,
+            F.when(F.col(_PRESENT).isNull(), fill_final).otherwise(F.col(out_name)),
+        )
+    result = result.select(*key_names, F.col(out_name).cast(result_dt).alias(out_name))
+
+    # 4. output-group sort (ref core.py:2680-2686; tiny result — cheap)
+    if sort:
+        result = result.orderBy(*key_names)
+    return result
+
+
+def _mode_plan(keyed, key_names, value, ctx, skipna, out, mc_needed):
+    """mode/nanmode two-stage plan (ref: aggregate_npg.py:185-215,
+    scipy.stats.mode semantics — ties broken by smallest value).
+
+    Stage 1: count per (keys, value); Stage 2: pick the value with the
+    highest count, smallest value on ties (NaN sorts greatest in Spark and
+    last in numpy sort order — consistent).  Both stages are shuffle-on-keys
+    hash aggregations; at scale the stage-1 combine is map-side partial.
+    """
+    base = keyed
+    if skipna:
+        base = base.where(ctx.valid)
+    else:
+        base = base.where(ctx.v.isNotNull())
+    counts = base.groupBy(*key_names, value).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(*key_names).orderBy(F.col("__cnt").desc(), F.col(value).asc())
+    picked = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*key_names, F.col(value).alias(out))
+    )
+    if mc_needed:
+        nv = keyed.where(ctx.valid).groupBy(*key_names).agg(F.count(F.lit(1)).alias(_NVALID))
+        picked = picked.join(nv, on=key_names, how="left").fillna({_NVALID: 0})
+    return picked
+
+
+def groupby_scan(
+    df: DataFrame,
+    *by: str,
+    func: Union[str, Scan],
+    value: str = "value",
+    idx_col: str = None,
+    alias: Optional[str] = None,
+    dtype: Optional[str] = None,
+    finalize_kwargs: Optional[dict] = None,
+) -> DataFrame:
+    """Grouped scan: same row count as the input, plus one result column
+    (ref: flox.groupby_scan, flox/core.py:2718-2727 — 'result has the same
+    shape as array').
+
+    Executed as a single window expression over
+    ``partitionBy(by).orderBy(idx_col)`` — Catalyst's WindowExec replaces the
+    reference's Blelloch prefix-scan machinery (core.py:2948-2992): one
+    shuffle on the group keys, linear scan within partitions.
+
+    Rows with missing group labels pass through with a NULL/NaN result
+    (the reference excludes code −1 elements from scans likewise).
+    """
+    spec = SCANS[func] if isinstance(func, str) else func
+    if idx_col is None:
+        raise ValueError("groupby_scan requires idx_col= (explicit element order)")
+    kw = dict(finalize_kwargs or {})
+    out_name = alias or spec.name
+
+    work = df
+    if isinstance(df.schema[value].dataType, T.BooleanType):
+        work = work.withColumn(value, F.col(value).cast("long"))
+    ctx = _make_ctx(work, value, idx_col, kw)
+
+    if spec.name == "bfill":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(idx_col))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(idx_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    result_dt = spec.result_type(ctx.dt, kw) if dtype is None else T._parse_datatype_string(dtype)
+    col = spec.build(ctx, w).cast(result_dt)
+
+    # missing-label rows: result is NA (excluded from any group's scan)
+    label_ok = None
+    for b in by:
+        k = F.col(b)
+        ok = k.isNotNull()
+        if isinstance(work.schema[b].dataType, (T.FloatType, T.DoubleType)):
+            ok = ok & ~F.isnan(k)
+        label_ok = ok if label_ok is None else (label_ok & ok)
+    col = F.when(label_ok, col).otherwise(dt_rules.na_lit(result_dt))
+
+    return work.withColumn(out_name, col)
+
+
+def groupby_agg(
+    df: DataFrame,
+    *by: str,
+    funcs: Sequence[tuple],
+    idx_col: Optional[str] = None,
+    expected_groups=None,
+    sort: bool = True,
+) -> DataFrame:
+    """Fused multi-reduction: one shuffle, many aggregates (the Spark analog
+    of the reference's fused multi-intermediate pass, flox/core.py:1068-1076 —
+    Catalyst shares the scan and hash table across agg columns natively).
+
+    ``funcs``: sequence of ``(func_name, value_col, alias)`` or
+    ``(func_name, value_col, alias, finalize_kwargs)``.
+    """
+    expected = _normalize_expected(by, expected_groups)
+    keys = _key_exprs(df, by, expected)
+    key_names = [k[0] for k in keys]
+    key_cols = [expr for (_, expr, _, _) in keys]
+
+    keyed = df.select(*key_cols, *[c for c in df.columns if c not in key_names])
+    cond = None
+    for name, _, _, _ in keys:
+        k = F.col(name)
+        ok = k.isNotNull()
+        if isinstance(keyed.schema[name].dataType, (T.FloatType, T.DoubleType)):
+            ok = ok & ~F.isnan(k)
+        cond = ok if cond is None else (cond & ok)
+    keyed = keyed.where(cond)
+
+    agg_cols = []
+    casts = {}
+    for item in funcs:
+        name, vcol, out = item[0], item[1], item[2]
+        kw = dict(item[3]) if len(item) > 3 else {}
+        spec = AGGREGATIONS[name]
+        if spec.grouped_build:
+            raise ValueError(f"{name} cannot be fused; call groupby_reduce separately")
+        work = keyed
+        if spec.bool_to_int and isinstance(keyed.schema[vcol].dataType, T.BooleanType):
+            work = keyed.withColumn(vcol, F.col(vcol).cast("long"))
+        ctx = _make_ctx(work, vcol, idx_col, kw)
+        agg_cols.append(spec.build(ctx).alias(out))
+        casts[out] = spec.result_type(ctx.dt, kw)
+
+    result = keyed.groupBy(*key_names).agg(*agg_cols)
+    for out, dt in casts.items():
+        col = F.col(out).cast(dt)
+        if dt_rules.is_float(dt):
+            col = F.coalesce(col, dt_rules.na_lit(dt))
+        result = result.withColumn(out, col)
+    if sort:
+        result = result.orderBy(*key_names)
+    return result

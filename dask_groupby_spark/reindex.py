@@ -1,0 +1,61 @@
+"""Reindex a grouped result onto ``expected_groups`` (ref: flox ``reindex_``,
+flox/core.py:667-712): groups present in the expected domain but absent from
+the data appear with ``fill_value``; with multiple groupers the output is the
+dense cross-product grid (ref: ``_factorize_multiple`` raveling,
+flox/core.py:2115-2166).
+
+Spark realization: a broadcast LEFT JOIN from the (tiny, planner-side)
+expected-groups dimension table onto the aggregated result.  At 100 TB the
+aggregated result is |groups| rows — orders of magnitude smaller than the
+input — and the expected table is client-provided, so this join never
+shuffles big data: the expected side is broadcast.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def expected_groups_df(
+    spark: SparkSession,
+    key_names: Sequence[str],
+    expected: Sequence[Optional[Sequence]],
+    key_types: Sequence,
+) -> Optional[DataFrame]:
+    """Build the dense expected-groups dimension table (cross product of the
+    per-grouper expected domains).  Groupers with ``None`` expected are left
+    to be discovered from the data (handled by the caller via a distinct)."""
+    dims = []
+    for name, vals, ktype in zip(key_names, expected, key_types):
+        if vals is None:
+            return None  # caller falls back to observed-groups grid
+        rows = [(v,) for v in vals]
+        dims.append(spark.createDataFrame(rows, schema=f"`{name}` {ktype}"))
+    return reduce(lambda a, b: a.crossJoin(b), dims)
+
+
+def observed_grid(result: DataFrame, key_names: Sequence[str]) -> DataFrame:
+    """Dense grid of observed per-grouper values (multi-by semantics of the
+    reference: output is the cross product of each grouper's found labels,
+    flox/core.py:2115-2166)."""
+    dims = [result.select(k).distinct() for k in key_names]
+    return reduce(lambda a, b: a.crossJoin(b), dims)
+
+
+def reindex_result(
+    result: DataFrame,
+    expected_df: DataFrame,
+    key_names: Sequence[str],
+) -> DataFrame:
+    """LEFT JOIN expected ← result; missing groups carry NULL marker column
+    ``__present`` for downstream fill handling.
+
+    The *result* (post-aggregation, |groups| rows) is the broadcast side: in a
+    LEFT OUTER join only the right side can be the broadcast build side, and
+    the aggregated result is always small relative to the input.
+    """
+    return expected_df.join(F.broadcast(result), on=list(key_names), how="left")

@@ -1,0 +1,43 @@
+"""SparkSession factory with 100 TB-minded defaults, scaled to local testing.
+
+The settings below are the local-mode projection of a cluster config: AQE on
+(runtime re-plan ≈ the reference's _choose_method heuristics,
+flox/core.py:2215-2239), partition coalescing + skew-join splitting, Arrow
+for any Pandas-UDF path, UTC session time so timestamp-derived group keys
+match DuckDB/pandas oracles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dask-groupby-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores timestamp[ns]; Spark can't read TIMESTAMP(NANOS)
+        # natively — read as BIGINT nanos, sources.load_table casts to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # files: pack small test parquet into few tasks; at cluster scale
+        # maxPartitionBytes governs scan granularity instead
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    return builder.getOrCreate()

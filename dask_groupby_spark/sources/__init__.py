@@ -1,0 +1,59 @@
+"""Table sources: parquet loaders for the driver testdata layout
+(TESTDATA.md: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet per table, sf directories).
+
+The reference has no I/O at all (data arrives as in-memory/dask arrays,
+SURVEY.md §2.4) — sources are part of our Spark-native surface.
+
+Gotcha handled here: the driver's ``events.parquet`` stores
+``timestamp[ns]`` (INT64 TIMESTAMP(NANOS)), which Spark refuses to read
+natively (PARQUET_TYPE_ILLEGAL).  With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the column
+arrives as BIGINT nanos and we cast to a microsecond timestamp at scan time —
+a column expression, not a driver-side materialization, so it holds at any
+scale.  DuckDB truncates ns→us the same way, keeping oracle parity exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# columns stored as timestamp[ns] in driver parquet → read as long, cast
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table, normalizing nanosecond timestamps."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, []):
+        if col in df.columns and dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register all tables as temp views for spark.sql() use."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)

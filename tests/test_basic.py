@@ -1,0 +1,65 @@
+"""F1 golden tests (ref: flox/tests/test_core.py:119-157 hand-computed
+expecteds): sum by label = [3,4,5]; sum by label_nan = [1,4,2]; count
+likewise; nanmean = [1,1,1]."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark import groupby_reduce
+
+from .conftest import collect_map
+
+
+def test_sum_by_label(f1):
+    out = groupby_reduce(f1, "label", func="nansum", value="val_ones")
+    assert collect_map(out, "label", "nansum") == {0: 3.0, 1: 4.0, 2: 5.0}
+
+
+def test_sum_by_label_nan_excluded(f1):
+    out = groupby_reduce(f1, "label_nan", func="nansum", value="val_ones")
+    assert collect_map(out, "label_nan", "nansum") == {0: 1.0, 1: 4.0, 2: 2.0}
+
+
+def test_count(f1):
+    out = groupby_reduce(f1, "label", func="count", value="val_ones")
+    assert collect_map(out, "label", "count") == {0: 3, 1: 4, 2: 5}
+
+
+def test_nanmean(f1):
+    out = groupby_reduce(f1, "label", func="nanmean", value="val_ones")
+    assert collect_map(out, "label", "nanmean") == {0: 1.0, 1: 1.0, 2: 1.0}
+
+
+def test_expected_groups_fill(f1):
+    out = groupby_reduce(
+        f1,
+        "label",
+        func="nansum",
+        value="val_ones",
+        expected_groups=[0, 1, 2, 3],
+        fill_value=123.0,
+    )
+    m = collect_map(out, "label", "nansum")
+    assert m == {0: 3.0, 1: 4.0, 2: 5.0, 3: 123.0}
+
+
+def test_expected_groups_na_fill_promotes(f1):
+    # int sum filled with NA → double NaN (ref flox/core.py:707-711)
+    out = groupby_reduce(
+        f1, "label", func="nansum", value="val_int", expected_groups=[0, 1, 2, 3]
+    )
+    assert dict(out.dtypes)["nansum"] == "double"
+    m = collect_map(out, "label", "nansum")
+    assert m[0] == 3.0 and math.isnan(m[3])
+
+
+def test_int_sum_type_promotion(spark):
+    df = spark.createDataFrame([(0, 1), (0, 2), (1, 3)], "label bigint, value int")
+    out = groupby_reduce(df, "label", func="nansum")
+    assert dict(out.dtypes)["nansum"] == "bigint"
+
+
+def test_sort_order(f1):
+    out = groupby_reduce(f1, "label", func="count", value="val_ones", sort=True)
+    assert [r["label"] for r in out.collect()] == [0, 1, 2]
