@@ -71,6 +71,10 @@ class Aggregation:
     forces_min_count: bool = False
     # cast bool input to long before reducing (ref: core.py:2442-2443)
     bool_to_int: bool = True
+    # default fill for absent expected groups when the user gives none
+    # (ref: final_fill_value — count→0 aggregations.py:292-301, prod→1 :307,
+    # arg*→−1 :444-494, any/all→False :513-530; everything else dtypes.NA)
+    final_fill: object = None
 
 
 @dataclass
@@ -291,8 +295,10 @@ def _nanquantile(ctx: Ctx) -> Column:
         raise ValueError("quantile requires finalize_kwargs={'q': ...} (ref core.py:2395-2405)")
     if isinstance(q, (list, tuple)):
         # vector q adds a leading dim in the reference
-        # (aggregations.py:550-551) → ArrayType column here.
-        return F.percentile(ctx.clean, F.array(*[F.lit(float(x)) for x in q]))
+        # (aggregations.py:550-551) → ArrayType column here; all-missing
+        # group → array of NaN (np.nanquantile of all-NaN)
+        out = F.percentile(ctx.clean, F.array(*[F.lit(float(x)) for x in q]))
+        return F.coalesce(out, F.array(*[F.lit(NAN).cast("double")] * len(q)))
     return F.percentile(ctx.clean, F.lit(float(q)))
 
 
@@ -308,8 +314,11 @@ def _quantile(ctx: Ctx) -> Column:
 
 
 def _quantile_result_type(dt: T.DataType, kw: dict) -> T.DataType:
+    # quantile final dtype is float64 even for float32 input
+    # (ref: aggregations.py:557-572 final_dtype=np.float64; median instead
+    # preserves the float width via final_dtype=np.floating)
     q = kw.get("q")
-    elem = dt_rules.float_result_type(dt)
+    elem = T.DoubleType()
     if isinstance(q, (list, tuple)):
         return T.ArrayType(elem)
     return elem
@@ -337,10 +346,10 @@ def _ts_preserving(fallback):
 
 
 AGGREGATIONS: dict[str, Aggregation] = {
-    "count": Aggregation("count", _count, _longty, skipna=True),
+    "count": Aggregation("count", _count, _longty, skipna=True, final_fill=0),
     "sum": Aggregation("sum", _sum, _sumty, skipna=False),
     "nansum": Aggregation("nansum", _nansum, _sumty),
-    "prod": Aggregation("prod", _prod, _sumty, skipna=False),
+    "prod": Aggregation("prod", _prod, _sumty, skipna=False, final_fill=1),
     "nanprod": Aggregation("nanprod", _nanprod, _sumty),
     "mean": Aggregation("mean", _mean, _ts_preserving(_floaty), skipna=False),
     "nanmean": Aggregation("nanmean", _nanmean, _ts_preserving(_floaty)),
@@ -362,6 +371,7 @@ AGGREGATIONS: dict[str, Aggregation] = {
         _longty,
         skipna=False,
         needs_idx=True,
+        final_fill=-1,
     ),
     "argmax": Aggregation(
         "argmax",
@@ -369,18 +379,21 @@ AGGREGATIONS: dict[str, Aggregation] = {
         _longty,
         skipna=False,
         needs_idx=True,
+        final_fill=-1,
     ),
     "nanargmin": Aggregation(
         "nanargmin",
         lambda c: _argextreme(c, "nanargmin", largest=False, skipna=True),
         _longty,
         needs_idx=True,
+        final_fill=-1,
     ),
     "nanargmax": Aggregation(
         "nanargmax",
         lambda c: _argextreme(c, "nanargmax", largest=True, skipna=True),
         _longty,
         needs_idx=True,
+        final_fill=-1,
     ),
     "first": Aggregation(
         "first", _first, _preserve, skipna=False, needs_idx=True, bool_to_int=False
@@ -394,8 +407,8 @@ AGGREGATIONS: dict[str, Aggregation] = {
     "nanlast": Aggregation(
         "nanlast", _nanlast, _preserve, needs_idx=True, bool_to_int=False
     ),
-    "any": Aggregation("any", _any, _boolty, bool_to_int=False),
-    "all": Aggregation("all", _all, _boolty, bool_to_int=False),
+    "any": Aggregation("any", _any, _boolty, bool_to_int=False, final_fill=False),
+    "all": Aggregation("all", _all, _boolty, bool_to_int=False, final_fill=False),
     "median": Aggregation(
         "median", _median, _ts_preserving(_floaty), skipna=False
     ),

@@ -172,12 +172,15 @@ def groupby_reduce(
         grouped = keyed.groupBy(*key_names).agg(*agg_cols)
     grouped = grouped.withColumn(_PRESENT, F.lit(True))
 
-    # fill literal handling + integral promotion (ref core.py:707-711)
+    # fill literal handling + integral promotion (ref core.py:707-711);
+    # user fill_value wins, else the spec's final_fill_value (count→0,
+    # prod→1, arg*→−1, any/all→False), else dtype-NA
+    effective_fill = fill_value if fill_value is not None else spec.final_fill
     any_expected = any(e is not None for e in expected)
     fills_possible = any_expected or mc is not None
-    if fills_possible and dt_rules.needs_na_promotion(fill_value, result_dt):
+    if fills_possible and dt_rules.needs_na_promotion(effective_fill, result_dt):
         result_dt = T.DoubleType()
-    fill_final = dt_rules.fill_lit(fill_value, result_dt)
+    fill_final = dt_rules.fill_lit(effective_fill, result_dt)
     na = dt_rules.na_lit(result_dt)
 
     out_col = F.col(out_name).cast(result_dt)
@@ -214,19 +217,17 @@ def groupby_reduce(
 
 
 def _mode_plan(keyed, key_names, value, ctx, skipna, out, mc_needed):
-    """mode/nanmode two-stage plan (ref: aggregate_npg.py:185-215,
-    scipy.stats.mode semantics — ties broken by smallest value).
+    """mode/nanmode two-stage plan (ref: aggregate_npg.py:185-215 —
+    scipy.stats.mode; ties broken by smallest value).
+
+    nanmode: nan_policy="omit" → NaN dropped.  bare mode:
+    nan_policy="propagate" → any NaN in the group makes the result NaN.
 
     Stage 1: count per (keys, value); Stage 2: pick the value with the
-    highest count, smallest value on ties (NaN sorts greatest in Spark and
-    last in numpy sort order — consistent).  Both stages are shuffle-on-keys
+    highest count, smallest value on ties.  Both stages are shuffle-on-keys
     hash aggregations; at scale the stage-1 combine is map-side partial.
     """
-    base = keyed
-    if skipna:
-        base = base.where(ctx.valid)
-    else:
-        base = base.where(ctx.v.isNotNull())
+    base = keyed.where(ctx.valid)
     counts = base.groupBy(*key_names, value).agg(F.count(F.lit(1)).alias("__cnt"))
     w = Window.partitionBy(*key_names).orderBy(F.col("__cnt").desc(), F.col(value).asc())
     picked = (
@@ -234,6 +235,17 @@ def _mode_plan(keyed, key_names, value, ctx, skipna, out, mc_needed):
         .where(F.col("__rn") == 1)
         .select(*key_names, F.col(value).alias(out))
     )
+    # keep every observed group (incl. all-missing ones) in the output
+    groups_df = keyed.groupBy(*key_names).agg(
+        (F.max(ctx.missing.cast("int")) == 1).alias("__has_missing")
+    )
+    picked = picked.join(groups_df, on=key_names, how="right")
+    if not skipna and ctx.is_float:
+        # propagate: group containing any missing value → NaN
+        picked = picked.withColumn(
+            out, F.when(F.col("__has_missing"), F.lit(NAN)).otherwise(F.col(out))
+        )
+    picked = picked.drop("__has_missing")
     if mc_needed:
         nv = keyed.where(ctx.valid).groupBy(*key_names).agg(F.count(F.lit(1)).alias(_NVALID))
         picked = picked.join(nv, on=key_names, how="left").fillna({_NVALID: 0})
