@@ -1,38 +1,656 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(the full flox reduction/scan inventory) plus the LLM-pipeline operators
+(dedup / similarity / text analysis).  ``oracle_sql()`` holds the equivalent
+DuckDB SQL for each.  Conventions used to make cross-engine value-hash
+comparison robust:
+
+- every computed column is aliased identically on both sides;
+- float aggregates that involve arithmetic are ``round()``ed the same way on
+  both sides (sums of doubles are order-dependent across engines);
+- NaN-propagating ("bare") reductions emit a ``*_isnan`` flag plus a
+  NULL-when-NaN "clean" value, because NaN payload bits are not guaranteed
+  to hash identically across engines;
+- missing values are injected deterministically (CASE on data columns) so
+  NaN-skip/propagate semantics are actually exercised on the clean TPC-H-ish
+  tables.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_groupby_spark import Bins, groupby_agg, groupby_reduce, groupby_scan
+from dask_groupby_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from dask_groupby_spark.operators.multimodal import attach_fake_media, extract_image_features
+from dask_groupby_spark.operators.similarity import cosine_topk
+from dask_groupby_spark.operators.text import (
+    add_text_features,
+    document_fingerprint,
+    language_id,
+)
+from dask_groupby_spark.sources import load_table
+
+NAN = float("nan")
+
+
+def _prep(spark: SparkSession) -> None:
+    """Session settings the queries rely on (safe on any session)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def _li(spark, sf):
+    """lineitem + deterministic helper columns: unique order index ``idx``
+    (l_linenumber is 1-based and < 8) and NaN-contaminated ``v`` (only the
+    'A' return-flag groups are contaminated, so propagate vs skip differ)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.withColumn("idx", F.col("l_orderkey") * 8 + F.col("l_linenumber")).withColumn(
+        "v",
+        F.when((F.col("l_returnflag") == "A") & (F.col("l_quantity") < 5), F.lit(NAN)).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+
+
+# the same derivation in DuckDB SQL
+_LI_CTE = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_orderkey,
+         l_orderkey*8 + l_linenumber AS idx,
+         CASE WHEN l_returnflag='A' AND l_quantity<5
+              THEN 'NaN'::DOUBLE ELSE l_quantity END AS v
+  FROM lineitem
+)
+"""
+
+_KEYS = ["l_returnflag", "l_linestatus"]
+_KEYS_SQL = "l_returnflag, l_linestatus"
+
+
+def _ev(spark, sf):
+    """events + injected missing values: ``vnan`` (NaN when value<5) and
+    ``vnull`` (NULL when value<50) for scan semantics."""
+    ev = load_table(spark, sf, "events")
+    return ev.withColumn(
+        "vnan", F.when(F.col("value") < 5, F.lit(NAN)).otherwise(F.col("value"))
+    ).withColumn("vnull", F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("value")))
+
+
+_EV_CTE = """
+WITH t AS (
+  SELECT event_id, event_type, user_id, ts, value,
+         CASE WHEN value<5 THEN 'NaN'::DOUBLE ELSE value END AS vnan,
+         CASE WHEN value<50 THEN NULL ELSE value END AS vnull
+  FROM events
+)
+"""
+
+
+def _flagged(df: DataFrame, col: str, ndigits: int | None) -> DataFrame:
+    """Split a possibly-NaN float column into (<col>_isnan, <col> clean)."""
+    clean = F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col))
+    if ndigits is not None:
+        clean = F.round(clean, ndigits)
+    return df.withColumn(f"{col}_isnan", F.isnan(F.col(col))).withColumn(col, clean)
+
+
+# --------------------------------------------------------------------------
+# reductions on lineitem
+
+
+def q_count(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="count", value="v")
+    return out
+
+
+def q_nansum(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="nansum", value="v")
+    return out.withColumn("nansum", F.round("nansum", 4))
+
+
+def q_sum(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="sum", value="v")
+    return _flagged(out, "sum", 4)
+
+
+def q_nanmean(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="nanmean", value="v")
+    return out.withColumn("nanmean", F.round("nanmean", 6))
+
+
+def q_mean(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="mean", value="v")
+    return _flagged(out, "mean", 6)
+
+
+def q_prod(spark, sf):
+    li = _li(spark, sf).withColumn(
+        "pv",
+        F.when(F.col("l_tax") < 0.005, F.lit(NAN)).otherwise(1.0 + F.col("l_tax")),
+    )
+    out = groupby_reduce(li, "l_orderkey", func="prod", value="pv")
+    return _flagged(out, "prod", 6)
+
+
+def q_nanprod(spark, sf):
+    li = _li(spark, sf).withColumn(
+        "pv",
+        F.when(F.col("l_tax") < 0.005, F.lit(NAN)).otherwise(1.0 + F.col("l_tax")),
+    )
+    out = groupby_reduce(li, "l_orderkey", func="nanprod", value="pv")
+    return out.withColumn("nanprod", F.round("nanprod", 6))
+
+
+def q_var(spark, sf):
+    out = groupby_reduce(
+        _li(spark, sf), *_KEYS, func="var", value="v", finalize_kwargs={"ddof": 0}
+    )
+    return _flagged(out, "var", 6)
+
+
+def q_nanvar(spark, sf):
+    out = groupby_reduce(
+        _li(spark, sf), *_KEYS, func="nanvar", value="v", finalize_kwargs={"ddof": 1}
+    )
+    return out.withColumn("nanvar", F.round("nanvar", 6))
+
+
+def q_std(spark, sf):
+    out = groupby_reduce(
+        _li(spark, sf), *_KEYS, func="std", value="v", finalize_kwargs={"ddof": 1}
+    )
+    return _flagged(out, "std", 6)
+
+
+def q_nanstd(spark, sf):
+    out = groupby_reduce(
+        _li(spark, sf), *_KEYS, func="nanstd", value="v", finalize_kwargs={"ddof": 0}
+    )
+    return out.withColumn("nanstd", F.round("nanstd", 6))
+
+
+def q_min(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="min", value="v")
+    return _flagged(out, "min", None)
+
+
+def q_max(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="max", value="v")
+    return _flagged(out, "max", None)
+
+
+def q_nanmin(spark, sf):
+    return groupby_reduce(_li(spark, sf), *_KEYS, func="nanmin", value="v")
+
+
+def q_nanmax(spark, sf):
+    return groupby_reduce(_li(spark, sf), *_KEYS, func="nanmax", value="v")
+
+
+def _li_price_nan(spark, sf):
+    return _li(spark, sf).withColumn(
+        "pv",
+        F.when((F.col("l_returnflag") == "A") & (F.col("l_quantity") < 5), F.lit(NAN)).otherwise(
+            F.col("l_extendedprice")
+        ),
+    )
+
+
+def q_argmax(spark, sf):
+    return groupby_reduce(_li_price_nan(spark, sf), *_KEYS, func="argmax", value="pv", idx_col="idx")
+
+
+def q_argmin(spark, sf):
+    return groupby_reduce(_li_price_nan(spark, sf), *_KEYS, func="argmin", value="pv", idx_col="idx")
+
+
+def q_nanargmax(spark, sf):
+    return groupby_reduce(
+        _li_price_nan(spark, sf), *_KEYS, func="nanargmax", value="pv", idx_col="idx"
+    )
+
+
+def q_nanargmin(spark, sf):
+    return groupby_reduce(
+        _li_price_nan(spark, sf), *_KEYS, func="nanargmin", value="pv", idx_col="idx"
+    )
+
+
+def q_first(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="first", value="v", idx_col="idx")
+    return _flagged(out, "first", None)
+
+
+def q_last(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="last", value="v", idx_col="idx")
+    return _flagged(out, "last", None)
+
+
+def q_nanfirst(spark, sf):
+    return groupby_reduce(_li(spark, sf), *_KEYS, func="nanfirst", value="v", idx_col="idx")
+
+
+def q_nanlast(spark, sf):
+    return groupby_reduce(_li(spark, sf), *_KEYS, func="nanlast", value="v", idx_col="idx")
+
+
+def q_any(spark, sf):
+    li = _li(spark, sf).withColumn("b", F.col("l_quantity") > 40)
+    return groupby_reduce(li, "l_orderkey", func="any", value="b")
+
+
+def q_all(spark, sf):
+    li = _li(spark, sf).withColumn("b", F.col("l_quantity") > 10)
+    return groupby_reduce(li, "l_orderkey", func="all", value="b")
+
+
+def q_median(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="median", value="v")
+    return _flagged(out, "median", 6)
+
+
+def q_nanmedian(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="nanmedian", value="v")
+    return out.withColumn("nanmedian", F.round("nanmedian", 6))
+
+
+def q_quantile(spark, sf):
+    out = groupby_reduce(
+        _li(spark, sf), *_KEYS, func="quantile", value="v", finalize_kwargs={"q": 0.9}
+    )
+    return _flagged(out, "quantile", 6)
+
+
+def q_nanquantile_vec(spark, sf):
+    out = groupby_reduce(
+        _li(spark, sf),
+        *_KEYS,
+        func="nanquantile",
+        value="v",
+        finalize_kwargs={"q": [0.45, 0.9]},
+    )
+    return out.select(
+        *_KEYS,
+        F.posexplode(F.col("nanquantile")).alias("qi", "nanquantile"),
+    ).select(
+        *_KEYS,
+        F.col("qi").cast("bigint").alias("qi"),
+        F.round("nanquantile", 6).alias("nanquantile"),
+    )
+
+
+def q_mode(spark, sf):
+    out = groupby_reduce(_li(spark, sf), *_KEYS, func="mode", value="v")
+    return _flagged(out, "mode", None)
+
+
+def q_nanmode(spark, sf):
+    return groupby_reduce(_li(spark, sf), *_KEYS, func="nanmode", value="v")
+
+
+# --------------------------------------------------------------------------
+# grouping features: bins, reindex/fill, dense grid, min_count, datetime keys
+
+
+def q_bins_right(spark, sf):
+    out = groupby_reduce(
+        _li(spark, sf),
+        "l_quantity",
+        func="count",
+        value="l_extendedprice",
+        expected_groups=Bins([0.0, 10.0, 20.0, 30.0, 40.0, 50.0], closed="right"),
+    )
+    return out.withColumn("l_quantity_bin", F.col("l_quantity_bin").cast("bigint"))
+
+
+def q_bins_left(spark, sf):
+    out = groupby_reduce(
+        _li(spark, sf),
+        "l_quantity",
+        func="nansum",
+        value="l_extendedprice",
+        expected_groups=Bins([1.0, 10.0, 20.0, 30.0, 40.0, 51.0], closed="left"),
+        fill_value=0.0,
+    )
+    return out.withColumn("l_quantity_bin", F.col("l_quantity_bin").cast("bigint")).withColumn(
+        "nansum", F.round("nansum", 4)
+    )
+
+
+def q_reindex_fill(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    return groupby_reduce(
+        cust,
+        "c_nationkey",
+        func="count",
+        value="c_acctbal",
+        expected_groups=list(range(25)),
+        fill_value=0,
+    )
+
+
+def q_grid_fill(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    return groupby_reduce(
+        orders,
+        "o_orderstatus",
+        "o_orderpriority",
+        func="count",
+        value="o_totalprice",
+        fill_value=0,
+    )
+
+
+def q_min_count(spark, sf):
+    li = _li(spark, sf).withColumn(
+        "mv", F.when(F.col("l_quantity") < 48, F.lit(NAN)).otherwise(F.col("l_quantity"))
+    )
+    out = groupby_reduce(
+        li, *_KEYS, func="nansum", value="mv", min_count=600, fill_value=-1.0
+    )
+    return out.withColumn("nansum", F.round("nansum", 4))
+
+
+def q_dayofyear(spark, sf):
+    ev = _ev(spark, sf).withColumn("doy", F.dayofyear("ts").cast("bigint"))
+    out = groupby_reduce(ev, "doy", func="nanmean", value="vnan")
+    return out.withColumn("nanmean", F.round("nanmean", 6))
+
+
+def q_month_hour(spark, sf):
+    ev = (
+        _ev(spark, sf)
+        .withColumn("m", F.month("ts").cast("bigint"))
+        .withColumn("h", F.hour("ts").cast("bigint"))
+    )
+    out = groupby_reduce(ev, "m", "h", func="nansum", value="vnan", fill_value=0.0)
+    return out.withColumn("nansum", F.round("nansum", 4))
+
+
+def q_resample_5d(spark, sf):
+    orders = load_table(spark, sf, "orders").withColumn(
+        "bucket",
+        F.floor(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) / 5).cast(
+            "bigint"
+        ),
+    )
+    out = groupby_reduce(orders, "bucket", func="nansum", value="o_totalprice")
+    return out.withColumn("nansum", F.round("nansum", 2))
+
+
+def q_first_ts(spark, sf):
+    """order-sensitive first over timestamp *values* (dtype preservation)."""
+    ev = _ev(spark, sf)
+    return groupby_reduce(ev, "event_type", func="nanfirst", value="ts", idx_col="event_id")
+
+
+def q_mean_ts(spark, sf):
+    """mean of timestamps: int64-micros view + restore (ref core.py:2506-2520)."""
+    ev = _ev(spark, sf)
+    return groupby_reduce(ev, "event_type", func="nanmean", value="ts")
+
+
+# --------------------------------------------------------------------------
+# scans
+
+
+def q_scan_nancumsum(spark, sf):
+    ev = _ev(spark, sf)
+    out = groupby_scan(ev, "event_type", func="nancumsum", value="vnan", idx_col="event_id")
+    return out.select("event_id", "event_type", F.round("nancumsum", 6).alias("nancumsum"))
+
+
+def q_scan_cumsum(spark, sf):
+    ev = _ev(spark, sf)
+    out = groupby_scan(ev, "event_type", func="cumsum", value="vnan", idx_col="event_id")
+    out = _flagged(out, "cumsum", 6)
+    return out.select("event_id", "event_type", "cumsum_isnan", "cumsum")
+
+
+def q_scan_ffill(spark, sf):
+    ev = _ev(spark, sf)
+    out = groupby_scan(ev, "event_type", func="ffill", value="vnull", idx_col="event_id")
+    clean = F.when(F.isnan(F.col("ffill")), F.lit(None)).otherwise(F.col("ffill"))
+    return out.select("event_id", "event_type", clean.alias("ffill"))
+
+
+def q_scan_bfill(spark, sf):
+    ev = _ev(spark, sf)
+    out = groupby_scan(ev, "event_type", func="bfill", value="vnull", idx_col="event_id")
+    clean = F.when(F.isnan(F.col("bfill")), F.lit(None)).otherwise(F.col("bfill"))
+    return out.select("event_id", "event_type", clean.alias("bfill"))
+
+
+def q_scan_cumprod(spark, sf):
+    ev = _ev(spark, sf).withColumn("x", 1.0 + F.col("value") / 10000.0)
+    out = groupby_scan(ev, "user_id", func="cumprod", value="x", idx_col="event_id")
+    return out.select("event_id", "user_id", F.round("cumprod", 6).alias("cumprod"))
+
+
+def q_scan_nancumprod(spark, sf):
+    ev = _ev(spark, sf).withColumn(
+        "x",
+        F.when(F.col("value") < 5, F.lit(NAN)).otherwise(1.0 + F.col("value") / 10000.0),
+    )
+    out = groupby_scan(ev, "user_id", func="nancumprod", value="x", idx_col="event_id")
+    return out.select("event_id", "user_id", F.round("nancumprod", 6).alias("nancumprod"))
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline operators (documents / embeddings)
+
+
+def q_dedup_exact(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.col("source"), F.md5("text").alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_minhash(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=4, shingle_k=3).orderBy("id")
+
+
+def q_lsh_pairs(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=4, shingle_k=3)
+    return lsh_candidate_pairs(sig, num_hashes=4, bands=4).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return simhash(docs, "doc_id", "text", bits=16).orderBy("id")
+
+
+def q_text_stats(spark, sf):
+    docs = add_text_features(load_table(spark, sf, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("mean_token_len"), 6).alias("avg_token_len"),
+            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_langid(spark, sf):
+    docs = language_id(load_table(spark, sf, "documents"))
+    return (
+        docs.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n")).orderBy(
+            "lang", "lang_pred"
+        )
+    )
+
+
+def q_fingerprint(spark, sf):
+    docs = document_fingerprint(load_table(spark, sf, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_fingerprints"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_ann_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+def q_multimodal_meta(spark, sf):
+    """Multimodal plumbing: fake binary payloads → mapInPandas feature
+    extraction → aggregate.  No oracle (Pandas-UDF path) → rows-only check."""
+    docs = load_table(spark, sf, "documents")
+    media = attach_fake_media(docs)
+    feats = extract_image_features(media)
+    return feats.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver API
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused TPC-H-Q1-style multi-reduction through groupby_agg
+    (one shuffle, shared hash table — ref fused pass core.py:1068-1076)."""
+    _prep(spark)
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    li = li.withColumn("idx", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    return groupby_agg(
+        li,
+        "l_returnflag",
+        "l_linestatus",
+        funcs=[
+            ("count", "l_quantity", "count_qty"),
+            ("nansum", "l_quantity", "sum_qty"),
+            ("nansum", "l_extendedprice", "sum_price"),
+            ("nanmean", "l_quantity", "avg_qty"),
+            ("nanmean", "l_discount", "avg_disc"),
+            ("nanmin", "l_extendedprice", "min_price"),
+            ("nanmax", "l_extendedprice", "max_price"),
+            ("nanvar", "l_quantity", "var_qty", {"ddof": 1}),
+        ],
+    )
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "count": q_count,
+    "sum": q_sum,
+    "nansum": q_nansum,
+    "prod": q_prod,
+    "nanprod": q_nanprod,
+    "mean": q_mean,
+    "nanmean": q_nanmean,
+    "var": q_var,
+    "nanvar": q_nanvar,
+    "std": q_std,
+    "nanstd": q_nanstd,
+    "min": q_min,
+    "max": q_max,
+    "nanmin": q_nanmin,
+    "nanmax": q_nanmax,
+    "argmax": q_argmax,
+    "argmin": q_argmin,
+    "nanargmax": q_nanargmax,
+    "nanargmin": q_nanargmin,
+    "first": q_first,
+    "last": q_last,
+    "nanfirst": q_nanfirst,
+    "nanlast": q_nanlast,
+    "any": q_any,
+    "all": q_all,
+    "median": q_median,
+    "nanmedian": q_nanmedian,
+    "quantile": q_quantile,
+    "nanquantile_vec": q_nanquantile_vec,
+    "mode": q_mode,
+    "nanmode": q_nanmode,
+    "bins_right": q_bins_right,
+    "bins_left": q_bins_left,
+    "reindex_fill": q_reindex_fill,
+    "grid_fill": q_grid_fill,
+    "min_count": q_min_count,
+    "dayofyear": q_dayofyear,
+    "month_hour": q_month_hour,
+    "resample_5d": q_resample_5d,
+    "first_ts": q_first_ts,
+    "mean_ts": q_mean_ts,
+    "scan_nancumsum": q_scan_nancumsum,
+    "scan_cumsum": q_scan_cumsum,
+    "scan_ffill": q_scan_ffill,
+    "scan_bfill": q_scan_bfill,
+    "scan_cumprod": q_scan_cumprod,
+    "scan_nancumprod": q_scan_nancumprod,
+    "dedup_exact": q_dedup_exact,
+    "minhash": q_minhash,
+    "lsh_pairs": q_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "text_stats": q_text_stats,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+    "multimodal_meta": q_multimodal_meta,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark, sf_dir):
+            _prep(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: wrap(fn) for name, fn in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from oracle_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -160,8 +160,12 @@ def _prod(ctx: Ctx) -> Column:
 def _nanmean(ctx: Ctx) -> Column:
     if isinstance(ctx.dt, (T.TimestampType, T.TimestampNTZType)):
         # datetime mean: int64 micros view + restore (ref: core.py:2506-2520)
-        micros = F.unix_micros(ctx.clean)
-        return F.timestamp_micros(F.avg(micros).cast("long"))
+        # exact integer floor-division: epoch-micro sums overflow double's
+        # 2^53 integer range, so sum in DECIMAL and divide exactly via
+        # (S - S % n) / n  (the numerator is exactly divisible → no rounding)
+        micros = F.unix_micros(ctx.clean).cast("decimal(38,0)")
+        s, n = F.sum(micros), F.count(micros)
+        return F.timestamp_micros(((s - s % n) / n).cast("long"))
     return F.avg(ctx.clean)
 
 

@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+
+- exact dedup = hash-groupBy on a digest — one shuffle on the digest key;
+  the digest is computed map-side so the shuffle carries (digest, id) only.
+- MinHash/LSH = explode shingles → per-seed min over a portable 60-bit
+  md5-derived hash → band buckets → self-join *within buckets only*.  The
+  band-bucket groupBy is the inverted index; no O(n²) pair enumeration.
+- SimHash = weighted bit-vote over token hashes, one aggregate per document.
+- n-gram Jaccard = shingle inverted-index self-join (pairs share ≥1 shingle)
+  + intersection counting — the classic "candidates via index" plan; the
+  threshold filter prunes before any wide row is built.
+
+The portable hash is ``bigint(hex(md5(x)[:15]))`` — identical in Spark
+(``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``cast('0x'||substr(md5(x),1,15) as bigint)``), so every operator here is
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def portable_hash(col: Column, seed: int | str = "") -> Column:
+    """Deterministic 60-bit hash shared bit-for-bit with the DuckDB oracle."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content digest: one row per distinct content with its
+    occurrence count and canonical (minimum) id."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings ('tok1 tok2 tok3')."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) rows, distinct per document (set semantics)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for each seed i, min over shingles of
+    portable_hash(shingle, i).  Output: (id, mh_0..mh_{H-1}).
+
+    Plan shape: explode (map-side) → single groupBy(id) computing all H mins
+    in one hash aggregate — one shuffle keyed on id.
+    """
+    sh = _shingle_rows(df, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(portable_hash(F.col("sh"), i)).alias(f"mh_{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; documents sharing any band hash are candidate
+    near-duplicate pairs.  Output: (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    The band groupBy is the inverted index — pair enumeration happens only
+    inside buckets, never globally.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # band hash via the portable md5 digest (xxhash64 would be faster but
+        # is not reproducible in the DuckDB oracle)
+        concat = F.concat_ws(",", *[c.cast("string") for c in cols])
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), portable_hash(concat, "band").alias("bh"))
+        )
+    exploded = signatures.select(
+        F.col("id"), F.explode(F.array(*band_cols)).alias("bandkey")
+    ).select("id", F.col("bandkey.band").alias("band"), F.col("bandkey.bh").alias("bh"))
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    pairs = (
+        left.join(right, on=["band", "bh"], how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard similarity ≥ threshold.
+
+    Candidates come from a shingle inverted-index self-join (pairs must share
+    ≥1 shingle), intersection sizes from one groupBy, union sizes from the
+    per-doc shingle counts — no cross join at any scale.
+    Output: (id_a, id_b, jaccard).
+    """
+    sh = _shingle_rows(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="sh", how="inner")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash document signature: each token votes ±1 on ``bits`` bit
+    positions of its portable hash; the sign of each position's sum forms
+    the signature.  Output: (id, simhash BIGINT).
+
+    One explode + one groupBy(id) with ``bits`` conditional sums — a single
+    shuffle; the bit votes are plain integer arithmetic (codegen'd).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    h = portable_hash(F.col("tok"))
+    # bit extraction MUST use integer shifts: double division loses bits for
+    # hashes above 2^53
+    votes = [
+        F.sum(
+            F.when((F.shiftright(h, i) % 2) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sig = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0),
+    )
+    return agg.select("id", sig.cast("bigint").alias("simhash"))

@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode kernels are STUBBED (this container has no image/audio libs —
+see the clearly-marked ``_decode_image_stub``): the Spark-side contract —
+schema, batch iteration, partition sizing, UDF signatures — is real and
+tested.  Swapping the stub for PIL/ffmpeg is a one-function change.
+
+Scale notes: binary payloads ride the shuffle only when explicitly
+repartitioned; feature extraction is map-only (mapInPandas), so the 100 TB
+plan is scan → Arrow batches → features, no wide rows ever shuffled.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# typed metadata schema carried alongside every media payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic fake binary payload + metadata from text —
+    stands in for a real (payload, metadata) pair so the plumbing is
+    exercised end-to-end on the driver tables."""
+    payload = F.encode(F.col(text_col), "utf-8").cast("binary")
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("fake").alias("format"),
+        (F.length(F.col(text_col)) % 1024 + 1).cast("int").alias("width"),
+        (F.length(F.col(text_col)) % 768 + 1).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
+    """STUB decoder. A real implementation would do:
+
+        from PIL import Image;  img = Image.open(io.BytesIO(payload))
+
+    This container has no imaging libraries, so we emit a deterministic fake
+    (width, height, mean_luma) derived from the payload bytes — keeping the
+    pipeline shape (Arrow batch in, typed features out) fully real.
+    """
+    if payload is None:
+        raise NotImplementedError("real image decode requires PIL — stubbed")
+    n = len(payload)
+    width = n % 1024 + 1
+    height = n % 768 + 1
+    mean_luma = (sum(payload[:64]) / max(1, min(n, 64))) / 255.0
+    return width, height, mean_luma
+
+
+def extract_image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, payload, meta) rows via
+    ``mapInPandas`` — the pattern for any real decode/resize/frame-sample
+    kernel.  Map-only: no shuffle, parallelism = input partitions."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_image_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "format": pdf["meta"].map(lambda m: m["format"]),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(feats, schema=IMAGE_FEATURES_SCHEMA)

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; dot products via ``zip_with``+``aggregate`` (JVM
+  higher-order functions, no Python).  At 100 TB the corpus side streams;
+  only queries are broadcast — the canonical exact-scoring plan.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH buckets
+  computed from deterministic md5-derived planes; candidates only join within
+  matching buckets (probing multiple hash tables), then exact re-scoring.
+- :func:`embedding_near_duplicates` — cosine ≥ threshold pairs via the same
+  bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Output: (query_id, neighbor_id, cosine), k rows per query, ordered by
+    (cosine desc, neighbor_id asc) with deterministic tie-break.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(
+            F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_id: int, seed: str = "lshplane") -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5 — no RNG state, so
+    plans are reproducible across sessions and engines."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}:{plane_id}:{d}".encode()).digest()[0]
+        out.append(1.0 if h % 2 else -1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bucket id: bit i = sign(vec · plane_i)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = _dot(vec, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine re-scoring.  ~2^n_planes× less scoring work; recall
+    tunable via n_planes (fewer planes → bigger buckets → higher recall)."""
+    planes = [_hyperplane(dim, i) for i in range(n_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(q), on="bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(
+            F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) via LSH bucketing +
+    exact verification within buckets.  Output: (id_a, id_b, cosine)."""
+    planes = [_hyperplane(dim, i) for i in range(n_planes)]
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+    return pairs

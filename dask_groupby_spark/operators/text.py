@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines: tokenization stats,
+quality scoring, language ID, document fingerprinting.
+
+All are pure Column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs in the hot path.  Every function is deterministic and mirrors an ANSI
+SQL formulation so results can be oracle-checked in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword tables for the n-gram/stopword-ratio heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization: split on runs of spaces, drop empties."""
+    return F.filter(F.split(col, " +"), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def _token_eq(w: str):
+    # NB: the lambda must take exactly ONE parameter — pyspark treats a
+    # two-parameter lambda (even with a default) as (element, index)
+    return lambda x: x == F.lit(w)
+
+
+def _stopword_hits(col: Column, words) -> Column:
+    """# tokens that are stopwords of one language (exact token match)."""
+    toks = tokens(col)
+    total = None
+    for w in words:
+        hits = F.size(F.filter(toks, _token_eq(w)))
+        total = hits if total is None else total + hits
+    return total
+
+
+def add_text_features(
+    df: DataFrame, text_col: str = "text", lang: str = "en"
+) -> DataFrame:
+    """Per-document quality features: char count, token count, mean token
+    length, punctuation ratio, stopword ratio.  One narrow projection —
+    evaluated map-side, no shuffle."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_punct = n_char - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    sw = _stopword_hits(t, STOPWORDS[lang])
+    return (
+        df.withColumn("n_chars_f", n_char.cast("long"))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tok > 0, tok_chars.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_char > 0, n_punct.cast("double") / n_char).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, sw.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    (ties → lexicographically smallest language code; 'und' when all zero).
+
+    At scale this is a map-only projection; a real model would slot in as a
+    Pandas UDF behind the same column contract.
+    """
+    t = F.col(text_col)
+    scored = F.array(
+        *[
+            F.struct(
+                _stopword_hits(t, ws).alias("score"), F.lit(code).alias("code")
+            )
+            for code, ws in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                s["score"].alias("score"),
+                # invert code ordering so array_max's struct comparison
+                # breaks score ties by SMALLEST code
+                F.lit(None).alias("pad"),
+                s["code"].alias("code"),
+            ),
+        )
+    )
+    # array_max on (score, pad, code): equal scores → larger code wins; we
+    # want smallest code, so pick via filter to max score then array_min.
+    max_score = F.array_max(F.transform(scored, lambda s: s["score"]))
+    winners = F.filter(scored, lambda s: s["score"] == max_score)
+    pred = F.when(max_score > 0, F.array_min(F.transform(winners, lambda s: s["code"]))).otherwise(
+        F.lit("und")
+    )
+    return df.withColumn(out, pred)
+
+
+def document_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint", prefix_tokens: int = 8
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the first-k-token prefix
+    joined with the token-count bucket — a cheap rolling-hash analog used to
+    bucket near-identical prefixes before expensive pairwise comparison."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    prefix = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
+    bucket = F.floor(F.size(toks) / 16).cast("int")
+    return df.withColumn(out, F.md5(F.concat(prefix, F.lit("#"), bucket.cast("string"))))

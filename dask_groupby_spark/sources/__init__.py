@@ -43,9 +43,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
-            )
+            # integer division — `/ 1000` would round-trip through a double
+            # and lose precision (epoch nanos exceed 2^53)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

@@ -1,0 +1,464 @@
+"""DuckDB oracle SQL for every entry in ``__spark_entry__.queries()``.
+
+Each statement mirrors its Spark query exactly: same derived columns (CTEs
+``t``/``tp``/``tm`` reproduce the injected-NaN helper columns), same aliases,
+same rounding.  Tables region nation customer supplier part orders lineitem
+events documents embeddings are pre-registered views.
+"""
+
+_LI = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_orderkey, l_tax,
+         l_orderkey*8 + l_linenumber AS idx,
+         CASE WHEN l_returnflag='A' AND l_quantity<5
+              THEN 'NaN'::DOUBLE ELSE l_quantity END AS v
+  FROM lineitem
+)
+"""
+
+_LIP = """
+WITH tp AS (
+  SELECT l_returnflag, l_linestatus,
+         l_orderkey*8 + l_linenumber AS idx,
+         CASE WHEN l_returnflag='A' AND l_quantity<5
+              THEN 'NaN'::DOUBLE ELSE l_extendedprice END AS pv
+  FROM lineitem
+)
+"""
+
+_PROD = """
+WITH tp AS (
+  SELECT l_orderkey,
+         CASE WHEN l_tax < 0.005 THEN 'NaN'::DOUBLE ELSE 1.0 + l_tax END AS pv
+  FROM lineitem
+)
+"""
+
+_EV = """
+WITH t AS (
+  SELECT event_id, event_type, user_id, ts, value,
+         CASE WHEN value<5 THEN 'NaN'::DOUBLE ELSE value END AS vnan,
+         CASE WHEN value<50 THEN NULL ELSE value END AS vnull
+  FROM events
+)
+"""
+
+_K = "l_returnflag, l_linestatus"
+_NANC = "sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END)"
+_CLEANV = "CASE WHEN NOT isnan(v) THEN v END"
+
+# documents tokenization (k used per query)
+_TOKS = """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS tk
+  FROM documents
+)
+"""
+
+
+def _bare(agg_expr: str, name: str, nd: int | None) -> str:
+    clean = f"round({agg_expr}, {nd})" if nd is not None else agg_expr
+    return f"""{_LI}
+SELECT {_K},
+       {_NANC} > 0 AS {name}_isnan,
+       CASE WHEN {_NANC} > 0 THEN NULL ELSE {clean} END AS "{name}"
+FROM t GROUP BY {_K}"""
+
+
+def _skip(agg_expr: str, name: str, nd: int | None) -> str:
+    e = f"round({agg_expr}, {nd})" if nd is not None else agg_expr
+    return f'{_LI}\nSELECT {_K}, {e} AS "{name}" FROM t GROUP BY {_K}'
+
+
+def _minhash_cte(num_hashes: int = 4, k: int = 3) -> str:
+    mins = ",\n         ".join(
+        f"min(CAST('0x'||substr(md5('{i}:'||sh),1,15) AS BIGINT)) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""{_TOKS},
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk)-{k - 1}, 0)+1),
+                               i -> array_to_string(tk[i:i+{k - 1}], ' '))) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id AS id,
+         {mins}
+  FROM sh GROUP BY doc_id
+)"""
+
+
+_SIMHASH_BITS = 16
+_simhash_votes = ",\n       ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_simhash_sig = " + ".join(
+    f"CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
+
+_LANGS = {
+    "de": ("der", "die", "das", "und", "zu"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _score(code):
+    ws = ", ".join(f"'{w}'" for w in _LANGS[code])
+    return f"len(list_filter(tk, x -> x IN ({ws})))"
+
+
+_langid_pred = (
+    "CASE WHEN m = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{c} = m THEN '{c}'" for c in sorted(_LANGS))
+    + " END"
+)
+
+
+ORACLE_SQL: dict[str, str] = {
+    # ---- reductions ----
+    "count": f'{_LI}\nSELECT {_K}, count({_CLEANV})::BIGINT AS "count" FROM t GROUP BY {_K}',
+    "sum": _bare(f"sum({_CLEANV})", "sum", 4),
+    "nansum": _skip(f"coalesce(sum({_CLEANV}), 0)", "nansum", 4),
+    "prod": f"""{_PROD}
+SELECT l_orderkey,
+       sum(CASE WHEN isnan(pv) THEN 1 ELSE 0 END) > 0 AS prod_isnan,
+       CASE WHEN sum(CASE WHEN isnan(pv) THEN 1 ELSE 0 END) > 0 THEN NULL
+            ELSE round(product(pv), 6) END AS prod
+FROM tp GROUP BY l_orderkey""",
+    "nanprod": f"""{_PROD}
+SELECT l_orderkey,
+       round(coalesce(product(CASE WHEN NOT isnan(pv) THEN pv END), 1), 6) AS nanprod
+FROM tp GROUP BY l_orderkey""",
+    "mean": _bare(f"avg({_CLEANV})", "mean", 6),
+    "nanmean": _skip(f"avg({_CLEANV})", "nanmean", 6),
+    "var": _bare(f"var_pop({_CLEANV})", "var", 6),
+    "nanvar": _skip(f"var_samp({_CLEANV})", "nanvar", 6),
+    "std": _bare(f"stddev_samp({_CLEANV})", "std", 6),
+    "nanstd": _skip(f"stddev_pop({_CLEANV})", "nanstd", 6),
+    "min": _bare(f"min({_CLEANV})", "min", None),
+    "max": _bare(f"max({_CLEANV})", "max", None),
+    "nanmin": _skip(f"min({_CLEANV})", "nanmin", None),
+    "nanmax": _skip(f"max({_CLEANV})", "nanmax", None),
+    "argmax": f"""{_LIP},
+best AS (
+  SELECT l_returnflag, l_linestatus, idx,
+         row_number() OVER (PARTITION BY {_K} ORDER BY pv DESC, idx ASC) AS rn
+  FROM tp WHERE NOT isnan(pv)
+),
+stats AS (
+  SELECT {_K},
+         sum(CASE WHEN isnan(pv) THEN 1 ELSE 0 END) AS nanc,
+         min(CASE WHEN isnan(pv) THEN idx END) AS nanidx
+  FROM tp GROUP BY {_K}
+)
+SELECT s.l_returnflag, s.l_linestatus,
+       CASE WHEN s.nanc > 0 THEN s.nanidx ELSE b.idx END AS argmax
+FROM stats s JOIN (SELECT * FROM best WHERE rn = 1) b USING (l_returnflag, l_linestatus)""",
+    "argmin": f"""{_LIP},
+best AS (
+  SELECT l_returnflag, l_linestatus, idx,
+         row_number() OVER (PARTITION BY {_K} ORDER BY pv ASC, idx ASC) AS rn
+  FROM tp WHERE NOT isnan(pv)
+),
+stats AS (
+  SELECT {_K},
+         sum(CASE WHEN isnan(pv) THEN 1 ELSE 0 END) AS nanc,
+         min(CASE WHEN isnan(pv) THEN idx END) AS nanidx
+  FROM tp GROUP BY {_K}
+)
+SELECT s.l_returnflag, s.l_linestatus,
+       CASE WHEN s.nanc > 0 THEN s.nanidx ELSE b.idx END AS argmin
+FROM stats s JOIN (SELECT * FROM best WHERE rn = 1) b USING (l_returnflag, l_linestatus)""",
+    "nanargmax": f"""{_LIP}
+SELECT l_returnflag, l_linestatus, idx AS nanargmax FROM (
+  SELECT l_returnflag, l_linestatus, idx,
+         row_number() OVER (PARTITION BY {_K} ORDER BY pv DESC, idx ASC) AS rn
+  FROM tp WHERE NOT isnan(pv)
+) WHERE rn = 1""",
+    "nanargmin": f"""{_LIP}
+SELECT l_returnflag, l_linestatus, idx AS nanargmin FROM (
+  SELECT l_returnflag, l_linestatus, idx,
+         row_number() OVER (PARTITION BY {_K} ORDER BY pv ASC, idx ASC) AS rn
+  FROM tp WHERE NOT isnan(pv)
+) WHERE rn = 1""",
+    "first": f"""{_LI}
+SELECT {_K}, isnan(v) AS first_isnan,
+       CASE WHEN isnan(v) THEN NULL ELSE v END AS "first"
+FROM (SELECT *, row_number() OVER (PARTITION BY {_K} ORDER BY idx ASC) AS rn FROM t)
+WHERE rn = 1""",
+    "last": f"""{_LI}
+SELECT {_K}, isnan(v) AS last_isnan,
+       CASE WHEN isnan(v) THEN NULL ELSE v END AS "last"
+FROM (SELECT *, row_number() OVER (PARTITION BY {_K} ORDER BY idx DESC) AS rn FROM t)
+WHERE rn = 1""",
+    "nanfirst": f"""{_LI}
+SELECT {_K}, v AS nanfirst
+FROM (SELECT *, row_number() OVER (PARTITION BY {_K} ORDER BY idx ASC) AS rn
+      FROM t WHERE NOT isnan(v))
+WHERE rn = 1""",
+    "nanlast": f"""{_LI}
+SELECT {_K}, v AS nanlast
+FROM (SELECT *, row_number() OVER (PARTITION BY {_K} ORDER BY idx DESC) AS rn
+      FROM t WHERE NOT isnan(v))
+WHERE rn = 1""",
+    "any": 'SELECT l_orderkey, bool_or(l_quantity > 40) AS "any" FROM lineitem GROUP BY l_orderkey',
+    "all": 'SELECT l_orderkey, bool_and(l_quantity > 10) AS "all" FROM lineitem GROUP BY l_orderkey',
+    "median": _bare(f"quantile_cont({_CLEANV}, 0.5)", "median", 6),
+    "nanmedian": _skip(f"quantile_cont({_CLEANV}, 0.5)", "nanmedian", 6),
+    "quantile": _bare(f"quantile_cont({_CLEANV}, 0.9)", "quantile", 6),
+    "nanquantile_vec": f"""{_LI}
+SELECT {_K}, 0::BIGINT AS qi,
+       round(quantile_cont({_CLEANV}, 0.45), 6) AS nanquantile
+FROM t GROUP BY {_K}
+UNION ALL
+SELECT {_K}, 1::BIGINT AS qi,
+       round(quantile_cont({_CLEANV}, 0.9), 6) AS nanquantile
+FROM t GROUP BY {_K}""",
+    "mode": f"""{_LI},
+counts AS (
+  SELECT {_K}, v, count(*) AS c FROM t WHERE NOT isnan(v) GROUP BY {_K}, v
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY {_K} ORDER BY c DESC, v ASC) AS rn FROM counts
+),
+flags AS (SELECT {_K}, bool_or(isnan(v)) AS f FROM t GROUP BY {_K})
+SELECT p.l_returnflag, p.l_linestatus, f.f AS mode_isnan,
+       CASE WHEN f.f THEN NULL ELSE p.v END AS mode
+FROM pick p JOIN flags f USING (l_returnflag, l_linestatus) WHERE rn = 1""",
+    "nanmode": f"""{_LI},
+counts AS (
+  SELECT {_K}, v, count(*) AS c FROM t WHERE NOT isnan(v) GROUP BY {_K}, v
+)
+SELECT l_returnflag, l_linestatus, v AS nanmode FROM (
+  SELECT *, row_number() OVER (PARTITION BY {_K} ORDER BY c DESC, v ASC) AS rn FROM counts
+) WHERE rn = 1""",
+    # ---- grouping features ----
+    "bins_right": """
+SELECT CAST(b AS BIGINT) AS l_quantity_bin, count(l_extendedprice)::BIGINT AS "count"
+FROM (
+  SELECT CASE WHEN l_quantity >  0 AND l_quantity <= 10 THEN 0
+              WHEN l_quantity > 10 AND l_quantity <= 20 THEN 1
+              WHEN l_quantity > 20 AND l_quantity <= 30 THEN 2
+              WHEN l_quantity > 30 AND l_quantity <= 40 THEN 3
+              WHEN l_quantity > 40 AND l_quantity <= 50 THEN 4 END AS b,
+         l_extendedprice
+  FROM lineitem
+) WHERE b IS NOT NULL GROUP BY 1""",
+    "bins_left": """
+SELECT CAST(b AS BIGINT) AS l_quantity_bin, round(sum(l_extendedprice), 4) AS nansum
+FROM (
+  SELECT CASE WHEN l_quantity >=  1 AND l_quantity < 10 THEN 0
+              WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1
+              WHEN l_quantity >= 20 AND l_quantity < 30 THEN 2
+              WHEN l_quantity >= 30 AND l_quantity < 40 THEN 3
+              WHEN l_quantity >= 40 AND l_quantity < 51 THEN 4 END AS b,
+         l_extendedprice
+  FROM lineitem
+) WHERE b IS NOT NULL GROUP BY 1""",
+    "reindex_fill": """
+SELECT n.n_nationkey AS c_nationkey, coalesce(c.cnt, 0)::BIGINT AS "count"
+FROM nation n LEFT JOIN (
+  SELECT c_nationkey, count(c_acctbal) AS cnt FROM customer GROUP BY 1
+) c ON n.n_nationkey = c.c_nationkey""",
+    "grid_fill": """
+WITH g AS (SELECT DISTINCT o_orderstatus FROM orders),
+     p AS (SELECT DISTINCT o_orderpriority FROM orders),
+     c AS (SELECT o_orderstatus, o_orderpriority, count(o_totalprice) AS cnt
+           FROM orders GROUP BY 1, 2)
+SELECT g.o_orderstatus, p.o_orderpriority, coalesce(c.cnt, 0)::BIGINT AS "count"
+FROM g CROSS JOIN p
+LEFT JOIN c ON c.o_orderstatus = g.o_orderstatus AND c.o_orderpriority = p.o_orderpriority""",
+    "min_count": """
+WITH tm AS (
+  SELECT l_returnflag, l_linestatus,
+         CASE WHEN l_quantity < 48 THEN 'NaN'::DOUBLE ELSE l_quantity END AS mv
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CASE WHEN count(CASE WHEN NOT isnan(mv) THEN 1 END) < 600 THEN -1.0
+            ELSE round(sum(CASE WHEN NOT isnan(mv) THEN mv END), 4) END AS nansum
+FROM tm GROUP BY l_returnflag, l_linestatus""",
+    "dayofyear": f"""{_EV}
+SELECT dayofyear(ts)::BIGINT AS doy,
+       round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
+FROM t GROUP BY 1""",
+    "month_hour": f"""{_EV}
+SELECT month(ts)::BIGINT AS m, hour(ts)::BIGINT AS h,
+       round(coalesce(sum(CASE WHEN NOT isnan(vnan) THEN vnan END), 0), 4) AS nansum
+FROM t GROUP BY 1, 2""",
+    "resample_5d": """
+SELECT CAST(floor(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) / 5) AS BIGINT) AS bucket,
+       round(sum(o_totalprice), 2) AS nansum
+FROM orders GROUP BY 1""",
+    "first_ts": """
+SELECT event_type, ts::TIMESTAMP AS nanfirst
+FROM (SELECT event_type, ts,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn
+      FROM events WHERE ts IS NOT NULL)
+WHERE rn = 1""",
+    "mean_ts": """
+SELECT event_type,
+       make_timestamp(CAST(sum(epoch_us(ts::TIMESTAMP))::HUGEINT // count(ts) AS BIGINT)) AS nanmean
+FROM events GROUP BY 1""",
+    # ---- scans ----
+    "scan_nancumsum": f"""{_EV}
+SELECT event_id, event_type,
+       round(coalesce(sum(CASE WHEN NOT isnan(vnan) THEN vnan END)
+         OVER (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 6) AS nancumsum
+FROM t""",
+    "scan_cumsum": f"""{_EV}
+SELECT event_id, event_type,
+       max(isnan(vnan)::INT) OVER w = 1 AS cumsum_isnan,
+       CASE WHEN max(isnan(vnan)::INT) OVER w = 1 THEN NULL
+            ELSE round(coalesce(sum(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w, 0), 6)
+       END AS cumsum
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "scan_ffill": f"""{_EV}
+SELECT event_id, event_type,
+       last_value(vnull IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
+FROM t""",
+    "scan_bfill": f"""{_EV}
+SELECT event_id, event_type,
+       first_value(vnull IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+FROM t""",
+    "scan_cumprod": """
+SELECT event_id, user_id,
+       round(product(1.0 + value / 10000.0)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumprod
+FROM events""",
+    "scan_nancumprod": """
+WITH t AS (
+  SELECT event_id, user_id,
+         CASE WHEN value < 5 THEN 'NaN'::DOUBLE ELSE 1.0 + value / 10000.0 END AS x
+  FROM events
+)
+SELECT event_id, user_id,
+       round(coalesce(product(CASE WHEN NOT isnan(x) THEN x END)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1), 6) AS nancumprod
+FROM t""",
+    # ---- LLM pipeline ----
+    "dedup_exact": """
+SELECT source, count(*)::BIGINT AS n_docs, count(DISTINCT md5(text))::BIGINT AS n_unique
+FROM documents GROUP BY source""",
+    "minhash": _minhash_cte(4, 3) + "\nSELECT id, mh_0, mh_1, mh_2, mh_3 FROM sig",
+    "lsh_pairs": _minhash_cte(4, 3)
+    + """,
+bands AS (
+  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
+  UNION ALL
+  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+GROUP BY 1, 2""",
+    "ngram_jaccard": f"""{_TOKS},
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+                               i -> array_to_string(tk[i:i+1], ' '))) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.35""",
+    "simhash": f"""{_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+h AS (SELECT doc_id, CAST('0x'||substr(md5(':'||tok),1,15) AS BIGINT) AS h FROM tok),
+agg AS (
+  SELECT doc_id,
+       {_simhash_votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id AS id, ({_simhash_sig})::BIGINT AS simhash FROM agg""",
+    "text_stats": f"""{_TOKS},
+feat AS (
+  SELECT lang,
+         len(tk) AS n_tokens,
+         CASE WHEN len(tk) > 0
+              THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+              ELSE 0.0 END AS mean_token_len,
+         CASE WHEN len(tk) > 0
+              THEN ({_score("en")})::DOUBLE / len(tk)
+              ELSE 0.0 END AS stopword_ratio
+  FROM toks
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg(mean_token_len), 6) AS avg_token_len,
+       round(avg(stopword_ratio), 6) AS avg_stopword_ratio
+FROM feat GROUP BY lang""",
+    "langid": f"""{_TOKS},
+scored AS (
+  SELECT lang,
+         {_score("de")} AS s_de,
+         {_score("en")} AS s_en,
+         {_score("es")} AS s_es,
+         {_score("fr")} AS s_fr,
+         {_score("zh")} AS s_zh
+  FROM toks
+),
+pred AS (
+  SELECT lang, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m, *
+  FROM scored
+)
+SELECT lang, {_langid_pred} AS lang_pred, count(*)::BIGINT AS n
+FROM pred GROUP BY 1, 2""",
+    "fingerprint": f"""{_TOKS},
+fp AS (
+  SELECT lang,
+         md5(array_to_string(tk[1:8], ' ') || '#' ||
+             CAST(CAST(floor(len(tk) / 16) AS INT) AS VARCHAR)) AS fingerprint
+  FROM toks
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       count(DISTINCT fingerprint)::BIGINT AS n_fingerprints
+FROM fp GROUP BY lang""",
+    "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+         (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+          sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cosine
+  FROM c, q WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cosine, 4) AS cosine
+FROM r WHERE rank <= 3""",
+    # multimodal_meta intentionally omitted: Pandas-UDF decode path is not
+    # SQL-expressible → driver records the weaker rows-only check.
+}

@@ -1,0 +1,118 @@
+"""Local emulation of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, compare row count + schema-ish + exact values
+(order-insensitive, columns sorted by name).  Exact float equality is
+intentional — it surfaces any cross-engine nondeterminism before the real
+driver hashes it.
+
+Usage: python scripts/check_driver_contract.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from dask_groupby_spark.session import get_spark
+from dask_groupby_spark.sources import TABLES
+
+
+def norm_cell(x):
+    if x is None:
+        return None
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "NaN"
+        return x
+    if hasattr(x, "isoformat"):
+        return x.isoformat()
+    import decimal
+
+    if isinstance(x, decimal.Decimal):
+        return float(x)
+    return x
+
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("contract-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    print(f"== entry() smoke ==")
+    t0 = time.time()
+    res = entrymod.entry(spark)
+    n = res.count()
+    print(f"entry rows={n} schema={res.schema.simpleString()} ({time.time()-t0:.1f}s)")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {str(e)[:300]}"))
+            print(f"FAIL {name}: spark error {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {str(e)[:300]}"))
+            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+            continue
+        if sorted(scols) != sorted(ocols):
+            failures.append((name, f"COLUMNS: spark={sorted(scols)} duckdb={sorted(ocols)}"))
+            print(f"FAIL {name}: column mismatch {sorted(scols)} vs {sorted(ocols)}")
+            continue
+        _, snorm = normalize(scols, srows)
+        _, onorm = normalize(ocols, orows)
+        if len(snorm) != len(onorm):
+            failures.append((name, f"ROWS: spark={len(snorm)} duckdb={len(onorm)}"))
+            print(f"FAIL {name}: row count {len(snorm)} vs {len(onorm)}")
+            continue
+        bad = [(a, b) for a, b in zip(snorm, onorm) if a != b]
+        if bad:
+            failures.append((name, f"VALUES: {len(bad)}/{len(snorm)} differ; first: {bad[0]}"))
+            print(f"FAIL {name}: {len(bad)}/{len(snorm)} rows differ")
+            print("   spark :", bad[0][0])
+            print("   duckdb:", bad[0][1])
+            continue
+        print(f"PASS {name} ({len(snorm)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
