@@ -1,0 +1,163 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes session startup; each query is materialized with the noop
+writer (computes every column, no driver transfer).  The workload mirrors
+the reference's ASV suite shapes (BASELINE.md): low- and high-cardinality
+grouped reductions (ChunkReduce1D/2D), quantile, climatology-style datetime
+keys, scans, plus the LLM-pipeline operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark import Bins, groupby_agg, groupby_reduce, groupby_scan
+from dask_groupby_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+from dask_groupby_spark.operators.similarity import cosine_topk
+from dask_groupby_spark.session import get_spark
+from dask_groupby_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    ev = load_table(spark, sf, "events")
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    li.cache().count()
+    ev.cache().count()
+
+    def q1_fused():
+        # TPC-H-Q1-shaped fused multi-reduction (6 groups, 8 aggregates)
+        _materialize(
+            groupby_agg(
+                li,
+                "l_returnflag",
+                "l_linestatus",
+                funcs=[
+                    ("count", "l_quantity", "count_qty"),
+                    ("nansum", "l_quantity", "sum_qty"),
+                    ("nansum", "l_extendedprice", "sum_price"),
+                    ("nanmean", "l_quantity", "avg_qty"),
+                    ("nanmean", "l_discount", "avg_disc"),
+                    ("nanmin", "l_extendedprice", "min_price"),
+                    ("nanmax", "l_extendedprice", "max_price"),
+                    ("nanvar", "l_quantity", "var_qty", {"ddof": 1}),
+                ],
+            )
+        )
+
+    def reduce_low_card():
+        # ChunkReduce1D shape: 600k rows → 6 groups
+        _materialize(groupby_reduce(li, "l_returnflag", "l_linestatus", func="nanmean", value="l_extendedprice"))
+
+    def reduce_high_card():
+        # ChunkReduce2D shape: 600k rows → 150k groups
+        _materialize(groupby_reduce(li, "l_orderkey", func="nansum", value="l_extendedprice"))
+
+    def reduce_binned():
+        _materialize(
+            groupby_reduce(
+                li,
+                "l_quantity",
+                func="nanmean",
+                value="l_extendedprice",
+                expected_groups=Bins([0.0, 10.0, 20.0, 30.0, 40.0, 50.0]),
+            )
+        )
+
+    def quantile():
+        # Quantile benchmark shape (q=0.9)
+        _materialize(
+            groupby_reduce(
+                li, "l_returnflag", "l_linestatus", func="nanquantile",
+                value="l_extendedprice", finalize_kwargs={"q": 0.9},
+            )
+        )
+
+    def argreduce():
+        li2 = li.withColumn("idx", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        _materialize(
+            groupby_reduce(li2, "l_returnflag", "l_linestatus", func="nanargmax",
+                           value="l_extendedprice", idx_col="idx")
+        )
+
+    def climatology():
+        # ERA5DayOfYear shape: datetime-derived keys
+        ev2 = ev.withColumn("doy", F.dayofyear("ts").cast("bigint")).withColumn(
+            "h", F.hour("ts").cast("bigint")
+        )
+        _materialize(groupby_reduce(ev2, "doy", "h", func="nanmean", value="value"))
+
+    def scan_cumsum():
+        _materialize(groupby_scan(ev, "user_id", func="nancumsum", value="value", idx_col="event_id"))
+
+    def scan_ffill():
+        ev2 = ev.withColumn("v", F.when(F.col("value") < 50, None).otherwise(F.col("value")))
+        _materialize(groupby_scan(ev2, "user_id", func="ffill", value="v", idx_col="event_id"))
+
+    def dedup_minhash():
+        sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_k=3)
+        _materialize(lsh_candidate_pairs(sig, num_hashes=8, bands=4))
+
+    def ann():
+        _materialize(cosine_topk(emb, emb.where(F.col("vec_id") < 50), k=10))
+
+    return {
+        "q1_fused": q1_fused,
+        "reduce_low_card": reduce_low_card,
+        "reduce_high_card": reduce_high_card,
+        "reduce_binned": reduce_binned,
+        "quantile": quantile,
+        "argreduce": argreduce,
+        "climatology": climatology,
+        "scan_cumsum": scan_cumsum,
+        "scan_ffill": scan_ffill,
+        "dedup_minhash": dedup_minhash,
+        "ann_topk": ann,
+    }
+
+
+def main():
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = bench_queries(spark, SF_DIR)
+    times = {}
+    for name, fn in qs.items():
+        fn()  # warm-up run (JIT/codegen/cache)
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (11 queries, warm)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
