@@ -177,7 +177,13 @@ def groupby_reduce(
     # prod→1, arg*→−1, any/all→False), else dtype-NA
     effective_fill = fill_value if fill_value is not None else spec.final_fill
     any_expected = any(e is not None for e in expected)
-    fills_possible = any_expected or mc is not None
+    # a *forced* min_count (nanmin/nanmax) can only mask all-NaN groups,
+    # which cannot exist for non-float inputs → no promotion then
+    # (flox promotes lazily only when the mask actually fires)
+    mc_forced_only = spec.forces_min_count and min_count is None and fill_value is None
+    fills_possible = any_expected or (
+        mc is not None and not (mc_forced_only and not ctx.is_float)
+    )
     if fills_possible and dt_rules.needs_na_promotion(effective_fill, result_dt):
         result_dt = T.DoubleType()
     fill_final = dt_rules.fill_lit(effective_fill, result_dt)

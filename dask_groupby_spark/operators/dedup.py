@@ -61,6 +61,16 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     )
 
 
+MINHASH_P = 2147483647  # 2^31 − 1 (Mersenne prime)
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    """Deterministic affine-permutation coefficients for hash i (odd a)."""
+    a = ((40503 * i + 11939) * 2 + 1) % MINHASH_P
+    b = (94261 * i + 12289) % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -68,16 +78,24 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: for each seed i, min over shingles of
-    portable_hash(shingle, i).  Output: (id, mh_0..mh_{H-1}).
+    """MinHash signature per document: ONE portable md5 hash per shingle,
+    then H affine permutations ``(a_i * h + b_i) mod p`` — the classic
+    one-hash/many-permutations construction (md5 per seed would cost H
+    digests per shingle).  Output: (id, mh_0..mh_{H-1}).
 
     Plan shape: explode (map-side) → single groupBy(id) computing all H mins
-    in one hash aggregate — one shuffle keyed on id.
+    in one hash aggregate — one shuffle keyed on id.  min() is insensitive
+    to duplicate shingles, so no distinct is needed (set semantics for free).
     """
-    sh = _shingle_rows(df, id_col, text_col, shingle_k)
-    aggs = [
-        F.min(portable_hash(F.col("sh"), i)).alias(f"mh_{i}") for i in range(num_hashes)
-    ]
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    h = portable_hash(F.col("sh")) % F.lit(MINHASH_P)
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_params(i)
+        aggs.append(F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}"))
     return sh.groupBy("id").agg(*aggs)
 
 

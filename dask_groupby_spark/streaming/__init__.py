@@ -1,0 +1,113 @@
+"""Structured Streaming front-end: the same aggregation registry applied to
+unbounded data.
+
+The reference is batch-only (SURVEY.md §2.4: no watermarks/sessionization/
+state) — this module is part of our Spark-native surface extension:
+
+- :func:`windowed_reduce` — tumbling/sliding event-time windows + watermark
+  over any registry reduction (the streaming analog of ``groupby_reduce``
+  with a time-binned grouper).
+- :func:`streaming_cumsum` — a custom *stateful* grouped scan via
+  ``applyInPandasWithState``: per-key running totals that survive across
+  micro-batches (the streaming analog of ``groupby_scan('nancumsum')``).
+
+Scale notes: windowed aggregation state is partitioned by (window, keys) and
+pruned by the watermark; the stateful scan keeps O(1) state per key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..aggregations import AGGREGATIONS
+from ..core import _make_ctx
+
+
+def windowed_reduce(
+    stream: DataFrame,
+    *by: str,
+    func: str,
+    value: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    alias: str | None = None,
+) -> DataFrame:
+    """Event-time windowed grouped reduction with late-data handling.
+
+    Emits one row per (window, *by) with the reduction applied to the
+    window's rows; rows later than ``watermark`` behind the max seen event
+    time are dropped and their window state reclaimed.
+    """
+    spec = AGGREGATIONS[func]
+    if spec.grouped_build or spec.needs_idx:
+        raise ValueError(f"{func} is not supported in streaming mode")
+    out = alias or func
+    ctx = _make_ctx(stream, value, None, {})
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), *by)
+        .agg(spec.build(ctx).alias(out))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *by,
+            out,
+        )
+    )
+
+
+def streaming_cumsum(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-key running sum across micro-batches via arbitrary stateful
+    processing (``applyInPandasWithState``) — state is a single float per
+    key, so memory is O(#keys) regardless of stream length."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField(out_col, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
+    )
+
+    def update(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            total, n = state.get
+        else:
+            total, n = 0.0, 0
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            total += float(vals.sum())
+            n += int(len(vals))
+        state.update((total, n))
+        yield pd.DataFrame({"key": [key[0]], "n_seen": [n], out_col: [total]})
+
+    return (
+        stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

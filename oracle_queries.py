@@ -71,22 +71,38 @@ def _skip(agg_expr: str, name: str, nd: int | None) -> str:
     return f'{_LI}\nSELECT {_K}, {e} AS "{name}" FROM t GROUP BY {_K}'
 
 
+_MINHASH_P = 2147483647  # 2^31 − 1, must match operators/dedup.py
+
+
+def _minhash_params(i: int) -> tuple[int, int]:
+    a = ((40503 * i + 11939) * 2 + 1) % _MINHASH_P
+    b = (94261 * i + 12289) % _MINHASH_P
+    return a, b
+
+
 def _minhash_cte(num_hashes: int = 4, k: int = 3) -> str:
     mins = ",\n         ".join(
-        f"min(CAST('0x'||substr(md5('{i}:'||sh),1,15) AS BIGINT)) AS mh_{i}"
+        "min(({a} * h + {b}) % {p}) AS mh_{i}".format(
+            a=_minhash_params(i)[0], b=_minhash_params(i)[1], p=_MINHASH_P, i=i
+        )
         for i in range(num_hashes)
     )
     return f"""{_TOKS},
 sh AS (
-  SELECT DISTINCT doc_id,
+  SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(tk)-{k - 1}, 0)+1),
                                i -> array_to_string(tk[i:i+{k - 1}], ' '))) AS sh
   FROM toks
 ),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x'||substr(md5(':'||sh),1,15) AS BIGINT) % {_MINHASH_P} AS h
+  FROM sh
+),
 sig AS (
   SELECT doc_id AS id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 )"""
 
 

@@ -1,0 +1,130 @@
+"""LLM-pipeline operator tests: dedup, similarity, text, multimodal."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from dask_groupby_spark.operators.multimodal import attach_fake_media, extract_image_features
+from dask_groupby_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from dask_groupby_spark.operators.text import add_text_features, language_id
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog", "en"),  # near dup of 1
+        (4, "der schnelle braune fuchs springt und springt", "de"),
+        (5, "completely different words entirely here now", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs, "doc_id", "text").collect()
+    by_copies = sorted((r["n_copies"], r["keep_id"]) for r in out)
+    assert by_copies == [(1, 3), (1, 4), (1, 5), (2, 1)]
+
+
+def test_minhash_near_dups_share_bands(docs):
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_k=2)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in
+             lsh_candidate_pairs(sig, num_hashes=8, bands=8).collect()}
+    assert pairs.get((1, 2)) == 8  # identical docs share every band
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup shares some band
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.4).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.4 <= out[(1, 3)] < 1.0
+    assert (1, 5) not in out
+
+
+def test_simhash_similar_docs_close(docs):
+    sig = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text", bits=16).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert sig[1] == sig[2]
+    assert hamming(sig[1], sig[3]) <= hamming(sig[1], sig[5])
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = cosine_topk(emb, emb.where(F.col("vec_id") == 1), k=3)
+    got = [(r["neighbor_id"], round(r["cosine"], 4)) for r in out.orderBy("rank").collect()]
+    assert [g[0] for g in got] == [2, 3, 4]
+    assert got[0][1] > 0.99 and got[1][1] == 0.0 and got[2][1] == -1.0
+
+
+def test_lsh_bucketed_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, (40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_bucketed_topk(emb, q, k=3, dim=16, n_planes=2).collect()}
+    # low-plane LSH should recover a decent fraction of the exact set
+    assert len(exact & approx) >= len(exact) // 3
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.001]),
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = embedding_near_duplicates(emb, threshold=0.99, dim=2, n_planes=1).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids and (1, 3) not in ids
+
+
+def test_text_features(docs):
+    out = {r["doc_id"]: r for r in add_text_features(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["stopword_ratio"] > 0.2  # 'the' twice + 'over'... of 9
+    assert out[4]["stopword_ratio"] == 0.0
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[1] == "en" and out[4] == "de"
+    assert out[5] == "und" or out[5] in ("en",)  # no stopwords → und
+
+
+def test_multimodal_pipeline(docs):
+    media = attach_fake_media(docs)
+    feats = extract_image_features(media)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == 5
+    r = rows[1]
+    assert r["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert 0.0 <= r["mean_luma"] <= 1.0
+    assert r["format"] == "fake"

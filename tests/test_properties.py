@@ -1,0 +1,86 @@
+"""F9 randomized property harness (FIXTURES.md; the Spark analog of the
+reference's 'dask == numpy under random chunking' property,
+flox/tests/test_properties.py:150-180): results must be invariant under
+repartition(p) and equal the DuckDB oracle."""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from dask_groupby_spark import groupby_reduce
+
+FUNCS = ["count", "nansum", "nanmean", "nanmin", "nanmax", "nanvar", "sum", "mean"]
+
+
+def make_table(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 400))
+    k = int(rng.integers(1, 12))
+    labels = rng.integers(0, k, n)
+    vals = rng.normal(0, 100, n)
+    nan_frac = rng.random() * 0.4
+    vals[rng.random(n) < nan_frac] = np.nan
+    return labels, vals
+
+
+def duck_oracle(labels, vals, func):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (label BIGINT, val DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(zip(map(int, labels), map(float, vals))))
+    clean = "CASE WHEN NOT isnan(val) THEN val END"
+    nanc = "sum(CASE WHEN isnan(val) THEN 1 ELSE 0 END)"
+    exprs = {
+        "count": f"count({clean})",
+        "nansum": f"coalesce(sum({clean}), 0)",
+        "nanmean": f"avg({clean})",
+        "nanmin": f"min({clean})",
+        "nanmax": f"max({clean})",
+        "nanvar": f"var_pop({clean})",
+        "sum": f"CASE WHEN {nanc} > 0 THEN 'NaN'::DOUBLE ELSE sum({clean}) END",
+        "mean": f"CASE WHEN {nanc} > 0 THEN 'NaN'::DOUBLE ELSE avg({clean}) END",
+    }
+    rows = con.execute(f"SELECT label, {exprs[func]} FROM t GROUP BY label ORDER BY label").fetchall()
+    con.close()
+    return {r[0]: r[1] for r in rows}
+
+
+def eq(a, b, tol=1e-9):
+    if a is None or b is None:
+        a = float("nan") if a is None else a
+        b = float("nan") if b is None else b
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("func", FUNCS)
+def test_vs_duckdb_and_repartition_invariance(spark, seed, func):
+    labels, vals = make_table(seed)
+    rows = [(int(l), float(v)) for l, v in zip(labels, vals)]
+    df = spark.createDataFrame(rows, "label bigint, val double")
+    oracle = duck_oracle(labels, vals, func)
+    for p in (1, 7):
+        out = groupby_reduce(df.repartition(p), "label", func=func, value="val")
+        got = {r["label"]: r[func] for r in out.collect()}
+        assert set(got) == set(oracle)
+        for k in oracle:
+            assert eq(got[k], oracle[k]), f"seed={seed} func={func} p={p} k={k}: {got[k]} vs {oracle[k]}"
+
+
+def test_no_action_during_construction(spark):
+    """Laziness guard (the Spark analog of flox's CountingScheduler,
+    tests/__init__.py:57-78): building the plan must not trigger a job."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = spark.createDataFrame([(0, 1.0)], "label bigint, val double")
+    n_jobs_before = len(spark.sparkContext.statusTracker().getActiveJobsIds())
+    out = groupby_reduce(df, "label", func="nansum", value="val",
+                         expected_groups=[0, 1, 2], fill_value=0.0)
+    # building `out` must not have launched work; collect() does
+    assert len(spark.sparkContext.statusTracker().getActiveJobsIds()) == n_jobs_before
+    assert out.collect()
