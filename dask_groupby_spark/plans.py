@@ -25,17 +25,26 @@ def rechunk_for_blockwise(df: DataFrame, *by: str, partitions: int | None = None
     return df.repartition(*by)
 
 
-def physical_plan(df: DataFrame) -> str:
-    """The formatted physical plan (for plan-shape assertions in tests)."""
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan string (for plan-shape assertions in tests);
+    ``mode`` ∈ formatted|simple|extended|codegen|cost."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
+        df._jdf.queryExecution(), mode
     )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """# of shuffle (Exchange) nodes in the formatted physical plan."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", physical_plan(df), re.M))
 
 
 def assert_single_shuffle(df: DataFrame) -> None:
     """Assert the plan contains at most one Exchange below the final agg —
     the shape we expect from partial→final hash aggregation."""
-    plan = physical_plan(df)
-    n = plan.count("Exchange")
-    if n > 2:  # final sort may add one
-        raise AssertionError(f"unexpected shuffle count {n} in plan:\n{plan}")
+    n = count_exchanges(df)
+    if n > 1:
+        raise AssertionError(
+            f"unexpected shuffle count {n} in plan:\n{physical_plan(df)}"
+        )

@@ -1,0 +1,90 @@
+"""Custom-reduction escape hatches — the Spark counterpart of the
+reference's user-defined :class:`Aggregation` (flox/aggregations.py:149-248,
+accepted by groupby_reduce at flox/core.py:2560, test at
+flox/tests/test_core.py:1462).
+
+Two tiers, fastest first:
+
+1. **Column-builder Aggregation** (preferred): construct an
+   :class:`~dask_groupby_spark.aggregations.Aggregation` whose ``build``
+   composes built-in Spark aggregate functions.  Catalyst derives the
+   partial/merge split, everything stays in whole-stage codegen.  This covers
+   every case where the combine step is itself expressible as an aggregate —
+   the analog of flox's (chunk, combine, finalize) with library kernels.
+
+2. **applyInPandas fallback** (:func:`groupby_apply_reduce`): arbitrary
+   Python per-group logic over Arrow batches.  No partial aggregation — all
+   rows of a group are shuffled to one task (exactly the constraint of the
+   reference's blockwise-only reductions, e.g. median: chunk=None,
+   aggregations.py:534-547).  Use only when tier 1 can't express the math.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .aggregations import Aggregation
+
+__all__ = ["Aggregation", "make_aggregation", "groupby_apply_reduce"]
+
+
+def make_aggregation(
+    name: str,
+    build,
+    result_type=None,
+    skipna: bool = True,
+    needs_idx: bool = False,
+) -> Aggregation:
+    """Convenience constructor for a custom column-builder Aggregation.
+
+    ``build(ctx) -> Column`` receives the same Ctx as built-ins (clean/
+    missing/valid/idx columns).  ``result_type(input_dt, kwargs) -> DataType``
+    defaults to passthrough.
+    """
+    return Aggregation(
+        name=name,
+        build=build,
+        result_type=result_type or (lambda dt, kw: dt),
+        skipna=skipna,
+        needs_idx=needs_idx,
+    )
+
+
+def groupby_apply_reduce(
+    df: DataFrame,
+    *by: str,
+    reduce_fn: Callable[[pd.DataFrame], dict],
+    value_cols: list[str],
+    output_schema: str,
+    sort: bool = True,
+) -> DataFrame:
+    """Arbitrary per-group reduction via Arrow-batched grouped-map.
+
+    ``reduce_fn(pdf) -> dict`` maps one group's rows (pandas DataFrame with
+    ``value_cols``) to a dict of output scalars matching ``output_schema``
+    (which must NOT include the key columns — they are prepended
+    automatically).
+
+    Scale caveat (inherent, same as the reference's blockwise-only ops): the
+    whole group is materialized in one task; cardinality of ``by`` must be
+    large relative to group size, or executors will spill.
+    """
+    key_schema = ", ".join(
+        f"`{b}` {dict(df.dtypes)[b]}" for b in by
+    )
+    full_schema = f"{key_schema}, {output_schema}"
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {b: pdf[b].iloc[0] for b in by}
+        out = reduce_fn(pdf[list(value_cols)])
+        return pd.DataFrame([{**keys, **out}])
+
+    out = df.groupBy(*by).applyInPandas(apply, schema=full_schema)
+    if sort:
+        out = out.orderBy(*by)
+    return out

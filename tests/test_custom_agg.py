@@ -1,0 +1,55 @@
+"""Custom-Aggregation extensibility (ref: flox custom Aggregation,
+tests/test_core.py:1462) — tier-1 Column builders and the tier-2
+applyInPandas fallback."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark import groupby_reduce
+from dask_groupby_spark.udaf import groupby_apply_reduce, make_aggregation
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [(i, i % 3, float(i)) for i in range(30)]
+    return spark.createDataFrame(rows, "idx bigint, label bigint, val double")
+
+
+def test_custom_column_builder(df):
+    # "range" = max - min, as a user-defined registry entry
+    agg_range = make_aggregation(
+        "range", lambda ctx: F.max(ctx.clean) - F.min(ctx.clean)
+    )
+    out = groupby_reduce(df, "label", func=agg_range, value="val")
+    got = {r["label"]: r["range"] for r in out.collect()}
+    assert got == {0: 27.0, 1: 27.0, 2: 27.0}
+
+
+def test_custom_agg_with_expected_groups(df):
+    agg_range = make_aggregation(
+        "range", lambda ctx: F.max(ctx.clean) - F.min(ctx.clean)
+    )
+    out = groupby_reduce(
+        df, "label", func=agg_range, value="val",
+        expected_groups=[0, 1, 2, 3], fill_value=-1.0,
+    )
+    assert {r["label"]: r["range"] for r in out.collect()}[3] == -1.0
+
+
+def test_apply_in_pandas_fallback(df):
+    # trimmed mean — not expressible as a plain aggregate composition
+    def trimmed_mean(pdf):
+        v = np.sort(pdf["val"].to_numpy())
+        k = max(1, len(v) // 10)
+        return {"tmean": float(v[k:-k].mean())}
+
+    out = groupby_apply_reduce(
+        df, "label", reduce_fn=trimmed_mean, value_cols=["val"],
+        output_schema="tmean double",
+    )
+    got = {r["label"]: r["tmean"] for r in out.collect()}
+    for k in range(3):
+        vals = np.sort(np.array([float(i) for i in range(30) if i % 3 == k]))
+        assert got[k] == pytest.approx(vals[1:-1].mean())
