@@ -32,7 +32,12 @@ from dask_groupby_spark.operators.dedup import (
     simhash,
 )
 from dask_groupby_spark.operators.multimodal import attach_fake_media, extract_image_features
-from dask_groupby_spark.operators.similarity import cosine_topk
+from dask_groupby_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from dask_groupby_spark.operators.text import (
     add_text_features,
     document_fingerprint,
@@ -538,6 +543,45 @@ def q_ann_topk(spark, sf):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_lsh(spark, sf):
+    """Scale-path ANN: random-hyperplane LSH bucketing + in-bucket exact
+    re-scoring (recall < 1 by construction; oracle runs the same algorithm)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = lsh_bucketed_topk(emb, queries, k=3, dim=64, n_planes=6)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+def q_ann_ivf(spark, sf):
+    """IVF ANN: deterministic coarse quantizer (8 cells, seeded from the 8
+    lowest-id vectors, inlined as literals → map-side assignment), nprobe=2."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = ivf_topk(emb, queries, k=3, n_cells=8, nprobe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("cosine", 4).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+def q_emb_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify."""
+    emb = load_table(spark, sf, "embeddings")
+    out = embedding_near_duplicates(
+        emb, threshold=0.25, id_col="vec_id", vec_col="embedding", dim=64, n_planes=4
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
 def q_multimodal_meta(spark, sf):
     """Multimodal plumbing: fake binary payloads → mapInPandas feature
     extraction → aggregate.  No oracle (Pandas-UDF path) → rows-only check."""
@@ -635,6 +679,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "emb_neardup": q_emb_neardup,
     "multimodal_meta": q_multimodal_meta,
 }
 

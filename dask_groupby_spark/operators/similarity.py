@@ -134,6 +134,91 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` cells, probe the ``nprobe`` nearest cells per query, exact
+    cosine re-scoring within probed cells only.
+
+    The coarse quantizer is deterministically seeded from the ``n_cells``
+    lowest-id corpus vectors and **collected to the driver** — an IVF coarse
+    quantizer is always tiny (kilobytes) — then inlined as literal arrays, so
+    cell assignment for both corpus and queries is a *map-only projection*:
+    no shuffle and no window anywhere in the assignment. The only shuffles
+    left in the plan are the candidate join on ``cell`` (broadcast when the
+    query set is small) and the final per-query top-k, i.e. the plan scans
+    the 100 TB corpus exactly once and scores only ~nprobe/n_cells of it.
+
+    Output: (query_id, neighbor_id, cosine, rank) — rank ≤ k per query.
+    """
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cell")
+        .limit(n_cells)
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+            )
+            for r in cents
+        ]
+    )
+
+    def _scored(v: Column) -> Column:
+        # struct field order (cos, negcell, cell): array_max / sort_array
+        # compare cos first, then negcell — ties break to the SMALLEST cell
+        return F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                cosine_similarity(v, c["cv"]).alias("cos"),
+                (-c["cell"]).alias("negcell"),
+                c["cell"].alias("cell"),
+            ),
+        )
+
+    cv = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("nv"),
+        F.array_max(_scored(cv))["cell"].alias("cell"),
+    )
+    probed = F.slice(F.sort_array(_scored(cv), asc=False), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        cv.alias("qv"),
+        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
+    )
+    joined = c.join(F.broadcast(q), on="cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -136,6 +136,28 @@ _langid_pred = (
 )
 
 
+def _lsh_bucket_sql(vec: str, dim: int = 64, n_planes: int = 6, seed: str = "lshplane") -> str:
+    """Random-hyperplane LSH bucket, generated from the SAME deterministic
+    md5-derived ±1 planes as the Spark side (operators/similarity.py
+    ``_hyperplane``), as an explicit left-to-right sum so the float addition
+    order matches Spark's ``aggregate`` fold bit-for-bit."""
+    from dask_groupby_spark.operators.similarity import _hyperplane
+
+    cases = []
+    for i in range(n_planes):
+        p = _hyperplane(dim, i, seed)
+        terms = " + ".join(
+            f"{vec}[{d + 1}]::DOUBLE * {p[d]:.1f}" for d in range(dim)
+        )
+        cases.append(f"CASE WHEN (0.0 + {terms}) > 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(cases) + ")"
+
+
+_COS_SQL = """list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+         (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+          sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[])))"""
+
+
 ORACLE_SQL: dict[str, str] = {
     # ---- reductions ----
     "count": f'{_LI}\nSELECT {_K}, count({_CLEANV})::BIGINT AS "count" FROM t GROUP BY {_K}',
@@ -475,6 +497,70 @@ r AS (
 )
 SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cosine, 4) AS cosine
 FROM r WHERE rank <= 3""",
+    "ann_lsh": f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                  {_lsh_bucket_sql('embedding', n_planes=6)} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv,
+             {_lsh_bucket_sql('embedding', n_planes=6)} AS bucket
+      FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT query_id, neighbor_id, {_COS_SQL} AS cosine
+  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cosine, 4) AS cosine
+FROM r WHERE rank <= 3""",
+    "ann_ivf": f"""
+WITH cents AS (SELECT vec_id AS cell, embedding AS cv
+               FROM embeddings ORDER BY vec_id LIMIT 8),
+ca AS (SELECT vec_id, cell,
+              list_dot_product(embedding::DOUBLE[], cv::DOUBLE[]) /
+              (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+               sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cos
+       FROM embeddings, cents),
+corp AS (SELECT vec_id AS neighbor_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+  FROM ca) WHERE rn = 1),
+qa AS (SELECT vec_id AS query_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+  FROM ca WHERE vec_id < 10) WHERE rn <= 2),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[]))) AS cosine
+  FROM qa JOIN corp USING (cell)
+  JOIN embeddings qe ON qe.vec_id = query_id
+  JOIN embeddings ne ON ne.vec_id = neighbor_id
+  WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cosine, 4) AS cosine
+FROM r WHERE rank <= 3""",
+    "emb_neardup": f"""
+WITH b AS (SELECT vec_id AS id, embedding AS v,
+                  {_lsh_bucket_sql('embedding', n_planes=4)} AS bucket
+           FROM embeddings),
+pairs AS (
+  SELECT a.id AS id_a, b2.id AS id_b,
+         list_dot_product(a.v::DOUBLE[], b2.v::DOUBLE[]) /
+         (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+          sqrt(list_dot_product(b2.v::DOUBLE[], b2.v::DOUBLE[]))) AS cosine
+  FROM b a JOIN b b2 USING (bucket) WHERE a.id < b2.id
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine
+FROM pairs WHERE cosine >= 0.25""",
     # multimodal_meta intentionally omitted: Pandas-UDF decode path is not
     # SQL-expressible → driver records the weaker rows-only check.
 }

@@ -94,6 +94,31 @@ def test_lsh_bucketed_recall(spark):
     assert len(exact & approx) >= len(exact) // 3
 
 
+def test_ivf_topk_recall_and_shape(spark):
+    import numpy as np
+
+    from dask_groupby_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (60, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 4)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=3).collect()}
+    got = ivf_topk(emb, q, k=3, n_cells=4, nprobe=2).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    # probing half the cells should recover a decent fraction of exact top-k
+    assert len(exact & approx) >= len(exact) // 3
+    # per-query ranks are 1..n without gaps, cosine non-increasing
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cs = [r["cosine"] for r in rs]
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+
+
 def test_embedding_near_duplicates(spark):
     rows = [
         (1, [1.0, 0.0]),
