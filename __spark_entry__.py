@@ -472,14 +472,22 @@ def q_dedup_exact(spark, sf):
 
 
 def q_minhash(spark, sf):
+    # hasher="portable": md5-derived hash reproducible in DuckDB; the
+    # library default is xxhash64 (fast path, not SQL-expressible)
     docs = load_table(spark, sf, "documents")
-    return minhash_signatures(docs, "doc_id", "text", num_hashes=4, shingle_k=3).orderBy("id")
+    return minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, shingle_k=3, hasher="portable"
+    ).orderBy("id")
 
 
 def q_lsh_pairs(spark, sf):
     docs = load_table(spark, sf, "documents")
-    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=4, shingle_k=3)
-    return lsh_candidate_pairs(sig, num_hashes=4, bands=4).orderBy("id_a", "id_b")
+    sig = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, shingle_k=3, hasher="portable"
+    )
+    return lsh_candidate_pairs(sig, num_hashes=4, bands=4, hasher="portable").orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_ngram_jaccard(spark, sf):
@@ -492,7 +500,7 @@ def q_ngram_jaccard(spark, sf):
 
 def q_simhash(spark, sf):
     docs = load_table(spark, sf, "documents")
-    return simhash(docs, "doc_id", "text", bits=16).orderBy("id")
+    return simhash(docs, "doc_id", "text", bits=16, hasher="portable").orderBy("id")
 
 
 def q_text_stats(spark, sf):

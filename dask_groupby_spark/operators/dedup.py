@@ -29,10 +29,29 @@ from .text import tokens
 
 
 def portable_hash(col: Column, seed: int | str = "") -> Column:
-    """Deterministic 60-bit hash shared bit-for-bit with the DuckDB oracle."""
+    """Deterministic 60-bit hash shared bit-for-bit with the DuckDB oracle.
+    Slow path (md5 + hex conv) — use only when cross-engine checkability is
+    required; the production default everywhere is :func:`fast_hash`."""
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
     ).cast("bigint")
+
+
+def fast_hash(col: Column, seed: int | str = "") -> Column:
+    """xxhash64 (JVM-side, codegen'd) — the 100 TB-scale default.  Mapped to
+    a nonnegative 63-bit value so downstream ``% p`` arithmetic matches the
+    portable path's domain."""
+    return F.xxhash64(F.concat(F.lit(f"{seed}:"), col)).bitwiseAND(
+        F.lit((1 << 63) - 1)
+    )
+
+
+def _hasher(name: str):
+    if name == "portable":
+        return portable_hash
+    if name == "fast":
+        return fast_hash
+    raise ValueError(f"unknown hasher {name!r} (expected 'fast' or 'portable')")
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -77,11 +96,16 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    hasher: str = "fast",
 ) -> DataFrame:
-    """MinHash signature per document: ONE portable md5 hash per shingle,
-    then H affine permutations ``(a_i * h + b_i) mod p`` — the classic
-    one-hash/many-permutations construction (md5 per seed would cost H
+    """MinHash signature per document: ONE base hash per shingle, then H
+    affine permutations ``(a_i * h + b_i) mod p`` — the classic
+    one-hash/many-permutations construction (hashing per seed would cost H
     digests per shingle).  Output: (id, mh_0..mh_{H-1}).
+
+    ``hasher="fast"`` (default) uses codegen'd xxhash64 — the scale path;
+    ``hasher="portable"`` uses the md5-derived hash reproducible in the
+    DuckDB oracle (slower; only for cross-engine verification).
 
     Plan shape: explode (map-side) → single groupBy(id) computing all H mins
     in one hash aggregate — one shuffle keyed on id.  min() is insensitive
@@ -91,7 +115,7 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
-    h = portable_hash(F.col("sh")) % F.lit(MINHASH_P)
+    h = _hasher(hasher)(F.col("sh")) % F.lit(MINHASH_P)
     aggs = []
     for i in range(num_hashes):
         a, b = minhash_params(i)
@@ -100,7 +124,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4, hasher: str = "fast"
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; documents sharing any band hash are candidate
@@ -113,11 +137,12 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        # band hash via the portable md5 digest (xxhash64 would be faster but
-        # is not reproducible in the DuckDB oracle)
         concat = F.concat_ws(",", *[c.cast("string") for c in cols])
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), portable_hash(concat, "band").alias("bh"))
+            F.struct(
+                F.lit(b).alias("band"),
+                _hasher(hasher)(concat, "band").alias("bh"),
+            )
         )
     exploded = signatures.select(
         F.col("id"), F.explode(F.array(*band_cols)).alias("bandkey")
@@ -173,7 +198,11 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    hasher: str = "fast",
 ) -> DataFrame:
     """SimHash document signature: each token votes ±1 on ``bits`` bit
     positions of its portable hash; the sign of each position's sum forms
@@ -186,7 +215,7 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
-    h = portable_hash(F.col("tok"))
+    h = _hasher(hasher)(F.col("tok"))
     # bit extraction MUST use integer shifts: double division loses bits for
     # hashes above 2^53
     votes = [

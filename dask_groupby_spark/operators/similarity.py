@@ -46,19 +46,26 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine), k rows per query, ordered by
     (cosine desc, neighbor_id asc) with deterministic tie-break.
     """
+    # norms are computed ONCE per row map-side (before the join), not per
+    # pair — same expression tree as cosine_similarity, so float bits are
+    # unchanged, but the join-side work drops from 3 array folds to 1
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("cn"),
+    )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(
-            F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
-        ).alias("cosine"),
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -106,12 +113,14 @@ def lsh_bucketed_topk(
     planes = [_hyperplane(dim, i) for i in range(n_planes)]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("cn"),
         lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("qn"),
         lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), on="bucket").where(
@@ -120,9 +129,7 @@ def lsh_bucketed_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(
-            F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
-        ).alias("cosine"),
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -193,12 +200,14 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         cv.alias("nv"),
+        _norm(cv).alias("nn"),
         F.array_max(_scored(cv))["cell"].alias("cell"),
     )
     probed = F.slice(F.sort_array(_scored(cv), asc=False), 1, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         cv.alias("qv"),
+        _norm(cv).alias("qn"),
         F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
     )
     joined = c.join(F.broadcast(q), on="cell").where(
@@ -207,7 +216,7 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -233,6 +242,7 @@ def embedding_near_duplicates(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("n"),
         lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
     )
     a, b = base.alias("a"), base.alias("b")
@@ -242,7 +252,9 @@ def embedding_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= F.lit(threshold))
     )
