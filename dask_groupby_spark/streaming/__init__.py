@@ -66,6 +66,61 @@ def windowed_reduce(
     )
 
 
+def session_reduce(
+    stream: DataFrame,
+    *by: str,
+    func: str,
+    value: str,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    alias: str | None = None,
+) -> DataFrame:
+    """Sessionized grouped reduction: rows of a key whose event times are
+    within ``gap`` of each other merge into one session window
+    (``F.session_window``); the reduction runs per (session, *by).
+
+    Session state is watermark-pruned like tumbling windows — a key that
+    goes quiet for ``gap`` closes its session and frees its state, so state
+    size is O(active keys), not O(stream length).
+    """
+    spec = AGGREGATIONS[func]
+    if spec.grouped_build or spec.needs_idx:
+        raise ValueError(f"{func} is not supported in streaming mode")
+    out = alias or func
+    ctx = _make_ctx(stream, value, None, {})
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *by)
+        .agg(spec.build(ctx).alias(out))
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            *by,
+            out,
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    *id_cols: str,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first row per key, with the
+    dedup state bounded by the watermark (a key older than ``watermark``
+    can be evicted because any future duplicate would be dropped as late
+    data anyway).  Without ``ts_col`` the state grows unboundedly — only
+    valid for finite keyspaces.
+    """
+    if ts_col is None:
+        return stream.dropDuplicates(list(id_cols))
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
 def streaming_cumsum(
     stream: DataFrame,
     key_col: str,

@@ -50,6 +50,70 @@ def test_windowed_reduce(spark, tmpdir):
     assert got[("2024-01-01T01:00:00", "a")] == 240.0  # 60+80+100
 
 
+def test_session_reduce(spark, tmpdir):
+    from dask_groupby_spark.streaming import session_reduce
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # key "a": two bursts separated by 2h → two sessions; "b": one burst
+    rows = [
+        (base + datetime.timedelta(minutes=m), "a", 1.0) for m in (0, 5, 10)
+    ] + [
+        (base + datetime.timedelta(minutes=m), "a", 1.0) for m in (130, 135)
+    ] + [
+        (base + datetime.timedelta(minutes=m), "b", 2.0) for m in (0, 20)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, k string, v double").write.parquet(
+        f"{tmpdir}/in", mode="overwrite"
+    )
+    stream = spark.readStream.schema("ts timestamp, k string, v double").parquet(f"{tmpdir}/in")
+    agg = session_reduce(stream, "k", func="nansum", value="v", ts_col="ts", gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["session_start"].isoformat(), r["nansum"])
+        for r in spark.sql("select * from sess").collect()
+    )
+    assert got == [
+        ("a", "2024-01-01T00:00:00", 3.0),
+        ("a", "2024-01-01T02:10:00", 2.0),
+        ("b", "2024-01-01T00:00:00", 4.0),
+    ]
+
+
+def test_streaming_dedup(spark, tmpdir):
+    from dask_groupby_spark.streaming import streaming_dedup
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base, 1, "x"),
+        (base + datetime.timedelta(minutes=1), 1, "x-dup"),
+        (base + datetime.timedelta(minutes=2), 2, "y"),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, id bigint, payload string").write.parquet(
+        f"{tmpdir}/in", mode="overwrite"
+    )
+    stream = spark.readStream.schema("ts timestamp, id bigint, payload string").parquet(
+        f"{tmpdir}/in"
+    )
+    out = streaming_dedup(stream, "id", ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["id"] for r in spark.sql("select * from dedup").collect())
+    assert ids == [1, 2]
+
+
 def test_streaming_cumsum_state_across_batches(spark, tmpdir):
     # two separate files + maxFilesPerTrigger=1 → two micro-batches;
     # state must carry the running totals across them
