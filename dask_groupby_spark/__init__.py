@@ -24,7 +24,7 @@ and shuffle planning natively (see SURVEY.md §4).
 from .aggregations import AGGREGATIONS, SCANS, Aggregation, Scan
 from .binning import Bins
 from .core import groupby_agg, groupby_reduce, groupby_scan
-from .plans import rechunk_for_blockwise
+from .plans import bucket_table, rechunk_for_blockwise
 from .session import get_spark
 
 __all__ = [
@@ -37,6 +37,7 @@ __all__ = [
     "groupby_reduce",
     "groupby_scan",
     "rechunk_for_blockwise",
+    "bucket_table",
     "get_spark",
 ]
 

@@ -25,6 +25,36 @@ def rechunk_for_blockwise(df: DataFrame, *by: str, partitions: int | None = None
     return df.repartition(*by)
 
 
+def bucket_table(
+    df: DataFrame,
+    name: str,
+    *by: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort_by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Persist ``df`` as a bucketed table on the group keys and return the
+    bucketed scan — the *durable* blockwise layout (ref:
+    flox.rechunk_for_blockwise, flox/core.py:634-664, but written to storage
+    so EVERY future job skips the shuffle, not just this lineage).
+
+    A groupBy on the bucket keys over the returned DataFrame aggregates with
+    ZERO Exchange nodes (asserted in tests/test_plans.py): the scan's
+    hash-bucket layout already satisfies the aggregation's distribution
+    requirement.  At 100 TB this converts the dominant cost of repeated
+    grouped queries (the full-data shuffle) into a one-time write.
+    ``sort_by`` additionally orders rows within each bucket, which turns
+    order-sensitive ops (first/last/scans) into sequential in-bucket reads.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     """The physical plan string (for plan-shape assertions in tests);
     ``mode`` ∈ formatted|simple|extended|codegen|cost."""

@@ -57,3 +57,28 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register all tables as temp views for spark.sql() use."""
     for n, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(n)
+
+
+def save_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+) -> None:
+    """Sink: write a result as parquet/orc/csv/json, optionally
+    hive-partitioned by key columns.
+
+    ``partition_by`` on a low-cardinality key gives downstream queries
+    partition PRUNING (a filter on the key skips whole directories);
+    ``max_records_per_file`` caps file sizes so a skewed partition doesn't
+    produce one giant file.  For a layout that also removes the aggregation
+    shuffle, see :func:`~dask_groupby_spark.plans.bucket_table`.
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)

@@ -73,6 +73,54 @@ def test_rechunk_for_blockwise_reuses_partitioning(spark, li):
     assert count_exchanges(out) == 1, physical_plan(out)
 
 
+def test_bucketed_table_elides_shuffle_entirely(spark, li, tmp_path):
+    """A bucketed table on the group key aggregates with ZERO Exchange — the
+    durable blockwise layout (flox rechunk_for_blockwise persisted)."""
+    from dask_groupby_spark.plans import bucket_table
+
+    bucketed = bucket_table(
+        li.select("l_returnflag", "l_quantity"),
+        "li_bucketed_test",
+        "l_returnflag",
+        n_buckets=4,
+        path=str(tmp_path / "li_bucketed"),
+    )
+    try:
+        out = groupby_reduce(
+            bucketed, "l_returnflag", func="nansum", value="l_quantity", sort=False
+        )
+        assert count_exchanges(out) == 0, physical_plan(out)
+        # and the result is still right
+        plain = {
+            r["l_returnflag"]: round(r["nansum"], 4)
+            for r in groupby_reduce(
+                li, "l_returnflag", func="nansum", value="l_quantity"
+            ).collect()
+        }
+        got = {r["l_returnflag"]: round(r["nansum"], 4) for r in out.collect()}
+        assert got == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed_test")
+
+
+def test_save_table_partition_pruning(spark, li, tmp_path):
+    """Hive-partitioned sink → a key filter prunes directories at the scan."""
+    from dask_groupby_spark.sources import save_table
+
+    save_table(
+        li.select("l_returnflag", "l_quantity"),
+        str(tmp_path / "li_part"),
+        partition_by=("l_returnflag",),
+    )
+    back = spark.read.parquet(str(tmp_path / "li_part")).where(
+        F.col("l_returnflag") == "A"
+    )
+    plan = physical_plan(back)
+    assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
 def test_whole_stage_codegen_covers_agg(li):
     out = groupby_reduce(li, "l_returnflag", func="nanmean", value="l_quantity", sort=False)
     out.collect()  # AQE compiles the final plan only on execution
