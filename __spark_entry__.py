@@ -297,6 +297,25 @@ def q_nanquantile_vec(spark, sf):
     )
 
 
+def q_nunique(spark, sf):
+    """capability+: exact distinct non-missing count per group."""
+    return groupby_reduce(_li(spark, sf), *_KEYS, func="nunique", value="v")
+
+
+def q_approx_quantile(spark, sf):
+    """capability+: sketch-backed quantile (skew-safe scale path).  No SQL
+    oracle — Greenwald-Khanna picks data-dependent elements; accuracy is
+    asserted against the exact quantile in tests/test_approx.py."""
+    out = groupby_reduce(
+        _li(spark, sf),
+        *_KEYS,
+        func="approx_quantile",
+        value="v",
+        finalize_kwargs={"q": 0.9},
+    )
+    return out
+
+
 def q_mode(spark, sf):
     out = groupby_reduce(_li(spark, sf), *_KEYS, func="mode", value="v")
     return _flagged(out, "mode", None)
@@ -660,6 +679,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nanmedian": q_nanmedian,
     "quantile": q_quantile,
     "nanquantile_vec": q_nanquantile_vec,
+    "nunique": q_nunique,
+    "approx_quantile": q_approx_quantile,
     "mode": q_mode,
     "nanmode": q_nanmode,
     "bins_right": q_bins_right,

@@ -317,6 +317,50 @@ def _quantile(ctx: Ctx) -> Column:
     return _propagate(ctx, out)
 
 
+def _nunique(ctx: Ctx) -> Column:
+    # capability+ (no flox counterpart): exact distinct non-missing count.
+    # Holistic — Spark expands it to a two-level aggregate (partial distinct
+    # per partition), so a hot key still shuffles all its distinct values;
+    # use approx_nunique at skewed 100 TB scale.
+    return F.count_distinct(ctx.clean)
+
+
+def _approx_nunique(ctx: Ctx) -> Column:
+    # HyperLogLog++ sketch — mergeable, O(1) state per group: the skew-proof
+    # scale path. rsd (relative error) via finalize_kwargs, default 5%.
+    return F.approx_count_distinct(ctx.clean, rsd=float(ctx.kw.get("rsd", 0.05)))
+
+
+def _approx_quantile(ctx: Ctx) -> Column:
+    # Greenwald-Khanna sketch (percentile_approx) — unlike exact percentile
+    # (which buffers every value of a group in one task), the sketch is
+    # mergeable with bounded size, so a hot key cannot OOM an executor.
+    # Returns an actual element (no interpolation); accuracy via
+    # finalize_kwargs (higher = more precise, default 10000).
+    q = ctx.kw.get("q")
+    if q is None:
+        raise ValueError("approx_quantile requires finalize_kwargs={'q': ...}")
+    acc = int(ctx.kw.get("accuracy", 10000))
+    if isinstance(q, (list, tuple)):
+        return F.percentile_approx(
+            ctx.clean, F.array(*[F.lit(float(x)) for x in q]), F.lit(acc)
+        )
+    return F.percentile_approx(ctx.clean, F.lit(float(q)), F.lit(acc))
+
+
+def _approx_median(ctx: Ctx) -> Column:
+    acc = int(ctx.kw.get("accuracy", 10000))
+    return F.percentile_approx(ctx.clean, F.lit(0.5), F.lit(acc))
+
+
+def _approx_quantile_result_type(dt: T.DataType, kw: dict) -> T.DataType:
+    # percentile_approx picks actual elements → input dtype preserved
+    elem = dt_rules.preserve_result_type(dt)
+    if isinstance(kw.get("q"), (list, tuple)):
+        return T.ArrayType(elem)
+    return elem
+
+
 def _quantile_result_type(dt: T.DataType, kw: dict) -> T.DataType:
     # quantile final dtype is float64 even for float32 input
     # (ref: aggregations.py:557-572 final_dtype=np.float64; median instead
@@ -421,6 +465,17 @@ AGGREGATIONS: dict[str, Aggregation] = {
         "quantile", _quantile, _quantile_result_type, skipna=False
     ),
     "nanquantile": Aggregation("nanquantile", _nanquantile, _quantile_result_type),
+    # ---- capability+ (beyond the reference): distinct counting and
+    # sketch-backed order statistics — the skew-safe paths at 100 TB.
+    # All are NaN-skipping (sketches drop missing values by construction).
+    "nunique": Aggregation("nunique", _nunique, _longty, final_fill=0),
+    "approx_nunique": Aggregation("approx_nunique", _approx_nunique, _longty, final_fill=0),
+    "approx_quantile": Aggregation(
+        "approx_quantile", _approx_quantile, _approx_quantile_result_type, bool_to_int=False
+    ),
+    "approx_median": Aggregation(
+        "approx_median", _approx_median, _preserve, bool_to_int=False
+    ),
     # mode needs a two-stage plan (count per value, pick max with smallest-
     # value tie-break — scipy.stats.mode semantics, ref aggregate_npg.py:185-215)
     "mode": Aggregation(

@@ -250,6 +250,10 @@ WHERE rn = 1""",
     "median": _bare(f"quantile_cont({_CLEANV}, 0.5)", "median", 6),
     "nanmedian": _skip(f"quantile_cont({_CLEANV}, 0.5)", "nanmedian", 6),
     "quantile": _bare(f"quantile_cont({_CLEANV}, 0.9)", "quantile", 6),
+    "nunique": _skip(f"count(DISTINCT {_CLEANV})", "nunique", None),
+    # approx_quantile intentionally has no oracle: Greenwald-Khanna sketch
+    # output is engine-specific (rows-only check; accuracy vs exact quantile
+    # asserted in tests/test_approx.py)
     "nanquantile_vec": f"""{_LI}
 SELECT {_K}, 0::BIGINT AS qi,
        round(quantile_cont({_CLEANV}, 0.45), 6) AS nanquantile

@@ -114,6 +114,8 @@ def np_group_oracle(func, vals, sel, ddof=0, q=None):
             return float("nan")
         vals_u, cnt = np.unique(valid, return_counts=True)
         return float(vals_u[np.argmax(cnt)])
+    if func == "nunique":
+        return float(len(np.unique(valid)))
     raise AssertionError(func)
 
 
@@ -134,7 +136,24 @@ def eq(a, b, tol=1e-10):
     return abs(float(a) - float(b)) <= tol * max(1.0, abs(float(a)), abs(float(b)))
 
 
-FUNCS = [f for f in AGGREGATIONS if f not in ("quantile", "nanquantile", "var", "nanvar", "std", "nanstd")]
+# quantile/var/std have dedicated ddof/q tests; approx_* sketches have
+# tolerance-based tests in test_approx.py (no exact numpy oracle)
+FUNCS = [
+    f
+    for f in AGGREGATIONS
+    if f
+    not in (
+        "quantile",
+        "nanquantile",
+        "var",
+        "nanvar",
+        "std",
+        "nanstd",
+        "approx_nunique",
+        "approx_quantile",
+        "approx_median",
+    )
+]
 
 
 @pytest.mark.parametrize("func", FUNCS)
