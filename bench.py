@@ -125,6 +125,33 @@ def bench_queries(spark, sf):
     def ann():
         _materialize(cosine_topk(emb, emb.where(F.col("vec_id") < 50), k=10))
 
+    def ann_ivf():
+        from dask_groupby_spark.operators.similarity import ivf_topk
+
+        _materialize(ivf_topk(emb, emb.where(F.col("vec_id") < 50), k=10,
+                              n_cells=16, nprobe=3))
+
+    def text_pipeline():
+        from dask_groupby_spark.operators.text import add_text_features, language_id
+
+        feats = language_id(add_text_features(docs))
+        _materialize(
+            feats.groupBy("lang_pred").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.avg("stopword_ratio").alias("avg_sw"),
+            )
+        )
+
+    def quantile_sketch():
+        # the skew-safe path: same shape as `quantile` but GK-sketch backed
+        _materialize(
+            groupby_reduce(
+                li, "l_returnflag", "l_linestatus", func="approx_quantile",
+                value="l_extendedprice", finalize_kwargs={"q": 0.9},
+            )
+        )
+
     return {
         "q1_fused": q1_fused,
         "reduce_low_card": reduce_low_card,
@@ -137,6 +164,9 @@ def bench_queries(spark, sf):
         "scan_ffill": scan_ffill,
         "dedup_minhash": dedup_minhash,
         "ann_topk": ann,
+        "ann_ivf": ann_ivf,
+        "text_pipeline": text_pipeline,
+        "quantile_sketch": quantile_sketch,
     }
 
 
@@ -158,7 +188,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock (11 queries, warm)",
+                "metric": "headline query wall-clock (14 queries, warm)",
                 "value": total,
                 "unit": "sec",
                 "queries": times,

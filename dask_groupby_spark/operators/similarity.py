@@ -174,11 +174,13 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     )
+    # F.lit on the whole python list → one array literal per centroid (a
+    # single JVM call), not dim× nested lit() calls
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(int(r["cell"])).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+                F.lit([float(x) for x in r["cv"]]).alias("cv"),
             )
             for r in cents
         ]

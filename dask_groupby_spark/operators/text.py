@@ -36,9 +36,11 @@ def _token_eq(w: str):
     return lambda x: x == F.lit(w)
 
 
-def _stopword_hits(col: Column, words) -> Column:
-    """# tokens that are stopwords of one language (exact token match)."""
-    toks = tokens(col)
+def _stopword_hits(toks: Column, words) -> Column:
+    """# tokens that are stopwords of one language (exact token match).
+    Takes the ALREADY-TOKENIZED array so the split isn't recomputed per
+    language (25 regex splits per row otherwise — codegen does not CSE
+    across higher-order-function lambdas)."""
     total = None
     for w in words:
         hits = F.size(F.filter(toks, _token_eq(w)))
@@ -51,14 +53,16 @@ def add_text_features(
 ) -> DataFrame:
     """Per-document quality features: char count, token count, mean token
     length, punctuation ratio, stopword ratio.  One narrow projection —
-    evaluated map-side, no shuffle."""
+    evaluated map-side, no shuffle; the token array is materialized once
+    into a temp column and shared by every feature."""
     t = F.col(text_col)
-    toks = tokens(t)
+    df = df.withColumn("__toks", tokens(t))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_char = F.length(t)
     tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     n_punct = n_char - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
-    sw = _stopword_hits(t, STOPWORDS[lang])
+    sw = _stopword_hits(toks, STOPWORDS[lang])
     return (
         df.withColumn("n_chars_f", n_char.cast("long"))
         .withColumn("n_tokens", n_tok.cast("long"))
@@ -74,6 +78,7 @@ def add_text_features(
             "stopword_ratio",
             F.when(n_tok > 0, sw.cast("double") / n_tok).otherwise(F.lit(0.0)),
         )
+        .drop("__toks")
     )
 
 
@@ -85,34 +90,24 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     Pandas UDF behind the same column contract.
     """
     t = F.col(text_col)
+    df = df.withColumn("__toks", tokens(t))
+    toks = F.col("__toks")
     scored = F.array(
         *[
             F.struct(
-                _stopword_hits(t, ws).alias("score"), F.lit(code).alias("code")
+                _stopword_hits(toks, ws).alias("score"), F.lit(code).alias("code")
             )
             for code, ws in sorted(STOPWORDS.items())
         ]
     )
-    best = F.array_max(
-        F.transform(
-            scored,
-            lambda s: F.struct(
-                s["score"].alias("score"),
-                # invert code ordering so array_max's struct comparison
-                # breaks score ties by SMALLEST code
-                F.lit(None).alias("pad"),
-                s["code"].alias("code"),
-            ),
-        )
-    )
-    # array_max on (score, pad, code): equal scores → larger code wins; we
-    # want smallest code, so pick via filter to max score then array_min.
+    # equal scores must break ties by SMALLEST code: filter to the max
+    # score, then take array_min of the winners' codes
     max_score = F.array_max(F.transform(scored, lambda s: s["score"]))
     winners = F.filter(scored, lambda s: s["score"] == max_score)
     pred = F.when(max_score > 0, F.array_min(F.transform(winners, lambda s: s["code"]))).otherwise(
         F.lit("und")
     )
-    return df.withColumn(out, pred)
+    return df.withColumn(out, pred).drop("__toks")
 
 
 def document_fingerprint(
