@@ -11,7 +11,19 @@ import pytest
 
 from dask_groupby_spark import groupby_reduce
 
-FUNCS = ["count", "nansum", "nanmean", "nanmin", "nanmax", "nanvar", "sum", "mean"]
+FUNCS = [
+    "count",
+    "nansum",
+    "nanmean",
+    "nanmin",
+    "nanmax",
+    "nanvar",
+    "sum",
+    "mean",
+    "nanmedian",
+    "nanstd",
+    "nunique",
+]
 
 
 def make_table(seed):
@@ -40,6 +52,9 @@ def duck_oracle(labels, vals, func):
         "nanvar": f"var_pop({clean})",
         "sum": f"CASE WHEN {nanc} > 0 THEN 'NaN'::DOUBLE ELSE sum({clean}) END",
         "mean": f"CASE WHEN {nanc} > 0 THEN 'NaN'::DOUBLE ELSE avg({clean}) END",
+        "nanmedian": f"quantile_cont({clean}, 0.5)",
+        "nanstd": f"stddev_pop({clean})",
+        "nunique": f"count(DISTINCT {clean})",
     }
     rows = con.execute(f"SELECT label, {exprs[func]} FROM t GROUP BY label ORDER BY label").fetchall()
     con.close()
