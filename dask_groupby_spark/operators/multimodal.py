@@ -97,3 +97,73 @@ def extract_image_features(media: DataFrame, batch_hint: int | None = None) -> D
             )
 
     return media.mapInPandas(feats, schema=IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: payload → transformed payload at (width, height).
+    STUB kernel (no PIL in this container): emits a deterministic truncated
+    payload; a real kernel replaces only the body of ``resize_one``.
+    Map-only — binary payloads never shuffle."""
+
+    def resize_one(payload: bytes) -> bytes:
+        # STUB: real impl = PIL Image.open(...).resize((width, height))
+        return payload[: max(1, (width * height) % 4096)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["payload"].map(resize_one),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_nth: int = 10, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing: one input row fans out to ≤ ``max_frames``
+    frame rows — the 1→N batch shape any real ffmpeg kernel needs.  STUB
+    decoder slices the payload deterministically.  Map-only; downstream
+    per-frame ops (dedup, embedding) group/shuffle on (doc_id, frame_idx)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = min(max_frames, max(1, len(payload) // max(1, every_nth)))
+                for i in range(n_frames):
+                    # STUB: real impl decodes frame i*every_nth via ffmpeg
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * every_nth : (i + 1) * every_nth])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

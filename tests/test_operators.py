@@ -153,3 +153,25 @@ def test_multimodal_pipeline(docs):
     assert r["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
     assert 0.0 <= r["mean_luma"] <= 1.0
     assert r["format"] == "fake"
+
+
+def test_multimodal_resize_and_frames(docs):
+    from dask_groupby_spark.operators.multimodal import (
+        resize_images,
+        sample_video_frames,
+    )
+
+    media = attach_fake_media(docs)
+    resized = {r["doc_id"]: r for r in resize_images(media, 64, 64).collect()}
+    assert len(resized) == 5
+    assert all(r["width"] == 64 and r["height"] == 64 for r in resized.values())
+    assert all(len(r["payload"]) >= 1 for r in resized.values())
+
+    frames = sample_video_frames(media, every_nth=5, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert set(by_doc) == set(resized)
+    for idxs in by_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense 0..n-1
+        assert len(idxs) <= 4
