@@ -24,7 +24,7 @@ We therefore define ``missing := isnull(v) OR isnan(v)`` and
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 from pyspark.sql import Column

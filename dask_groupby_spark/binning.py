@@ -18,7 +18,7 @@ the shuffle, so binning adds no extra stage.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 from pyspark.sql import Column

@@ -27,7 +27,6 @@ select between numpy kernels / dask graph shapes in the reference
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window

@@ -4,25 +4,28 @@ Design for 100 TB:
 
 - exact dedup = hash-groupBy on a digest — one shuffle on the digest key;
   the digest is computed map-side so the shuffle carries (digest, id) only.
-- MinHash/LSH = explode shingles → per-seed min over a portable 60-bit
-  md5-derived hash → band buckets → self-join *within buckets only*.  The
-  band-bucket groupBy is the inverted index; no O(n²) pair enumeration.
+- MinHash/LSH = explode shingles → one base hash per shingle (xxhash64 by
+  default) → H affine permutations → band buckets → self-join *within
+  buckets only*.  The band-bucket groupBy is the inverted index; no O(n²)
+  pair enumeration.
 - SimHash = weighted bit-vote over token hashes, one aggregate per document.
 - n-gram Jaccard = shingle inverted-index self-join (pairs share ≥1 shingle)
   + intersection counting — the classic "candidates via index" plan; the
   threshold filter prunes before any wide row is built.
 
-The portable hash is ``bigint(hex(md5(x)[:15]))`` — identical in Spark
-(``conv(substr(md5(x),1,15),16,10)``) and DuckDB
-(``cast('0x'||substr(md5(x),1,15) as bigint)``), so every operator here is
-oracle-checkable.
+Hashing is pluggable per operator (``hasher=``): "fast" (xxhash64,
+codegen'd — the production default) or "portable"
+(``bigint(hex(md5(x)[:15]))``, identical in Spark
+``conv(substr(md5(x),1,15),16,10)`` and DuckDB
+``cast('0x'||substr(md5(x),1,15) as bigint)``) so every operator here is
+oracle-checkable on demand.
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens

@@ -1,6 +1,5 @@
 """LLM-pipeline operator tests: dedup, similarity, text, multimodal."""
 
-import math
 
 import pytest
 

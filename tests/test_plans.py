@@ -7,7 +7,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from dask_groupby_spark import Bins, groupby_reduce, rechunk_for_blockwise
+from dask_groupby_spark import groupby_reduce, rechunk_for_blockwise
 from dask_groupby_spark.plans import count_exchanges, physical_plan
 from dask_groupby_spark.sources import load_table
 
