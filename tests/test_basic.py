@@ -63,3 +63,26 @@ def test_int_sum_type_promotion(spark):
 def test_sort_order(f1):
     out = groupby_reduce(f1, "label", func="count", value="val_ones", sort=True)
     assert [r["label"] for r in out.collect()] == [0, 1, 2]
+
+
+def test_datetime_binning(spark):
+    """Binning by timestamp edges (ref: flox test_core.py:1208 datetime
+    bins): F.lit(datetime) edges compile to timestamp literals, same
+    closed-side semantics as numeric bins."""
+    import datetime as dt
+
+    from dask_groupby_spark import Bins
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=6 * i), float(i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, ts timestamp, val double")
+    edges = [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 4)]
+    out = groupby_reduce(
+        df, "ts", func="count", value="val",
+        expected_groups=Bins(edges, closed="left"), fill_value=0,
+    )
+    got = {r["ts_bin"]: r["count"] for r in out.collect()}
+    # [Jan1, Jan2): hours 0,6,12,18 → 4 rows; [Jan2, Jan4): the other 8
+    assert got == {0: 4, 1: 8}
