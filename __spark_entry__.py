@@ -609,6 +609,47 @@ def q_emb_neardup(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_group_topk(spark, sf):
+    """per-group top-k rows (no flox counterpart — SURVEY §2.4 extension)."""
+    from dask_groupby_spark.operators.selection import grouped_topk
+
+    ev = load_table(spark, sf, "events")
+    out = grouped_topk(ev, "event_type", order_col="value", k=3, tiebreak="event_id")
+    return out.select(
+        "event_type",
+        "event_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("value", 6).alias("value"),
+    ).orderBy("event_type", "rank")
+
+
+def q_sessionize(spark, sf):
+    """batch sessionization: session stats per user (gap = 6h)."""
+    from dask_groupby_spark.operators.selection import sessionize
+
+    ev = load_table(spark, sf, "events")
+    sess = sessionize(ev, "user_id", ts_col="ts", gap=6 * 3600.0)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_sample_per_group(spark, sf):
+    """deterministic per-group sampling (portable hash → oracle-checkable)."""
+    from dask_groupby_spark.operators.selection import sample_per_group
+
+    docs = load_table(spark, sf, "documents")
+    out = sample_per_group(
+        docs, "lang", n=5, id_col="doc_id", seed="mix", hasher="portable"
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def q_multimodal_meta(spark, sf):
     """Multimodal plumbing: fake binary payloads → mapInPandas feature
     extraction → aggregate.  No oracle (Pandas-UDF path) → rows-only check."""
@@ -711,6 +752,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
+    "group_topk": q_group_topk,
+    "sessionize": q_sessionize,
+    "sample_per_group": q_sample_per_group,
     "multimodal_meta": q_multimodal_meta,
 }
 

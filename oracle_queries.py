@@ -565,6 +565,45 @@ pairs AS (
 )
 SELECT id_a, id_b, round(cosine, 4) AS cosine
 FROM pairs WHERE cosine >= 0.25""",
+    "group_topk": """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+SELECT event_type, event_id, rank::BIGINT AS rank, round(value, 6) AS value
+FROM r WHERE rank <= 3""",
+    "sessionize": """
+WITH s AS (
+  SELECT user_id, ts, epoch(ts) AS tse,
+         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC) AS prev
+  FROM events
+), b AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR tse - prev > 21600.0 THEN 1 ELSE 0 END AS nb
+  FROM s
+), sess AS (
+  SELECT user_id,
+         sum(nb) OVER (PARTITION BY user_id ORDER BY ts ASC
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM b
+)
+SELECT user_id, (max(session_id) + 1)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id""",
+    "sample_per_group": """
+WITH h AS (
+  SELECT lang, doc_id,
+         CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM documents
+), r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rn
+  FROM h
+)
+SELECT lang, doc_id FROM r WHERE rn <= 5""",
     # multimodal_meta intentionally omitted: Pandas-UDF decode path is not
     # SQL-expressible → driver records the weaker rows-only check.
 }

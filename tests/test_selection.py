@@ -1,0 +1,52 @@
+"""Row-selection operators: grouped_topk, sessionize, sample_per_group."""
+
+import datetime as dt
+
+from dask_groupby_spark.operators.selection import (
+    grouped_topk,
+    sample_per_group,
+    sessionize,
+)
+
+
+def test_grouped_topk(spark):
+    rows = [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
+            ("b", 5, 1.0)]
+    df = spark.createDataFrame(rows, "k string, id bigint, v double")
+    out = grouped_topk(df, "k", order_col="v", k=2, tiebreak="id").collect()
+    got = {(r["k"], r["rank"]): r["id"] for r in out}
+    # tie at v=30 broken by smaller id
+    assert got == {("a", 1): 2, ("a", 2): 4, ("b", 1): 5}
+
+
+def test_sessionize(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),
+        (1, base + dt.timedelta(hours=3)),     # > 1h gap → new session
+        (1, base + dt.timedelta(hours=3, minutes=5)),
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user bigint, ts timestamp")
+    out = sessionize(df, "user", ts_col="ts", gap=3600.0).collect()
+    sess = {(r["user"], r["ts"].isoformat()): r["session_id"] for r in out}
+    assert sess[(1, "2024-01-01T00:00:00")] == 0
+    assert sess[(1, "2024-01-01T00:10:00")] == 0
+    assert sess[(1, "2024-01-01T03:00:00")] == 1
+    assert sess[(1, "2024-01-01T03:05:00")] == 1
+    assert sess[(2, "2024-01-01T00:00:00")] == 0
+
+
+def test_sample_per_group_deterministic(spark):
+    rows = [(i % 3, i) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp bigint, id bigint")
+    s1 = {(r["grp"], r["id"]) for r in
+          sample_per_group(df, "grp", n=4, id_col="id", seed="s").collect()}
+    s2 = {(r["grp"], r["id"]) for r in
+          sample_per_group(df.repartition(7), "grp", n=4, id_col="id", seed="s").collect()}
+    assert s1 == s2  # invariant under partitioning
+    assert len(s1) == 12  # 4 per group × 3 groups
+    s3 = {(r["grp"], r["id"]) for r in
+          sample_per_group(df, "grp", n=4, id_col="id", seed="other").collect()}
+    assert s1 != s3  # seed changes the sample
