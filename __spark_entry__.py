@@ -650,6 +650,22 @@ def q_sample_per_group(spark, sf):
     return out.select("lang", "doc_id").orderBy("lang", "doc_id")
 
 
+def q_asof_join(spark, sf):
+    """as-of join (union+window-carry plan, one shuffle) vs DuckDB's native
+    ASOF JOIN: most recent 'view' value at or before each 'purchase'."""
+    from dask_groupby_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(left, right, on="ts", by=["user_id"], right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "value_right", "ts_right"
+    ).orderBy("event_id")
+
+
 def q_multimodal_meta(spark, sf):
     """Multimodal plumbing: fake binary payloads → mapInPandas feature
     extraction → aggregate.  No oracle (Pandas-UDF path) → rows-only check."""
@@ -752,6 +768,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
+    "asof_join": q_asof_join,
     "group_topk": q_group_topk,
     "sessionize": q_sessionize,
     "sample_per_group": q_sample_per_group,

@@ -1,0 +1,114 @@
+"""Temporal joins Spark lacks as built-ins: as-of join (and its tolerance
+variant).  No flox counterpart (the reference has no joins at all,
+SURVEY.md §2.4) — this is Spark-native surface extension for event/feature
+alignment in training pipelines (label joins, point-in-time correctness).
+
+**Why not a range join**: the naive formulation
+``l JOIN r ON l.key = r.key AND r.ts <= l.ts`` + pick-latest explodes to
+O(|l|·|r|) pairs per key before pruning.  The scalable plan is the classic
+union + ordered window carry:
+
+    tag sides → union → one shuffle on key → sort by (ts, side) →
+    ``last(right_value, ignorenulls)`` carries the most recent right row
+    forward → keep left rows.
+
+One Exchange total, no pair blow-up, works at any key cardinality — the
+same shape Spark itself uses for stream-stream interval joins.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = (),
+    right_cols: Sequence[str] | None = None,
+    tolerance: float | None = None,
+    suffix: str = "_right",
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the right row with the largest ``on`` ≤
+    left's ``on`` (direction="backward"; "forward" = smallest ≥) within the
+    same ``by`` key.  ``tolerance`` (seconds) nulls the match when the time
+    difference exceeds it.  Right rows should be unique per (by, on) —
+    pre-aggregate otherwise (with duplicates, which one wins is unspecified,
+    matching DuckDB ASOF JOIN).
+
+    Output: all left columns + ``<right_col><suffix>`` for each right value
+    column + ``<on><suffix>`` (the matched right timestamp, NULL if none).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = list(by)
+    rcols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in by + [on]
+    ]
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    lcols = list(left.columns)
+
+    # union schema: by + on + __side + left-only cols + right value cols + __rts
+    lonly = [c for c in lcols if c not in by + [on]]
+    l_proj = (
+        [F.col(c) for c in by]
+        + [F.col(on), F.lit(1).alias("__side")]
+        + [F.col(c) for c in lonly]
+        + [F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in rcols]
+        + [F.lit(None).cast(rtypes[on]).alias("__rts")]
+    )
+    r_proj = (
+        [F.col(c) for c in by]
+        + [F.col(on), F.lit(0).alias("__side")]
+        + [F.lit(None).cast(ltypes[c]).alias(c) for c in lonly]
+        + [F.col(c).alias(f"__r_{c}") for c in rcols]
+        + [F.col(on).alias("__rts")]
+    )
+    unioned = left.select(*l_proj).unionByName(right.select(*r_proj))
+
+    # backward: right rows sort BEFORE left rows at equal ts (side 0 < 1) so
+    # a same-timestamp right row is visible; carry = last non-null preceding.
+    # forward: mirror with first non-null following, right rows AFTER left.
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
+    carried = unioned.select(
+        "*",
+        *[carry(F.col(f"__r_{c}")).alias(f"__c_{c}") for c in rcols],
+        carry(F.col("__rts")).alias("__cts"),
+    ).where(F.col("__side") == 1)
+
+    matched = F.col("__cts").isNotNull()
+    if tolerance is not None:
+        delta = F.col(on).cast("double") - F.col("__cts").cast("double")
+        if direction == "forward":
+            delta = -delta
+        matched = matched & (delta <= F.lit(float(tolerance)))
+
+    out_cols = (
+        [F.col(c) for c in lcols]
+        + [
+            F.when(matched, F.col(f"__c_{c}")).alias(f"{c}{suffix}")
+            for c in rcols
+        ]
+        + [F.when(matched, F.col("__cts")).alias(f"{on}{suffix}")]
+    )
+    return carried.select(*out_cols)

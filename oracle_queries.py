@@ -565,6 +565,11 @@ pairs AS (
 )
 SELECT id_a, id_b, round(cosine, 4) AS cosine
 FROM pairs WHERE cosine >= 0.25""",
+    "asof_join": """
+SELECT l.event_id, l.user_id, r.value AS value_right, r.ts AS ts_right
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "group_topk": """
 WITH r AS (
   SELECT event_type, event_id, value,

@@ -1,0 +1,61 @@
+"""as-of join: backward/forward, tolerance, per-key isolation, plan shape."""
+
+import datetime as dt
+
+from dask_groupby_spark.operators.joins import asof_join
+from dask_groupby_spark.plans import count_exchanges
+
+
+def _tables(spark):
+    base = dt.datetime(2024, 1, 1)
+    trades = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=5), 100.0),
+            (1, base + dt.timedelta(minutes=20), 101.0),
+            (2, base + dt.timedelta(minutes=1), 50.0),
+        ],
+        "key bigint, ts timestamp, trade double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=0), 99.0),
+            (1, base + dt.timedelta(minutes=5), 99.5),   # same-ts: visible backward
+            (1, base + dt.timedelta(minutes=15), 100.5),
+            (2, base + dt.timedelta(minutes=30), 49.0),  # only AFTER the trade
+        ],
+        "key bigint, ts timestamp, quote double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward(spark):
+    trades, quotes = _tables(spark)
+    out = asof_join(trades, quotes, on="ts", by=["key"]).collect()
+    got = {(r["key"], r["ts"].minute): (r["quote_right"], r["ts_right"].minute if r["ts_right"] else None)
+           for r in out}
+    assert got[(1, 5)] == (99.5, 5)      # same-timestamp quote matches
+    assert got[(1, 20)] == (100.5, 15)   # most recent preceding
+    assert got[(2, 1)] == (None, None)   # no preceding quote for key 2
+
+
+def test_asof_forward_and_tolerance(spark):
+    trades, quotes = _tables(spark)
+    fwd = asof_join(trades, quotes, on="ts", by=["key"], direction="forward").collect()
+    got = {(r["key"], r["ts"].minute): r["quote_right"] for r in fwd}
+    assert got[(1, 5)] == 99.5           # same ts counts forward too
+    assert got[(2, 1)] == 49.0           # first following
+    tol = asof_join(trades, quotes, on="ts", by=["key"], tolerance=300.0).collect()
+    got_tol = {(r["key"], r["ts"].minute): r["quote_right"] for r in tol}
+    assert got_tol[(1, 5)] == 99.5       # 0s gap ≤ 5min
+    assert got_tol[(1, 20)] == 100.5     # gap exactly 300s ≤ tolerance → kept
+    # shrinking the tolerance below the gap drops the match
+    tol2 = asof_join(trades, quotes, on="ts", by=["key"], tolerance=299.0).collect()
+    got_tol2 = {(r["key"], r["ts"].minute): r["quote_right"] for r in tol2}
+    assert got_tol2[(1, 20)] is None
+
+
+def test_asof_single_shuffle(spark):
+    trades, quotes = _tables(spark)
+    out = asof_join(trades, quotes, on="ts", by=["key"])
+    # union + window: exactly one Exchange on the key — no pair blow-up
+    assert count_exchanges(out) <= 1
