@@ -609,6 +609,28 @@ def q_emb_neardup(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_range_join(spark, sf):
+    """range join via interval bucketing (hash equi-join on (key, bucket) +
+    exact containment filter — no per-key cartesian)."""
+    from dask_groupby_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf, "events")
+    right = ev.where(F.col("value") > 99).select(
+        "event_type",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+        F.col("event_id").alias("win_id"),
+    )
+    left = ev.where(F.col("value") < 2).select("event_type", "event_id", "ts")
+    out = range_join(
+        left, right, on="ts", start="s", end="e", by=["event_type"],
+        bucket_width=3600.0,
+    )
+    return out.select("event_type", "event_id", F.col("win_id_right").alias("win_id")).orderBy(
+        "event_type", "event_id", "win_id"
+    )
+
+
 def q_group_topk(spark, sf):
     """per-group top-k rows (no flox counterpart — SURVEY §2.4 extension)."""
     from dask_groupby_spark.operators.selection import grouped_topk
@@ -769,6 +791,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "group_topk": q_group_topk,
     "sessionize": q_sessionize,
     "sample_per_group": q_sample_per_group,

@@ -24,6 +24,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    start: str,
+    end: str,
+    by: Sequence[str] = (),
+    bucket_width: float = 3600.0,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner join of left rows to right intervals:
+    ``r.start ≤ l.on ≤ r.end`` (+ equal ``by`` keys).
+
+    **Why not a plain inequality join**: Spark executes
+    ``JOIN ON a.key=b.key AND b.s <= a.t AND a.t <= b.e`` as a key-equi join
+    followed by a per-key cartesian filter — O(|l|·|r|) per key.  Here both
+    sides are mapped onto fixed-width time buckets (an interval spanning k
+    buckets explodes into k rows); the join is a plain hash equi-join on
+    (by, bucket) and the exact containment predicate prunes after.  A left
+    point lives in exactly ONE bucket, so each qualifying pair is produced
+    exactly once — no dedup pass.  Choose ``bucket_width`` ≈ the typical
+    interval length: wider → fewer exploded rows, narrower → fewer false
+    candidates.
+
+    Output: left columns + each right column suffixed (by-keys unsuffixed).
+    """
+    by = list(by)
+    w = float(bucket_width)
+    lb = F.floor(F.col(on).cast("double") / w).cast("bigint")
+    l2 = left.withColumn("__b", lb)
+    rcols = [c for c in right.columns if c not in by]
+    r2 = right.select(
+        *by,
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start).cast("double") / w).cast("bigint"),
+                F.floor(F.col(end).cast("double") / w).cast("bigint"),
+            )
+        ).alias("__b"),
+    )
+    joined = l2.join(r2, on=by + ["__b"]).where(
+        (F.col(f"{start}{suffix}") <= F.col(on))
+        & (F.col(on) <= F.col(f"{end}{suffix}"))
+    )
+    return joined.drop("__b")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

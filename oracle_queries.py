@@ -570,6 +570,17 @@ SELECT l.event_id, l.user_id, r.value AS value_right, r.ts AS ts_right
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "range_join": """
+WITH r AS (
+  SELECT event_type, ts - INTERVAL 1 HOUR AS s, ts + INTERVAL 1 HOUR AS e,
+         event_id AS win_id
+  FROM events WHERE value > 99
+), l AS (
+  SELECT event_type, event_id, ts FROM events WHERE value < 2
+)
+SELECT l.event_type, l.event_id, r.win_id
+FROM l JOIN r USING (event_type)
+WHERE l.ts BETWEEN r.s AND r.e""",
     "group_topk": """
 WITH r AS (
   SELECT event_type, event_id, value,

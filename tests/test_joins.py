@@ -54,6 +54,46 @@ def test_asof_forward_and_tolerance(spark):
     assert got_tol2[(1, 20)] is None
 
 
+def test_range_join(spark):
+    from dask_groupby_spark.operators.joins import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=30), "p1"),
+            (1, base + dt.timedelta(hours=5), "p2"),
+            (2, base + dt.timedelta(minutes=30), "p3"),
+        ],
+        "key bigint, ts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, base, base + dt.timedelta(hours=1), "w1"),          # covers p1
+            (1, base + dt.timedelta(minutes=15), base + dt.timedelta(hours=2), "w2"),  # covers p1 too
+            (2, base + dt.timedelta(hours=1), base + dt.timedelta(hours=2), "w3"),     # misses p3
+        ],
+        "key bigint, s timestamp, e timestamp, win string",
+    )
+    out = range_join(
+        points, intervals, on="ts", start="s", end="e", by=["key"],
+        bucket_width=600.0,
+    ).collect()
+    got = sorted((r["tag"], r["win_right"]) for r in out)
+    assert got == [("p1", "w1"), ("p1", "w2")]  # each pair exactly once
+
+
+def test_range_join_boundaries(spark):
+    from dask_groupby_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame([(1, 10.0, "a"), (1, 20.0, "b"), (1, 20.001, "c")],
+                                "key bigint, x double, tag string")
+    iv = spark.createDataFrame([(1, 10.0, 20.0, "i")],
+                               "key bigint, s double, e double, win string")
+    out = range_join(pts, iv, on="x", start="s", end="e", by=["key"], bucket_width=7.0)
+    tags = sorted(r["tag"] for r in out.collect())
+    assert tags == ["a", "b"]  # closed on both ends; 20.001 excluded
+
+
 def test_asof_single_shuffle(spark):
     trades, quotes = _tables(spark)
     out = asof_join(trades, quotes, on="ts", by=["key"])
