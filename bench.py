@@ -143,6 +143,15 @@ def bench_queries(spark, sf):
             )
         )
 
+    def asof():
+        from dask_groupby_spark.operators.joins import asof_join
+
+        left = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+        _materialize(asof_join(left, right, on="ts", by=["user_id"], right_cols=["value"]))
+
     def quantile_sketch():
         # the skew-safe path: same shape as `quantile` but GK-sketch backed
         _materialize(
@@ -167,6 +176,7 @@ def bench_queries(spark, sf):
         "ann_ivf": ann_ivf,
         "text_pipeline": text_pipeline,
         "quantile_sketch": quantile_sketch,
+        "asof_join": asof,
     }
 
 
@@ -188,7 +198,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock (14 queries, warm)",
+                "metric": "headline query wall-clock (15 queries, warm)",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
