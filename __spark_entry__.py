@@ -688,6 +688,32 @@ def q_asof_join(spark, sf):
     ).orderBy("event_id")
 
 
+def q_wmean(spark, sf):
+    """weighted mean/sum — fused, one shuffle; pairwise missing rule."""
+    from dask_groupby_spark.operators.weighted import groupby_weighted
+
+    # wmean only: the Σwx/Σw division cancels magnitude, so round(…, 6) is
+    # reorder-safe; raw wsum (~1e9) is not hash-comparable across engines
+    # (sum-order error exceeds any fixed rounding) — covered with tolerance
+    # in tests/test_weighted.py instead
+    out = groupby_weighted(
+        _li(spark, sf), *_KEYS, value="l_extendedprice", weight="v",
+        funcs=("wmean",),
+    )
+    return out.select(*_KEYS, F.round("wmean", 6).alias("wmean"))
+
+
+def q_top_terms(spark, sf):
+    """per-group top-k most frequent tokens (explode → count → topk)."""
+    from dask_groupby_spark.operators.weighted import top_terms
+
+    docs = load_table(spark, sf, "documents")
+    out = top_terms(docs, "lang", text_col="text", k=3)
+    return out.select(
+        "lang", "term", "n", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("lang", "rank")
+
+
 def q_multimodal_meta(spark, sf):
     """Multimodal plumbing: fake binary payloads → mapInPandas feature
     extraction → aggregate.  No oracle (Pandas-UDF path) → rows-only check."""
@@ -795,6 +821,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_topk": q_group_topk,
     "sessionize": q_sessionize,
     "sample_per_group": q_sample_per_group,
+    "wmean": q_wmean,
+    "top_terms": q_top_terms,
     "multimodal_meta": q_multimodal_meta,
 }
 

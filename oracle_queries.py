@@ -570,6 +570,23 @@ SELECT l.event_id, l.user_id, r.value AS value_right, r.ts AS ts_right
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "wmean": f"""{_LI}
+SELECT {_K},
+       round(sum(CASE WHEN NOT isnan(v) THEN v * l_extendedprice END)
+             / sum(CASE WHEN NOT isnan(v) THEN v END), 6) AS wmean
+FROM t GROUP BY {_K}""",
+    "top_terms": f"""{_TOKS},
+tf AS (
+  SELECT lang, term, count(*)::BIGINT AS n
+  FROM (SELECT lang, unnest(tk) AS term FROM toks)
+  WHERE length(term) >= 1
+  GROUP BY lang, term
+), r AS (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
+  FROM tf
+)
+SELECT lang, term, n, rank::BIGINT AS rank FROM r WHERE rank <= 3""",
     "range_join": """
 WITH r AS (
   SELECT event_type, ts - INTERVAL 1 HOUR AS s, ts + INTERVAL 1 HOUR AS e,

@@ -1,0 +1,49 @@
+"""Weighted reductions and per-group top terms."""
+
+import math
+
+import pytest
+
+from dask_groupby_spark.operators.weighted import groupby_weighted, top_terms
+
+NAN = float("nan")
+
+
+@pytest.fixture(scope="module")
+def wdf(spark):
+    rows = [
+        (0, 10.0, 1.0),
+        (0, 20.0, 3.0),
+        (1, 5.0, NAN),    # NaN weight → row excluded pairwise
+        (1, NAN, 2.0),    # NaN value → excluded
+        (1, 7.0, 2.0),
+        (2, 4.0, None),   # NULL weight → excluded → group empty
+    ]
+    return spark.createDataFrame(rows, "k bigint, x double, w double")
+
+
+def test_weighted_mean_sum_var(wdf):
+    out = {r["k"]: r for r in groupby_weighted(
+        wdf, "k", value="x", weight="w", funcs=("wsum", "wmean", "wvar")
+    ).collect()}
+    assert out[0]["wsum"] == pytest.approx(10 + 60)
+    assert out[0]["wmean"] == pytest.approx(70 / 4)
+    # frequency-weights population variance: E[x²] − E[x]²
+    assert out[0]["wvar"] == pytest.approx((100 + 3 * 400) / 4 - (70 / 4) ** 2)
+    assert out[1]["wmean"] == pytest.approx(7.0)
+    assert out[2]["wsum"] == 0.0               # empty → sum identity
+    assert out[2]["wmean"] is None or math.isnan(out[2]["wmean"])
+
+
+def test_top_terms(spark):
+    rows = [
+        (1, "a a a b c", "en"),
+        (2, "b b c", "en"),
+        (3, "x y", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = top_terms(docs, "lang", text_col="text", k=2).collect()
+    got = {(r["lang"], r["rank"]): (r["term"], r["n"]) for r in out}
+    assert got[("en", 1)] == ("a", 3)
+    assert got[("en", 2)] == ("b", 3)  # tie a=3,b=3 → alphabetical
+    assert got[("de", 1)] == ("x", 1)  # tie x=1,y=1 → alphabetical
