@@ -458,6 +458,34 @@ def q_scan_bfill(spark, sf):
     return out.select("event_id", "event_type", clean.alias("bfill"))
 
 
+def q_scan_cummax(spark, sf):
+    """bare cummax: NaN poisons the rest of the group (np.maximum.accumulate)."""
+    ev = _ev(spark, sf)
+    out = groupby_scan(ev, "event_type", func="cummax", value="vnan", idx_col="event_id")
+    out = _flagged(out, "cummax", None)
+    return out.select("event_id", "event_type", "cummax_isnan", "cummax")
+
+
+def q_scan_nancummin(spark, sf):
+    """running min of valid values (np.fmin.accumulate semantics)."""
+    ev = _ev(spark, sf)
+    out = groupby_scan(ev, "event_type", func="nancummin", value="vnan", idx_col="event_id")
+    clean = F.when(F.isnan(F.col("nancummin")), F.lit(None)).otherwise(F.col("nancummin"))
+    return out.select(
+        "event_id",
+        "event_type",
+        F.isnan("nancummin").alias("nancummin_isnan"),
+        clean.alias("nancummin"),
+    )
+
+
+def q_scan_cumcount(spark, sf):
+    """running count of valid values per group."""
+    ev = _ev(spark, sf)
+    out = groupby_scan(ev, "event_type", func="cumcount", value="vnan", idx_col="event_id")
+    return out.select("event_id", "event_type", "cumcount")
+
+
 def q_scan_cumprod(spark, sf):
     ev = _ev(spark, sf).withColumn("x", 1.0 + F.col("value") / 10000.0)
     out = groupby_scan(ev, "user_id", func="cumprod", value="x", idx_col="event_id")
@@ -802,6 +830,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_cumsum": q_scan_cumsum,
     "scan_ffill": q_scan_ffill,
     "scan_bfill": q_scan_bfill,
+    "scan_cummax": q_scan_cummax,
+    "scan_nancummin": q_scan_nancummin,
+    "scan_cumcount": q_scan_cumcount,
     "scan_cumprod": q_scan_cumprod,
     "scan_nancumprod": q_scan_nancumprod,
     "dedup_exact": q_dedup_exact,

@@ -517,6 +517,39 @@ def _scan_cumprod(ctx: Ctx, w) -> Column:
     return F.when(F.max(ctx.missing.cast("int")).over(w) == 1, F.lit(NAN)).otherwise(out)
 
 
+def _scan_nancummax(ctx: Ctx, w) -> Column:
+    # np.fmax.accumulate semantics: missing skipped, position carries the
+    # running max of valid values so far; leading-missing prefix → NaN/NULL
+    out = F.max(ctx.clean).over(w)
+    return F.coalesce(out, F.lit(NAN).cast(ctx.dt)) if ctx.is_float else out
+
+
+def _scan_cummax(ctx: Ctx, w) -> Column:
+    # np.maximum.accumulate: a NaN poisons every later position in the group
+    out = _scan_nancummax(ctx, w)
+    if not ctx.is_float:
+        return out
+    return F.when(F.max(ctx.missing.cast("int")).over(w) == 1, F.lit(NAN)).otherwise(out)
+
+
+def _scan_nancummin(ctx: Ctx, w) -> Column:
+    out = F.min(ctx.clean).over(w)
+    return F.coalesce(out, F.lit(NAN).cast(ctx.dt)) if ctx.is_float else out
+
+
+def _scan_cummin(ctx: Ctx, w) -> Column:
+    out = _scan_nancummin(ctx, w)
+    if not ctx.is_float:
+        return out
+    return F.when(F.max(ctx.missing.cast("int")).over(w) == 1, F.lit(NAN)).otherwise(out)
+
+
+def _scan_cumcount(ctx: Ctx, w) -> Column:
+    # running count of valid values (pandas GroupBy.cumcount counts rows;
+    # this counts non-missing — the nanlen scan)
+    return F.count(ctx.clean).over(w)
+
+
 def _scan_ffill(ctx: Ctx, w) -> Column:
     # ref: aggregations.py:716-724, kernel aggregate_flox.py:254-277
     filled = F.last(ctx.clean, ignorenulls=True).over(w)
@@ -542,6 +575,11 @@ SCANS: dict[str, Scan] = {
     "nancumsum": Scan("nancumsum", _scan_nancumsum, _sumty),
     "cumprod": Scan("cumprod", _scan_cumprod, _sumty),
     "nancumprod": Scan("nancumprod", _scan_nancumprod, _sumty),
+    "cummax": Scan("cummax", _scan_cummax, _preserve),
+    "nancummax": Scan("nancummax", _scan_nancummax, _preserve),
+    "cummin": Scan("cummin", _scan_cummin, _preserve),
+    "nancummin": Scan("nancummin", _scan_nancummin, _preserve),
+    "cumcount": Scan("cumcount", _scan_cumcount, _longty),
     "ffill": Scan("ffill", _scan_ffill, _preserve),
     "bfill": Scan("bfill", _scan_bfill, _preserve),
 }

@@ -364,6 +364,28 @@ SELECT event_id, event_type,
 FROM t
 WINDOW w AS (PARTITION BY event_type ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "scan_cummax": f"""{_EV}
+SELECT event_id, event_type,
+       max(isnan(vnan)::INT) OVER w = 1 AS cummax_isnan,
+       CASE WHEN max(isnan(vnan)::INT) OVER w = 1 THEN NULL
+            ELSE max(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w
+       END AS cummax
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "scan_nancummin": f"""{_EV}
+SELECT event_id, event_type,
+       min(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w IS NULL AS nancummin_isnan,
+       min(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w AS nancummin
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "scan_cumcount": f"""{_EV}
+SELECT event_id, event_type,
+       count(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w AS cumcount
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "scan_ffill": f"""{_EV}
 SELECT event_id, event_type,
        last_value(vnull IGNORE NULLS)

@@ -55,6 +55,16 @@ def np_scan(func, vals, labels):
                 if math.isnan(r[i]):
                     r[i] = r[i + 1]
             out[sel] = r
+        elif func == "cummax":
+            out[sel] = np.maximum.accumulate(g)
+        elif func == "nancummax":
+            out[sel] = np.fmax.accumulate(g)
+        elif func == "cummin":
+            out[sel] = np.minimum.accumulate(g)
+        elif func == "nancummin":
+            out[sel] = np.fmin.accumulate(g)
+        elif func == "cumcount":
+            out[sel] = np.cumsum(~np.isnan(g))
     return out
 
 
@@ -66,7 +76,22 @@ def eq(a, b):
     return abs(a - b) <= 1e-10 * max(1.0, abs(a), abs(b))
 
 
-@pytest.mark.parametrize("func", ["nancumsum", "cumsum", "nancumprod", "cumprod", "ffill", "bfill"])
+@pytest.mark.parametrize(
+    "func",
+    [
+        "nancumsum",
+        "cumsum",
+        "nancumprod",
+        "cumprod",
+        "ffill",
+        "bfill",
+        "cummax",
+        "nancummax",
+        "cummin",
+        "nancummin",
+        "cumcount",
+    ],
+)
 def test_scan_vs_numpy(sdf, data, func):
     labels, vals = data
     out = groupby_scan(sdf, "label", func=func, value="val", idx_col="idx")
