@@ -486,6 +486,17 @@ def q_scan_cumcount(spark, sf):
     return out.select("event_id", "event_type", "cumcount")
 
 
+def q_scan_shift(spark, sf):
+    """grouped shift (pandas GroupBy.shift; lag over unframed window)."""
+    ev = _ev(spark, sf)
+    out = groupby_scan(
+        ev, "event_type", func="shift", value="value", idx_col="event_id",
+        finalize_kwargs={"periods": 2},
+    )
+    clean = F.when(F.isnan(F.col("shift")), F.lit(None)).otherwise(F.col("shift"))
+    return out.select("event_id", "event_type", clean.alias("shift"))
+
+
 def q_scan_cumprod(spark, sf):
     ev = _ev(spark, sf).withColumn("x", 1.0 + F.col("value") / 10000.0)
     out = groupby_scan(ev, "user_id", func="cumprod", value="x", idx_col="event_id")
@@ -833,6 +844,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_cummax": q_scan_cummax,
     "scan_nancummin": q_scan_nancummin,
     "scan_cumcount": q_scan_cumcount,
+    "scan_shift": q_scan_shift,
     "scan_cumprod": q_scan_cumprod,
     "scan_nancumprod": q_scan_nancumprod,
     "dedup_exact": q_dedup_exact,

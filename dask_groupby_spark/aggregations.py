@@ -550,6 +550,18 @@ def _scan_cumcount(ctx: Ctx, w) -> Column:
     return F.count(ctx.clean).over(w)
 
 
+def _scan_shift(ctx: Ctx, w) -> Column:
+    # pandas GroupBy.shift: value from `periods` rows earlier in the group
+    # (negative = lead); vacated positions → NaN for float, NULL otherwise.
+    # Receives an UNFRAMED window (lag/lead reject row frames) — core
+    # special-cases this like bfill's reversed frame.
+    periods = int(ctx.kw.get("periods", 1))
+    shifted = F.lag(ctx.v, periods).over(w)
+    if ctx.is_float:
+        return F.coalesce(shifted, F.lit(NAN).cast(ctx.dt))
+    return shifted
+
+
 def _scan_ffill(ctx: Ctx, w) -> Column:
     # ref: aggregations.py:716-724, kernel aggregate_flox.py:254-277
     filled = F.last(ctx.clean, ignorenulls=True).over(w)
@@ -580,6 +592,7 @@ SCANS: dict[str, Scan] = {
     "cummin": Scan("cummin", _scan_cummin, _preserve),
     "nancummin": Scan("nancummin", _scan_nancummin, _preserve),
     "cumcount": Scan("cumcount", _scan_cumcount, _longty),
+    "shift": Scan("shift", _scan_shift, _preserve),
     "ffill": Scan("ffill", _scan_ffill, _preserve),
     "bfill": Scan("bfill", _scan_bfill, _preserve),
 }

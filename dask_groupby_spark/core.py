@@ -296,6 +296,9 @@ def groupby_scan(
             .orderBy(F.col(idx_col))
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+    elif spec.name == "shift":
+        # lag/lead reject row frames — unframed ordered window
+        w = Window.partitionBy(*by).orderBy(F.col(idx_col))
     else:
         w = (
             Window.partitionBy(*by)

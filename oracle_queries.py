@@ -386,6 +386,10 @@ SELECT event_id, event_type,
 FROM t
 WINDOW w AS (PARTITION BY event_type ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "scan_shift": f"""{_EV}
+SELECT event_id, event_type,
+       lag(value, 2) OVER (PARTITION BY event_type ORDER BY event_id) AS shift
+FROM t""",
     "scan_ffill": f"""{_EV}
 SELECT event_id, event_type,
        last_value(vnull IGNORE NULLS)

@@ -128,3 +128,21 @@ def test_scan_null_label_passthrough(spark):
            groupby_scan(df, "label", func="nancumsum", value="val", idx_col="idx").collect()}
     assert out[0] == 1.0 and out[2] == 4.0
     assert out[1] is None or math.isnan(out[1])
+
+
+@pytest.mark.parametrize("periods", [1, 2, -1])
+def test_scan_shift_vs_pandas(sdf, data, periods):
+    import pandas as pd
+
+    labels, vals = data
+    out = groupby_scan(
+        sdf, "label", func="shift", value="val", idx_col="idx",
+        finalize_kwargs={"periods": periods},
+    )
+    got = {r["idx"]: r["shift"] for r in out.collect()}
+    pdf = pd.DataFrame({"label": labels, "val": vals})
+    exp = pdf.groupby("label")["val"].shift(periods)
+    for i in range(N):
+        assert eq(got[i], float(exp.iloc[i]) if not pd.isna(exp.iloc[i]) else float("nan")), (
+            periods, i, got[i], exp.iloc[i],
+        )
