@@ -41,7 +41,17 @@ def expected_groups_df(
 def observed_grid(result: DataFrame, key_names: Sequence[str]) -> DataFrame:
     """Dense grid of observed per-grouper values (multi-by semantics of the
     reference: output is the cross product of each grouper's found labels,
-    flox/core.py:2115-2166)."""
+    flox/core.py:2115-2166).
+
+    Plan-shape note (deliberate): Catalyst collapses each
+    ``result.select(k).distinct()`` through the aggregate into a direct
+    column-pruned distinct on the source scan, so a 2-key grid costs two
+    extra *key-column-only* scans.  The alternative — one
+    ``agg(collect_set(k)…)`` pass — would be a single scan but concentrates
+    every distinct value of each key into ONE row, which OOMs on a
+    high-cardinality grouper at 100 TB.  Pruned scans + map-side partial
+    distinct stay bounded at any cardinality, so we keep them.
+    """
     dims = [result.select(k).distinct() for k in key_names]
     return reduce(lambda a, b: a.crossJoin(b), dims)
 
