@@ -86,3 +86,32 @@ def test_datetime_binning(spark):
     got = {r["ts_bin"]: r["count"] for r in out.collect()}
     # [Jan1, Jan2): hours 0,6,12,18 → 4 rows; [Jan2, Jan4): the other 8
     assert got == {0: 4, 1: 8}
+
+
+def test_multi_by_expected_groups_cross_product(spark):
+    """tuple of expected lists → dense cross-product grid with fill
+    (ref: _factorize_multiple cross grid, flox/core.py:2115-2166)."""
+    rows = [(0, "x", 1.0), (0, "y", 2.0), (1, "x", 3.0)]
+    df = spark.createDataFrame(rows, "a bigint, b string, val double")
+    out = groupby_reduce(
+        df, "a", "b", func="nansum", value="val",
+        expected_groups=([0, 1, 2], ["x", "y"]), fill_value=0.0,
+    )
+    got = {(r["a"], r["b"]): r["nansum"] for r in out.collect()}
+    assert len(got) == 6  # 3 × 2 grid
+    assert got[(0, "x")] == 1.0 and got[(0, "y")] == 2.0 and got[(1, "x")] == 3.0
+    assert got[(1, "y")] == 0.0 and got[(2, "x")] == 0.0 and got[(2, "y")] == 0.0
+
+
+def test_multi_by_bins_plus_list(spark):
+    """mixed groupers: Bins for one key + explicit list for the other."""
+    from dask_groupby_spark import Bins
+
+    rows = [(5.0, "p", 1.0), (15.0, "p", 2.0), (5.0, "q", 4.0)]
+    df = spark.createDataFrame(rows, "x double, k string, val double")
+    out = groupby_reduce(
+        df, "x", "k", func="count", value="val",
+        expected_groups=(Bins([0.0, 10.0, 20.0]), ["p", "q"]), fill_value=0,
+    )
+    got = {(r["x_bin"], r["k"]): r["count"] for r in out.collect()}
+    assert got == {(0, "p"): 1, (0, "q"): 1, (1, "p"): 1, (1, "q"): 0}
