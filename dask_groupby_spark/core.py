@@ -201,9 +201,15 @@ def groupby_reduce(
     #    (ref _factorize_multiple, core.py:2115-2166)
     result = grouped
     exp_df = None
-    if any_expected and all(e[3] is not None for e in keys):
+    if any_expected:
+        # per-grouper: given expected domain, or observed labels when None
+        # (mixed case honored — ref core.py:2087-2107)
         exp_df = expected_groups_df(
-            df.sparkSession, key_names, [k[3] for k in keys], [k[2] for k in keys]
+            df.sparkSession,
+            key_names,
+            [k[3] for k in keys],
+            [k[2] for k in keys],
+            result=grouped,
         )
     elif len(key_names) > 1:
         exp_df = observed_grid(grouped, key_names)

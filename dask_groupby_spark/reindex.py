@@ -25,16 +25,23 @@ def expected_groups_df(
     key_names: Sequence[str],
     expected: Sequence[Optional[Sequence]],
     key_types: Sequence,
+    result: Optional[DataFrame] = None,
 ) -> Optional[DataFrame]:
     """Build the dense expected-groups dimension table (cross product of the
-    per-grouper expected domains).  Groupers with ``None`` expected are left
-    to be discovered from the data (handled by the caller via a distinct)."""
+    per-grouper expected domains).  A grouper with ``None`` expected uses its
+    *observed* labels from ``result`` instead (flox: given indexes are
+    honored per-grouper, the rest are discovered —
+    flox/core.py:2087-2107/2115-2166); with no ``result`` available the
+    caller falls back to the fully-observed grid."""
     dims = []
     for name, vals, ktype in zip(key_names, expected, key_types):
         if vals is None:
-            return None  # caller falls back to observed-groups grid
-        rows = [(v,) for v in vals]
-        dims.append(spark.createDataFrame(rows, schema=f"`{name}` {ktype}"))
+            if result is None:
+                return None
+            dims.append(result.select(name).distinct())
+        else:
+            rows = [(v,) for v in vals]
+            dims.append(spark.createDataFrame(rows, schema=f"`{name}` {ktype}"))
     return reduce(lambda a, b: a.crossJoin(b), dims)
 
 

@@ -115,3 +115,18 @@ def test_multi_by_bins_plus_list(spark):
     )
     got = {(r["x_bin"], r["k"]): r["count"] for r in out.collect()}
     assert got == {(0, "p"): 1, (0, "q"): 1, (1, "p"): 1, (1, "q"): 0}
+
+
+def test_multi_by_partial_expected(spark):
+    """mixed: expected list for one grouper, discovery for the other —
+    grid = given × observed (ref flox core.py:2087-2107)."""
+    rows = [(0, "x", 1.0), (1, "y", 2.0)]
+    df = spark.createDataFrame(rows, "a bigint, b string, val double")
+    out = groupby_reduce(
+        df, "a", "b", func="count", value="val",
+        expected_groups=([0, 1, 2], None), fill_value=0,
+    )
+    got = {(r["a"], r["b"]): r["count"] for r in out.collect()}
+    assert len(got) == 6  # [0,1,2] × observed {x,y}
+    assert got[(0, "x")] == 1 and got[(1, "y")] == 1
+    assert got[(2, "x")] == 0 and got[(2, "y")] == 0 and got[(0, "y")] == 0
