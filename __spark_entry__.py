@@ -753,6 +753,19 @@ def q_top_terms(spark, sf):
     ).orderBy("lang", "rank")
 
 
+def q_curate(spark, sf):
+    """end-to-end curation: quality gate → exact dedup (min id) →
+    per-language balanced sample; two shuffles total."""
+    from dask_groupby_spark.operators.curate import curate_documents
+
+    docs = load_table(spark, sf, "documents")
+    out = curate_documents(
+        docs, min_tokens=5, max_punct_ratio=0.2, per_lang=10,
+        seed="mix", hasher="portable",
+    )
+    return out.select("lang", "doc_id", "n_tokens").orderBy("lang", "doc_id")
+
+
 def q_multimodal_meta(spark, sf):
     """Multimodal plumbing: fake binary payloads → mapInPandas feature
     extraction → aggregate.  No oracle (Pandas-UDF path) → rows-only check."""
@@ -865,6 +878,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "sample_per_group": q_sample_per_group,
     "wmean": q_wmean,
+    "curate": q_curate,
     "top_terms": q_top_terms,
     "multimodal_meta": q_multimodal_meta,
 }

@@ -596,6 +596,30 @@ SELECT l.event_id, l.user_id, r.value AS value_right, r.ts AS ts_right
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "curate": """
+WITH feats AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+), gated AS (
+  SELECT * FROM feats WHERE n_tokens >= 5 AND punct_ratio <= 0.2
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+    FROM gated) WHERE rn = 1
+), sampled AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang
+      ORDER BY CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+               doc_id ASC) AS srn
+    FROM deduped) WHERE srn <= 10
+)
+SELECT lang, doc_id, n_tokens::BIGINT AS n_tokens FROM sampled""",
     "wmean": f"""{_LI}
 SELECT {_K},
        round(sum(CASE WHEN NOT isnan(v) THEN v * l_extendedprice END)

@@ -174,3 +174,25 @@ def test_multimodal_resize_and_frames(docs):
     for idxs in by_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense 0..n-1
         assert len(idxs) <= 4
+
+
+def test_curate_pipeline(spark):
+    from dask_groupby_spark.operators.curate import curate_documents
+
+    rows = [
+        (1, "good document with plenty of clean tokens here", "en"),
+        (2, "good document with plenty of clean tokens here", "en"),  # dup of 1
+        (3, "short", "en"),                                           # gated: tokens
+        (4, "!!!,,,...;;;???", "en"),                                 # gated: punct
+        (5, "another fine document that easily passes the gate", "en"),
+        (6, "ein ordentliches deutsches dokument mit vielen worten", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = curate_documents(docs, min_tokens=4, max_punct_ratio=0.2, per_lang=10)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 5, 6]  # dup 2 dropped (min id kept), 3/4 gated
+    capped = curate_documents(docs, min_tokens=4, max_punct_ratio=0.2, per_lang=1)
+    by_lang = {}
+    for r in capped.collect():
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) == 1 for v in by_lang.values())
