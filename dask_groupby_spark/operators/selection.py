@@ -5,10 +5,13 @@ No flox counterpart (the reference has no sorts/limits/top-k over data,
 SURVEY.md §2.4) — these are Spark-native surface extensions, all expressed
 as window functions so Catalyst owns partitioning and AQE handles skew.
 
-Scale notes: each operator is one shuffle on the group keys.  Per-group
-top-k with tiny k over huge groups still sorts each group; if that becomes
-the bottleneck, pre-filter with an approx threshold (approx_quantile) before
-ranking — the two-pass trick — which these building blocks compose into.
+Scale notes: each operator is one shuffle on the group keys.  A skewed key
+(one domain with billions of rows) lands on a single task under a plain
+window — ``grouped_topk`` and ``sample_per_group`` therefore take
+``skew_salt``: top-k is decomposable, so a salted partial pass (top-k per
+(key, salt)) bounds every task at |group|/salt rows, and the final pass
+ranks only k·salt survivors per key.  Identical results, one extra (tiny)
+shuffle.
 """
 
 from __future__ import annotations
@@ -27,14 +30,36 @@ def grouped_topk(
     descending: bool = True,
     tiebreak: str | None = None,
     rank_col: str = "rank",
+    skew_salt: int | None = None,
 ) -> DataFrame:
     """Keep the top ``k`` rows per group ordered by ``order_col`` (e.g. the
     k highest-quality documents per domain).  ``tiebreak`` (an id column)
     makes the cut deterministic when order values collide.
+
+    ``skew_salt=S`` runs a salted partial top-k first (salt = hash of the
+    tiebreak — or a uniform random int when no tiebreak is given): each task
+    sorts at most |group|/S rows, and the final window ranks ≤ k·S survivors
+    per key.  Result is identical to the unsalted plan (top-k distributes
+    over any partition of the rows); use it when one group dwarfs executor
+    memory.
     """
     order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
+    if skew_salt and skew_salt > 1:
+        salt_src = (
+            F.xxhash64(F.col(tiebreak), F.lit("topk-salt"))
+            if tiebreak
+            else F.monotonically_increasing_id()
+        )
+        salt = F.pmod(salt_src, F.lit(skew_salt))
+        wp = Window.partitionBy(*by, "__salt").orderBy(*order)
+        df = (
+            df.withColumn("__salt", salt)
+            .withColumn("__prank", F.row_number().over(wp))
+            .where(F.col("__prank") <= k)
+            .drop("__salt", "__prank")
+        )
     w = Window.partitionBy(*by).orderBy(*order)
     return (
         df.withColumn(rank_col, F.row_number().over(w))
@@ -73,13 +98,28 @@ def sample_per_group(
     id_col: str,
     seed: str = "sample",
     hasher: str = "fast",
+    skew_salt: int | None = None,
 ) -> DataFrame:
     """Deterministic pseudo-random sample of ``n`` rows per group: rows are
     ranked by a seeded hash of their id (uniform, reproducible across runs
     and engines with ``hasher="portable"``) and the first ``n`` kept — the
     standard downsampling step when balancing a training mix.
+
+    ``skew_salt=S``: same two-stage trick as :func:`grouped_topk` (sampling
+    IS top-n by hash order, which distributes over row partitions), so a
+    group with billions of rows never hits a single task.  The salt is
+    derived from the same hash used for ranking, so results are identical
+    and still deterministic.
     """
     h = _hasher(hasher)(F.col(id_col).cast("string"), seed)
+    if skew_salt and skew_salt > 1:
+        wp = Window.partitionBy(*by, "__salt").orderBy(h.asc(), F.col(id_col).asc())
+        df = (
+            df.withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(skew_salt)))
+            .withColumn("__prn", F.row_number().over(wp))
+            .where(F.col("__prn") <= n)
+            .drop("__salt", "__prn")
+        )
     w = Window.partitionBy(*by).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

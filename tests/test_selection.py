@@ -19,6 +19,28 @@ def test_grouped_topk(spark):
     assert got == {("a", 1): 2, ("a", 2): 4, ("b", 1): 5}
 
 
+def test_grouped_topk_skew_salt_identical(spark):
+    rows = [("a", i, float(i % 17)) for i in range(200)] + [("b", 1000, 5.0)]
+    df = spark.createDataFrame(rows, "k string, id bigint, v double")
+    plain = {(r["k"], r["rank"], r["id"])
+             for r in grouped_topk(df, "k", order_col="v", k=5, tiebreak="id").collect()}
+    salted = {(r["k"], r["rank"], r["id"])
+              for r in grouped_topk(df, "k", order_col="v", k=5, tiebreak="id",
+                                    skew_salt=8).collect()}
+    assert plain == salted
+
+
+def test_sample_per_group_skew_salt_identical(spark):
+    rows = [(i % 2, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp bigint, id bigint")
+    plain = {(r["grp"], r["id"]) for r in
+             sample_per_group(df, "grp", n=7, id_col="id", seed="s").collect()}
+    salted = {(r["grp"], r["id"]) for r in
+              sample_per_group(df, "grp", n=7, id_col="id", seed="s",
+                               skew_salt=6).collect()}
+    assert plain == salted
+
+
 def test_sessionize(spark):
     base = dt.datetime(2024, 1, 1)
     rows = [
