@@ -297,6 +297,22 @@ def q_nanquantile_vec(spark, sf):
     )
 
 
+def q_complex_nanmean(spark, sf):
+    """complex (struct<re,im>) grouped mean — re carries the NaN-contaminated
+    quantity so an element is missing when either part is NaN."""
+    from dask_groupby_spark import complex_col, groupby_reduce_complex
+
+    li = _li(spark, sf).withColumn(
+        "z", complex_col(F.col("v"), F.col("l_extendedprice"))
+    )
+    out = groupby_reduce_complex(li, *_KEYS, func="nanmean", value="z")
+    return out.select(
+        *_KEYS,
+        F.round(F.col("nanmean.re"), 6).alias("re"),
+        F.round(F.col("nanmean.im"), 6).alias("im"),
+    )
+
+
 def q_nunique(spark, sf):
     """capability+: exact distinct non-missing count per group."""
     return groupby_reduce(_li(spark, sf), *_KEYS, func="nunique", value="v")
@@ -836,6 +852,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nanmedian": q_nanmedian,
     "quantile": q_quantile,
     "nanquantile_vec": q_nanquantile_vec,
+    "complex_nanmean": q_complex_nanmean,
     "nunique": q_nunique,
     "approx_quantile": q_approx_quantile,
     "mode": q_mode,

@@ -23,6 +23,7 @@ and shuffle planning natively (see SURVEY.md §4).
 
 from .aggregations import AGGREGATIONS, SCANS, Aggregation, Scan
 from .binning import Bins
+from .complex import complex_col, groupby_reduce_complex
 from .core import groupby_agg, groupby_reduce, groupby_scan
 from .plans import bucket_table, rechunk_for_blockwise
 from .session import get_spark
@@ -35,6 +36,8 @@ __all__ = [
     "Bins",
     "groupby_agg",
     "groupby_reduce",
+    "groupby_reduce_complex",
+    "complex_col",
     "groupby_scan",
     "rechunk_for_blockwise",
     "bucket_table",

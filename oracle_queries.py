@@ -254,6 +254,11 @@ WHERE rn = 1""",
     # approx_quantile intentionally has no oracle: Greenwald-Khanna sketch
     # output is engine-specific (rows-only check; accuracy vs exact quantile
     # asserted in tests/test_approx.py)
+    "complex_nanmean": f"""{_LI}
+SELECT {_K},
+       round(avg({_CLEANV}), 6) AS re,
+       round(avg(CASE WHEN NOT isnan(v) THEN l_extendedprice END), 6) AS im
+FROM t GROUP BY {_K}""",
     "nanquantile_vec": f"""{_LI}
 SELECT {_K}, 0::BIGINT AS qi,
        round(quantile_cont({_CLEANV}, 0.45), 6) AS nanquantile

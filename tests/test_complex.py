@@ -1,0 +1,110 @@
+"""Complex-number reductions (struct<re,im>) vs numpy complex oracle.
+
+Reference coverage: complex64/128 appear in the hypothesis dtype sweep
+(tests/strategies.py:83) — SURVEY.md §1.2 maps them to struct(re, im).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark.complex import complex_col, groupby_reduce_complex
+
+LABELS = [0, 0, 2, 2, 2, 1, 1, 2, 2, 1, 1, 0]  # canonical flox fixture
+
+
+def _data(with_nan: bool):
+    rng = np.random.RandomState(42)
+    z = rng.randn(12) + 1j * rng.randn(12)
+    if with_nan:
+        z[1] = complex(np.nan, z[1].imag)
+        z[7] = complex(z[7].real, np.nan)
+    return z
+
+
+def _spark_df(spark, z):
+    rows = [
+        (int(i), int(g), float(z[i].real), float(z[i].imag))
+        for i, g in enumerate(LABELS)
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, g bigint, re double, im double")
+    return df.withColumn("z", complex_col(F.col("re"), F.col("im")))
+
+
+def _np_groups(z):
+    return {g: z[np.array(LABELS) == g] for g in sorted(set(LABELS))}
+
+
+def _cx(row):
+    return complex(row["re"], row["im"])
+
+
+def _assert_close(a: complex, b: complex):
+    if math.isnan(b.real) or math.isnan(b.imag):
+        assert math.isnan(a.real) and math.isnan(a.imag), (a, b)
+    else:
+        assert abs(a - b) < 1e-9 * max(1.0, abs(b)), (a, b)
+
+
+NP_FUNCS = {
+    "sum": np.sum,
+    "nansum": np.nansum,
+    "mean": np.mean,
+    "nanmean": np.nanmean,
+    "prod": np.prod,
+    "nanprod": np.nanprod,
+    "min": np.min,
+    "max": np.max,
+}
+
+
+@pytest.mark.parametrize("func", sorted(NP_FUNCS))
+@pytest.mark.parametrize("with_nan", [False, True])
+def test_complex_reduce(spark, func, with_nan):
+    if with_nan and func in ("min", "max"):
+        # numpy complex nan ordering is ill-defined; bare min/max covered nan-free
+        return
+    z = _data(with_nan)
+    out = groupby_reduce_complex(_spark_df(spark, z), "g", func=func, value="z").collect()
+    got = {r["g"]: _cx(r[func]) for r in out}
+    for g, arr in _np_groups(z).items():
+        if func in ("nansum", "nanmean", "nanprod"):
+            arr = arr[~np.isnan(arr)]
+            exp = NP_FUNCS[func[3:]](arr) if len(arr) else NP_FUNCS[func[3:]](np.array([0j])) * 0
+            if func == "nanprod" and len(arr) == 0:
+                exp = 1 + 0j
+        else:
+            exp = NP_FUNCS[func](arr)
+        _assert_close(got[g], complex(exp))
+
+
+def test_complex_count_first_last(spark):
+    z = _data(True)
+    df = _spark_df(spark, z)
+    cnt = {r["g"]: r["count"] for r in
+           groupby_reduce_complex(df, "g", func="count", value="z").collect()}
+    groups = _np_groups(z)
+    assert cnt == {g: int((~np.isnan(arr)).sum()) for g, arr in groups.items()}
+
+    first = {r["g"]: _cx(r["first"]) for r in
+             groupby_reduce_complex(df, "g", func="first", value="z", idx_col="idx").collect()}
+    nanlast = {r["g"]: _cx(r["nanlast"]) for r in
+               groupby_reduce_complex(df, "g", func="nanlast", value="z", idx_col="idx").collect()}
+    for g, arr in groups.items():
+        _assert_close(first[g], complex(arr[0]))
+        valid = arr[~np.isnan(arr)]
+        _assert_close(nanlast[g], complex(valid[-1]))
+
+
+def test_complex_min_matches_numpy_ordering(spark):
+    # numpy complex ordering is lexicographic (real, then imag) — ties on
+    # the real part must break on imag exactly like Spark struct ordering
+    z = np.array([1 + 5j, 1 + 2j, 1 + 9j, 3 + 0j])
+    rows = [(i, 0, float(c.real), float(c.imag)) for i, c in enumerate(z)]
+    df = spark.createDataFrame(rows, "idx bigint, g bigint, re double, im double")
+    df = df.withColumn("z", complex_col(F.col("re"), F.col("im")))
+    out = groupby_reduce_complex(df, "g", func="min", value="z").collect()[0]
+    assert _cx(out["min"]) == complex(np.min(z))
