@@ -105,6 +105,7 @@ def groupby_reduce(
     min_count: Optional[int] = None,
     finalize_kwargs: Optional[dict] = None,
     alias: Optional[str] = None,
+    skipna: Optional[bool] = None,
     method: Optional[str] = None,  # inert hint (ref core.py:2215-2239)
     engine: Optional[str] = None,  # inert hint (ref core.py:2242-2266)
     reindex: Optional[bool] = None,  # inert hint (ref core.py:2003-2057)
@@ -122,6 +123,13 @@ def groupby_reduce(
     """
     if not by:
         raise ValueError("need at least one by column")
+    # skipna → nan-variant rewrite (the xarray front-end's dispatch,
+    # ref flox/xarray.py:355-380); skipna=False strips a nan* func
+    if skipna is not None and isinstance(func, str):
+        if skipna and not func.startswith("nan") and f"nan{func}" in AGGREGATIONS:
+            func = f"nan{func}"
+        elif not skipna and func.startswith("nan") and func[3:] in AGGREGATIONS:
+            func = func[3:]
     spec = AGGREGATIONS[func] if isinstance(func, str) else func
     kw = dict(finalize_kwargs or {})
     out_name = alias or spec.name

@@ -59,6 +59,54 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         df.createOrReplaceTempView(n)
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Generic batch source: parquet/orc/csv/json/text.
+
+    Columnar formats (parquet/orc) get predicate pushdown + column pruning
+    from Catalyst for free; for csv/json pass an explicit ``schema`` —
+    schema inference reads the data twice and (for json) blocks pushdown.
+    Common options forwarded verbatim (e.g. ``header=True``,
+    ``recursiveFileLookup=True``, ``pathGlobFilter="*.parquet"``).
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", "true").option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    **options,
+) -> DataFrame:
+    """File-based streaming source for the ``streaming`` module: new files
+    landing under ``path`` become micro-batches.  Streaming file sources
+    REQUIRE an explicit schema (no inference on unbounded input);
+    ``max_files_per_trigger`` bounds per-batch work for backfill bursts.
+    """
+    if schema is None:
+        raise ValueError("streaming sources require an explicit schema")
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def save_table(
     df: DataFrame,
     path: str,
@@ -66,6 +114,7 @@ def save_table(
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
     max_records_per_file: int | None = None,
+    **options,
 ) -> None:
     """Sink: write a result as parquet/orc/csv/json, optionally
     hive-partitioned by key columns.
@@ -81,4 +130,6 @@ def save_table(
         writer = writer.partitionBy(*partition_by)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    for k, v in options.items():
+        writer = writer.option(k, v)
     writer.save(path)

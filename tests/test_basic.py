@@ -31,6 +31,15 @@ def test_nanmean(f1):
     assert collect_map(out, "label", "nanmean") == {0: 1.0, 1: 1.0, 2: 1.0}
 
 
+def test_skipna_rewrites_to_nan_variant(f1):
+    # skipna=True dispatches sum→nansum (ref flox/xarray.py:355-380); the
+    # output column keeps the rewritten name
+    out = groupby_reduce(f1, "label", func="sum", value="val_ones", skipna=True)
+    assert collect_map(out, "label", "nansum") == {0: 3.0, 1: 4.0, 2: 5.0}
+    out2 = groupby_reduce(f1, "label", func="nansum", value="val_ones", skipna=False)
+    assert "sum" in out2.columns
+
+
 def test_expected_groups_fill(f1):
     out = groupby_reduce(
         f1,
