@@ -513,6 +513,22 @@ def q_scan_shift(spark, sf):
     return out.select("event_id", "event_type", clean.alias("shift"))
 
 
+def q_rolling(spark, sf):
+    """trailing-5-row rolling mean per event_type (pandas semantics:
+    NaN-skipping, min_periods on valid observations)."""
+    from dask_groupby_spark import groupby_rolling
+
+    ev = _ev(spark, sf)
+    out = groupby_rolling(
+        ev, "event_type", funcs="mean", value="vnan", idx_col="event_id",
+        window=5, min_periods=2,
+    )
+    clean = F.when(F.isnan(F.col("rolling_mean")), F.lit(None)).otherwise(
+        F.round("rolling_mean", 6)
+    )
+    return out.select("event_id", "event_type", clean.alias("rolling_mean"))
+
+
 def q_scan_cumprod(spark, sf):
     ev = _ev(spark, sf).withColumn("x", 1.0 + F.col("value") / 10000.0)
     out = groupby_scan(ev, "user_id", func="cumprod", value="x", idx_col="event_id")
@@ -876,6 +892,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_cumcount": q_scan_cumcount,
     "scan_shift": q_scan_shift,
     "scan_cumprod": q_scan_cumprod,
+    "rolling": q_rolling,
     "scan_nancumprod": q_scan_nancumprod,
     "dedup_exact": q_dedup_exact,
     "minhash": q_minhash,

@@ -1,0 +1,103 @@
+"""Grouped rolling (moving-window) aggregations.
+
+No flox counterpart (the reference's only windowed ops are scans, SURVEY.md
+§2.2) — this is Spark-native surface: pandas ``GroupBy.rolling`` semantics
+expressed as ONE window spec shared by all requested aggregates, i.e. one
+shuffle on the group keys and a single sorted pass per partition
+(WindowExec evaluates every frame expression in the same traversal).
+
+Semantics (pandas rolling, NaN-skipping):
+
+- frame = the last ``window`` rows of the same group, ordered by ``idx_col``
+  (row-count frames; for time-based frames use ``range_between=`` with a
+  numeric/timestamp order column);
+- missing elements (NULL or NaN) don't contribute, and a frame with fewer
+  than ``min_periods`` valid elements yields NaN;
+- ``var``/``std`` use ddof=1 (pandas default).
+
+Scale: identical profile to :func:`~dask_groupby_spark.core.groupby_scan` —
+skewed keys concentrate a partition; there is no salting trick for ordered
+frames (the frame crosses any row split), so the mitigation at 100 TB is
+range-partitioning the time axis per key upstream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dtypes import NAN
+
+ROLLING_FUNCS = ("count", "sum", "mean", "min", "max", "var", "std")
+
+
+def groupby_rolling(
+    df: DataFrame,
+    *by: str,
+    funcs: Sequence[str] | str,
+    value: str,
+    idx_col: str,
+    window: int,
+    min_periods: int = 1,
+    range_between: tuple | None = None,
+    prefix: str = "rolling_",
+) -> DataFrame:
+    """Append one ``<prefix><func>`` column per requested func: the rolling
+    aggregate over the trailing ``window`` rows (or, with
+    ``range_between=(lo, hi)``, the rows whose ``idx_col`` lies within
+    ``[idx+lo, idx+hi]`` — an interval frame on the *values* of the order
+    column, e.g. seconds for an epoch column).
+    """
+    if isinstance(funcs, str):
+        funcs = (funcs,)
+    bad = [f for f in funcs if f not in ROLLING_FUNCS]
+    if bad:
+        raise ValueError(f"unsupported rolling funcs {bad}; one of {ROLLING_FUNCS}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    v = F.col(value)
+    dt = df.schema[value].dataType.simpleString()
+    missing = v.isNull() | (F.isnan(v) if dt in ("float", "double") else F.lit(False))
+    clean = F.when(~missing, v.cast("double"))
+
+    w = Window.partitionBy(*by).orderBy(F.col(idx_col))
+    if range_between is not None:
+        w = w.rangeBetween(range_between[0], range_between[1])
+    else:
+        w = w.rowsBetween(-(window - 1), Window.currentRow)
+
+    n = F.count(clean).over(w)
+    nrows = F.count(F.lit(1)).over(w)
+    s = F.sum(clean).over(w)
+    exprs: dict[str, Column] = {}
+    for f in funcs:
+        if f == "count":
+            # pandas: count's min_periods gate uses TOTAL frame rows (NaN
+            # rows count as observations); every other func gates on valid
+            col = F.when(
+                nrows >= F.lit(max(min_periods, 1)), n.cast("double")
+            ).otherwise(F.lit(NAN))
+            exprs[f"{prefix}{f}"] = col
+            continue
+        elif f == "sum":
+            col = F.coalesce(s, F.lit(0.0))
+        elif f == "mean":
+            col = s / n
+        elif f == "min":
+            col = F.min(clean).over(w)
+        elif f == "max":
+            col = F.max(clean).over(w)
+        else:  # var / std, ddof=1 (pandas default)
+            s2 = F.sum(clean * clean).over(w)
+            var = (s2 - s * s / n) / (n - F.lit(1))
+            var = F.when(n > 1, var)
+            col = var if f == "var" else F.sqrt(var)
+        # short frame → NaN (pandas min_periods)
+        col = F.when(n >= F.lit(max(min_periods, 1)), col).otherwise(F.lit(NAN))
+        col = F.coalesce(col, F.lit(NAN))
+        exprs[f"{prefix}{f}"] = col
+
+    return df.withColumns(exprs)

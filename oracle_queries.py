@@ -407,6 +407,16 @@ SELECT event_id, event_type,
          OVER (PARTITION BY event_type ORDER BY event_id
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
 FROM t""",
+    "rolling": f"""{_EV}
+SELECT event_id, event_type,
+       CASE WHEN count(CASE WHEN NOT isnan(vnan) THEN vnan END)
+                 OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 2
+            THEN round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END)
+                 OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+       END AS rolling_mean
+FROM t""",
     "scan_cumprod": """
 SELECT event_id, user_id,
        round(product(1.0 + value / 10000.0)
