@@ -431,6 +431,16 @@ def q_resample_5d(spark, sf):
     return out.withColumn("nansum", F.round("nansum", 2))
 
 
+def q_resample_time(spark, sf):
+    """resample API: daily nanmean of events (epoch-anchored buckets,
+    real timestamp labels)."""
+    from dask_groupby_spark.resample import resample
+
+    ev = _ev(spark, sf)
+    out = resample(ev, "ts", "1 day", "nanmean", "vnan")
+    return out.withColumn("nanmean", F.round("nanmean", 6))
+
+
 def q_first_ts(spark, sf):
     """order-sensitive first over timestamp *values* (dtype preservation)."""
     ev = _ev(spark, sf)
@@ -881,6 +891,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dayofyear": q_dayofyear,
     "month_hour": q_month_hour,
     "resample_5d": q_resample_5d,
+    "resample_time": q_resample_time,
     "first_ts": q_first_ts,
     "mean_ts": q_mean_ts,
     "scan_nancumsum": q_scan_nancumsum,

@@ -26,6 +26,7 @@ from .binning import Bins
 from .complex import complex_col, groupby_reduce_complex
 from .core import groupby_agg, groupby_reduce, groupby_scan
 from .plans import bucket_table, rechunk_for_blockwise
+from .resample import resample
 from .rolling import groupby_rolling
 from .session import get_spark
 
@@ -42,6 +43,7 @@ __all__ = [
     "groupby_rolling",
     "groupby_scan",
     "rechunk_for_blockwise",
+    "resample",
     "bucket_table",
     "get_spark",
 ]

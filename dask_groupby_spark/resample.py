@@ -1,0 +1,133 @@
+"""Time resampling: grouped reduction onto regular time buckets.
+
+The reference's dominant real-world workload is xarray resampling /
+climatology (BASELINE.md: ERA5Resampling, PerfectBlockwiseResampling,
+OISST…), which flox executes as groupby_reduce over integer labels that
+xarray derives from the time coordinate.  Here the label derivation is part
+of the engine: ``resample`` floors each timestamp onto a regular grid
+anchored at ``origin`` and reduces per (bucket, *extra keys*), returning the
+bucket *start timestamp* as the label column — and, like expected_groups,
+optionally a dense bucket axis (every grid step between min and max, empty
+buckets filled).
+
+Physical plan: the bucket expression is a map-side column (no join, no
+extra stage); the reduction is the standard single-shuffle hash aggregate.
+Dense reindexing joins against a planner-generated ``sequence()`` range —
+|buckets| rows, broadcast.
+
+Calendar frequencies (month/quarter/year) don't have a fixed second width;
+those use date_trunc instead of arithmetic flooring.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dtypes as dt_rules
+from .core import groupby_reduce
+
+# fixed-width frequencies in seconds
+_FIXED = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 7 * 86400,
+}
+_CALENDAR = ("month", "quarter", "year")
+
+
+def _parse_every(every: Union[str, int, float]) -> tuple[Optional[float], Optional[str]]:
+    """'5 days' → (432000.0, None); 'month' → (None, 'month'); 3600 → (3600.0, None)."""
+    if isinstance(every, (int, float)):
+        return float(every), None
+    parts = every.strip().lower().split()
+    if len(parts) == 1:
+        unit = parts[0].rstrip("s")
+        n = 1.0
+    else:
+        n = float(parts[0])
+        unit = parts[1].rstrip("s")
+    if unit in _CALENDAR:
+        if n != 1:
+            raise ValueError(f"calendar frequency {unit!r} supports only step 1")
+        return None, unit
+    if unit not in _FIXED:
+        raise ValueError(f"unknown frequency unit {unit!r}")
+    return n * _FIXED[unit], None
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    every: Union[str, int, float],
+    func: str,
+    value: str,
+    *extra_by: str,
+    origin: str = "1970-01-01 00:00:00",
+    dense: bool = False,
+    fill_value=None,
+    label: str = "bucket",
+    **kwargs,
+) -> DataFrame:
+    """Reduce ``value`` onto regular time buckets of width ``every``
+    (e.g. ``"5 days"``, ``"6 hours"``, ``"month"``), optionally crossed with
+    ``extra_by`` keys.  Returns ``(<label> timestamp, *extra_by, <func>)``.
+
+    ``dense=True`` emits every grid step between the observed min and max
+    bucket (empty buckets get ``fill_value`` — the resampling-with-missing-
+    groups case, ref flox/tests/test_xarray.py:694).
+    """
+    width, calendar = _parse_every(every)
+    ts = F.col(ts_col)
+    if calendar:
+        bucket = F.date_trunc(calendar, ts)
+    else:
+        anchor = F.lit(origin).cast("timestamp").cast("double")
+        secs = ts.cast("double")
+        bucket = F.timestamp_seconds(
+            anchor + F.floor((secs - anchor) / width) * width
+        )
+    work = df.withColumn(label, bucket)
+
+    out = groupby_reduce(work, label, *extra_by, func=func, value=value, **kwargs)
+
+    if dense:
+        spark = df.sparkSession
+        lo, hi = work.select(F.min(label), F.max(label)).first()
+        if lo is not None:
+            if calendar:
+                step = f"interval 1 {calendar}"
+            else:
+                step = f"interval {int(width)} seconds"
+            grid = spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit(lo).cast("timestamp"),
+                        F.lit(hi).cast("timestamp"),
+                        F.expr(step),
+                    )
+                ).alias(label)
+            )
+            out_name = kwargs.get("alias") or func
+            joined = grid.join(F.broadcast(out), on=label, how="left")
+            if extra_by:
+                # dense over the bucket axis only: missing (bucket, key) rows
+                # keep NULL keys — callers wanting the full grid pass
+                # expected_groups through **kwargs instead
+                out = joined
+            else:
+                res_dt = joined.schema[out_name].dataType
+                fill = (
+                    dt_rules.fill_lit(fill_value, res_dt)
+                    if fill_value is not None
+                    else dt_rules.na_lit(res_dt)  # empty bucket → dtype NA
+                )
+                out = joined.withColumn(
+                    out_name, F.coalesce(F.col(out_name), fill)
+                )
+            out = out.orderBy(label, *extra_by)
+    return out

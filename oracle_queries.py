@@ -343,6 +343,10 @@ FROM t GROUP BY 1, 2""",
 SELECT CAST(floor(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) / 5) AS BIGINT) AS bucket,
        round(sum(o_totalprice), 2) AS nansum
 FROM orders GROUP BY 1""",
+    "resample_time": f"""{_EV}
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket,
+       round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
+FROM t GROUP BY 1""",
     "first_ts": """
 SELECT event_type, ts::TIMESTAMP AS nanfirst
 FROM (SELECT event_type, ts,
