@@ -679,6 +679,26 @@ def q_ann_ivf(spark, sf):
     ).orderBy("query_id", "rank")
 
 
+def q_centroids(spark, sf):
+    """per-group mean embedding: shuffle moves (group, dim) partial sums,
+    never raw vectors."""
+    from dask_groupby_spark.operators.similarity import group_centroids
+
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "g", F.pmod(F.col("vec_id"), F.lit(8))
+    )
+    out = group_centroids(emb, "g")
+    return (
+        out.select("g", F.posexplode("centroid").alias("d", "comp"))
+        .select(
+            "g",
+            F.col("d").cast("bigint").alias("d"),
+            F.round("comp", 6).alias("comp"),
+        )
+        .orderBy("g", "d")
+    )
+
+
 def q_emb_neardup(spark, sf):
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify."""
     emb = load_table(spark, sf, "embeddings")
@@ -917,6 +937,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
+    "centroids": q_centroids,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "group_topk": q_group_topk,

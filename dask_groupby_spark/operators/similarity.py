@@ -230,6 +230,40 @@ def ivf_topk(
     )
 
 
+def group_centroids(
+    df: DataFrame,
+    *by: str,
+    vec_col: str = "embedding",
+    out_col: str = "centroid",
+    normalize: bool = False,
+) -> DataFrame:
+    """Per-group mean vector (class centroid / cluster update step).
+
+    Scale-first plan: posexplode to (keys, dim, component) rows, hash-
+    aggregate per (keys, dim) — partial map-side sums, so the shuffle moves
+    one row per (group, dim), never the raw vectors — then re-assemble each
+    centroid with ``array_agg`` sorted by dim.  State per group is O(dim),
+    unlike a naive ``collect_list(vector)`` which is O(rows·dim).
+
+    ``normalize=True`` L2-normalizes the centroid (the spherical-k-means
+    update, appropriate for cosine geometry).
+    """
+    exploded = df.select(
+        *by, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__d", "__x")
+    )
+    per_dim = exploded.groupBy(*by, "__d").agg(F.avg("__x").alias("__m"))
+    asm = per_dim.groupBy(*by).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__d"), F.col("__m")))
+        ).alias("__dm")
+    )
+    asm = asm.withColumn("__c", F.transform(F.col("__dm"), lambda s: s["__m"]))
+    centroid = F.col("__c")
+    if normalize:
+        centroid = F.transform(centroid, lambda x: x / _norm(F.col("__c")))
+    return asm.select(*by, centroid.alias(out_col))
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -597,6 +597,11 @@ r AS (
 )
 SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cosine, 4) AS cosine
 FROM r WHERE rank <= 3""",
+    "centroids": """
+SELECT vec_id % 8 AS g, t.d - 1 AS d,
+       round(avg(embedding[t.d]::DOUBLE), 6) AS comp
+FROM embeddings, generate_series(1, 64) AS t(d)
+GROUP BY 1, 2""",
     "emb_neardup": f"""
 WITH b AS (SELECT vec_id AS id, embedding AS v,
                   {_lsh_bucket_sql('embedding', n_planes=4)} AS bucket

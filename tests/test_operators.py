@@ -118,6 +118,25 @@ def test_ivf_topk_recall_and_shape(spark):
         assert all(a >= b for a, b in zip(cs, cs[1:]))
 
 
+def test_group_centroids(spark):
+    from dask_groupby_spark.operators.similarity import group_centroids
+
+    rows = [
+        ("a", [1.0, 0.0, 3.0]),
+        ("a", [3.0, 2.0, 1.0]),
+        ("b", [0.0, 4.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "g string, embedding array<float>")
+    got = {r["g"]: r["centroid"] for r in group_centroids(emb, "g").collect()}
+    assert got["a"] == [2.0, 1.0, 2.0]
+    assert got["b"] == [0.0, 4.0, 0.0]
+    normed = {r["g"]: r["centroid"]
+              for r in group_centroids(emb, "g", normalize=True).collect()}
+    n = sum(x * x for x in normed["a"]) ** 0.5
+    assert abs(n - 1.0) < 1e-9
+    assert abs(normed["a"][0] / normed["a"][1] - 2.0) < 1e-9
+
+
 def test_embedding_near_duplicates(spark):
     rows = [
         (1, [1.0, 0.0]),
