@@ -828,6 +828,26 @@ def q_curate(spark, sf):
     return out.select("lang", "doc_id", "n_tokens").orderBy("lang", "doc_id")
 
 
+def q_split(spark, sf):
+    """deterministic train/test assignment (map-only, growth-stable)."""
+    from dask_groupby_spark.operators.curate import train_test_split
+
+    docs = load_table(spark, sf, "documents")
+    out = train_test_split(docs, 0.25, id_col="doc_id", seed="s1", hasher="portable")
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf):
+    """n-gram decontamination: docs sharing an 8-gram with the 'benchmark'
+    (here: the 20 lowest-id docs) are dropped; count survivors per lang."""
+    from dask_groupby_spark.operators.curate import decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") < 20).select("text")
+    kept = decontaminate(docs.where(F.col("doc_id") >= 20), bench, k=8)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+
+
 def q_multimodal_meta(spark, sf):
     """Multimodal plumbing: fake binary payloads → mapInPandas feature
     extraction → aggregate.  No oracle (Pandas-UDF path) → rows-only check."""
@@ -945,6 +965,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_per_group": q_sample_per_group,
     "wmean": q_wmean,
     "curate": q_curate,
+    "split": q_split,
+    "decontaminate": q_decontaminate,
     "top_terms": q_top_terms,
     "multimodal_meta": q_multimodal_meta,
 }

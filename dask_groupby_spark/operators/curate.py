@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _hasher
+from .dedup import _hasher, _shingle_rows
 from .text import add_text_features
 
 
@@ -59,3 +59,74 @@ def curate_documents(
         .where(F.col("__s_rn") <= per_lang)
         .drop("__s_rn")
     )
+
+
+def train_test_split(
+    df: DataFrame,
+    test_frac: float,
+    id_col: str = "doc_id",
+    seed: str = "split",
+    hasher: str = "fast",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic stratified-by-nothing train/test assignment: each row
+    lands in 'test' iff a seeded hash of its id falls below ``test_frac``
+    of the hash domain.  Pure map-side projection — no shuffle, no state,
+    reproducible across runs, engines (``hasher="portable"``) and data
+    re-partitioning, and stable under corpus growth (existing rows never
+    flip when new rows arrive — the property random-split lacks).
+    """
+    if not (0.0 <= test_frac <= 1.0):
+        raise ValueError("test_frac must be in [0, 1]")
+    h = _hasher(hasher)(F.col(id_col).cast("string"), seed)
+    cut = int(test_frac * float(1 << 60))
+    # portable hash is 60-bit; fast hash 63-bit → rescale to the same domain
+    dom = F.lit(cut if hasher == "portable" else int(test_frac * float(1 << 63)))
+    return df.withColumn(
+        out_col, F.when(h < dom, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+    min_overlaps: int = 1,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop (or mark) training documents sharing
+    ≥ ``min_overlaps`` distinct word ``k``-grams with any benchmark document
+    — the standard n-gram-overlap eval-leak filter for LLM training sets.
+
+    Plan shape at 100 TB: both sides explode to distinct (id, shingle) rows
+    map-side; the benchmark side is tiny (eval sets are ~1e4 docs) so its
+    distinct shingle set BROADCASTS — the corpus is scanned once, no
+    shuffle of corpus text at all in the mark phase; the only aggregation
+    is the per-doc overlap count on matched rows (a shuffle of matches,
+    which decontamination assumes are rare).
+
+    ``mark_only=True`` returns every row with ``n_contaminated_ngrams``
+    (audit mode); default drops contaminated docs.
+    """
+    corpus_sh = _shingle_rows(df, id_col, text_col, k)  # (id, sh)
+    bench_sh = (
+        _shingle_rows(benchmark, bench_text_col, bench_text_col, k)
+        .select("sh")
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), on="sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .where(F.col("n_contaminated_ngrams") >= min_overlaps)
+        .withColumnRenamed("id", id_col)
+    )
+    if mark_only:
+        return df.join(hits, on=id_col, how="left").withColumn(
+            "n_contaminated_ngrams",
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)),
+        )
+    return df.join(hits.select(id_col), on=id_col, how="left_anti")

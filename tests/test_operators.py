@@ -195,6 +195,54 @@ def test_multimodal_resize_and_frames(docs):
         assert len(idxs) <= 4
 
 
+def test_train_test_split(spark):
+    from dask_groupby_spark.operators.curate import train_test_split
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(2000)],
+                               "doc_id bigint, text string")
+    out = train_test_split(df, 0.2, id_col="doc_id", seed="s1")
+    frac = out.where(F.col("split") == "test").count() / 2000
+    assert 0.15 < frac < 0.25  # hash-uniform, ±noise
+    # deterministic & partition-invariant
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in train_test_split(df.repartition(13), 0.2, id_col="doc_id", seed="s1").collect()}
+    assert a == b
+    # stable under corpus growth: the original ids keep their assignment
+    df2 = spark.createDataFrame([(i, f"doc {i}") for i in range(3000)],
+                                "doc_id bigint, text string")
+    c = {r["doc_id"]: r["split"]
+         for r in train_test_split(df2, 0.2, id_col="doc_id", seed="s1").collect()}
+    assert all(c[i] == a[i] for i in a)
+    # no shuffle: map-side projection only
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate(spark):
+    from dask_groupby_spark.operators.curate import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # contains bench ngram
+            (2, "one two three four five six seven eight nine"),
+            (3, "totally unrelated content with distinct words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "x alpha beta gamma delta epsilon zeta eta theta y")],
+        "qid bigint, text string",
+    )
+    kept = decontaminate(corpus, bench, k=4, bench_text_col="text")
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+    marked = decontaminate(corpus, bench, k=4, mark_only=True)
+    got = {r["doc_id"]: r["n_contaminated_ngrams"] for r in marked.collect()}
+    assert got[1] > 0 and got[2] == 0 and got[3] == 0
+    # benchmark shingle set is broadcast (no shuffle of corpus text)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_curate_pipeline(spark):
     from dask_groupby_spark.operators.curate import curate_documents
 
