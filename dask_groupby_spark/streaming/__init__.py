@@ -7,9 +7,10 @@ state) — this module is part of our Spark-native surface extension:
 - :func:`windowed_reduce` — tumbling/sliding event-time windows + watermark
   over any registry reduction (the streaming analog of ``groupby_reduce``
   with a time-binned grouper).
-- :func:`streaming_cumsum` — a custom *stateful* grouped scan via
-  ``applyInPandasWithState``: per-key running totals that survive across
-  micro-batches (the streaming analog of ``groupby_scan('nancumsum')``).
+- :func:`streaming_cumsum` / :func:`streaming_ffill` — custom *stateful*
+  grouped scans via ``applyInPandasWithState``: per-key running totals /
+  last-valid-value that survive across micro-batches (the streaming analogs
+  of ``groupby_scan('nancumsum')`` / ``groupby_scan('ffill')``).
 
 Scale notes: windowed aggregation state is partitioned by (window, keys) and
 pruned by the watermark; the stateful scan keeps O(1) state per key.
@@ -19,6 +20,7 @@ from __future__ import annotations
 
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -118,6 +120,65 @@ def streaming_dedup(
         return stream.dropDuplicates(list(id_cols))
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(id_cols)
+    )
+
+
+def streaming_ffill(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    out_col: str = "ffill",
+) -> DataFrame:
+    """Streaming forward-fill: the stateful analog of
+    ``groupby_scan('ffill')`` — each key remembers its last non-null value
+    across micro-batches (O(1) state per key) and fills nulls forward.
+
+    Within a micro-batch rows are ordered by ``ts_col`` (arrival order
+    inside a batch is not an event-time guarantee; pair with a watermark
+    upstream if late data matters).  Unfillable leading gaps surface as
+    NULL (Arrow maps pandas NaN to null), where the batch scan emits NaN.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(out_col, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last", T.DoubleType())])
+
+    def update(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            vals = pdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+            filled = vals.copy()
+            for i in range(len(filled)):
+                if np.isnan(filled[i]):
+                    filled[i] = last if last is not None else float("nan")
+                else:
+                    last = float(filled[i])
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(pdf),
+                    ts_col: pdf[ts_col].to_numpy(),
+                    out_col: filled,
+                }
+            )
+        state.update((last,))
+
+    return (
+        stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

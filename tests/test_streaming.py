@@ -144,3 +144,42 @@ def test_streaming_cumsum_state_across_batches(spark, tmpdir):
         final[r["key"]] = max(final.get(r["key"], (0, 0.0)), (r["n_seen"], r["running_sum"]))
     assert final[1] == (3, 17.0)
     assert final[2] == (2, 4.0)
+
+
+def test_streaming_ffill_state_across_batches(spark, tmpdir):
+    from dask_groupby_spark.streaming import streaming_ffill
+
+    base = datetime.datetime(2024, 1, 1)
+    t = lambda m: base + datetime.timedelta(minutes=m)
+    # batch 1 ends with key 1 = 7.0; batch 2 starts with a null → must fill 7.0
+    spark.createDataFrame(
+        [(1, t(0), None), (1, t(1), 7.0), (2, t(2), 3.0)],
+        "key bigint, ts timestamp, v double",
+    ).coalesce(1).write.parquet(f"{tmpdir}/in/f1")
+    spark.createDataFrame(
+        [(1, t(3), None), (2, t(4), None), (2, t(5), 9.0)],
+        "key bigint, ts timestamp, v double",
+    ).coalesce(1).write.parquet(f"{tmpdir}/in/f2")
+    stream = (
+        spark.readStream.schema("key bigint, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/in/*")
+    )
+    out = streaming_ffill(stream, "key", "v", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ffillout")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["key"], r["ts"].minute): r["ffill"]
+           for r in spark.sql("select * from ffillout").collect()}
+    # leading gap: nothing to fill from — the Pandas-UDF path surfaces NaN
+    # as NULL (Arrow treats pandas NaN as null), unlike the batch scan's NaN
+    assert got[(1, 0)] is None
+    assert got[(1, 1)] == 7.0
+    assert got[(1, 3)] == 7.0           # carried across micro-batches
+    assert got[(2, 4)] == 3.0           # carried across micro-batches
+    assert got[(2, 5)] == 9.0
