@@ -368,6 +368,7 @@ def groupby_agg(
 
     agg_cols = []
     casts = {}
+    fills = {}
     for item in funcs:
         name, vcol, out = item[0], item[1], item[2]
         kw = dict(item[3]) if len(item) > 3 else {}
@@ -380,6 +381,7 @@ def groupby_agg(
         ctx = _make_ctx(work, vcol, idx_col, kw)
         agg_cols.append(spec.build(ctx).alias(out))
         casts[out] = spec.result_type(ctx.dt, kw)
+        fills[out] = spec.final_fill
 
     result = keyed.groupBy(*key_names).agg(*agg_cols)
     for out, dt in casts.items():
@@ -387,6 +389,27 @@ def groupby_agg(
         if dt_rules.is_float(dt):
             col = F.coalesce(col, dt_rules.na_lit(dt))
         result = result.withColumn(out, col)
+
+    # reindex onto expected_groups — absent groups get each column's
+    # final_fill (or dtype NA), same semantics as groupby_reduce
+    if any(e is not None for e in expected):
+        result = result.withColumn(_PRESENT, F.lit(True))
+        exp_df = expected_groups_df(
+            df.sparkSession,
+            key_names,
+            [k[3] for k in keys],
+            [k[2] for k in keys],
+            result=result,
+        )
+        result = reindex_result(result, exp_df, key_names)
+        for out, dt in casts.items():
+            fv = fills[out]
+            fill = dt_rules.fill_lit(fv, dt) if fv is not None else dt_rules.na_lit(dt)
+            result = result.withColumn(
+                out,
+                F.when(F.col(_PRESENT).isNull(), fill).otherwise(F.col(out)),
+            )
+        result = result.drop(_PRESENT)
     if sort:
         result = result.orderBy(*key_names)
     return result

@@ -31,6 +31,25 @@ def test_nanmean(f1):
     assert collect_map(out, "label", "nanmean") == {0: 1.0, 1: 1.0, 2: 1.0}
 
 
+def test_groupby_agg_expected_groups_fill(f1):
+    from dask_groupby_spark import groupby_agg
+
+    out = groupby_agg(
+        f1,
+        "label",
+        funcs=[("nansum", "val_ones", "s"), ("count", "val_ones", "c"),
+               ("nanmean", "val_ones", "m")],
+        expected_groups=[0, 1, 2, 3],
+    )
+    rows = {r["label"]: (r["s"], r["c"], r["m"]) for r in out.collect()}
+    assert rows[0] == (3.0, 3, 1.0)
+    # absent group: per-func final_fill (count→0) or dtype NA (nansum/nanmean
+    # default to NA like the reference's final_fill_value, core.py:1144-1177)
+    s3, c3, m3 = rows[3]
+    assert c3 == 0
+    assert math.isnan(s3) and math.isnan(m3)
+
+
 def test_skipna_rewrites_to_nan_variant(f1):
     # skipna=True dispatches sum→nansum (ref flox/xarray.py:355-380); the
     # output column keeps the rewritten name
