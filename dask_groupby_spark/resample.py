@@ -96,38 +96,34 @@ def resample(
     out = groupby_reduce(work, label, *extra_by, func=func, value=value, **kwargs)
 
     if dense:
-        spark = df.sparkSession
-        lo, hi = work.select(F.min(label), F.max(label)).first()
-        if lo is not None:
-            if calendar:
-                step = f"interval 1 {calendar}"
-            else:
-                step = f"interval {int(width)} seconds"
-            grid = spark.range(1).select(
-                F.explode(
-                    F.sequence(
-                        F.lit(lo).cast("timestamp"),
-                        F.lit(hi).cast("timestamp"),
-                        F.expr(step),
-                    )
-                ).alias(label)
+        if calendar:
+            step = f"interval 1 {calendar}"
+        else:
+            step = f"interval {int(width)} seconds"
+        # lazy grid: aggregate the bucket bounds and explode the sequence —
+        # no driver action at construction time (the reference builds its
+        # graph lazily likewise); |grid| rows from a 1-row aggregate
+        grid = work.select(F.min(label).alias("__lo"), F.max(label).alias("__hi")).select(
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(step))
+            ).alias(label)
+        )
+        out_name = kwargs.get("alias") or func
+        joined = grid.join(F.broadcast(out), on=label, how="left")
+        if extra_by:
+            # dense over the bucket axis only: missing (bucket, key) rows
+            # keep NULL keys — callers wanting the full grid pass
+            # expected_groups through **kwargs instead
+            out = joined
+        else:
+            res_dt = joined.schema[out_name].dataType
+            fill = (
+                dt_rules.fill_lit(fill_value, res_dt)
+                if fill_value is not None
+                else dt_rules.na_lit(res_dt)  # empty bucket → dtype NA
             )
-            out_name = kwargs.get("alias") or func
-            joined = grid.join(F.broadcast(out), on=label, how="left")
-            if extra_by:
-                # dense over the bucket axis only: missing (bucket, key) rows
-                # keep NULL keys — callers wanting the full grid pass
-                # expected_groups through **kwargs instead
-                out = joined
-            else:
-                res_dt = joined.schema[out_name].dataType
-                fill = (
-                    dt_rules.fill_lit(fill_value, res_dt)
-                    if fill_value is not None
-                    else dt_rules.na_lit(res_dt)  # empty bucket → dtype NA
-                )
-                out = joined.withColumn(
-                    out_name, F.coalesce(F.col(out_name), fill)
-                )
-            out = out.orderBy(label, *extra_by)
+            out = joined.withColumn(
+                out_name, F.coalesce(F.col(out_name), fill)
+            )
+        out = out.orderBy(label, *extra_by)
     return out

@@ -99,3 +99,24 @@ def test_no_action_during_construction(spark):
     # building `out` must not have launched work; collect() does
     assert len(spark.sparkContext.statusTracker().getActiveJobsIds()) == n_jobs_before
     assert out.collect()
+
+
+def test_resample_dense_is_lazy(spark):
+    """dense=True derives its bucket grid from a lazy aggregate+sequence
+    subquery — construction must not run the min/max job."""
+    import datetime as dt
+
+    from dask_groupby_spark.resample import resample
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1 + d), float(d)) for d in range(10)],
+        "ts timestamp, v double",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = resample(df, "ts", "2 days", "nansum", "v", dense=True)
+    after = tracker.getJobIdsForGroup(None)
+    assert list(before) == list(after)  # no job during construction
+    # 10 consecutive days over epoch-anchored 2-day buckets: 2024-01-01 is
+    # an odd epoch day, so the span straddles 6 buckets
+    assert out.count() == 6
