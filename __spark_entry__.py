@@ -627,6 +627,21 @@ def q_langid(spark, sf):
     )
 
 
+def q_tfidf(spark, sf):
+    """per-doc top TF-IDF terms (smooth-idf; lazy corpus-size aggregate)."""
+    from dask_groupby_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round("tfidf", 6).alias("tfidf"),
+        F.col("rank").cast("bigint").alias("rank"),
+    ).orderBy("doc_id", "rank")
+
+
 def q_fingerprint(spark, sf):
     docs = document_fingerprint(load_table(spark, sf, "documents"))
     return (
@@ -953,6 +968,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
+    "tfidf": q_tfidf,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -110,6 +110,51 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     return df.withColumn(out, pred).drop("__toks")
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_len: int = 1,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF:
+    ``tf * (ln((N+1)/(df+1)) + 1)`` (sklearn's smooth-idf convention).
+
+    Plan at 100 TB: tokenize/explode map-side → per-(doc, term) counts (one
+    shuffle, map-side combine) → per-term document frequencies (second
+    aggregate over the *already-reduced* (doc, term) rows, never raw
+    tokens) → broadcast the (term, df) table back — |vocabulary| rows —
+    → per-doc top-k window.  The corpus size N comes from a lazy 1-row
+    aggregate cross-joined in, so nothing runs at construction time.
+
+    Output: (id_col, term, tf, tfidf, rank), rank ≤ k per document;
+    ties break (score desc, term asc) for determinism.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.length("term") >= min_len)
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(F.count(F.lit(1)).alias("N"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("N") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "tfidf", "rank")
+    )
+
+
 def document_fingerprint(
     df: DataFrame, text_col: str = "text", out: str = "fingerprint", prefix_tokens: int = 8
 ) -> DataFrame:

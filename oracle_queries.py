@@ -519,6 +519,24 @@ pred AS (
 )
 SELECT lang, {_langid_pred} AS lang_pred, count(*)::BIGINT AS n
 FROM pred GROUP BY 1, 2""",
+    "tfidf": f"""{_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS N FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((N + 1)::DOUBLE / (df + 1)) + 1) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rank
+FROM r WHERE rank <= 3""",
     "fingerprint": f"""{_TOKS},
 fp AS (
   SELECT lang,

@@ -162,6 +162,29 @@ def test_language_id(docs):
     assert out[5] == "und" or out[5] in ("en",)  # no stopwords → und
 
 
+def test_tfidf_top_terms(spark):
+    import math
+
+    from dask_groupby_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "apple cherry"),
+        (3, "durian durian durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"]) for r in out}
+    # doc 1: apple tf=2 df=2 → 2*(ln(4/3)+1); banana tf=1 df=1 → ln(2)+1
+    idf = lambda dfq: math.log(4 / (dfq + 1)) + 1
+    assert got[(1, 1)][0] == "apple"
+    assert abs(got[(1, 1)][2] - 2 * idf(2)) < 1e-9
+    assert got[(1, 2)][0] == "banana"
+    assert abs(got[(1, 2)][2] - idf(1)) < 1e-9
+    # doc 3: single repeated rare term dominates
+    assert got[(3, 1)] == ("durian", 3, 3 * idf(1))
+
+
 def test_multimodal_pipeline(docs):
     media = attach_fake_media(docs)
     feats = extract_image_features(media)
