@@ -149,6 +149,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 8,
     nprobe: int = 2,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     ``n_cells`` cells, probe the ``nprobe`` nearest cells per query, exact
@@ -163,6 +164,12 @@ def ivf_topk(
     query set is small) and the final per-query top-k, i.e. the plan scans
     the 100 TB corpus exactly once and scores only ~nprobe/n_cells of it.
 
+    ``refine_iters > 0`` runs that many distributed Lloyd iterations before
+    querying: assign (map-only, literals) → spherical centroid update
+    (:func:`group_centroids`, O(dim) state per cell) → re-collect the tiny
+    centroid table.  Each iteration is one extra pass over the corpus;
+    balanced cells mean nprobe/n_cells is an honest selectivity estimate.
+
     Output: (query_id, neighbor_id, cosine, rank) — rank ≤ k per query.
     """
     cents = (
@@ -174,6 +181,35 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     )
+    for _ in range(refine_iters):
+        cent_arr0 = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cell"])).alias("cell"),
+                    F.lit([float(x) for x in r["cv"]]).alias("cv"),
+                )
+                for r in cents
+            ]
+        )
+        cv0 = F.col(vec_col).cast("array<double>")
+        scored0 = F.transform(
+            cent_arr0,
+            lambda c: F.struct(
+                cosine_similarity(cv0, c["cv"]).alias("cos"),
+                (-c["cell"]).alias("negcell"),
+                c["cell"].alias("cell"),
+            ),
+        )
+        assigned = corpus.select(
+            cv0.alias("embedding"), F.array_max(scored0)["cell"].alias("cell")
+        )
+        new = group_centroids(
+            assigned, "cell", vec_col="embedding", out_col="cv", normalize=True
+        ).collect()
+        # a cell can go empty under reassignment — keep its previous centroid
+        prev = {int(r["cell"]): r["cv"] for r in cents}
+        prev.update({int(r["cell"]): list(r["cv"]) for r in new})
+        cents = [{"cell": c, "cv": v} for c, v in sorted(prev.items())]
     # F.lit on the whole python list → one array literal per centroid (a
     # single JVM call), not dim× nested lit() calls
     cent_arr = F.array(

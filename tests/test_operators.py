@@ -116,6 +116,13 @@ def test_ivf_topk_recall_and_shape(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         cs = [r["cosine"] for r in rs]
         assert all(a >= b for a, b in zip(cs, cs[1:]))
+    # k-means refinement must keep the same output contract and not lose
+    # recall relative to the unrefined seeding on average
+    refined = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=3, n_cells=4, nprobe=2, refine_iters=2).collect()
+    }
+    assert len(exact & refined) >= len(exact & approx) - 2
 
 
 def test_group_centroids(spark):
