@@ -127,3 +127,33 @@ def test_whole_stage_codegen_covers_agg(li):
     executed = out._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen stages in plan toString
     assert "*(1)" in executed and "*(2)" in executed, executed
+
+
+def test_group_centroids_two_exchanges(spark):
+    """centroids = (key,dim) partial agg + (key) assembly — exactly two
+    shuffles, and the shuffled rows are per-(group,dim) partials, never raw
+    vectors."""
+    from dask_groupby_spark.operators.similarity import group_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    out = group_centroids(emb.withColumn("g", F.pmod(F.col("vec_id"), F.lit(4))), "g")
+    assert count_exchanges(out) == 2
+
+
+def test_train_test_split_no_exchange(spark):
+    from dask_groupby_spark.operators.curate import train_test_split
+
+    docs = load_table(spark, SF, "documents")
+    out = train_test_split(docs, 0.1, id_col="doc_id")
+    assert count_exchanges(out) == 0
+
+
+def test_rolling_single_exchange(spark):
+    from dask_groupby_spark.rolling import groupby_rolling
+
+    ev = load_table(spark, SF, "events")
+    out = groupby_rolling(
+        ev, "event_type", funcs=("sum", "mean", "var"), value="value",
+        idx_col="event_id", window=10,
+    )
+    assert count_exchanges(out) == 1
