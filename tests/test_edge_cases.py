@@ -1,0 +1,69 @@
+"""Degenerate inputs: empty tables, all-missing labels, single rows.
+
+Mirrors the reference's empty-bin / all-NaN-block edge tests
+(flox/tests/test_core.py:823,1191)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark import Bins, groupby_reduce, groupby_scan
+
+NAN = float("nan")
+
+
+def _empty(spark):
+    return spark.createDataFrame([], "label bigint, idx bigint, val double")
+
+
+def test_empty_input_reduce(spark):
+    out = groupby_reduce(_empty(spark), "label", func="nansum", value="val")
+    assert out.collect() == []
+
+
+def test_empty_input_with_expected_groups(spark):
+    out = groupby_reduce(
+        _empty(spark), "label", func="nansum", value="val",
+        expected_groups=[0, 1], fill_value=0.0,
+    ).collect()
+    assert {r["label"]: r["nansum"] for r in out} == {0: 0.0, 1: 0.0}
+
+
+def test_empty_input_scan(spark):
+    out = groupby_scan(_empty(spark), "label", func="nancumsum", value="val", idx_col="idx")
+    assert out.collect() == []
+
+
+def test_all_labels_missing(spark):
+    df = spark.createDataFrame(
+        [(None, 1, 1.0), (None, 2, 2.0)], "label bigint, idx bigint, val double"
+    )
+    assert groupby_reduce(df, "label", func="count", value="val").collect() == []
+    # with expected_groups the domain still materializes, filled
+    out = groupby_reduce(
+        df, "label", func="count", value="val", expected_groups=[5]
+    ).collect()
+    assert [(r["label"], r["count"]) for r in out] == [(5, 0)]
+
+
+def test_single_row(spark):
+    df = spark.createDataFrame([(1, 1, 3.0)], "label bigint, idx bigint, val double")
+    for func, exp in [("nansum", 3.0), ("nanmean", 3.0), ("nanvar", None), ("count", 1)]:
+        got = groupby_reduce(df, "label", func=func, value="val",
+                             finalize_kwargs={"ddof": 1} if func == "nanvar" else None
+                             ).collect()[0][func]
+        if exp is None:
+            assert got is None or math.isnan(got)  # ddof=1 var of 1 element
+        else:
+            assert got == exp
+
+
+def test_empty_bins(spark):
+    # values all out of bin range → every bin empty but present (ref
+    # test_core.py:1191 test_empty_bins)
+    df = spark.createDataFrame([(100.0, 1.0)], "x double, val double")
+    out = groupby_reduce(
+        df, "x", func="nansum", value="val",
+        expected_groups=Bins([0.0, 1.0, 2.0]), fill_value=0.0,
+    ).collect()
+    assert {r["x_bin"]: r["nansum"] for r in out} == {0: 0.0, 1: 0.0}

@@ -157,3 +157,31 @@ def test_rolling_single_exchange(spark):
         idx_col="event_id", window=10,
     )
     assert count_exchanges(out) == 1
+
+
+def test_bucketed_join_elides_both_exchanges(spark, li, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count join
+    WITHOUT shuffling either side — the co-located join layout that makes
+    repeated fact-to-fact joins affordable at 100 TB."""
+    from dask_groupby_spark.plans import bucket_table
+
+    orders = load_table(spark, SF, "orders")
+    try:
+        bli = bucket_table(
+            li.select("l_orderkey", "l_quantity"), "li_bkt_join",
+            "l_orderkey", n_buckets=8, path=str(tmp_path / "li"),
+        )
+        bor = bucket_table(
+            orders.select("o_orderkey", "o_totalprice"), "or_bkt_join",
+            "o_orderkey", n_buckets=8, path=str(tmp_path / "or"),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bli.join(bor, bli.l_orderkey == bor.o_orderkey).groupBy(
+            "l_orderkey"
+        ).agg(F.sum("l_quantity"))
+        assert count_exchanges(joined) == 0, physical_plan(joined)
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_bkt_join")
+        spark.sql("DROP TABLE IF EXISTS or_bkt_join")
