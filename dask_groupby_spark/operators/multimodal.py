@@ -167,3 +167,55 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10, max_frames: int =
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, float, int]:
+    """STUB decoder.  A real implementation would do:
+
+        import soundfile; data, sr = soundfile.read(io.BytesIO(payload))
+
+    No audio libs in this container, so the payload bytes stand in for a
+    waveform: centered samples in [-128, 127], 8 kHz nominal rate —
+    (duration_ms, rms, zero_crossings) keep the real feature shapes.
+    """
+    if payload is None:
+        raise NotImplementedError("real audio decode requires soundfile — stubbed")
+    samples = [b - 128 for b in payload]
+    n = max(1, len(samples))
+    duration_ms = int(n * 1000 / 8000)
+    rms = (sum(s * s for s in samples) / n) ** 0.5
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+    )
+    return duration_ms, rms, zc
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio analog of :func:`extract_image_features`: Arrow-batched,
+    map-only (doc_id, payload) → (duration, rms, zero-crossing) features."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_audio_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "duration_ms": [d[0] for d in decoded],
+                    "rms": [d[1] for d in decoded],
+                    "zero_crossings": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)

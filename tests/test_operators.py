@@ -273,6 +273,20 @@ def test_decontaminate(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_multimodal_audio_features(docs):
+    from dask_groupby_spark.operators.multimodal import extract_audio_features
+
+    media = attach_fake_media(docs)
+    out = extract_audio_features(media).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for r in got.values():
+        assert r["duration_ms"] == int(r["n_bytes"] * 1000 / 8000)
+        assert r["rms"] > 0 and r["zero_crossings"] >= 0
+    # identical payloads → identical features (deterministic stub)
+    assert got[1]["rms"] == got[2]["rms"]
+
+
 def test_curate_pipeline(spark):
     from dask_groupby_spark.operators.curate import curate_documents
 
