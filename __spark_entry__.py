@@ -590,6 +590,19 @@ def q_lsh_pairs(spark, sf):
     )
 
 
+def q_dup_clusters(spark, sf):
+    """LSH pairs → transitive duplicate clusters (min-label connected
+    components): (doc, cluster) assignments."""
+    from dask_groupby_spark.operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, sf, "documents")
+    sig = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, shingle_k=3, hasher="portable"
+    )
+    pairs = lsh_candidate_pairs(sig, num_hashes=4, bands=4, hasher="portable")
+    return duplicate_clusters(pairs).orderBy("id")
+
+
 def q_ngram_jaccard(spark, sf):
     docs = load_table(spark, sf, "documents")
     out = ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.35)
@@ -963,6 +976,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash": q_minhash,
     "lsh_pairs": q_lsh_pairs,
+    "dup_clusters": q_dup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "text_stats": q_text_stats,

@@ -235,3 +235,71 @@ def simhash(
         F.lit(0),
     )
     return agg.select("id", sig.cast("bigint").alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    out_id: str = "id",
+    out_cluster: str = "cluster_id",
+) -> DataFrame:
+    """Transitive duplicate clusters from a candidate-pair edge list
+    (LSH/Jaccard/embedding near-dup output): connected components by
+    min-label propagation — every member of a component gets the
+    component's minimum id as ``cluster_id``.
+
+    The step near-dup *pipelines* actually need after candidate pairs:
+    A~B and B~C must collapse to ONE keeper even though (A, C) was never
+    emitted as a pair.
+
+    Distributed algorithm (the standard Spark formulation, not a driver
+    union-find): start with label(v) = v; each round every vertex takes the
+    min label in its closed neighborhood (one join + one groupBy on the
+    symmetrized edge list); stop when no label changed.  Rounds needed =
+    graph diameter ≤ O(log n) for near-dup cliques (dup clusters are dense,
+    typically diameter ≤ 2), each round a fixed 2-shuffle plan.  Label
+    tables are persisted and localCheckpoint()ed per round to cut the
+    iterative lineage — the loop is on the *driver*, the data never leaves
+    executors.  Edges are assumed few relative to the corpus (the LSH
+    filter's whole point), so labels ≪ input rows.
+
+    Output: one row per vertex appearing in ``pairs`` — (out_id,
+    out_cluster).  Singleton documents (no pair) are their own cluster by
+    definition and are simply absent here.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .union(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    ).persist()
+    prev_sum = None
+
+    for _ in range(max_iter):
+        # min label over closed neighborhood: own label ∪ neighbors' labels
+        nbr = (
+            edges.join(labels, edges.dst == labels.v)
+            .select(edges.src.alias("v"), "lbl")
+        )
+        new = (
+            labels.select("v", "lbl").union(nbr)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        # labels are monotonically non-increasing, so Σlbl is a convergence
+        # certificate: unchanged sum ⇔ no label changed (one tiny aggregate
+        # per round instead of a diff join)
+        cur_sum = new.agg(F.sum("lbl")).first()[0]
+        labels.unpersist()
+        labels = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("v").alias(out_id), F.col("lbl").alias(out_cluster))

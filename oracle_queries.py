@@ -457,6 +457,34 @@ bands AS (
 SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 GROUP BY 1, 2""",
+    "dup_clusters": _minhash_cte(4, 3)
+    + """,
+bands AS (
+  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
+  UNION ALL
+  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  -- transitive closure by recursion: every label reachable from each vertex
+  WITH RECURSIVE r(v, l) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.s, r.l FROM edges e JOIN r ON e.d = r.v
+  ) SELECT v, l FROM r
+)
+SELECT v AS id, min(l)::BIGINT AS cluster_id FROM reach GROUP BY v""",
     "ngram_jaccard": f"""{_TOKS},
 sh AS (
   SELECT DISTINCT doc_id,

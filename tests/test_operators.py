@@ -56,6 +56,18 @@ def test_ngram_jaccard(docs):
     assert (1, 5) not in out
 
 
+def test_duplicate_clusters(spark):
+    from dask_groupby_spark.operators.dedup import duplicate_clusters
+
+    # two components: {1,2,3,4} via chain (diameter 3 — needs >1 round) and
+    # {10, 11}; (1,4) never appears as a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_similar_docs_close(docs):
     sig = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text", bits=16).collect()}
     def hamming(a, b):
