@@ -303,3 +303,34 @@ def duplicate_clusters(
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("v").alias(out_id), F.col("lbl").alias(out_cluster))
+
+
+def near_deduplicate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    hasher: str = "fast",
+    max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash signatures → LSH band
+    buckets → candidate pairs → transitive clusters → keep the minimum-id
+    member of each cluster.
+
+    Returns the surviving rows of ``df`` (all original columns).  This is
+    the composition the individual operators exist for: at 100 TB the only
+    per-corpus-row work is signature hashing (map-side) and one band-bucket
+    shuffle; pair enumeration, clustering, and the keeper anti-join all run
+    on the (tiny, LSH-filtered) candidate subgraph.
+    """
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k, hasher=hasher
+    )
+    pairs = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands, hasher=hasher)
+    clusters = duplicate_clusters(pairs, max_iter=max_iter)
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -68,6 +68,18 @@ def test_duplicate_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_near_deduplicate_end_to_end(docs):
+    from dask_groupby_spark.operators.dedup import near_deduplicate
+
+    out = near_deduplicate(docs, num_hashes=8, bands=8, shingle_k=2)
+    kept = {r["doc_id"] for r in out.collect()}
+    # docs 1/2 identical and 3 near-identical → one survivor (min id 1);
+    # 4 and 5 unrelated → kept
+    assert 1 in kept and 4 in kept and 5 in kept
+    assert 2 not in kept
+    assert len(kept) <= 4
+
+
 def test_simhash_similar_docs_close(docs):
     sig = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text", bits=16).collect()}
     def hamming(a, b):
