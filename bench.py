@@ -152,6 +152,25 @@ def bench_queries(spark, sf):
         right = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
         _materialize(asof_join(left, right, on="ts", by=["user_id"], right_cols=["value"]))
 
+    def tfidf():
+        from dask_groupby_spark.operators.text import tfidf_top_terms
+
+        _materialize(tfidf_top_terms(docs, k=3))
+
+    def centroids():
+        from dask_groupby_spark.operators.similarity import group_centroids
+
+        _materialize(
+            group_centroids(
+                emb.withColumn("g", F.pmod(F.col("vec_id"), F.lit(16))), "g"
+            )
+        )
+
+    def near_dedup():
+        from dask_groupby_spark.operators.dedup import near_deduplicate
+
+        _materialize(near_deduplicate(docs, num_hashes=8, bands=4))
+
     def quantile_sketch():
         # the skew-safe path: same shape as `quantile` but GK-sketch backed
         _materialize(
@@ -177,6 +196,9 @@ def bench_queries(spark, sf):
         "text_pipeline": text_pipeline,
         "quantile_sketch": quantile_sketch,
         "asof_join": asof,
+        "tfidf": tfidf,
+        "centroids": centroids,
+        "near_dedup": near_dedup,
     }
 
 
@@ -198,7 +220,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock (15 queries, warm)",
+                "metric": "headline query wall-clock (18 queries, warm)",
                 "value": total,
                 "unit": "sec",
                 "queries": times,

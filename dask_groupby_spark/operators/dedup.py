@@ -281,17 +281,23 @@ def duplicate_clusters(
     ).persist()
     prev_sum = None
 
-    for _ in range(max_iter):
+    def step(lbls):
         # min label over closed neighborhood: own label ∪ neighbors' labels
-        nbr = (
-            edges.join(labels, edges.dst == labels.v)
-            .select(edges.src.alias("v"), "lbl")
+        nbr = edges.join(lbls, edges.dst == lbls.v).select(
+            edges.src.alias("v"), "lbl"
         )
-        new = (
-            labels.select("v", "lbl").union(nbr)
+        return (
+            lbls.select("v", "lbl").union(nbr)
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+        )
+
+    for _ in range(max_iter):
+        # two hops per materialization: near-dup clusters have tiny
+        # diameters, so doubling the hop count per blocking round halves
+        # the number of driver round-trips; the checkpoint is lazy — the
+        # convergence aggregate below is the job that materializes it
+        new = step(step(labels)).localCheckpoint(eager=False)
         # labels are monotonically non-increasing, so Σlbl is a convergence
         # certificate: unchanged sum ⇔ no label changed (one tiny aggregate
         # per round instead of a diff join)
