@@ -505,6 +505,27 @@ def q_scan_nancummin(spark, sf):
     )
 
 
+def q_scan_cummin(spark, sf):
+    """bare cummin: NaN poisons the rest of the group (np.minimum.accumulate)."""
+    ev = _ev(spark, sf)
+    out = groupby_scan(ev, "event_type", func="cummin", value="vnan", idx_col="event_id")
+    out = _flagged(out, "cummin", None)
+    return out.select("event_id", "event_type", "cummin_isnan", "cummin")
+
+
+def q_scan_nancummax(spark, sf):
+    """running max of valid values (np.fmax.accumulate semantics)."""
+    ev = _ev(spark, sf)
+    out = groupby_scan(ev, "event_type", func="nancummax", value="vnan", idx_col="event_id")
+    clean = F.when(F.isnan(F.col("nancummax")), F.lit(None)).otherwise(F.col("nancummax"))
+    return out.select(
+        "event_id",
+        "event_type",
+        F.isnan("nancummax").alias("nancummax_isnan"),
+        clean.alias("nancummax"),
+    )
+
+
 def q_scan_cumcount(spark, sf):
     """running count of valid values per group."""
     ev = _ev(spark, sf)
@@ -968,6 +989,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_bfill": q_scan_bfill,
     "scan_cummax": q_scan_cummax,
     "scan_nancummin": q_scan_nancummin,
+    "scan_cummin": q_scan_cummin,
+    "scan_nancummax": q_scan_nancummax,
     "scan_cumcount": q_scan_cumcount,
     "scan_shift": q_scan_shift,
     "scan_cumprod": q_scan_cumprod,

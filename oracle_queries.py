@@ -389,6 +389,22 @@ SELECT event_id, event_type,
 FROM t
 WINDOW w AS (PARTITION BY event_type ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "scan_cummin": f"""{_EV}
+SELECT event_id, event_type,
+       max(isnan(vnan)::INT) OVER w = 1 AS cummin_isnan,
+       CASE WHEN max(isnan(vnan)::INT) OVER w = 1 THEN NULL
+            ELSE min(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w
+       END AS cummin
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "scan_nancummax": f"""{_EV}
+SELECT event_id, event_type,
+       max(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w IS NULL AS nancummax_isnan,
+       max(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w AS nancummax
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "scan_cumcount": f"""{_EV}
 SELECT event_id, event_type,
        count(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w AS cumcount
