@@ -120,6 +120,18 @@ def test_scan_shape_preserved(sdf):
     assert set(sdf.columns) <= set(out.columns)
 
 
+def test_scan_multi_key(spark):
+    # two group keys: window partitions on the pair
+    rows = [
+        (0, "a", 1, 1.0), (1, "a", 1, 2.0), (2, "a", 2, 10.0),
+        (3, "b", 1, 5.0), (4, "a", 2, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, k1 string, k2 bigint, val double")
+    out = groupby_scan(df, "k1", "k2", func="nancumsum", value="val", idx_col="idx")
+    got = {r["idx"]: r["nancumsum"] for r in out.collect()}
+    assert got == {0: 1.0, 1: 3.0, 2: 10.0, 3: 5.0, 4: 30.0}
+
+
 def test_scan_null_label_passthrough(spark):
     df = spark.createDataFrame(
         [(0, 1, 1.0), (1, None, 2.0), (2, 1, 3.0)], "idx bigint, label bigint, val double"
