@@ -53,3 +53,24 @@ def test_apply_in_pandas_fallback(df):
     for k in range(3):
         vals = np.sort(np.array([float(i) for i in range(30) if i % 3 == k]))
         assert got[k] == pytest.approx(vals[1:-1].mean())
+
+
+def test_custom_scan_spec(df):
+    """Custom Scan dataclass: running range (cummax − cummin of valid
+    values) as a user-defined window builder — the scan-side analog of the
+    custom Aggregation escape hatch."""
+    from pyspark.sql import types as T
+
+    from dask_groupby_spark import Scan, groupby_scan
+
+    spec = Scan(
+        name="cumrange",
+        build=lambda ctx, w: F.max(ctx.clean).over(w) - F.min(ctx.clean).over(w),
+        result_type=lambda dt, kw: T.DoubleType(),
+    )
+    out = groupby_scan(df, "label", func=spec, value="val", idx_col="idx")
+    got = {r["idx"]: r["cumrange"] for r in out.collect()}
+    # label 0 sees values 0,3,6,... → range at idx 6 is 6-0
+    assert got[0] == 0.0
+    assert got[6] == 6.0
+    assert got[27] == 27.0
