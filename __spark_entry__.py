@@ -661,6 +661,21 @@ def q_langid(spark, sf):
     )
 
 
+def q_repetition(spark, sf):
+    """within-doc repetition signals (Gopher-style), averaged per language."""
+    from dask_groupby_spark.operators.text import repetition_features
+
+    docs = repetition_features(load_table(spark, sf, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.avg("rep_dup_token_frac"), 6).alias("avg_dup"),
+            F.round(F.avg("rep_top_bigram_frac"), 6).alias("avg_topbigram"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_tfidf(spark, sf):
     """per-doc top TF-IDF terms (smooth-idf; lazy corpus-size aggregate)."""
     from dask_groupby_spark.operators.text import tfidf_top_terms
@@ -1006,6 +1021,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "tfidf": q_tfidf,
+    "repetition": q_repetition,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

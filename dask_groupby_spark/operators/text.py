@@ -110,6 +110,78 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     return df.withColumn(out, pred).drop("__toks")
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", prefix: str = "rep_"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, map-side only:
+
+    - ``rep_dup_token_frac`` — fraction of tokens that are repeats of an
+      earlier token (1 − distinct/total);
+    - ``rep_top_bigram_frac`` — share of bigram occurrences taken by the
+      most frequent bigram (high → boilerplate/spam).
+
+    The top-bigram count is computed WITHOUT exploding: sort the bigram
+    array, then the longest equal-run length — an ``aggregate`` fold with a
+    (current, best) accumulator — is the max frequency.  Everything stays
+    in whole-stage codegen; zero shuffles.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    dup_frac = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(0.0)
+
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(bigrams)
+    run = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram_frac = F.when(
+        F.size(srt) > 0, run.cast("double") / F.size(srt)
+    ).otherwise(0.0)
+    return df.withColumn(f"{prefix}dup_token_frac", dup_frac).withColumn(
+        f"{prefix}top_bigram_frac", top_bigram_frac
+    )
+
+
+def pattern_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document counts of scrub-relevant patterns (emails, URLs,
+    long digit runs by default) — the cheap pre-filter before any PII
+    pipeline.  One ``regexp_count`` column per pattern; map-side only."""
+    if patterns is None:
+        patterns = {
+            "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "n_urls": r"https?://[^\s]+",
+            "n_digit_runs": r"\d{6,}",
+        }
+    out = df
+    for name, pat in patterns.items():
+        out = out.withColumn(name, F.regexp_count(F.col(text_col), F.lit(pat)))
+    return out
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

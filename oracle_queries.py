@@ -563,6 +563,28 @@ pred AS (
 )
 SELECT lang, {_langid_pred} AS lang_pred, count(*)::BIGINT AS n
 FROM pred GROUP BY 1, 2""",
+    "repetition": f"""{_TOKS},
+big AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(tk) > 0
+              THEN 1.0 - len(list_distinct(tk))::DOUBLE / len(tk)
+              ELSE 0.0 END AS dupf,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+              ELSE [] END AS bg
+  FROM toks
+),
+e AS (SELECT doc_id, unnest(bg) AS b FROM big),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM e GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM cnt GROUP BY 1),
+perdoc AS (
+  SELECT big.doc_id, big.lang, big.dupf,
+         coalesce(mx::DOUBLE / nb, 0.0) AS topf
+  FROM big LEFT JOIN top ON big.doc_id = top.doc_id
+)
+SELECT lang, round(avg(dupf), 6) AS avg_dup,
+       round(avg(topf), 6) AS avg_topbigram
+FROM perdoc GROUP BY lang""",
     "tfidf": f"""{_TOKS},
 tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),

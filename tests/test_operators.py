@@ -193,6 +193,34 @@ def test_language_id(docs):
     assert out[5] == "und" or out[5] in ("en",)  # no stopwords → und
 
 
+def test_repetition_features(spark):
+    from dask_groupby_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "spam spam spam spam"),          # one token, one bigram repeated
+        (2, "all words here are different"),
+        (3, "x"),                            # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert abs(got[1]["rep_dup_token_frac"] - 0.75) < 1e-9
+    assert got[1]["rep_top_bigram_frac"] == 1.0  # all 3 bigrams identical
+    assert got[2]["rep_dup_token_frac"] == 0.0
+    assert got[2]["rep_top_bigram_frac"] == 0.25  # 4 distinct bigrams
+    assert got[3]["rep_top_bigram_frac"] == 0.0
+    # map-side only
+    assert "Exchange" not in repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pattern_counts(spark):
+    from dask_groupby_spark.operators.text import pattern_counts
+
+    rows = [(1, "mail me at a.b@example.com or see https://x.org id 1234567")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    r = pattern_counts(df).collect()[0]
+    assert (r["n_emails"], r["n_urls"], r["n_digit_runs"]) == (1, 1, 1)
+
+
 def test_tfidf_top_terms(spark):
     import math
 
