@@ -68,6 +68,22 @@ def test_duplicate_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_partition_invariant(spark):
+    from dask_groupby_spark.operators.dedup import duplicate_clusters
+
+    import random
+
+    rng = random.Random(11)
+    ids = list(range(60))
+    pairs = [(a, b) for a in ids for b in ids if a < b and rng.random() < 0.03]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    base = {(r["id"], r["cluster_id"])
+            for r in duplicate_clusters(df).collect()}
+    redist = {(r["id"], r["cluster_id"])
+              for r in duplicate_clusters(df.repartition(7)).collect()}
+    assert base == redist
+
+
 def test_near_deduplicate_end_to_end(docs):
     from dask_groupby_spark.operators.dedup import near_deduplicate
 
