@@ -174,8 +174,13 @@ def ngram_jaccard_pairs(
     ≥1 shingle), intersection sizes from one groupBy, union sizes from the
     per-doc shingle counts — no cross join at any scale.
     Output: (id_a, id_b, jaccard).
+
+    No ``.cache()`` on the shingle rows: the self-join's two sides hash to
+    identical Exchange subtrees, which Spark's ReuseExchange rule dedupes at
+    runtime, and a cache here would leak storage memory in long-lived
+    sessions (the caller gets no handle to unpersist).
     """
-    sh = _shingle_rows(df, id_col, text_col, k).cache()
+    sh = _shingle_rows(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

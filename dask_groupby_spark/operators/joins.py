@@ -91,6 +91,12 @@ def asof_join(
 
     Output: all left columns + ``<right_col><suffix>`` for each right value
     column + ``<on><suffix>`` (the matched right timestamp, NULL if none).
+
+    The matched right row is attached ATOMICALLY: all its value columns ride
+    in ONE struct carried by a single ``last(ignorenulls)``, so a NULL in one
+    right value column can never mix columns from different right rows
+    (matches DuckDB ASOF JOIN, which attaches whole rows).  Right rows whose
+    ``on`` is NULL are unmatchable, as in an ordered-comparison join.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -98,25 +104,32 @@ def asof_join(
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in by + [on]
     ]
-    rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     lcols = list(left.columns)
 
-    # union schema: by + on + __side + left-only cols + right value cols + __rts
+    # the whole candidate right row as one nullable struct (__rts = its ts);
+    # NULL on left rows and on right rows with NULL ts (never matchable).
+    r_struct = F.when(
+        F.col(on).isNotNull(),
+        F.struct(
+            F.col(on).alias("__rts"), *[F.col(c).alias(c) for c in rcols]
+        ),
+    )
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+
+    # union schema: by + on + __side + left-only cols + __r (right-row struct)
     lonly = [c for c in lcols if c not in by + [on]]
     l_proj = (
         [F.col(c) for c in by]
         + [F.col(on), F.lit(1).alias("__side")]
         + [F.col(c) for c in lonly]
-        + [F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in rcols]
-        + [F.lit(None).cast(rtypes[on]).alias("__rts")]
+        + [F.lit(None).cast(r_struct_type).alias("__r")]
     )
     r_proj = (
         [F.col(c) for c in by]
         + [F.col(on), F.lit(0).alias("__side")]
         + [F.lit(None).cast(ltypes[c]).alias(c) for c in lonly]
-        + [F.col(c).alias(f"__r_{c}") for c in rcols]
-        + [F.col(on).alias("__rts")]
+        + [r_struct.alias("__r")]
     )
     unioned = left.select(*l_proj).unionByName(right.select(*r_proj))
 
@@ -140,13 +153,13 @@ def asof_join(
 
     carried = unioned.select(
         "*",
-        *[carry(F.col(f"__r_{c}")).alias(f"__c_{c}") for c in rcols],
-        carry(F.col("__rts")).alias("__cts"),
+        carry(F.col("__r")).alias("__c"),
     ).where(F.col("__side") == 1)
 
-    matched = F.col("__cts").isNotNull()
+    matched = F.col("__c").isNotNull()
     if tolerance is not None:
-        delta = F.col(on).cast("double") - F.col("__cts").cast("double")
+        cts = F.col("__c")["__rts"]
+        delta = F.col(on).cast("double") - cts.cast("double")
         if direction == "forward":
             delta = -delta
         matched = matched & (delta <= F.lit(float(tolerance)))
@@ -154,9 +167,9 @@ def asof_join(
     out_cols = (
         [F.col(c) for c in lcols]
         + [
-            F.when(matched, F.col(f"__c_{c}")).alias(f"{c}{suffix}")
+            F.when(matched, F.col("__c")[c]).alias(f"{c}{suffix}")
             for c in rcols
         ]
-        + [F.when(matched, F.col("__cts")).alias(f"{on}{suffix}")]
+        + [F.when(matched, F.col("__c")["__rts"]).alias(f"{on}{suffix}")]
     )
     return carried.select(*out_cols)

@@ -37,22 +37,23 @@ def grouped_topk(
     makes the cut deterministic when order values collide.
 
     ``skew_salt=S`` runs a salted partial top-k first (salt = hash of the
-    tiebreak — or a uniform random int when no tiebreak is given): each task
-    sorts at most |group|/S rows, and the final window ranks ≤ k·S survivors
-    per key.  Result is identical to the unsalted plan (top-k distributes
-    over any partition of the rows); use it when one group dwarfs executor
-    memory.
+    tiebreak): each task sorts at most |group|/S rows, and the final window
+    ranks ≤ k·S survivors per key.  Result is identical to the unsalted plan
+    (top-k distributes over any partition of the rows); use it when one
+    group dwarfs executor memory.  ``tiebreak`` is REQUIRED with
+    ``skew_salt``: without a total order, which tied row survives the k
+    boundary would depend on the (retry-variant) physical row placement.
     """
     order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
     if skew_salt and skew_salt > 1:
-        salt_src = (
-            F.xxhash64(F.col(tiebreak), F.lit("topk-salt"))
-            if tiebreak
-            else F.monotonically_increasing_id()
-        )
-        salt = F.pmod(salt_src, F.lit(skew_salt))
+        if not tiebreak:
+            raise ValueError(
+                "skew_salt requires tiebreak: salting without a total order "
+                "makes the surviving row set nondeterministic across retries"
+            )
+        salt = F.pmod(F.xxhash64(F.col(tiebreak), F.lit("topk-salt")), F.lit(skew_salt))
         wp = Window.partitionBy(*by, "__salt").orderBy(*order)
         df = (
             df.withColumn("__salt", salt)

@@ -195,9 +195,13 @@ def tfidf_top_terms(
     Plan at 100 TB: tokenize/explode map-side → per-(doc, term) counts (one
     shuffle, map-side combine) → per-term document frequencies (second
     aggregate over the *already-reduced* (doc, term) rows, never raw
-    tokens) → broadcast the (term, df) table back — |vocabulary| rows —
-    → per-doc top-k window.  The corpus size N comes from a lazy 1-row
-    aggregate cross-joined in, so nothing runs at construction time.
+    tokens) → join the (term, df) table back WITHOUT a broadcast hint: a
+    web-scale vocabulary (typos, hashes, code tokens) is billions of rows,
+    so the strategy must stay Catalyst/AQE's size-based choice — broadcast
+    when the vocab is small, shuffled join when it isn't (see
+    docs/PLANS.md "tfidf join strategy").  The corpus size N comes from a
+    lazy 1-row aggregate cross-joined in (that broadcast is always safe),
+    so nothing runs at construction time.
 
     Output: (id_col, term, tf, tfidf, rank), rank ≤ k per document;
     ties break (score desc, term asc) for determinism.
@@ -209,7 +213,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = df.select(F.count(F.lit(1)).alias("N"))
     scored = (
-        tf.join(F.broadcast(dfreq), on="term")
+        tf.join(dfreq, on="term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "tfidf",

@@ -65,9 +65,11 @@ def main():
     print(f"entry rows={n} schema={res.schema.simpleString()} ({time.time()-t0:.1f}s)")
 
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf)
@@ -107,7 +109,9 @@ def main():
             continue
         print(f"PASS {name} ({len(snorm)} rows, {time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    skipped = len(qs) - checked
+    suffix = f" ({skipped} skipped by filter)" if skipped else ""
+    print(f"\n{checked - len(failures)}/{checked} passed{suffix}")
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
     spark.stop()

@@ -94,6 +94,33 @@ def test_range_join_boundaries(spark):
     assert tags == ["a", "b"]  # closed on both ends; 20.001 excluded
 
 
+def test_asof_null_right_values_attach_atomically(spark):
+    # The matched right row must attach as a whole: a NULL in one right value
+    # column may NOT be back-filled from an older right row (DuckDB ASOF
+    # attaches one row, not per-column carries).
+    left = spark.createDataFrame(
+        [(1, 10.0, "t1"), (1, 20.0, "t2")], "key bigint, ts double, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 1.0, 100.0), (1, 15.0, None, 200.0)],
+        "key bigint, ts double, bid double, size double",
+    )
+    out = asof_join(left, right, on="ts", by=["key"]).collect()
+    got = {r["tag"]: (r["bid_right"], r["size_right"], r["ts_right"]) for r in out}
+    assert got["t1"] == (1.0, 100.0, 5.0)
+    # t2 matches the ts=15 row: bid stays NULL (not 1.0 from the ts=5 row)
+    assert got["t2"] == (None, 200.0, 15.0)
+
+
+def test_asof_null_right_ts_unmatchable(spark):
+    left = spark.createDataFrame([(1, 10.0, "t1")], "key bigint, ts double, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 7.0)], "key bigint, ts double, q double"
+    )
+    out = asof_join(left, right, on="ts", by=["key"]).collect()
+    assert out[0]["q_right"] is None and out[0]["ts_right"] is None
+
+
 def test_asof_single_shuffle(spark):
     trades, quotes = _tables(spark)
     out = asof_join(trades, quotes, on="ts", by=["key"])

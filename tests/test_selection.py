@@ -30,6 +30,14 @@ def test_grouped_topk_skew_salt_identical(spark):
     assert plain == salted
 
 
+def test_grouped_topk_skew_salt_requires_tiebreak(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, id bigint, v double")
+    with pytest.raises(ValueError, match="tiebreak"):
+        grouped_topk(df, "k", order_col="v", k=1, skew_salt=4)
+
+
 def test_sample_per_group_skew_salt_identical(spark):
     rows = [(i % 2, i) for i in range(300)]
     df = spark.createDataFrame(rows, "grp bigint, id bigint")
