@@ -319,15 +319,19 @@ def q_nunique(spark, sf):
 
 
 def q_approx_quantile(spark, sf):
-    """capability+: sketch-backed quantile (skew-safe scale path).  No SQL
-    oracle — Greenwald-Khanna picks data-dependent elements; accuracy is
-    asserted against the exact quantile in tests/test_approx.py."""
+    """capability+: sketch-backed quantile (skew-safe scale path).  Pinned to
+    the EXACT regime for the oracle: Greenwald-Khanna with accuracy ≥ group
+    size returns the true discrete quantile element, which equals DuckDB
+    quantile_disc (rank convention verified on n∈{4,5,7,10} boundaries).
+    Group sizes are ~10k at sf0.01 / ~100k at sf0.1, so accuracy=1e6 is
+    exact at both; production callers use the default sketchy accuracy
+    (tests/test_approx.py asserts the error bound there)."""
     out = groupby_reduce(
         _li(spark, sf),
         *_KEYS,
         func="approx_quantile",
         value="v",
-        finalize_kwargs={"q": 0.9},
+        finalize_kwargs={"q": 0.9, "accuracy": 1_000_000},
     )
     return out
 

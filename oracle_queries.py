@@ -251,9 +251,11 @@ WHERE rn = 1""",
     "nanmedian": _skip(f"quantile_cont({_CLEANV}, 0.5)", "nanmedian", 6),
     "quantile": _bare(f"quantile_cont({_CLEANV}, 0.9)", "quantile", 6),
     "nunique": _skip(f"count(DISTINCT {_CLEANV})", "nunique", None),
-    # approx_quantile intentionally has no oracle: Greenwald-Khanna sketch
-    # output is engine-specific (rows-only check; accuracy vs exact quantile
-    # asserted in tests/test_approx.py)
+    # approx_quantile: the entry query pins accuracy=1e6 ≥ any sf0.1 group
+    # size, where Greenwald-Khanna is exact and equals quantile_disc (both
+    # return the actual element at rank ceil(q·n)); NaN values are skipped
+    # by percentile_approx, hence the clean-v input.
+    "approx_quantile": _skip(f"quantile_disc({_CLEANV}, 0.9)", "approx_quantile", None),
     "complex_nanmean": f"""{_LI}
 SELECT {_K},
        round(avg({_CLEANV}), 6) AS re,
