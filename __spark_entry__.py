@@ -313,6 +313,52 @@ def q_complex_nanmean(spark, sf):
     )
 
 
+def _complex_li(spark, sf):
+    from dask_groupby_spark import complex_col
+
+    return _li(spark, sf).withColumn(
+        "z", complex_col(F.col("v"), F.col("l_extendedprice"))
+    )
+
+
+def q_complex_nanvar(spark, sf):
+    """complex variance (real-valued: E|z|^2 - |E z|^2, ddof=1) over the
+    NaN-contaminated complex column — round-2 parity extension.  The
+    imaginary part is l_tax (small magnitude) so the cross-engine rounded
+    comparison is not dominated by |z|^2 summation-order noise."""
+    from dask_groupby_spark import complex_col, groupby_reduce_complex
+
+    li = _li(spark, sf).withColumn("z", complex_col(F.col("v"), F.col("l_tax")))
+    out = groupby_reduce_complex(li, *_KEYS, func="nanvar", value="z", ddof=1)
+    return out.select(*_KEYS, F.round(F.col("nanvar"), 4).alias("cvar"))
+
+
+def q_complex_argmax(spark, sf):
+    """index of the lexicographically-largest complex element per group
+    (numpy complex ordering: real, then imaginary; first occurrence on
+    ties) — skip-missing variant."""
+    from dask_groupby_spark import groupby_reduce_complex
+
+    return groupby_reduce_complex(
+        _complex_li(spark, sf), *_KEYS, func="nanargmax", value="z", idx_col="idx"
+    ).select(*_KEYS, F.col("nanargmax").alias("amax_idx"))
+
+
+def q_complex_nanmedian(spark, sf):
+    """lexicographic complex median (numpy sorts complex by (re, im) and
+    averages the two middles on even counts)."""
+    from dask_groupby_spark import groupby_reduce_complex
+
+    out = groupby_reduce_complex(
+        _complex_li(spark, sf), *_KEYS, func="nanmedian", value="z"
+    )
+    return out.select(
+        *_KEYS,
+        F.round(F.col("nanmedian.re"), 6).alias("re"),
+        F.round(F.col("nanmedian.im"), 6).alias("im"),
+    )
+
+
 def q_nunique(spark, sf):
     """capability+: exact distinct non-missing count per group."""
     return groupby_reduce(_li(spark, sf), *_KEYS, func="nunique", value="v")
@@ -1002,6 +1048,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     # --- contracts changed/added in round 2 (need a fresh driver row) ---
     "approx_quantile": q_approx_quantile,
+    "complex_nanvar": q_complex_nanvar,
+    "complex_argmax": q_complex_argmax,
+    "complex_nanmedian": q_complex_nanmedian,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

@@ -48,6 +48,24 @@ COMPLEX_FUNCS = (
     "last",
     "nanfirst",
     "nanlast",
+    # real-valued: numpy var/std of complex = mean(|z - E z|^2), a real number
+    "var",
+    "nanvar",
+    "std",
+    "nanstd",
+    # index of the lexicographic extreme (numpy complex ordering), first
+    # occurrence on ties; bare variants return the first missing index when
+    # any element is missing (np.argmax NaN-wins semantics)
+    "argmin",
+    "argmax",
+    "nanargmin",
+    "nanargmax",
+    # lexicographic middle; even count averages the two middles (np.median)
+    "median",
+    "nanmedian",
+    # truthiness: z is truthy iff z != 0 (numpy any/all on complex)
+    "any",
+    "all",
 )
 
 
@@ -68,12 +86,16 @@ def groupby_reduce_complex(
     idx_col: Optional[str] = None,
     alias: Optional[str] = None,
     sort: bool = True,
+    ddof: int = 0,
 ) -> DataFrame:
     """Grouped reduction over a ``struct<re,im>`` complex column.
 
-    Returns ``(*by, <alias> struct<re,im>)`` (``count`` returns bigint),
+    Returns ``(*by, <alias> struct<re,im>)`` — except ``count`` /
+    ``arg*`` (bigint), ``var``/``std`` (double: numpy's complex variance
+    ``mean(|z - E z|^2)`` is real), and ``any``/``all`` (boolean) —
     one row per observed group.  NaN-in-key rows are excluded like in
-    :func:`~dask_groupby_spark.core.groupby_reduce`.
+    :func:`~dask_groupby_spark.core.groupby_reduce`.  ``ddof`` applies to
+    the var/std family.
     """
     if func not in COMPLEX_FUNCS:
         raise ValueError(f"complex reduction {func!r} not supported; one of {COMPLEX_FUNCS}")
@@ -92,6 +114,11 @@ def groupby_reduce_complex(
         if not by
         else F.expr(" AND ".join(f"`{b}` IS NOT NULL" for b in by))
     )
+
+    if base == "median":
+        return _complex_median(
+            keyed, by, v, valid, missing, skipna, out, sort
+        )
 
     nmiss = F.sum(missing.cast("long"))
 
@@ -137,30 +164,143 @@ def groupby_reduce_complex(
         agg = (
             F.min_by(v, pick_idx) if base == "first" else F.max_by(v, pick_idx)
         ).alias(out)
+    elif base == "var":
+        # numpy: var(z) = mean(|z - E z|^2) = E|z|^2 - |E z|^2 — REAL-valued.
+        # One pass: Σ(re²+im²), Σre, Σim, n; ddof in the denominator.
+        n = F.count(clean)
+        ssq = F.sum(F.when(valid, re * re + im * im))
+        sre, sim = F.sum(F.when(valid, re)), F.sum(F.when(valid, im))
+        num = ssq - (sre * sre + sim * sim) / n
+        # clamp tiny negative rounding residue like Spark's var_pop does
+        agg = F.greatest(num / (n - F.lit(int(ddof))), F.lit(0.0)).alias(out)
+    elif base == "std":
+        n = F.count(clean)
+        ssq = F.sum(F.when(valid, re * re + im * im))
+        sre, sim = F.sum(F.when(valid, re)), F.sum(F.when(valid, im))
+        num = ssq - (sre * sre + sim * sim) / n
+        agg = F.sqrt(F.greatest(num / (n - F.lit(int(ddof))), F.lit(0.0))).alias(out)
+    elif base in ("argmin", "argmax"):
+        # lexicographic extreme (numpy complex ordering), smallest-index
+        # tie-break via max(struct(key, -idx)) — same trick as the scalar
+        # registry (_argextreme).  min == max of the negated parts.
+        if idx_col is None:
+            raise ValueError(f"func={func!r} requires idx_col=")
+        idx = F.col(idx_col)
+        key_re, key_im = (re, im) if base == "argmax" else (-re, -im)
+        pair = F.when(
+            valid, F.struct(key_re.alias("a"), key_im.alias("b"), (-idx).alias("ni"))
+        )
+        agg = (-F.max(pair)["ni"]).alias(out)
+    elif base in ("any", "all"):
+        # numpy truthiness: z truthy iff z != 0; NaN parts are truthy
+        truthy = v.isNotNull() & (
+            F.isnan(re) | F.isnan(im) | (re != 0) | (im != 0)
+        )
+        agg = (
+            F.coalesce(F.bool_or(truthy), F.lit(False))
+            if base == "any"
+            else F.coalesce(F.bool_and(truthy), F.lit(True))
+        ).alias(out)
     else:  # pragma: no cover
         raise AssertionError(func)
 
-    grouped = keyed.groupBy(*by).agg(agg, nmiss.alias("__nmiss"))
+    extra = [nmiss.alias("__nmiss")]
+    if base in ("argmin", "argmax") and not skipna:
+        # numpy bare arg-reductions: any missing → index of the FIRST missing
+        extra.append(F.min(F.when(missing, F.col(idx_col))).alias("__fmi"))
+    grouped = keyed.groupBy(*by).agg(agg, *extra)
 
     col = F.col(out)
-    if func != "count":
-        if base in ("first", "last"):
-            # positional picks: bare first/last return the element at the
-            # position — never group-poisoned by NaN elsewhere (flox
-            # aggregations.py:496-497); nan variants skip missing, and an
-            # all-missing group yields complex NaN
-            if skipna:
-                col = F.coalesce(col, _cpx(NAN, NAN))
-        elif skipna:
-            # all-missing group → complex NaN (numpy nan-reduction warning case)
-            col = F.coalesce(col, _cpx(NAN, NAN))
-            if base == "prod":
-                col = F.col(out)  # empty product already 1+0i
+    if func == "count" or base in ("any", "all"):
+        pass  # never NaN-poisoned (numpy truthiness treats NaN as truthy)
+    elif base in ("argmin", "argmax"):
+        if not skipna:
+            col = F.when(F.col("__nmiss") > 0, F.col("__fmi")).otherwise(col)
+        # nan variant: all-missing group stays NULL (numpy raises there)
+    elif base in ("var", "std"):
+        # real-valued outputs: poison/empty cases are double NaN, not struct
+        if skipna:
+            col = F.coalesce(col, F.lit(NAN))
         else:
-            col = F.when(F.col("__nmiss") > 0, _cpx(NAN, NAN)).otherwise(
-                F.coalesce(col, _cpx(NAN, NAN))
+            col = F.when(F.col("__nmiss") > 0, F.lit(NAN)).otherwise(
+                F.coalesce(col, F.lit(NAN))
             )
-    result = grouped.withColumn(out, col).drop("__nmiss")
+    elif base in ("first", "last"):
+        # positional picks: bare first/last return the element at the
+        # position — never group-poisoned by NaN elsewhere (flox
+        # aggregations.py:496-497); nan variants skip missing, and an
+        # all-missing group yields complex NaN
+        if skipna:
+            col = F.coalesce(col, _cpx(NAN, NAN))
+    elif skipna:
+        # all-missing group → complex NaN (numpy nan-reduction warning case)
+        col = F.coalesce(col, _cpx(NAN, NAN))
+        if base == "prod":
+            col = F.col(out)  # empty product already 1+0i
+    else:
+        col = F.when(F.col("__nmiss") > 0, _cpx(NAN, NAN)).otherwise(
+            F.coalesce(col, _cpx(NAN, NAN))
+        )
+    result = grouped.withColumn(out, col).drop("__nmiss", "__fmi")
+    if sort:
+        result = result.orderBy(*by)
+    return result
+
+
+def _complex_median(
+    keyed: DataFrame,
+    by: tuple,
+    v: Column,
+    valid: Column,
+    missing: Column,
+    skipna: bool,
+    out: str,
+    sort: bool,
+) -> DataFrame:
+    """Lexicographic complex median (numpy: sort by (re, im), average the
+    two middles on even counts — a complex average).
+
+    Holistic plan: ONE window pass ranks valid elements per group (valid
+    rows first, then (re, im)); only the middle one/two rows per group plus
+    a representative row for all-missing groups survive to a tiny final
+    aggregate.  Same single-Exchange shape as the scalar exact median —
+    and the same hot-group caveat (a group's rows sort within one task;
+    the sketch path has no complex analog because rank interpolation is
+    ill-defined on the complex plane).
+    """
+    from pyspark.sql import Window
+
+    re, im = v["re"], v["im"]
+    w = Window.partitionBy(*by)
+    wo = w.orderBy(
+        valid.cast("int").desc(),
+        F.when(valid, re).asc(),
+        F.when(valid, im).asc(),
+    )
+    ranked = keyed.select(
+        *by,
+        v.alias("__v"),
+        valid.alias("__ok"),
+        F.row_number().over(wo).alias("__rn"),
+        F.sum(valid.cast("long")).over(w).alias("__nv"),
+        F.sum(missing.cast("long")).over(w).alias("__nm"),
+    )
+    lo = F.floor((F.col("__nv") + 1) / 2)
+    hi = F.floor(F.col("__nv") / 2) + 1
+    mid = (
+        F.col("__ok") & (F.col("__rn") == lo) | (F.col("__ok") & (F.col("__rn") == hi))
+    )
+    keep_empty = (F.col("__nv") == 0) & (F.col("__rn") == 1)
+    picked = ranked.where(mid | keep_empty)
+    med = F.struct(
+        F.avg(F.when(F.col("__ok"), F.col("__v")["re"])).alias("re"),
+        F.avg(F.when(F.col("__ok"), F.col("__v")["im"])).alias("im"),
+    )
+    grouped = picked.groupBy(*by).agg(med.alias(out), F.max("__nm").alias("__nm"))
+    col = F.coalesce(F.col(out), _cpx(NAN, NAN))
+    if not skipna:
+        col = F.when(F.col("__nm") > 0, _cpx(NAN, NAN)).otherwise(col)
+    result = grouped.withColumn(out, col).drop("__nm")
     if sort:
         result = result.orderBy(*by)
     return result

@@ -261,6 +261,34 @@ SELECT {_K},
        round(avg({_CLEANV}), 6) AS re,
        round(avg(CASE WHEN NOT isnan(v) THEN l_extendedprice END), 6) AS im
 FROM t GROUP BY {_K}""",
+    # complex var is REAL-valued: E|z|^2 - |E z|^2 with ddof in the
+    # denominator; z = (v, l_tax), elements missing when re is NaN
+    "complex_nanvar": f"""{_LI}
+SELECT {_K},
+       round((sum(re*re + im*im) - (sum(re)*sum(re) + sum(im)*sum(im))/count(*))
+             / (count(*) - 1), 4) AS cvar
+FROM (SELECT {_K}, v AS re, l_tax AS im FROM t WHERE NOT isnan(v))
+GROUP BY {_K}""",
+    # index of the lexicographic max (numpy complex ordering: re, then im),
+    # first occurrence on ties, missing elements skipped
+    "complex_argmax": f"""{_LI}
+SELECT {_K}, idx AS amax_idx FROM (
+  SELECT {_K}, idx,
+         row_number() OVER (PARTITION BY {_K}
+                            ORDER BY v DESC, l_extendedprice DESC, idx ASC) AS rn
+  FROM t WHERE NOT isnan(v))
+WHERE rn = 1""",
+    # lexicographic median: sort valid elements by (re, im), average the two
+    # middles on even counts (numpy complex median)
+    "complex_nanmedian": f"""{_LI},
+s AS (
+  SELECT {_K}, v AS re, l_extendedprice AS im,
+         row_number() OVER (PARTITION BY {_K} ORDER BY v, l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY {_K}) AS n
+  FROM t WHERE NOT isnan(v))
+SELECT {_K}, round(avg(re), 6) AS re, round(avg(im), 6) AS im
+FROM s WHERE rn IN ((n + 1) // 2, n // 2 + 1)
+GROUP BY {_K}""",
     "nanquantile_vec": f"""{_LI}
 SELECT {_K}, 0::BIGINT AS qi,
        round(quantile_cont({_CLEANV}, 0.45), 6) AS nanquantile

@@ -99,6 +99,94 @@ def test_complex_count_first_last(spark):
         _assert_close(nanlast[g], complex(valid[-1]))
 
 
+@pytest.mark.parametrize("with_nan", [False, True])
+@pytest.mark.parametrize("func", ["var", "nanvar", "std", "nanstd"])
+def test_complex_var_std(spark, func, with_nan):
+    z = _data(with_nan)
+    out = groupby_reduce_complex(
+        _spark_df(spark, z), "g", func=func, value="z", ddof=1
+    ).collect()
+    got = {r["g"]: r[func] for r in out}
+    base = func[3:] if func.startswith("nan") else func
+    npf = {"var": np.var, "std": np.std}[base]
+    for g, arr in _np_groups(z).items():
+        if func.startswith("nan"):
+            arr = arr[~np.isnan(arr)]
+        exp = float(npf(arr, ddof=1)) if len(arr) > 1 else float("nan")
+        if np.isnan(arr).any():
+            exp = float("nan")
+        if math.isnan(exp):
+            assert got[g] is None or math.isnan(got[g]), (g, got[g])
+        else:
+            assert abs(got[g] - exp) < 1e-9 * max(1.0, abs(exp)), (g, got[g], exp)
+
+
+@pytest.mark.parametrize("func", ["argmin", "argmax", "nanargmin", "nanargmax"])
+@pytest.mark.parametrize("with_nan", [False, True])
+def test_complex_argreductions(spark, func, with_nan):
+    z = _data(with_nan)
+    out = groupby_reduce_complex(
+        _spark_df(spark, z), "g", func=func, value="z", idx_col="idx"
+    ).collect()
+    got = {r["g"]: r[func] for r in out}
+    base = func[3:] if func.startswith("nan") else func
+    labels = np.array(LABELS)
+    for g, arr in _np_groups(z).items():
+        g_idx = np.nonzero(labels == g)[0]  # global idx of this group's rows
+        if func.startswith("nan"):
+            mask = ~np.isnan(arr)
+            local = np.argmin(arr[mask]) if base == "argmin" else np.argmax(arr[mask])
+            exp = int(g_idx[np.nonzero(mask)[0][local]])
+        else:
+            # numpy bare arg on NaN-containing arrays: first NaN position
+            local = np.argmin(arr) if base == "argmin" else np.argmax(arr)
+            exp = int(g_idx[local])
+        assert got[g] == exp, (func, g, got[g], exp)
+
+
+def test_complex_argmax_first_occurrence_tie(spark):
+    z = np.array([2 + 1j, 2 + 1j, 1 + 0j])
+    rows = [(i, 0, float(c.real), float(c.imag)) for i, c in enumerate(z)]
+    df = spark.createDataFrame(rows, "idx bigint, g bigint, re double, im double")
+    df = df.withColumn("z", complex_col(F.col("re"), F.col("im")))
+    out = groupby_reduce_complex(df, "g", func="argmax", value="z", idx_col="idx").collect()
+    assert out[0]["argmax"] == 0  # first occurrence, like np.argmax
+
+
+@pytest.mark.parametrize("func", ["median", "nanmedian"])
+@pytest.mark.parametrize("with_nan", [False, True])
+def test_complex_median(spark, func, with_nan):
+    z = _data(with_nan)
+    out = groupby_reduce_complex(_spark_df(spark, z), "g", func=func, value="z").collect()
+    got = {r["g"]: _cx(r[func]) for r in out}
+    for g, arr in _np_groups(z).items():
+        if func == "nanmedian":
+            arr = arr[~np.isnan(arr)]
+            exp = complex(np.median(arr)) if len(arr) else complex("nan+nanj")
+        else:
+            exp = complex("nan+nanj") if np.isnan(arr).any() else complex(np.median(arr))
+        _assert_close(got[g], exp)
+
+
+def test_complex_any_all(spark):
+    rows = [
+        (0, 0, 0.0, 0.0),   # falsy
+        (1, 0, 0.0, 0.0),   # falsy  -> group 0: any=False, all=False
+        (2, 1, 1.0, 0.0),   # truthy
+        (3, 1, 0.0, 0.0),   # falsy  -> group 1: any=True, all=False
+        (4, 2, 0.0, 2.0),   # truthy
+        (5, 2, float("nan"), 0.0),  # NaN part is truthy (numpy bool(nan))
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, g bigint, re double, im double")
+    df = df.withColumn("z", complex_col(F.col("re"), F.col("im")))
+    got_any = {r["g"]: r["any"] for r in
+               groupby_reduce_complex(df, "g", func="any", value="z").collect()}
+    got_all = {r["g"]: r["all"] for r in
+               groupby_reduce_complex(df, "g", func="all", value="z").collect()}
+    assert got_any == {0: False, 1: True, 2: True}
+    assert got_all == {0: False, 1: False, 2: True}
+
+
 def test_complex_min_matches_numpy_ordering(spark):
     # numpy complex ordering is lexicographic (real, then imag) — ties on
     # the real part must break on imag exactly like Spark struct ordering
