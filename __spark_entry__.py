@@ -491,6 +491,20 @@ def q_resample_time(spark, sf):
     return out.withColumn("nanmean", F.round("nanmean", 6))
 
 
+def q_resample_dense_keys(spark, sf):
+    """resample dense=True crossed with extra_by: the FULL (bucket ×
+    observed event_type) grid, empty cells filled with 0 (round-2 fix —
+    previously the dense branch joined on the bucket only)."""
+    from dask_groupby_spark.resample import resample
+
+    ev = _ev(spark, sf)
+    out = resample(
+        ev, "ts", "1 day", "nansum", "vnan", "event_type",
+        dense=True, fill_value=0.0,
+    )
+    return out.withColumn("nansum", F.round("nansum", 4))
+
+
 def q_first_ts(spark, sf):
     """order-sensitive first over timestamp *values* (dtype preservation)."""
     ev = _ev(spark, sf)
@@ -1051,6 +1065,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "complex_nanvar": q_complex_nanvar,
     "complex_argmax": q_complex_argmax,
     "complex_nanmedian": q_complex_nanmedian,
+    "resample_dense_keys": q_resample_dense_keys,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

@@ -79,7 +79,10 @@ def resample(
 
     ``dense=True`` emits every grid step between the observed min and max
     bucket (empty buckets get ``fill_value`` — the resampling-with-missing-
-    groups case, ref flox/tests/test_xarray.py:694).
+    groups case, ref flox/tests/test_xarray.py:694).  With ``extra_by``,
+    the dense axis is the FULL cross grid: every (bucket, observed key
+    combination), missing cells filled — matching reindexing onto
+    ``expected_groups`` = (grid, observed keys).
     """
     width, calendar = _parse_every(every)
     ts = F.col(ts_col)
@@ -93,6 +96,11 @@ def resample(
         )
     work = df.withColumn(label, bucket)
 
+    # forward fill_value: with extra_by the reduction itself emits the
+    # observed cross grid (flox multi-by semantics) and fills missing cells
+    # there — the dense join below only adds fully-empty buckets
+    if fill_value is not None:
+        kwargs.setdefault("fill_value", fill_value)
     out = groupby_reduce(work, label, *extra_by, func=func, value=value, **kwargs)
 
     if dense:
@@ -109,21 +117,19 @@ def resample(
             ).alias(label)
         )
         out_name = kwargs.get("alias") or func
-        joined = grid.join(F.broadcast(out), on=label, how="left")
         if extra_by:
-            # dense over the bucket axis only: missing (bucket, key) rows
-            # keep NULL keys — callers wanting the full grid pass
-            # expected_groups through **kwargs instead
-            out = joined
-        else:
-            res_dt = joined.schema[out_name].dataType
-            fill = (
-                dt_rules.fill_lit(fill_value, res_dt)
-                if fill_value is not None
-                else dt_rules.na_lit(res_dt)  # empty bucket → dtype NA
-            )
-            out = joined.withColumn(
-                out_name, F.coalesce(F.col(out_name), fill)
-            )
+            # full dense cross grid: bucket axis × observed key domain.
+            # Both sides are planner-small (|buckets| and |distinct keys|),
+            # so the cross join never touches fact-table rows.
+            keys = out.select(*extra_by).distinct()
+            grid = grid.crossJoin(F.broadcast(keys))
+        joined = grid.join(F.broadcast(out), on=[label, *extra_by], how="left")
+        res_dt = joined.schema[out_name].dataType
+        fill = (
+            dt_rules.fill_lit(fill_value, res_dt)
+            if fill_value is not None
+            else dt_rules.na_lit(res_dt)  # empty cell → dtype NA
+        )
+        out = joined.withColumn(out_name, F.coalesce(F.col(out_name), fill))
         out = out.orderBy(label, *extra_by)
     return out

@@ -377,6 +377,24 @@ FROM orders GROUP BY 1""",
 SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket,
        round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
 FROM t GROUP BY 1""",
+    # dense cross grid: every (day bucket between observed min/max) ×
+    # (observed event_type), empty cells filled with 0
+    "resample_dense_keys": f"""{_EV},
+agg AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket, event_type,
+         coalesce(sum(CASE WHEN NOT isnan(vnan) THEN vnan END), 0) AS s
+  FROM t WHERE event_type IS NOT NULL GROUP BY 1, 2),
+bounds AS (
+  SELECT min(time_bucket(INTERVAL 1 DAY, ts)) AS lo,
+         max(time_bucket(INTERVAL 1 DAY, ts)) AS hi FROM t),
+grid AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds),
+                                INTERVAL 1 DAY)) AS bucket),
+keys AS (SELECT DISTINCT event_type FROM t WHERE event_type IS NOT NULL)
+SELECT g.bucket, k.event_type, round(coalesce(a.s, 0), 4) AS nansum
+FROM grid g CROSS JOIN keys k
+LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = k.event_type""",
     "first_ts": """
 SELECT event_type, ts::TIMESTAMP AS nanfirst
 FROM (SELECT event_type, ts,

@@ -77,3 +77,26 @@ def test_resample_extra_key(spark):
         (0, "a"): 0 + 2 + 4, (0, "b"): 1 + 3 + 5,
         (6, "a"): 6 + 8 + 10, (6, "b"): 7 + 9 + 11,
     }
+
+
+def test_resample_dense_extra_key_full_grid(spark):
+    import datetime as dt
+
+    # key "b" appears only on day 1, key "a" only on days 1 and 3; day 2 is
+    # empty entirely — dense=True must emit the FULL 3-day × 2-key grid
+    rows = [
+        (dt.datetime(2024, 1, 1, 1), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 2), "b", 2.0),
+        (dt.datetime(2024, 1, 3, 5), "a", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    out = resample(df, "ts", "1 day", "nansum", "v", "k",
+                   dense=True, fill_value=0.0).collect()
+    got = {(r["bucket"].day, r["k"]): r["nansum"] for r in out}
+    assert got == {
+        (1, "a"): 1.0, (1, "b"): 2.0,
+        (2, "a"): 0.0, (2, "b"): 0.0,
+        (3, "a"): 4.0, (3, "b"): 0.0,
+    }
+    # no NULL-key rows (the pre-fix degraded behavior)
+    assert all(r["k"] is not None for r in out)
