@@ -977,15 +977,19 @@ def q_decontaminate(spark, sf):
 
 
 def q_multimodal_meta(spark, sf):
-    """Multimodal plumbing: fake binary payloads → mapInPandas feature
-    extraction → aggregate.  No oracle (Pandas-UDF path) → rows-only check."""
+    """Multimodal plumbing: fake binary payloads → Arrow-batched mapInPandas
+    feature extraction → aggregate.  Oracle-checked (round 2): the
+    aggregation reads n_bytes (payload length) and the declared meta_*
+    columns, all of which the Pandas UDF must carry through the Arrow batch
+    faithfully and DuckDB can recompute from the documents table."""
     docs = load_table(spark, sf, "documents")
     media = attach_fake_media(docs)
     feats = extract_image_features(media)
-    return feats.groupBy("format").agg(
+    return feats.groupBy("meta_format").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
-        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("meta_width"), 6).alias("avg_w"),
+        F.max("meta_height").alias("max_h"),
     )
 
 

@@ -1,10 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode kernels are STUBBED (this container has no image/audio libs —
-see the clearly-marked ``_decode_image_stub``): the Spark-side contract —
-schema, batch iteration, partition sizing, UDF signatures — is real and
-tested.  Swapping the stub for PIL/ffmpeg is a one-function change.
+Decode strategy, three tiers (checked in order per payload):
+
+1. **Real libraries when installed** — PIL for full image decode (pixel
+   stats), soundfile for non-WAV audio.  Probed once at import; this
+   container ships neither, but the code path is live the moment they
+   appear on the PYTHONPATH.
+2. **Dependency-free header parsing** — PNG IHDR, JPEG SOFn, GIF, BMP
+   dimension extraction and RIFF/WAVE PCM decoding (stdlib ``wave`` +
+   numpy) are implemented for real: these are simple public formats and
+   need no third-party libs.
+3. **Deterministic stub** — unrecognized payloads get fake features
+   derived from the bytes (clearly marked), keeping the Arrow contract
+   exercised end-to-end.
+
+Pixel-statistics (mean_luma) genuinely require a full decoder, so without
+PIL they fall back to the stub even when dimensions were sniffed.
 
 Scale notes: binary payloads ride the shuffle only when explicitly
 repartitioned; feature extraction is map-only (mapInPandas), so the 100 TB
@@ -13,13 +25,25 @@ plan is scan → Arrow batches → features, no wide rows ever shuffled.
 
 from __future__ import annotations
 
-from typing import Iterator
+import io
+import struct
+from typing import Iterator, Optional
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional real image decoder
+    from PIL import Image as _PIL_Image  # type: ignore
+except Exception:  # pragma: no cover - PIL absent in this container
+    _PIL_Image = None
+
+try:  # optional real audio decoder (non-WAV formats)
+    import soundfile as _soundfile  # type: ignore
+except Exception:  # pragma: no cover - soundfile absent in this container
+    _soundfile = None
 
 # typed metadata schema carried alongside every media payload
 MEDIA_META_SCHEMA = T.StructType(
@@ -36,10 +60,15 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("format", T.StringType()),
+        T.StructField("format", T.StringType()),  # decoded/sniffed container
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
+        # declared metadata carried through the Arrow batch unchanged —
+        # deterministic regardless of which decode tier ran
+        T.StructField("meta_format", T.StringType()),
+        T.StructField("meta_width", T.IntegerType()),
+        T.StructField("meta_height", T.IntegerType()),
     ]
 )
 
@@ -59,17 +88,57 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB decoder. A real implementation would do:
+def sniff_image_dims(payload: bytes) -> Optional[tuple[str, int, int]]:
+    """Dependency-free (format, width, height) from the header bytes of the
+    common image containers — real parsing of the public format specs:
 
-        from PIL import Image;  img = Image.open(io.BytesIO(payload))
+    - PNG: IHDR chunk at offset 16 (two big-endian u32)
+    - GIF87a/89a: logical screen descriptor (two little-endian u16)
+    - BMP: BITMAPINFOHEADER (two little-endian i32 at offset 18)
+    - JPEG: walk the segment chain to the first SOFn marker
 
-    This container has no imaging libraries, so we emit a deterministic fake
-    (width, height, mean_luma) derived from the payload bytes — keeping the
-    pipeline shape (Arrow batch in, typed features out) fully real.
+    Returns None when the payload matches none of them.
     """
+    if payload is None or len(payload) < 10:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        # require the BMP size field to equal the payload length — "BM" is
+        # printable ASCII, so text payloads could otherwise false-match
+        if struct.unpack("<I", payload[2:6])[0] == len(payload):
+            w, h = struct.unpack("<ii", payload[18:26])
+            return "bmp", w, abs(h)
+        return None
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to SOFn
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+    return None
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
+    """STUB decoder for unrecognized payloads: deterministic fake
+    (width, height, mean_luma) derived from the payload bytes — keeps the
+    pipeline shape (Arrow batch in, typed features out) fully real.  Real
+    decoding happens in :func:`_decode_image` when the payload is a known
+    container or PIL is installed."""
     if payload is None:
-        raise NotImplementedError("real image decode requires PIL — stubbed")
+        raise NotImplementedError("image decode of NULL payload")
     n = len(payload)
     width = n % 1024 + 1
     height = n % 768 + 1
@@ -77,22 +146,52 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
+def _decode_image(payload: bytes) -> tuple[str, int, int, float]:
+    """(format, width, height, mean_luma) — PIL when installed (tier 1),
+    header sniffing for dims with stub luma (tier 2), full stub (tier 3)."""
+    if _PIL_Image is not None:
+        try:
+            img = _PIL_Image.open(io.BytesIO(payload))
+            gray = img.convert("L")
+            hist = gray.histogram()
+            npix = max(1, sum(hist))
+            luma = sum(i * c for i, c in enumerate(hist)) / npix / 255.0
+            return (img.format or "unknown").lower(), img.width, img.height, luma
+        except Exception:
+            pass  # not an image PIL recognizes → sniff/stub below
+    sniffed = sniff_image_dims(payload)
+    if sniffed is not None:
+        fmt, w, h = sniffed
+        _, _, luma = _decode_image_stub(payload)  # pixel stats need PIL
+        return fmt, w, h, luma
+    w, h, luma = _decode_image_stub(payload)
+    return "fake", w, h, luma
+
+
 def extract_image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, meta) rows via
     ``mapInPandas`` — the pattern for any real decode/resize/frame-sample
-    kernel.  Map-only: no shuffle, parallelism = input partitions."""
+    kernel.  Map-only: no shuffle, parallelism = input partitions.
+
+    ``format``/``width``/``height``/``mean_luma`` come from the tiered
+    decoder (:func:`_decode_image`); the ``meta_*`` columns carry the
+    declared metadata through the Arrow batch untouched, giving downstream
+    aggregations a decoder-independent deterministic surface."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_image_stub(p) for p in pdf["payload"]]
+            decoded = [_decode_image(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "format": pdf["meta"].map(lambda m: m["format"]),
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "mean_luma": [d[2] for d in decoded],
+                    "format": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "mean_luma": [d[3] for d in decoded],
+                    "meta_format": pdf["meta"].map(lambda m: m["format"]),
+                    "meta_width": pdf["meta"].map(lambda m: m["width"]),
+                    "meta_height": pdf["meta"].map(lambda m: m["height"]),
                 }
             )
 
@@ -181,16 +280,13 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_audio_stub(payload: bytes) -> tuple[int, float, int]:
-    """STUB decoder.  A real implementation would do:
-
-        import soundfile; data, sr = soundfile.read(io.BytesIO(payload))
-
-    No audio libs in this container, so the payload bytes stand in for a
-    waveform: centered samples in [-128, 127], 8 kHz nominal rate —
-    (duration_ms, rms, zero_crossings) keep the real feature shapes.
-    """
+    """STUB decoder for unrecognized payloads: the bytes stand in for a
+    waveform (centered samples in [-128, 127], 8 kHz nominal rate) —
+    (duration_ms, rms, zero_crossings) keep the real feature shapes.  Real
+    decoding happens in :func:`_decode_audio` for PCM WAV (stdlib) or via
+    soundfile when installed."""
     if payload is None:
-        raise NotImplementedError("real audio decode requires soundfile — stubbed")
+        raise NotImplementedError("audio decode of NULL payload")
     samples = [b - 128 for b in payload]
     n = max(1, len(samples))
     duration_ms = int(n * 1000 / 8000)
@@ -201,13 +297,58 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, float, int]:
     return duration_ms, rms, zc
 
 
+def _wave_features(samples, framerate: int, nframes: int) -> tuple[int, float, int]:
+    import numpy as np
+
+    duration_ms = int(nframes * 1000 / max(1, framerate))
+    if len(samples) == 0:
+        return duration_ms, 0.0, 0
+    s = np.asarray(samples, dtype="float64")
+    rms = float(np.sqrt(np.mean(s * s)))
+    sign = s >= 0
+    zc = int(np.count_nonzero(sign[1:] != sign[:-1]))
+    return duration_ms, rms, zc
+
+
+def _decode_audio(payload: bytes) -> tuple[int, float, int]:
+    """(duration_ms, rms, zero_crossings) — REAL decode for PCM WAV via the
+    stdlib ``wave`` module + numpy (tier 2, no third-party deps); soundfile
+    for other containers when installed (tier 1); deterministic stub
+    otherwise (tier 3)."""
+    import numpy as np
+
+    if _soundfile is not None:
+        try:
+            data, sr = _soundfile.read(io.BytesIO(payload))
+            mono = data if data.ndim == 1 else data.mean(axis=1)
+            return _wave_features(mono, sr, len(mono))
+        except Exception:
+            pass
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            sr, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            nframes = w.getnframes()
+            raw = w.readframes(nframes)
+        dtype = {1: "u1", 2: "<i2", 4: "<i4"}.get(sw)
+        if dtype is not None:
+            s = np.frombuffer(raw, dtype=dtype).astype("float64")
+            if sw == 1:
+                s -= 128.0  # 8-bit WAV is unsigned
+            if nch > 1:
+                s = s.reshape(-1, nch).mean(axis=1)
+            return _wave_features(s, sr, nframes)
+    return _decode_audio_stub(payload)
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """Audio analog of :func:`extract_image_features`: Arrow-batched,
     map-only (doc_id, payload) → (duration, rms, zero-crossing) features."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_audio_stub(p) for p in pdf["payload"]]
+            decoded = [_decode_audio(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

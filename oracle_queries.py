@@ -862,6 +862,17 @@ WITH h AS (
   FROM h
 )
 SELECT lang, doc_id FROM r WHERE rn <= 5""",
-    # multimodal_meta intentionally omitted: Pandas-UDF decode path is not
-    # SQL-expressible → driver records the weaker rows-only check.
+    # multimodal_meta (round 2: upgraded from rows-only): the Spark side
+    # carries payload byte length + declared metadata through an Arrow
+    # mapInPandas batch; every aggregated input is a deterministic function
+    # of documents.text, so DuckDB recomputes it exactly.  meta_width/height
+    # use CHARACTER length (Spark F.length), n_bytes uses the utf-8 BYTE
+    # length of the payload.
+    "multimodal_meta": """
+SELECT 'fake' AS meta_format,
+       count(*)::BIGINT AS n,
+       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+       round(avg(length(text) % 1024 + 1), 6) AS avg_w,
+       (max(length(text) % 768 + 1))::INT AS max_h
+FROM documents""",
 }

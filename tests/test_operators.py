@@ -375,3 +375,97 @@ def test_curate_pipeline(spark):
     for r in capped.collect():
         by_lang.setdefault(r["lang"], []).append(r["doc_id"])
     assert all(len(v) == 1 for v in by_lang.values())
+
+
+def _make_png(w, h):
+    import struct, zlib
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    raw = b"".join(b"\x00" + b"\x80\x80\x80" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _make_wav(samples, framerate=8000):
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(b"".join(_struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_sniff_image_dims_real_headers():
+    import struct
+    from dask_groupby_spark.operators.multimodal import sniff_image_dims
+
+    assert sniff_image_dims(_make_png(320, 200)) == ("png", 320, 200)
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 10
+    assert sniff_image_dims(gif) == ("gif", 12, 34)
+    # minimal BMP: size field must equal payload length (anti-false-positive)
+    body = b"\x00" * 28
+    hdr = b"BM" + struct.pack("<I", 26 + 28) + b"\x00" * 12 + struct.pack("<ii", 7, -9)
+    assert sniff_image_dims(hdr + body) == ("bmp", 7, 9)
+    # text starting with "BM" must NOT sniff as BMP
+    assert sniff_image_dims(b"BMW makes cars and motorcycles, see?") is None
+    # JPEG: SOI + APP0 + SOF0
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 240, 320) + b"\x03" + b"\x00" * 9
+    assert sniff_image_dims(b"\xff\xd8" + app0 + sof0) == ("jpeg", 320, 240)
+    # plain utf-8 text → None (never false-matches: \xff/\x89 can't open utf-8)
+    assert sniff_image_dims("hello world this is a doc".encode()) is None
+
+
+def test_decode_audio_real_wav():
+    import math
+    from dask_groupby_spark.operators.multimodal import _decode_audio
+
+    # 1 second of 8 kHz square wave at 1 kHz: rms == amplitude, zc known
+    amp = 1000
+    samples = []
+    for i in range(8000):
+        samples.append(amp if (i // 4) % 2 == 0 else -amp)
+    dur, rms, zc = _decode_audio(_make_wav(samples))
+    assert dur == 1000
+    assert abs(rms - amp) < 1e-6
+    assert zc == 1999  # 8000/4 sign blocks → 1999 transitions
+    # stereo + 8-bit fall through the same path
+    dur2, rms2, _ = _decode_audio(_make_wav([0] * 4000))
+    assert dur2 == 500 and rms2 == 0.0
+
+
+def test_image_pipeline_with_real_png_payload(spark):
+    from dask_groupby_spark.operators.multimodal import extract_image_features
+
+    png = _make_png(17, 5)
+    rows = [
+        (1, png, ("image", "png", 17, 5, None)),
+        (2, b"just some text bytes", ("image", "fake", 1, 1, None)),
+    ]
+    schema = ("doc_id bigint, payload binary, "
+              "meta struct<media_type:string,format:string,width:int,height:int,duration_ms:bigint>")
+    media = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r for r in extract_image_features(media).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 17, 5)
+    assert got[2]["format"] == "fake"
+    assert got[1]["meta_format"] == "png" and got[2]["meta_format"] == "fake"
+
+
+def test_audio_pipeline_with_real_wav_payload(spark):
+    from dask_groupby_spark.operators.multimodal import extract_audio_features
+
+    wav = _make_wav([500, -500] * 2000)  # 4000 samples @8kHz = 500 ms
+    rows = [(1, wav, ("audio", "wav", None, None, 500))]
+    schema = ("doc_id bigint, payload binary, "
+              "meta struct<media_type:string,format:string,width:int,height:int,duration_ms:bigint>")
+    media = spark.createDataFrame(rows, schema)
+    r = extract_audio_features(media).collect()[0]
+    assert r["duration_ms"] == 500
+    assert abs(r["rms"] - 500.0) < 1e-6
+    assert r["zero_crossings"] == 3999
