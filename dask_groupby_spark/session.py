@@ -30,15 +30,17 @@ def get_spark(
         # AQE skew handling: skewJoin splits oversized join partitions at
         # runtime (threshold: partition > 5× median AND > 256MB by default —
         # tune skewJoin.skewedPartitionFactor / skewedPartitionThresholdInBytes
-        # per-cluster); forceOptimizeSkewedJoin extends the split even when it
-        # adds a shuffle.  NOTE AQE cannot split a skewed AGGREGATION or
-        # WINDOW partition — a hot group key must be handled in the operator
-        # plan itself: grouped_topk/sample_per_group take skew_salt= (salted
-        # two-stage, asserted result-identical in tests/test_skew.py), and
-        # sketch reductions (approx_quantile / approx_nunique) replace the
-        # holistic buffers.  See docs/SCALE.md for the per-operator contract.
+        # per-cluster; forceOptimizeSkewedJoin extends the split even when it
+        # adds a shuffle, worth enabling on clusters with known-pathological
+        # join skew — measured ~10% planning overhead on iterative joins
+        # here, so not a default).  NOTE AQE cannot split a skewed
+        # AGGREGATION or WINDOW partition — a hot group key must be handled
+        # in the operator plan itself: grouped_topk/sample_per_group take
+        # skew_salt= (salted two-stage, asserted result-identical in
+        # tests/test_skew.py), and sketch reductions (approx_quantile /
+        # approx_nunique) replace the holistic buffers.  See docs/SCALE.md
+        # for the per-operator contract.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata stores timestamp[ns]; Spark can't read TIMESTAMP(NANOS)
