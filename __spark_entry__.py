@@ -505,6 +505,87 @@ def q_resample_dense_keys(spark, sf):
     return out.withColumn("nansum", F.round("nansum", 4))
 
 
+def q_stream_window(spark, sf):
+    """Structured Streaming, oracle-checked: events consumed as a FILE
+    STREAM (explicit schema, Trigger.AvailableNow) through
+    streaming.windowed_reduce (tumbling 1-day event-time windows +
+    watermark) into a memory sink in complete mode — the finite-input
+    streaming result must equal the batch GROUP BY time-bucket exactly,
+    which is what the DuckDB oracle computes."""
+    import os
+
+    from dask_groupby_spark.sources import read_stream
+    from dask_groupby_spark.streaming import windowed_reduce
+
+    # streaming file sources scan a directory (single-file paths break the
+    # partition-inference file index) — glob just the events table
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    stream = read_stream(
+        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.where(F.col("ts").isNotNull())
+
+    out = windowed_reduce(
+        stream, "event_type", func="nansum", value="value",
+        ts_col="ts", window="1 day", watermark="0 seconds",
+    )
+    name = "stream_window_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        F.round("nansum", 4).alias("nansum"),
+    )
+
+
+def q_stream_session(spark, sf):
+    """Structured Streaming session windows, oracle-checked: per-user
+    sessions split at >= 30-minute silence (F.session_window semantics:
+    a session's end is last_event + gap; an event exactly at the end
+    starts a NEW session).  DuckDB oracle = classic gaps-and-islands."""
+    import os
+
+    from dask_groupby_spark.sources import read_stream
+    from dask_groupby_spark.streaming import session_reduce
+
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    stream = read_stream(
+        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.where(F.col("ts").isNotNull())
+
+    out = session_reduce(
+        stream, "user_id", func="nansum", value="value",
+        ts_col="ts", gap="30 minutes", watermark="0 seconds",
+    )
+    name = "stream_session_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "session_start",
+        "session_end",
+        "user_id",
+        F.round("nansum", 4).alias("nansum"),
+    )
+
+
 def q_first_ts(spark, sf):
     """order-sensitive first over timestamp *values* (dtype preservation)."""
     ev = _ev(spark, sf)
@@ -1070,6 +1151,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "complex_argmax": q_complex_argmax,
     "complex_nanmedian": q_complex_nanmedian,
     "resample_dense_keys": q_resample_dense_keys,
+    "stream_window": q_stream_window,
+    "stream_session": q_stream_session,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

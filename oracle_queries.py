@@ -377,6 +377,33 @@ FROM orders GROUP BY 1""",
 SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket,
        round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
 FROM t GROUP BY 1""",
+    # finite-input streaming == batch: tumbling 1-day window sum per
+    # event_type (window start boundaries are epoch-aligned in UTC on both
+    # engines; NULL-ts rows excluded — unassignable to an event-time window)
+    "stream_window": f"""{_EV}
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
+       round(sum(value), 4) AS nansum
+FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    # session windows as gaps-and-islands: break at silence >= 30 min
+    # (Spark session_window: event at exactly prev_ts + gap opens a NEW
+    # session); session_end = last event + gap
+    "stream_session": f"""{_EV},
+s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM t WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       round(sum(value), 4) AS nansum
+FROM g GROUP BY user_id, sid""",
     # dense cross grid: every (day bucket between observed min/max) ×
     # (observed event_type), empty cells filled with 0
     "resample_dense_keys": f"""{_EV},
