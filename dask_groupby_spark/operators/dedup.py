@@ -281,6 +281,16 @@ def duplicate_clusters(
         .distinct()
         .persist()
     )
+    # Size the per-round parallelism to the SUBGRAPH, not the session
+    # default: the LSH filter's whole point is |edges| ≪ |corpus|, and on a
+    # small component graph a 32-partition shuffle per round is pure task-
+    # scheduling overhead (measured 30-40% of near_dedup wall-clock at
+    # sf0.1).  The count also materializes the persist that every round
+    # reuses.  ~1M edges per partition keeps tasks comfortably in memory;
+    # a billion-edge subgraph at 100 TB still fans out to ~1000 tasks.
+    n_edges = edges.count()
+    p = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+    edges = edges.repartition(p, "dst")
     labels = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
     ).persist()
@@ -293,6 +303,7 @@ def duplicate_clusters(
         )
         return (
             lbls.select("v", "lbl").union(nbr)
+            .repartition(p, "v")
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
         )
