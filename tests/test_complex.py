@@ -187,6 +187,65 @@ def test_complex_any_all(spark):
     assert got_all == {0: False, 1: False, 2: True}
 
 
+@pytest.mark.parametrize("seed", [7, 101, 3021])
+def test_complex_randomized_sweep(spark, seed):
+    """Wider randomized check (the hypothesis-style layer for the round-2
+    funcs): 200 elements, 8 groups, ~15% NaN contamination in either part;
+    nanvar / nanargmax / nanmedian vs the numpy per-group loop."""
+    rng = np.random.RandomState(seed)
+    n, G = 200, 8
+    labels = rng.randint(0, G, n)
+    z = rng.randn(n) + 1j * rng.randn(n)
+    mask = rng.rand(n) < 0.15
+    zr = z.real.copy()
+    zr[mask & (rng.rand(n) < 0.5)] = np.nan
+    zi = z.imag.copy()
+    zi[mask & (rng.rand(n) >= 0.3)] = np.nan
+    z = zr + 1j * zi
+    rows = [
+        (int(i), int(labels[i]), float(z[i].real), float(z[i].imag))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, g bigint, re double, im double")
+    df = df.withColumn("zz", complex_col(F.col("re"), F.col("im")))
+
+    var = {r["g"]: r["nanvar"] for r in
+           groupby_reduce_complex(df, "g", func="nanvar", value="zz", ddof=1).collect()}
+    amax = {r["g"]: r["nanargmax"] for r in
+            groupby_reduce_complex(df, "g", func="nanargmax", value="zz",
+                                   idx_col="idx").collect()}
+    med = {r["g"]: _cx(r["nanmedian"]) for r in
+           groupby_reduce_complex(df, "g", func="nanmedian", value="zz").collect()}
+
+    for g in range(G):
+        arr = z[labels == g]
+        g_idx = np.nonzero(labels == g)[0]
+        ok = ~np.isnan(arr)
+        valid = arr[ok]
+        if len(valid) > 1:
+            exp_var = float(np.var(valid, ddof=1))
+            assert abs(var[g] - exp_var) < 1e-9 * max(1.0, exp_var), (g, var[g], exp_var)
+        if len(valid):
+            local = int(np.argmax(valid))
+            assert amax[g] == int(g_idx[np.nonzero(ok)[0][local]])
+            _assert_close(med[g], complex(np.median(valid)))
+
+
+def test_complex_new_funcs_single_exchange(spark):
+    # var / arg / median all stay one-shuffle plans (median's window and
+    # final aggregate share the same hash partitioning on the keys)
+    from dask_groupby_spark.plans import count_exchanges
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i), float(-i)) for i in range(30)],
+        "idx bigint, g bigint, re double, im double",
+    ).withColumn("z", complex_col(F.col("re"), F.col("im")))
+    for fn, kw in [("nanvar", {}), ("nanargmax", {"idx_col": "idx"}),
+                   ("nanmedian", {})]:
+        out = groupby_reduce_complex(df, "g", func=fn, value="z", sort=False, **kw)
+        assert count_exchanges(out) == 1, fn
+
+
 def test_complex_min_matches_numpy_ordering(spark):
     # numpy complex ordering is lexicographic (real, then imag) — ties on
     # the real part must break on imag exactly like Spark struct ordering
