@@ -505,6 +505,15 @@ def q_resample_dense_keys(spark, sf):
     return out.withColumn("nansum", F.round("nansum", 4))
 
 
+def q_accessor_climatology(spark, sf):
+    """datetime virtual-accessor groupers (round 2): group directly by
+    "ts.month"/"ts.hour" — the flox/xarray front-end's groupby("time.month")
+    resolved engine-side to map-side expressions, no manual key derivation."""
+    ev = _ev(spark, sf)
+    out = groupby_reduce(ev, "ts.month", "ts.hour", func="nanmean", value="vnan")
+    return out.withColumn("nanmean", F.round("nanmean", 6))
+
+
 def q_stream_window(spark, sf):
     """Structured Streaming, oracle-checked: events consumed as a FILE
     STREAM (explicit schema, Trigger.AvailableNow) through
@@ -1153,6 +1162,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_dense_keys": q_resample_dense_keys,
     "stream_window": q_stream_window,
     "stream_session": q_stream_session,
+    "accessor_climatology": q_accessor_climatology,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

@@ -78,6 +78,25 @@ def _normalize_expected(by, expected_groups):
     return tuple(expected_groups)
 
 
+# datetime virtual accessors: group by "ts.month" like the reference's
+# xarray front-end groups by "time.month" (flox/xarray.py resolves xarray's
+# virtual datetime coordinates; here the accessor compiles to the matching
+# map-side Catalyst expression)
+_DT_ACCESSORS = {
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "dayofyear": F.dayofyear,
+    "dayofweek": F.dayofweek,
+    "quarter": F.quarter,
+    "week": F.weekofyear,
+    "date": F.to_date,
+}
+
+
 def _key_exprs(df, by, expected):
     """Per-grouper (key_name, key_expr, key_sql_type, expected_values)."""
     out = []
@@ -86,6 +105,19 @@ def _key_exprs(df, by, expected):
             name = f"{b}_bin"
             expr = exp.bucket(F.col(b)).alias(name)
             out.append((name, expr, "int", exp.expected_codes()))
+        elif b not in df.columns and "." in b:
+            col, _, acc = b.rpartition(".")
+            if col not in df.columns or acc not in _DT_ACCESSORS:
+                raise ValueError(
+                    f"unknown grouper {b!r}: not a column, and not a "
+                    f"<ts_column>.<accessor> with accessor in {sorted(_DT_ACCESSORS)}"
+                )
+            # xarray names the output coord after the accessor ("month");
+            # fall back to ts_month on collision with an existing column
+            name = acc if acc not in df.columns else f"{col}_{acc}"
+            expr = _DT_ACCESSORS[acc](F.col(col)).alias(name)
+            sql_type = "date" if acc == "date" else "int"
+            out.append((name, expr, sql_type, list(exp) if exp is not None else None))
         else:
             dt = df.schema[b].dataType
             out.append((b, F.col(b).alias(b), dt.simpleString(), list(exp) if exp is not None else None))

@@ -384,6 +384,11 @@ FROM t GROUP BY 1""",
 SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
        round(sum(value), 4) AS nansum
 FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    # virtual datetime accessors resolve to the same month/hour derivation
+    "accessor_climatology": f"""{_EV}
+SELECT month(ts)::INT AS month, hour(ts)::INT AS hour,
+       round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
+FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
     # session windows as gaps-and-islands: break at silence >= 30 min
     # (Spark session_window: event at exactly prev_ts + gap opens a NEW
     # session); session_end = last event + gap

@@ -158,3 +158,39 @@ def test_multi_by_partial_expected(spark):
     assert len(got) == 6  # [0,1,2] × observed {x,y}
     assert got[(0, "x")] == 1 and got[(1, "y")] == 1
     assert got[(2, "x")] == 0 and got[(2, "y")] == 0 and got[(0, "y")] == 0
+
+
+def test_datetime_accessor_grouper(spark):
+    """flox/xarray parity: group by "ts.month" via virtual datetime
+    accessors (xarray's groupby("time.month")) — the accessor compiles to a
+    map-side expression and names the key column after the accessor."""
+    import datetime as dt
+
+    from dask_groupby_spark import groupby_reduce
+
+    rows = [
+        (dt.datetime(2024, 1, 5), 1.0),
+        (dt.datetime(2024, 1, 20), 2.0),
+        (dt.datetime(2024, 3, 2), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = groupby_reduce(df, "ts.month", func="nansum", value="v").collect()
+    assert {(r["month"], r["nansum"]) for r in out} == {(1, 3.0), (3, 10.0)}
+
+    # two accessors from the same timestamp column
+    out2 = groupby_reduce(df, "ts.year", "ts.dayofyear", func="count", value="v").collect()
+    assert {(r["year"], r["dayofyear"], r["count"]) for r in out2} == {
+        (2024, 5, 1), (2024, 20, 1), (2024, 62, 1)
+    }
+
+
+def test_datetime_accessor_unknown_raises(spark):
+    import datetime as dt
+
+    import pytest
+
+    from dask_groupby_spark import groupby_reduce
+
+    df = spark.createDataFrame([(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, v double")
+    with pytest.raises(ValueError, match="accessor"):
+        groupby_reduce(df, "ts.fortnight", func="count", value="v")
