@@ -210,7 +210,7 @@ def main():
     for name, fn in qs.items():
         fn()  # warm-up run (JIT/codegen/cache)
         best = float("inf")
-        for _ in range(2):  # min over repeats: drops GC/scheduler noise
+        for _ in range(3):  # min over repeats: drops GC/scheduler/host noise
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)

@@ -332,6 +332,17 @@ def groupby_scan(
     out_name = alias or spec.name
 
     work = df
+    # virtual datetime accessor groupers ("ts.month") — same resolution as
+    # groupby_reduce; the derived key column is added to the output
+    resolved_by = []
+    for b in by:
+        if b not in work.columns and "." in b:
+            name, expr, _, _ = _key_exprs(work, [b], [None])[0]
+            work = work.withColumn(name, expr)
+            resolved_by.append(name)
+        else:
+            resolved_by.append(b)
+    by = tuple(resolved_by)
     if isinstance(df.schema[value].dataType, T.BooleanType):
         work = work.withColumn(value, F.col(value).cast("long"))
     ctx = _make_ctx(work, value, idx_col, kw)

@@ -158,3 +158,19 @@ def test_scan_shift_vs_pandas(sdf, data, periods):
         assert eq(got[i], float(exp.iloc[i]) if not pd.isna(exp.iloc[i]) else float("nan")), (
             periods, i, got[i], exp.iloc[i],
         )
+
+
+def test_scan_accessor_grouper(spark):
+    import datetime as dt
+
+    from dask_groupby_spark import groupby_scan
+
+    rows = [
+        (1, dt.datetime(2024, 1, 2), 1.0),
+        (2, dt.datetime(2024, 1, 9), 2.0),
+        (3, dt.datetime(2024, 2, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, ts timestamp, v double")
+    out = groupby_scan(df, "ts.month", func="nancumsum", value="v", idx_col="idx").collect()
+    got = {r["idx"]: (r["month"], r["nancumsum"]) for r in out}
+    assert got == {1: (1, 1.0), 2: (1, 3.0), 3: (2, 5.0)}
