@@ -126,3 +126,48 @@ def test_asof_single_shuffle(spark):
     out = asof_join(trades, quotes, on="ts", by=["key"])
     # union + window: exactly one Exchange on the key — no pair blow-up
     assert count_exchanges(out) <= 1
+
+
+def test_asof_randomized_vs_duckdb(spark):
+    """Differential test vs DuckDB's native ASOF JOIN on randomized data
+    with NULLs in right value columns (the advisor-flagged case: the
+    matched right row must attach atomically)."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.RandomState(20240813)
+    n_l, n_r = 120, 90
+    lrows = [
+        (int(rng.randint(0, 4)), float(rng.randint(0, 500)), i)
+        for i in range(n_l)
+    ]
+    rrows = []
+    for j in range(n_r):
+        bid = None if rng.rand() < 0.3 else float(rng.randint(0, 100))
+        size = None if rng.rand() < 0.3 else float(rng.randint(0, 1000))
+        rrows.append((int(rng.randint(0, 4)), float(rng.randint(0, 500)), bid, size))
+    # DuckDB ASOF: unspecified which right row wins on duplicate (key, ts) —
+    # make them unique to keep the comparison deterministic
+    seen = set()
+    rrows = [r for r in rrows if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+
+    left = spark.createDataFrame(lrows, "key bigint, ts double, lid bigint")
+    right = spark.createDataFrame(rrows, "key bigint, ts double, bid double, size double")
+    got = {
+        r["lid"]: (r["bid_right"], r["size_right"], r["ts_right"])
+        for r in asof_join(left, right, on="ts", by=["key"]).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(key BIGINT, ts DOUBLE, lid BIGINT)")
+    con.execute("CREATE TABLE r(key BIGINT, ts DOUBLE, bid DOUBLE, size DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)", rrows)
+    exp = {
+        lid: (bid, size, rts)
+        for lid, bid, size, rts in con.execute(
+            """SELECT l.lid, r.bid, r.size, r.ts
+               FROM l ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts"""
+        ).fetchall()
+    }
+    assert got == exp
