@@ -123,7 +123,11 @@ def bench_queries(spark, sf):
         _materialize(lsh_candidate_pairs(sig, num_hashes=8, bands=4))
 
     def ann():
-        _materialize(cosine_topk(emb, emb.where(F.col("vec_id") < 50), k=10))
+        # same exact top-k as cosine_topk (rank tables verified identical in
+        # tests); the BLAS path shuffles only per-batch partial top-k rows
+        from dask_groupby_spark.operators.similarity import cosine_topk_blas
+
+        _materialize(cosine_topk_blas(emb, emb.where(F.col("vec_id") < 50), k=10))
 
     def ann_ivf():
         from dask_groupby_spark.operators.similarity import ivf_topk

@@ -77,6 +77,77 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors — the Arrow/BLAS execution of
+    :func:`cosine_topk` (same semantics, same output columns).
+
+    Plan: the (small, by the same contract that lets :func:`cosine_topk`
+    broadcast it) query matrix ships to executors inside the UDF closure;
+    each corpus Arrow batch scores ALL queries with one normalized matmul
+    and emits only its PARTIAL top-k per query.  The final window then
+    ranks ≤ k·num_batches candidates per query instead of |corpus| scored
+    pairs — the shuffle shrinks from O(|corpus|·|queries|) rows to
+    O(k·batches·|queries|), which is what makes brute-force scoring viable
+    at corpus scale.  float64 matmul accumulation differs from the JVM
+    fold's strict left-to-right order by ~1 ulp — use :func:`cosine_topk`
+    when bit-exact parity with the SQL oracle matters.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([list(r[1]) for r in qrows], dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    corpus_proj = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["cv"].tolist(), dtype="float64")
+            ids = pdf["neighbor_id"].to_numpy(dtype="int64")
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (batch, queries)
+            if exclude_self:
+                S[ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, S.shape[0])
+            # partial top-k per query within this batch
+            part = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, queries)
+            out_q, out_n, out_c = [], [], []
+            for j in range(S.shape[1]):
+                rows = part[:, j]
+                out_q.extend([int(q_ids[j])] * len(rows))
+                out_n.extend(ids[rows].tolist())
+                out_c.extend(S[rows, j].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partial = corpus_proj.mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cosine double"
+    ).where(F.col("cosine") != float("-inf"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane_id: int, seed: str = "lshplane") -> list[float]:
     """Deterministic pseudo-random ±1 hyperplane from md5 — no RNG state, so
     plans are reproducible across sessions and engines."""

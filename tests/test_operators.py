@@ -469,3 +469,22 @@ def test_audio_pipeline_with_real_wav_payload(spark):
     assert r["duration_ms"] == 500
     assert abs(r["rms"] - 500.0) < 1e-6
     assert r["zero_crossings"] == 3999
+
+
+def test_cosine_topk_blas_matches_jvm(spark):
+    """The BLAS (Arrow matmul + per-batch partial top-k) execution must
+    produce the identical rank table as the JVM expression path."""
+    from dask_groupby_spark.operators.similarity import cosine_topk_blas
+    from dask_groupby_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") < 20)
+    jvm = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in cosine_topk(emb, q, k=5).collect()}
+    blas = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in cosine_topk_blas(emb, q, k=5).collect()}
+    assert jvm == blas
+    # self never appears among neighbors
+    assert all(nid != qid for (qid, _), nid in blas.items())
