@@ -698,6 +698,17 @@ def q_scan_shift(spark, sf):
     return out.select("event_id", "event_type", clean.alias("shift"))
 
 
+def q_scan_diff(spark, sf):
+    """grouped diff (pandas GroupBy.diff; x - lag(x) over unframed window)."""
+    ev = _ev(spark, sf)
+    out = groupby_scan(
+        ev, "event_type", func="diff", value="value", idx_col="event_id",
+        finalize_kwargs={"periods": 1},
+    )
+    clean = F.when(F.isnan(F.col("diff")), F.lit(None)).otherwise(F.col("diff"))
+    return out.select("event_id", "event_type", clean.alias("diff"))
+
+
 def q_rolling(spark, sf):
     """trailing-5-row rolling mean per event_type (pandas semantics:
     NaN-skipping, min_periods on valid observations)."""
@@ -1163,6 +1174,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window": q_stream_window,
     "stream_session": q_stream_session,
     "accessor_climatology": q_accessor_climatology,
+    "scan_diff": q_scan_diff,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

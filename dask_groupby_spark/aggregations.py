@@ -562,6 +562,23 @@ def _scan_shift(ctx: Ctx, w) -> Column:
     return shifted
 
 
+def _scan_diff(ctx: Ctx, w) -> Column:
+    # pandas GroupBy.diff: value minus the value `periods` rows earlier in
+    # the group. First `periods` positions are vacated (NaN float / NULL
+    # otherwise); a NaN operand propagates through the subtraction natively.
+    # Unlike pandas we keep integer inputs integral (promoted via the sum
+    # type for overflow headroom) instead of promoting to float64 — NULL
+    # marks the vacancy, matching SQL `x - lag(x)`.
+    # Receives an UNFRAMED window (lag rejects row frames), like shift.
+    periods = int(ctx.kw.get("periods", 1))
+    lagfn = F.lag if periods >= 0 else F.lead
+    prev = lagfn(ctx.v, abs(periods)).over(w)
+    out = ctx.v - prev
+    if ctx.is_float:
+        return F.coalesce(out, F.lit(NAN).cast("double"))
+    return out
+
+
 def _scan_ffill(ctx: Ctx, w) -> Column:
     # ref: aggregations.py:716-724, kernel aggregate_flox.py:254-277
     filled = F.last(ctx.clean, ignorenulls=True).over(w)
@@ -593,6 +610,7 @@ SCANS: dict[str, Scan] = {
     "nancummin": Scan("nancummin", _scan_nancummin, _preserve),
     "cumcount": Scan("cumcount", _scan_cumcount, _longty),
     "shift": Scan("shift", _scan_shift, _preserve),
+    "diff": Scan("diff", _scan_diff, _sumty),
     "ffill": Scan("ffill", _scan_ffill, _preserve),
     "bfill": Scan("bfill", _scan_bfill, _preserve),
 }

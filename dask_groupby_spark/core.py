@@ -353,7 +353,7 @@ def groupby_scan(
             .orderBy(F.col(idx_col))
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-    elif spec.name == "shift":
+    elif spec.name in ("shift", "diff"):
         # lag/lead reject row frames — unframed ordered window
         w = Window.partitionBy(*by).orderBy(F.col(idx_col))
     else:

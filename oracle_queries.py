@@ -495,6 +495,10 @@ WINDOW w AS (PARTITION BY event_type ORDER BY event_id
 SELECT event_id, event_type,
        lag(value, 2) OVER (PARTITION BY event_type ORDER BY event_id) AS shift
 FROM t""",
+    "scan_diff": f"""{_EV}
+SELECT event_id, event_type,
+       value - lag(value, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS diff
+FROM t""",
     "scan_ffill": f"""{_EV}
 SELECT event_id, event_type,
        last_value(vnull IGNORE NULLS)

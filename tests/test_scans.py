@@ -65,6 +65,10 @@ def np_scan(func, vals, labels):
             out[sel] = np.fmin.accumulate(g)
         elif func == "cumcount":
             out[sel] = np.cumsum(~np.isnan(g))
+        elif func == "diff":
+            r = np.full(len(g), np.nan)
+            r[1:] = g[1:] - g[:-1]
+            out[sel] = r
     return out
 
 
@@ -90,6 +94,7 @@ def eq(a, b):
         "cummin",
         "nancummin",
         "cumcount",
+        "diff",
     ],
 )
 def test_scan_vs_numpy(sdf, data, func):
@@ -112,6 +117,35 @@ def test_ffill_bfill_reverse_duality(sdf, data):
     bfn = {r["idx"]: r["bfill"] for r in groupby_scan(sdf, "label", func="bfill", value="val", idx_col="idx").collect()}
     for i in range(N):
         assert eq(rf[i], bfn[i])
+
+
+def test_diff_periods_and_int_dtype(spark):
+    """diff periods=2 / negative periods; int input stays integral with NULL vacancy."""
+    rows = [(i, i % 2, [3, 1, 4, 1, 5, 9, 2, 6][i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "idx bigint, label bigint, val bigint")
+    out2 = {
+        r["idx"]: r["diff"]
+        for r in groupby_scan(
+            df, "label", func="diff", value="val", idx_col="idx",
+            finalize_kwargs={"periods": 2},
+        ).collect()
+    }
+    # group 0 rows (idx 0,2,4,6): vals 3,4,5,2 → diff2: None,None,2,-2
+    assert out2[0] is None and out2[2] is None
+    assert out2[4] == 2 and out2[6] == -2
+    outm1 = {
+        r["idx"]: r["diff"]
+        for r in groupby_scan(
+            df, "label", func="diff", value="val", idx_col="idx",
+            finalize_kwargs={"periods": -1},
+        ).collect()
+    }
+    # negative periods: x - lead(x); group 0: 3-4, 4-5, 5-2, None
+    assert outm1[0] == -1 and outm1[2] == -1 and outm1[4] == 3 and outm1[6] is None
+    dt = dict(groupby_scan(
+        df, "label", func="diff", value="val", idx_col="idx"
+    ).dtypes)["diff"]
+    assert dt == "bigint"
 
 
 def test_scan_shape_preserved(sdf):
