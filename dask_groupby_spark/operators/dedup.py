@@ -68,10 +68,16 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def shingles(text_col: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings ('tok1 tok2 tok3')."""
+    """Word k-shingles as strings ('tok1 tok2 tok3').
+
+    Documents shorter than k tokens yield an EMPTY shingle set —
+    ``sequence(1, n-k+1)`` must be guarded because Spark's ``sequence(1, 0)``
+    is the descending ``[1, 0]`` and ``slice(_, 0, _)`` throws."""
     toks = tokens(text_col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
 
 

@@ -96,6 +96,28 @@ def test_near_deduplicate_end_to_end(docs):
     assert len(kept) <= 4
 
 
+def test_shingle_ops_short_documents(spark):
+    """Docs shorter than shingle_k must yield empty shingle sets, not crash
+    (regression: sequence(1, 0) is DESCENDING in Spark → slice(_, 0, _) threw)."""
+    from dask_groupby_spark.operators.dedup import near_deduplicate, shingles
+
+    rows = [
+        (1, "a"),
+        (2, ""),
+        (3, "a b"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = df.select(F.size(shingles(F.col("text"), 3)).alias("n")).collect()
+    assert sorted(r["n"] for r in sh) == [0, 0, 0, 7, 7]
+    sigs = minhash_signatures(df, num_hashes=4, shingle_k=3)
+    assert sigs.count() == 2  # only the two long docs have signatures
+    kept = {r["doc_id"] for r in near_deduplicate(df, num_hashes=4, bands=4, shingle_k=3).collect()}
+    # short docs pass through untouched; one of the twin long docs survives
+    assert {1, 2, 3} <= kept and len(kept & {4, 5}) == 1
+
+
 def test_simhash_similar_docs_close(docs):
     sig = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text", bits=16).collect()}
     def hamming(a, b):
