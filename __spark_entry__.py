@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 
 from dask_groupby_spark import Bins, groupby_agg, groupby_reduce, groupby_scan
 from dask_groupby_spark.operators.dedup import (
+    duplicate_spans,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
     simhash,
 )
 from dask_groupby_spark.operators.multimodal import attach_fake_media, extract_image_features
@@ -744,6 +746,21 @@ def q_scan_nancumprod(spark, sf):
 # LLM-pipeline operators (documents / embeddings)
 
 
+def q_dup_spans(spark, sf):
+    """exact duplicated 8-token span statistics (substring-dedup discovery,
+    Lee et al. 2022 formulation; one shuffle on the span key)."""
+    docs = load_table(spark, sf, "documents")
+    return duplicate_spans(docs, k=8, min_repeats=2).orderBy("span")
+
+
+def q_span_dedup(spark, sf):
+    """substring-level dedup: non-first occurrences of duplicated 8-token
+    spans have their token positions removed, text reassembled."""
+    docs = load_table(spark, sf, "documents")
+    out = remove_duplicate_spans(docs, k=8, min_repeats=2, out_col="text_clean")
+    return out.select("doc_id", "text_clean").orderBy("doc_id")
+
+
 def q_dedup_exact(spark, sf):
     docs = load_table(spark, sf, "documents")
     return (
@@ -1175,6 +1192,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session": q_stream_session,
     "accessor_climatology": q_accessor_climatology,
     "scan_diff": q_scan_diff,
+    "dup_spans": q_dup_spans,
+    "span_dedup": q_span_dedup,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

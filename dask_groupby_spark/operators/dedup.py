@@ -362,3 +362,111 @@ def near_deduplicate(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_repeats: int = 2,
+    group_on_hash: bool = False,
+    hasher: str = "fast",
+) -> DataFrame:
+    """Exact duplicated k-token span statistics across the corpus
+    (the discovery half of substring-level dedup a la "Deduplicating
+    Training Data Makes Language Models Better": which exact k-token
+    windows repeat, how often, in how many documents).
+
+    Returns (span, n_occurrences, n_docs), filtered to spans occurring at
+    least ``min_repeats`` times.
+
+    Scale: spans are generated map-side (one array expression per row); the
+    single shuffle is the groupBy.  With ``group_on_hash=True`` the shuffle
+    key is a 63-bit hash instead of the raw span string (k tokens each —
+    ~8x narrower shuffle rows at k=8) and the span column carries the
+    minimum witness string; collisions at 63 bits are negligible at any
+    corpus size.  The default groups on the raw string for bit-exact
+    oracle checkability.
+    """
+    sp = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("span"),
+    )
+    if group_on_hash:
+        h = _hasher(hasher)
+        sp = sp.select("id", h(F.col("span"), "span").alias("key"), "span")
+        grouped = sp.groupBy("key").agg(
+            F.min("span").alias("span"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        ).drop("key")
+    else:
+        grouped = sp.groupBy("span").agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    return grouped.where(F.col("n_occurrences") >= min_repeats)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_repeats: int = 2,
+    out_col: str = None,
+) -> DataFrame:
+    """Substring-level dedup: every occurrence of a duplicated k-token span
+    EXCEPT the first (global (id, pos) order) has its k token positions
+    removed; the surviving tokens are reassembled in order.
+
+    Distributed plan (no driver data path):
+      1. (id, pos, span) rows map-side via posexplode of the shingle array;
+      2. one shuffle on span: count + row_number window marks every
+         non-first occurrence of a repeated span;
+      3. removed occurrences explode to covered token indexes
+         (pos .. pos+k-1), distinct per doc;
+      4. tokens posexplode + left_anti join on (id, tokidx), then a
+         groupBy(id) rebuild via sorted (tokidx, token) structs.
+    Shuffles: span-window, covered-distinct, anti-join, rebuild — all
+    key-partitioned on span or id; no step holds more than one document's
+    tokens in a single state.
+
+    Overlapping duplicated spans within one document are all removed (their
+    covered index sets union); a document reduced to nothing yields ''.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or text_col
+    toks = tokens(F.col(text_col))
+    sp = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles(F.col(text_col), k)).alias("pos", "span"),
+    )
+    w = Window.partitionBy("span").orderBy("id", "pos")
+    wall = Window.partitionBy("span")
+    occ = sp.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(wall)
+    )
+    removed = occ.where((F.col("__cnt") >= min_repeats) & (F.col("__rn") >= 2))
+    covered = removed.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("tokidx")
+    ).distinct()
+    trows = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("tokidx", "tok")
+    )
+    kept = trows.join(covered, on=["id", "tokidx"], how="left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokidx", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__rebuilt")
+    )
+    res = df.join(rebuilt, on=F.col(id_col) == F.col("id"), how="left").drop("id")
+    return res.withColumn(out_col, F.coalesce(F.col("__rebuilt"), F.lit(""))).drop(
+        "__rebuilt"
+    )

@@ -585,6 +585,50 @@ reach AS (
   ) SELECT v, l FROM r
 )
 SELECT v AS id, min(l)::BIGINT AS cluster_id FROM reach GROUP BY v""",
+    "dup_spans": f"""{_TOKS},
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk)-8+2, 1)),
+                               i -> array_to_string(tk[i:i+7], ' '))) AS span
+  FROM toks
+)
+SELECT span, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM spans GROUP BY span HAVING count(*) >= 2 ORDER BY span""",
+    "span_dedup": f"""{_TOKS},
+sp AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(tk)-8+1, 0))) AS pos,
+         unnest(list_transform(range(1, greatest(len(tk)-8+2, 1)),
+                               i -> array_to_string(tk[i:i+7], ' '))) AS span
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY span) AS cnt
+  FROM sp
+),
+cov AS (
+  SELECT DISTINCT doc_id, tokidx FROM (
+    SELECT doc_id, unnest(range(pos, pos+8)) AS tokidx
+    FROM occ WHERE cnt >= 2 AND rn >= 2
+  )
+),
+trow AS (
+  SELECT doc_id, unnest(range(0, len(tk))) AS tokidx, unnest(tk) AS tok
+  FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.tokidx, t.tok FROM trow t
+  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.tokidx = c.tokidx
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tokidx) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(reb.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+ORDER BY d.doc_id""",
     "ngram_jaccard": f"""{_TOKS},
 sh AS (
   SELECT DISTINCT doc_id,

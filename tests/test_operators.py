@@ -118,6 +118,35 @@ def test_shingle_ops_short_documents(spark):
     assert {1, 2, 3} <= kept and len(kept & {4, 5}) == 1
 
 
+def test_duplicate_spans_and_removal(spark):
+    """duplicate_spans stats + remove_duplicate_spans first-occurrence-keep
+    (substring dedup a la Lee et al. 2022)."""
+    from dask_groupby_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "z z a b c d q r"),  # contains repeat of doc1's opening span
+        (3, "a b c d e f"),      # exact dup of doc1
+        (4, "short doc"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stats = sorted(tuple(r) for r in duplicate_spans(df, k=4, min_repeats=2).collect())
+    assert stats == [("a b c d", 3, 3), ("b c d e", 2, 2), ("c d e f", 2, 2)]
+    hashed = sorted(
+        tuple(r)
+        for r in duplicate_spans(df, k=4, min_repeats=2, group_on_hash=True)
+        .select("span", "n_occurrences", "n_docs")
+        .collect()
+    )
+    assert hashed == stats
+    out = {r["doc_id"]: r["text"] for r in remove_duplicate_spans(df, k=4).collect()}
+    assert out[1] == "a b c d e f"  # first occurrence kept intact
+    assert out[2] == "z z q r"      # covered tokens 2..5 removed
+    assert out[3] == ""             # fully duplicated doc vanishes
+    assert out[4] == "short doc" and out[5] == ""  # short docs untouched
+
+
 def test_simhash_similar_docs_close(docs):
     sig = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text", bits=16).collect()}
     def hamming(a, b):
