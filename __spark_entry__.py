@@ -516,6 +516,20 @@ def q_accessor_climatology(spark, sf):
     return out.withColumn("nanmean", F.round("nanmean", 6))
 
 
+def q_xdim_reduce(spark, sf):
+    """named-dimension front-end (xarray_reduce, flox/xarray.py:65-160
+    analog): dims (ts.month, user_id), reduce over user_id, retain ts.month
+    as an output axis alongside the event_type grouper."""
+    from dask_groupby_spark import xarray_reduce
+
+    ev = _ev(spark, sf)
+    out = xarray_reduce(
+        ev, "event_type", func="nanmean", value="vnan",
+        dims=["ts.month", "user_id"], dim="user_id",
+    )
+    return out.withColumn("nanmean", F.round("nanmean", 6))
+
+
 def q_stream_window(spark, sf):
     """Structured Streaming, oracle-checked: events consumed as a FILE
     STREAM (explicit schema, Trigger.AvailableNow) through
@@ -1194,6 +1208,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_diff": q_scan_diff,
     "dup_spans": q_dup_spans,
     "span_dedup": q_span_dedup,
+    "xdim_reduce": q_xdim_reduce,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

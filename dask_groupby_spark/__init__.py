@@ -29,6 +29,7 @@ from .plans import bucket_table, rechunk_for_blockwise
 from .resample import resample
 from .rolling import groupby_rolling
 from .session import get_spark
+from .xdim import xarray_reduce
 
 __all__ = [
     "AGGREGATIONS",
@@ -46,6 +47,7 @@ __all__ = [
     "resample",
     "bucket_table",
     "get_spark",
+    "xarray_reduce",
 ]
 
 __version__ = "0.1.0"

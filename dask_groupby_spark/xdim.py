@@ -1,0 +1,134 @@
+"""Named-dimension (xarray-style) front-end.
+
+The reference ships an xarray adapter (``flox/xarray.py:65-513
+xarray_reduce``): grouper variables live on named dimensions, the reduction
+runs over ``dim`` (a subset of the union of those dimensions), every
+*retained* dimension survives into the output grid, and coordinates are
+reattached afterwards.
+
+Spark translation: an N-D labeled array in long form is a DataFrame with
+one column per named dimension plus a value column — dimension names ARE
+column names, so the dim→axis bookkeeping the reference needs
+(``flox/xarray.py:238-303``) collapses to key-list construction.
+:func:`xarray_reduce` here is therefore a thin, declarative front-end over
+:func:`~dask_groupby_spark.core.groupby_reduce`:
+
+- ``by``       → grouper columns (virtual datetime accessors like
+  ``"ts.month"`` work, matching xarray's ``da["time.month"]`` groupers);
+- ``dims``     → the named dimensions of the long frame;
+- ``dim``      → dimensions to reduce over (default: all of ``dims``);
+- retained dims (``dims - dim``) append to the group keys — exactly the
+  reference's broadcast-and-retain behavior;
+- ``expected_groups``/``isbin`` per grouper → dense output grid / binning
+  (``isbin=True`` wraps that grouper's expected edges in :class:`Bins`,
+  ref ``flox/xarray.py:126-143``);
+- ``skipna``   → nan-variant dispatch (ref ``flox/xarray.py:355-380``),
+  already handled inside ``groupby_reduce``.
+
+Retained dims keep their *observed* label sets unless they are also given
+an ``expected_groups`` entry by listing them in ``by`` instead — in long
+form a dim column and a grouper column are the same thing, so "retain a
+dim densely" is spelled "group by it with expected_groups".
+
+Scale: identical to ``groupby_reduce`` — one shuffle on the combined key
+set, map-side partial aggregation; the front-end adds zero plan nodes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+
+from .aggregations import Aggregation
+from .binning import Bins
+from .core import groupby_reduce
+
+
+def xarray_reduce(
+    df: DataFrame,
+    *by: str,
+    func: Union[str, Aggregation],
+    dims: Sequence[str],
+    dim: Optional[Union[str, Sequence[str]]] = None,
+    value: str = "value",
+    idx_col: Optional[str] = None,
+    expected_groups=None,
+    isbin=None,
+    sort: bool = True,
+    fill_value=None,
+    dtype: Optional[str] = None,
+    min_count: Optional[int] = None,
+    skipna: Optional[bool] = None,
+    finalize_kwargs: Optional[dict] = None,
+    alias: Optional[str] = None,
+) -> DataFrame:
+    """Reduce a long-form labeled frame over named dimensions.
+
+    ``dims`` declares the dimension columns of ``df``; ``dim`` (str or
+    list) selects which of them to reduce over — every other dim is
+    retained as an output axis (an extra group key).  ``by`` are the
+    grouper columns, exactly as in ``groupby_reduce``.
+
+    Mirrors ``flox.xarray.xarray_reduce`` semantics (flox/xarray.py:65-160):
+    grouping by ``by`` within the retained-dim grid, reducing over ``dim``.
+    """
+    if not by:
+        raise ValueError("need at least one by grouper")
+    dims = list(dims)
+    if dim is None:
+        reduce_over = set(dims)
+    else:
+        reduce_over = {dim} if isinstance(dim, str) else set(dim)
+    unknown = reduce_over - set(dims)
+    if unknown:
+        raise ValueError(f"dim {sorted(unknown)} not in dims {dims}")
+    overlap = reduce_over & set(by)
+    if overlap:
+        raise ValueError(
+            f"cannot reduce over a grouper dimension: {sorted(overlap)} "
+            "appear in both by and dim"
+        )
+    retained = [d for d in dims if d not in reduce_over and d not in by]
+
+    # normalize expected_groups/isbin to one entry per grouper, wrapping
+    # bin-edge entries in Bins (the reference's isbin plumbing,
+    # flox/xarray.py:126-143)
+    nby = len(by)
+    if expected_groups is None:
+        expected = [None] * nby
+    elif isinstance(expected_groups, (list, tuple)) and nby > 1:
+        expected = list(expected_groups)
+    else:
+        expected = [expected_groups]
+    if len(expected) != nby:
+        raise ValueError(f"expected_groups must have {nby} entries")
+    flags = [isbin] * nby if not isinstance(isbin, (list, tuple)) else list(isbin)
+    if len(flags) != nby:
+        raise ValueError(f"isbin must have {nby} entries")
+    expected = [
+        Bins(e) if (f and e is not None and not isinstance(e, Bins)) else e
+        for e, f in zip(expected, flags)
+    ]
+    # retained dims keep observed labels → no expected entry; tuple form so
+    # core's normalizer aligns entries with the combined key list
+    expected_full = tuple(expected) + (None,) * len(retained)
+    if all(e is None for e in expected_full):
+        expected_full = None
+
+    return groupby_reduce(
+        df,
+        *by,
+        *retained,
+        func=func,
+        value=value,
+        idx_col=idx_col,
+        expected_groups=expected_full,
+        sort=sort,
+        fill_value=fill_value,
+        dtype=dtype,
+        min_count=min_count,
+        skipna=skipna,
+        finalize_kwargs=finalize_kwargs,
+        alias=alias,
+    )

@@ -389,6 +389,10 @@ FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
 SELECT month(ts)::INT AS month, hour(ts)::INT AS hour,
        round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
 FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    "xdim_reduce": f"""{_EV}
+SELECT event_type, month(ts)::INT AS month,
+       round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
+FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
     # session windows as gaps-and-islands: break at silence >= 30 min
     # (Spark session_window: event at exactly prev_ts + gap opens a NEW
     # session); session_end = last event + gap

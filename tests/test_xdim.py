@@ -1,0 +1,91 @@
+"""Named-dimension front-end (xarray_reduce) — dim/retained-dim semantics
+vs plain groupby_reduce and numpy (mirrors flox/xarray.py:65-160 behavior)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from dask_groupby_spark import Bins, groupby_reduce, xarray_reduce
+
+SEED = 4242
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # long form of a labeled 3-D array value[x, y, label-source]
+    rng = np.random.default_rng(SEED)
+    rows = []
+    i = 0
+    for x in range(4):
+        for y in range(3):
+            for _ in range(5):
+                rows.append(
+                    (i, x, y, int(rng.integers(0, 3)), float(rng.random() * 10))
+                )
+                i += 1
+    return spark.createDataFrame(
+        rows, "idx bigint, x bigint, y bigint, label bigint, value double"
+    )
+
+
+def test_reduce_over_all_dims(frame):
+    out = xarray_reduce(frame, "label", func="nansum", dims=["x", "y"])
+    ref = groupby_reduce(frame, "label", func="nansum")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+    assert out.columns == ["label", "nansum"]
+
+
+def test_retained_dim_becomes_axis(frame):
+    out = xarray_reduce(frame, "label", func="nanmean", dims=["x", "y"], dim="y")
+    ref = groupby_reduce(frame, "label", "x", func="nanmean")
+    assert out.columns == ["label", "x", "nanmean"]
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[:2] == rb[:2] and math.isclose(ra[2], rb[2])
+
+
+def test_dim_list_and_order(frame):
+    # retained dims keep their dims-list order in the output key columns
+    out = xarray_reduce(frame, "label", func="count", dims=["x", "y"], dim=[])
+    assert out.columns == ["label", "x", "y", "count"]
+    ref = groupby_reduce(frame, "label", "x", "y", func="count")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_isbin_wraps_edges(frame):
+    out = xarray_reduce(
+        frame,
+        "value",
+        func="count",
+        dims=["x", "y"],
+        value="value",
+        expected_groups=[0.0, 2.5, 5.0, 7.5, 10.0],
+        isbin=True,
+    )
+    ref = groupby_reduce(
+        frame, "value", func="count", expected_groups=Bins([0.0, 2.5, 5.0, 7.5, 10.0])
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_skipna_dispatch(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 0, float("nan")), (2, 1, 3.0)],
+        "idx bigint, g bigint, value double",
+    )
+    sk = {r["g"]: r["s"] for r in
+          xarray_reduce(df, "g", func="sum", dims=[], skipna=True, alias="s").collect()}
+    assert sk[0] == 1.0 and sk[1] == 3.0
+    no = {r["g"]: r["s"] for r in
+          xarray_reduce(df, "g", func="sum", dims=[], skipna=False, alias="s").collect()}
+    assert math.isnan(no[0]) and no[1] == 3.0
+
+
+def test_errors(frame):
+    with pytest.raises(ValueError, match="not in dims"):
+        xarray_reduce(frame, "label", func="sum", dims=["x"], dim="z")
+    with pytest.raises(ValueError, match="both by and dim"):
+        xarray_reduce(frame, "x", func="sum", dims=["x", "y"], dim="x")
