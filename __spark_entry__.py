@@ -611,6 +611,69 @@ def q_stream_session(spark, sf):
     )
 
 
+def q_stream_dedup(spark, sf):
+    """Streaming exact dedup, oracle-checked: dropDuplicates state over
+    (user_id, event_type) keys feeding a streaming count per event_type —
+    on finite input this must equal the batch COUNT(DISTINCT user_id)."""
+    import os
+
+    from dask_groupby_spark.sources import read_stream
+    from dask_groupby_spark.streaming import streaming_dedup
+
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    stream = read_stream(
+        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
+    )
+    deduped = streaming_dedup(stream, "user_id", "event_type")
+    out = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    name = "stream_dedup_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_type", "n_users")
+
+
+def q_stream_cumsum(spark, sf):
+    """Stateful streaming scan (applyInPandasWithState running sum),
+    oracle-checked on its FINAL state: after AvailableNow drains the finite
+    file stream, each key's last update row (max n_seen) must equal the
+    batch per-key count + sum."""
+    import os
+
+    from dask_groupby_spark.sources import read_stream
+    from dask_groupby_spark.streaming import streaming_cumsum
+
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    stream = read_stream(
+        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
+    )
+    out = streaming_cumsum(stream, "user_id", "value")
+    name = "stream_cumsum_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("key")
+        .agg(F.max(F.struct("n_seen", "running_sum")).alias("s"))
+    )
+    return final.select(
+        F.col("key").alias("user_id"),
+        F.col("s.n_seen").alias("n_seen"),
+        F.round("s.running_sum", 4).alias("running_sum"),
+    )
+
+
 def q_first_ts(spark, sf):
     """order-sensitive first over timestamp *values* (dtype preservation)."""
     ev = _ev(spark, sf)
@@ -1209,6 +1272,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "span_dedup": q_span_dedup,
     "xdim_reduce": q_xdim_reduce,
+    "stream_dedup": q_stream_dedup,
+    "stream_cumsum": q_stream_cumsum,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

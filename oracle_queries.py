@@ -389,6 +389,14 @@ FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
 SELECT month(ts)::INT AS month, hour(ts)::INT AS hour,
        round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
 FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    "stream_dedup": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1""",
+    "stream_cumsum": """
+SELECT user_id,
+       count(value) FILTER (WHERE NOT isnan(value)) AS n_seen,
+       round(sum(value) FILTER (WHERE NOT isnan(value)), 4) AS running_sum
+FROM events GROUP BY 1""",
     "xdim_reduce": f"""{_EV}
 SELECT event_type, month(ts)::INT AS month,
        round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
