@@ -838,6 +838,17 @@ def q_span_dedup(spark, sf):
     return out.select("doc_id", "text_clean").orderBy("doc_id")
 
 
+def q_entropy(spark, sf):
+    """per-document token-distribution Shannon entropy (quality signal;
+    zero-shuffle sorted-run fold, no explode/groupBy)."""
+    from dask_groupby_spark.operators.text import token_entropy
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.round(token_entropy(F.col("text")), 6).alias("entropy")
+    ).orderBy("doc_id")
+
+
 def q_dedup_exact(spark, sf):
     docs = load_table(spark, sf, "documents")
     return (
@@ -1274,6 +1285,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xdim_reduce": q_xdim_reduce,
     "stream_dedup": q_stream_dedup,
     "stream_cumsum": q_stream_cumsum,
+    "entropy": q_entropy,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

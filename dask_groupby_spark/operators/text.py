@@ -162,6 +162,39 @@ def repetition_features(
     )
 
 
+def token_entropy(col: Column) -> Column:
+    """Shannon entropy (nats) of the within-document token frequency
+    distribution: ``H = ln(n) − (Σ c·ln c)/n`` over distinct-token counts.
+
+    Low entropy = repetitive/templated text (a standard quality signal next
+    to the Gopher repetition fractions).  Computed as a zero-shuffle fold:
+    sort the token array, accumulate run-lengths and ``Σ c·ln c`` in ONE
+    ``F.aggregate`` pass — no explode, no groupBy, stays map-side.
+    Empty documents → 0.0.
+    """
+    srt = F.array_sort(tokens(col))
+    n = F.size(srt)
+
+    def clnc(run):
+        return F.when(run > 0, run * F.log(run)).otherwise(F.lit(0.0))
+
+    folded = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0.0).alias("run"), F.lit(0.0).alias("s")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1.0)).alias("run"),
+            (
+                a["s"] + F.when(x == a["prev"], F.lit(0.0)).otherwise(clnc(a["run"]))
+            ).alias("s"),
+        ),
+        lambda a: a["s"] + clnc(a["run"]),
+    )
+    return F.when(n > 0, F.log(n.cast("double")) - folded / n).otherwise(F.lit(0.0))
+
+
 def pattern_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -597,6 +597,12 @@ reach AS (
   ) SELECT v, l FROM r
 )
 SELECT v AS id, min(l)::BIGINT AS cluster_id FROM reach GROUP BY v""",
+    "entropy": f"""{_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s FROM cnt GROUP BY 1)
+SELECT d.doc_id, round(coalesce(ln(a.n) - a.s / a.n, 0.0), 6) AS entropy
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     "dup_spans": f"""{_TOKS},
 spans AS (
   SELECT doc_id,

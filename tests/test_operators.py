@@ -147,6 +147,82 @@ def test_duplicate_spans_and_removal(spark):
     assert out[4] == "short doc" and out[5] == ""  # short docs untouched
 
 
+def test_remove_duplicate_spans_randomized_vs_bruteforce(spark):
+    """Randomized differential: remove_duplicate_spans vs a brute-force
+    in-memory reference (tiny vocab forces heavy span collisions and
+    overlapping covered ranges)."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.dedup import remove_duplicate_spans
+
+    rng = np.random.default_rng(90210)
+    k = 3
+    docs = []
+    for doc_id in range(40):
+        n = int(rng.integers(0, 12))
+        docs.append((doc_id, " ".join(rng.choice(list("abcd"), n))))
+
+    # brute-force reference: global first-occurrence keep over (id, pos)
+    spans = []  # (span, id, pos)
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        for p in range(len(toks) - k + 1):
+            spans.append((" ".join(toks[p : p + k]), doc_id, p))
+    from collections import Counter, defaultdict
+
+    counts = Counter(s for s, _, _ in spans)
+    seen = set()
+    covered = defaultdict(set)
+    for s, doc_id, p in sorted(spans, key=lambda t: (t[0], t[1], t[2])):
+        if counts[s] < 2:
+            continue
+        if s in seen:
+            covered[doc_id].update(range(p, p + k))
+        else:
+            seen.add(s)
+    expected = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        expected[doc_id] = " ".join(
+            t for i, t in enumerate(toks) if i not in covered[doc_id]
+        )
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(df, k=k, min_repeats=2).collect()
+    }
+    assert got == expected
+
+
+def test_token_entropy_vs_numpy(spark):
+    import numpy as np
+
+    from dask_groupby_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "a a a a"),            # zero entropy
+        (2, "a b c d"),            # ln(4)
+        (3, "a a b"),              # -(2/3 ln 2/3 + 1/3 ln 1/3)
+        (4, ""),                   # empty → 0
+        (5, "x"),                  # single token → 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["h"] for r in
+           df.select("doc_id", token_entropy(F.col("text")).alias("h")).collect()}
+
+    def ref(text):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return 0.0
+        _, c = np.unique(toks, return_counts=True)
+        p = c / c.sum()
+        return float(-(p * np.log(p)).sum())
+
+    for doc_id, text in rows:
+        assert abs(got[doc_id] - ref(text)) < 1e-12, (doc_id, got[doc_id], ref(text))
+
+
 def test_simhash_similar_docs_close(docs):
     sig = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text", bits=16).collect()}
     def hamming(a, b):
