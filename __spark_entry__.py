@@ -788,6 +788,20 @@ def q_scan_diff(spark, sf):
     return out.select("event_id", "event_type", clean.alias("diff"))
 
 
+def q_rank(spark, sf):
+    """grouped rank transform, method='average' with pct (pandas
+    GroupBy.rank parity; single fused WindowExec)."""
+    from dask_groupby_spark import groupby_rank
+
+    ev = _ev(spark, sf)
+    out = groupby_rank(
+        ev, "event_type", value="value", method="average", pct=True, alias="rank"
+    )
+    return out.select(
+        "event_id", "event_type", F.round(F.col("rank"), 6).alias("rank")
+    )
+
+
 def q_rolling(spark, sf):
     """trailing-5-row rolling mean per event_type (pandas semantics:
     NaN-skipping, min_periods on valid observations)."""
@@ -1286,6 +1300,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "stream_cumsum": q_stream_cumsum,
     "entropy": q_entropy,
+    # --- added late in round 2: outside the 50-entry driver window (locally
+    # gated; official rows land in round 3's window) ---
+    "rank": q_rank,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

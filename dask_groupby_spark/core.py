@@ -379,6 +379,87 @@ def groupby_scan(
     return work.withColumn(out_name, col)
 
 
+def groupby_rank(
+    df: DataFrame,
+    *by: str,
+    value: str = "value",
+    method: str = "average",
+    ascending: bool = True,
+    pct: bool = False,
+    idx_col: Optional[str] = None,
+    alias: Optional[str] = None,
+) -> DataFrame:
+    """Grouped rank transform (pandas ``GroupBy.rank`` parity — a transform
+    the reference lacks; same row count as the input, one result column).
+
+    ``method``: "average" (mean rank of ties, float), "min", "max",
+    "dense", "first" (order of appearance — requires ``idx_col``).
+    Missing values (NULL/NaN) keep a NULL rank (pandas ``na_option="keep"``)
+    and never consume a rank.  ``pct=True`` divides by the group's valid
+    count.
+
+    Executed as ONE window pass over ``partitionBy(by)`` — a single
+    Exchange + sort, the same scale class as ``groupby_scan``; giant groups
+    serialize in one task (range-partition upstream if needed), ordered
+    ranks cannot salt.
+    """
+    if method not in ("average", "min", "max", "dense", "first"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "first" and idx_col is None:
+        raise ValueError('method="first" requires idx_col= (appearance order)')
+    out_name = alias or "rank"
+
+    v = F.col(value)
+    valid = v.isNotNull()
+    if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
+        valid = valid & ~F.isnan(v)
+    clean = F.when(valid, v)  # NULL for missing → sorts last in both orders
+
+    order = clean.asc_nulls_last() if ascending else clean.desc_nulls_last()
+    wp = Window.partitionBy(*by)
+    if method == "first":
+        w = wp.orderBy(order, F.col(idx_col).asc())
+        rank = F.row_number().over(w)
+    elif method == "dense":
+        rank = F.dense_rank().over(wp.orderBy(order))
+        if pct:
+            # pandas normalizes dense ranks by the MAX dense rank (number of
+            # distinct valid values), not the valid row count; second window
+            # shares the partitioning → same single Exchange
+            dr = F.when(valid, rank)
+            staged = df.withColumn("__dr", dr)
+            denom = F.max("__dr").over(Window.partitionBy(*by))
+            col = (
+                F.col("__dr").cast("double") / denom
+            )
+            return staged.withColumn(
+                out_name, F.when(F.col("__dr").isNotNull(), col).cast("double")
+            ).drop("__dr")
+    else:
+        min_rank = F.rank().over(wp.orderBy(order))
+        if method == "min":
+            rank = min_rank
+        else:
+            # tie count via a zero-width RANGE frame (all peers of the
+            # current order value) — same partitioning AND ordering as the
+            # rank window, so it fuses into the single WindowExec instead of
+            # forcing a second Exchange on (by, value)
+            ties = F.count(clean).over(
+                wp.orderBy(order).rangeBetween(Window.currentRow, Window.currentRow)
+            )
+            max_rank = min_rank + ties - 1
+            if method == "max":
+                rank = max_rank
+            else:  # average
+                rank = (min_rank + max_rank) / 2.0
+    n_valid = F.count(clean).over(wp)
+    if pct:
+        rank = rank.cast("double") / n_valid
+    result_t = "double" if (pct or method == "average") else "long"
+    col = F.when(valid, rank.cast(result_t)).otherwise(F.lit(None).cast(result_t))
+    return df.withColumn(out_name, col)
+
+
 def groupby_agg(
     df: DataFrame,
     *by: str,

@@ -83,7 +83,8 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the right row with the largest ``on`` ≤
-    left's ``on`` (direction="backward"; "forward" = smallest ≥) within the
+    left's ``on`` (direction="backward"; "forward" = smallest ≥; "nearest" =
+    smaller |Δ|, ties → backward, pandas merge_asof parity) within the
     same ``by`` key.  ``tolerance`` (seconds) nulls the match when the time
     difference exceeds it.  Right rows should be unique per (by, on) —
     pre-aggregate otherwise (with duplicates, which one wins is unspecified,
@@ -98,8 +99,8 @@ def asof_join(
     (matches DuckDB ASOF JOIN, which attaches whole rows).  Right rows whose
     ``on`` is NULL are unmatchable, as in an ordered-comparison join.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     by = list(by)
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in by + [on]
@@ -136,24 +137,40 @@ def asof_join(
     # backward: right rows sort BEFORE left rows at equal ts (side 0 < 1) so
     # a same-timestamp right row is visible; carry = last non-null preceding.
     # forward: mirror with first non-null following, right rows AFTER left.
+    # nearest: BOTH carries over the same partitioning (one Exchange, two
+    # sorted WindowExec passes), then pick the smaller |Δts| (tie → backward,
+    # pandas merge_asof semantics).
+    w_b = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carry_b = F.last(F.col("__r"), ignorenulls=True).over(w_b)
+    carry_f = F.first(F.col("__r"), ignorenulls=True).over(w_f)
+
     if direction == "backward":
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        chosen = carry_b
+    elif direction == "forward":
+        chosen = carry_f
     else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        lts = F.col(on).cast("double")
+        d_b = lts - carry_b["__rts"].cast("double")
+        d_f = carry_f["__rts"].cast("double") - lts
+        chosen = (
+            F.when(carry_f.isNull(), carry_b)
+            .when(carry_b.isNull(), carry_f)
+            .when(d_b <= d_f, carry_b)
+            .otherwise(carry_f)
         )
-        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
 
     carried = unioned.select(
         "*",
-        carry(F.col("__r")).alias("__c"),
+        chosen.alias("__c"),
     ).where(F.col("__side") == 1)
 
     matched = F.col("__c").isNotNull()
@@ -162,6 +179,8 @@ def asof_join(
         delta = F.col(on).cast("double") - cts.cast("double")
         if direction == "forward":
             delta = -delta
+        elif direction == "nearest":
+            delta = F.abs(delta)
         matched = matched & (delta <= F.lit(float(tolerance)))
 
     out_cols = (

@@ -507,6 +507,14 @@ WINDOW w AS (PARTITION BY event_type ORDER BY event_id
 SELECT event_id, event_type,
        lag(value, 2) OVER (PARTITION BY event_type ORDER BY event_id) AS shift
 FROM t""",
+    "rank": f"""{_EV}
+SELECT event_id, event_type,
+       round((rank() OVER w
+              + rank() OVER w + count(*) OVER peers - 1) / 2.0
+             / count(value) OVER (PARTITION BY event_type), 6) AS rank
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC),
+       peers AS (PARTITION BY event_type, value)""",
     "scan_diff": f"""{_EV}
 SELECT event_id, event_type,
        value - lag(value, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS diff

@@ -54,6 +54,62 @@ def test_asof_forward_and_tolerance(spark):
     assert got_tol2[(1, 20)] is None
 
 
+def test_asof_nearest_vs_pandas(spark):
+    """direction='nearest' randomized differential vs pandas merge_asof
+    (ties → backward; tolerance on |delta|)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7777)
+    left = pd.DataFrame(
+        {
+            "key": rng.integers(0, 3, 60),
+            "ts": np.sort(rng.integers(0, 500, 60)).astype("int64"),
+            "lval": np.arange(60, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": rng.integers(0, 3, 40),
+            "ts": np.sort(rng.choice(np.arange(0, 500, 2), 40, replace=False)).astype("int64"),
+            "rval": np.arange(40, dtype="int64") * 10,
+        }
+    )
+    # pandas merge_asof requires unique right (key, ts) for exactness: ensured
+    # by replace=False choice above (per-key duplicates impossible globally)
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="key",
+        direction="nearest",
+    ).set_index("lval")["rval"]
+
+    l_sdf = spark.createDataFrame(left, "key bigint, ts bigint, lval bigint")
+    r_sdf = spark.createDataFrame(right, "key bigint, ts bigint, rval bigint")
+    out = asof_join(l_sdf, r_sdf, on="ts", by=["key"], direction="nearest")
+    got = {r["lval"]: r["rval_right"] for r in out.collect()}
+    for lval, e in exp.items():
+        g = got[lval]
+        if pd.isna(e):
+            assert g is None, (lval, g)
+        else:
+            assert g == e, (lval, g, e)
+
+    # tolerance prunes on |delta|
+    tol = asof_join(
+        l_sdf, r_sdf, on="ts", by=["key"], direction="nearest", tolerance=3.0
+    )
+    exp_tol = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="key", direction="nearest", tolerance=3,
+    ).set_index("lval")["rval"]
+    got_tol = {r["lval"]: r["rval_right"] for r in tol.collect()}
+    for lval, e in exp_tol.items():
+        g = got_tol[lval]
+        assert (g is None) if pd.isna(e) else (g == e), (lval, g, e)
+
+
 def test_range_join(spark):
     from dask_groupby_spark.operators.joins import range_join
 
