@@ -802,6 +802,25 @@ def q_rank(spark, sf):
     )
 
 
+def q_wquantile(spark, sf):
+    """exact weighted quantiles (inverted CDF), 3 q's fused into one
+    window + one reusing aggregate (single Exchange)."""
+    from dask_groupby_spark.operators.weighted import weighted_quantile
+
+    ev = _ev(spark, sf).withColumn(
+        "w", (F.lit(1.0) + (F.col("user_id") % 5).cast("double"))
+    )
+    out = weighted_quantile(
+        ev, "event_type", value="value", weight="w", q=[0.25, 0.5, 0.9]
+    )
+    return out.select(
+        "event_type",
+        F.round("wq_0_25", 6).alias("wq_0_25"),
+        F.round("wq_0_5", 6).alias("wq_0_5"),
+        F.round("wq_0_9", 6).alias("wq_0_9"),
+    )
+
+
 def q_rolling(spark, sf):
     """trailing-5-row rolling mean per event_type (pandas semantics:
     NaN-skipping, min_periods on valid observations)."""
@@ -1303,6 +1322,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- added late in round 2: outside the 50-entry driver window (locally
     # gated; official rows land in round 3's window) ---
     "rank": q_rank,
+    "wquantile": q_wquantile,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

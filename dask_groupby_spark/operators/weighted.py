@@ -61,6 +61,64 @@ def groupby_weighted(
     return out.orderBy(*by) if sort else out
 
 
+def weighted_quantile(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    weight: str,
+    q=0.5,
+    sort: bool = True,
+    prefix: str = "wq_",
+) -> DataFrame:
+    """Exact weighted quantile(s) per group — inverted-CDF definition: the
+    smallest value whose cumulative weight reaches ``q`` of the group's
+    total weight (with all weights 1 this is numpy's
+    ``interpolation="lower"`` discrete quantile).
+
+    ``q``: scalar or sequence — every requested quantile is answered in the
+    SAME pass (one column per q, named ``{prefix}{q}`` with '.'→'_').
+
+    Plan: one window on the group keys (sorted by value: cumulative weight +
+    total weight), then a hash aggregate that REUSES the window's
+    partitioning — a single Exchange end-to-end.  Rows with missing value
+    or non-positive/missing weight are excluded.
+
+    Skew note: like every exact holistic reduction here, a giant group
+    serializes through one task's sort; the bounded-state alternative is a
+    weighted GK sketch — not shipped, the exact path is the contract.
+    """
+    qs = [float(q)] if isinstance(q, (int, float)) else [float(x) for x in q]
+    if any(not (0.0 <= x <= 1.0) for x in qs):
+        raise ValueError("q must be in [0, 1]")
+    from pyspark.sql import Window
+
+    ok = _valid(df, value) & _valid(df, weight) & (F.col(weight).cast("double") > 0)
+    base = df.where(ok).select(
+        *by, F.col(value).cast("double").alias("__x"),
+        F.col(weight).cast("double").alias("__w"),
+    )
+    wcum = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__x").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*by)
+    staged = base.select(
+        *by, "__x",
+        F.sum("__w").over(wcum).alias("__cw"),
+        F.sum("__w").over(wall).alias("__tw"),
+    )
+    aggs = []
+    for x in qs:
+        name = f"{prefix}{x}".replace(".", "_")
+        aggs.append(
+            F.min(F.when(F.col("__cw") >= F.lit(x) * F.col("__tw"), F.col("__x")))
+            .alias(name)
+        )
+    out = staged.groupBy(*by).agg(*aggs)
+    return out.orderBy(*by) if sort else out
+
+
 def top_terms(
     df: DataFrame,
     *by: str,

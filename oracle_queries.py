@@ -507,6 +507,18 @@ WINDOW w AS (PARTITION BY event_type ORDER BY event_id
 SELECT event_id, event_type,
        lag(value, 2) OVER (PARTITION BY event_type ORDER BY event_id) AS shift
 FROM t""",
+    "wquantile": f"""{_EV},
+s AS (SELECT event_type, value::DOUBLE AS x, 1.0 + (user_id % 5) AS w FROM t),
+c AS (SELECT event_type, x,
+        sum(w) OVER (PARTITION BY event_type ORDER BY x ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        sum(w) OVER (PARTITION BY event_type) AS tw
+      FROM s)
+SELECT event_type,
+       round(min(CASE WHEN cw >= 0.25*tw THEN x END), 6) AS wq_0_25,
+       round(min(CASE WHEN cw >= 0.5*tw THEN x END), 6) AS wq_0_5,
+       round(min(CASE WHEN cw >= 0.9*tw THEN x END), 6) AS wq_0_9
+FROM c GROUP BY 1 ORDER BY 1""",
     "rank": f"""{_EV}
 SELECT event_id, event_type,
        round((rank() OVER w

@@ -47,3 +47,44 @@ def test_top_terms(spark):
     assert got[("en", 1)] == ("a", 3)
     assert got[("en", 2)] == ("b", 3)  # tie a=3,b=3 → alphabetical
     assert got[("de", 1)] == ("x", 1)  # tie x=1,y=1 → alphabetical
+
+
+def test_weighted_quantile_vs_bruteforce(spark):
+    import numpy as np
+
+    from dask_groupby_spark.operators.weighted import weighted_quantile
+
+    rng = np.random.default_rng(5150)
+    n = 300
+    labels = rng.integers(0, 4, n)
+    vals = np.round(rng.random(n) * 20, 1)  # duplicates likely
+    wts = rng.integers(1, 6, n).astype(float)
+    rows = [(int(labels[i]), float(vals[i]), float(wts[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "k bigint, x double, w double")
+
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    out = {r["k"]: r for r in weighted_quantile(
+        df, "k", value="x", weight="w", q=qs
+    ).collect()}
+
+    def brute(k, q):
+        sel = labels == k
+        order = np.argsort(vals[sel], kind="stable")
+        v, w = vals[sel][order], wts[sel][order]
+        cw = np.cumsum(w)
+        t = q * cw[-1]
+        return float(v[np.searchsorted(cw, t, side="left")]) if q > 0 else float(v[0])
+
+    for k in range(4):
+        for q in qs:
+            name = f"wq_{q}".replace(".", "_")
+            assert out[k][name] == pytest.approx(brute(k, q)), (k, q)
+
+
+def test_weighted_quantile_single_exchange(spark):
+    from dask_groupby_spark.operators.weighted import weighted_quantile
+
+    df = spark.createDataFrame([(0, 1.0, 1.0)], "k bigint, x double, w double")
+    plan = weighted_quantile(df, "k", value="x", weight="w", q=[0.5, 0.9], sort=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
