@@ -802,6 +802,23 @@ def q_rank(spark, sf):
     )
 
 
+def q_corr(spark, sf):
+    """bivariate grouped corr+cov (pairwise-complete, one algebraic
+    aggregate from raw moments)."""
+    from dask_groupby_spark.operators.weighted import groupby_bivariate
+
+    li = load_table(spark, sf, "lineitem")
+    out = groupby_bivariate(
+        li, "l_returnflag", x="l_quantity", y="l_extendedprice",
+        funcs=("corr", "cov"),
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("corr", 6).alias("corr"),
+        F.round("cov", 4).alias("cov"),
+    )
+
+
 def q_wquantile(spark, sf):
     """exact weighted quantiles (inverted CDF), 3 q's fused into one
     window + one reusing aggregate (single Exchange)."""
@@ -1323,6 +1340,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gated; official rows land in round 3's window) ---
     "rank": q_rank,
     "wquantile": q_wquantile,
+    "corr": q_corr,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

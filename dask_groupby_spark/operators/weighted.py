@@ -61,6 +61,52 @@ def groupby_weighted(
     return out.orderBy(*by) if sort else out
 
 
+def groupby_bivariate(
+    df: DataFrame,
+    *by: str,
+    x: str,
+    y: str,
+    funcs: tuple = ("corr",),
+    ddof: int = 1,
+    sort: bool = True,
+) -> DataFrame:
+    """Bivariate grouped reductions over two value columns, pairwise-complete
+    (a row contributes only when BOTH x and y are non-missing — pandas
+    ``DataFrame.corr`` semantics, where NaN poisons nothing).
+
+    ``funcs`` ⊆ {corr, cov} (``cov`` honors ``ddof``: 1 = sample, 0 =
+    population).  Computed from the five raw moments Σx, Σy, Σxy, Σx², Σy²
+    in ONE hash aggregate — algebraic, map-side combinable, one shuffle;
+    never calls the non-combinable two-pass formulations.
+    """
+    ok = _valid(df, x) & _valid(df, y)
+    xv = F.when(ok, F.col(x).cast("double"))
+    yv = F.when(ok, F.col(y).cast("double"))
+    n = F.count(xv)
+    sx, sy = F.sum(xv), F.sum(yv)
+    sxy = F.sum(xv * yv)
+    sxx, syy = F.sum(xv * xv), F.sum(yv * yv)
+    cov_num = sxy - sx * sy / n  # n·Cov_pop numerator
+    aggs = []
+    for f in funcs:
+        if f == "cov":
+            denom = n - F.lit(ddof)
+            aggs.append(
+                F.when(denom > 0, cov_num / denom).alias("cov")
+            )
+        elif f == "corr":
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
+            aggs.append(
+                F.when((n > 1) & (vx > 0) & (vy > 0), cov_num / F.sqrt(vx * vy))
+                .alias("corr")
+            )
+        else:
+            raise ValueError(f"unknown bivariate func {f!r}")
+    out = df.groupBy(*by).agg(*aggs)
+    return out.orderBy(*by) if sort else out
+
+
 def weighted_quantile(
     df: DataFrame,
     *by: str,

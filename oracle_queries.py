@@ -507,6 +507,11 @@ WINDOW w AS (PARTITION BY event_type ORDER BY event_id
 SELECT event_id, event_type,
        lag(value, 2) OVER (PARTITION BY event_type ORDER BY event_id) AS shift
 FROM t""",
+    "corr": """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov
+FROM lineitem GROUP BY 1 ORDER BY 1""",
     "wquantile": f"""{_EV},
 s AS (SELECT event_type, value::DOUBLE AS x, 1.0 + (user_id % 5) AS w FROM t),
 c AS (SELECT event_type, x,

@@ -88,3 +88,31 @@ def test_weighted_quantile_single_exchange(spark):
     plan = weighted_quantile(df, "k", value="x", weight="w", q=[0.5, 0.9], sort=False) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bivariate_corr_cov_vs_numpy(spark):
+    import numpy as np
+
+    from dask_groupby_spark.operators.weighted import groupby_bivariate
+
+    rng = np.random.default_rng(31337)
+    n = 200
+    labels = rng.integers(0, 4, n)
+    xs = rng.random(n) * 10
+    ys = 0.5 * xs + rng.random(n) * 3
+    xs[rng.random(n) < 0.1] = np.nan  # pairwise-complete exclusion
+    rows = [(int(labels[i]), float(xs[i]), float(ys[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "k bigint, x double, y double")
+    out = {r["k"]: r for r in groupby_bivariate(
+        df, "k", x="x", y="y", funcs=("corr", "cov")
+    ).collect()}
+    for k in range(4):
+        sel = (labels == k) & ~np.isnan(xs)
+        exp_corr = float(np.corrcoef(xs[sel], ys[sel])[0, 1])
+        exp_cov = float(np.cov(xs[sel], ys[sel], ddof=1)[0, 1])
+        assert out[k]["corr"] == pytest.approx(exp_corr, rel=1e-9), k
+        assert out[k]["cov"] == pytest.approx(exp_cov, rel=1e-9), k
+    # degenerate group: single pair → cov ddof=1 undefined, corr undefined
+    d1 = spark.createDataFrame([(0, 1.0, 2.0)], "k bigint, x double, y double")
+    row = groupby_bivariate(d1, "k", x="x", y="y", funcs=("corr", "cov")).collect()[0]
+    assert row["corr"] is None and row["cov"] is None
