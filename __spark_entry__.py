@@ -1232,6 +1232,18 @@ def q_decontaminate(spark, sf):
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
 
 
+def q_bloom_decontam(spark, sf):
+    """Bloom-summarized decontamination (blocklist broadcast as an m-bit
+    filter, never as raw shingles) — at zero-FP sizing the result equals
+    exact n-gram decontamination, which is what the oracle computes."""
+    from dask_groupby_spark.operators.curate import decontaminate_bloom
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") < 20).select("text")
+    kept = decontaminate_bloom(docs.where(F.col("doc_id") >= 20), bench, k=8)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+
+
 def q_multimodal_meta(spark, sf):
     """Multimodal plumbing: fake binary payloads → Arrow-batched mapInPandas
     feature extraction → aggregate.  Oracle-checked (round 2): the
@@ -1341,6 +1353,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank": q_rank,
     "wquantile": q_wquantile,
     "corr": q_corr,
+    "bloom_decontam": q_bloom_decontam,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

@@ -130,3 +130,120 @@ def decontaminate(
             F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)),
         )
     return df.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination: the scale path for blocklists too large to
+# broadcast as raw shingle strings.  The filter is an m-bit array stored as
+# m/64 (word_idx, bits) rows — its size is FIXED by m, independent of the
+# blocklist's string volume, so it broadcasts at any blocklist size.
+
+
+def _bloom_probe(col, i: int, m_bits: int, hasher: str):
+    """i-th probe position via double hashing h1 + i*h2 (classic Kirsch-
+    Mitzenmacher construction: 2 base hashes serve any k)."""
+    from .dedup import _hasher
+
+    h = _hasher(hasher)
+    h1 = h(col, "bloom1") % F.lit(m_bits)
+    h2 = h(col, "bloom2") % F.lit(m_bits - 1) + F.lit(1)  # nonzero stride
+    return (h1 + F.lit(i) * h2) % F.lit(m_bits)
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 22,
+    n_hashes: int = 5,
+    hasher: str = "fast",
+) -> DataFrame:
+    """Distributed Bloom filter over ``df[col]``: returns (word_idx, bits)
+    rows — at most m/64 of them, regardless of input size.  One shuffle on
+    word_idx (bit_or is algebraic → map-side combine)."""
+    probes = F.array(*[_bloom_probe(F.col(col), i, m_bits, hasher) for i in range(n_hashes)])
+    p = df.select(F.explode(probes).alias("p"))
+    words = p.select(
+        F.shiftright("p", 6).alias("word_idx"),
+        # the Python shiftleft wrapper only takes a literal bit count —
+        # SQL-expr form accepts a column
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+    )
+    return words.groupBy("word_idx").agg(F.bit_or("m").alias("bits"))
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+    min_overlaps: int = 1,
+    m_bits: int = 1 << 22,
+    n_hashes: int = 5,
+    hasher: str = "fast",
+    mark_only: bool = False,
+) -> DataFrame:
+    """:func:`decontaminate` with the benchmark side summarized into a Bloom
+    filter instead of broadcast as raw shingles.
+
+    When to use which: plain ``decontaminate`` broadcasts the benchmark's
+    distinct shingle STRINGS — right up to ~1e6 shingles.  Beyond that
+    (giant blocklists, aggregated eval suites, copyright corpora) the raw
+    broadcast outgrows the driver; here the broadcast is the m-bit filter
+    (m/64 longs — 512 KiB at m=2²², FIXED regardless of blocklist size).
+
+    Plan: filter build = one bounded shuffle on word_idx; membership = the
+    k probes exploded MAP-SIDE into (doc, shingle-hash, word, mask) rows and
+    resolved by ONE broadcast hash join against the (word_idx, bits) table
+    (a single filter build, a single corpus scan); then two narrow shuffles
+    — all-probes-set per (doc, shingle-hash), overlap count per doc.  The
+    corpus text never shuffles (shingles ride as 63-bit hashes).
+
+    Bloom false positives can only OVER-drop (a clean doc removed), never
+    leak contamination; at the default m=2²², k=5 the FP rate at 1e5
+    blocklist shingles is ~1e-13 per probe.  False-positive budget is the
+    price of the bounded broadcast — audit with ``mark_only=True``.
+    """
+    from .dedup import _shingle_rows
+
+    bench_sh = (
+        _shingle_rows(benchmark, bench_text_col, bench_text_col, k)
+        .select("sh").distinct()
+    )
+    bloom = bloom_build(bench_sh, "sh", m_bits=m_bits, n_hashes=n_hashes, hasher=hasher)
+
+    from .dedup import fast_hash
+
+    corpus_sh = _shingle_rows(df, id_col, text_col, k)
+    probe_rows = corpus_sh.select(
+        "id",
+        fast_hash(F.col("sh"), "shid").alias("shash"),
+        F.explode(
+            F.array(*[_bloom_probe(F.col("sh"), i, m_bits, hasher) for i in range(n_hashes)])
+        ).alias("__p"),
+    ).select(
+        "id",
+        "shash",
+        F.shiftright("__p", 6).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").alias("__m"),
+    )
+    joined = probe_rows.join(F.broadcast(bloom), on="word_idx", how="left")
+    ok = F.coalesce(
+        F.col("bits").bitwiseAND(F.col("__m")) == F.col("__m"), F.lit(False)
+    )
+    per_sh = joined.groupBy("id", "shash").agg(
+        (F.min(ok.cast("int")) == 1).alias("__hit")
+    )
+    hits = (
+        per_sh.groupBy("id")
+        .agg(F.sum(F.col("__hit").cast("int")).alias("n_contaminated_ngrams"))
+        .where(F.col("n_contaminated_ngrams") >= min_overlaps)
+        .withColumnRenamed("id", id_col)
+    )
+    if mark_only:
+        return df.join(hits, on=id_col, how="left").withColumn(
+            "n_contaminated_ngrams",
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)),
+        )
+    return df.join(hits.select(id_col), on=id_col, how="left_anti")

@@ -960,6 +960,19 @@ SELECT doc_id,
                        AS BIGINT) < 288230376151711744
             THEN 'test' ELSE 'train' END AS split
 FROM documents""",
+    "bloom_decontam": f"""{_TOKS},
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk)-7, 0)+1),
+                               i -> array_to_string(tk[i:i+7], ' '))) AS sh
+  FROM toks
+),
+bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bsh USING (sh) WHERE s.doc_id >= 20)
+SELECT d.lang, count(*)::BIGINT AS n_kept
+FROM documents d
+WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+GROUP BY 1""",
     "decontaminate": f"""{_TOKS},
 sh AS (
   SELECT DISTINCT doc_id,

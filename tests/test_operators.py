@@ -468,6 +468,35 @@ def test_decontaminate(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontaminate_bloom_matches_exact(spark):
+    """Bloom-summarized decontamination == exact path at zero-FP sizing
+    (same drop set and same per-doc overlap counts), membership resolved by
+    a single broadcast join."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.curate import decontaminate, decontaminate_bloom
+
+    rng = np.random.default_rng(2468)
+    vocab = list("abcdefghij")
+    corpus = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab, 12))) for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    bench = corpus.where((F.col("doc_id") % 7) == 2).select("text")
+    exact_kept = {r["doc_id"] for r in decontaminate(corpus, bench, k=5).collect()}
+    bloom_kept = {r["doc_id"] for r in decontaminate_bloom(corpus, bench, k=5).collect()}
+    assert bloom_kept == exact_kept
+    em = {r["doc_id"]: r["n_contaminated_ngrams"]
+          for r in decontaminate(corpus, bench, k=5, mark_only=True).collect()}
+    bm = {r["doc_id"]: r["n_contaminated_ngrams"]
+          for r in decontaminate_bloom(corpus, bench, k=5, mark_only=True).collect()}
+    assert em == bm
+    plan = decontaminate_bloom(corpus, bench, k=5, mark_only=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # ONE membership broadcast + the final attach join — never k per-probe joins
+    assert plan.count("BroadcastHashJoin") <= 2
+
+
 def test_multimodal_audio_features(docs):
     from dask_groupby_spark.operators.multimodal import extract_audio_features
 
