@@ -1232,6 +1232,21 @@ def q_decontaminate(spark, sf):
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
 
 
+def q_pivot(spark, sf):
+    """wide grouped reduction (pivot): event_type rows × hour-of-day
+    columns, nansum — conditional aggregation with a DECLARED column
+    domain (no discovery job), single shuffle."""
+    from dask_groupby_spark.reshape import groupby_pivot
+
+    ev = _ev(spark, sf).withColumn("hour", F.hour("ts").cast("int"))
+    out = groupby_pivot(
+        ev, "event_type", "hour", func="nansum", value="vnan",
+        col_values=list(range(24)),
+    )
+    cols = [F.round(F.col(f"hour_{h}"), 4).alias(f"hour_{h}") for h in range(24)]
+    return out.select("event_type", *cols)
+
+
 def q_bloom_decontam(spark, sf):
     """Bloom-summarized decontamination (blocklist broadcast as an m-bit
     filter, never as raw shingles) — at zero-FP sizing the result equals
@@ -1354,6 +1369,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wquantile": q_wquantile,
     "corr": q_corr,
     "bloom_decontam": q_bloom_decontam,
+    "pivot": q_pivot,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

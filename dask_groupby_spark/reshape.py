@@ -1,0 +1,104 @@
+"""Reshape: long↔wide pivots of grouped reductions.
+
+The reference's multi-``by`` output is an N-D dense grid (one axis per
+grouper); a 2-D grid rendered wide IS a pivot table.  This module provides
+that rendering for long DataFrames.
+
+Scale design: ``groupby_pivot`` does NOT use ``DataFrame.pivot`` when the
+column domain is declared — Spark's pivot without explicit values runs an
+EXTRA collect-distinct job over the data to discover the columns, and the
+wide row is built driver-side metadata anyway.  Instead the pivot is pure
+conditional aggregation: ``agg(func(CASE WHEN col_by = v THEN value END)
+for v in col_values)`` — ONE shuffle on ``row_by``, map-side combinable,
+identical plan shape to any other grouped reduction.  The declared (or
+discovered) column domain must be modest (it becomes the schema — thousands,
+not millions); the row axis is unbounded.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PIVOT_FUNCS = ("count", "nansum", "nanmean", "nanmin", "nanmax")
+
+
+def _clean(df: DataFrame, value: str) -> Column:
+    v = F.col(value)
+    ok = v.isNotNull()
+    if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
+        ok = ok & ~F.isnan(v)
+    return F.when(ok, v)
+
+
+def groupby_pivot(
+    df: DataFrame,
+    row_by: str,
+    col_by: str,
+    func: str = "nansum",
+    value: str = "value",
+    col_values: Optional[Sequence] = None,
+    prefix: Optional[str] = None,
+    fill_value=None,
+    sort: bool = True,
+) -> DataFrame:
+    """Wide grouped reduction: one row per ``row_by`` label, one column per
+    ``col_by`` label (named ``{prefix}{label}``, prefix defaults to
+    ``{col_by}_``).
+
+    ``func`` ∈ {count, nansum, nanmean, nanmin, nanmax} (skip-missing
+    semantics, as the nan* registry names imply).  ``col_values`` declares
+    the column domain — pass it at scale (skipping the discovery job and
+    fixing the schema); when omitted, one distinct-collect job discovers
+    the observed labels (sorted).  ``fill_value`` fills empty cells.
+    """
+    if func not in _PIVOT_FUNCS:
+        raise ValueError(f"func must be one of {_PIVOT_FUNCS}")
+    if col_values is None:
+        col_values = [
+            r[0]
+            for r in df.select(col_by).distinct().orderBy(col_by).collect()
+            if r[0] is not None
+        ]
+    prefix = f"{col_by}_" if prefix is None else prefix
+    clean = _clean(df, value)
+    aggs = []
+    for v in col_values:
+        cell = F.when(F.col(col_by) == F.lit(v), clean)
+        if func == "count":
+            a = F.count(cell)
+        elif func == "nansum":
+            a = F.sum(cell)
+        elif func == "nanmean":
+            a = F.avg(cell)
+        elif func == "nanmin":
+            a = F.min(cell)
+        else:
+            a = F.max(cell)
+        if func in ("count", "nansum"):
+            a = F.coalesce(a, F.lit(0).cast("double" if func == "nansum" else "long"))
+        if fill_value is not None:
+            a = F.coalesce(a, F.lit(fill_value))
+        name = f"{prefix}{v}".replace(".", "_").replace("-", "_")
+        aggs.append(a.alias(name))
+    out = df.groupBy(row_by).agg(*aggs)
+    return out.orderBy(row_by) if sort else out
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide→long (pandas ``melt`` / SQL UNPIVOT): map-only, zero shuffle."""
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

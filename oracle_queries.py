@@ -507,6 +507,33 @@ WINDOW w AS (PARTITION BY event_type ORDER BY event_id
 SELECT event_id, event_type,
        lag(value, 2) OVER (PARTITION BY event_type ORDER BY event_id) AS shift
 FROM t""",
+    "pivot": f"""{_EV}
+SELECT event_type,
+       round(coalesce(sum(CASE WHEN hour(ts) = 0 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_0,
+       round(coalesce(sum(CASE WHEN hour(ts) = 1 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_1,
+       round(coalesce(sum(CASE WHEN hour(ts) = 2 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_2,
+       round(coalesce(sum(CASE WHEN hour(ts) = 3 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_3,
+       round(coalesce(sum(CASE WHEN hour(ts) = 4 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_4,
+       round(coalesce(sum(CASE WHEN hour(ts) = 5 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_5,
+       round(coalesce(sum(CASE WHEN hour(ts) = 6 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_6,
+       round(coalesce(sum(CASE WHEN hour(ts) = 7 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_7,
+       round(coalesce(sum(CASE WHEN hour(ts) = 8 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_8,
+       round(coalesce(sum(CASE WHEN hour(ts) = 9 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_9,
+       round(coalesce(sum(CASE WHEN hour(ts) = 10 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_10,
+       round(coalesce(sum(CASE WHEN hour(ts) = 11 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_11,
+       round(coalesce(sum(CASE WHEN hour(ts) = 12 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_12,
+       round(coalesce(sum(CASE WHEN hour(ts) = 13 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_13,
+       round(coalesce(sum(CASE WHEN hour(ts) = 14 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_14,
+       round(coalesce(sum(CASE WHEN hour(ts) = 15 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_15,
+       round(coalesce(sum(CASE WHEN hour(ts) = 16 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_16,
+       round(coalesce(sum(CASE WHEN hour(ts) = 17 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_17,
+       round(coalesce(sum(CASE WHEN hour(ts) = 18 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_18,
+       round(coalesce(sum(CASE WHEN hour(ts) = 19 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_19,
+       round(coalesce(sum(CASE WHEN hour(ts) = 20 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_20,
+       round(coalesce(sum(CASE WHEN hour(ts) = 21 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_21,
+       round(coalesce(sum(CASE WHEN hour(ts) = 22 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_22,
+       round(coalesce(sum(CASE WHEN hour(ts) = 23 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_23
+FROM t GROUP BY 1 ORDER BY 1""",
     "corr": """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr,

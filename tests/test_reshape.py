@@ -1,0 +1,50 @@
+"""groupby_pivot / melt: wide grouped reductions and the round trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_groupby_spark.reshape import groupby_pivot, melt
+
+
+@pytest.fixture(scope="module")
+def longdf(spark):
+    rows = [
+        ("a", 1, 10.0), ("a", 1, 20.0), ("a", 2, 5.0),
+        ("b", 2, 7.0), ("b", 3, float("nan")), ("b", 3, 1.0),
+    ]
+    return spark.createDataFrame(rows, "r string, c bigint, value double")
+
+
+def test_pivot_sum_declared_domain(longdf):
+    out = groupby_pivot(longdf, "r", "c", func="nansum", col_values=[1, 2, 3])
+    rows = {r["r"]: r for r in out.collect()}
+    assert rows["a"]["c_1"] == 30.0 and rows["a"]["c_2"] == 5.0 and rows["a"]["c_3"] == 0.0
+    assert rows["b"]["c_2"] == 7.0 and rows["b"]["c_3"] == 1.0  # NaN skipped
+    assert out.columns == ["r", "c_1", "c_2", "c_3"]
+
+
+def test_pivot_mean_discovered_domain_and_fill(longdf):
+    out = groupby_pivot(longdf, "r", "c", func="nanmean", fill_value=-1.0)
+    rows = {r["r"]: r for r in out.collect()}
+    assert rows["a"]["c_1"] == pytest.approx(15.0)
+    assert rows["a"]["c_3"] == -1.0  # empty cell filled
+    assert rows["b"]["c_1"] == -1.0
+
+
+def test_pivot_single_shuffle(longdf):
+    plan = groupby_pivot(
+        longdf, "r", "c", func="count", col_values=[1, 2, 3], sort=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_melt_round_trip(longdf, spark):
+    wide = groupby_pivot(longdf, "r", "c", func="nansum", col_values=[1, 2, 3])
+    back = melt(wide, ["r"], ["c_1", "c_2", "c_3"], var_name="c", value_name="s")
+    got = {(r["r"], r["c"]): r["s"] for r in back.collect()}
+    assert got[("a", "c_1")] == 30.0 and got[("b", "c_3")] == 1.0
+    assert len(got) == 6
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # unpivot itself is the map-only Expand operator — no join, no shuffle of
+    # its own (the exchanges in the plan belong to the upstream pivot/sort)
+    assert "Expand" in plan and "Join" not in plan
