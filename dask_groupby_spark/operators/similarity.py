@@ -243,6 +243,43 @@ def ivf_topk(
 
     Output: (query_id, neighbor_id, cosine, rank) — rank ≤ k per query.
     """
+    cents = _ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        refine_iters=refine_iters,
+    )
+    cent_arr = _centroid_literal(cents)
+
+    def _scored(v: Column) -> Column:
+        return _cell_scores(cent_arr, v)
+
+    cv = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("nv"),
+        _norm(cv).alias("nn"),
+        F.array_max(_scored(cv))["cell"].alias("cell"),
+    )
+    probed = F.slice(F.sort_array(_scored(cv), asc=False), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        cv.alias("qv"),
+        _norm(cv).alias("qn"),
+        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
+    )
+    return _score_candidates(c, q, k)
+
+
+def _ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    refine_iters: int = 0,
+):
+    """Coarse quantizer as a list of {cell, cv} dicts: deterministically
+    seeded from the n_cells lowest-id vectors, optionally refined with
+    distributed spherical Lloyd iterations.  Always KB-sized — the ONE
+    justified driver collect in the ANN family."""
     cents = (
         corpus.select(
             F.col(id_col).alias("cell"),
@@ -281,9 +318,13 @@ def ivf_topk(
         prev = {int(r["cell"]): r["cv"] for r in cents}
         prev.update({int(r["cell"]): list(r["cv"]) for r in new})
         cents = [{"cell": c, "cv": v} for c, v in sorted(prev.items())]
+    return cents
+
+
+def _centroid_literal(cents) -> Column:
     # F.lit on the whole python list → one array literal per centroid (a
     # single JVM call), not dim× nested lit() calls
-    cent_arr = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(int(r["cell"])).alias("cell"),
@@ -293,32 +334,23 @@ def ivf_topk(
         ]
     )
 
-    def _scored(v: Column) -> Column:
-        # struct field order (cos, negcell, cell): array_max / sort_array
-        # compare cos first, then negcell — ties break to the SMALLEST cell
-        return F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                cosine_similarity(v, c["cv"]).alias("cos"),
-                (-c["cell"]).alias("negcell"),
-                c["cell"].alias("cell"),
-            ),
-        )
 
-    cv = F.col(vec_col).cast("array<double>")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        cv.alias("nv"),
-        _norm(cv).alias("nn"),
-        F.array_max(_scored(cv))["cell"].alias("cell"),
+def _cell_scores(cent_arr: Column, v: Column) -> Column:
+    # struct field order (cos, negcell, cell): array_max / sort_array
+    # compare cos first, then negcell — ties break to the SMALLEST cell
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            cosine_similarity(v, c["cv"]).alias("cos"),
+            (-c["cell"]).alias("negcell"),
+            c["cell"].alias("cell"),
+        ),
     )
-    probed = F.slice(F.sort_array(_scored(cv), asc=False), 1, nprobe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        cv.alias("qv"),
-        _norm(cv).alias("qn"),
-        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
-    )
+
+
+def _score_candidates(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Shared IVF tail: candidate join on cell (queries broadcast), exact
+    cosine, per-query top-k."""
     joined = c.join(F.broadcast(q), on="cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -335,6 +367,84 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    refine_iters: int = 0,
+) -> None:
+    """Materialize an IVF index as CELL-PARTITIONED parquet: build the
+    coarse quantizer once, assign cells map-only, and write
+
+    - ``{path}/vectors/cell=<c>/…`` — (neighbor_id, nv, nn) with the cell as
+      a physical partition directory, and
+    - ``{path}/centroids`` — the KB-sized quantizer table.
+
+    Query-time payoff (:func:`ivf_index_topk`): probing reads ONLY the
+    probed cells' directories via partition pruning — at 1000 cells /
+    nprobe=10, 99% of the corpus bytes are never opened.  The precomputed
+    norm ``nn`` also drops a per-query recompute.  This is the Spark-native
+    equivalent of a serving-side IVF index (same layout philosophy as
+    `plans.bucket_table`: pay one write-time shuffle-by-layout, reuse it
+    every query)."""
+    cents = _ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        refine_iters=refine_iters,
+    )
+    cent_arr = _centroid_literal(cents)
+    cv = F.col(vec_col).cast("array<double>")
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("nv"),
+        _norm(cv).alias("nn"),
+        F.array_max(_cell_scores(cent_arr, cv))["cell"].alias("cell"),
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/vectors")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(r["cell"]), [float(x) for x in r["cv"]]) for r in cents],
+        "cell int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_index_write`): load the tiny
+    centroid table, assign each query its ``nprobe`` cells map-only, and
+    scan ONLY those cells (`cell IN (...)` reaches the scan as a
+    PartitionFilter — directory-level pruning, asserted in tests).
+
+    Results are identical to :func:`ivf_topk` with the same parameters
+    (same quantizer seeding, same tie-breaks)."""
+    cents = [
+        {"cell": r["cell"], "cv": r["cv"]}
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    cents.sort(key=lambda r: r["cell"])
+    cent_arr = _centroid_literal(cents)
+    cv = F.col(vec_col).cast("array<double>")
+    probed = F.slice(F.sort_array(_cell_scores(cent_arr, cv), asc=False), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        cv.alias("qv"),
+        _norm(cv).alias("qn"),
+        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
+    )
+    # the probed-cell set is bounded by n_cells — a planner-side collect
+    cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    idx = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(cells))
+    return _score_candidates(idx, q, k)
 
 
 def group_centroids(

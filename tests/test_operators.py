@@ -644,3 +644,39 @@ def test_cosine_topk_blas_matches_jvm(spark):
     assert jvm == blas
     # self never appears among neighbors
     assert all(nid != qid for (qid, _), nid in blas.items())
+
+
+def test_ivf_index_persist_matches_inline(spark, tmp_path_factory):
+    """Persisted IVF index returns the exact rank table of inline ivf_topk,
+    and probing reads only the probed cells (PartitionFilters at the scan)."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_index_write,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(1618)
+    dim = 16
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(300)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in rng.standard_normal(dim)]) for i in range(5)],
+        "vec_id bigint, embedding array<float>",
+    )
+    inline = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(corpus, queries, k=5, n_cells=6, nprobe=2).collect()
+    )
+    path = str(tmp_path_factory.mktemp("ivfidx"))
+    ivf_index_write(corpus, path, n_cells=6)
+    out = ivf_index_topk(spark, path, queries, k=5, nprobe=2)
+    persisted = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in out.collect()
+    )
+    assert persisted == inline
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("PartitionFilters: [ cell", "PartitionFilters: [cell") or "cell#" in plan.split("PartitionFilters")[1][:200]
