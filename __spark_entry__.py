@@ -1232,6 +1232,26 @@ def q_decontaminate(spark, sf):
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
 
 
+def q_describe(spark, sf):
+    """pandas-describe summary in ONE fused aggregate (count/mean/std/min/
+    p25/p50/p75/max share a single shuffle + hash table)."""
+    from dask_groupby_spark import groupby_describe
+
+    ev = _ev(spark, sf)
+    out = groupby_describe(ev, "event_type", value="vnan")
+    return out.select(
+        "event_type",
+        "count",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("min", 6).alias("min"),
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+        F.round("max", 6).alias("max"),
+    )
+
+
 def q_pivot(spark, sf):
     """wide grouped reduction (pivot): event_type rows × hour-of-day
     columns, nansum — conditional aggregation with a DECLARED column
@@ -1370,6 +1390,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr": q_corr,
     "bloom_decontam": q_bloom_decontam,
     "pivot": q_pivot,
+    "describe": q_describe,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

@@ -24,7 +24,7 @@ and shuffle planning natively (see SURVEY.md §4).
 from .aggregations import AGGREGATIONS, SCANS, Aggregation, Scan
 from .binning import Bins
 from .complex import complex_col, groupby_reduce_complex
-from .core import groupby_agg, groupby_rank, groupby_reduce, groupby_scan
+from .core import groupby_agg, groupby_describe, groupby_rank, groupby_reduce, groupby_scan
 from .plans import bucket_table, rechunk_for_blockwise
 from .resample import resample
 from .rolling import groupby_rolling
@@ -41,6 +41,7 @@ __all__ = [
     "groupby_reduce",
     "groupby_reduce_complex",
     "complex_col",
+    "groupby_describe",
     "groupby_rank",
     "groupby_rolling",
     "groupby_scan",

@@ -379,6 +379,35 @@ def groupby_scan(
     return work.withColumn(out_name, col)
 
 
+def groupby_describe(
+    df: DataFrame,
+    *by: str,
+    value: str = "value",
+    percentiles=(0.25, 0.5, 0.75),
+    sort: bool = True,
+) -> DataFrame:
+    """pandas ``GroupBy.describe`` in one fused pass: count, mean, std
+    (ddof=1), min, the requested percentiles (``p25``-style names), max —
+    all through :func:`groupby_agg`, so ONE shuffle and one shared hash
+    table regardless of how many statistics are requested.
+
+    The percentile members are exact (holistic) — same buffering caveat as
+    ``quantile``; swap in ``approx_quantile`` members via ``groupby_agg``
+    directly when a hot key demands bounded state.
+    """
+    funcs = [
+        ("count", value, "count"),
+        ("nanmean", value, "mean"),
+        ("nanstd", value, "std", {"ddof": 1}),
+        ("nanmin", value, "min"),
+    ]
+    for p in percentiles:
+        name = f"p{p * 100:g}".replace(".", "_")
+        funcs.append(("nanquantile", value, name, {"q": float(p)}))
+    funcs.append(("nanmax", value, "max"))
+    return groupby_agg(df, *by, funcs=funcs, sort=sort)
+
+
 def groupby_rank(
     df: DataFrame,
     *by: str,

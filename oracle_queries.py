@@ -534,6 +534,17 @@ SELECT event_type,
        round(coalesce(sum(CASE WHEN hour(ts) = 22 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_22,
        round(coalesce(sum(CASE WHEN hour(ts) = 23 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_23
 FROM t GROUP BY 1 ORDER BY 1""",
+    "describe": f"""{_EV}
+SELECT event_type,
+       count(CASE WHEN NOT isnan(vnan) THEN vnan END)::BIGINT AS "count",
+       round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS mean,
+       round(stddev_samp(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS std,
+       round(min(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS "min",
+       round(quantile_cont(CASE WHEN NOT isnan(vnan) THEN vnan END, 0.25), 6) AS p25,
+       round(quantile_cont(CASE WHEN NOT isnan(vnan) THEN vnan END, 0.5), 6) AS p50,
+       round(quantile_cont(CASE WHEN NOT isnan(vnan) THEN vnan END, 0.75), 6) AS p75,
+       round(max(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS "max"
+FROM t GROUP BY 1 ORDER BY 1""",
     "corr": """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr,

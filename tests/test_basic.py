@@ -194,3 +194,35 @@ def test_datetime_accessor_unknown_raises(spark):
     df = spark.createDataFrame([(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, v double")
     with pytest.raises(ValueError, match="accessor"):
         groupby_reduce(df, "ts.fortnight", func="count", value="v")
+
+
+def test_groupby_describe_vs_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dask_groupby_spark import groupby_describe
+
+    rng = np.random.default_rng(808)
+    n = 150
+    labels = rng.integers(0, 4, n)
+    vals = rng.random(n) * 100
+    vals[rng.random(n) < 0.1] = np.nan
+    df = spark.createDataFrame(
+        [(int(labels[i]), float(vals[i])) for i in range(n)], "k bigint, value double"
+    )
+    out = {r["k"]: r for r in groupby_describe(df, "k").collect()}
+    pdf = pd.DataFrame({"k": labels, "value": vals})
+    exp = pdf.groupby("k")["value"].describe()
+    import math
+    for k in range(4):
+        e = exp.loc[k]
+        g = out[k]
+        assert g["count"] == int(e["count"])
+        for ours, theirs in [("mean", "mean"), ("std", "std"), ("min", "min"),
+                             ("p25", "25%"), ("p50", "50%"), ("p75", "75%"),
+                             ("max", "max")]:
+            assert math.isclose(g[ours], e[theirs], rel_tol=1e-9), (k, ours)
+    # one fused aggregate: a single Exchange in the plan
+    plan = groupby_describe(df, "k", sort=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
