@@ -1232,6 +1232,19 @@ def q_decontaminate(spark, sf):
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
 
 
+def q_wsample(spark, sf):
+    """weighted per-group sampling (Efraimidis-Spirakis exponential keys,
+    portable hash): 20 docs per lang, inclusion ∝ n_chars."""
+    from dask_groupby_spark.operators.selection import sample_per_group
+
+    docs = load_table(spark, sf, "documents")
+    out = sample_per_group(
+        docs, "lang", n=20, id_col="doc_id", seed="wsamp",
+        hasher="portable", weight_col="n_chars",
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def q_describe(spark, sf):
     """pandas-describe summary in ONE fused aggregate (count/mean/std/min/
     p25/p50/p75/max share a single shuffle + hash table)."""
@@ -1391,6 +1404,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontam": q_bloom_decontam,
     "pivot": q_pivot,
     "describe": q_describe,
+    "wsample": q_wsample,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

@@ -100,19 +100,37 @@ def sample_per_group(
     seed: str = "sample",
     hasher: str = "fast",
     skew_salt: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic pseudo-random sample of ``n`` rows per group: rows are
     ranked by a seeded hash of their id (uniform, reproducible across runs
     and engines with ``hasher="portable"``) and the first ``n`` kept — the
     standard downsampling step when balancing a training mix.
 
+    ``weight_col``: weighted sampling WITHOUT replacement via
+    Efraimidis–Spirakis exponential keys — rank by ``-ln(u)/w`` ascending,
+    where ``u`` is the seeded-hash uniform.  Inclusion probability is
+    proportional to weight (quality-score-weighted downsampling); rows with
+    missing/non-positive weight are excluded.  Still fully deterministic —
+    the randomness is the hash, not an RNG.
+
     ``skew_salt=S``: same two-stage trick as :func:`grouped_topk` (sampling
-    IS top-n by hash order, which distributes over row partitions), so a
+    IS top-n by key order, which distributes over row partitions), so a
     group with billions of rows never hits a single task.  The salt is
     derived from the same hash used for ranking, so results are identical
     and still deterministic.
     """
-    h = _hasher(hasher)(F.col(id_col).cast("string"), seed)
+    hbits = _hasher(hasher)(F.col(id_col).cast("string"), seed)
+    if weight_col is not None:
+        m = float(1 << 53)
+        u = ((hbits % F.lit(1 << 53)).cast("double") + 1.0) / F.lit(m + 1.0)
+        wv = F.col(weight_col).cast("double")
+        key = -F.log(u) / wv
+        h = F.when(wv.isNotNull() & ~F.isnan(wv) & (wv > 0), key)
+        # NULL keys (bad weights) must lose: sort them last
+        df = df.where(h.isNotNull())
+    else:
+        h = hbits
     if skew_salt and skew_salt > 1:
         wp = Window.partitionBy(*by, "__salt").orderBy(h.asc(), F.col(id_col).asc())
         df = (

@@ -534,6 +534,21 @@ SELECT event_type,
        round(coalesce(sum(CASE WHEN hour(ts) = 22 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_22,
        round(coalesce(sum(CASE WHEN hour(ts) = 23 AND NOT isnan(vnan) THEN vnan END), 0), 4) AS hour_23
 FROM t GROUP BY 1 ORDER BY 1""",
+    "wsample": """
+WITH keyed AS (
+  SELECT lang, doc_id,
+         -ln(((CAST('0x'||substr(md5('wsamp:'||doc_id::VARCHAR),1,15) AS BIGINT)
+               % 9007199254740992) + 1.0) / 9007199254740993.0)
+         / n_chars::DOUBLE AS key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= 20 ORDER BY lang, doc_id""",
     "describe": f"""{_EV}
 SELECT event_type,
        count(CASE WHEN NOT isnan(vnan) THEN vnan END)::BIGINT AS "count",

@@ -80,3 +80,54 @@ def test_sample_per_group_deterministic(spark):
     s3 = {(r["grp"], r["id"]) for r in
           sample_per_group(df, "grp", n=4, id_col="id", seed="other").collect()}
     assert s1 != s3  # seed changes the sample
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """weight_col sampling (Efraimidis-Spirakis keys) vs an exact Python
+    recomputation of the same portable-hash keys — fully deterministic."""
+    import hashlib
+    import math
+
+    from dask_groupby_spark.operators.selection import sample_per_group
+
+    rows = []
+    for g in range(3):
+        for i in range(40):
+            doc = g * 100 + i
+            rows.append((g, doc, 0.5 + (doc % 7)))
+    # some bad weights → excluded
+    rows += [(0, 900, None), (1, 901, -3.0), (2, 902, float("nan"))]
+    df = spark.createDataFrame(rows, "g bigint, doc bigint, w double")
+
+    out = sample_per_group(
+        df, "g", n=5, id_col="doc", seed="ws", hasher="portable", weight_col="w"
+    )
+    got = {g: sorted(r["doc"] for r in rws) for g, rws in
+           __import__("itertools").groupby(
+               sorted(out.collect(), key=lambda r: r["g"]), key=lambda r: r["g"])}
+
+    def phash(x):
+        return int(hashlib.md5(f"ws:{x}".encode()).hexdigest()[:15], 16)
+
+    M = 1 << 53
+    expect = {}
+    for g in range(3):
+        keyed = []
+        for gg, doc, w in rows:
+            if gg != g or w is None or not (w > 0) or math.isnan(w):
+                continue
+            u = (phash(doc) % M + 1.0) / (M + 1.0)
+            keyed.append((-math.log(u) / w, doc))
+        keyed.sort()
+        expect[g] = sorted(doc for _, doc in keyed[:5])
+    assert got == expect
+    # salted plan returns the identical set
+    salted = sample_per_group(
+        df, "g", n=5, id_col="doc", seed="ws", hasher="portable",
+        weight_col="w", skew_salt=4,
+    )
+    got_salted = {g: sorted(r["doc"] for r in rws) for g, rws in
+                  __import__("itertools").groupby(
+                      sorted(salted.collect(), key=lambda r: r["g"]),
+                      key=lambda r: r["g"])}
+    assert got_salted == expect
