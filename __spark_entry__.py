@@ -1245,6 +1245,31 @@ def q_wsample(spark, sf):
     return out.select("lang", "doc_id").orderBy("lang", "doc_id")
 
 
+def q_rollup(spark, sf):
+    """hierarchical subtotals (ROLLUP): leaf/per-type/grand-total levels in
+    one Expand + single shuffle; __grouping_id disambiguates rolled-up
+    NULLs from genuine NULL labels."""
+    from dask_groupby_spark.reshape import groupby_rollup
+
+    ev = _ev(spark, sf).withColumn("hour", F.hour("ts").cast("int"))
+    out = groupby_rollup(ev, "event_type", "hour", func="nansum", value="vnan")
+    return out.select(
+        "event_type", "hour",
+        F.col("__grouping_id").cast("bigint").alias("__grouping_id"),
+        F.round("nansum", 4).alias("nansum"),
+    )
+
+
+def q_twa(spark, sf):
+    """time-weighted mean (irregular series: value weighted by how long it
+    held) — one lead window + one reusing aggregate."""
+    from dask_groupby_spark.operators.weighted import time_weighted_mean
+
+    ev = _ev(spark, sf)
+    out = time_weighted_mean(ev, "event_type", ts_col="ts", value="value")
+    return out.select("event_type", F.round("twa", 6).alias("twa"))
+
+
 def q_describe(spark, sf):
     """pandas-describe summary in ONE fused aggregate (count/mean/std/min/
     p25/p50/p75/max share a single shuffle + hash table)."""
@@ -1405,6 +1430,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot": q_pivot,
     "describe": q_describe,
     "wsample": q_wsample,
+    "rollup": q_rollup,
+    "twa": q_twa,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

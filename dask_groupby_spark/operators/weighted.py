@@ -165,6 +165,57 @@ def weighted_quantile(
     return out.orderBy(*by) if sort else out
 
 
+def time_weighted_mean(
+    df: DataFrame,
+    *by: str,
+    ts_col: str,
+    value: str,
+    out: str = "twa",
+    tiebreak: str | None = None,
+    sort: bool = True,
+) -> DataFrame:
+    """Time-weighted average for irregularly-sampled series: each
+    observation is weighted by how long it was current — ``lead(ts) − ts``
+    within its group (last observation holds zero duration; a single-row
+    group falls back to its value).  The standard TWA of sensor/market
+    data, where a value that held for an hour must not count like one that
+    held for a second.
+
+    If a group can contain DUPLICATE timestamps, pass ``tiebreak=`` (a
+    unique column) — otherwise the lead assignment across the tie, and
+    hence the two tied rows' durations, is partition-order-dependent.
+    Tied rows get duration 0 except the tiebreak-last one, which is a
+    defined convention rather than a modeling choice.
+
+    One ordered window (lead) + one hash aggregate that reuses the window's
+    key partitioning — a single Exchange.  Missing values or NULL
+    timestamps are excluded pairwise before weighting.
+    """
+    from pyspark.sql import Window
+
+    ok = _valid(df, value) & F.col(ts_col).isNotNull()
+    base = df.where(ok).select(
+        *by,
+        F.col(ts_col).cast("double").alias("__t"),
+        F.col(value).cast("double").alias("__x"),
+        *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
+    )
+    order = [F.col("__t").asc()] + ([F.col("__tb").asc()] if tiebreak else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    staged = base.select(
+        *by, "__x",
+        (F.coalesce(F.lead("__t", 1).over(w), F.col("__t")) - F.col("__t")).alias("__dur"),
+    )
+    res = staged.groupBy(*by).agg(
+        F.when(
+            F.sum("__dur") > 0, F.sum(F.col("__x") * F.col("__dur")) / F.sum("__dur")
+        )
+        .otherwise(F.avg("__x"))  # all-zero durations (single point / all-equal ts)
+        .alias(out)
+    )
+    return res.orderBy(*by) if sort else res
+
+
 def top_terms(
     df: DataFrame,
     *by: str,

@@ -88,6 +88,43 @@ def groupby_pivot(
     return out.orderBy(row_by) if sort else out
 
 
+def groupby_rollup(
+    df: DataFrame,
+    *by: str,
+    func: str = "nansum",
+    value: str = "value",
+    cube: bool = False,
+    sort: bool = True,
+) -> DataFrame:
+    """Hierarchical (ROLLUP) or full lattice (CUBE) grouped reduction —
+    subtotals at every key-prefix level (rollup) or every key subset (cube),
+    plus the grand total; NULL marks the rolled-up position and
+    ``__grouping_id`` disambiguates it from a genuine NULL label.
+
+    Executes as Spark's native ``rollup``/``cube`` — ONE shuffle with an
+    Expand over the grouping sets (map-side row replication × levels), the
+    same plan SQL GROUPING SETS produces; Catalyst still applies partial
+    aggregation per grouping set, so a hot key combines map-side at every
+    level.  ``func`` ∈ {count, nansum, nanmean, nanmin, nanmax}.
+    """
+    if func not in _PIVOT_FUNCS:
+        raise ValueError(f"func must be one of {_PIVOT_FUNCS}")
+    clean = _clean(df, value)
+    agg = {
+        "count": F.count(clean),
+        "nansum": F.coalesce(F.sum(clean), F.lit(0.0)),
+        "nanmean": F.avg(clean),
+        "nanmin": F.min(clean),
+        "nanmax": F.max(clean),
+    }[func].alias(func)
+    gid = F.grouping_id(*[F.col(b) for b in by]).alias("__grouping_id")
+    grouped = df.cube(*by) if cube else df.rollup(*by)
+    out = grouped.agg(agg, gid)
+    cols = [*by, "__grouping_id", func]
+    out = out.select(*cols)
+    return out.orderBy("__grouping_id", *by) if sort else out
+
+
 def melt(
     df: DataFrame,
     id_cols: Sequence[str],

@@ -549,6 +549,22 @@ ranked AS (
   FROM keyed
 )
 SELECT lang, doc_id FROM ranked WHERE rn <= 20 ORDER BY lang, doc_id""",
+    "rollup": f"""{_EV},
+s AS (SELECT event_type, hour(ts)::INT AS hour, vnan FROM t)
+SELECT event_type, hour, GROUPING(event_type, hour)::BIGINT AS __grouping_id,
+       round(coalesce(sum(CASE WHEN NOT isnan(vnan) THEN vnan END), 0), 4) AS nansum
+FROM s GROUP BY ROLLUP (event_type, hour)
+ORDER BY 3, 1, 2""",
+    "twa": f"""{_EV},
+s AS (SELECT event_type, epoch(ts)::DOUBLE AS tt, value FROM t
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+d AS (SELECT event_type, value,
+             coalesce(lead(tt) OVER (PARTITION BY event_type ORDER BY tt ASC), tt) - tt AS dur
+      FROM s)
+SELECT event_type,
+       round(CASE WHEN sum(dur) > 0 THEN sum(value * dur) / sum(dur)
+                  ELSE avg(value) END, 6) AS twa
+FROM d GROUP BY 1 ORDER BY 1""",
     "describe": f"""{_EV}
 SELECT event_type,
        count(CASE WHEN NOT isnan(vnan) THEN vnan END)::BIGINT AS "count",

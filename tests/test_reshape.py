@@ -48,3 +48,24 @@ def test_melt_round_trip(longdf, spark):
     # unpivot itself is the map-only Expand operator — no join, no shuffle of
     # its own (the exchanges in the plan belong to the upstream pivot/sort)
     assert "Expand" in plan and "Join" not in plan
+
+
+def test_rollup_and_cube(longdf):
+    from dask_groupby_spark.reshape import groupby_rollup
+
+    out = groupby_rollup(longdf, "r", "c", func="count")
+    rows = {(r["r"], r["c"], r["__grouping_id"]): r["count"] for r in out.collect()}
+    # leaf level
+    assert rows[("a", 1, 0)] == 2 and rows[("b", 3, 0)] == 1  # NaN excluded
+    # per-r subtotal (c rolled up → gid 1)
+    assert rows[("a", None, 1)] == 3 and rows[("b", None, 1)] == 2
+    # grand total (gid 3)
+    assert rows[(None, None, 3)] == 5
+    # rollup has NO per-c-only level; cube does (gid 2)
+    assert not any(gid == 2 for (_, _, gid) in rows)
+    cube = groupby_rollup(longdf, "r", "c", func="count", cube=True)
+    crows = {(r["r"], r["c"], r["__grouping_id"]): r["count"] for r in cube.collect()}
+    assert crows[(None, 1, 2)] == 2 and crows[(None, 2, 2)] == 2
+    plan = groupby_rollup(longdf, "r", "c", func="count", sort=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and plan.count("Exchange") == 1

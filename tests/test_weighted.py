@@ -116,3 +116,25 @@ def test_bivariate_corr_cov_vs_numpy(spark):
     d1 = spark.createDataFrame([(0, 1.0, 2.0)], "k bigint, x double, y double")
     row = groupby_bivariate(d1, "k", x="x", y="y", funcs=("corr", "cov")).collect()[0]
     assert row["corr"] is None and row["cov"] is None
+
+
+def test_time_weighted_mean(spark):
+    from dask_groupby_spark.operators.weighted import time_weighted_mean
+
+    rows = [
+        # group 0: value 10 holds for 9s, value 20 for 1s, value 99 is last (0s)
+        (0, 0.0, 10.0), (0, 9.0, 20.0), (0, 10.0, 99.0),
+        # group 1: single point → its value
+        (1, 5.0, 42.0),
+        # group 2: NaN value excluded; remaining 2 points
+        (2, 0.0, float("nan")), (2, 1.0, 4.0), (2, 3.0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts double, x double")
+    out = {r["k"]: r["twa"] for r in
+           time_weighted_mean(df, "k", ts_col="ts", value="x").collect()}
+    assert out[0] == pytest.approx((10 * 9 + 20 * 1) / 10)
+    assert out[1] == 42.0
+    assert out[2] == pytest.approx(4.0)  # 4 holds 2s, 8 is last
+    plan = time_weighted_mean(df, "k", ts_col="ts", value="x", sort=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
