@@ -61,10 +61,29 @@ def _prep(spark: SparkSession) -> None:
 
 def _li(spark, sf):
     """lineitem + deterministic helper columns: unique order index ``idx``
-    (l_linenumber is 1-based and < 8) and NaN-contaminated ``v`` (only the
-    'A' return-flag groups are contaminated, so propagate vs skip differ)."""
+    and NaN-contaminated ``v`` (only the 'A' return-flag groups are
+    contaminated, so propagate vs skip differ).
+
+    ``idx`` is a portable 60-bit hash of the full distinguishing tuple —
+    the driver's synthetic lineitem DUPLICATES (l_orderkey, l_linenumber)
+    pairs (rows sampled with replacement), so the natural
+    ``orderkey*8+linenumber`` index has ties with DIFFERENT values, making
+    first/last/arg* genuinely ambiguous between engines.  Hash order is an
+    arbitrary but shared, collision-free total order; floats enter as
+    ×100 integers so the hashed string renders identically in both
+    engines."""
     li = load_table(spark, sf, "lineitem")
-    return li.withColumn("idx", F.col("l_orderkey") * 8 + F.col("l_linenumber")).withColumn(
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+    )
+    idx = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return li.withColumn("idx", idx).withColumn(
         "v",
         F.when((F.col("l_returnflag") == "A") & (F.col("l_quantity") < 5), F.lit(NAN)).otherwise(
             F.col("l_quantity")
@@ -72,16 +91,8 @@ def _li(spark, sf):
     )
 
 
-# the same derivation in DuckDB SQL
-_LI_CTE = """
-WITH t AS (
-  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_orderkey,
-         l_orderkey*8 + l_linenumber AS idx,
-         CASE WHEN l_returnflag='A' AND l_quantity<5
-              THEN 'NaN'::DOUBLE ELSE l_quantity END AS v
-  FROM lineitem
-)
-"""
+# the same derivation in DuckDB SQL lives in oracle_queries.py (_LI/_LIP,
+# sharing the md5-hash idx via _LI_IDX)
 
 _KEYS = ["l_returnflag", "l_linestatus"]
 _KEYS_SQL = "l_returnflag, l_linestatus"

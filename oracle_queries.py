@@ -6,20 +6,31 @@ same rounding.  Tables region nation customer supplier part orders lineitem
 events documents embeddings are pre-registered views.
 """
 
-_LI = """
+# unique element-order index: portable 60-bit hash of the full
+# distinguishing tuple — the synthetic lineitem duplicates
+# (l_orderkey, l_linenumber) pairs, so the natural orderkey*8+linenumber
+# index ties with DIFFERENT values and first/last/arg* become ambiguous.
+# Must match __spark_entry__._li exactly (floats enter as ×100 integers).
+_LI_IDX = """CAST('0x'||substr(md5(concat_ws(':',
+             l_orderkey::VARCHAR, l_linenumber::VARCHAR,
+             l_partkey::VARCHAR, l_suppkey::VARCHAR,
+             CAST(round(l_quantity*100) AS BIGINT)::VARCHAR,
+             CAST(round(l_extendedprice*100) AS BIGINT)::VARCHAR)),1,15) AS BIGINT)"""
+
+_LI = f"""
 WITH t AS (
   SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_orderkey, l_tax,
-         l_orderkey*8 + l_linenumber AS idx,
+         {_LI_IDX} AS idx,
          CASE WHEN l_returnflag='A' AND l_quantity<5
               THEN 'NaN'::DOUBLE ELSE l_quantity END AS v
   FROM lineitem
 )
 """
 
-_LIP = """
+_LIP = f"""
 WITH tp AS (
   SELECT l_returnflag, l_linestatus,
-         l_orderkey*8 + l_linenumber AS idx,
+         {_LI_IDX} AS idx,
          CASE WHEN l_returnflag='A' AND l_quantity<5
               THEN 'NaN'::DOUBLE ELSE l_extendedprice END AS pv
   FROM lineitem
