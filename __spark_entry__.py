@@ -821,12 +821,15 @@ def q_corr(spark, sf):
     li = load_table(spark, sf, "lineitem")
     out = groupby_bivariate(
         li, "l_returnflag", x="l_quantity", y="l_extendedprice",
-        funcs=("corr", "cov"),
+        funcs=("corr", "cov", "slope", "intercept", "r2"),
     )
     return out.select(
         "l_returnflag",
         F.round("corr", 6).alias("corr"),
         F.round("cov", 4).alias("cov"),
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
     )
 
 

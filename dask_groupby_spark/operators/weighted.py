@@ -74,8 +74,9 @@ def groupby_bivariate(
     (a row contributes only when BOTH x and y are non-missing — pandas
     ``DataFrame.corr`` semantics, where NaN poisons nothing).
 
-    ``funcs`` ⊆ {corr, cov} (``cov`` honors ``ddof``: 1 = sample, 0 =
-    population).  Computed from the five raw moments Σx, Σy, Σxy, Σx², Σy²
+    ``funcs`` ⊆ {corr, cov, slope, intercept, r2} (``cov`` honors ``ddof``:
+    1 = sample, 0 = population; slope/intercept/r2 are the OLS fit of
+    y on x).  Computed from the five raw moments Σx, Σy, Σxy, Σx², Σy²
     in ONE hash aggregate — algebraic, map-side combinable, one shuffle;
     never calls the non-combinable two-pass formulations.
     """
@@ -100,6 +101,22 @@ def groupby_bivariate(
             aggs.append(
                 F.when((n > 1) & (vx > 0) & (vy > 0), cov_num / F.sqrt(vx * vy))
                 .alias("corr")
+            )
+        elif f == "slope":
+            vx = sxx - sx * sx / n
+            aggs.append(F.when(vx > 0, cov_num / vx).alias("slope"))
+        elif f == "intercept":
+            vx = sxx - sx * sx / n
+            aggs.append(
+                F.when(vx > 0, (sy - (cov_num / vx) * sx) / n).alias("intercept")
+            )
+        elif f == "r2":
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
+            aggs.append(
+                F.when(
+                    (vx > 0) & (vy > 0), (cov_num * cov_num) / (vx * vy)
+                ).alias("r2")
             )
         else:
             raise ValueError(f"unknown bivariate func {f!r}")

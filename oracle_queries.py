@@ -590,7 +590,10 @@ FROM t GROUP BY 1 ORDER BY 1""",
     "corr": """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr,
-       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
 FROM lineitem GROUP BY 1 ORDER BY 1""",
     "wquantile": f"""{_EV},
 s AS (SELECT event_type, value::DOUBLE AS x, 1.0 + (user_id % 5) AS w FROM t),

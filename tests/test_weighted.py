@@ -138,3 +138,27 @@ def test_time_weighted_mean(spark):
     plan = time_weighted_mean(df, "k", ts_col="ts", value="x", sort=False) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_bivariate_regression_vs_numpy(spark):
+    import numpy as np
+
+    from dask_groupby_spark.operators.weighted import groupby_bivariate
+
+    rng = np.random.default_rng(424242)
+    n = 160
+    labels = rng.integers(0, 3, n)
+    xs = rng.random(n) * 10
+    ys = 2.5 * xs - 4.0 + rng.standard_normal(n)
+    rows = [(int(labels[i]), float(xs[i]), float(ys[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "k bigint, x double, y double")
+    out = {r["k"]: r for r in groupby_bivariate(
+        df, "k", x="x", y="y", funcs=("slope", "intercept", "r2")
+    ).collect()}
+    for k in range(3):
+        sel = labels == k
+        m, b = np.polyfit(xs[sel], ys[sel], 1)
+        r = np.corrcoef(xs[sel], ys[sel])[0, 1]
+        assert out[k]["slope"] == pytest.approx(float(m), rel=1e-9)
+        assert out[k]["intercept"] == pytest.approx(float(b), rel=1e-9)
+        assert out[k]["r2"] == pytest.approx(float(r * r), rel=1e-9)
