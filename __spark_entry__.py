@@ -1259,6 +1259,19 @@ def q_wsample(spark, sf):
     return out.select("lang", "doc_id").orderBy("lang", "doc_id")
 
 
+def q_ewma(spark, sf):
+    """grouped EWMA (pandas ewm parity) — the Arrow applyInPandas tier's
+    contract query: a linear recurrence no window aggregate expresses;
+    oracle = the closed-form weighted sum in DuckDB."""
+    from dask_groupby_spark.udaf import ewma
+
+    ev = _ev(spark, sf)
+    out = ewma(ev, "event_type", value="value", idx_col="event_id", alpha=0.3)
+    return out.select(
+        "event_id", "event_type", F.round("ewma", 6).alias("ewma")
+    )
+
+
 def q_rollup(spark, sf):
     """hierarchical subtotals (ROLLUP): leaf/per-type/grand-total levels in
     one Expand + single shuffle; __grouping_id disambiguates rolled-up
@@ -1446,6 +1459,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wsample": q_wsample,
     "rollup": q_rollup,
     "twa": q_twa,
+    "ewma_scan": q_ewma,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

@@ -21,7 +21,7 @@ Two tiers, fastest first:
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Sequence
 
 import pandas as pd
 
@@ -88,3 +88,70 @@ def groupby_apply_reduce(
     if sort:
         out = out.orderBy(*by)
     return out
+
+
+def groupby_apply_transform(
+    df: DataFrame,
+    *by: str,
+    transform_fn,
+    value_cols: Sequence[str],
+    idx_col: str,
+    output_schema: str,
+) -> DataFrame:
+    """Arrow-batched grouped TRANSFORM (same row count as the input): the
+    scan-shaped escape hatch next to :func:`groupby_apply_reduce`'s
+    reduction shape.  ``transform_fn(pdf) -> pd.DataFrame`` receives one
+    group sorted by ``idx_col`` and returns equally-long output columns
+    (``output_schema`` names them); key, idx, and value columns are carried
+    through automatically.
+
+    Scale caveat: the whole group materializes in one task (inherent to
+    order-dependent recursive transforms — the reason these are not plain
+    window expressions); range-partition upstream if single groups exceed
+    executor memory.
+    """
+    dt = dict(df.dtypes)
+    carried = list(by) + [idx_col] + [c for c in value_cols if c not in by]
+    carry_schema = ", ".join(f"`{c}` {dt[c]}" for c in carried)
+    full_schema = f"{carry_schema}, {output_schema}"
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col, kind="mergesort")
+        out = transform_fn(pdf[list(value_cols)])
+        res = pdf[carried].reset_index(drop=True)
+        for name, col in out.items():
+            res[name] = col.reset_index(drop=True) if hasattr(col, "reset_index") else col
+        return res
+
+    return df.select(*dict.fromkeys(carried)).groupBy(*by).applyInPandas(
+        apply, schema=full_schema
+    )
+
+
+def ewma(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    idx_col: str,
+    alpha: float,
+    adjust: bool = True,
+    out: str = "ewma",
+) -> DataFrame:
+    """Grouped exponentially-weighted moving average — pandas
+    ``GroupBy.ewm(alpha=...).mean()`` parity, including ``adjust`` and
+    NaN handling (missing values carry the previous EWMA forward and do
+    not decay the weights).
+
+    EWMA is a linear RECURRENCE (y_t depends on y_{t-1}), which a Spark
+    window aggregate cannot express and whose closed form
+    ``Σ(1-α)^(t-i)x_i`` overflows for long series — so this is the
+    designed use of the Arrow ``applyInPandas`` tier: pandas' C kernel per
+    group, one shuffle on the keys.
+    """
+    def _t(vals: pd.DataFrame) -> dict:
+        return {out: vals.iloc[:, 0].ewm(alpha=alpha, adjust=adjust).mean()}
+
+    return groupby_apply_transform(
+        df, *by, transform_fn=_t, value_cols=[value], idx_col=idx_col,
+        output_schema=f"`{out}` double",
+    )

@@ -560,6 +560,17 @@ ranked AS (
   FROM keyed
 )
 SELECT lang, doc_id FROM ranked WHERE rn <= 20 ORDER BY lang, doc_id""",
+    "ewma_scan": f"""{_EV},
+w AS (SELECT event_type, event_id,
+        list(value) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs
+      FROM t)
+SELECT event_id, event_type,
+       round(list_sum(list_transform(range(0, len(vs)),
+                                     k -> vs[k+1] * pow(0.7, len(vs)-1-k)))
+             / list_sum(list_transform(range(0, len(vs)),
+                                       k -> pow(0.7, len(vs)-1-k))), 6) AS ewma
+FROM w""",
     "rollup": f"""{_EV},
 s AS (SELECT event_type, hour(ts)::INT AS hour, vnan FROM t)
 SELECT event_type, hour, GROUPING(event_type, hour)::BIGINT AS __grouping_id,

@@ -74,3 +74,35 @@ def test_custom_scan_spec(df):
     assert got[0] == 0.0
     assert got[6] == 6.0
     assert got[27] == 27.0
+
+
+def test_ewma_vs_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dask_groupby_spark.udaf import ewma
+
+    rng = np.random.default_rng(99)
+    n = 80
+    labels = rng.integers(0, 3, n)
+    vals = rng.random(n) * 10
+    vals[rng.random(n) < 0.15] = np.nan
+    df = spark.createDataFrame(
+        [(i, int(labels[i]), float(vals[i])) for i in range(n)],
+        "idx bigint, k bigint, x double",
+    )
+    for adjust in (True, False):
+        out = ewma(df, "k", value="x", idx_col="idx", alpha=0.3, adjust=adjust)
+        got = {r["idx"]: r["ewma"] for r in out.collect()}
+        pdf = pd.DataFrame({"k": labels, "x": vals})
+        exp = pdf.groupby("k")["x"].transform(
+            lambda s: s.ewm(alpha=0.3, adjust=adjust).mean()
+        )
+        import math
+        for i in range(n):
+            e, g = exp.iloc[i], got[i]
+            if isinstance(e, float) and math.isnan(e):
+                assert g is None or math.isnan(g)
+            else:
+                assert g is not None and math.isclose(g, e, rel_tol=1e-12), (i, adjust)
+    assert out.count() == n
