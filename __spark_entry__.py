@@ -1259,6 +1259,17 @@ def q_wsample(spark, sf):
     return out.select("lang", "doc_id").orderBy("lang", "doc_id")
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup composition (LSH buckets → exact cosine pairs → transitive
+    clusters → keep min id): survivors of embedding-space dedup.  Threshold
+    sits in the synthetic data's observed cosine range so edges exist."""
+    from dask_groupby_spark.operators.similarity import semantic_deduplicate
+
+    emb = load_table(spark, sf, "embeddings")
+    kept = semantic_deduplicate(emb, threshold=0.25, dim=64, n_planes=4)
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
 def q_ewma(spark, sf):
     """grouped EWMA (pandas ewm parity) — the Arrow applyInPandas tier's
     contract query: a linear recurrence no window aggregate expresses;
@@ -1460,6 +1471,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "twa": q_twa,
     "ewma_scan": q_ewma,
+    "semdedup": q_semdedup,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

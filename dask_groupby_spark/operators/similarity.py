@@ -512,3 +512,35 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= F.lit(threshold))
     )
     return pairs
+
+
+def semantic_deduplicate(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Embedding-space near-duplicate REMOVAL (the SemDeDup recipe, Abbas et
+    al. 2023, composed from this module's primitives): bucket vectors by
+    hyperplane LSH, verify cosine ≥ threshold exactly within buckets,
+    connect transitive duplicate groups, keep each group's minimum id.
+
+    Returns the surviving rows of ``df`` (all original columns) — the
+    embedding analog of ``dedup.near_deduplicate``.  Per-corpus-row work is
+    one map-side bucket assignment; pair scoring, clustering, and the
+    keeper anti-join run on the LSH-filtered candidate subgraph only.
+    """
+    from .dedup import duplicate_clusters
+
+    pairs = embedding_near_duplicates(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        dim=dim, n_planes=n_planes,
+    )
+    clusters = duplicate_clusters(pairs, max_iter=max_iter)
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -560,6 +560,35 @@ ranked AS (
   FROM keyed
 )
 SELECT lang, doc_id FROM ranked WHERE rn <= 20 ORDER BY lang, doc_id""",
+    "semdedup": f"""
+WITH b AS (SELECT vec_id AS id, embedding AS v,
+                  {_lsh_bucket_sql('embedding', n_planes=4)} AS bucket
+           FROM embeddings),
+pairs AS (
+  SELECT a.id AS id_a, b2.id AS id_b
+  FROM b a JOIN b b2 USING (bucket)
+  WHERE a.id < b2.id
+    AND list_dot_product(a.v::DOUBLE[], b2.v::DOUBLE[]) /
+        (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+         sqrt(list_dot_product(b2.v::DOUBLE[], b2.v::DOUBLE[]))) >= 0.25
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(v, l) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.s, r.l FROM edges e JOIN r ON e.d = r.v
+  ) SELECT v, l FROM r
+),
+losers AS (
+  SELECT v AS id FROM reach GROUP BY v HAVING v != min(l)
+)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT id FROM losers)
+ORDER BY e.vec_id""",
     "ewma_scan": f"""{_EV},
 w AS (SELECT event_type, event_id,
         list(value) OVER (PARTITION BY event_type ORDER BY event_id

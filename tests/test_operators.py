@@ -680,3 +680,31 @@ def test_ivf_index_persist_matches_inline(spark, tmp_path_factory):
     assert persisted == inline
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan.replace("PartitionFilters: [ cell", "PartitionFilters: [cell") or "cell#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_semantic_deduplicate(spark):
+    """SemDeDup composition: near-identical embedding groups collapse to the
+    minimum id; distant vectors survive."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.similarity import semantic_deduplicate
+
+    rng = np.random.default_rng(271828)
+    dim = 16
+    base_a = rng.standard_normal(dim)
+    base_b = rng.standard_normal(dim)
+    rows = []
+    # ids 1-3: tiny perturbations of base_a (near-dups); 10-11: of base_b;
+    # 20+: isolated random vectors
+    for i, eps in [(1, 0.0), (2, 1e-4), (3, 2e-4)]:
+        rows.append((i, [float(x) for x in base_a + eps * rng.standard_normal(dim)]))
+    for i, eps in [(10, 0.0), (11, 1e-4)]:
+        rows.append((i, [float(x) for x in base_b + eps * rng.standard_normal(dim)]))
+    for i in range(20, 25):
+        rows.append((i, [float(x) for x in rng.standard_normal(dim)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    kept = {r["vec_id"] for r in
+            semantic_deduplicate(df, threshold=0.999, dim=dim, n_planes=3).collect()}
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert 10 in kept and 11 not in kept
+    assert {20, 21, 22, 23, 24} <= kept
