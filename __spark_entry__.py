@@ -583,6 +583,44 @@ def q_stream_window(spark, sf):
     )
 
 
+def q_stream_sliding(spark, sf):
+    """Sliding event-time windows (2-day window, 1-day slide): every event
+    contributes to exactly two overlapping windows; oracle enumerates both
+    epoch-aligned window starts per event."""
+    import os
+
+    from dask_groupby_spark.sources import read_stream
+    from dask_groupby_spark.streaming import windowed_reduce
+
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    stream = read_stream(
+        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.where(F.col("ts").isNotNull())
+
+    out = windowed_reduce(
+        stream, "event_type", func="nansum", value="value",
+        ts_col="ts", window="2 days", slide="1 day", watermark="0 seconds",
+    )
+    name = "stream_sliding_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.round("nansum", 4).alias("nansum"),
+    )
+
+
 def q_stream_session(spark, sf):
     """Structured Streaming session windows, oracle-checked: per-user
     sessions split at >= 30-minute silence (F.session_window semantics:
@@ -1472,6 +1510,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twa": q_twa,
     "ewma_scan": q_ewma,
     "semdedup": q_semdedup,
+    "stream_sliding": q_stream_sliding,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

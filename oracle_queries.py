@@ -560,6 +560,13 @@ ranked AS (
   FROM keyed
 )
 SELECT lang, doc_id FROM ranked WHERE rn <= 20 ORDER BY lang, doc_id""",
+    "stream_sliding": f"""{_EV},
+x AS (SELECT unnest([0, 1]) AS k, event_type, ts, value FROM t WHERE ts IS NOT NULL)
+SELECT date_trunc('day', ts) - INTERVAL (k) DAY AS window_start,
+       date_trunc('day', ts) - INTERVAL (k) DAY + INTERVAL 2 DAY AS window_end,
+       event_type,
+       round(coalesce(sum(CASE WHEN NOT isnan(value) THEN value END), 0), 4) AS nansum
+FROM x GROUP BY 1, 2, 3""",
     "semdedup": f"""
 WITH b AS (SELECT vec_id AS id, embedding AS v,
                   {_lsh_bucket_sql('embedding', n_planes=4)} AS bucket
