@@ -489,6 +489,71 @@ def groupby_rank(
     return df.withColumn(out_name, col)
 
 
+def groupby_fill_stat(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    func: str = "nanmean",
+    out: str = None,
+) -> DataFrame:
+    """Missing-value imputation with a per-group statistic — pandas
+    ``x.fillna(g.transform("mean"))``.  ``func`` ∈ {nanmean, nanmedian,
+    nanmin, nanmax}; NaN and NULL both count as missing and are replaced;
+    an all-missing group stays missing.
+
+    One unordered window over the group keys — a single Exchange, no join
+    back (the aggregate is evaluated alongside the rows in WindowExec).
+    """
+    builders = {
+        "nanmean": F.avg,
+        "nanmedian": F.median,
+        "nanmin": F.min,
+        "nanmax": F.max,
+    }
+    if func not in builders:
+        raise ValueError(f"func must be one of {sorted(builders)}")
+    out = out or value
+    v = F.col(value)
+    missing = v.isNull()
+    if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
+        missing = missing | F.isnan(v)
+    clean = F.when(~missing, v)
+    stat = builders[func](clean).over(Window.partitionBy(*by))
+    return df.withColumn(out, F.when(missing, stat).otherwise(v))
+
+
+def groupby_winsorize(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out: str = None,
+) -> DataFrame:
+    """Per-group winsorization: clip values into the group's
+    [lower, upper] exact quantile band (linear interpolation, numpy
+    convention — the outlier-capping step of feature pipelines).
+
+    Both quantiles evaluate in ONE unordered window pass over the keys —
+    single Exchange.  Holistic like any exact quantile: a giant group
+    buffers in one task (use the GK sketch + a join for hot keys).
+    Missing values pass through unchanged.
+    """
+    if not (0.0 <= lower <= upper <= 1.0):
+        raise ValueError("need 0 <= lower <= upper <= 1")
+    out = out or value
+    v = F.col(value)
+    missing = v.isNull()
+    if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
+        missing = missing | F.isnan(v)
+    clean = F.when(~missing, v)
+    w = Window.partitionBy(*by)
+    lo = F.percentile(clean, F.lit(float(lower))).over(w)
+    hi = F.percentile(clean, F.lit(float(upper))).over(w)
+    clipped = F.least(F.greatest(v, lo), hi)
+    return df.withColumn(out, F.when(missing, v).otherwise(clipped))
+
+
 def groupby_agg(
     df: DataFrame,
     *by: str,

@@ -226,3 +226,49 @@ def test_groupby_describe_vs_pandas(spark):
     plan = groupby_describe(df, "k", sort=False)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_groupby_fill_stat_and_winsorize_vs_pandas(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from dask_groupby_spark.core import groupby_fill_stat, groupby_winsorize
+
+    rng = np.random.default_rng(1701)
+    n = 120
+    labels = rng.integers(0, 3, n)
+    vals = rng.random(n) * 100
+    vals[rng.random(n) < 0.2] = np.nan
+    df = spark.createDataFrame(
+        [(i, int(labels[i]), float(vals[i])) for i in range(n)],
+        "idx bigint, k bigint, x double",
+    )
+    pdf = pd.DataFrame({"k": labels, "x": vals})
+
+    filled = {r["idx"]: r["x"] for r in
+              groupby_fill_stat(df, "k", value="x", func="nanmean").collect()}
+    exp_fill = pdf["x"].fillna(pdf.groupby("k")["x"].transform("mean"))
+    for i in range(n):
+        assert math.isclose(filled[i], exp_fill.iloc[i], rel_tol=1e-12)
+
+    wz = {r["idx"]: r["x"] for r in
+          groupby_winsorize(df, "k", value="x", lower=0.1, upper=0.9).collect()}
+    for k in range(3):
+        s = pdf[pdf.k == k]["x"].dropna()
+        lo, hi = s.quantile(0.1), s.quantile(0.9)
+        exp = pdf[pdf.k == k]["x"].clip(lo, hi)
+        for idx, e in exp.items():
+            g = wz[idx]
+            if isinstance(e, float) and math.isnan(e):
+                assert math.isnan(g)
+            else:
+                assert math.isclose(g, e, rel_tol=1e-12), (k, idx)
+    # single Exchange each
+    for fn in (
+        lambda: groupby_fill_stat(df, "k", value="x"),
+        lambda: groupby_winsorize(df, "k", value="x"),
+    ):
+        plan = fn()._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
