@@ -1439,13 +1439,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this dict
 # (insertion order) against the DuckDB oracle. Round 1 verified the classic
-# reduction/scan block; round 2 front-loads the 35 entries the driver has not
-# yet seen (LLM-pipeline operators, scan extensions, rolling) plus queries whose
-# contracts changed this round, so every operator earns an official green row.
+# reduction/scan block; round 2 the LLM-pipeline/scan-extension block; round 3
+# front-loads the 12 late-round-2 entries that never got an official row, plus
+# any queries added or changed this round, so every operator earns an official
+# green row.
 # ALL entries remain registered and pass the local gate regardless of position
 # (scripts/check_driver_contract.py runs the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-2 verification window: previously-unchecked entries first ---
+    # --- round-3 verification window: the 12 late-round-2 entries that have
+    # passed the local exact-value gate but never got an official driver row
+    # (VERDICT r2 "Next round" item 1) go first ---
+    "rank": q_rank,
+    "wquantile": q_wquantile,
+    "corr": q_corr,
+    "bloom_decontam": q_bloom_decontam,
+    "pivot": q_pivot,
+    "describe": q_describe,
+    "wsample": q_wsample,
+    "rollup": q_rollup,
+    "twa": q_twa,
+    "ewma_scan": q_ewma,
+    "semdedup": q_semdedup,
+    "stream_sliding": q_stream_sliding,
+    # --- round-2 window entries (official green rows in CORRECTNESS_r02) ---
     "dedup_exact": q_dedup_exact,
     "minhash": q_minhash,
     "lsh_pairs": q_lsh_pairs,
@@ -1497,20 +1513,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "stream_cumsum": q_stream_cumsum,
     "entropy": q_entropy,
-    # --- added late in round 2: outside the 50-entry driver window (locally
-    # gated; official rows land in round 3's window) ---
-    "rank": q_rank,
-    "wquantile": q_wquantile,
-    "corr": q_corr,
-    "bloom_decontam": q_bloom_decontam,
-    "pivot": q_pivot,
-    "describe": q_describe,
-    "wsample": q_wsample,
-    "rollup": q_rollup,
-    "twa": q_twa,
-    "ewma_scan": q_ewma,
-    "semdedup": q_semdedup,
-    "stream_sliding": q_stream_sliding,
     # --- previously-verified entries (green in CORRECTNESS_r01) ---
     "count": q_count,
     "sum": q_sum,

@@ -171,14 +171,23 @@ def groupby_reduce_complex(
         ssq = F.sum(F.when(valid, re * re + im * im))
         sre, sim = F.sum(F.when(valid, re)), F.sum(F.when(valid, im))
         num = ssq - (sre * sre + sim * sim) / n
-        # clamp tiny negative rounding residue like Spark's var_pop does
-        agg = F.greatest(num / (n - F.lit(int(ddof))), F.lit(0.0)).alias(out)
+        # clamp tiny negative rounding residue like Spark's var_pop does;
+        # guard n > ddof (as in aggregations._var_expr) so degenerate groups
+        # (n <= ddof, incl. all-missing) yield NULL → NaN downstream instead
+        # of ANSI DIVIDE_BY_ZERO / greatest() swallowing the NULL into 0.0
+        agg = F.when(
+            n > F.lit(int(ddof)),
+            F.greatest(num / (n - F.lit(int(ddof))), F.lit(0.0)),
+        ).alias(out)
     elif base == "std":
         n = F.count(clean)
         ssq = F.sum(F.when(valid, re * re + im * im))
         sre, sim = F.sum(F.when(valid, re)), F.sum(F.when(valid, im))
         num = ssq - (sre * sre + sim * sim) / n
-        agg = F.sqrt(F.greatest(num / (n - F.lit(int(ddof))), F.lit(0.0))).alias(out)
+        agg = F.when(
+            n > F.lit(int(ddof)),
+            F.sqrt(F.greatest(num / (n - F.lit(int(ddof))), F.lit(0.0))),
+        ).alias(out)
     elif base in ("argmin", "argmax"):
         # lexicographic extreme (numpy complex ordering), smallest-index
         # tie-break via max(struct(key, -idx)) — same trick as the scalar

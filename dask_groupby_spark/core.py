@@ -90,7 +90,10 @@ _DT_ACCESSORS = {
     "minute": F.minute,
     "second": F.second,
     "dayofyear": F.dayofyear,
-    "dayofweek": F.dayofweek,
+    # pandas/xarray convention: Monday=0..Sunday=6 (Spark's dayofweek is
+    # Sunday=1..7 — remap so weekday labels match the reference front-end)
+    "dayofweek": lambda c: (F.dayofweek(c) + F.lit(5)) % 7,
+    "weekday": lambda c: (F.dayofweek(c) + F.lit(5)) % 7,
     "quarter": F.quarter,
     "week": F.weekofyear,
     "date": F.to_date,

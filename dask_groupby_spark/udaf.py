@@ -139,8 +139,10 @@ def ewma(
 ) -> DataFrame:
     """Grouped exponentially-weighted moving average — pandas
     ``GroupBy.ewm(alpha=...).mean()`` parity, including ``adjust`` and
-    NaN handling (missing values carry the previous EWMA forward and do
-    not decay the weights).
+    NaN handling: pandas' default ``ignore_na=False`` — missing values
+    carry the previous EWMA forward, and relative weights DO decay across
+    NaN positions (the gap widens the exponent between surviving
+    observations).
 
     EWMA is a linear RECURRENCE (y_t depends on y_{t-1}), which a Spark
     window aggregate cannot express and whose closed form

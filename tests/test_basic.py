@@ -184,6 +184,26 @@ def test_datetime_accessor_grouper(spark):
     }
 
 
+def test_datetime_accessor_dayofweek_pandas_convention(spark):
+    """ADVICE r2: ts.dayofweek must use the pandas/xarray Monday=0..Sunday=6
+    convention, not Spark's Sunday=1..7."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dask_groupby_spark import groupby_reduce
+
+    days = [dt.datetime(2026, 8, d) for d in range(9, 17)]  # Sun..Sun
+    df = spark.createDataFrame([(d, 1.0) for d in days], "ts timestamp, v double")
+    for acc in ("dayofweek", "weekday"):
+        out = groupby_reduce(df, f"ts.{acc}", func="count", value="v").collect()
+        got = {r[acc]: r["count"] for r in out}
+        exp = pd.Series(1, index=pd.DatetimeIndex(days)).groupby(
+            pd.DatetimeIndex(days).dayofweek
+        ).count().to_dict()
+        assert got == exp, (acc, got, exp)
+
+
 def test_datetime_accessor_unknown_raises(spark):
     import datetime as dt
 

@@ -121,6 +121,39 @@ def test_complex_var_std(spark, func, with_nan):
             assert abs(got[g] - exp) < 1e-9 * max(1.0, abs(exp)), (g, got[g], exp)
 
 
+@pytest.mark.parametrize("func", ["var", "nanvar", "std", "nanstd"])
+@pytest.mark.parametrize("ddof", [0, 1])
+def test_complex_var_std_degenerate_groups(spark, func, ddof):
+    """Groups with n_valid <= ddof (single element at ddof=1, all-missing)
+    must yield NaN — not ANSI DIVIDE_BY_ZERO, not 0.0 (ADVICE r2 high)."""
+    rows = [
+        # g=0: one valid element          → ddof=1 degenerate, ddof=0 → 0.0
+        (0, 0, 1.5, -2.0),
+        # g=1: all-missing (NaN real part) → degenerate at every ddof
+        (1, 1, float("nan"), 0.5),
+        (2, 1, float("nan"), -0.25),
+        # g=2: healthy control group
+        (3, 2, 1.0, 1.0),
+        (4, 2, 3.0, -1.0),
+        (5, 2, 2.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, g bigint, re double, im double")
+    df = df.withColumn("z", complex_col(F.col("re"), F.col("im")))
+    out = groupby_reduce_complex(df, "g", func=func, value="z", ddof=ddof).collect()
+    got = {r["g"]: r[func] for r in out}
+
+    if ddof == 0:
+        assert abs(got[0] - 0.0) < 1e-12  # var of single point is 0
+    else:
+        assert got[0] is None or math.isnan(got[0]), got[0]
+    # all-missing group: NaN for both skipna and propagating variants
+    assert got[1] is None or math.isnan(got[1]), got[1]
+    z2 = np.array([1 + 1j, 3 - 1j, 2 + 0j])
+    npf = np.var if "var" in func else np.std
+    exp = float(npf(z2, ddof=ddof))
+    assert abs(got[2] - exp) < 1e-9, (got[2], exp)
+
+
 @pytest.mark.parametrize("func", ["argmin", "argmax", "nanargmin", "nanargmax"])
 @pytest.mark.parametrize("with_nan", [False, True])
 def test_complex_argreductions(spark, func, with_nan):
