@@ -163,9 +163,18 @@ def _nanmean(ctx: Ctx) -> Column:
         # exact integer floor-division: epoch-micro sums overflow double's
         # 2^53 integer range, so sum in DECIMAL and divide exactly via
         # (S - S % n) / n  (the numerator is exactly divisible → no rounding)
-        micros = F.unix_micros(ctx.clean).cast("decimal(38,0)")
+        # unix_micros rejects TIMESTAMP_NTZ → view NTZ as TIMESTAMP first
+        # (instant-preserving: session tz pinned UTC) and restore the input
+        # dtype on the way out.
+        src = ctx.clean
+        if isinstance(ctx.dt, T.TimestampNTZType):
+            src = src.cast("timestamp")
+        micros = F.unix_micros(src).cast("decimal(38,0)")
         s, n = F.sum(micros), F.count(micros)
-        return F.timestamp_micros(((s - s % n) / n).cast("long"))
+        out = F.timestamp_micros(((s - s % n) / n).cast("long"))
+        if isinstance(ctx.dt, T.TimestampNTZType):
+            out = out.cast("timestamp_ntz")
+        return out
     return F.avg(ctx.clean)
 
 

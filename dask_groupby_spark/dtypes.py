@@ -51,6 +51,48 @@ def is_string(dt: T.DataType) -> bool:
     return isinstance(dt, T.StringType)
 
 
+def normalize_time(df, *cols):
+    """Cast any TIMESTAMP_NTZ columns to TIMESTAMP.
+
+    Parquet writes a naive ``timestamp[us]`` column as TIMESTAMP_NTZ in
+    Spark 4, a type that cannot cast to DOUBLE, feed ``unix_micros`` or carry
+    an event-time watermark.  The session timezone is pinned to UTC
+    (session.py), so the NTZ→TIMESTAMP cast is instant-preserving and keeps
+    DuckDB-oracle parity exact (DuckDB reads the same column as naive
+    TIMESTAMP).  Columns of any other type pass through untouched.
+    """
+    for c in cols:
+        if c in df.columns and isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def time_expr_to_seconds(c: F.Column, dt: T.DataType) -> F.Column:
+    """Expression-level form of :func:`time_to_seconds` for when the input
+    is not a top-level column (e.g. a struct field) — caller supplies the
+    DataType."""
+    if isinstance(dt, T.TimestampNTZType):
+        c = c.cast("timestamp")  # session tz pinned UTC → same instant
+        dt = T.TimestampType()
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(c) / F.lit(1_000_000.0)
+    if isinstance(dt, T.DateType):
+        return F.unix_date(c).cast("double") * F.lit(86400.0)
+    return c.cast("double")
+
+
+def time_to_seconds(df, col: str) -> F.Column:
+    """Epoch-seconds DOUBLE view of a time-like column, robust to every
+    encoding the driver data has shipped (TIMESTAMP, TIMESTAMP_NTZ, DATE,
+    plain numeric epoch seconds).
+
+    Uses ``unix_micros`` rather than ``cast("double")`` on timestamps: the
+    cast is not even defined for TIMESTAMP_NTZ in Spark 4, and the
+    int64-micros view divided by 1e6 is exact (epoch micros ≈ 1.7e15 < 2^53).
+    """
+    return time_expr_to_seconds(F.col(col), df.schema[col].dataType)
+
+
 def sum_result_type(dt: T.DataType) -> T.DataType:
     """sum/prod promotion (ref: xrdtypes.py:175-185): ints+bool → BIGINT,
     float32 stays float32, float64 stays float64."""

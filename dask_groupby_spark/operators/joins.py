@@ -23,6 +23,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..dtypes import normalize_time, time_expr_to_seconds, time_to_seconds
+
 
 def range_join(
     left: DataFrame,
@@ -51,8 +53,12 @@ def range_join(
     Output: left columns + each right column suffixed (by-keys unsuffixed).
     """
     by = list(by)
+    # TIMESTAMP_NTZ can't feed the bucket arithmetic or compare against
+    # TIMESTAMP — canonicalize once up front (instant-preserving, UTC session)
+    left = normalize_time(left, on)
+    right = normalize_time(right, start, end)
     w = float(bucket_width)
-    lb = F.floor(F.col(on).cast("double") / w).cast("bigint")
+    lb = F.floor(time_to_seconds(left, on) / w).cast("bigint")
     l2 = left.withColumn("__b", lb)
     rcols = [c for c in right.columns if c not in by]
     r2 = right.select(
@@ -60,8 +66,8 @@ def range_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
         F.explode(
             F.sequence(
-                F.floor(F.col(start).cast("double") / w).cast("bigint"),
-                F.floor(F.col(end).cast("double") / w).cast("bigint"),
+                F.floor(time_to_seconds(right, start) / w).cast("bigint"),
+                F.floor(time_to_seconds(right, end) / w).cast("bigint"),
             )
         ).alias("__b"),
     )
@@ -102,6 +108,10 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     by = list(by)
+    left = normalize_time(left, on)
+    right = normalize_time(right, on)
+    on_dt = left.schema[on].dataType
+    r_on_dt = right.schema[on].dataType
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in by + [on]
     ]
@@ -158,9 +168,9 @@ def asof_join(
     elif direction == "forward":
         chosen = carry_f
     else:
-        lts = F.col(on).cast("double")
-        d_b = lts - carry_b["__rts"].cast("double")
-        d_f = carry_f["__rts"].cast("double") - lts
+        lts = time_expr_to_seconds(F.col(on), on_dt)
+        d_b = lts - time_expr_to_seconds(carry_b["__rts"], r_on_dt)
+        d_f = time_expr_to_seconds(carry_f["__rts"], r_on_dt) - lts
         chosen = (
             F.when(carry_f.isNull(), carry_b)
             .when(carry_b.isNull(), carry_f)
@@ -176,7 +186,9 @@ def asof_join(
     matched = F.col("__c").isNotNull()
     if tolerance is not None:
         cts = F.col("__c")["__rts"]
-        delta = F.col(on).cast("double") - cts.cast("double")
+        delta = time_expr_to_seconds(F.col(on), on_dt) - time_expr_to_seconds(
+            cts, r_on_dt
+        )
         if direction == "forward":
             delta = -delta
         elif direction == "nearest":

@@ -82,8 +82,10 @@ def sessionize(
 
     Output: input columns + ``out`` (0-based session index per key).
     """
+    from ..dtypes import time_to_seconds
+
     w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc())
-    ts = F.col(ts_col).cast("double")
+    ts = time_to_seconds(df, ts_col)
     prev = F.lag(ts).over(w)
     boundary = F.when(prev.isNull() | ((ts - prev) > gap), 1).otherwise(0)
     running = Window.partitionBy(*by).orderBy(F.col(ts_col).asc()).rowsBetween(

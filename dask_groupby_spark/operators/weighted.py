@@ -210,10 +210,12 @@ def time_weighted_mean(
     """
     from pyspark.sql import Window
 
+    from ..dtypes import time_to_seconds
+
     ok = _valid(df, value) & F.col(ts_col).isNotNull()
     base = df.where(ok).select(
         *by,
-        F.col(ts_col).cast("double").alias("__t"),
+        time_to_seconds(df, ts_col).alias("__t"),
         F.col(value).cast("double").alias("__x"),
         *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
     )

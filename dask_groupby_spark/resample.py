@@ -85,12 +85,17 @@ def resample(
     ``expected_groups`` = (grid, observed keys).
     """
     width, calendar = _parse_every(every)
+    # canonicalize NTZ → TIMESTAMP so both the date_trunc label dtype and the
+    # seconds arithmetic below are well-defined (and match the DuckDB oracle)
+    df = dt_rules.normalize_time(df, ts_col)
     ts = F.col(ts_col)
     if calendar:
         bucket = F.date_trunc(calendar, ts)
     else:
-        anchor = F.lit(origin).cast("timestamp").cast("double")
-        secs = ts.cast("double")
+        anchor = (
+            F.unix_micros(F.lit(origin).cast("timestamp")) / F.lit(1_000_000.0)
+        )
+        secs = dt_rules.time_to_seconds(df, ts_col)
         bucket = F.timestamp_seconds(
             anchor + F.floor((secs - anchor) / width) * width
         )

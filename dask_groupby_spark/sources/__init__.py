@@ -39,13 +39,25 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table, normalizing nanosecond timestamps."""
+    """Load one driver table, normalizing timestamps to TIMESTAMP.
+
+    The driver testdata has shipped ``events.ts`` in two encodings across
+    rounds: INT64 TIMESTAMP(NANOS) (arrives as BIGINT nanos under
+    ``nanosAsLong``) and naive ``timestamp[us]`` (arrives as TIMESTAMP_NTZ,
+    which cannot cast to DOUBLE / feed ``unix_micros`` / carry a watermark in
+    Spark 4).  Both are normalized here — once, at the scan — so every
+    downstream operator sees one canonical type.  Session tz is pinned UTC,
+    so the NTZ→TIMESTAMP cast is instant-preserving and DuckDB parity holds.
+    """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
             # integer division — `/ 1000` would round-trip through a double
             # and lose precision (epoch nanos exceed 2^53)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for col in ntz_cols:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

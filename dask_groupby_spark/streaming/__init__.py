@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..aggregations import AGGREGATIONS
 from ..core import _make_ctx
+from ..dtypes import normalize_time
 
 
 def windowed_reduce(
@@ -53,6 +54,9 @@ def windowed_reduce(
     if spec.grouped_build or spec.needs_idx:
         raise ValueError(f"{func} is not supported in streaming mode")
     out = alias or func
+    # watermarks require TIMESTAMP — NTZ event time throws
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE (plain projection, streaming-safe)
+    stream = normalize_time(stream, ts_col)
     ctx = _make_ctx(stream, value, None, {})
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
@@ -90,6 +94,7 @@ def session_reduce(
     if spec.grouped_build or spec.needs_idx:
         raise ValueError(f"{func} is not supported in streaming mode")
     out = alias or func
+    stream = normalize_time(stream, ts_col)
     ctx = _make_ctx(stream, value, None, {})
     return (
         stream.withWatermark(ts_col, watermark)
@@ -118,6 +123,7 @@ def streaming_dedup(
     """
     if ts_col is None:
         return stream.dropDuplicates(list(id_cols))
+    stream = normalize_time(stream, ts_col)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(id_cols)
     )

@@ -66,3 +66,85 @@ def test_read_stream_file_source(spark, tmpdir):
     q.awaitTermination(120)
     got = {r["k"]: r["s"] for r in spark.sql("select * from srcsum").collect()}
     assert got == {"a": 5.0, "b": 2.5}
+
+
+# ---------------------------------------------------------------------------
+# timestamp-encoding robustness: the driver testdata has shipped events.ts as
+# INT64 TIMESTAMP(NANOS) (round 1-2) and naive timestamp[us] → TIMESTAMP_NTZ
+# (round 3+).  load_table must yield a plain TIMESTAMP for all three parquet
+# encodings, same instants (ref behavior to match: flox views datetimes as
+# int64 and restores dtype, flox/core.py:2506-2520).
+
+
+def _write_ts_parquet(path, unit, tz):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    instants = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0),
+        datetime.datetime(2024, 1, 1, 12, 34, 56, 789000),
+        datetime.datetime(2024, 6, 30, 23, 59, 59, 999999),
+    ]
+    arr = pa.array(instants, type=pa.timestamp(unit, tz=tz))
+    pq.write_table(pa.table({"event_id": pa.array([1, 2, 3], pa.int64()), "ts": arr}), path)
+    return instants
+
+
+@pytest.mark.parametrize(
+    "unit,tz", [("ns", None), ("us", None), ("us", "UTC")],
+    ids=["int64-nanos", "timestamp-ntz", "timestamp-utc"],
+)
+def test_load_table_timestamp_encodings(spark, tmpdir, unit, tz):
+    instants = _write_ts_parquet(f"{tmpdir}/events.parquet", unit, tz)
+    df = load_table(spark, tmpdir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r["ts"].replace(tzinfo=None) for r in df.select("ts").collect())
+    assert got == instants
+
+
+@pytest.mark.parametrize(
+    "unit,tz", [("us", None), ("us", "UTC")], ids=["ntz", "utc"]
+)
+def test_time_to_seconds_on_raw_encodings(spark, tmpdir, unit, tz):
+    """Operators must survive a user handing them a RAW parquet read (no
+    load_table normalization): time_to_seconds handles NTZ directly."""
+    from dask_groupby_spark.dtypes import time_to_seconds
+
+    _write_ts_parquet(f"{tmpdir}/events.parquet", unit, tz)
+    df = spark.read.parquet(f"{tmpdir}/events.parquet")
+    secs = sorted(
+        r["s"] for r in df.select(time_to_seconds(df, "ts").alias("s")).collect()
+    )
+    # 2024-01-01T00:00:00Z epoch seconds
+    assert secs[0] == 1704067200.0
+    assert abs(secs[1] - (1704067200.0 + 12 * 3600 + 34 * 60 + 56.789)) < 1e-6
+
+
+def test_operators_accept_ntz_input(spark, tmpdir):
+    """sessionize / time_weighted_mean / asof_join / resample on a raw NTZ
+    frame — the exact shape that broke 8 queries in round 3."""
+    import datetime
+
+    from dask_groupby_spark.operators.selection import sessionize
+    from dask_groupby_spark.operators.weighted import time_weighted_mean
+    from dask_groupby_spark.resample import resample
+
+    _write_ts_parquet(f"{tmpdir}/events.parquet", "us", None)
+    df = (
+        spark.read.parquet(f"{tmpdir}/events.parquet")
+        .withColumn("k", F.lit("a"))
+        .withColumn("v", F.col("event_id").cast("double"))
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+
+    s = sessionize(df, "k", ts_col="ts", gap=3600.0)
+    assert [r["session_id"] for r in s.orderBy("ts").collect()] == [0, 1, 2]
+
+    t = time_weighted_mean(df, "k", ts_col="ts", value="v").collect()
+    assert len(t) == 1 and t[0]["twa"] is not None
+
+    r = resample(df, "ts", "1 day", "nansum", "v")
+    assert r.count() == 2  # 2024-01-01 (two rows), 2024-06-30
+    assert dict(r.dtypes)["bucket"] == "timestamp"
