@@ -541,6 +541,25 @@ def q_xdim_reduce(spark, sf):
     return out.withColumn("nanmean", F.round("nanmean", 6))
 
 
+def q_xdim_bins(spark, sf):
+    """xarray front-end over a BINNED grouper with interval-coordinate
+    output (flox/xarray.py:370-378 attaches a pd.IntervalIndex coord):
+    the bin axis carries pandas-style interval labels, not bare codes."""
+    from dask_groupby_spark import xarray_reduce
+
+    li = _li(spark, sf)
+    out = xarray_reduce(
+        li, "l_quantity", func="nansum", value="l_extendedprice",
+        dims=["l_orderkey"], dim="l_orderkey",
+        expected_groups=Bins([0.0, 10.0, 20.0, 30.0, 40.0, 50.0], closed="right"),
+        interval_labels=True,
+    )
+    return out.select(
+        F.col("l_quantity_bin").alias("quantity_interval"),
+        F.round("nansum", 4).alias("nansum"),
+    )
+
+
 def q_stream_window(spark, sf):
     """Structured Streaming, oracle-checked: events consumed as a FILE
     STREAM (explicit schema, Trigger.AvailableNow) through
@@ -881,6 +900,28 @@ def q_wquantile(spark, sf):
     )
     out = weighted_quantile(
         ev, "event_type", value="value", weight="w", q=[0.25, 0.5, 0.9]
+    )
+    return out.select(
+        "event_type",
+        F.round("wq_0_25", 6).alias("wq_0_25"),
+        F.round("wq_0_5", 6).alias("wq_0_5"),
+        F.round("wq_0_9", 6).alias("wq_0_9"),
+    )
+
+
+def q_wquantile_sketch(spark, sf):
+    """bounded-state weighted quantile (fixed-width weighted histogram,
+    O(bins) state per group — the 100 TB skew escape for the weighted
+    path).  Deterministic arithmetic → exact oracle parity: the weights
+    are integer-valued doubles, so per-bucket sums are order-independent."""
+    from dask_groupby_spark.operators.weighted import weighted_quantile_sketch
+
+    ev = _ev(spark, sf).withColumn(
+        "w", (F.lit(1.0) + (F.col("user_id") % 5).cast("double"))
+    )
+    out = weighted_quantile_sketch(
+        ev, "event_type", value="value", weight="w", q=[0.25, 0.5, 0.9],
+        bins=1024,
     )
     return out.select(
         "event_type",
@@ -1438,82 +1479,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this dict
-# (insertion order) against the DuckDB oracle. Round 1 verified the classic
-# reduction/scan block; round 2 the LLM-pipeline/scan-extension block; round 3
-# front-loads the 12 late-round-2 entries that never got an official row, plus
-# any queries added or changed this round, so every operator earns an official
-# green row.
+# (insertion order) against the DuckDB oracle. Rotation plan (VERDICT r3 item
+# 4): the environment change (events.ts -> TIMESTAMP_NTZ) invalidated every
+# green row earned before round 3, so the r4 window front-loads (a) queries
+# added this round, (b) the 8 queries the NTZ change broke (4 official red
+# rows + 4 latent), then (c) 40 of the 47 round-1 classics whose last
+# official row predates the change. The 7 remaining classics (first_ts,
+# complex_nanmean, and the 5 r1 scans - all spot-verified green against
+# current data by the r3 review and the local gate) head the post-window
+# region for the r5 rotation, followed by everything officially re-greened in
+# the r03 window.
 # ALL entries remain registered and pass the local gate regardless of position
 # (scripts/check_driver_contract.py runs the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-3 verification window: the 12 late-round-2 entries that have
-    # passed the local exact-value gate but never got an official driver row
-    # (VERDICT r2 "Next round" item 1) go first ---
-    "rank": q_rank,
-    "wquantile": q_wquantile,
-    "corr": q_corr,
-    "bloom_decontam": q_bloom_decontam,
-    "pivot": q_pivot,
-    "describe": q_describe,
-    "wsample": q_wsample,
-    "rollup": q_rollup,
+    # --- r4 window (50): new this round ---
+    "wquantile_sketch": q_wquantile_sketch,
+    "xdim_bins": q_xdim_bins,
+    # --- r4 window: the 8 TIMESTAMP_NTZ casualties, fixed this round ---
     "twa": q_twa,
-    "ewma_scan": q_ewma,
-    "semdedup": q_semdedup,
     "stream_sliding": q_stream_sliding,
-    # --- round-2 window entries (official green rows in CORRECTNESS_r02) ---
-    "dedup_exact": q_dedup_exact,
-    "minhash": q_minhash,
-    "lsh_pairs": q_lsh_pairs,
-    "dup_clusters": q_dup_clusters,
-    "ngram_jaccard": q_ngram_jaccard,
-    "simhash": q_simhash,
-    "text_stats": q_text_stats,
-    "langid": q_langid,
-    "fingerprint": q_fingerprint,
-    "tfidf": q_tfidf,
-    "repetition": q_repetition,
-    "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "emb_neardup": q_emb_neardup,
-    "centroids": q_centroids,
-    "asof_join": q_asof_join,
     "range_join": q_range_join,
-    "group_topk": q_group_topk,
     "sessionize": q_sessionize,
-    "sample_per_group": q_sample_per_group,
-    "wmean": q_wmean,
-    "curate": q_curate,
-    "split": q_split,
-    "decontaminate": q_decontaminate,
-    "top_terms": q_top_terms,
-    "multimodal_meta": q_multimodal_meta,
-    "scan_nancummin": q_scan_nancummin,
-    "scan_cummin": q_scan_cummin,
-    "scan_nancummax": q_scan_nancummax,
-    "scan_cumcount": q_scan_cumcount,
-    "scan_shift": q_scan_shift,
-    "scan_cumprod": q_scan_cumprod,
-    "rolling": q_rolling,
-    "scan_nancumprod": q_scan_nancumprod,
-    # --- contracts changed/added in round 2 (need a fresh driver row) ---
-    "approx_quantile": q_approx_quantile,
-    "complex_nanvar": q_complex_nanvar,
-    "complex_argmax": q_complex_argmax,
-    "complex_nanmedian": q_complex_nanmedian,
-    "resample_dense_keys": q_resample_dense_keys,
+    "mean_ts": q_mean_ts,
+    "resample_time": q_resample_time,
     "stream_window": q_stream_window,
     "stream_session": q_stream_session,
-    "accessor_climatology": q_accessor_climatology,
-    "scan_diff": q_scan_diff,
-    "dup_spans": q_dup_spans,
-    "span_dedup": q_span_dedup,
-    "xdim_reduce": q_xdim_reduce,
-    "stream_dedup": q_stream_dedup,
-    "stream_cumsum": q_stream_cumsum,
-    "entropy": q_entropy,
-    # --- previously-verified entries (green in CORRECTNESS_r01) ---
+    # --- r4 window: round-1 classics rotating back in (no official row
+    # since the environment change) ---
     "count": q_count,
     "sum": q_sum,
     "nansum": q_nansum,
@@ -1543,7 +1535,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nanmedian": q_nanmedian,
     "quantile": q_quantile,
     "nanquantile_vec": q_nanquantile_vec,
-    "complex_nanmean": q_complex_nanmean,
     "nunique": q_nunique,
     "mode": q_mode,
     "nanmode": q_nanmode,
@@ -1555,15 +1546,74 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dayofyear": q_dayofyear,
     "month_hour": q_month_hour,
     "resample_5d": q_resample_5d,
-    "resample_time": q_resample_time,
+    # --- r5 rotation head: the 7 classics deferred from the r4 window ---
     "first_ts": q_first_ts,
-    "mean_ts": q_mean_ts,
+    "complex_nanmean": q_complex_nanmean,
     "scan_nancumsum": q_scan_nancumsum,
     "scan_cumsum": q_scan_cumsum,
     "scan_ffill": q_scan_ffill,
     "scan_bfill": q_scan_bfill,
     "scan_cummax": q_scan_cummax,
+    # --- officially re-greened in the r03 window (post-environment-change
+    # rows in CORRECTNESS_r03) ---
+    "rank": q_rank,
+    "wquantile": q_wquantile,
+    "corr": q_corr,
+    "bloom_decontam": q_bloom_decontam,
+    "pivot": q_pivot,
+    "describe": q_describe,
+    "wsample": q_wsample,
+    "rollup": q_rollup,
+    "ewma_scan": q_ewma,
+    "semdedup": q_semdedup,
+    "dedup_exact": q_dedup_exact,
+    "minhash": q_minhash,
+    "lsh_pairs": q_lsh_pairs,
+    "dup_clusters": q_dup_clusters,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "text_stats": q_text_stats,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "tfidf": q_tfidf,
+    "repetition": q_repetition,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "emb_neardup": q_emb_neardup,
+    "centroids": q_centroids,
+    "asof_join": q_asof_join,
+    "group_topk": q_group_topk,
+    "sample_per_group": q_sample_per_group,
+    "wmean": q_wmean,
+    "curate": q_curate,
+    "split": q_split,
+    "decontaminate": q_decontaminate,
+    "top_terms": q_top_terms,
+    "multimodal_meta": q_multimodal_meta,
+    "scan_nancummin": q_scan_nancummin,
+    "scan_cummin": q_scan_cummin,
+    "scan_nancummax": q_scan_nancummax,
+    "scan_cumcount": q_scan_cumcount,
+    "scan_shift": q_scan_shift,
+    "scan_cumprod": q_scan_cumprod,
+    "rolling": q_rolling,
+    "scan_nancumprod": q_scan_nancumprod,
+    "approx_quantile": q_approx_quantile,
+    "complex_nanvar": q_complex_nanvar,
+    "complex_argmax": q_complex_argmax,
+    "complex_nanmedian": q_complex_nanmedian,
+    "resample_dense_keys": q_resample_dense_keys,
+    "accessor_climatology": q_accessor_climatology,
+    "scan_diff": q_scan_diff,
+    "dup_spans": q_dup_spans,
+    "span_dedup": q_span_dedup,
+    "xdim_reduce": q_xdim_reduce,
+    "stream_dedup": q_stream_dedup,
+    "stream_cumsum": q_stream_cumsum,
+    "entropy": q_entropy,
 }
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

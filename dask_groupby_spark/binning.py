@@ -68,3 +68,15 @@ class Bins:
 
     def expected_codes(self) -> list[int]:
         return list(range(self.nbins))
+
+    def label_expr(self, code: Column) -> Column:
+        """Map a 0-based bin-code column to its pandas-style interval label
+        (``"(10.0, 20.0]"``) — the output-coordinate form the reference's
+        xarray front-end attaches to binned groupers (pd.IntervalIndex
+        coords, flox/xarray.py:370-378).  A flat CASE like :meth:`bucket`:
+        planner-side small, codegen-friendly, map-side."""
+        labels = self.labels()
+        expr = F.lit(None).cast("string")
+        for i in range(self.nbins - 1, -1, -1):
+            expr = F.when(code == F.lit(i), F.lit(labels[i])).otherwise(expr)
+        return expr

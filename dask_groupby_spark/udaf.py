@@ -135,14 +135,16 @@ def ewma(
     idx_col: str,
     alpha: float,
     adjust: bool = True,
+    ignore_na: bool = False,
     out: str = "ewma",
 ) -> DataFrame:
     """Grouped exponentially-weighted moving average — pandas
     ``GroupBy.ewm(alpha=...).mean()`` parity, including ``adjust`` and
-    NaN handling: pandas' default ``ignore_na=False`` — missing values
-    carry the previous EWMA forward, and relative weights DO decay across
-    NaN positions (the gap widens the exponent between surviving
-    observations).
+    NaN handling: with the pandas-default ``ignore_na=False`` missing
+    values carry the previous EWMA forward and relative weights DO decay
+    across NaN positions (the gap widens the exponent between surviving
+    observations); ``ignore_na=True`` weights surviving observations as if
+    the NaNs were never there.
 
     EWMA is a linear RECURRENCE (y_t depends on y_{t-1}), which a Spark
     window aggregate cannot express and whose closed form
@@ -151,7 +153,11 @@ def ewma(
     group, one shuffle on the keys.
     """
     def _t(vals: pd.DataFrame) -> dict:
-        return {out: vals.iloc[:, 0].ewm(alpha=alpha, adjust=adjust).mean()}
+        return {
+            out: vals.iloc[:, 0]
+            .ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
+            .mean()
+        }
 
     return groupby_apply_transform(
         df, *by, transform_fn=_t, value_cols=[value], idx_col=idx_col,

@@ -62,6 +62,7 @@ def xarray_reduce(
     skipna: Optional[bool] = None,
     finalize_kwargs: Optional[dict] = None,
     alias: Optional[str] = None,
+    interval_labels: bool = False,
 ) -> DataFrame:
     """Reduce a long-form labeled frame over named dimensions.
 
@@ -72,6 +73,12 @@ def xarray_reduce(
 
     Mirrors ``flox.xarray.xarray_reduce`` semantics (flox/xarray.py:65-160):
     grouping by ``by`` within the retained-dim grid, reducing over ``dim``.
+
+    ``interval_labels=True``: binned groupers return their pandas-style
+    interval string (``"(10.0, 20.0]"``) instead of the bare 0-based bin
+    code — the reference attaches a ``pd.IntervalIndex`` output coordinate
+    to binned groupers (flox/xarray.py:370-378); a long-form frame carries
+    the same information as the label value itself.
     """
     if not by:
         raise ValueError("need at least one by grouper")
@@ -116,7 +123,7 @@ def xarray_reduce(
     if all(e is None for e in expected_full):
         expected_full = None
 
-    return groupby_reduce(
+    out = groupby_reduce(
         df,
         *by,
         *retained,
@@ -132,3 +139,11 @@ def xarray_reduce(
         finalize_kwargs=finalize_kwargs,
         alias=alias,
     )
+    if interval_labels:
+        from pyspark.sql import functions as F
+
+        for b, e in zip(by, expected):
+            if isinstance(e, Bins):
+                code_col = f"{b}_bin"
+                out = out.withColumn(code_col, e.label_expr(F.col(code_col)))
+    return out

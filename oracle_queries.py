@@ -408,6 +408,20 @@ SELECT user_id,
        count(value) FILTER (WHERE NOT isnan(value)) AS n_seen,
        round(sum(value) FILTER (WHERE NOT isnan(value)), 4) AS running_sum
 FROM events GROUP BY 1""",
+    "xdim_bins": """
+SELECT CASE b WHEN 0 THEN '(0.0, 10.0]' WHEN 1 THEN '(10.0, 20.0]'
+              WHEN 2 THEN '(20.0, 30.0]' WHEN 3 THEN '(30.0, 40.0]'
+              WHEN 4 THEN '(40.0, 50.0]' END AS quantity_interval,
+       round(sum(l_extendedprice), 4) AS nansum
+FROM (
+  SELECT CASE WHEN l_quantity >  0 AND l_quantity <= 10 THEN 0
+              WHEN l_quantity > 10 AND l_quantity <= 20 THEN 1
+              WHEN l_quantity > 20 AND l_quantity <= 30 THEN 2
+              WHEN l_quantity > 30 AND l_quantity <= 40 THEN 3
+              WHEN l_quantity > 40 AND l_quantity <= 50 THEN 4 END AS b,
+         l_extendedprice
+  FROM lineitem
+) WHERE b IS NOT NULL GROUP BY 1""",
     "xdim_reduce": f"""{_EV}
 SELECT event_type, month(ts)::INT AS month,
        round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean
@@ -654,6 +668,28 @@ SELECT event_type,
        round(min(CASE WHEN cw >= 0.5*tw THEN x END), 6) AS wq_0_5,
        round(min(CASE WHEN cw >= 0.9*tw THEN x END), 6) AS wq_0_9
 FROM c GROUP BY 1 ORDER BY 1""",
+    "wquantile_sketch": f"""{_EV},
+s AS (SELECT event_type, value::DOUBLE AS x, 1.0 + (user_id % 5) AS w FROM t),
+mm AS (SELECT event_type, min(x) AS mn, max(x) AS mx FROM s GROUP BY 1),
+h AS (SELECT s.event_type, mn, mx,
+        CASE WHEN mx > mn
+             THEN LEAST(floor((x - mn) / ((mx - mn) / 1024.0)), 1023)
+             ELSE 0 END AS b,
+        sum(w) AS sw
+      FROM s JOIN mm USING (event_type) GROUP BY 1, 2, 3, 4),
+c AS (SELECT event_type, mn, mx, b,
+        sum(sw) OVER (PARTITION BY event_type ORDER BY b ASC) AS cw,
+        sum(sw) OVER (PARTITION BY event_type) AS tw
+      FROM h),
+r AS (SELECT event_type, cw, tw,
+        CASE WHEN mx > mn THEN mn + (b + 0.5) * ((mx - mn) / 1024.0)
+             ELSE mn END AS rep
+      FROM c)
+SELECT event_type,
+       round(min(CASE WHEN cw >= 0.25*tw THEN rep END), 6) AS wq_0_25,
+       round(min(CASE WHEN cw >= 0.5*tw THEN rep END), 6) AS wq_0_5,
+       round(min(CASE WHEN cw >= 0.9*tw THEN rep END), 6) AS wq_0_9
+FROM r GROUP BY 1 ORDER BY 1""",
     "rank": f"""{_EV}
 SELECT event_id, event_type,
        round((rank() OVER w

@@ -91,18 +91,50 @@ def test_ewma_vs_pandas(spark):
         [(i, int(labels[i]), float(vals[i])) for i in range(n)],
         "idx bigint, k bigint, x double",
     )
+    import math
+
     for adjust in (True, False):
-        out = ewma(df, "k", value="x", idx_col="idx", alpha=0.3, adjust=adjust)
-        got = {r["idx"]: r["ewma"] for r in out.collect()}
-        pdf = pd.DataFrame({"k": labels, "x": vals})
-        exp = pdf.groupby("k")["x"].transform(
-            lambda s: s.ewm(alpha=0.3, adjust=adjust).mean()
-        )
-        import math
-        for i in range(n):
-            e, g = exp.iloc[i], got[i]
-            if isinstance(e, float) and math.isnan(e):
-                assert g is None or math.isnan(g)
-            else:
-                assert g is not None and math.isclose(g, e, rel_tol=1e-12), (i, adjust)
+        for ignore_na in (False, True):
+            out = ewma(
+                df, "k", value="x", idx_col="idx", alpha=0.3,
+                adjust=adjust, ignore_na=ignore_na,
+            )
+            got = {r["idx"]: r["ewma"] for r in out.collect()}
+            pdf = pd.DataFrame({"k": labels, "x": vals})
+            exp = pdf.groupby("k")["x"].transform(
+                lambda s: s.ewm(alpha=0.3, adjust=adjust, ignore_na=ignore_na).mean()
+            )
+            for i in range(n):
+                e, g = exp.iloc[i], got[i]
+                if isinstance(e, float) and math.isnan(e):
+                    assert g is None or math.isnan(g)
+                else:
+                    assert g is not None and math.isclose(g, e, rel_tol=1e-12), (
+                        i, adjust, ignore_na,
+                    )
     assert out.count() == n
+
+
+def test_ewma_ignore_na_differs_when_gaps_exist(spark):
+    """The two NaN conventions must actually diverge on a gapped series
+    (guards against ignore_na being silently dropped on the way to pandas)."""
+    from dask_groupby_spark.udaf import ewma
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (2, 3.0), (3, 5.0)], "idx bigint, x double"
+    ).withColumn("k", F.lit(1))
+    keep = {
+        r["idx"]: r["ewma"]
+        for r in ewma(
+            df, "k", value="x", idx_col="idx", alpha=0.5, ignore_na=False
+        ).collect()
+    }
+    skip = {
+        r["idx"]: r["ewma"]
+        for r in ewma(
+            df, "k", value="x", idx_col="idx", alpha=0.5, ignore_na=True
+        ).collect()
+    }
+    assert keep[0] == skip[0] == 1.0
+    # after the gap the decayed-weight (ignore_na=False) mean differs
+    assert abs(keep[2] - skip[2]) > 1e-9

@@ -162,3 +162,50 @@ def test_bivariate_regression_vs_numpy(spark):
         assert out[k]["slope"] == pytest.approx(float(m), rel=1e-9)
         assert out[k]["intercept"] == pytest.approx(float(b), rel=1e-9)
         assert out[k]["r2"] == pytest.approx(float(r * r), rel=1e-9)
+
+
+def test_weighted_quantile_sketch_within_bucket_error(spark):
+    """Sketch vs exact: the histogram answer must sit within one bucket
+    width of the exact inverted-CDF weighted quantile (its design bound)."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.weighted import (
+        weighted_quantile,
+        weighted_quantile_sketch,
+    )
+
+    rng = np.random.default_rng(7001)
+    n = 500
+    labels = rng.integers(0, 4, n)
+    vals = rng.random(n) * 100.0
+    wts = rng.integers(1, 9, n).astype(float)
+    rows = [(int(labels[i]), float(vals[i]), float(wts[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "k bigint, x double, w double")
+
+    qs = [0.1, 0.5, 0.9]
+    bins = 512
+    exact = {r["k"]: r for r in weighted_quantile(
+        df, "k", value="x", weight="w", q=qs
+    ).collect()}
+    sk = {r["k"]: r for r in weighted_quantile_sketch(
+        df, "k", value="x", weight="w", q=qs, bins=bins
+    ).collect()}
+    for k in range(4):
+        sel = labels == k
+        width = (vals[sel].max() - vals[sel].min()) / bins
+        for q in qs:
+            name = f"wq_{q}".replace(".", "_")
+            assert abs(sk[k][name] - exact[k][name]) <= width + 1e-9, (k, q)
+
+
+def test_weighted_quantile_sketch_degenerate_group(spark):
+    """All-equal values → the value itself; single row → its value."""
+    from dask_groupby_spark.operators.weighted import weighted_quantile_sketch
+
+    df = spark.createDataFrame(
+        [(0, 7.5, 2.0), (0, 7.5, 1.0), (1, 3.0, 5.0)], "k bigint, x double, w double"
+    )
+    got = {r["k"]: r["wq_0_5"] for r in weighted_quantile_sketch(
+        df, "k", value="x", weight="w", q=0.5
+    ).collect()}
+    assert got[0] == 7.5 and got[1] == 3.0

@@ -89,3 +89,35 @@ def test_errors(frame):
         xarray_reduce(frame, "label", func="sum", dims=["x"], dim="z")
     with pytest.raises(ValueError, match="both by and dim"):
         xarray_reduce(frame, "x", func="sum", dims=["x", "y"], dim="x")
+
+
+def test_interval_labels_on_binned_grouper(spark):
+    """interval_labels=True replaces bin codes with pandas-style interval
+    strings (the reference's pd.IntervalIndex output coordinate,
+    flox/xarray.py:370-378); codes stay bare without it."""
+    from dask_groupby_spark import Bins
+
+    df = spark.createDataFrame(
+        [(0, 5.0, 1.0), (1, 15.0, 2.0), (2, 15.5, 4.0), (3, 25.0, 8.0)],
+        "idx bigint, q double, value double",
+    )
+    coded = xarray_reduce(
+        df, "q", func="sum", dims=["idx"], dim="idx",
+        expected_groups=Bins([0.0, 10.0, 20.0, 30.0]),
+    )
+    assert {r["q_bin"] for r in coded.collect()} == {0, 1, 2}
+
+    labeled = xarray_reduce(
+        df, "q", func="sum", dims=["idx"], dim="idx",
+        expected_groups=Bins([0.0, 10.0, 20.0, 30.0]),
+        interval_labels=True,
+    )
+    got = {r["q_bin"]: r["sum"] for r in labeled.collect()}
+    assert got == {"(0.0, 10.0]": 1.0, "(10.0, 20.0]": 6.0, "(20.0, 30.0]": 8.0}
+
+    left = xarray_reduce(
+        df, "q", func="sum", dims=["idx"], dim="idx",
+        expected_groups=Bins([0.0, 10.0, 20.0, 30.0], closed="left"),
+        interval_labels=True,
+    )
+    assert "[0.0, 10.0)" in {r["q_bin"] for r in left.collect()}
