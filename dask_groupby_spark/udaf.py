@@ -28,9 +28,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .aggregations import Aggregation
+from .aggregations import Aggregation, Scan
 
-__all__ = ["Aggregation", "make_aggregation", "groupby_apply_reduce"]
+__all__ = [
+    "Aggregation",
+    "Scan",
+    "make_aggregation",
+    "make_scan",
+    "groupby_apply_reduce",
+]
 
 
 def make_aggregation(
@@ -52,6 +58,30 @@ def make_aggregation(
         result_type=result_type or (lambda dt, kw: dt),
         skipna=skipna,
         needs_idx=needs_idx,
+    )
+
+
+def make_scan(
+    name: str,
+    build,
+    result_type=None,
+) -> Scan:
+    """Declarative custom grouped-SCAN constructor — the scan-side twin of
+    :func:`make_aggregation`, giving the reference's ``Scan`` dataclass
+    extensibility (flox/aggregations.py:577-598) a registry-style entry
+    point instead of constructing :class:`Scan` by hand.
+
+    ``build(ctx, window) -> Column`` receives the same Ctx as built-in scans
+    plus the ordered frame ``Window.partitionBy(keys).orderBy(idx)``; compose
+    built-in window aggregates over it and Catalyst keeps the whole scan in
+    one WindowExec (same single-shuffle plan as the shipped scans).
+    ``result_type(input_dt, kwargs) -> DataType`` defaults to passthrough.
+    Pass the returned spec as ``groupby_scan(..., func=spec)``.
+    """
+    return Scan(
+        name=name,
+        build=build,
+        result_type=result_type or (lambda dt, kw: dt),
     )
 
 

@@ -40,9 +40,9 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame
 
-from .aggregations import Aggregation
+from .aggregations import AGGREGATIONS, Aggregation
 from .binning import Bins
-from .core import groupby_reduce
+from .core import groupby_agg, groupby_reduce
 
 
 def xarray_reduce(
@@ -79,6 +79,15 @@ def xarray_reduce(
     code — the reference attaches a ``pd.IntervalIndex`` output coordinate
     to binned groupers (flox/xarray.py:370-378); a long-form frame carries
     the same information as the label value itself.
+
+    ``value`` may be a LIST of columns — the Dataset form: the reference's
+    xarray front-end reduces every data variable of a Dataset in one call
+    (flox/xarray.py:235-265 loops data_vars); here each listed column
+    becomes one output column of the same name, all variables fused into a
+    SINGLE shuffle/aggregate via ``groupby_agg`` (Catalyst shares the scan
+    and hash table across the agg columns).  ``min_count``/``dtype``/
+    ``fill_value``/custom ``Aggregation`` objects require the
+    single-variable form.
     """
     if not by:
         raise ValueError("need at least one by grouper")
@@ -123,22 +132,51 @@ def xarray_reduce(
     if all(e is None for e in expected_full):
         expected_full = None
 
-    out = groupby_reduce(
-        df,
-        *by,
-        *retained,
-        func=func,
-        value=value,
-        idx_col=idx_col,
-        expected_groups=expected_full,
-        sort=sort,
-        fill_value=fill_value,
-        dtype=dtype,
-        min_count=min_count,
-        skipna=skipna,
-        finalize_kwargs=finalize_kwargs,
-        alias=alias,
-    )
+    if isinstance(value, (list, tuple)):
+        # Dataset form: one fused multi-aggregate, one shuffle
+        if not isinstance(func, str):
+            raise ValueError("Dataset (list-of-value) form requires a str func")
+        if min_count is not None or dtype is not None or fill_value is not None:
+            raise ValueError(
+                "min_count/dtype/fill_value are single-variable options; "
+                "call xarray_reduce per variable instead"
+            )
+        fname = func
+        # skipna → nan-variant rewrite, same dispatch as groupby_reduce
+        # (ref flox/xarray.py:355-380)
+        if skipna is not None:
+            if skipna and not fname.startswith("nan") and f"nan{fname}" in AGGREGATIONS:
+                fname = f"nan{fname}"
+            elif not skipna and fname.startswith("nan") and fname[3:] in AGGREGATIONS:
+                fname = fname[3:]
+        kw = dict(finalize_kwargs or {})
+        funcs = [(fname, v, v, kw) for v in value]
+        out = groupby_agg(
+            df,
+            *by,
+            *retained,
+            funcs=funcs,
+            idx_col=idx_col,
+            expected_groups=expected_full,
+            sort=sort,
+        )
+    else:
+        out = groupby_reduce(
+            df,
+            *by,
+            *retained,
+            func=func,
+            value=value,
+            idx_col=idx_col,
+            expected_groups=expected_full,
+            sort=sort,
+            fill_value=fill_value,
+            dtype=dtype,
+            min_count=min_count,
+            skipna=skipna,
+            finalize_kwargs=finalize_kwargs,
+            alias=alias,
+        )
     if interval_labels:
         from pyspark.sql import functions as F
 

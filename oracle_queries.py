@@ -422,6 +422,23 @@ FROM (
          l_extendedprice
   FROM lineitem
 ) WHERE b IS NOT NULL GROUP BY 1""",
+    "calendar_mean": """
+SELECT event_type,
+       CAST(floor(avg(
+         ((year(ts) - 1) * 365
+          + CASE month(ts) WHEN 1 THEN 0 WHEN 2 THEN 31 WHEN 3 THEN 59
+                WHEN 4 THEN 90 WHEN 5 THEN 120 WHEN 6 THEN 151 WHEN 7 THEN 181
+                WHEN 8 THEN 212 WHEN 9 THEN 243 WHEN 10 THEN 273
+                WHEN 11 THEN 304 ELSE 334 END
+          + day(ts) - 1) * 86400.0
+         + hour(ts) * 3600 + minute(ts) * 60 + CAST(floor(second(ts)) AS BIGINT)
+       )) AS BIGINT) AS mean_noleap_sec
+FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    "xdim_dataset": f"""{_EV}
+SELECT event_type, month(ts)::INT AS month,
+       round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS vnan,
+       round(avg(value), 6) AS value
+FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
     "xdim_reduce": f"""{_EV}
 SELECT event_type, month(ts)::INT AS month,
        round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS nanmean

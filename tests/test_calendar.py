@@ -1,0 +1,85 @@
+"""Non-standard-calendar datetime encode/decode (cftime parity — ref
+datetime_to_numeric, flox/xrutils.py:189-247) as pure Catalyst arithmetic."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark.calendar import (
+    decode_calendar_datetime,
+    encode_calendar_datetime,
+)
+
+
+def _enc(spark, vals, calendar, unit="second"):
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    return [
+        r["e"] for r in df.select(
+            encode_calendar_datetime(F.col("t"), calendar, unit).alias("e")
+        ).collect()
+    ]
+
+
+def test_known_offsets_noleap(spark):
+    got = _enc(spark, [
+        "0001-01-01 00:00:00", "0001-03-01", "0002-01-01", "1979-07-02T12:00:00",
+    ], "noleap")
+    assert got[0] == 0
+    assert got[1] == 59 * 86400            # Jan(31) + Feb(28, never leap)
+    assert got[2] == 365 * 86400
+    assert got[3] == ((1978 * 365 + 181 + 1) * 86400 + 12 * 3600)
+
+
+def test_known_offsets_360day_feb30_valid(spark):
+    # Feb 30 exists in the 360-day calendar — the exact value TIMESTAMP
+    # cannot represent, the reason the axis ships as strings
+    got = _enc(spark, ["0005-02-30", "0001-01-01"], "360_day", unit="day")
+    assert got[1] == 0
+    assert got[0] == 4 * 360 + 30 + 29
+
+
+def test_roundtrip_all_calendars(spark):
+    vals = [
+        "0001-01-01 00:00:00", "0123-12-30 23:59:59", "1979-07-02 12:34:56",
+        "2100-02-28 00:00:01",
+    ]
+    for cal in ("noleap", "360_day", "all_leap"):
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        back = df.select(
+            "t",
+            decode_calendar_datetime(
+                encode_calendar_datetime(F.col("t"), cal), cal
+            ).alias("b"),
+        ).collect()
+        for r in back:
+            assert r["b"] == r["t"].replace("T", " "), (cal, r)
+
+
+def test_malformed_and_errors(spark):
+    got = _enc(spark, ["not-a-date", "1979-07-02"], "noleap")
+    assert got[0] is None and got[1] is not None
+    with pytest.raises(ValueError, match="unknown calendar"):
+        _enc(spark, ["0001-01-01"], "standard")
+    with pytest.raises(ValueError, match="unit"):
+        _enc(spark, ["0001-01-01"], "noleap", unit="hour")
+
+
+def test_grouped_mean_over_noleap_axis(spark):
+    """The reference use-case: mean of a cftime axis per group — encode,
+    nanmean on the int64 view, decode (flox/core.py:2506-2520 analog)."""
+    from dask_groupby_spark import groupby_reduce
+
+    rows = [
+        ("a", "0010-01-01 00:00:00"), ("a", "0010-01-03 00:00:00"),
+        ("b", "0020-06-15 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t string").withColumn(
+        "e", encode_calendar_datetime(F.col("t"), "noleap")
+    )
+    out = groupby_reduce(df, "k", func="nanmean", value="e")
+    dec = out.select(
+        "k", decode_calendar_datetime(F.col("nanmean").cast("bigint"), "noleap").alias("m")
+    )
+    got = {r["k"]: r["m"] for r in dec.collect()}
+    assert got["a"] == "0010-01-02 00:00:00"
+    assert got["b"] == "0020-06-15 12:00:00"

@@ -138,3 +138,28 @@ def test_ewma_ignore_na_differs_when_gaps_exist(spark):
     assert keep[0] == skip[0] == 1.0
     # after the gap the decayed-weight (ignore_na=False) mean differs
     assert abs(keep[2] - skip[2]) > 1e-9
+
+
+def test_make_scan_registry_constructor(spark, df=None):
+    """make_scan: declarative custom-scan entry point (scan-side twin of
+    make_aggregation, ref Scan extensibility flox/aggregations.py:577-598)."""
+    from pyspark.sql import types as T
+
+    from dask_groupby_spark import groupby_scan, make_scan
+
+    data = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(8)], "idx bigint, k bigint, x double"
+    )
+    spec = make_scan(
+        "cumspan",
+        lambda ctx, w: F.max(ctx.clean).over(w) - F.min(ctx.clean).over(w),
+        result_type=lambda dt, kw: T.DoubleType(),
+    )
+    out = groupby_scan(data, "k", func=spec, value="x", idx_col="idx")
+    got = {r["idx"]: r["cumspan"] for r in out.collect()}
+    assert got[0] == 0.0 and got[6] == 6.0 and got[7] == 6.0
+
+    # default result_type is passthrough
+    spec2 = make_scan("runmax", lambda ctx, w: F.max(ctx.clean).over(w))
+    out2 = groupby_scan(data, "k", func=spec2, value="x", idx_col="idx")
+    assert dict(out2.dtypes)["runmax"] == "double"

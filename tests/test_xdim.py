@@ -121,3 +121,26 @@ def test_interval_labels_on_binned_grouper(spark):
         interval_labels=True,
     )
     assert "[0.0, 10.0)" in {r["q_bin"] for r in left.collect()}
+
+
+def test_dataset_form_multi_variable(spark):
+    """value=list reduces every variable in ONE fused aggregate (the
+    reference's Dataset handling: flox/xarray.py loops data_vars)."""
+    df = spark.createDataFrame(
+        [(0, "a", 1.0, 10.0), (1, "a", 2.0, 20.0), (2, "b", 3.0, float("nan"))],
+        "idx bigint, g string, u double, v double",
+    )
+    out = xarray_reduce(
+        df, "g", func="mean", value=["u", "v"], dims=["idx"], dim="idx",
+        skipna=True,
+    )
+    got = {r["g"]: (r["u"], r["v"]) for r in out.collect()}
+    assert got["a"] == (1.5, 15.0)
+    assert got["b"][0] == 3.0
+    assert got["b"][1] is None or math.isnan(got["b"][1])  # all-NaN group
+
+    with pytest.raises(ValueError, match="single-variable"):
+        xarray_reduce(
+            df, "g", func="mean", value=["u", "v"], dims=["idx"], dim="idx",
+            min_count=1,
+        )
