@@ -466,6 +466,17 @@ AGGREGATIONS: dict[str, Aggregation] = {
     ),
     "any": Aggregation("any", _any, _boolty, bool_to_int=False, final_fill=False),
     "all": Aggregation("all", _all, _boolty, bool_to_int=False, final_fill=False),
+    # order-free single-value pick (Spark any_value): used by the xarray
+    # front-end's missing-variable passthrough, where the column is constant
+    # within each group so ANY representative is THE value.  No flox
+    # counterpart (passthrough vars are never aggregated there); no idx
+    # needed, unlike first/last.
+    "anyvalue": Aggregation(
+        "anyvalue",
+        lambda ctx: F.any_value(ctx.clean, True),
+        _preserve,
+        bool_to_int=False,
+    ),
     "median": Aggregation(
         "median", _median, _ts_preserving(_floaty), skipna=False
     ),

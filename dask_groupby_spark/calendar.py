@@ -58,17 +58,6 @@ def _check_calendar(calendar: str) -> str:
     return cal
 
 
-def _month_days_expr(month: Column, calendar: str) -> Column:
-    """Days before ``month`` (1-based) in one year of ``calendar``."""
-    if calendar == "360_day":
-        return (month - 1) * F.lit(30)
-    cum = _CUM_365 if calendar in ("noleap", "365_day") else _CUM_366
-    expr = F.lit(0)
-    for m in range(12, 1, -1):
-        expr = F.when(month == F.lit(m), F.lit(cum[m - 1])).otherwise(expr)
-    return expr
-
-
 def encode_calendar_datetime(
     col: Column,
     calendar: str = "noleap",
@@ -85,24 +74,42 @@ def encode_calendar_datetime(
     cal = _check_calendar(calendar)
     if unit not in ("second", "day"):
         raise ValueError("unit must be 'second' or 'day'")
-    s = col.cast("string")
-    # regexp_extract yields '' on no-match; '' → NULL before the cast (ANSI
-    # mode would otherwise throw NumberFormatException on malformed input)
-    def _part(i: int) -> Column:
-        return F.nullif(F.regexp_extract(s, _TS_RE, i), F.lit("")).cast("bigint")
+    s = F.trim(col.cast("string"))
+    # Hot-path discipline (this runs per row of a 100 TB time axis): ONE
+    # validity regex + ONE split, then every field reference goes through a
+    # higher-order-function lambda variable — the bound array is evaluated
+    # exactly once per row, where naive repeated `split(...)[i]` subtrees
+    # would re-split for every field and every month-CASE branch (measured
+    # 20×).  Month day-offsets come from an array literal lookup, not an
+    # 11-branch CASE.  CASE-WHEN laziness keeps the ANSI casts off
+    # malformed rows; F.get is NULL- (not error-) on short arrays.
+    valid = s.rlike(_TS_RE)
+    parts = F.split(F.translate(s, "Tt", "  "), r"[-: .+Zz]+")
+    if cal == "360_day":
+        cum = [(m - 1) * 30 for m in range(1, 13)]
+    else:
+        cum = list(_CUM_365 if cal in ("noleap", "365_day") else _CUM_366)
+    cum_arr = F.array(*[F.lit(c) for c in cum])
 
-    year, month, day = _part(1), _part(2), _part(3)
-    hh = F.coalesce(F.nullif(F.regexp_extract(s, _TS_RE, 5), F.lit("")), F.lit("0")).cast("bigint")
-    mm = F.coalesce(F.nullif(F.regexp_extract(s, _TS_RE, 6), F.lit("")), F.lit("0")).cast("bigint")
-    ss = F.coalesce(F.nullif(F.regexp_extract(s, _TS_RE, 7), F.lit("")), F.lit("0")).cast("bigint")
-    days = (
-        (year - 1) * F.lit(_YEAR_DAYS[cal])
-        + _month_days_expr(month, cal)
-        + (day - 1)
-    )
-    out = days if unit == "day" else days * F.lit(86400) + hh * F.lit(3600) + mm * F.lit(60) + ss
-    # malformed → regexp_extract returns '' → NULL year after cast
-    return F.when(year.isNotNull() & month.isNotNull() & day.isNotNull(), out)
+    def _build(p: Column) -> Column:
+        year = F.get(p, 0).cast("bigint")
+        month = F.get(p, 1).cast("bigint")
+        day = F.get(p, 2).cast("bigint")
+        hh = F.coalesce(F.get(p, 3), F.lit("0")).cast("bigint")
+        mm = F.coalesce(F.get(p, 4), F.lit("0")).cast("bigint")
+        ss = F.coalesce(F.get(p, 5), F.lit("0")).cast("bigint")
+        midx = F.greatest(F.least(month, F.lit(12)), F.lit(1)) - 1
+        days = (
+            (year - 1) * F.lit(_YEAR_DAYS[cal])
+            + F.get(cum_arr, midx.cast("int"))
+            + (day - 1)
+        )
+        if unit == "day":
+            return days
+        return days * F.lit(86400) + hh * F.lit(3600) + mm * F.lit(60) + ss
+
+    out = F.get(F.transform(F.array(parts), _build), 0)
+    return F.when(valid, out)
 
 
 def decode_calendar_datetime(

@@ -63,6 +63,7 @@ def xarray_reduce(
     finalize_kwargs: Optional[dict] = None,
     alias: Optional[str] = None,
     interval_labels: bool = False,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Reduce a long-form labeled frame over named dimensions.
 
@@ -88,6 +89,15 @@ def xarray_reduce(
     and hash table across the agg columns).  ``min_count``/``dtype``/
     ``fill_value``/custom ``Aggregation`` objects require the
     single-variable form.
+
+    ``passthrough``: columns carried into the output UNREDUCED — the
+    reference's missing-variable passthrough (a Dataset variable that lacks
+    the reduced dim survives unchanged, flox/xarray.py:235-265).  In long
+    form such a variable is by definition constant within every output
+    group (it is a function of the retained dims/groupers), so it rides as
+    an extra group key: zero additional plan cost, still one shuffle.  A
+    column that does NOT satisfy the constancy condition splits groups —
+    the same misuse as reducing over a dim the variable depends on.
     """
     if not by:
         raise ValueError("need at least one by grouper")
@@ -106,6 +116,14 @@ def xarray_reduce(
             "appear in both by and dim"
         )
     retained = [d for d in dims if d not in reduce_over and d not in by]
+    passthrough = [
+        c for c in passthrough if c not in by and c not in retained
+    ]
+    bad = set(passthrough) & reduce_over
+    if bad:
+        raise ValueError(
+            f"cannot pass through a reduced dimension: {sorted(bad)}"
+        )
 
     # normalize expected_groups/isbin to one entry per grouper, wrapping
     # bin-edge entries in Bins (the reference's isbin plumbing,
@@ -132,8 +150,11 @@ def xarray_reduce(
     if all(e is None for e in expected_full):
         expected_full = None
 
-    if isinstance(value, (list, tuple)):
-        # Dataset form: one fused multi-aggregate, one shuffle
+    if isinstance(value, (list, tuple)) or passthrough:
+        # Dataset form / passthrough: one fused multi-aggregate, one shuffle
+        # (passthrough columns ride as any_value picks — constant per group,
+        # so any representative IS the value; groupby_agg keeps the OBSERVED
+        # group combinations, matching passthrough-variable alignment)
         if not isinstance(func, str):
             raise ValueError("Dataset (list-of-value) form requires a str func")
         if min_count is not None or dtype is not None or fill_value is not None:
@@ -150,7 +171,12 @@ def xarray_reduce(
             elif not skipna and fname.startswith("nan") and fname[3:] in AGGREGATIONS:
                 fname = fname[3:]
         kw = dict(finalize_kwargs or {})
-        funcs = [(fname, v, v, kw) for v in value]
+        single = not isinstance(value, (list, tuple))
+        values = [value] if single else list(value)
+        funcs = [
+            (fname, v, (alias or fname) if single else v, kw) for v in values
+        ]
+        funcs += [("anyvalue", c, c) for c in passthrough]
         out = groupby_agg(
             df,
             *by,

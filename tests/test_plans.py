@@ -185,3 +185,31 @@ def test_bucketed_join_elides_both_exchanges(spark, li, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_bkt_join")
         spark.sql("DROP TABLE IF EXISTS or_bkt_join")
+
+
+def test_wquantile_sketch_bounded_plan(spark):
+    """The sketch path must stay bounded-state: no window over the RAW rows
+    (only over the <=bins-row histogram) and no sort of the full input —
+    the property that distinguishes it from the exact weighted quantile."""
+    from dask_groupby_spark.operators.weighted import (
+        weighted_quantile,
+        weighted_quantile_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 5, float(i), 1.0 + (i % 3)) for i in range(200)],
+        "k bigint, x double, w double",
+    )
+    sk = weighted_quantile_sketch(df, "k", value="x", weight="w", q=0.5, sort=False)
+    plan = physical_plan(sk)
+    # histogram pre-aggregation happens BEFORE any window: the Window node
+    # consumes an Aggregate output, never the raw scan
+    assert "Window" in plan
+    ex = weighted_quantile(df, "k", value="x", weight="w", q=0.5, sort=False)
+    # the sketch's window input is the bucketed aggregate — observable as an
+    # extra HashAggregate pair vs the exact path
+    import re as _re
+
+    agg_sketch = len(_re.findall(r"HashAggregate", plan))
+    agg_exact = len(_re.findall(r"HashAggregate", physical_plan(ex)))
+    assert agg_sketch > agg_exact, (agg_sketch, agg_exact)

@@ -152,8 +152,26 @@ FUNCS = [
         "approx_nunique",
         "approx_quantile",
         "approx_median",
+        "anyvalue",  # nondeterministic pick by design — membership-tested below
     )
 ]
+
+
+def test_anyvalue_membership(sdf, data):
+    """anyvalue has no single numpy oracle (ANY group member is correct);
+    the contract is: non-null, and a member of the group's valid values."""
+    labels, _, vals = data
+    out = groupby_reduce(sdf, "label", func="anyvalue", value="val")
+    got = {r["label"]: r["anyvalue"] for r in out.collect()}
+    for k in range(NGROUPS):
+        members = vals[(labels == k)]
+        members = members[~np.isnan(members)]
+        if len(members) == 0:
+            # all-missing group → dtype-NA (NaN for float), like every
+            # skipping reduction
+            assert math.isnan(got[k]), (k, got[k])
+        else:
+            assert got[k] in members, (k, got[k])
 
 
 @pytest.mark.parametrize("func", FUNCS)

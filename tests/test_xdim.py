@@ -144,3 +144,35 @@ def test_dataset_form_multi_variable(spark):
             df, "g", func="mean", value=["u", "v"], dims=["idx"], dim="idx",
             min_count=1,
         )
+
+
+def test_passthrough_variables(spark):
+    """Missing-variable passthrough (flox/xarray.py:235-265: a Dataset var
+    lacking the reduced dim survives unchanged): constant-per-group columns
+    ride through as extra keys — same single shuffle."""
+    df = spark.createDataFrame(
+        [
+            (0, "s1", "Alpha", 1.0), (1, "s1", "Alpha", 3.0),
+            (2, "s2", "Beta", 10.0),
+        ],
+        "idx bigint, station string, station_name string, value double",
+    )
+    out = xarray_reduce(
+        df, "station", func="mean", dims=["idx"], dim="idx",
+        passthrough=["station_name"],
+    )
+    got = {r["station"]: (r["station_name"], r["mean"]) for r in out.collect()}
+    assert got == {"s1": ("Alpha", 2.0), "s2": ("Beta", 10.0)}
+
+    with pytest.raises(ValueError, match="reduced dimension"):
+        xarray_reduce(
+            df, "station", func="mean", dims=["idx"], dim="idx",
+            passthrough=["idx"],
+        )
+
+    # Dataset form carries passthrough too
+    multi = xarray_reduce(
+        df, "station", func="mean", value=["value"], dims=["idx"], dim="idx",
+        passthrough=["station_name"],
+    )
+    assert {r["station_name"] for r in multi.collect()} == {"Alpha", "Beta"}
