@@ -716,6 +716,89 @@ def q_stream_session(spark, sf):
     )
 
 
+def q_stream_agg(spark, sf):
+    """Streaming fused MULTI-aggregate (windowed_agg — the streaming
+    groupby_agg): count + nansum + nanmean of value per (1-day window,
+    event_type), ONE state store, finite stream == batch."""
+    import os
+
+    from dask_groupby_spark.sources import read_stream
+    from dask_groupby_spark.streaming import windowed_agg
+
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    stream = read_stream(
+        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.where(F.col("ts").isNotNull())
+
+    out = windowed_agg(
+        stream, "event_type",
+        funcs=[
+            ("count", "value", "n"),
+            ("nansum", "value", "total"),
+            ("nanmean", "value", "avg_v"),
+        ],
+        ts_col="ts", window="1 day", watermark="0 seconds",
+    )
+    name = "stream_agg_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        "n",
+        F.round("total", 4).alias("total"),
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
+def q_stream_enrich(spark, sf):
+    """Stream-static enrichment: events stream LEFT-joined to the customer
+    dim (broadcast — the stream never shuffles) on user_id=c_custkey, then
+    a windowed count per market segment; finite stream == batch."""
+    import os
+
+    from dask_groupby_spark.sources import load_table, read_stream
+    from dask_groupby_spark.streaming import stream_enrich, windowed_reduce
+
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    stream = read_stream(
+        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.where(F.col("ts").isNotNull())
+
+    dim = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_enrich(stream, dim, on="user_id", how="left").withColumn(
+        "seg", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN"))
+    )
+    out = windowed_reduce(
+        enriched, "seg", func="count", value="value",
+        ts_col="ts", window="1 day", watermark="0 seconds", alias="n",
+    )
+    name = "stream_enrich_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("window_start", "seg", "n")
+
+
 def q_stream_dedup(spark, sf):
     """Streaming exact dedup, oracle-checked: dropDuplicates state over
     (user_id, event_type) keys feeding a streaming count per event_type —
@@ -1520,12 +1603,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # 4): the environment change (events.ts -> TIMESTAMP_NTZ) invalidated every
 # green row earned before round 3, so the r4 window front-loads (a) queries
 # added this round, (b) the 8 queries the NTZ change broke (4 official red
-# rows + 4 latent), then (c) 38 of the 47 round-1 classics whose last
-# official row predates the change. The 9 remaining classics (month_hour,
-# resample_5d, first_ts, complex_nanmean, and the 5 r1 scans - all
-# spot-verified green against current data by the r3 review and the local
-# gate) head the post-window region for the r5 rotation, followed by
-# everything officially re-greened in the r03 window.
+# rows + 4 latent), then (c) 36 of the 47 round-1 classics whose last
+# official row predates the change. The 11 remaining classics (min_count,
+# dayofyear, month_hour, resample_5d, first_ts, complex_nanmean, and the 5
+# r1 scans - all spot-verified green against current data by the r3 review
+# and the local gate) head the post-window region for the r5 rotation,
+# followed by everything officially re-greened in the r03 window.
 # ALL entries remain registered and pass the local gate regardless of position
 # (scripts/check_driver_contract.py runs the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1534,6 +1617,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xdim_bins": q_xdim_bins,
     "xdim_dataset": q_xdim_dataset,
     "calendar_mean": q_calendar_mean,
+    "stream_agg": q_stream_agg,
+    "stream_enrich": q_stream_enrich,
     # --- r4 window: the 8 TIMESTAMP_NTZ casualties, fixed this round ---
     "twa": q_twa,
     "stream_sliding": q_stream_sliding,
@@ -1581,9 +1666,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bins_left": q_bins_left,
     "reindex_fill": q_reindex_fill,
     "grid_fill": q_grid_fill,
+    # --- r5 rotation head: the 11 classics deferred from the r4 window ---
     "min_count": q_min_count,
     "dayofyear": q_dayofyear,
-    # --- r5 rotation head: the 9 classics deferred from the r4 window ---
     "month_hour": q_month_hour,
     "resample_5d": q_resample_5d,
     "first_ts": q_first_ts,

@@ -72,6 +72,83 @@ def windowed_reduce(
     )
 
 
+def windowed_agg(
+    stream: DataFrame,
+    *by: str,
+    funcs,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Fused MULTI-reduction per event-time window — the streaming analog
+    of :func:`~dask_groupby_spark.core.groupby_agg`: every requested
+    reduction shares ONE stateful aggregation (one state store per
+    (window, keys), one shuffle per micro-batch), exactly as Catalyst
+    shares the hash table across agg columns in batch.
+
+    ``funcs``: sequence of ``(func_name, value_col, alias)`` or
+    ``(func_name, value_col, alias, finalize_kwargs)`` — same contract as
+    ``groupby_agg``; order-sensitive and multi-stage reductions
+    (first/last/arg*/mode/median) are rejected, as in
+    :func:`windowed_reduce`.
+    """
+    stream = normalize_time(stream, ts_col)
+    aggs = []
+    for item in funcs:
+        name, vcol, out = item[0], item[1], item[2]
+        kw = dict(item[3]) if len(item) > 3 else {}
+        spec = AGGREGATIONS[name]
+        if spec.grouped_build or spec.needs_idx:
+            raise ValueError(f"{name} is not supported in streaming mode")
+        ctx = _make_ctx(stream, vcol, None, kw)
+        aggs.append(spec.build(ctx).alias(out))
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), *by)
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *by,
+            *[item[2] for item in funcs],
+        )
+    )
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to a stream (the label/metadata-attach step of a streaming
+    feature pipeline).
+
+    The static side is broadcast (stream-static joins never shuffle the
+    stream when the dim side is broadcast — each micro-batch joins against
+    the executor-local hash table), and is RE-READ per micro-batch by
+    Structured Streaming, so a dim table updated in place is picked up
+    without restarting the query.  Inner and left joins are the
+    streaming-supported shapes for a left-side stream; right/full would
+    need the static side to observe stream completion and are rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "stream-static joins support how='inner' or 'left' "
+            "(the stream is the left/preserved side)"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)
+
+
 def session_reduce(
     stream: DataFrame,
     *by: str,

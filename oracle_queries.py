@@ -395,6 +395,18 @@ FROM t GROUP BY 1""",
 SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
        round(sum(value), 4) AS nansum
 FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    "stream_agg": f"""{_EV}
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
+       count(value)::BIGINT AS n,
+       round(sum(value), 4) AS total,
+       round(avg(value), 6) AS avg_v
+FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    "stream_enrich": f"""{_EV}
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+       coalesce(c_mktsegment, 'UNKNOWN') AS seg,
+       count(value)::BIGINT AS n
+FROM t LEFT JOIN customer ON t.user_id = customer.c_custkey
+WHERE ts IS NOT NULL GROUP BY 1, 2""",
     # virtual datetime accessors resolve to the same month/hour derivation
     "accessor_climatology": f"""{_EV}
 SELECT month(ts)::INT AS month, hour(ts)::INT AS hour,

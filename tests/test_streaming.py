@@ -183,3 +183,76 @@ def test_streaming_ffill_state_across_batches(spark, tmpdir):
     assert got[(1, 3)] == 7.0           # carried across micro-batches
     assert got[(2, 4)] == 3.0           # carried across micro-batches
     assert got[(2, 5)] == 9.0
+
+
+def test_windowed_agg_fused(spark, tmpdir):
+    """Multiple reductions share ONE stateful window aggregate and must
+    equal the per-func windowed_reduce results."""
+    from dask_groupby_spark.streaming import windowed_agg
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(minutes=m), "a" if m % 20 == 0 else "b", float(m))
+        for m in range(0, 120, 10)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, k string, v double").write.parquet(
+        f"{tmpdir}/in", mode="overwrite"
+    )
+    stream = spark.readStream.schema("ts timestamp, k string, v double").parquet(
+        f"{tmpdir}/in"
+    )
+    agg = windowed_agg(
+        stream, "k",
+        funcs=[("count", "v", "n"), ("nansum", "v", "s"), ("nanmean", "v", "m")],
+        ts_col="ts", window="1 hour",
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("winagg")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].isoformat(), r["k"]): (r["n"], r["s"], r["m"])
+        for r in spark.sql("select * from winagg").collect()
+    }
+    # hour 0, k='a': minutes 0,20,40 → n=3, s=60, m=20
+    assert got[("2024-03-01T00:00:00", "a")] == (3, 60.0, 20.0)
+    # hour 1, k='b': minutes 70,90,110 → n=3, s=270, m=90
+    assert got[("2024-03-01T01:00:00", "b")] == (3, 270.0, 90.0)
+
+    with pytest.raises(ValueError, match="not supported in streaming"):
+        windowed_agg(stream, "k", funcs=[("first", "v", "f")], ts_col="ts")
+
+
+def test_stream_enrich_static_join(spark, tmpdir):
+    """Stream-static broadcast enrichment: per-batch lookup, stream never
+    shuffles; unmatched keys survive a left join."""
+    from dask_groupby_spark.streaming import stream_enrich
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(minutes=10 * i), (i % 3) + 1, float(i))
+        for i in range(9)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, uid bigint, v double").write.parquet(
+        f"{tmpdir}/in", mode="overwrite"
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "uid bigint, tier string"
+    )
+    stream = spark.readStream.schema("ts timestamp, uid bigint, v double").parquet(
+        f"{tmpdir}/in"
+    )
+    out = stream_enrich(stream, dim, on="uid", how="left").groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        out.writeStream.format("memory").queryName("enrich")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["tier"]: r["n"] for r in spark.sql("select * from enrich").collect()}
+    assert got == {"gold": 3, "silver": 3, None: 3}  # uid 3 unmatched
+
+    with pytest.raises(ValueError, match="stream-static"):
+        stream_enrich(stream, dim, on="uid", how="full")
