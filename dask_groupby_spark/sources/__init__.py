@@ -119,6 +119,49 @@ def read_stream(
     return reader.load(path)
 
 
+def write_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    partition_by: tuple[str, ...] = (),
+    available_now: bool = False,
+    processing_time: str | None = None,
+    **options,
+):
+    """Streaming file sink: continuously land query results as
+    ``fmt`` files under ``path`` (exactly-once via the write-ahead
+    ``checkpoint`` directory — REQUIRED: without it a restarted query
+    re-emits or drops batches).
+
+    File sinks only support ``output_mode="append"``; aggregations
+    therefore need a watermark so windows can finalize (use
+    ``streaming.windowed_reduce``'s watermark argument, not complete
+    mode).  ``available_now=True`` drains the current input and stops —
+    the batch-backfill trigger; ``processing_time`` (e.g. ``"5 minutes"``)
+    sets a fixed micro-batch cadence.  ``partition_by`` hive-partitions
+    the output for downstream pruning, same as :func:`save_table`.
+    Returns the started ``StreamingQuery`` (caller owns
+    ``awaitTermination``).
+    """
+    writer = (
+        df.writeStream.format(fmt)
+        .outputMode(output_mode)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def save_table(
     df: DataFrame,
     path: str,

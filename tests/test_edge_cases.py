@@ -67,3 +67,24 @@ def test_empty_bins(spark):
         expected_groups=Bins([0.0, 1.0, 2.0]), fill_value=0.0,
     ).collect()
     assert {r["x_bin"]: r["nansum"] for r in out} == {0: 0.0, 1: 0.0}
+
+
+def test_two_binned_groupers(spark):
+    """BOTH groupers binned simultaneously (ref: flox test_core.py:1337
+    test_multiple_groupers_bins): pairs (i, i) over breaks [2..7] land on
+    the diagonal of the 5x5 bin grid; out-of-bounds pairs drop; the dense
+    grid fills the rest with 0."""
+    from dask_groupby_spark import Bins, groupby_reduce
+
+    rows = [(float(i), float(i), 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "b1 double, b2 double, val bigint")
+    breaks = [2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    out = groupby_reduce(
+        df, "b1", "b2", func="count", value="val",
+        expected_groups=(Bins(breaks), Bins(breaks)), fill_value=0,
+    )
+    got = {(r["b1_bin"], r["b2_bin"]): r["count"] for r in out.collect()}
+    assert len(got) == 25  # full 5x5 grid
+    for i in range(5):
+        for j in range(5):
+            assert got[(i, j)] == (1 if i == j else 0), (i, j)

@@ -148,3 +148,41 @@ def test_operators_accept_ntz_input(spark, tmpdir):
     r = resample(df, "ts", "1 day", "nansum", "v")
     assert r.count() == 2  # 2024-01-01 (two rows), 2024-06-30
     assert dict(r.dtypes)["bucket"] == "timestamp"
+
+
+def test_write_stream_file_sink_roundtrip(spark, tmpdir):
+    """Streaming file sink: stream in → windowed reduce (watermarked,
+    append mode) → parquet out, exactly-once via checkpoint; the landed
+    files must equal the batch result."""
+    import datetime
+
+    from dask_groupby_spark.sources import write_stream
+    from dask_groupby_spark.streaming import windowed_reduce
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (base + datetime.timedelta(minutes=30 * i), "k" + str(i % 2), float(i))
+        for i in range(8)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, k string, v double").write.parquet(
+        f"{tmpdir}/in", mode="overwrite"
+    )
+    stream = spark.readStream.schema("ts timestamp, k string, v double").parquet(
+        f"{tmpdir}/in"
+    )
+    agg = windowed_reduce(
+        stream, "k", func="nansum", value="v", ts_col="ts",
+        window="1 hour", watermark="0 seconds",
+    )
+    q = write_stream(
+        agg, f"{tmpdir}/out", checkpoint=f"{tmpdir}/ckpt", available_now=True
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].isoformat(), r["k"]): r["nansum"]
+        for r in spark.read.parquet(f"{tmpdir}/out").collect()
+    }
+    # hour 0: i=0 (k0, 0.0) + i=1 (k1, 1.0); hour 1: i=2,3 ...
+    assert got[("2024-05-01T00:00:00", "k0")] == 0.0
+    assert got[("2024-05-01T01:00:00", "k0")] == 2.0
+    assert got[("2024-05-01T01:00:00", "k1")] == 3.0
