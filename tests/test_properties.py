@@ -120,3 +120,56 @@ def test_resample_dense_is_lazy(spark):
     # 10 consecutive days over epoch-anchored 2-day buckets: 2024-01-01 is
     # an odd epoch day, so the span straddles 6 buckets
     assert out.count() == 6
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_wquantile_sketch_repartition_invariance(spark, seed):
+    """The histogram sketch must be partition-layout-invariant: min/max are
+    exact, per-bucket weight sums are order-independent for integer-valued
+    weights, so ANY repartitioning yields bit-identical answers."""
+    from dask_groupby_spark.operators.weighted import weighted_quantile_sketch
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    labels = rng.integers(0, 5, n)
+    vals = rng.normal(0, 50, n)
+    wts = rng.integers(1, 9, n).astype(float)
+    rows = [(int(labels[i]), float(vals[i]), float(wts[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "k bigint, x double, w double")
+
+    def run(frame):
+        return {
+            r["k"]: (r["wq_0_25"], r["wq_0_5"], r["wq_0_9"])
+            for r in weighted_quantile_sketch(
+                frame, "k", value="x", weight="w", q=[0.25, 0.5, 0.9], bins=256
+            ).collect()
+        }
+
+    base = run(df)
+    for p in (1, 3, 17):
+        assert run(df.repartition(p)) == base, p
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_sessionize_repartition_invariance(spark, seed):
+    """Session assignment depends only on per-key event-time order — never
+    on physical layout."""
+    from dask_groupby_spark.operators.selection import sessionize
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    rows = [
+        (i, int(rng.integers(0, 4)), float(rng.integers(0, 5000)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k bigint, ts double")
+
+    def run(frame):
+        return {
+            r["id"]: r["session_id"]
+            for r in sessionize(frame, "k", ts_col="ts", gap=100.0).collect()
+        }
+
+    base = run(df)
+    for p in (1, 7):
+        assert run(df.repartition(p)) == base, p
