@@ -760,6 +760,47 @@ def q_stream_agg(spark, sf):
     )
 
 
+def q_stream_join(spark, sf):
+    """Stream-stream inner join with an event-time range constraint: each
+    click pairs with the same user's views in the 2 hours before it
+    (both sides watermarked so buffered state is evictable); finite
+    stream == batch self-join."""
+    import os
+
+    from dask_groupby_spark.sources import read_stream
+    from dask_groupby_spark.streaming import stream_stream_join
+
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+
+    def side(etype, ts_alias, id_alias):
+        s = read_stream(spark, sf, schema=raw_schema, pathGlobFilter="events.parquet")
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.where(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+            "user_id",
+        )
+
+    clicks = side("click", "click_ts", "click_id")
+    views = side("view", "view_ts", "view_id")
+    out = stream_stream_join(
+        clicks, views, on="user_id",
+        left_ts="click_ts", right_ts="view_ts",
+        before="2 hours", after="0 seconds", watermark="1 day",
+    )
+    name = "stream_join_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "click_id", "view_id")
+
+
 def q_stream_enrich(spark, sf):
     """Stream-static enrichment: events stream LEFT-joined to the customer
     dim (broadcast — the stream never shuffles) on user_id=c_custkey, then
@@ -988,6 +1029,31 @@ def q_rank(spark, sf):
     return out.select(
         "event_id", "event_type", F.round(F.col("rank"), 6).alias("rank")
     )
+
+
+def q_fill_stat(spark, sf):
+    """per-group missing-value imputation — pandas
+    ``x.fillna(g.transform("mean"))``; one unordered window, single
+    Exchange, no join back."""
+    from dask_groupby_spark import groupby_fill_stat
+
+    ev = _ev(spark, sf)
+    out = groupby_fill_stat(ev, "event_type", value="vnull", func="nanmean", out="filled")
+    return out.select(
+        "event_id", "event_type", F.round(F.col("filled"), 6).alias("filled")
+    )
+
+
+def q_winsorize(spark, sf):
+    """per-group winsorization into the [0.05, 0.95] exact-quantile band
+    (outlier capping; missing values pass through unchanged)."""
+    from dask_groupby_spark import groupby_winsorize
+
+    ev = _ev(spark, sf)
+    out = groupby_winsorize(
+        ev, "event_type", value="vnull", lower=0.05, upper=0.95, out="wz"
+    )
+    return out.select("event_id", "event_type", F.round(F.col("wz"), 6).alias("wz"))
 
 
 def q_corr(spark, sf):
@@ -1612,13 +1678,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # ALL entries remain registered and pass the local gate regardless of position
 # (scripts/check_driver_contract.py runs the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r4 window (50): new this round ---
+    # --- r4 window (50): new this round (fill_stat/winsorize/stream_join
+    # displace reindex_fill/grid_fill/min_count to the r5 rotation) ---
     "wquantile_sketch": q_wquantile_sketch,
     "xdim_bins": q_xdim_bins,
     "xdim_dataset": q_xdim_dataset,
     "calendar_mean": q_calendar_mean,
     "stream_agg": q_stream_agg,
     "stream_enrich": q_stream_enrich,
+    "fill_stat": q_fill_stat,
+    "winsorize": q_winsorize,
+    "stream_join": q_stream_join,
     # --- r4 window: the 8 TIMESTAMP_NTZ casualties, fixed this round ---
     "twa": q_twa,
     "stream_sliding": q_stream_sliding,

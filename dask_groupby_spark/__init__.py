@@ -24,7 +24,15 @@ and shuffle planning natively (see SURVEY.md §4).
 from .aggregations import AGGREGATIONS, SCANS, Aggregation, Scan
 from .binning import Bins
 from .complex import complex_col, groupby_reduce_complex
-from .core import groupby_agg, groupby_describe, groupby_rank, groupby_reduce, groupby_scan
+from .core import (
+    groupby_agg,
+    groupby_describe,
+    groupby_fill_stat,
+    groupby_rank,
+    groupby_reduce,
+    groupby_scan,
+    groupby_winsorize,
+)
 from .plans import bucket_table, rechunk_for_blockwise
 from .resample import resample
 from .rolling import groupby_rolling
@@ -45,7 +53,9 @@ __all__ = [
     "groupby_reduce_complex",
     "complex_col",
     "groupby_describe",
+    "groupby_fill_stat",
     "groupby_rank",
+    "groupby_winsorize",
     "groupby_rolling",
     "groupby_scan",
     "rechunk_for_blockwise",

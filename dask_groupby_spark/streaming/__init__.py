@@ -149,6 +149,65 @@ def stream_enrich(
     return stream.join(d, on=on, how=how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    before: str = "1 hour",
+    after: str = "0 seconds",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time range constraint — the
+    correlate-two-event-streams primitive (attribute a conversion to the
+    impressions that preceded it, pair requests with responses).
+
+    Matches ``left`` rows with ``right`` rows sharing the ``on`` key(s)
+    whose event time falls in ``[left_ts - before, left_ts + after]``.
+    BOTH sides get a watermark and the range condition is part of the join
+    predicate — that pair is what lets Spark evict buffered rows once they
+    can no longer match anything, so per-side state is O(rows within
+    watermark + range horizon), not O(stream length).  Without the range
+    condition a stream-stream outer join is rejected by Spark and an inner
+    join buffers forever; this wrapper makes the bounded form the only
+    expressible one.
+
+    ``how`` ∈ inner/left/right/full (outer rows emit NULLs only after the
+    watermark proves no match can arrive).  If ``right_ts`` collides with
+    a left column it is suffixed ``_r`` in the output.
+    """
+    joins = {"inner": "inner", "left": "leftOuter", "right": "rightOuter", "full": "fullOuter"}
+    if how not in joins:
+        raise ValueError(f"how must be one of {sorted(joins)}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    left = normalize_time(left, left_ts).withWatermark(left_ts, watermark)
+    right = normalize_time(right, right_ts)
+    if right_ts in left.columns:
+        right = right.withColumnRenamed(right_ts, f"{right_ts}_r")
+        right_ts = f"{right_ts}_r"
+    right = right.withWatermark(right_ts, watermark)
+
+    cond = None
+    for k in keys:
+        eq = left[k] == right[k]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {before}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {after}"))
+    )
+    joined = left.join(right, cond, joins[how])
+    # merge the duplicated equality-key columns (coalesce for outer shapes)
+    for k in keys:
+        joined = joined.withColumn(f"__{k}", F.coalesce(left[k], right[k]))
+        joined = joined.drop(left[k]).drop(right[k]).withColumnRenamed(f"__{k}", k)
+    return joined
+
+
 def session_reduce(
     stream: DataFrame,
     *by: str,

@@ -407,6 +407,12 @@ SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
        count(value)::BIGINT AS n
 FROM t LEFT JOIN customer ON t.user_id = customer.c_custkey
 WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    "stream_join": """
+SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'view'
+ AND r.ts >= l.ts - INTERVAL 2 HOUR AND r.ts <= l.ts""",
     # virtual datetime accessors resolve to the same month/hour derivation
     "accessor_climatology": f"""{_EV}
 SELECT month(ts)::INT AS month, hour(ts)::INT AS hour,
@@ -719,6 +725,19 @@ SELECT event_type,
        round(min(CASE WHEN cw >= 0.5*tw THEN rep END), 6) AS wq_0_5,
        round(min(CASE WHEN cw >= 0.9*tw THEN rep END), 6) AS wq_0_9
 FROM r GROUP BY 1 ORDER BY 1""",
+    "fill_stat": f"""{_EV}
+SELECT event_id, event_type,
+       round(coalesce(vnull, avg(vnull) OVER (PARTITION BY event_type)), 6) AS filled
+FROM t""",
+    "winsorize": f"""{_EV},
+q AS (SELECT event_type,
+             quantile_cont(vnull, 0.05) AS lo,
+             quantile_cont(vnull, 0.95) AS hi
+      FROM t GROUP BY 1)
+SELECT event_id, t.event_type,
+       round(CASE WHEN vnull IS NULL THEN NULL
+                  ELSE least(greatest(vnull, lo), hi) END, 6) AS wz
+FROM t JOIN q USING (event_type)""",
     "rank": f"""{_EV}
 SELECT event_id, event_type,
        round((rank() OVER w

@@ -256,3 +256,48 @@ def test_stream_enrich_static_join(spark, tmpdir):
 
     with pytest.raises(ValueError, match="stream-static"):
         stream_enrich(stream, dim, on="uid", how="full")
+
+
+def test_stream_stream_join_matches_batch(spark, tmpdir):
+    """Stream-stream inner join with event-time range == the batch join on
+    the same finite data; the range is relative to the LEFT timestamp."""
+    from dask_groupby_spark.streaming import stream_stream_join
+
+    base = datetime.datetime(2024, 4, 1, 0, 0, 0)
+    # clicks at :60 and :180 min; views spread every 25 min
+    clicks = [(100 + i, base + datetime.timedelta(minutes=m), i % 2)
+              for i, m in enumerate((60, 180))]
+    views = [(200 + i, base + datetime.timedelta(minutes=25 * i), i % 2)
+             for i in range(8)]
+    spark.createDataFrame(clicks, "click_id bigint, click_ts timestamp, uid bigint") \
+        .write.parquet(f"{tmpdir}/clicks", mode="overwrite")
+    spark.createDataFrame(views, "view_id bigint, view_ts timestamp, uid bigint") \
+        .write.parquet(f"{tmpdir}/views", mode="overwrite")
+
+    cs = spark.readStream.schema("click_id bigint, click_ts timestamp, uid bigint") \
+        .parquet(f"{tmpdir}/clicks")
+    vs = spark.readStream.schema("view_id bigint, view_ts timestamp, uid bigint") \
+        .parquet(f"{tmpdir}/views")
+    out = stream_stream_join(
+        cs, vs, on="uid", left_ts="click_ts", right_ts="view_ts",
+        before="1 hour", after="0 seconds", watermark="1 day",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["click_id"], r["view_id"])
+           for r in spark.sql("select * from ssj").collect()}
+
+    expect = {
+        (c_id, v_id)
+        for c_id, c_ts, c_uid in clicks
+        for v_id, v_ts, v_uid in views
+        if c_uid == v_uid and c_ts - datetime.timedelta(hours=1) <= v_ts <= c_ts
+    }
+    assert got == expect and len(expect) > 0
+
+    with pytest.raises(ValueError, match="how must be"):
+        stream_stream_join(cs, vs, on="uid", left_ts="click_ts",
+                           right_ts="view_ts", how="anti")
