@@ -1500,6 +1500,37 @@ def q_split(spark, sf):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_mixture(spark, sf):
+    """deterministic mixture re-weighting: per-source resampling rates
+    (2.5x upsample / 0.5x downsample / 0x drop / 1x passthrough), map-only,
+    copies numbered for downstream packing."""
+    from dask_groupby_spark.operators.curate import mixture_sample
+
+    docs = load_table(spark, sf, "documents")
+    out = mixture_sample(
+        docs.select("doc_id", "source"),
+        rates={"src0": 2.5, "src1": 0.5, "src2": 0.0},
+        strata_col="source",
+        id_col="doc_id",
+        seed="mix1",
+        hasher="portable",
+    )
+    return out.select("doc_id", "source", "copy_id")
+
+
+def q_pack(spark, sf):
+    """greedy sequential sequence packing: documents of each source packed
+    into bins of <=2000 chars in doc_id order (running-total-with-reset —
+    the Arrow applyInPandas linear-recurrence tier)."""
+    from dask_groupby_spark.operators.curate import pack_sequences
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    out = pack_sequences(
+        docs, "source", size_col="n_chars", order_col="doc_id", capacity=2000
+    )
+    return out.select("doc_id", "source", "bin_id")
+
+
 def q_decontaminate(spark, sf):
     """n-gram decontamination: docs sharing an 8-gram with the 'benchmark'
     (here: the 20 lowest-id docs) are dropped; count survivors per lang."""
@@ -1678,8 +1709,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ALL entries remain registered and pass the local gate regardless of position
 # (scripts/check_driver_contract.py runs the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r4 window (50): new this round (fill_stat/winsorize/stream_join
-    # displace reindex_fill/grid_fill/min_count to the r5 rotation) ---
+    # --- r4 window (50): new this round (fill_stat/winsorize/stream_join/
+    # mixture/pack displace reindex_fill/grid_fill/min_count/dayofyear/
+    # month_hour to the r5 rotation) ---
     "wquantile_sketch": q_wquantile_sketch,
     "xdim_bins": q_xdim_bins,
     "xdim_dataset": q_xdim_dataset,
@@ -1689,6 +1721,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fill_stat": q_fill_stat,
     "winsorize": q_winsorize,
     "stream_join": q_stream_join,
+    "mixture": q_mixture,
+    "pack": q_pack,
     # --- r4 window: the 8 TIMESTAMP_NTZ casualties, fixed this round ---
     "twa": q_twa,
     "stream_sliding": q_stream_sliding,

@@ -247,3 +247,91 @@ def decontaminate_bloom(
             F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)),
         )
     return df.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict,
+    strata_col: str = "source",
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    seed: str = "mixture",
+    hasher: str = "fast",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic mixture re-weighting: resample each stratum (domain /
+    source / language) at its own rate — the "2 epochs of Wikipedia, 0.3 of
+    Common Crawl" step that turns a raw corpus into a training mixture.
+
+    A rate ``r`` emits ``floor(r)`` guaranteed copies of every row plus one
+    more iff a seeded hash of the row id falls below ``frac(r)`` of the hash
+    domain — so r<1 downsamples, r>1 upsamples (``copy_col`` numbers the
+    copies for downstream shuffling/packing), r=0 drops the stratum.  Like
+    :func:`train_test_split` this is a pure map-side projection: no shuffle,
+    no RNG state, reproducible under re-partitioning, and growth-stable
+    (existing rows never flip when the corpus grows).
+    """
+    for v in rates.values():
+        if v < 0:
+            raise ValueError("rates must be >= 0")
+    dom = float(1 << 60) if hasher == "portable" else float(1 << 63)
+    h = _hasher(hasher)(F.col(id_col).cast("string"), seed)
+    rate = F.lit(float(default_rate))
+    for k, v in rates.items():
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    base = F.floor(rate).cast("long")
+    extra = (h < (rate - F.floor(rate)) * F.lit(dom)).cast("long")
+    n = (base + extra).alias("__n_copies")
+    out = df.withColumn("__n_copies", n).where(F.col("__n_copies") >= 1)
+    return out.withColumn(
+        copy_col, F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n_copies")))
+    ).drop("__n_copies")
+
+
+def pack_sequences(
+    df: DataFrame,
+    *by: str,
+    size_col: str,
+    order_col: str,
+    capacity: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Greedy sequential bin packing: within each group, walk rows in
+    ``order_col`` order and start a new bin whenever adding the row would
+    push the running total past ``capacity`` — the sequence-packing step
+    that assembles documents into fixed-token-budget training examples.
+    A row larger than ``capacity`` gets a bin of its own.  Bins are
+    numbered 0.. per group.
+
+    The running-total-with-reset is a linear recurrence — same class as
+    EWMA (udaf.py): not expressible as a Spark window, so each group runs
+    through one Arrow ``applyInPandas`` pass.  At scale, groups (source
+    shards) partition the work; packing never needs to cross groups, so
+    this is one shuffle on the group keys and O(group) sequential work —
+    the same contract as the reference's blockwise-only reductions.
+    """
+    import pandas as pd
+
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    from pyspark.sql import types as T
+
+    # copy — StructType.add would mutate df's own schema object in place
+    out_schema = T.StructType(df.schema.fields + [T.StructField(bin_col, T.LongType())])
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy()
+        bins = [0] * len(sizes)
+        b, acc = 0, 0
+        for i, s in enumerate(sizes):
+            s = int(s)
+            if acc > 0 and acc + s > capacity:
+                b += 1
+                acc = 0
+            acc += s
+            bins[i] = b
+        pdf[bin_col] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return df.groupBy(*by).applyInPandas(pack, schema=out_schema)

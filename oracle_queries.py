@@ -1174,6 +1174,40 @@ SELECT doc_id,
                        AS BIGINT) < 288230376151711744
             THEN 'test' ELSE 'train' END AS split
 FROM documents""",
+    "mixture": """
+WITH r AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+              WHEN 'src2' THEN 0.0 ELSE 1.0 END AS rate,
+         CAST('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM documents
+),
+n AS (SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT)
+             + CASE WHEN h < (rate - floor(rate)) * 1152921504606846976.0
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM r)
+SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy_id
+FROM n WHERE n_copies >= 1""",
+    "pack": """
+WITH RECURSIVE base AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, doc_id, rn, n_chars, 0::BIGINT AS bin_id, n_chars AS acc
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.source, b.doc_id, b.rn, b.n_chars,
+         CASE WHEN w.acc > 0 AND w.acc + b.n_chars > 2000
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.acc > 0 AND w.acc + b.n_chars > 2000
+              THEN b.n_chars ELSE w.acc + b.n_chars END
+  FROM walk w JOIN base b ON b.source = w.source AND b.rn = w.rn + 1
+)
+SELECT doc_id, source, bin_id FROM walk""",
     "bloom_decontam": f"""{_TOKS},
 sh AS (
   SELECT DISTINCT doc_id,

@@ -708,3 +708,91 @@ def test_semantic_deduplicate(spark):
     assert 1 in kept and 2 not in kept and 3 not in kept
     assert 10 in kept and 11 not in kept
     assert {20, 21, 22, 23, 24} <= kept
+
+
+def test_mixture_sample_vs_python_reference(spark):
+    """Per-stratum rates: floor(r) guaranteed copies + one more iff the
+    seeded md5 hash lands under frac(r); 0-rate strata vanish."""
+    import hashlib
+
+    from dask_groupby_spark.operators.curate import mixture_sample
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    rates = {"a": 2.5, "b": 0.5, "c": 0.0}
+    got = {
+        (r["doc_id"], r["copy_id"])
+        for r in mixture_sample(
+            df, rates, strata_col="src", id_col="doc_id",
+            seed="tmix", hasher="portable",
+        ).collect()
+    }
+
+    dom = float(1 << 60)
+    expect = set()
+    for i, src in rows:
+        rate = rates.get(src, 1.0)
+        h = int(hashlib.md5(f"tmix:{i}".encode()).hexdigest()[:15], 16)
+        n = int(rate) + (1 if h < (rate - int(rate)) * dom else 0)
+        expect |= {(i, c) for c in range(1, n + 1)}
+    assert got == expect
+    # sanity on the mixture shape: 'a' upsampled, 'b' thinned, 'c' gone
+    by_src = {
+        s: sum(1 for (i, _) in got if rows[i][1] == s) for s in "abcd"
+    }
+    assert by_src["a"] > 50 and 0 < by_src["b"] < 50
+    assert by_src["c"] == 0 and by_src["d"] == 50
+
+    with pytest.raises(ValueError, match=">= 0"):
+        mixture_sample(df, {"a": -1.0}, strata_col="src")
+
+
+def test_pack_sequences_vs_python_reference(spark):
+    """Greedy packing equals the sequential reference per group; bins
+    respect capacity except oversized singletons; repartitioning the
+    input does not change assignments."""
+    import random
+
+    from dask_groupby_spark.operators.curate import pack_sequences
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"g{i % 3}", rng.choice([120, 350, 800, 2600]))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, sz bigint")
+    cap = 2000
+
+    def reference():
+        out = {}
+        for g in {r[1] for r in rows}:
+            acc, b = 0, 0
+            for i, _, s in sorted((r for r in rows if r[1] == g)):
+                if acc > 0 and acc + s > cap:
+                    b, acc = b + 1, 0
+                acc += s
+                out[i] = b
+        return out
+
+    expect = reference()
+    for nparts in (1, 7):
+        got = {
+            r["doc_id"]: r["bin_id"]
+            for r in pack_sequences(
+                df.repartition(nparts), "g",
+                size_col="sz", order_col="doc_id", capacity=cap,
+            ).collect()
+        }
+        assert got == expect
+
+    # capacity honored: multi-row bins never exceed cap
+    from collections import defaultdict
+    totals, counts = defaultdict(int), defaultdict(int)
+    for i, g, s in rows:
+        totals[(g, expect[i])] += s
+        counts[(g, expect[i])] += 1
+    for k, tot in totals.items():
+        assert tot <= cap or counts[k] == 1
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, "g", size_col="sz", order_col="doc_id", capacity=0)
