@@ -213,3 +213,35 @@ def test_wquantile_sketch_bounded_plan(spark):
     agg_sketch = len(_re.findall(r"HashAggregate", plan))
     agg_exact = len(_re.findall(r"HashAggregate", physical_plan(ex)))
     assert agg_sketch > agg_exact, (agg_sketch, agg_exact)
+
+
+def test_mixture_sample_zero_exchange(spark):
+    """Mixture re-weighting is a pure map projection + explode — the plan
+    may not shuffle at any rate configuration."""
+    from dask_groupby_spark.operators.curate import mixture_sample
+
+    docs = load_table(spark, SF, "documents")
+    out = mixture_sample(docs, {"src0": 2.5, "src1": 0.5}, strata_col="source")
+    assert count_exchanges(out) == 0
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing shuffles once on the group keys; the greedy walk itself is
+    partition-local Arrow work."""
+    from dask_groupby_spark.operators.curate import pack_sequences
+
+    docs = load_table(spark, SF, "documents")
+    out = pack_sequences(
+        docs, "source", size_col="n_chars", order_col="doc_id", capacity=2000
+    )
+    assert count_exchanges(out) == 1
+
+
+def test_fill_stat_winsorize_single_exchange(spark):
+    """Both preprocessing transforms evaluate their group statistic inside
+    one unordered WindowExec — a single Exchange, no join back."""
+    from dask_groupby_spark import groupby_fill_stat, groupby_winsorize
+
+    ev = load_table(spark, SF, "events")
+    assert count_exchanges(groupby_fill_stat(ev, "event_type", value="value")) == 1
+    assert count_exchanges(groupby_winsorize(ev, "event_type", value="value")) == 1
