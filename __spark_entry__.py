@@ -1500,6 +1500,19 @@ def q_split(spark, sf):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_chunk_docs(spark, sf):
+    """overlapping token-window document chunking (32-token windows,
+    16-token stride) — map-only explode, the context-window preprocessing
+    step; pairs with pack_sequences."""
+    from dask_groupby_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    out = chunk_documents(
+        docs.select("doc_id", "text"), max_tokens=32, overlap=16
+    )
+    return out.select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+
+
 def q_mixture(spark, sf):
     """deterministic mixture re-weighting: per-source resampling rates
     (2.5x upsample / 0.5x downsample / 0x drop / 1x passthrough), map-only,
@@ -1710,8 +1723,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (scripts/check_driver_contract.py runs the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r4 window (50): new this round (fill_stat/winsorize/stream_join/
-    # mixture/pack displace reindex_fill/grid_fill/min_count/dayofyear/
-    # month_hour to the r5 rotation) ---
+    # mixture/pack/chunk_docs displace reindex_fill/grid_fill/min_count/
+    # dayofyear/month_hour/resample_5d to the r5 rotation) ---
     "wquantile_sketch": q_wquantile_sketch,
     "xdim_bins": q_xdim_bins,
     "xdim_dataset": q_xdim_dataset,
@@ -1723,6 +1736,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": q_stream_join,
     "mixture": q_mixture,
     "pack": q_pack,
+    "chunk_docs": q_chunk_docs,
     # --- r4 window: the 8 TIMESTAMP_NTZ casualties, fixed this round ---
     "twa": q_twa,
     "stream_sliding": q_stream_sliding,

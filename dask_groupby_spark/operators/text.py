@@ -275,3 +275,53 @@ def document_fingerprint(
     prefix = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
     bucket = F.floor(F.size(toks) / 16).cast("int")
     return df.withColumn(out, F.md5(F.concat(prefix, F.lit("#"), bucket.cast("string"))))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+    overlap: int = 0,
+    chunk_col: str = "chunk_id",
+    out_col: str = "chunk_text",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Split documents into (optionally overlapping) token-window chunks —
+    the context-window preprocessing step before embedding/training: window
+    ``i`` covers tokens ``[i*stride, i*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; the last window may be shorter;
+    empty documents yield no chunks.
+
+    Pure map-side projection + explode (zero shuffle): at 100 TB the
+    chunk multiplier scales rows, not stages — budget downstream shuffles
+    on the post-chunk row count, exactly like :func:`mixture_sample`
+    upsampling.  Pairs with
+    :func:`~dask_groupby_spark.operators.curate.pack_sequences` (chunk the
+    long tail down, pack the short tail up).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not (0 <= overlap < max_tokens):
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    out = (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("__n", F.size("__toks"))
+        .where(F.col("__n") > 0)
+        .withColumn(
+            chunk_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.col("__n") / F.lit(float(stride))).cast("long") - 1,
+                )
+            ),
+        )
+    )
+    piece = F.slice(F.col("__toks"), F.col(chunk_col) * stride + 1, max_tokens)
+    return (
+        out.withColumn(out_col, F.array_join(piece, " "))
+        .withColumn(count_col, F.size(piece))
+        .drop("__toks", "__n")
+    )

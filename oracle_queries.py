@@ -1174,6 +1174,20 @@ SELECT doc_id,
                        AS BIGINT) < 288230376151711744
             THEN 'test' ELSE 'train' END AS split
 FROM documents""",
+    "chunk_docs": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x <> '') AS tk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(generate_series(0, CAST(ceil(len(tk) / 16.0) AS BIGINT) - 1)) AS chunk_id
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id, chunk_id,
+       array_to_string(tk[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk_text,
+       len(tk[chunk_id*16+1 : chunk_id*16+32])::INT AS n_tokens
+FROM c""",
     "mixture": """
 WITH r AS (
   SELECT doc_id, source,

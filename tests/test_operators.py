@@ -796,3 +796,37 @@ def test_pack_sequences_vs_python_reference(spark):
 
     with pytest.raises(ValueError, match="capacity"):
         pack_sequences(df, "g", size_col="sz", order_col="doc_id", capacity=0)
+
+
+def test_chunk_documents_vs_python_reference(spark):
+    """Overlapping token windows: window i covers [i*stride, i*stride+max);
+    last window short; empty docs vanish; overlap bounds validated."""
+    from dask_groupby_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{j}" for j in range(10))),
+        (2, "one two three"),
+        (3, ""),          # no chunks
+        (4, "   "),       # whitespace-only → no chunks
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, max_tokens=4, overlap=2).collect()
+    }
+
+    expect = {}
+    for i, text in rows:
+        tk = [t for t in text.split(" ") if t]
+        stride = 2
+        c = 0
+        while c * stride < len(tk):
+            piece = tk[c * stride : c * stride + 4]
+            expect[(i, c)] = (" ".join(piece), len(piece))
+            c += 1
+    assert got == expect
+    assert not any(d == 3 or d == 4 for d, _ in got)
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=4, overlap=4)

@@ -245,3 +245,10 @@ def test_fill_stat_winsorize_single_exchange(spark):
     ev = load_table(spark, SF, "events")
     assert count_exchanges(groupby_fill_stat(ev, "event_type", value="value")) == 1
     assert count_exchanges(groupby_winsorize(ev, "event_type", value="value")) == 1
+
+
+def test_chunk_documents_zero_exchange(spark):
+    from dask_groupby_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, SF, "documents")
+    assert count_exchanges(chunk_documents(docs, max_tokens=32, overlap=8)) == 0
