@@ -132,15 +132,74 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def capped_bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+    id_col: str = "id",
+) -> DataFrame:
+    """In-bucket pair enumeration with a hard bound on pairs per bucket.
+
+    The naive bucket self-join emits O(|bucket|²) rows; one degenerate
+    bucket (boilerplate templates, near-empty documents) makes the whole
+    job quadratic.  The bounded plan ranks bucket members by id and joins
+    only the first ``max_bucket_size`` members ("anchors") against all
+    members:
+
+    - |bucket| ≤ cap: every member is an anchor, so the output is exactly
+      the all-pairs set — bit-for-bit identical to the uncapped plan;
+    - |bucket| > cap: O(|bucket| · cap) pairs, and every member still pairs
+      with anchor 1, so the bucket stays one connected component for
+      transitive clustering (a giant bucket is near-certain mutual
+      duplicates — the star-to-anchors subgraph preserves that verdict
+      without enumerating the clique).
+
+    ``max_bucket_size=None`` keeps the plain self-join (no window sort).
+    Output: one row per (a, b) co-bucket event with every ``rows`` column
+    prefixed ``a_``/``b_`` (a.id < b.id); callers aggregate or score.
+    """
+    others = [c for c in rows.columns if c != id_col and c not in bucket_cols]
+
+    def side(df, tag):
+        return df.select(
+            *bucket_cols,
+            F.col(id_col).alias(f"{tag}_{id_col}"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in others],
+            *([F.col("__rk").alias(f"{tag}___rk")] if "__rk" in df.columns else []),
+        )
+
+    if max_bucket_size is None:
+        joined = side(rows, "a").join(side(rows, "b"), on=bucket_cols, how="inner")
+        return joined.where(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(*bucket_cols).orderBy(id_col)
+    ranked = rows.withColumn("__rk", F.row_number().over(wo))
+    anchors = ranked.where(F.col("__rk") <= max_bucket_size)
+    joined = side(anchors, "a").join(side(ranked, "b"), on=bucket_cols, how="inner")
+    # rank order == id order within a bucket, so a___rk < b___rk ⇔ a_id < b_id
+    return joined.where(F.col("a___rk") < F.col("b___rk")).drop("a___rk", "b___rk")
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 8, bands: int = 4, hasher: str = "fast"
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hasher: str = "fast",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; documents sharing any band hash are candidate
     near-duplicate pairs.  Output: (id_a, id_b, n_shared_bands), id_a < id_b.
 
     The band groupBy is the inverted index — pair enumeration happens only
-    inside buckets, never globally.
+    inside buckets, never globally.  ``max_bucket_size`` additionally bounds
+    the per-bucket work: buckets larger than the cap emit anchor-star pairs
+    instead of the full clique (see :func:`capped_bucket_pairs`) — identical
+    output whenever no bucket exceeds the cap, bounded O(|bucket| · cap)
+    enumeration when one does.  The 100 TB composition default
+    (``near_deduplicate``) sets this; the primitive defaults to None so the
+    uncapped plan stays exactly oracle-checkable.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -156,12 +215,9 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col("id"), F.explode(F.array(*band_cols)).alias("bandkey")
     ).select("id", F.col("bandkey.band").alias("band"), F.col("bandkey.bh").alias("bh"))
-    left = exploded.alias("a")
-    right = exploded.alias("b")
     pairs = (
-        left.join(right, on=["band", "bh"], how="inner")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        capped_bucket_pairs(exploded, ["band", "bh"], max_bucket_size)
+        .groupBy(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
     return pairs
@@ -173,6 +229,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard similarity ≥ threshold.
 
@@ -181,12 +238,34 @@ def ngram_jaccard_pairs(
     per-doc shingle counts — no cross join at any scale.
     Output: (id_a, id_b, jaccard).
 
+    ``max_shingle_df`` bounds the other quadratic corner: a shingle present
+    in d documents emits O(d²) join rows, and boilerplate shingles ("all
+    rights reserved") reach corpus-scale d.  With the cap set, shingles whose
+    document frequency exceeds it are dropped from the index BEFORE the
+    self-join (one window count on the same ``sh`` shuffle key the join
+    needs), and both n_common and the per-doc sizes are computed over the
+    surviving shingle space — i.e. exact Jaccard over the stop-shingle-
+    filtered sets, the standard formulation.  Hot shingles carry ~zero
+    discriminative signal, so recall loss is confined to pairs similar ONLY
+    in boilerplate.  ``None`` (the primitive's default) keeps the full
+    shingle space.
+
     No ``.cache()`` on the shingle rows: the self-join's two sides hash to
     identical Exchange subtrees, which Spark's ReuseExchange rule dedupes at
     runtime, and a cache here would leak storage memory in long-lived
     sessions (the caller gets no handle to unpersist).
     """
     sh = _shingle_rows(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        sh = (
+            sh.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -342,6 +421,7 @@ def near_deduplicate(
     shingle_k: int = 3,
     hasher: str = "fast",
     max_iter: int = 20,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash signatures → LSH band
     buckets → candidate pairs → transitive clusters → keep the minimum-id
@@ -352,11 +432,23 @@ def near_deduplicate(
     per-corpus-row work is signature hashing (map-side) and one band-bucket
     shuffle; pair enumeration, clustering, and the keeper anti-join all run
     on the (tiny, LSH-filtered) candidate subgraph.
+
+    ``max_bucket_size`` (default 10 000) bounds worst-case pair enumeration
+    on degenerate band buckets — see :func:`capped_bucket_pairs`.  Below the
+    cap the result is identical to uncapped; above it, oversized buckets
+    contribute an anchor star instead of a clique, which clusters to the
+    same single keeper.  Set None to force the uncapped plan.
     """
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k, hasher=hasher
     )
-    pairs = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands, hasher=hasher)
+    pairs = lsh_candidate_pairs(
+        sig,
+        num_hashes=num_hashes,
+        bands=bands,
+        hasher=hasher,
+        max_bucket_size=max_bucket_size,
+    )
     clusters = duplicate_clusters(pairs, max_iter=max_iter)
     losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)

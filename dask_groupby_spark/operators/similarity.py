@@ -488,9 +488,22 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via LSH bucketing +
-    exact verification within buckets.  Output: (id_a, id_b, cosine)."""
+    exact verification within buckets.  Output: (id_a, id_b, cosine).
+
+    ``max_bucket_size`` bounds in-bucket scoring on degenerate buckets (an
+    embedding-space mode — e.g. a giant cluster of near-identical template
+    pages — puts 10⁵⁺ vectors in one bucket and the self-join goes
+    quadratic): members beyond the cap are scored against the first
+    ``max_bucket_size`` bucket members (by id) only, so work is
+    O(|bucket| · cap) and, dense near-dup clusters being mutually similar,
+    transitive clustering still collapses them.  Identical to uncapped
+    whenever no bucket exceeds the cap; ``None`` = uncapped.
+    """
+    from .dedup import capped_bucket_pairs
+
     planes = [_hyperplane(dim, i) for i in range(n_planes)]
     base = df.select(
         F.col(id_col).alias("id"),
@@ -498,14 +511,12 @@ def embedding_near_duplicates(
         _norm(F.col(vec_col).cast("array<double>")).alias("n"),
         lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
     )
-    a, b = base.alias("a"), base.alias("b")
     pairs = (
-        a.join(b, on="bucket")
-        .where(F.col("a.id") < F.col("b.id"))
+        capped_bucket_pairs(base, ["bucket"], max_bucket_size)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            (_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))).alias(
                 "cosine"
             ),
         )
@@ -522,6 +533,7 @@ def semantic_deduplicate(
     dim: int = 64,
     n_planes: int = 4,
     max_iter: int = 20,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-space near-duplicate REMOVAL (the SemDeDup recipe, Abbas et
     al. 2023, composed from this module's primitives): bucket vectors by
@@ -532,12 +544,15 @@ def semantic_deduplicate(
     embedding analog of ``dedup.near_deduplicate``.  Per-corpus-row work is
     one map-side bucket assignment; pair scoring, clustering, and the
     keeper anti-join run on the LSH-filtered candidate subgraph only.
+    ``max_bucket_size`` (default 10 000) bounds in-bucket scoring on
+    degenerate buckets — see :func:`embedding_near_duplicates`; None =
+    uncapped.
     """
     from .dedup import duplicate_clusters
 
     pairs = embedding_near_duplicates(
         df, threshold=threshold, id_col=id_col, vec_col=vec_col,
-        dim=dim, n_planes=n_planes,
+        dim=dim, n_planes=n_planes, max_bucket_size=max_bucket_size,
     )
     clusters = duplicate_clusters(pairs, max_iter=max_iter)
     losers = clusters.where(F.col("id") != F.col("cluster_id")).select(

@@ -122,3 +122,172 @@ def test_groupby_reduce_hot_key_sketch_path(skewed):
     # v = id % 977 over the hot key (uniform) → true median ≈ 488;
     # accuracy=100 bounds rank error at n/100 → value error ~ ±10 here
     assert abs(got["hot"] - 488.0) < 30
+
+
+# ---------------------------------------------------------------------------
+# Hot-BUCKET stress: LSH / shingle-index pair enumeration must stay bounded
+# when one bucket (boilerplate templates, near-empty docs) goes degenerate.
+# Uncapped, a bucket of n members emits n(n-1)/2 pairs; the anchor cap bounds
+# it at ~n*cap while keeping every member connected to anchor 1, so the
+# transitive clustering verdict (one keeper per clique) is unchanged.
+# ---------------------------------------------------------------------------
+
+HOT_DOCS = 200  # identical docs -> one band bucket per band
+CAP = 4
+
+
+@pytest.fixture(scope="module")
+def hot_corpus(spark):
+    """200 identical documents + 12 distinct ones."""
+    hot = spark.range(HOT_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate template page body here").alias("text"),
+    )
+    # cold docs share NO tokens with each other (wordN tokens are disjoint
+    # per doc) so they never LSH-collide
+    cold = spark.range(1000, 1012).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), (F.col("id") * 17 + j).cast("string"))
+                for j in range(8)
+            ],
+        ).alias("text"),
+    )
+    df = hot.union(cold)
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_lsh_cap_identical_when_buckets_small(spark):
+    from dask_groupby_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document "),
+            F.col("id").cast("string"),
+            F.when(F.col("id") % 7 == 0, F.lit(" shared tail of words here now"))
+            .otherwise(F.concat(F.lit(" body "), (F.col("id") * 31).cast("string"))),
+        ).alias("text"),
+    )
+    sig = minhash_signatures(docs)
+    plain = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in lsh_candidate_pairs(sig).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in lsh_candidate_pairs(sig, max_bucket_size=1000).collect()
+    }
+    assert plain == capped
+
+
+def test_lsh_cap_bounds_hot_bucket_pairs(hot_corpus):
+    from dask_groupby_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(hot_corpus).persist()
+    sig.count()
+    capped = lsh_candidate_pairs(sig, max_bucket_size=CAP).collect()
+    sig.unpersist()
+    n_pairs = len(capped)
+    # uncapped would emit HOT_DOCS*(HOT_DOCS-1)/2 = 19900 distinct pairs;
+    # the anchor plan emits <= cap per member per bucket
+    assert n_pairs <= HOT_DOCS * CAP
+    assert n_pairs < HOT_DOCS * (HOT_DOCS - 1) / 2 / 5
+    # connectivity: every hot doc appears in some pair (no member orphaned)
+    members = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
+    assert set(range(HOT_DOCS)) <= members
+
+
+def test_near_dedup_capped_collapses_hot_cluster(hot_corpus):
+    from dask_groupby_spark.operators.dedup import near_deduplicate
+
+    kept = near_deduplicate(hot_corpus, max_bucket_size=CAP)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # the 200-clone cluster collapses to its min id even though only an
+    # anchor-star subgraph of the clique was enumerated
+    assert ids == [0] + list(range(1000, 1012))
+
+
+def test_jaccard_shingle_df_cap(spark):
+    """Document-frequency cap drops boilerplate shingles before the
+    inverted-index self-join; result == exact Jaccard over the filtered
+    shingle space (python reference)."""
+    from dask_groupby_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = {
+        # every doc shares this 6-token boilerplate (many hot shingles)
+        0: "copyright notice all rights reserved here alpha beta gamma delta",
+        1: "copyright notice all rights reserved here alpha beta gamma epsilon",
+        2: "copyright notice all rights reserved here zeta eta theta iota",
+        3: "copyright notice all rights reserved here kappa lam mu nu",
+        4: "copyright notice all rights reserved here xi omicron pi rho",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    max_df = 3
+
+    def sh_set(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh_set(t) for i, t in texts.items()}
+    df_count = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    fsets = {
+        i: {g for g in s if df_count[g] <= max_df} for i, s in sets.items()
+    }
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b and (fsets[a] | fsets[b]):
+                j = len(fsets[a] & fsets[b]) / len(fsets[a] | fsets[b])
+                if j >= 0.2:
+                    expected[(a, b)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.2, max_shingle_df=max_df
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k_ in got:
+        assert abs(got[k_] - expected[k_]) < 1e-12
+
+
+def test_embedding_cap_and_semdedup_collapse(spark):
+    from dask_groupby_spark.operators.similarity import (
+        embedding_near_duplicates,
+        semantic_deduplicate,
+    )
+
+    dim = 8
+    # 100 near-identical vectors (one LSH bucket) + 5 distinct directions
+    rows = [(i, [1.0 + (i % 3) * 1e-4] + [0.0] * (dim - 1)) for i in range(100)]
+    rows += [(200 + d, [0.0] * d + [1.0] + [0.0] * (dim - 1 - d)) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs_capped = embedding_near_duplicates(
+        df, threshold=0.999, dim=dim, max_bucket_size=CAP
+    ).collect()
+    assert len(pairs_capped) <= 100 * CAP
+    members = {r["id_a"] for r in pairs_capped} | {r["id_b"] for r in pairs_capped}
+    assert set(range(100)) <= members
+
+    kept = semantic_deduplicate(
+        df, threshold=0.999, dim=dim, max_bucket_size=CAP
+    )
+    ids = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+    assert ids == [0] + [201, 202, 203, 204, 205]
