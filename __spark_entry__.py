@@ -583,17 +583,30 @@ def q_calendar_mean(spark, sf):
     datetime_to_numeric): string calendar axis → exact integer epoch
     offsets (pure Catalyst regexp+arithmetic, no cftime dep) → grouped
     mean.  The test axis reuses events.ts formatted as strings (valid in
-    both calendars), so the oracle can re-derive the same offsets."""
+    both calendars), so the oracle can re-derive the same offsets.
+
+    floor(mean) is computed EXACTLY — decimal sum S, then (S - S%n)/n —
+    because per-group double sums reach ~1e15 where ulp ≈ 0.25, and
+    Spark-vs-DuckDB summation order could flip floor() when the true mean
+    lands near an integer (same trick as _nanmean's timestamp path)."""
     from dask_groupby_spark.calendar import encode_calendar_datetime
 
     ev = _ev(spark, sf).withColumn(
         "cal", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
     )
-    enc = ev.withColumn("e", encode_calendar_datetime(F.col("cal"), "noleap"))
-    out = groupby_reduce(enc, "event_type", func="nanmean", value="e")
+    enc = ev.withColumn(
+        "e", encode_calendar_datetime(F.col("cal"), "noleap").cast("decimal(38,0)")
+    )
+    out = (
+        enc.where(F.col("e").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("e").alias("S"), F.count("e").alias("n"))
+    )
     return out.select(
         "event_type",
-        F.floor("nanmean").cast("bigint").alias("mean_noleap_sec"),
+        ((F.col("S") - F.col("S") % F.col("n")) / F.col("n"))
+        .cast("bigint")
+        .alias("mean_noleap_sec"),
     )
 
 

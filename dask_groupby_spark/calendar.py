@@ -118,7 +118,13 @@ def decode_calendar_datetime(
     unit: str = "second",
 ) -> Column:
     """Inverse of :func:`encode_calendar_datetime`: BIGINT offset →
-    ``"YYYY-MM-DD HH:MM:SS"`` string in ``calendar``."""
+    ``"YYYY-MM-DD HH:MM:SS"`` string in ``calendar``.
+
+    Negative offsets (dates before year 1 — outside the encodable domain,
+    since :func:`encode_calendar_datetime` never produces them) decode to
+    NULL rather than a garbage string: Spark's ``%`` follows the dividend's
+    sign, so the day-of-year arithmetic is only valid for ``col >= 0``.
+    """
     cal = _check_calendar(calendar)
     if unit not in ("second", "day"):
         raise ValueError("unit must be 'second' or 'day'")
@@ -142,7 +148,7 @@ def decode_calendar_datetime(
     hh = F.floor(rem / F.lit(3600)).cast("bigint")
     mm = F.floor((rem % F.lit(3600)) / F.lit(60)).cast("bigint")
     ss = (rem % F.lit(60)).cast("bigint")
-    return F.concat(
+    formatted = F.concat(
         F.lpad(year.cast("string"), 4, "0"), F.lit("-"),
         F.lpad(month.cast("string"), 2, "0"), F.lit("-"),
         F.lpad(dom.cast("string"), 2, "0"), F.lit(" "),
@@ -150,3 +156,4 @@ def decode_calendar_datetime(
         F.lpad(mm.cast("string"), 2, "0"), F.lit(":"),
         F.lpad(ss.cast("string"), 2, "0"),
     )
+    return F.when(secs >= 0, formatted)

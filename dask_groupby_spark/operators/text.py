@@ -293,6 +293,12 @@ def chunk_documents(
     ``stride = max_tokens - overlap``; the last window may be shorter;
     empty documents yield no chunks.
 
+    The last chunk index is ``max(0, ceil((n - max_tokens)/stride))`` — the
+    FIRST window that reaches the document's end is the last one emitted.
+    (``ceil(n/stride)`` windows would emit trailing chunks that are strict
+    subsets of the previous chunk whenever ``overlap > 0`` and the tail is
+    short — duplicated text downstream.)
+
     Pure map-side projection + explode (zero shuffle): at 100 TB the
     chunk multiplier scales rows, not stages — budget downstream shuffles
     on the post-chunk row count, exactly like :func:`mixture_sample`
@@ -314,7 +320,13 @@ def chunk_documents(
             F.explode(
                 F.sequence(
                     F.lit(0).cast("long"),
-                    F.ceil(F.col("__n") / F.lit(float(stride))).cast("long") - 1,
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.ceil(
+                            (F.col("__n") - F.lit(max_tokens))
+                            / F.lit(float(stride))
+                        ).cast("long"),
+                    ),
                 )
             ),
         )

@@ -176,8 +176,11 @@ def stream_stream_join(
     expressible one.
 
     ``how`` ∈ inner/left/right/full (outer rows emit NULLs only after the
-    watermark proves no match can arrive).  If ``right_ts`` collides with
-    a left column it is suffixed ``_r`` in the output.
+    watermark proves no match can arrive).  EVERY non-key right column whose
+    name collides with a left column is suffixed ``_r`` in the output (not
+    just ``right_ts`` — a shared payload column would otherwise make the
+    join predicate ambiguous or duplicate output names); the equality keys
+    themselves are merged into single columns.
     """
     joins = {"inner": "inner", "left": "leftOuter", "right": "rightOuter", "full": "fullOuter"}
     if how not in joins:
@@ -186,9 +189,15 @@ def stream_stream_join(
 
     left = normalize_time(left, left_ts).withWatermark(left_ts, watermark)
     right = normalize_time(right, right_ts)
-    if right_ts in left.columns:
-        right = right.withColumnRenamed(right_ts, f"{right_ts}_r")
-        right_ts = f"{right_ts}_r"
+    for c in right.columns:
+        if c in left.columns and c not in keys:
+            if f"{c}_r" in right.columns or f"{c}_r" in left.columns:
+                raise ValueError(
+                    f"cannot disambiguate colliding column {c!r}: {c}_r exists"
+                )
+            right = right.withColumnRenamed(c, f"{c}_r")
+            if c == right_ts:
+                right_ts = f"{right_ts}_r"
     right = right.withWatermark(right_ts, watermark)
 
     cond = None

@@ -440,18 +440,24 @@ FROM (
          l_extendedprice
   FROM lineitem
 ) WHERE b IS NOT NULL GROUP BY 1""",
+    # floor(mean) via exact integer sum + floor division (// on HUGEINT) —
+    # a double avg() here can flip floor() vs Spark on summation order
     "calendar_mean": """
-SELECT event_type,
-       CAST(floor(avg(
-         ((year(ts) - 1) * 365
+WITH e AS (
+  SELECT event_type,
+         CAST((year(ts) - 1) * 365
           + CASE month(ts) WHEN 1 THEN 0 WHEN 2 THEN 31 WHEN 3 THEN 59
                 WHEN 4 THEN 90 WHEN 5 THEN 120 WHEN 6 THEN 151 WHEN 7 THEN 181
                 WHEN 8 THEN 212 WHEN 9 THEN 243 WHEN 10 THEN 273
                 WHEN 11 THEN 304 ELSE 334 END
-          + day(ts) - 1) * 86400.0
+          + day(ts) - 1 AS HUGEINT) * 86400
          + hour(ts) * 3600 + minute(ts) * 60 + CAST(floor(second(ts)) AS BIGINT)
-       )) AS BIGINT) AS mean_noleap_sec
-FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1""",
+         AS noleap_off
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(sum(noleap_off) // count(*) AS BIGINT) AS mean_noleap_sec
+FROM e GROUP BY 1 ORDER BY 1""",
     "xdim_dataset": f"""{_EV}
 SELECT event_type, month(ts)::INT AS month,
        round(avg(CASE WHEN NOT isnan(vnan) THEN vnan END), 6) AS vnan,
@@ -1180,8 +1186,13 @@ WITH toks AS (
   FROM documents
 ),
 c AS (
+  -- last chunk index = max(0, ceil((n - max_tokens)/stride)): the first
+  -- window reaching the end is the last emitted (no trailing-subset chunks)
   SELECT doc_id, tk, len(tk) AS n,
-         unnest(generate_series(0, CAST(ceil(len(tk) / 16.0) AS BIGINT) - 1)) AS chunk_id
+         unnest(generate_series(
+           0,
+           greatest(0, CAST(ceil((len(tk) - 32) / 16.0) AS BIGINT))
+         )) AS chunk_id
   FROM toks WHERE len(tk) > 0
 )
 SELECT doc_id, chunk_id,

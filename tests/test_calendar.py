@@ -131,3 +131,19 @@ def test_roundtrip_property(spark):
                 assert r["b"] == r["t"], (cal, r)
 
     run()
+
+
+def test_decode_negative_offset_is_null(spark):
+    """Offsets before year 1 are outside the encodable domain: decode
+    returns NULL instead of a sign-garbled string (Spark % follows the
+    dividend's sign)."""
+    df = spark.createDataFrame([(-1,), (-86400,), (0,), (86400,)], "off long")
+    got = [
+        r["d"]
+        for r in df.select(
+            decode_calendar_datetime(F.col("off"), "noleap").alias("d")
+        ).orderBy("off").collect()
+    ]
+    assert got[0] is None and got[1] is None
+    assert got[2] == "0001-01-01 00:00:00"
+    assert got[3] == "0001-01-02 00:00:00"

@@ -816,17 +816,24 @@ def test_chunk_documents_vs_python_reference(spark):
         for r in chunk_documents(df, max_tokens=4, overlap=2).collect()
     }
 
+    import math
+
     expect = {}
     for i, text in rows:
         tk = [t for t in text.split(" ") if t]
+        if not tk:
+            continue
         stride = 2
-        c = 0
-        while c * stride < len(tk):
+        # last chunk = first window reaching the end (no trailing subsets)
+        last = max(0, math.ceil((len(tk) - 4) / stride))
+        for c in range(last + 1):
             piece = tk[c * stride : c * stride + 4]
             expect[(i, c)] = (" ".join(piece), len(piece))
-            c += 1
     assert got == expect
     assert not any(d == 3 or d == 4 for d, _ in got)
+    # n=10, max=4, stride=2 → last index ceil(6/2)=3, NOT ceil(10/2)-1=4:
+    # the 5th window [8:12] would be a strict subset of the 4th [6:10]
+    assert max(c for d, c in got if d == 1) == 3
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=4, overlap=4)

@@ -301,3 +301,43 @@ def test_stream_stream_join_matches_batch(spark, tmpdir):
     with pytest.raises(ValueError, match="how must be"):
         stream_stream_join(cs, vs, on="uid", left_ts="click_ts",
                            right_ts="view_ts", how="anti")
+
+
+def test_stream_stream_join_colliding_columns(spark, tmpdir):
+    """Both sides share 'ts' AND a non-key payload column 'v': every
+    colliding right column is suffixed _r, the predicate stays unambiguous,
+    and output column names are unique."""
+    from dask_groupby_spark.streaming import stream_stream_join
+
+    base = datetime.datetime(2024, 4, 1, 0, 0, 0)
+    lrows = [(i, base + datetime.timedelta(minutes=60 * i), 10.0 * i, i % 2)
+             for i in range(3)]
+    rrows = [(i, base + datetime.timedelta(minutes=30 * i), -1.0 * i, i % 2)
+             for i in range(6)]
+    spark.createDataFrame(lrows, "lid bigint, ts timestamp, v double, uid bigint") \
+        .write.parquet(f"{tmpdir}/l", mode="overwrite")
+    spark.createDataFrame(rrows, "rid bigint, ts timestamp, v double, uid bigint") \
+        .write.parquet(f"{tmpdir}/r", mode="overwrite")
+    ls = spark.readStream.schema("lid bigint, ts timestamp, v double, uid bigint") \
+        .parquet(f"{tmpdir}/l")
+    rs = spark.readStream.schema("rid bigint, ts timestamp, v double, uid bigint") \
+        .parquet(f"{tmpdir}/r")
+
+    out = stream_stream_join(
+        ls, rs, on="uid", left_ts="ts", right_ts="ts",
+        before="1 hour", after="0 seconds", watermark="1 day",
+    )
+    assert sorted(out.columns) == sorted(
+        ["lid", "ts", "v", "rid", "ts_r", "v_r", "uid"]
+    )
+    q = (out.writeStream.format("memory").queryName("ssjc")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["lid"], r["rid"]) for r in spark.sql("select * from ssjc").collect()}
+    expect = {
+        (lid, rid)
+        for lid, lts, _, luid in lrows
+        for rid, rts, _, ruid in rrows
+        if luid == ruid and lts - datetime.timedelta(hours=1) <= rts <= lts
+    }
+    assert got == expect and len(expect) > 0
