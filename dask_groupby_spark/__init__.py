@@ -33,7 +33,7 @@ from .core import (
     groupby_scan,
     groupby_winsorize,
 )
-from .plans import bucket_table, rechunk_for_blockwise
+from .plans import bucket_table, rechunk_for_blockwise, rechunk_for_cohorts
 from .resample import resample
 from .rolling import groupby_rolling
 from .session import get_spark
@@ -59,6 +59,7 @@ __all__ = [
     "groupby_rolling",
     "groupby_scan",
     "rechunk_for_blockwise",
+    "rechunk_for_cohorts",
     "resample",
     "bucket_table",
     "get_spark",

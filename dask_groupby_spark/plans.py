@@ -7,9 +7,15 @@ pre-optimizers, plus plan-inspection utilities used by tests/benchmarks.
   Spark terms: ``repartition(cols)`` — the shuffle is *moved*, not removed,
   but it is paid once and reused by every downstream grouped op on the same
   keys (Exchange reuse / AQE elision).
-- The reference's ``rechunk_for_cohorts`` (flox/core.py:540-631) has no
-  analog on purpose: cohort detection is a dask-topology optimization that
-  Spark's key-routed shuffle subsumes (SURVEY.md §4).
+- :func:`rechunk_for_cohorts` ≈ flox.rechunk_for_cohorts
+  (flox/__init__.py:8-13, flox/core.py:540-631): in the reference this
+  rewrites dask chunk boundaries so groups that recur with a shared period
+  (cohorts) land in the same blocks.  Spark has no user-visible chunk
+  topology — the hash shuffle already routes every group's rows to one
+  partition, which is the end state cohort rechunking approximates — so the
+  Spark counterpart IS the blockwise layout, and this export is a documented
+  alias of :func:`rechunk_for_blockwise` to keep the public API surface
+  1:1 (SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -23,6 +29,31 @@ def rechunk_for_blockwise(df: DataFrame, *by: str, partitions: int | None = None
     if partitions:
         return df.repartition(partitions, *by)
     return df.repartition(*by)
+
+
+def rechunk_for_cohorts(
+    df: DataFrame,
+    *by: str,
+    partitions: int | None = None,
+    **_ignored,
+) -> DataFrame:
+    """Public-API parity alias for the reference's ``rechunk_for_cohorts``
+    (flox/__init__.py:8-13, impl flox/core.py:540-631).
+
+    The reference's version exists because dask reduces block-by-block along
+    a fixed chunk grid: when groups recur periodically (e.g. day-of-year
+    across a 40-year daily series), re-cutting chunks so each cohort of
+    co-occurring groups shares blocks turns a global tree reduction into
+    many small independent ones.  Spark's shuffle already routes by key
+    hash — every group's rows meet in exactly one post-shuffle partition
+    regardless of input layout, with AQE coalescing/splitting partitions at
+    runtime — so the cohort heuristic has nothing to optimize here; the
+    useful half (pay the layout cost once, reuse it) is exactly
+    :func:`rechunk_for_blockwise` / :func:`bucket_table`.  Extra reference
+    keywords (``found_groups``, ``force_new_dim``, …) are accepted and
+    ignored for drop-in compatibility.
+    """
+    return rechunk_for_blockwise(df, *by, partitions=partitions)
 
 
 def bucket_table(

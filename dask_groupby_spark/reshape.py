@@ -44,6 +44,7 @@ def groupby_pivot(
     prefix: Optional[str] = None,
     fill_value=None,
     sort: bool = True,
+    max_discovered: int = 1000,
 ) -> DataFrame:
     """Wide grouped reduction: one row per ``row_by`` label, one column per
     ``col_by`` label (named ``{prefix}{label}``, prefix defaults to
@@ -53,16 +54,32 @@ def groupby_pivot(
     semantics, as the nan* registry names imply).  ``col_values`` declares
     the column domain — pass it at scale (skipping the discovery job and
     fixing the schema); when omitted, one distinct-collect job discovers
-    the observed labels (sorted).  ``fill_value`` fills empty cells.
+    the observed labels (sorted), and raises if more than
+    ``max_discovered`` labels exist — an unbounded label set would both
+    flood the driver and produce a pathologically wide plan; a
+    high-cardinality ``col_by`` needs an explicit (curated) domain.
+    ``fill_value`` fills empty cells.
     """
     if func not in _PIVOT_FUNCS:
         raise ValueError(f"func must be one of {_PIVOT_FUNCS}")
     if col_values is None:
-        col_values = [
+        # limit(N+1) bounds the collect itself — the driver never holds more
+        # than max_discovered+1 labels even when col_by is corpus-cardinality
+        discovered = [
             r[0]
-            for r in df.select(col_by).distinct().orderBy(col_by).collect()
-            if r[0] is not None
+            for r in df.select(col_by)
+            .where(F.col(col_by).isNotNull())
+            .distinct()
+            .limit(max_discovered + 1)
+            .collect()
         ]
+        if len(discovered) > max_discovered:
+            raise ValueError(
+                f"groupby_pivot discovered more than max_discovered="
+                f"{max_discovered} distinct {col_by!r} labels; pass "
+                f"col_values= with a declared domain (or raise max_discovered)"
+            )
+        col_values = sorted(discovered)
     prefix = f"{col_by}_" if prefix is None else prefix
     clean = _clean(df, value)
     aggs = []

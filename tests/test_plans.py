@@ -252,3 +252,15 @@ def test_chunk_documents_zero_exchange(spark):
 
     docs = load_table(spark, SF, "documents")
     assert count_exchanges(chunk_documents(docs, max_tokens=32, overlap=8)) == 0
+
+
+def test_rechunk_for_cohorts_alias(spark):
+    """Public-API parity: rechunk_for_cohorts == rechunk_for_blockwise on
+    Spark (cohort detection is a dask-chunk-topology optimization the key-
+    routed shuffle subsumes); reference kwargs are accepted and ignored."""
+    from dask_groupby_spark import rechunk_for_cohorts
+
+    df = spark.range(100).selectExpr("id % 7 as k", "id as v")
+    out = rechunk_for_cohorts(df, "k", partitions=4, found_groups=None)
+    assert out.rdd.getNumPartitions() == 4
+    assert out.groupBy("k").count().count() == 7

@@ -69,3 +69,25 @@ def test_rollup_and_cube(longdf):
     plan = groupby_rollup(longdf, "r", "c", func="count", sort=False) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and plan.count("Exchange") == 1
+
+
+def test_pivot_discovery_guard(spark):
+    """High-cardinality col_by without a declared domain raises instead of
+    collecting an unbounded label set; the limit bounds the collect itself."""
+    import pytest
+
+    from dask_groupby_spark.reshape import groupby_pivot
+
+    df = spark.range(5000).selectExpr(
+        "id % 3 as g", "concat('c', id) as c", "cast(id as double) as value"
+    )
+    with pytest.raises(ValueError, match="max_discovered"):
+        groupby_pivot(df, "g", "c", max_discovered=100)
+    # declared domain always works, whatever the cardinality
+    out = groupby_pivot(df, "g", "c", col_values=["c1", "c2"]).collect()
+    assert len(out) == 3
+    # small observed domains keep working with discovery
+    small = spark.range(100).selectExpr(
+        "id % 3 as g", "concat('s', id % 4) as c", "cast(id as double) as value"
+    )
+    assert len(groupby_pivot(small, "g", "c").columns) == 1 + 4
