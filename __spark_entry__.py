@@ -690,6 +690,83 @@ def q_stream_sliding(spark, sf):
     )
 
 
+def q_stream_late(spark, sf):
+    """Late/out-of-order data contract: events arriving BEYOND the watermark
+    are dropped, and append mode emits exactly the watermark-finalized
+    windows.  Four staged file-batches (maxFilesPerTrigger=1, mtime-ordered)
+    replay the corpus out of order, with W = 3 days:
+
+      batch 1: Jan 1-10   (on time)      -> wm ~= Jan 7.9
+      batch 2: Jan 21-25  (jump ahead)   -> wm ~= Jan 22.9
+      batch 3: Jan 26-30  (on time)      -> wm ~= Jan 27.9
+      batch 4: Jan 11-20  (stragglers)   -> dropped: every straggler's
+               day-window ends <= Jan 21
+
+    Spark >= 3.4 filters late events with a ONE-BATCH-DELAYED watermark
+    (SPARK-40925: lateEvents wm vs eviction wm in StateStoreSave), which is
+    why batch 3 exists: when the stragglers arrive, even the delayed
+    watermark (~Jan 22.9, from batch 2) is past their window ends
+    (<= Jan 21, ~1.9-day margin), so they are dropped under either
+    semantics — not aggregated-then-instantly-evicted.
+
+    Expected (= the DuckDB oracle): day windows with window_end <= the
+    final watermark (max ts - 3d ~= Jan 27.9), aggregated over the on-time
+    batches only.  A wrong implementation that buffers without eviction
+    would merge the stragglers and mismatch; one that never finalizes would
+    emit nothing.  All boundaries sit mid-day (max ts ~23:57), so <= vs <
+    at the watermark can't flip the result."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from dask_groupby_spark.streaming import windowed_reduce
+
+    ev = _ev(spark, sf).where(F.col("ts").isNotNull()).select(
+        "event_type", "ts", "value"
+    )
+    base = tempfile.mkdtemp(prefix="stream_late_")
+    stage = os.path.join(base, "in")
+    os.makedirs(stage)
+    batches = [
+        ev.where(F.col("ts") < "2024-01-11"),
+        ev.where((F.col("ts") >= "2024-01-21") & (F.col("ts") < "2024-01-26")),
+        ev.where(F.col("ts") >= "2024-01-26"),
+        ev.where((F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")),
+    ]
+    for i, b in enumerate(batches, 1):
+        d = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1700000000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    out = windowed_reduce(
+        stream, "event_type", func="nansum", value="value",
+        ts_col="ts", window="1 day", watermark="3 days",
+    )
+    name = "stream_late_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        F.round("nansum", 4).alias("nansum"),
+    )
+
+
 def q_stream_session(spark, sf):
     """Structured Streaming session windows, oracle-checked: per-user
     sessions split at >= 30-minute silence (F.session_window semantics:
@@ -1722,26 +1799,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this dict
-# (insertion order) against the DuckDB oracle. Rotation plan (VERDICT r3 item
-# 4): the environment change (events.ts -> TIMESTAMP_NTZ) invalidated every
-# green row earned before round 3, so the r4 window front-loads (a) queries
-# added this round, (b) the 8 queries the NTZ change broke (4 official red
-# rows + 4 latent), then (c) 36 of the 47 round-1 classics whose last
-# official row predates the change. The 11 remaining classics (min_count,
-# dayofyear, month_hour, resample_5d, first_ts, complex_nanmean, and the 5
-# r1 scans - all spot-verified green against current data by the r3 review
-# and the local gate) head the post-window region for the r5 rotation,
-# followed by everything officially re-greened in the r03 window.
-# ALL entries remain registered and pass the local gate regardless of position
-# (scripts/check_driver_contract.py runs the full set).
+# (insertion order) against the DuckDB oracle. r5 rotation (VERDICT r4 items
+# 2/7): the window front-loads (a) keys whose code or oracle changed this
+# round (stream_late is NEW - the late/out-of-order watermark contract;
+# chunk_docs and calendar_mean changed semantics; the dedup/similarity
+# family grew the bucket cap; pivot grew the discovery guard), then (b) the
+# 28 r1-era keys with no official driver row since the r3 testdata encoding
+# change (mode/nanmode, bins_*, reindex_fill, grid_fill, min_count,
+# dayofyear, month_hour, resample_5d, first_ts, the 4 complex_*, all 13
+# scan_*), then (c) the oldest remaining greens (r2 rows). DISPLACED out of
+# the r4 window (all hold fresh green r4 rows): wquantile_sketch, xdim_bins,
+# xdim_dataset, stream_agg, stream_enrich, fill_stat, winsorize,
+# stream_join, mixture, pack, twa, stream_sliding, range_join, sessionize,
+# mean_ts, resample_time, stream_window, stream_session, and the 30
+# count..nunique reductions. ALL entries remain registered and pass the
+# local gate regardless of position (scripts/check_driver_contract.py runs
+# the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r4 window (50): new this round (fill_stat/winsorize/stream_join/
-    # mixture/pack/chunk_docs displace reindex_fill/grid_fill/min_count/
-    # dayofyear/month_hour/resample_5d to the r5 rotation) ---
+    # --- r5 window: new or changed this round ---
+    "stream_late": q_stream_late,
+    "chunk_docs": q_chunk_docs,
+    "calendar_mean": q_calendar_mean,
+    "lsh_pairs": q_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "semdedup": q_semdedup,
+    "emb_neardup": q_emb_neardup,
+    "dup_clusters": q_dup_clusters,
+    "minhash": q_minhash,
+    "pivot": q_pivot,
+    # --- r5 window: r1-era keys, no official driver row since the r3
+    # testdata encoding change (local gate green throughout) ---
+    "mode": q_mode,
+    "nanmode": q_nanmode,
+    "bins_right": q_bins_right,
+    "bins_left": q_bins_left,
+    "reindex_fill": q_reindex_fill,
+    "grid_fill": q_grid_fill,
+    "min_count": q_min_count,
+    "dayofyear": q_dayofyear,
+    "month_hour": q_month_hour,
+    "resample_5d": q_resample_5d,
+    "first_ts": q_first_ts,
+    "complex_nanmean": q_complex_nanmean,
+    "complex_nanvar": q_complex_nanvar,
+    "complex_argmax": q_complex_argmax,
+    "complex_nanmedian": q_complex_nanmedian,
+    "scan_nancumsum": q_scan_nancumsum,
+    "scan_cumsum": q_scan_cumsum,
+    "scan_ffill": q_scan_ffill,
+    "scan_bfill": q_scan_bfill,
+    "scan_cummax": q_scan_cummax,
+    "scan_nancummin": q_scan_nancummin,
+    "scan_cummin": q_scan_cummin,
+    "scan_nancummax": q_scan_nancummax,
+    "scan_cumcount": q_scan_cumcount,
+    "scan_shift": q_scan_shift,
+    "scan_cumprod": q_scan_cumprod,
+    "scan_nancumprod": q_scan_nancumprod,
+    "scan_diff": q_scan_diff,
+    # --- r5 window: oldest remaining official greens (r2 rows) ---
+    "approx_quantile": q_approx_quantile,
+    "dup_spans": q_dup_spans,
+    "span_dedup": q_span_dedup,
+    "xdim_reduce": q_xdim_reduce,
+    "accessor_climatology": q_accessor_climatology,
+    "stream_dedup": q_stream_dedup,
+    "stream_cumsum": q_stream_cumsum,
+    "entropy": q_entropy,
+    "resample_dense_keys": q_resample_dense_keys,
+    "multimodal_meta": q_multimodal_meta,
+    "simhash": q_simhash,
+    "dedup_exact": q_dedup_exact,
+    # ----------------------------------------------------------------- 50
+    # --- displaced: fresh green r4 rows ---
     "wquantile_sketch": q_wquantile_sketch,
     "xdim_bins": q_xdim_bins,
     "xdim_dataset": q_xdim_dataset,
-    "calendar_mean": q_calendar_mean,
     "stream_agg": q_stream_agg,
     "stream_enrich": q_stream_enrich,
     "fill_stat": q_fill_stat,
@@ -1749,8 +1882,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": q_stream_join,
     "mixture": q_mixture,
     "pack": q_pack,
-    "chunk_docs": q_chunk_docs,
-    # --- r4 window: the 8 TIMESTAMP_NTZ casualties, fixed this round ---
     "twa": q_twa,
     "stream_sliding": q_stream_sliding,
     "range_join": q_range_join,
@@ -1759,8 +1890,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_time": q_resample_time,
     "stream_window": q_stream_window,
     "stream_session": q_stream_session,
-    # --- r4 window: round-1 classics rotating back in (no official row
-    # since the environment change) ---
     "count": q_count,
     "sum": q_sum,
     "nansum": q_nansum,
@@ -1791,42 +1920,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile": q_quantile,
     "nanquantile_vec": q_nanquantile_vec,
     "nunique": q_nunique,
-    "mode": q_mode,
-    "nanmode": q_nanmode,
-    "bins_right": q_bins_right,
-    "bins_left": q_bins_left,
-    "reindex_fill": q_reindex_fill,
-    "grid_fill": q_grid_fill,
-    # --- r5 rotation head: the 11 classics deferred from the r4 window ---
-    "min_count": q_min_count,
-    "dayofyear": q_dayofyear,
-    "month_hour": q_month_hour,
-    "resample_5d": q_resample_5d,
-    "first_ts": q_first_ts,
-    "complex_nanmean": q_complex_nanmean,
-    "scan_nancumsum": q_scan_nancumsum,
-    "scan_cumsum": q_scan_cumsum,
-    "scan_ffill": q_scan_ffill,
-    "scan_bfill": q_scan_bfill,
-    "scan_cummax": q_scan_cummax,
-    # --- officially re-greened in the r03 window (post-environment-change
-    # rows in CORRECTNESS_r03) ---
+    # --- r3-era greens ---
     "rank": q_rank,
     "wquantile": q_wquantile,
     "corr": q_corr,
     "bloom_decontam": q_bloom_decontam,
-    "pivot": q_pivot,
     "describe": q_describe,
     "wsample": q_wsample,
     "rollup": q_rollup,
     "ewma_scan": q_ewma,
-    "semdedup": q_semdedup,
-    "dedup_exact": q_dedup_exact,
-    "minhash": q_minhash,
-    "lsh_pairs": q_lsh_pairs,
-    "dup_clusters": q_dup_clusters,
-    "ngram_jaccard": q_ngram_jaccard,
-    "simhash": q_simhash,
     "text_stats": q_text_stats,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
@@ -1835,7 +1937,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
-    "emb_neardup": q_emb_neardup,
     "centroids": q_centroids,
     "asof_join": q_asof_join,
     "group_topk": q_group_topk,
@@ -1845,28 +1946,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split": q_split,
     "decontaminate": q_decontaminate,
     "top_terms": q_top_terms,
-    "multimodal_meta": q_multimodal_meta,
-    "scan_nancummin": q_scan_nancummin,
-    "scan_cummin": q_scan_cummin,
-    "scan_nancummax": q_scan_nancummax,
-    "scan_cumcount": q_scan_cumcount,
-    "scan_shift": q_scan_shift,
-    "scan_cumprod": q_scan_cumprod,
     "rolling": q_rolling,
-    "scan_nancumprod": q_scan_nancumprod,
-    "approx_quantile": q_approx_quantile,
-    "complex_nanvar": q_complex_nanvar,
-    "complex_argmax": q_complex_argmax,
-    "complex_nanmedian": q_complex_nanmedian,
-    "resample_dense_keys": q_resample_dense_keys,
-    "accessor_climatology": q_accessor_climatology,
-    "scan_diff": q_scan_diff,
-    "dup_spans": q_dup_spans,
-    "span_dedup": q_span_dedup,
-    "xdim_reduce": q_xdim_reduce,
-    "stream_dedup": q_stream_dedup,
-    "stream_cumsum": q_stream_cumsum,
-    "entropy": q_entropy,
 }
 
 

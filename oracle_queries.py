@@ -395,6 +395,24 @@ FROM t GROUP BY 1""",
 SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
        round(sum(value), 4) AS nansum
 FROM t WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    # late-data contract: the stream replays batches (Jan 1-10, Jan 21-25,
+    # Jan 26-30, then Jan 11-20 stragglers); watermark = max(on-time ts) -
+    # 3 days, so every straggler's day-window is long past both the late-
+    # event and eviction watermarks (dropped) and append mode emits exactly
+    # the windows ending <= the final watermark over the on-time batches
+    "stream_late": """
+WITH wm AS (
+  SELECT max(ts) - INTERVAL 3 DAY AS w FROM events
+  WHERE ts >= TIMESTAMP '2024-01-26 00:00:00'
+)
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
+       round(sum(value), 4) AS nansum
+FROM events
+WHERE ts IS NOT NULL
+  AND (ts < TIMESTAMP '2024-01-11 00:00:00'
+       OR ts >= TIMESTAMP '2024-01-21 00:00:00')
+  AND time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+GROUP BY 1, 2""",
     "stream_agg": f"""{_EV}
 SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
        count(value)::BIGINT AS n,

@@ -341,3 +341,59 @@ def test_stream_stream_join_colliding_columns(spark, tmpdir):
         if luid == ruid and lts - datetime.timedelta(hours=1) <= rts <= lts
     }
     assert got == expect and len(expect) > 0
+
+
+def test_late_rows_dropped_after_watermark(spark, tmpdir):
+    """Rows arriving beyond the watermark are dropped, not merged or
+    re-emitted.  Spark >= 3.4 filters late events with a ONE-BATCH-DELAYED
+    watermark (SPARK-40925), so the straggler arrives two batches after the
+    event-time jump: by then even the delayed watermark has passed its
+    window and the row must vanish."""
+    import glob
+    import os
+    import shutil
+
+    from dask_groupby_spark.streaming import windowed_reduce
+
+    stage = f"{tmpdir}/in"
+    os.makedirs(stage)
+    batches = [
+        [("a", "2024-01-02 12:00:00", 1.0)],                      # on time
+        [("a", "2024-01-20 12:00:00", 2.0)],                      # jump
+        [("a", "2024-01-28 12:00:00", 4.0)],                      # advance
+        [("a", "2024-01-05 12:00:00", 100.0)],                    # straggler
+    ]
+    for i, rows in enumerate(batches, 1):
+        df = spark.createDataFrame(rows, "k string, ts_s string, v double") \
+            .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+        d = f"{tmpdir}/b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{stage}/batch{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1700000000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+    )
+    out = windowed_reduce(
+        stream, "k", func="nansum", value="v",
+        ts_col="ts", window="1 day", watermark="5 days",
+    )
+    q = (out.writeStream.format("memory").queryName("late_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"].isoformat(), r["nansum"])
+           for r in spark.sql("select * from late_t").collect()}
+    # final watermark = Jan 28 12:00 - 5d = Jan 23 12:00: Jan 2 and Jan 20
+    # windows are finalized; Jan 28's is still open; the Jan 5 straggler
+    # (100.0) is dropped - its window was finalized (and late-filtered)
+    # long before it arrived
+    assert got == {("2024-01-02T00:00:00", 1.0), ("2024-01-20T00:00:00", 2.0)}
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
