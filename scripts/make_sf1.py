@@ -1,0 +1,99 @@
+"""Generate a synthetic sf1 benchmark directory (10x sf0.1) for the scale-
+validation bench (VERDICT r4 item 4): replicate the four bench tables ten
+times with per-copy key shifts and content perturbation, so cardinalities
+scale the way real data would:
+
+- lineitem: l_orderkey shifted per copy -> 1.5M distinct orders at sf1
+  (matches real TPC-H sf1), group count scales 10x with the rows;
+- events:   event_id/user_id shifted, ts jittered by copy seconds;
+- documents: doc_id shifted; text vowels rotated per copy (translate(),
+  JVM-side) so copies are NOT near-duplicates of each other - the dup rate
+  stays ~sf0.1's instead of every doc gaining 9 artificial clones;
+- embeddings: vec_id shifted; vectors rotated by a per-copy affine tweak so
+  LSH/IVF bucket occupancy scales instead of collapsing.
+
+Output: $1 (default /tmp/sf1) with <table>.parquet files readable by
+dask_groupby_spark.sources.load_table.  Bench-only data - correctness keys
+still verify against the driver's own testdata.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark.session import get_spark
+from dask_groupby_spark.sources import load_table
+
+SRC = "/root/testdata/sf0.1"
+VOWELS = "aeiou"
+
+
+def _rot(i: int) -> str:
+    return VOWELS[i % 5:] + VOWELS[: i % 5]
+
+
+def main(out_dir: str = "/tmp/sf1", copies: int = 10) -> None:
+    spark = get_spark()
+    os.makedirs(out_dir, exist_ok=True)
+
+    li = load_table(spark, SRC, "lineitem")
+    ev = load_table(spark, SRC, "events")
+    docs = load_table(spark, SRC, "documents")
+    emb = load_table(spark, SRC, "embeddings")
+
+    okey_span = li.agg(F.max("l_orderkey")).first()[0] + 1
+    eid_span = ev.agg(F.max("event_id")).first()[0] + 1
+    uid_span = ev.agg(F.max("user_id")).first()[0] + 1
+    did_span = docs.agg(F.max("doc_id")).first()[0] + 1
+    vid_span = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    def replicate(df, build):
+        parts = [build(df, i) for i in range(copies)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    tables = {
+        "lineitem": replicate(
+            li,
+            lambda d, i: d.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * okey_span)
+            ),
+        ),
+        "events": replicate(
+            ev,
+            lambda d, i: d.withColumn("event_id", F.col("event_id") + F.lit(i * eid_span))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * uid_span))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} SECOND")),
+        ),
+        "documents": replicate(
+            docs,
+            lambda d, i: d.withColumn("doc_id", F.col("doc_id") + F.lit(i * did_span))
+            .withColumn("text", F.translate(F.col("text"), VOWELS, _rot(i))),
+        ),
+        "embeddings": replicate(
+            emb,
+            lambda d, i: d.withColumn("vec_id", F.col("vec_id") + F.lit(i * vid_span))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, j: x * (1.0 + 0.002 * i) + 0.003 * i * F.cos(j.cast("double")),
+                ),
+            ),
+        ),
+    }
+    for name, df in tables.items():
+        path = os.path.join(out_dir, f"{name}.parquet")
+        df.repartition(32).write.mode("overwrite").parquet(path)
+        print(f"wrote {path}: {spark.read.parquet(path).count()} rows")
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or ["/tmp/sf1"]))
