@@ -244,6 +244,7 @@ def groupby_reduce(
     #    (ref _factorize_multiple, core.py:2115-2166)
     result = grouped
     exp_df = None
+    domain_size = _literal_domain_size([k[3] for k in keys])
     if any_expected:
         # per-grouper: given expected domain, or observed labels when None
         # (mixed case honored — ref core.py:2087-2107)
@@ -257,7 +258,10 @@ def groupby_reduce(
     elif len(key_names) > 1:
         exp_df = observed_grid(grouped, key_names)
     if exp_df is not None:
-        result = reindex_result(grouped, exp_df, key_names)
+        result = reindex_result(
+            grouped, exp_df, key_names,
+            broadcast_expected=domain_size is not None and domain_size <= _BROADCAST_DOMAIN_MAX,
+        )
         result = result.withColumn(
             out_name,
             F.when(F.col(_PRESENT).isNull(), fill_final).otherwise(F.col(out_name)),
@@ -266,8 +270,37 @@ def groupby_reduce(
 
     # 4. output-group sort (ref core.py:2680-2686; tiny result — cheap)
     if sort:
-        result = result.orderBy(*key_names)
+        result = _sorted_output(result, key_names, domain_size)
     return result
+
+
+#: full client-literal expected grids up to this many rows are broadcast in
+#: the reindex join and sorted in a single task (below) — KB-to-MB sized.
+_BROADCAST_DOMAIN_MAX = 1_000_000
+_SMALL_SORT_MAX = 65_536
+
+
+def _literal_domain_size(expected) -> Optional[int]:
+    """Product of the client-provided expected-domain sizes, or None when any
+    grouper's domain is unknown (discovered from data)."""
+    size = 1
+    for e in expected:
+        if e is None:
+            return None
+        size *= len(e)
+    return size
+
+
+def _sorted_output(result: DataFrame, key_names, domain_size: Optional[int]) -> DataFrame:
+    """Output-group sort.  When the output cardinality is *known* small (full
+    client-literal expected domain), a single-task sort behind one round-robin
+    exchange beats a global ``orderBy``: range partitioning samples its child
+    plan with an extra job, which re-executes the reindex join (measured 2×
+    the whole query at sf0.1 for a 5-bin result).  Unknown or large outputs
+    keep the scalable range sort."""
+    if domain_size is not None and domain_size <= _SMALL_SORT_MAX:
+        return result.repartition(1).sortWithinPartitions(*key_names)
+    return result.orderBy(*key_names)
 
 
 def _mode_plan(keyed, key_names, value, ctx, skipna, out, mc_needed):
@@ -613,6 +646,7 @@ def groupby_agg(
 
     # reindex onto expected_groups — absent groups get each column's
     # final_fill (or dtype NA), same semantics as groupby_reduce
+    domain_size = _literal_domain_size([k[3] for k in keys])
     if any(e is not None for e in expected):
         result = result.withColumn(_PRESENT, F.lit(True))
         exp_df = expected_groups_df(
@@ -622,7 +656,10 @@ def groupby_agg(
             [k[2] for k in keys],
             result=result,
         )
-        result = reindex_result(result, exp_df, key_names)
+        result = reindex_result(
+            result, exp_df, key_names,
+            broadcast_expected=domain_size is not None and domain_size <= _BROADCAST_DOMAIN_MAX,
+        )
         for out, dt in casts.items():
             fv = fills[out]
             fill = dt_rules.fill_lit(fv, dt) if fv is not None else dt_rules.na_lit(dt)
@@ -632,5 +669,5 @@ def groupby_agg(
             )
         result = result.drop(_PRESENT)
     if sort:
-        result = result.orderBy(*key_names)
+        result = _sorted_output(result, key_names, domain_size)
     return result

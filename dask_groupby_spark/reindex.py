@@ -67,12 +67,20 @@ def reindex_result(
     result: DataFrame,
     expected_df: DataFrame,
     key_names: Sequence[str],
+    broadcast_expected: bool = False,
 ) -> DataFrame:
-    """LEFT JOIN expected ← result; missing groups carry NULL marker column
-    ``__present`` for downstream fill handling.
+    """RIGHT OUTER JOIN result → expected; missing groups carry NULL marker
+    column ``__present`` for downstream fill handling.
 
-    The *result* (post-aggregation, |groups| rows) is the broadcast side: in a
-    LEFT OUTER join only the right side can be the broadcast build side, and
-    the aggregated result is always small relative to the input.
+    The *expected* side is the preserved (right) side.  When it is a
+    client-provided literal domain (``broadcast_expected=True``) it is
+    broadcast — a KB-sized build with no extra job, while the aggregated
+    result streams through at full parallelism.  Broadcasting the *result*
+    instead (the naive left-join formulation) would collect |groups| rows to
+    the driver — a driver OOM at 100 TB with a high-cardinality grouper —
+    and costs an extra broadcast-build job that re-executes the aggregation.
+    When the expected side is *derived* (observed grid) its size is unknown,
+    so no hint is forced and AQE picks the strategy from runtime stats.
     """
-    return expected_df.join(F.broadcast(result), on=list(key_names), how="left")
+    exp = F.broadcast(expected_df) if broadcast_expected else expected_df
+    return result.join(exp, on=list(key_names), how="right_outer")
