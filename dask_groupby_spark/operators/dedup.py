@@ -82,10 +82,16 @@ def shingles(text_col: Column, k: int = 3) -> Column:
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) rows, distinct per document (set semantics)."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh"))
-        .distinct()
+    """(id, shingle) rows, distinct per document (set semantics).
+
+    Dedup happens map-side via ``array_distinct`` BEFORE the explode — a
+    ``.distinct()`` after the explode would shuffle every (id, shingle) row
+    in the corpus just to drop within-document repeats, which the array
+    fold removes for free.  Ids are assumed unique per input row (the same
+    contract as :func:`minhash_signatures`)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
     )
 
 
