@@ -204,6 +204,27 @@ def capped_bucket_pairs(
     return joined.where(F.col("a___rk") < F.col("b___rk")).drop("a___rk", "b___rk")
 
 
+def _band_rows(
+    signatures: DataFrame, num_hashes: int, bands: int, hasher: str
+) -> DataFrame:
+    """(id, band, bh) rows: one band-hash per (document, band) — the LSH
+    inverted-index entries.  Map-only (a 4-element explode per doc)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        concat = F.concat_ws(",", *[c.cast("string") for c in cols])
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                _hasher(hasher)(concat, "band").alias("bh"),
+            )
+        )
+    return signatures.select(
+        F.col("id"), F.explode(F.array(*band_cols)).alias("bandkey")
+    ).select("id", F.col("bandkey.band").alias("band"), F.col("bandkey.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
@@ -224,20 +245,7 @@ def lsh_candidate_pairs(
     (``near_deduplicate``) sets this; the primitive defaults to None so the
     uncapped plan stays exactly oracle-checkable.
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        concat = F.concat_ws(",", *[c.cast("string") for c in cols])
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                _hasher(hasher)(concat, "band").alias("bh"),
-            )
-        )
-    exploded = signatures.select(
-        F.col("id"), F.explode(F.array(*band_cols)).alias("bandkey")
-    ).select("id", F.col("bandkey.band").alias("band"), F.col("bandkey.bh").alias("bh"))
+    exploded = _band_rows(signatures, num_hashes, bands, hasher)
     # Bucket-array plan instead of an in-bucket self-join: ONE groupBy
     # collects each bucket's member ids into a sorted array, then the pair
     # set is enumerated map-side with array HOFs.  The join formulation
@@ -611,4 +619,159 @@ def remove_duplicate_spans(
     res = df.join(rebuilt, on=F.col(id_col) == F.col("id"), how="left").drop("id")
     return res.withColumn(out_col, F.coalesce(F.col("__rebuilt"), F.lit(""))).drop(
         "__rebuilt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index: incremental dedup against an existing corpus
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    hasher: str = "fast",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a MinHash-LSH index for INCREMENTAL near-dedup: dedupe
+    each new crawl batch against the full corpus without recomputing the
+    corpus (the standard production loop — at 100 TB, re-sketching the
+    whole corpus per batch is the cost being amortized away).  Layout:
+
+    - ``{path}/bands/band=<b>/…`` — (bh, id) inverted-index entries, band as
+      a physical partition directory, rows sorted by ``bh`` within files so
+      parquet row-group min/max statistics can skip non-candidate buckets
+      when the probe pushes a ``bh IN (…)`` filter;
+    - ``{path}/signatures/`` — (id, mh_0..mh_{H-1}) for Jaccard estimation;
+    - ``{path}/meta/`` — the 1-row sketch-parameter table.  Probes MUST use
+      identical parameters or band hashes are incomparable, so
+      :func:`minhash_index_probe` reads them from here rather than trusting
+      the caller.
+
+    ``mode="append"`` grows the index with a new batch (parameters are
+    validated against the stored meta); pair it with
+    :func:`near_duplicates_against_index` in an ingest loop: probe the
+    batch, drop its duplicates, append the survivors.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be 'overwrite' or 'append'")
+    spark = df.sparkSession
+    if mode == "append":
+        stored = _index_meta(spark, path)
+        ours = dict(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, hasher=hasher)
+        if stored != ours:
+            raise ValueError(f"index at {path} was built with {stored}, got {ours}")
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hasher)
+    band_rows = _band_rows(sig, num_hashes, bands, hasher)
+    (
+        band_rows.repartition("band")
+        .sortWithinPartitions("bh")
+        .write.partitionBy("band")
+        .mode(mode)
+        .parquet(f"{path}/bands")
+    )
+    sig.write.mode(mode).parquet(f"{path}/signatures")
+    if mode == "overwrite":
+        spark.createDataFrame(
+            [(num_hashes, bands, shingle_k, hasher)],
+            "num_hashes int, bands int, shingle_k int, hasher string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _index_meta(spark, path: str) -> dict:
+    row = spark.read.parquet(f"{path}/meta").head()
+    return dict(
+        num_hashes=row["num_hashes"], bands=row["bands"],
+        shingle_k=row["shingle_k"], hasher=row["hasher"],
+    )
+
+
+def minhash_index_probe(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_pushdown_buckets: int = 10_000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs between a new batch and a persisted
+    index (:func:`minhash_index_write`).  Output: (new_id, index_id,
+    n_shared_bands).
+
+    Plan: the batch is sketched with the index's stored parameters (read
+    from ``{path}/meta`` — caller cannot desynchronize them), then joined
+    to the index's band rows on (band, bh).  When the batch produces at
+    most ``max_pushdown_buckets`` band hashes, the distinct ``bh`` values
+    (a KB-sized driver list, same budget class as the IVF centroid
+    collect) are inlined as a ``bh IN (…)`` predicate — that filter reaches
+    the parquet scan, where the bh-sorted file layout turns it into
+    row-group skipping: the corpus index is mostly never read.  Larger
+    batches fall back to the plain join (AQE picks the strategy); the
+    index side still never carries more than (bh, id) per row.
+    """
+    meta = _index_meta(spark, path)
+    sig = minhash_signatures(
+        new_docs, id_col, text_col, meta["num_hashes"], meta["shingle_k"], meta["hasher"]
+    )
+    probe = _band_rows(sig, meta["num_hashes"], meta["bands"], meta["hasher"]).select(
+        F.col("id").alias("new_id"), "band", "bh"
+    )
+    index = spark.read.parquet(f"{path}/bands").select(
+        F.col("id").alias("index_id"), "band", "bh"
+    )
+    bhs = [r["bh"] for r in probe.select("bh").distinct().limit(max_pushdown_buckets + 1).collect()]
+    if len(bhs) <= max_pushdown_buckets:
+        index = index.where(F.col("bh").isin(bhs))
+    return (
+        index.join(F.broadcast(probe) if len(bhs) <= max_pushdown_buckets else probe,
+                   on=["band", "bh"], how="inner")
+        .groupBy("new_id", "index_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def near_duplicates_against_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_pushdown_buckets: int = 10_000,
+) -> DataFrame:
+    """Near-duplicates of a new batch against a persisted index, verified by
+    estimated Jaccard (fraction of agreeing minhash components — the
+    standard unbiased MinHash estimator).  Output: (new_id, index_id,
+    n_shared_bands, est_jaccard ≥ threshold).
+
+    Composition: :func:`minhash_index_probe` (candidates; index mostly
+    unread thanks to the bh pushdown) → join the two signature tables on
+    the candidate ids only → score map-side.  The candidate set is
+    LSH-bucketed, never all-pairs.
+    """
+    meta = _index_meta(spark, path)
+    cands = minhash_index_probe(
+        spark, path, new_docs, id_col, text_col, max_pushdown_buckets
+    )
+    h = meta["num_hashes"]
+    new_sig = minhash_signatures(
+        new_docs, id_col, text_col, h, meta["shingle_k"], meta["hasher"]
+    ).select(F.col("id").alias("new_id"), *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(h)])
+    idx_sig = spark.read.parquet(f"{path}/signatures").select(
+        F.col("id").alias("index_id"), *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(h)]
+    )
+    agree = sum(
+        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0) for i in range(h)
+    )
+    return (
+        cands.join(new_sig, on="new_id")
+        .join(idx_sig, on="index_id")
+        .withColumn("est_jaccard", agree / F.lit(float(h)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "index_id", "n_shared_bands", "est_jaccard")
     )
