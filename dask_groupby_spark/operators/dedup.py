@@ -308,36 +308,68 @@ def ngram_jaccard_pairs(
     in boilerplate.  ``None`` (the primitive's default) keeps the full
     shingle space.
 
-    No ``.cache()`` on the shingle rows: the self-join's two sides hash to
-    identical Exchange subtrees, which Spark's ReuseExchange rule dedupes at
-    runtime, and a cache here would leak storage memory in long-lived
-    sessions (the caller gets no handle to unpersist).
+    Plan: bucket-array enumeration, like :func:`lsh_candidate_pairs`.  One
+    groupBy(sh) collects each shingle's (id, set-size) members into a
+    sorted array; pairs enumerate map-side with array HOFs, carrying both
+    documents' set sizes through, so the per-(pair) groupBy computes the
+    Jaccard directly — no per-doc sizes table, no broadcast of a
+    |corpus|-row side (the earlier self-join formulation force-broadcast
+    the per-doc size table: a driver OOM at corpus scale), and the shingle
+    pipeline is computed ONCE.  With ``max_shingle_df`` the per-doc sizes
+    must be recounted over the *surviving* shingle space, which is a second
+    aggregate over the filtered buckets (its Exchange reuses the groupBy(sh)
+    shuffle) and two AQE-strategy joins on the already-thresholded pair
+    counts.
     """
-    sh = _shingle_rows(df, id_col, text_col, k)
-    if max_shingle_df is not None:
-        from pyspark.sql import Window
-
-        sh = (
-            sh.withColumn(
-                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-            )
-            .where(F.col("__df") <= max_shingle_df)
-            .drop("__df")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("shs"),
+    ).where(F.size("shs") > 0)
+    sh = base.select("id", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
+    capped = max_shingle_df is not None
+    member = F.struct(F.col("id"), F.lit(0).alias("n")) if capped else F.struct("id", "n")
+    surviving = sh.groupBy("sh").agg(F.array_sort(F.collect_list(member)).alias("mem"))
+    if capped:
+        surviving = surviving.where(F.size("mem") <= max_shingle_df)
+    # singleton buckets produce no pairs but DO count toward each document's
+    # surviving-set size, so the ≥2 filter applies to enumeration only
+    buckets = surviving.where(F.size("mem") >= 2)
+    mem, nmem = F.col("mem"), F.size("mem")
+    pairs_arr = F.flatten(
+        F.transform(
+            mem,
+            lambda a, i: F.transform(
+                F.slice(mem, i + F.lit(2), nmem - i - F.lit(1)),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"), b["id"].alias("id_b"),
+                    a["n"].alias("n_a"), b["n"].alias("n_b"),
+                ),
+            ),
         )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on="sh", how="inner")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
+    inter = (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("p.n_a").alias("n_a"),
+            F.max("p.n_b").alias("n_b"),
+        )
+    )
+    if capped:
+        # sizes over the surviving shingle space only
+        sizes = (
+            surviving.select(F.explode("mem").alias("m"))
+            .groupBy(F.col("m.id").alias("id"))
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        inter = (
+            inter.drop("n_a", "n_b")
+            .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        )
+    return (
+        inter.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -345,7 +377,6 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def simhash(
