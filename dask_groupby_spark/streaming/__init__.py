@@ -378,3 +378,99 @@ def streaming_cumsum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_ingest_dedup(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    append_survivors: bool = True,
+    max_pushdown_buckets: int = 10_000,
+    trigger: dict | None = None,
+):
+    """Streaming ingest with incremental near-dedup: each micro-batch is
+    checked against the persisted MinHash-LSH index
+    (:func:`~dask_groupby_spark.operators.dedup.minhash_index_write`),
+    survivors are appended to ``out_path`` and (optionally) to the index
+    itself — the production crawl-ingest loop, unbounded, with the corpus
+    never recomputed.
+
+    Per batch (inside ``foreachBatch``, so the batch APIs and their scale
+    plans apply — bh-pushdown probe, broadcast batch side):
+
+    1. cross-batch: drop docs whose estimated Jaccard against an index
+       document is ≥ ``threshold``;
+    2. intra-batch: of the remaining docs, drop any that pairs (est-Jaccard
+       ≥ threshold) with a smaller surviving id — the one-hop min-id keeper
+       (exact transitive closure is a batch concern;
+       ``duplicate_clusters`` exists for that);
+    3. append survivors to ``out_path`` and, when ``append_survivors``,
+       to the index (``mode="append"``, parameters validated against the
+       stored meta) so later batches dedupe against them.
+
+    Delivery is Structured Streaming's foreachBatch contract: at-least-once
+    on failure/replay — re-running a batch re-appends its survivors, which
+    step 1 then treats as index members; downstream consumers of
+    ``out_path`` should key on ``id_col`` for exactly-once reads.
+
+    Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
+    """
+    from ..operators.dedup import (
+        _index_meta,
+        lsh_candidate_pairs,
+        minhash_index_write,
+        minhash_signatures,
+        near_duplicates_against_index,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        meta = _index_meta(spark, index_path)
+        batch = batch.localCheckpoint(eager=True)  # reused 3-4× below
+        dup_vs_index = (
+            near_duplicates_against_index(
+                spark, index_path, batch, id_col, text_col,
+                threshold=threshold, max_pushdown_buckets=max_pushdown_buckets,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        remaining = batch.join(dup_vs_index, on=id_col, how="left_anti")
+        sig = minhash_signatures(
+            remaining, id_col, text_col,
+            meta["num_hashes"], meta["shingle_k"], meta["hasher"],
+        )
+        h = meta["num_hashes"]
+        agree = sum(
+            F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+            for i in range(h)
+        )
+        intra_losers = (
+            lsh_candidate_pairs(sig, h, meta["bands"], meta["hasher"])
+            .join(sig.alias("a"), F.col("id_a") == F.col("a.id"))
+            .join(sig.alias("b"), F.col("id_b") == F.col("b.id"))
+            .where(agree / F.lit(float(h)) >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = remaining.join(intra_losers, on=id_col, how="left_anti")
+        survivors = survivors.localCheckpoint(eager=True)  # written twice
+        survivors.write.mode("append").parquet(out_path)
+        if append_survivors:
+            minhash_index_write(
+                survivors, index_path, id_col, text_col,
+                meta["num_hashes"], meta["bands"], meta["shingle_k"],
+                meta["hasher"], mode="append",
+            )
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -397,3 +397,63 @@ def test_late_rows_dropped_after_watermark(spark, tmpdir):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+def test_stream_ingest_dedup(spark, tmp_path_factory):
+    """Streaming ingest loop: batch 2's duplicate-of-batch-1 is only dropped
+    because batch 1's survivor was appended to the index — proves the
+    cross-batch incremental-dedup state actually grows."""
+    import os
+    import time as _time
+
+    from dask_groupby_spark.operators.dedup import minhash_index_write
+    from dask_groupby_spark.streaming import stream_ingest_dedup
+
+    base = tmp_path_factory.mktemp("ingest_dedup")
+    index = str(base / "index")
+    indir = str(base / "in")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+    os.makedirs(indir)
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank"),
+         (2, "a completely different document about spark catalyst optimizer rules")],
+        "doc_id bigint, text string",
+    )
+    minhash_index_write(corpus, index)
+
+    novel_1 = "entirely new material discussing large scale stream ingestion loops"
+    novel_2 = "yet another unrelated passage describing watermark based state eviction"
+    batch1 = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog near the river bank"),
+         (102, novel_1),
+         (103, novel_1)],  # intra-batch dup: one-hop keeper keeps 102
+        "doc_id bigint, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(201, novel_1),  # dup of batch 1's survivor — needs the grown index
+         (202, novel_2)],
+        "doc_id bigint, text string",
+    )
+    batch1.coalesce(1).write.parquet(f"{indir}/b1")
+    _time.sleep(1.1)
+    batch2.coalesce(1).write.parquet(f"{indir}/b2")
+    now = _time.time()
+    for sub, age in (("b1", 20), ("b2", 10)):
+        for root, _, files in os.walk(f"{indir}/{sub}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/*")
+    )
+    q = stream_ingest_dedup(stream, index, out, ckpt, threshold=0.8)
+    q.awaitTermination(120)
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [102, 202]
+    indexed = {r["id"] for r in spark.read.parquet(f"{index}/signatures").collect()}
+    assert indexed == {1, 2, 102, 202}
