@@ -1380,6 +1380,18 @@ def q_tfidf(spark, sf):
     ).orderBy("doc_id", "rank")
 
 
+def q_lm_score(spark, sf):
+    """unigram-LM quality score (mean per-token log-prob, corpus-fit LM) —
+    the cheap perplexity proxy for corpus filtering (r5)."""
+    from dask_groupby_spark.operators.text import lm_quality_score
+
+    docs = load_table(spark, sf, "documents")
+    out = lm_quality_score(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("lm_logprob", 6).alias("lm_logprob")
+    ).orderBy("doc_id")
+
+
 def q_fingerprint(spark, sf):
     docs = document_fingerprint(load_table(spark, sf, "documents"))
     return (
@@ -1817,6 +1829,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 window: new or changed this round ---
+    "lm_score": q_lm_score,
     "stream_late": q_stream_late,
     "chunk_docs": q_chunk_docs,
     "calendar_mean": q_calendar_mean,

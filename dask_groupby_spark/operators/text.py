@@ -337,3 +337,61 @@ def chunk_documents(
         .withColumn(count_col, F.size(piece))
         .drop("__toks", "__n")
     )
+
+
+def lm_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    alpha: float = 1.0,
+    out: str = "lm_logprob",
+) -> DataFrame:
+    """Unigram language-model quality score: each document's mean per-token
+    log-probability under a unigram LM — the classic cheap perplexity proxy
+    for corpus filtering (low scores = gibberish / rare-token soup, high
+    scores = boilerplate; filters usually keep a middle band).
+
+    With ``vocab=None`` (default) the LM is fit on the corpus itself:
+    ``p(t) = cnt(t) / T``, every token in-vocabulary by construction.  Pass
+    a ``(term, cnt)`` DataFrame (e.g. persisted from a reference corpus) to
+    score against an external LM; out-of-vocabulary terms then use
+    Lidstone smoothing ``p(t) = (cnt + alpha) / (T + alpha·(V+1))``.
+
+    Output: one row per document with ≥1 token — (id_col, n_tokens, out).
+
+    Plan at 100 TB: explode → per-(doc, term) counts (ONE shuffle, map-side
+    combined — the join and the vocab fit both run over these already-
+    reduced rows, and their shared Exchange is reused); the corpus totals
+    are 1-row aggregates broadcast by construction; the term join strategy
+    is left to AQE (a web-scale vocabulary must be allowed to shuffle —
+    force-broadcasting it would OOM the driver).
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    external = vocab is not None
+    if not external:
+        vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    joined = tf.join(vocab, on="term", how="left" if external else "inner").crossJoin(
+        F.broadcast(totals)
+    )
+    if external:
+        p = (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha)) / (
+            F.col("T") + F.lit(alpha) * (F.col("V") + 1)
+        )
+    else:
+        p = F.col("cnt") / F.col("T")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.log(p)) / F.sum("tf")).alias(out),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", out)
+    )

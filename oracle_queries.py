@@ -994,6 +994,17 @@ perdoc AS (
 SELECT lang, round(avg(dupf), 6) AS avg_dup,
        round(avg(topf), 6) AS avg_topbigram
 FROM perdoc GROUP BY lang""",
+    "lm_score": f"""{_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS T FROM vocab)
+SELECT doc_id,
+       sum(tf)::BIGINT AS n_tokens,
+       round(sum(tf * ln(cnt::DOUBLE / T)) / sum(tf), 6) AS lm_logprob
+FROM tf JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY 1
+ORDER BY 1""",
     "tfidf": f"""{_TOKS},
 tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),

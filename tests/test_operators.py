@@ -837,3 +837,44 @@ def test_chunk_documents_vs_python_reference(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_lm_quality_score_matches_python_reference(spark):
+    from collections import Counter
+    import math
+
+    from dask_groupby_spark.operators.text import lm_quality_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zyxw qqzz zyxw"),
+        (4, ""),  # zero tokens → omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in rows}
+    vocab = Counter(t for ts in toks.values() for t in ts)
+    T = sum(vocab.values())
+    expect = {
+        i: sum(math.log(vocab[t] / T) for t in ts) / len(ts)
+        for i, ts in toks.items()
+        if ts
+    }
+    got = {r["doc_id"]: r[2] for r in lm_quality_score(df).collect()}
+    assert set(got) == set(expect)
+    for i in expect:
+        assert abs(got[i] - expect[i]) < 1e-12
+
+    # external vocab with Lidstone smoothing for OOV
+    ext = spark.createDataFrame([("the", 6), ("cat", 2), ("sat", 2)], "term string, cnt bigint")
+    Te, Ve, a = 10, 3, 1.0
+    def p(t):
+        c = {"the": 6, "cat": 2, "sat": 2}.get(t, 0)
+        return (c + a) / (Te + a * (Ve + 1))
+    expect_ext = {
+        i: sum(math.log(p(t)) for t in ts) / len(ts) for i, ts in toks.items() if ts
+    }
+    got_ext = {r["doc_id"]: r[2] for r in lm_quality_score(df, vocab=ext).collect()}
+    for i in expect_ext:
+        assert abs(got_ext[i] - expect_ext[i]) < 1e-12
