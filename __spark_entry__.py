@@ -1380,6 +1380,19 @@ def q_tfidf(spark, sf):
     ).orderBy("doc_id", "rank")
 
 
+def q_bpe_tokens(spark, sf):
+    """BPE-ish token-count estimate (GPT-2-style pre-tokenizer regex + the
+    ~4-chars-per-token heuristic) next to the exact whitespace count (r5)."""
+    from dask_groupby_spark.operators.text import bpe_token_estimate, token_count
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def q_lm_score(spark, sf):
     """unigram-LM quality score (mean per-token log-prob, corpus-fit LM) —
     the cheap perplexity proxy for corpus filtering (r5)."""
@@ -1830,6 +1843,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 window: new or changed this round ---
     "lm_score": q_lm_score,
+    "bpe_tokens": q_bpe_tokens,
     "stream_late": q_stream_late,
     "chunk_docs": q_chunk_docs,
     "calendar_mean": q_calendar_mean,

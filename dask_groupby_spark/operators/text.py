@@ -395,3 +395,31 @@ def lm_quality_score(
         )
         .select(F.col("id").alias(id_col), "n_tokens", out)
     )
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible syntax
+#: (no lookahead) so the DuckDB oracle evaluates the IDENTICAL pattern:
+#: contractions | space?-letters | space?-digits | space?-other-runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_estimate(col: Column, chars_per_token: int = 4) -> Column:
+    """Estimated BPE token count: GPT-2-ish regex pre-tokenization, then
+    each piece contributes ``max(1, ceil(len/chars_per_token))`` subwords —
+    the standard "~4 chars per token" budgeting heuristic, deterministic
+    and vocabulary-free (a real tokenizer is a model artifact; training-
+    data pipelines need the budget estimate long before a tokenizer run).
+
+    Pure Catalyst: one regexp scan + one array fold per row, zero shuffle.
+    Complements the exact whitespace :func:`token_count`.
+    """
+    pieces = F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.length(F.trim(p)) / F.lit(chars_per_token)).cast("bigint"),
+        ),
+    )

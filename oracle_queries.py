@@ -994,6 +994,17 @@ perdoc AS (
 SELECT lang, round(avg(dupf), 6) AS avg_dup,
        round(avg(topf), 6) AS avg_topbigram
 FROM perdoc GROUP BY lang""",
+    "bpe_tokens": """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))::BIGINT
+         AS ws_tokens,
+       coalesce(list_sum(list_transform(
+         regexp_extract_all(text,
+           $$'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\sA-Za-z0-9]+$$),
+         p -> greatest(1, CAST(ceil(length(trim(p)) / 4.0) AS BIGINT)))), 0)::BIGINT
+         AS bpe_tokens
+FROM documents
+ORDER BY doc_id""",
     "lm_score": f"""{_TOKS},
 tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),

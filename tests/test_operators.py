@@ -878,3 +878,27 @@ def test_lm_quality_score_matches_python_reference(spark):
     got_ext = {r["doc_id"]: r[2] for r in lm_quality_score(df, vocab=ext).collect()}
     for i in expect_ext:
         assert abs(got_ext[i] - expect_ext[i]) < 1e-12
+
+
+def test_bpe_token_estimate_known_values(spark):
+    import pyspark.sql.functions as F
+
+    from dask_groupby_spark.operators.text import bpe_token_estimate
+
+    rows = [
+        (1, "I'll say it's 42 tokens-ish, really!"),
+        (2, ""),
+        (3, "abcdefghijklmnop"),  # one 16-char piece → ceil(16/4) = 4
+        (4, "a b c"),  # three 1-char pieces → 3
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", bpe_token_estimate(F.col("t")).alias("n")).collect()
+    }
+    # pieces of row 1: I|'ll|say|it|'s|42|tokens|-|ish|,|really|! →
+    # lens 1,3,3,2,2,2,6,1,3,1,6,1 → ceil/4 min1: 1+1+1+1+1+1+2+1+1+1+2+1
+    assert got[1] == 14
+    assert got[2] == 0
+    assert got[3] == 4
+    assert got[4] == 3
