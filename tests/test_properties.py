@@ -173,3 +173,79 @@ def test_sessionize_repartition_invariance(spark, seed):
     base = run(df)
     for p in (1, 7):
         assert run(df.repartition(p)) == base, p
+
+
+def test_minhash_lsh_matches_python_reference_randomized(spark):
+    """End-to-end MinHash→LSH differential against a from-scratch python
+    implementation of the same construction (xxhash via Spark batch eval is
+    avoided: the python side recomputes the md5 portable hash exactly), over
+    a randomized corpus with planted near-duplicates."""
+    import hashlib
+    import random
+
+    from dask_groupby_spark.operators.dedup import (
+        MINHASH_P,
+        lsh_candidate_pairs,
+        minhash_params,
+        minhash_signatures,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(3, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    for i in range(40, 50):  # planted near-dups: copy with small edits
+        base = rows[i - 40][1].split()
+        if len(base) > 4:
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        rows.append((i, " ".join(base)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def phash(s, seed=""):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    def py_sig(text, H=8, k=3):
+        toks = [t for t in text.split(" ") if t]
+        shs = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        if not shs:
+            return None
+        hs = [phash(s) % MINHASH_P for s in shs]
+        out = []
+        for i in range(H):
+            a, b = minhash_params(i)
+            out.append(min((a * h + b) % MINHASH_P for h in hs))
+        return out
+
+    sigs = {i: py_sig(t) for i, t in rows}
+    sigs = {i: s for i, s in sigs.items() if s is not None}
+
+    got_sig = {
+        r["id"]: [r[f"mh_{i}"] for i in range(8)]
+        for r in minhash_signatures(df, hasher="portable").collect()
+    }
+    assert got_sig == sigs
+
+    # python LSH banding (2 rows/band, 4 bands) with the same band hash
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, s in sigs.items():
+        for b in range(4):
+            key = ",".join(str(x) for x in s[2 * b : 2 * b + 2])
+            buckets[(b, phash(key, "band"))].append(i)
+    expect = defaultdict(int)
+    for mem in buckets.values():
+        mem = sorted(mem)
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                expect[(mem[x], mem[y])] += 1
+
+    sig_df = minhash_signatures(df, hasher="portable")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in lsh_candidate_pairs(sig_df, hasher="portable").collect()
+    }
+    assert got == dict(expect)
+    assert got  # planted dups must collide
