@@ -258,10 +258,7 @@ def groupby_reduce(
     elif len(key_names) > 1:
         exp_df = observed_grid(grouped, key_names)
     if exp_df is not None:
-        result = reindex_result(
-            grouped, exp_df, key_names,
-            broadcast_expected=domain_size is not None and domain_size <= _BROADCAST_DOMAIN_MAX,
-        )
+        result = reindex_result(grouped, exp_df, key_names)
         result = result.withColumn(
             out_name,
             F.when(F.col(_PRESENT).isNull(), fill_final).otherwise(F.col(out_name)),
@@ -274,9 +271,8 @@ def groupby_reduce(
     return result
 
 
-#: full client-literal expected grids up to this many rows are broadcast in
-#: the reindex join and sorted in a single task (below) — KB-to-MB sized.
-_BROADCAST_DOMAIN_MAX = 1_000_000
+#: full client-literal expected domains up to this many rows take the
+#: single-task sort (below) instead of a range-partitioned orderBy.
 _SMALL_SORT_MAX = 65_536
 
 
@@ -656,10 +652,7 @@ def groupby_agg(
             [k[2] for k in keys],
             result=result,
         )
-        result = reindex_result(
-            result, exp_df, key_names,
-            broadcast_expected=domain_size is not None and domain_size <= _BROADCAST_DOMAIN_MAX,
-        )
+        result = reindex_result(result, exp_df, key_names)
         for out, dt in casts.items():
             fv = fills[out]
             fill = dt_rules.fill_lit(fv, dt) if fv is not None else dt_rules.na_lit(dt)

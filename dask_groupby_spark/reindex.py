@@ -67,20 +67,20 @@ def reindex_result(
     result: DataFrame,
     expected_df: DataFrame,
     key_names: Sequence[str],
-    broadcast_expected: bool = False,
 ) -> DataFrame:
     """RIGHT OUTER JOIN result → expected; missing groups carry NULL marker
     column ``__present`` for downstream fill handling.
 
-    The *expected* side is the preserved (right) side.  When it is a
-    client-provided literal domain (``broadcast_expected=True``) it is
-    broadcast — a KB-sized build with no extra job, while the aggregated
-    result streams through at full parallelism.  Broadcasting the *result*
-    instead (the naive left-join formulation) would collect |groups| rows to
-    the driver — a driver OOM at 100 TB with a high-cardinality grouper —
-    and costs an extra broadcast-build job that re-executes the aggregation.
-    When the expected side is *derived* (observed grid) its size is unknown,
-    so no hint is forced and AQE picks the strategy from runtime stats.
+    No join-strategy hint, deliberately.  An outer join cannot broadcast
+    its *preserved* side (Spark supports only BuildLeft for RightOuter /
+    BuildRight for LeftOuter — a broadcast hint on the expected side is
+    rejected with a HintErrorLogger warning), so the only forceable
+    broadcast is the aggregated result — which is |groups| rows and a
+    driver OOM at 100 TB with a high-cardinality grouper (the bug this
+    formulation replaced: the old expected-LEFT-JOIN-broadcast(result)
+    plan both paid an extra broadcast-build job re-executing the
+    aggregation AND carried that OOM).  Left to AQE, the runtime choice is
+    exactly right: a small aggregate gets broadcast from its actual
+    runtime size, a huge one falls back to a shuffled join that scales.
     """
-    exp = F.broadcast(expected_df) if broadcast_expected else expected_df
-    return result.join(exp, on=list(key_names), how="right_outer")
+    return result.join(expected_df, on=list(key_names), how="right_outer")

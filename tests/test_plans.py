@@ -264,3 +264,59 @@ def test_rechunk_for_cohorts_alias(spark):
     out = rechunk_for_cohorts(df, "k", partitions=4, found_groups=None)
     assert out.rdd.getNumPartitions() == 4
     assert out.groupBy("k").count().count() == 7
+
+
+def test_reindex_join_unhinted_right_outer(spark, li):
+    """The reindex join preserves the expected side via RIGHT OUTER with NO
+    forced join-strategy hint: an outer join cannot broadcast its preserved
+    side, so the only forceable broadcast would be the aggregated result —
+    |groups| rows, a driver OOM at scale.  AQE must stay free to pick
+    broadcast (small runtime aggregate) or shuffle (huge one)."""
+    out = groupby_reduce(
+        li, "l_returnflag", func="count", value="l_quantity",
+        expected_groups=["A", "N", "R", "Z"], fill_value=0,
+    )
+    qe = out._jdf.queryExecution()
+    assert "RightOuter" in qe.executedPlan().toString()
+    assert "ResolvedHint" not in qe.analyzed().toString()
+
+
+def test_minhash_signatures_zero_exchange(spark):
+    from dask_groupby_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, SF, "documents")
+    sig = minhash_signatures(docs)
+    assert count_exchanges(sig) == 0, physical_plan(sig)
+
+
+def test_lsh_pairs_single_scan_two_exchanges(spark):
+    """Bucket-array LSH: ONE FileScan (signatures computed once — the old
+    self-join read the corpus twice), one Exchange for the bucket groupBy +
+    one for the pair-count groupBy."""
+    from dask_groupby_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    import re
+
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    plan = physical_plan(pairs)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert count_exchanges(pairs) == 2, plan
+
+
+def test_ngram_jaccard_default_single_scan(spark):
+    """Default (uncapped) n-gram Jaccard: one corpus scan, bucket groupBy +
+    pair groupBy — no self-join recompute, no per-doc size broadcast."""
+    from dask_groupby_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF, "documents")
+    import re
+
+    out = ngram_jaccard_pairs(docs)
+    plan = physical_plan(out)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert count_exchanges(out) == 2, plan
+    assert "BroadcastExchange" not in plan, plan
