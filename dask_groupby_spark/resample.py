@@ -124,11 +124,17 @@ def resample(
         out_name = kwargs.get("alias") or func
         if extra_by:
             # full dense cross grid: bucket axis × observed key domain.
-            # Both sides are planner-small (|buckets| and |distinct keys|),
-            # so the cross join never touches fact-table rows.
+            # Both sides are aggregate-small (|buckets| and |distinct keys|)
+            # so the cross join never touches fact-table rows; AQE picks the
+            # broadcast side from runtime sizes (no forced hint — either
+            # side can be the big one).
             keys = out.select(*extra_by).distinct()
-            grid = grid.crossJoin(F.broadcast(keys))
-        joined = grid.join(F.broadcast(out), on=[label, *extra_by], how="left")
+            grid = grid.crossJoin(keys)
+        # RIGHT OUTER preserving the grid, strategy left to AQE: an outer
+        # join cannot broadcast its preserved side, so the only forceable
+        # broadcast would be the aggregated result — |buckets × keys| rows,
+        # a driver hazard at scale (same reasoning as reindex_result).
+        joined = out.join(grid, on=[label, *extra_by], how="right_outer")
         res_dt = joined.schema[out_name].dataType
         fill = (
             dt_rules.fill_lit(fill_value, res_dt)
