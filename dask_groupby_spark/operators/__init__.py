@@ -6,30 +6,44 @@ sides, no driver-side loops).
 """
 
 from .dedup import (
+    duplicate_clusters,
     exact_duplicates,
-    minhash_signatures,
     lsh_candidate_pairs,
+    minhash_index_probe,
+    minhash_index_write,
+    minhash_signatures,
+    near_deduplicate,
+    near_duplicates_against_index,
     ngram_jaccard_pairs,
     simhash,
 )
 from .similarity import cosine_topk, embedding_near_duplicates
 from .text import (
     add_text_features,
+    bpe_token_estimate,
     document_fingerprint,
     language_id,
+    lm_quality_score,
     tokens,
 )
 
 __all__ = [
+    "duplicate_clusters",
     "exact_duplicates",
     "minhash_signatures",
+    "minhash_index_write",
+    "minhash_index_probe",
+    "near_deduplicate",
+    "near_duplicates_against_index",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
     "cosine_topk",
     "embedding_near_duplicates",
     "add_text_features",
+    "bpe_token_estimate",
     "document_fingerprint",
     "language_id",
+    "lm_quality_score",
     "tokens",
 ]
