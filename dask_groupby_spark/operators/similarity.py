@@ -559,3 +559,119 @@ def semantic_deduplicate(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Embedding PCA: the dimensionality-reduction step of SemDeDup-style
+# pipelines (Abbas et al. 2023 project embeddings before clustering)
+# ---------------------------------------------------------------------------
+
+
+class PCAModel:
+    """Fitted PCA: ``mean`` (dim,), ``components`` (k, dim) rows sorted by
+    descending eigenvalue with a deterministic sign convention, and
+    ``explained_variance`` (k,).  KB-sized driver state, like the IVF
+    centroid table."""
+
+    def __init__(self, mean, components, explained_variance, n):
+        self.mean = mean
+        self.components = components
+        self.explained_variance = explained_variance
+        self.n = n
+
+
+def embedding_pca(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> PCAModel:
+    """Fit a PCA on an embedding column at corpus scale.
+
+    Plan: ``mapInPandas`` emits ONE partial second-moment row per Arrow
+    batch — (n, Σx, flattened Σxxᵀ), i.e. dim + dim² doubles (~32 KB at
+    dim=64) regardless of batch row count — so the driver collects
+    O(partitions) KB-sized rows, never vectors.  The eigendecomposition
+    runs on the driver over the dim×dim covariance (the same
+    "tiny-quantizer on the driver, data never moves" budget as the IVF
+    centroid build).  Signs are fixed so each component's
+    largest-magnitude coordinate is positive — deterministic across runs
+    and partitionings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(vec_col).cast("array<double>").alias("v")).where(
+        F.col(vec_col).isNotNull()
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype="float64")
+            yield pd.DataFrame(
+                {
+                    "n": [X.shape[0]],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = src.mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("embedding_pca: no vectors")
+    import numpy as np
+
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    dim = s.shape[0]
+    G = np.sum([r["g"] for r in rows], axis=0).reshape(dim, dim)
+    mean = s / n
+    if center:
+        cov = (G - n * np.outer(mean, mean)) / max(n - 1, 1)
+    else:
+        cov = G / max(n - 1, 1)
+        mean = np.zeros(dim)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, dim)
+    # deterministic sign: largest-|coordinate| of each component positive
+    flip = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return PCAModel(mean, comps, w[order], n)
+
+
+def pca_project(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project an embedding column onto a fitted :class:`PCAModel` —
+    map-only (the k×dim component matrix ships in the Arrow UDF closure,
+    same contract as the BLAS top-k query matrix).  ``whiten=True``
+    divides each output coordinate by √eigenvalue."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = model.components.copy()
+    mu = model.mean.copy()
+    if whiten:
+        W = W / np.sqrt(np.maximum(model.explained_variance, 1e-12))[:, None]
+
+    def _proj(col):
+        X = np.array(col.tolist(), dtype="float64")
+        if X.ndim != 2:
+            return pd.Series([], dtype=object)
+        Y = (X - mu) @ W.T
+        return pd.Series(list(Y))
+
+    proj = pandas_udf(_proj, "array<double>")
+
+    return df.withColumn(out_col, proj(F.col(vec_col).cast("array<double>")))

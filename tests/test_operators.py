@@ -902,3 +902,49 @@ def test_bpe_token_estimate_known_values(spark):
     assert got[2] == 0
     assert got[3] == 4
     assert got[4] == 3
+
+
+def test_embedding_pca_matches_numpy(spark):
+    import numpy as np
+
+    from dask_groupby_spark.operators.similarity import embedding_pca, pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated in a few directions
+    base = rng.normal(size=(300, 6)) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    rot, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    X = base @ rot + np.array([1, 2, 3, 4, 5, 6], dtype="float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<double>",
+    ).repartition(5)
+
+    model = embedding_pca(df, k=3)
+
+    # reference: numpy PCA with the same sign convention
+    cov = np.cov(X, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    comps = v[:, order].T
+    flip = np.sign(comps[np.arange(3), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+
+    assert model.n == 300
+    assert np.allclose(model.mean, X.mean(axis=0))
+    assert np.allclose(model.explained_variance, w[order])
+    assert np.allclose(model.components, comps)
+
+    # projection differential + partition invariance
+    out = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in pca_project(df, model).select("vec_id", "pca").collect()
+    }
+    expect = (X - X.mean(axis=0)) @ comps.T
+    for i in range(300):
+        assert np.allclose(out[i], expect[i])
+
+    # whiten: projected coordinates have ~unit variance
+    wout = np.array([
+        r["pca"] for r in pca_project(df, model, whiten=True).select("pca").collect()
+    ])
+    assert np.allclose(wout.std(axis=0, ddof=1), 1.0, atol=1e-6)
