@@ -534,6 +534,7 @@ def semantic_deduplicate(
     n_planes: int = 4,
     max_iter: int = 20,
     max_bucket_size: int | None = 10_000,
+    pca_k: int | None = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate REMOVAL (the SemDeDup recipe, Abbas et
     al. 2023, composed from this module's primitives): bucket vectors by
@@ -547,12 +548,23 @@ def semantic_deduplicate(
     ``max_bucket_size`` (default 10 000) bounds in-bucket scoring on
     degenerate buckets — see :func:`embedding_near_duplicates`; None =
     uncapped.
+
+    ``pca_k`` enables the paper's preprocessing: bucket/score in a PCA
+    subspace (:func:`embedding_pca` fit + map-only projection) instead of
+    the raw space — cheaper in-bucket cosines at large dim and
+    noise-robust similarity.  The keeper anti-join still returns the
+    ORIGINAL rows; only the similarity space changes.
     """
     from .dedup import duplicate_clusters
 
+    work, work_vec, work_dim = df, vec_col, dim
+    if pca_k is not None:
+        model = embedding_pca(df, k=pca_k, vec_col=vec_col)
+        work = pca_project(df, model, vec_col=vec_col, out_col="__pca")
+        work_vec, work_dim = "__pca", pca_k
     pairs = embedding_near_duplicates(
-        df, threshold=threshold, id_col=id_col, vec_col=vec_col,
-        dim=dim, n_planes=n_planes, max_bucket_size=max_bucket_size,
+        work, threshold=threshold, id_col=id_col, vec_col=work_vec,
+        dim=work_dim, n_planes=n_planes, max_bucket_size=max_bucket_size,
     )
     clusters = duplicate_clusters(pairs, max_iter=max_iter)
     losers = clusters.where(F.col("id") != F.col("cluster_id")).select(

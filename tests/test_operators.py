@@ -948,3 +948,24 @@ def test_embedding_pca_matches_numpy(spark):
         r["pca"] for r in pca_project(df, model, whiten=True).select("pca").collect()
     ])
     assert np.allclose(wout.std(axis=0, ddof=1), 1.0, atol=1e-6)
+
+
+def test_semdedup_pca_space(spark):
+    """pca_k routes bucketing/scoring through the PCA subspace; exact
+    duplicates are still collapsed and originals returned intact."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.similarity import semantic_deduplicate
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(40)]
+    rows += [(100 + i, [float(x) for x in X[i]]) for i in range(5)]  # clones
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    kept = semantic_deduplicate(
+        df, threshold=0.999, dim=16, pca_k=16, max_iter=10
+    )
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    assert ids == list(range(40))  # clones dropped, min-id originals kept
+    assert kept.columns == ["vec_id", "embedding"]  # no __pca leak
