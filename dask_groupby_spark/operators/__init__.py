@@ -17,7 +17,14 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .similarity import cosine_topk, embedding_near_duplicates
+from .similarity import (
+    PCAModel,
+    cosine_topk,
+    embedding_near_duplicates,
+    embedding_pca,
+    pca_project,
+    semantic_deduplicate,
+)
 from .text import (
     add_text_features,
     bpe_token_estimate,
@@ -38,8 +45,12 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "PCAModel",
     "cosine_topk",
     "embedding_near_duplicates",
+    "embedding_pca",
+    "pca_project",
+    "semantic_deduplicate",
     "add_text_features",
     "bpe_token_estimate",
     "document_fingerprint",
