@@ -1393,6 +1393,45 @@ def q_bpe_tokens(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_mh_index_probe(spark, sf):
+    """Persisted MinHash-LSH index round-trip (r5): write a REAL index for
+    the corpus half (doc_id < 250) to disk, probe the batch half against
+    it, and hash-match the result against the oracle's pure-SQL band-pair
+    computation over the same split — end-to-end evidence that the
+    storage layout + stored-parameter probe produce exactly the
+    batch-computation answer."""
+    import tempfile
+
+    from dask_groupby_spark.operators.dedup import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    path = tempfile.mkdtemp(prefix="mh_index_contract_")
+    minhash_index_write(
+        corpus, path, num_hashes=4, bands=4, shingle_k=3, hasher="portable"
+    )
+    return minhash_index_probe(spark, path, batch).orderBy("new_id", "index_id")
+
+
+def q_pca_embed(spark, sf):
+    """Embedding PCA fit + projection (r5).  Eigendecomposition is not
+    SQL-expressible — registered without an oracle for the driver's
+    rows-only check; the numpy differential lives in tests."""
+    from dask_groupby_spark.operators.similarity import embedding_pca, pca_project
+
+    emb = load_table(spark, sf, "embeddings")
+    model = embedding_pca(emb, k=4)
+    return (
+        pca_project(emb, model)
+        .select("vec_id", F.col("pca"))
+        .orderBy("vec_id")
+    )
+
+
 def q_lm_score(spark, sf):
     """unigram-LM quality score (mean per-token log-prob, corpus-fit LM) —
     the cheap perplexity proxy for corpus filtering (r5)."""
@@ -1844,6 +1883,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 window: new or changed this round ---
     "lm_score": q_lm_score,
     "bpe_tokens": q_bpe_tokens,
+    "mh_index_probe": q_mh_index_probe,
+    "pca_embed": q_pca_embed,
     "stream_late": q_stream_late,
     "chunk_docs": q_chunk_docs,
     "calendar_mean": q_calendar_mean,

@@ -818,6 +818,22 @@ FROM t""",
 SELECT source, count(*)::BIGINT AS n_docs, count(DISTINCT md5(text))::BIGINT AS n_unique
 FROM documents GROUP BY source""",
     "minhash": _minhash_cte(4, 3) + "\nSELECT id, mh_0, mh_1, mh_2, mh_3 FROM sig",
+    "mh_index_probe": _minhash_cte(4, 3)
+    + """,
+bands AS (
+  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
+  UNION ALL
+  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+)
+SELECT b.id AS new_id, a.id AS index_id, count(*)::BIGINT AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+WHERE a.id < 250 AND b.id >= 250
+GROUP BY 1, 2
+ORDER BY 1, 2""",
     "lsh_pairs": _minhash_cte(4, 3)
     + """,
 bands AS (
