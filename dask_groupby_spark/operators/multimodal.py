@@ -360,3 +360,213 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: image near-duplicate detection (pHash + banded
+# hamming buckets) — the image-modality analog of MinHash/LSH text dedup
+# ---------------------------------------------------------------------------
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL dependency-free PNG pixel decode (stdlib zlib): 8-bit
+    grayscale/RGB/RGBA, non-interlaced, all 5 scanline filters.  Returns a
+    float64 (h, w) grayscale array (BT.601 luma), or None when the payload
+    is not a PNG this decoder handles (caller falls back a tier)."""
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, b""
+    try:
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if tag == b"IHDR":
+                ihdr = data
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None:
+            return None
+        w, h = struct.unpack(">II", ihdr[:8])
+        depth, color, _, _, interlace = ihdr[8:13]
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if depth != 8 or channels is None or interlace != 0:
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+            filt, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+            if filt == 0:
+                cur = line
+            elif filt == 2:  # Up
+                cur = (line + prev) & 0xFF
+            else:  # Sub/Average/Paeth need the running left pixel
+                cur = np.empty(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = cur[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    if filt == 1:
+                        cur[x] = (line[x] + a) & 0xFF
+                    elif filt == 3:
+                        cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                    elif filt == 4:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        cur[x] = (line[x] + pred) & 0xFF
+                    else:
+                        return None
+            out[y] = cur
+            prev = cur
+        px = out.reshape(h, w, channels).astype(np.float64)
+        if channels == 1:
+            return px[:, :, 0]
+        if channels == 2:  # gray + alpha
+            return px[:, :, 0]
+        return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    except Exception:
+        return None
+
+
+def _gray_32(payload: bytes):
+    """32×32 float grayscale for hashing: PIL (tier 1) → dep-free PNG
+    decode (tier 2) → deterministic byte-derived stub (tier 3).  Resize is
+    area-mean over nearest-index blocks — deterministic, numpy-only."""
+    import numpy as np
+
+    arr = None
+    if _PIL_Image is not None:
+        try:
+            img = _PIL_Image.open(io.BytesIO(payload)).convert("L").resize((32, 32))
+            return np.asarray(img, dtype=np.float64)
+        except Exception:
+            pass
+    arr = decode_png_pixels(payload)
+    if arr is None:
+        n = max(1, len(payload or b""))
+        reps = -(-1024 // n)
+        flat = np.frombuffer((payload or b"\x00") * reps, dtype=np.uint8)[:1024]
+        return flat.reshape(32, 32).astype(np.float64)
+    h, w = arr.shape
+    ys = np.linspace(0, h, 33).astype(int)
+    xs = np.linspace(0, w, 33).astype(int)
+    out = np.empty((32, 32), dtype=np.float64)
+    for i in range(32):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(32):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = arr[min(y0, h - 1) : y1, min(x0, w - 1) : x1].mean()
+    return out
+
+
+def _dct_matrix(n: int):
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    C = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    C[0] /= np.sqrt(2.0)
+    return C
+
+
+def phash_one(payload: bytes) -> int:
+    """64-bit perceptual hash: 32×32 grayscale → 2-D DCT-II → top-left 8×8
+    low-frequency block → bit i = coeff_i > median.  Signed int64 (bit 63
+    is the sign) so the value round-trips a Spark LongType exactly."""
+    import numpy as np
+
+    g = _gray_32(payload)
+    C = _dct_matrix(32)
+    d = (C @ g @ C.T)[:8, :8].ravel()
+    med = np.median(d[1:])  # DC excluded from the threshold (standard pHash)
+    bits = 0
+    for i, v in enumerate(d):
+        if v > med:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_phash(media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Per-image perceptual hash — map-only Arrow batches, one int64 per
+    image (the image analog of a MinHash signature).  Output: (id, phash)."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "phash": [phash_one(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(hashes, "id long, phash long")
+
+
+def phash_near_duplicates(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by pHash hamming distance ≤ ``max_hamming``
+    via banded exact-match buckets (the hamming analog of MinHash LSH
+    banding): split the 64-bit hash into ``bands`` equal bit-slices; by
+    pigeonhole, two hashes within hamming h share at least one identical
+    band whenever h < bands — so recall is GUARANTEED for
+    ``max_hamming < bands`` and pair enumeration stays bucket-local, never
+    all-pairs.  Wider bands (fewer of them) are more selective at scale;
+    ``max_bucket_size`` caps a degenerate bucket exactly like the LSH text
+    path.  Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("phash"), b * width).bitwiseAND(F.lit(mask)).alias("bk"),
+        )
+        for b in range(bands)
+    ]
+    rows = hashes.select(
+        F.col("id"), F.col("phash"), F.explode(F.array(*band_cols)).alias("bandkey")
+    ).select("id", "phash", F.col("bandkey.band").alias("band"), F.col("bandkey.bk").alias("bk"))
+    buckets = (
+        rows.groupBy("band", "bk")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "phash"))).alias("mem"))
+        .where(F.size("mem") >= 2)
+    )
+    mem, nmem = F.col("mem"), F.size("mem")
+    n_anchor = F.least(F.lit(max_bucket_size), nmem) if max_bucket_size is not None else nmem
+    pairs_arr = F.flatten(
+        F.transform(
+            F.slice(mem, F.lit(1), n_anchor),
+            lambda a, i: F.transform(
+                F.slice(mem, i + F.lit(2), nmem - i - F.lit(1)),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"), b["id"].alias("id_b"),
+                    F.bit_count(a["phash"].bitwiseXOR(b["phash"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

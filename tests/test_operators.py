@@ -969,3 +969,85 @@ def test_semdedup_pca_space(spark):
     ids = sorted(r["vec_id"] for r in kept.collect())
     assert ids == list(range(40))  # clones dropped, min-id originals kept
     assert kept.columns == ["vec_id", "embedding"]  # no __pca leak
+
+
+def _make_png_pixels(arr):
+    """PNG from an (h, w, 3) uint8 array, filter 0 rows."""
+    import struct, zlib
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    raw = b"".join(b"\x00" + bytes(arr[y].reshape(-1)) for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_decode_png_pixels_real_roundtrip():
+    import numpy as np
+
+    from dask_groupby_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    got = decode_png_pixels(_make_png_pixels(px))
+    expect = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    assert got.shape == (7, 11)
+    assert np.allclose(got, expect)
+    assert decode_png_pixels(b"not a png") is None
+
+
+def test_phash_similar_images_close():
+    import numpy as np
+
+    from dask_groupby_spark.operators.multimodal import phash_one
+
+    rng = np.random.default_rng(5)
+    # structured image: smooth gradient + blocks
+    base = np.zeros((64, 64, 3), dtype=np.uint8)
+    base[:, :, 0] = np.linspace(0, 255, 64).astype(np.uint8)[None, :]
+    base[16:48, 16:48] = 220
+    h1 = phash_one(_make_png_pixels(base))
+    assert h1 == phash_one(_make_png_pixels(base.copy()))  # deterministic
+
+    tweaked = base.copy()
+    tweaked[0:2, 0:2] = 0  # tiny local edit
+    h2 = phash_one(_make_png_pixels(tweaked))
+    noise = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    h3 = phash_one(_make_png_pixels(noise))
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    # a 2x2-pixel edit must move far fewer bits than an unrelated image
+    # (the synthetic gradient image has many coefficients AT the median, so
+    # tie-flips inflate the edit distance vs a natural photo; the ordering
+    # is the invariant)
+    assert ham(h1, h2) < ham(h1, h3)
+    assert ham(h1, h2) <= 20
+    assert ham(h1, h3) >= 24
+
+
+def test_phash_near_duplicates_pairs(spark):
+    import numpy as np
+
+    from dask_groupby_spark.operators.multimodal import (
+        image_phash,
+        phash_near_duplicates,
+    )
+
+    rng = np.random.default_rng(9)
+    imgs = []
+    for i in range(6):
+        a = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        imgs.append((i, bytearray(_make_png_pixels(a))))
+    imgs.append((100, imgs[0][1]))  # exact clone of image 0
+    imgs.append((101, imgs[3][1]))  # exact clone of image 3
+    media = spark.createDataFrame(
+        [(i, bytes(p)) for i, p in imgs], "doc_id long, payload binary"
+    )
+    hashes = image_phash(media)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_duplicates(hashes, max_hamming=3).collect()
+    }
+    assert pairs.get((0, 100)) == 0
+    assert pairs.get((3, 101)) == 0
