@@ -570,3 +570,95 @@ def phash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _wav_samples(payload: bytes):
+    """(mono float64 samples, framerate) for PCM WAV payloads, else None —
+    the sample-level twin of :func:`_decode_audio`'s tier 2."""
+    import numpy as np
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            sr, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        dtype = {1: "u1", 2: "<i2", 4: "<i4"}.get(sw)
+        if dtype is None:
+            return None
+        s = np.frombuffer(raw, dtype=dtype).astype("float64")
+        if sw == 1:
+            s -= 128.0
+        if nch > 1:
+            s = s.reshape(-1, nch).mean(axis=1)
+        return s, sr
+    except Exception:
+        return None
+
+
+def audio_fingerprint_one(payload: bytes, frame: int = 1024, hop: int = 512) -> int:
+    """64-bit spectral audio fingerprint: rfft magnitude spectrogram →
+    4 time segments × 16 log-spaced frequency bands of mean log-energy →
+    bit = cell above its segment's median (gain-invariant by
+    construction).  REAL for PCM WAV (stdlib decode); unrecognized
+    payloads get the deterministic byte-derived stub spectrum.  Signed
+    int64, directly comparable with
+    :func:`phash_near_duplicates`-style banded hamming search."""
+    import numpy as np
+
+    dec = _wav_samples(payload)
+    if dec is None:
+        n = max(1, len(payload or b""))
+        reps = -(-4096 // n)
+        s = np.frombuffer((payload or b"\x00") * reps, dtype=np.uint8)[:4096].astype("float64") - 128.0
+    else:
+        s = dec[0]
+    if len(s) < frame:
+        s = np.pad(s, (0, frame - len(s)))
+    starts = range(0, len(s) - frame + 1, hop)
+    mags = np.abs(np.array([np.fft.rfft(s[i : i + frame] * np.hanning(frame)) for i in starts]))
+    nbins = mags.shape[1]
+    edges = np.unique(np.geomspace(1, nbins - 1, 17).astype(int))
+    while len(edges) < 17:  # tiny spectra: pad band edges
+        edges = np.append(edges, edges[-1] + 1)
+    t_edges = np.linspace(0, mags.shape[0], 5).astype(int)
+    bits = 0
+    for t in range(4):
+        seg = mags[t_edges[t] : max(t_edges[t + 1], t_edges[t] + 1)]
+        # pure log, not log1p: an ideal gain change scales every band's
+        # energy by the same factor, so log energies (and their median)
+        # shift uniformly and the bits are gain-robust — the +1 floor of
+        # log1p breaks even that for quiet bands.  (Exact invariance is
+        # limited by quantization noise, whose floor does NOT scale with
+        # amplitude.)
+        energy = np.array([
+            np.log(max(seg[:, edges[b] : max(edges[b + 1], edges[b] + 1)].mean(), 1e-12))
+            for b in range(16)
+        ])
+        med = np.median(energy)
+        for b in range(16):
+            if energy[b] > med:
+                bits |= 1 << (t * 16 + b)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_fingerprint(media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Per-clip spectral fingerprint — map-only Arrow batches.  Output:
+    (id, phash) with the hash in the ``phash`` column so the output feeds
+    :func:`phash_near_duplicates` unchanged (banded hamming buckets work
+    on any 64-bit locality-preserving hash)."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "phash": [audio_fingerprint_one(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(hashes, "id long, phash long")

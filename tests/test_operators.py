@@ -1051,3 +1051,40 @@ def test_phash_near_duplicates_pairs(spark):
     }
     assert pairs.get((0, 100)) == 0
     assert pairs.get((3, 101)) == 0
+
+
+def test_audio_fingerprint_real_wav(spark):
+    import math
+
+    import numpy as np
+
+    from dask_groupby_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_one,
+        phash_near_duplicates,
+    )
+
+    def tone(freqs, n=8000, amp=8000.0):
+        t = np.arange(n)
+        s = sum(np.sin(2 * math.pi * f * t / 8000.0) for f in freqs)
+        return [int(x) for x in (amp * s / len(freqs))]
+
+    a = _make_wav(tone([440, 880]))
+    a_quiet = _make_wav(tone([440, 880], amp=3000.0))  # same content, lower gain
+    b = _make_wav(tone([123, 3021, 1777]))
+
+    ha = audio_fingerprint_one(a)
+    assert ha == audio_fingerprint_one(a)  # deterministic
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    # gain-robust: quantization-noise bands may flip, signal structure holds
+    assert ham(ha, audio_fingerprint_one(a_quiet)) <= 12
+    assert ham(ha, audio_fingerprint_one(b)) >= 16
+
+    media = spark.createDataFrame(
+        [(1, a), (2, b), (3, a)], "doc_id long, payload binary"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_duplicates(audio_fingerprint(media), max_hamming=3).collect()
+    }
+    assert pairs.get((1, 3)) == 0  # identical clips pair through the banded plan
