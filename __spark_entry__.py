@@ -1393,6 +1393,24 @@ def q_bpe_tokens(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_gopher(spark, sf):
+    """Gopher document-quality rules (Rae et al. 2021) as typed flag
+    columns + pass verdict (r5)."""
+    from dask_groupby_spark.operators.text import gopher_quality_flags
+
+    docs = load_table(spark, sf, "documents")
+    out = gopher_quality_flags(docs)
+    return out.select(
+        "doc_id",
+        "g_n_words",
+        F.round("g_mean_word_len", 6).alias("g_mean_word_len"),
+        "g_stop_hits",
+        F.round("g_alpha_ratio", 6).alias("g_alpha_ratio"),
+        F.round("g_symbol_ratio", 6).alias("g_symbol_ratio"),
+        "gopher_pass",
+    ).orderBy("doc_id")
+
+
 def q_mh_index_probe(spark, sf):
     """Persisted MinHash-LSH index round-trip (r5): write a REAL index for
     the corpus half (doc_id < 250) to disk, probe the batch half against
@@ -1885,6 +1903,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokens": q_bpe_tokens,
     "mh_index_probe": q_mh_index_probe,
     "pca_embed": q_pca_embed,
+    "gopher": q_gopher,
     "stream_late": q_stream_late,
     "chunk_docs": q_chunk_docs,
     "calendar_mean": q_calendar_mean,

@@ -423,3 +423,69 @@ def bpe_token_estimate(col: Column, chars_per_token: int = 4) -> Column:
             F.ceil(F.length(F.trim(p)) / F.lit(chars_per_token)).cast("bigint"),
         ),
     )
+
+
+#: Gopher quality-rule defaults (Rae et al. 2021, "Scaling Language
+#: Models", Table A1 — the repetition rules live in
+#: :func:`repetition_features`); thresholds are overridable per call.
+GOPHER_DEFAULTS = dict(
+    min_words=50,
+    max_words=100_000,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    min_stop_hits=2,
+    min_alpha_ratio=0.8,
+    max_symbol_ratio=0.1,
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords=STOPWORDS["en"],
+    **overrides,
+) -> DataFrame:
+    """Gopher-rules document quality signals (Rae et al. 2021): word count
+    band, mean word length band, ≥2 stopword hits, ≥80% of words containing
+    an alphabetic character, ≤10% hash/ellipsis symbols — appended as typed
+    columns plus a single ``gopher_pass`` verdict.
+
+    One narrow map-only projection (the token array is bound once and every
+    rule folds over it — no shuffle, no UDF); compose with
+    ``curate_documents`` or filter directly on ``gopher_pass``.
+    """
+    cfg = {**GOPHER_DEFAULTS, **overrides}
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+        / n.cast("double"),
+    )
+    stop_hits = _stopword_hits(toks, stopwords)
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n > 0, alpha_words / n.cast("double"))
+    t = F.col(text_col)
+    hash_count = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    ell_count = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+    # Gopher tests each symbol's PER-WORD ratio against the bound; the
+    # reported column is the binding one (the max of the two)
+    symbol_ratio = F.when(
+        n > 0, F.greatest(hash_count, ell_count).cast("double") / n.cast("double")
+    )
+    passes = (
+        (n >= cfg["min_words"]) & (n <= cfg["max_words"])
+        & (mean_len >= cfg["min_mean_word_len"]) & (mean_len <= cfg["max_mean_word_len"])
+        & (stop_hits >= cfg["min_stop_hits"])
+        & (alpha_ratio >= cfg["min_alpha_ratio"])
+        & (symbol_ratio <= cfg["max_symbol_ratio"])
+    )
+    return df.select(
+        "*",
+        n.cast("bigint").alias("g_n_words"),
+        mean_len.alias("g_mean_word_len"),
+        stop_hits.cast("bigint").alias("g_stop_hits"),
+        alpha_ratio.alias("g_alpha_ratio"),
+        symbol_ratio.alias("g_symbol_ratio"),
+        F.coalesce(passes, F.lit(False)).alias("gopher_pass"),
+    )

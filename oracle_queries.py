@@ -818,6 +818,39 @@ FROM t""",
 SELECT source, count(*)::BIGINT AS n_docs, count(DISTINCT md5(text))::BIGINT AS n_unique
 FROM documents GROUP BY source""",
     "minhash": _minhash_cte(4, 3) + "\nSELECT id, mh_0, mh_1, mh_2, mh_3 FROM sig",
+    "gopher": """
+WITH g AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tk)::BIGINT AS g_n_words,
+         CASE WHEN len(tk) > 0 THEN
+           list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk) END
+           AS g_mean_word_len,
+         (len(list_filter(tk, x -> x = 'the')) + len(list_filter(tk, x -> x = 'a'))
+          + len(list_filter(tk, x -> x = 'of')) + len(list_filter(tk, x -> x = 'and'))
+          + len(list_filter(tk, x -> x = 'to')))::BIGINT AS g_stop_hits,
+         CASE WHEN len(tk) > 0 THEN
+           len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(tk) END
+           AS g_alpha_ratio,
+         CASE WHEN len(tk) > 0 THEN
+           greatest(length(text) - length(replace(text, '#', '')),
+                    (length(text) - length(replace(text, '...', ''))) / 3.0)::DOUBLE
+             / len(tk) END AS g_symbol_ratio
+  FROM g
+)
+SELECT doc_id, g_n_words, round(g_mean_word_len, 6) AS g_mean_word_len,
+       g_stop_hits, round(g_alpha_ratio, 6) AS g_alpha_ratio,
+       round(g_symbol_ratio, 6) AS g_symbol_ratio,
+       coalesce(g_n_words BETWEEN 50 AND 100000
+                AND g_mean_word_len BETWEEN 3.0 AND 10.0
+                AND g_stop_hits >= 2
+                AND g_alpha_ratio >= 0.8
+                AND g_symbol_ratio <= 0.1, FALSE) AS gopher_pass
+FROM m ORDER BY doc_id""",
     "mh_index_probe": _minhash_cte(4, 3)
     + """,
 bands AS (

@@ -1088,3 +1088,30 @@ def test_audio_fingerprint_real_wav(spark):
         for r in phash_near_duplicates(audio_fingerprint(media), max_hamming=3).collect()
     }
     assert pairs.get((1, 3)) == 0  # identical clips pair through the banded plan
+
+
+def test_gopher_quality_flags_rules(spark):
+    from dask_groupby_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox and a dog " * 10  # 70 words, stopwords, alpha
+    rows = [
+        (1, good.strip()),
+        (2, "too short to pass the word count gate"),
+        (3, ("#" * 40 + " ") + good.strip()),          # symbol ratio blown
+        (4, " ".join("zq" for _ in range(60))),         # mean len 2, no stopwords
+        (5, good.strip() + " " + " ".join("..." for _ in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["gopher_pass"] is False and got[2]["g_n_words"] < 50
+    assert got[3]["gopher_pass"] is False and got[3]["g_symbol_ratio"] > 0.1
+    assert got[4]["gopher_pass"] is False and got[4]["g_stop_hits"] == 0
+    assert got[5]["gopher_pass"] is False  # ellipsis words also fail alpha
+    # threshold override flips the verdict
+    relaxed = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in gopher_quality_flags(df, min_words=5, min_mean_word_len=1.0,
+                                      min_stop_hits=0, min_alpha_ratio=0.0).collect()
+    }
+    assert relaxed[4] is True
