@@ -662,3 +662,71 @@ def audio_fingerprint(media: DataFrame, id_col: str = "doc_id", payload_col: str
             )
 
     return media.select(id_col, payload_col).mapInPandas(hashes, "id long, phash long")
+
+
+def video_phash(
+    media: DataFrame,
+    every_nth: int = 10,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes for video payloads: the keyframe
+    fingerprint table real video dedup pipelines build.  Composition:
+    :func:`sample_video_frames` (1→N fan-out; stub frame decode until an
+    ffmpeg kernel lands) → :func:`phash_one` per frame, all map-only.
+    Output: (id, frame_idx, phash)."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "phash": [phash_one(p) for p in pdf["frame"]],
+                }
+            )
+
+    frames = sample_video_frames(
+        media.select(F.col(id_col).alias("doc_id"), "payload"),
+        every_nth=every_nth,
+        max_frames=max_frames,
+    )
+    return frames.mapInPandas(hashes, "id long, frame_idx int, phash long")
+
+
+def video_near_duplicates(
+    frame_hashes: DataFrame,
+    min_shared_frames: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Video near-dup pairs: videos sharing ≥ ``min_shared_frames``
+    identical frame hashes (the shared-keyframe criterion).  One groupBy
+    on the 64-bit frame hash builds the inverted index (distinct video ids
+    per hash, so a video repeating a frame doesn't self-inflate), pairs
+    enumerate map-side via the bucket-array plan, and a pair-count groupBy
+    applies the threshold.  Output: (id_a, id_b, n_shared_frames)."""
+    rows = frame_hashes.select("phash", "id").distinct()
+    buckets = (
+        rows.groupBy("phash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids, n = F.col("ids"), F.size("ids")
+    n_anchor = F.least(F.lit(max_bucket_size), n) if max_bucket_size is not None else n
+    pairs_arr = F.flatten(
+        F.transform(
+            F.slice(ids, F.lit(1), n_anchor),
+            lambda a, i: F.transform(
+                F.slice(ids, i + F.lit(2), n - i - F.lit(1)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+        .where(F.col("n_shared_frames") >= min_shared_frames)
+    )

@@ -1115,3 +1115,38 @@ def test_gopher_quality_flags_rules(spark):
                                       min_stop_hits=0, min_alpha_ratio=0.0).collect()
     }
     assert relaxed[4] is True
+
+
+def test_video_phash_shared_frames(spark):
+    from dask_groupby_spark.operators.multimodal import (
+        video_near_duplicates,
+        video_phash,
+    )
+
+    # payload bytes are the stub "frames" (every_nth=10 slices); slices must
+    # be structurally distinct (DCT AC coefficients ignore constant offsets,
+    # so e.g. consecutive ascending runs would all hash identically)
+    import hashlib
+
+    def pseudo(tag, n=80):
+        out = b""
+        while len(out) < n:
+            out += hashlib.sha256(tag.encode() + len(out).to_bytes(4, "big")).digest()
+        return out[:n]
+
+    base = pseudo("base")
+    edited = base[:40] + pseudo("tail")[:40]
+    other = pseudo("other")
+    media = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, base)],
+        "doc_id long, payload binary",
+    )
+    fh = video_phash(media, every_nth=10, max_frames=8)
+    assert fh.count() == 32  # 4 videos × 8 frames
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_frames"]
+        for r in video_near_duplicates(fh, min_shared_frames=2).collect()
+    }
+    assert pairs[(1, 4)] == 8          # exact clone: all frames shared
+    assert pairs.get((1, 2), 0) >= 2   # half-overlap passes the threshold
+    assert (1, 3) not in pairs and (3, 4) not in pairs
