@@ -204,6 +204,59 @@ def capped_bucket_pairs(
     return joined.where(F.col("a___rk") < F.col("b___rk")).drop("a___rk", "b___rk")
 
 
+def sorted_bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    member,
+    pair,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The shared bucket-array pair-enumeration plan (LSH bands, shingle
+    buckets, frame/perceptual-hash buckets all use it): ONE groupBy on the
+    bucket key collects each bucket's ``member`` structs into a sorted
+    array, then ``pair(a, b)`` structs for every a<b (by sort order)
+    enumerate map-side with nested array HOFs — the upstream pipeline is
+    computed once (a bucket self-join computes it per side: the renames
+    defeat ReuseExchange) and there is no join at all.
+
+    ``max_bucket_size`` caps enumeration to the anchor star: pairs (i, j)
+    with i < j and i < cap over the sorted bucket — identical output when
+    no bucket exceeds the cap, O(|bucket|·cap) on a degenerate one, every
+    member still connected to anchor 0 for transitive clustering.
+
+    Returns one exploded column ``p`` per pair; callers project/aggregate.
+    """
+    buckets = (
+        rows.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(member)).alias("mem"))
+        .where(F.size("mem") >= 2)
+    )
+    return bucket_pairs_from(buckets, "mem", pair, max_bucket_size)
+
+
+def bucket_pairs_from(
+    buckets: DataFrame,
+    mem_col: str,
+    pair,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Pair enumeration half of :func:`sorted_bucket_pairs`, for callers
+    that need the bucket arrays themselves too (e.g. a document-frequency
+    filter between collection and enumeration)."""
+    mem, n = F.col(mem_col), F.size(mem_col)
+    n_anchor = F.least(F.lit(max_bucket_size), n) if max_bucket_size is not None else n
+    arr = F.flatten(
+        F.transform(
+            F.slice(mem, F.lit(1), n_anchor),
+            lambda a, i: F.transform(
+                F.slice(mem, i + F.lit(2), n - i - F.lit(1)),
+                lambda b: pair(a, b),
+            ),
+        )
+    )
+    return buckets.select(F.explode(arr).alias("p"))
+
+
 def _band_rows(
     signatures: DataFrame, num_hashes: int, bands: int, hasher: str
 ) -> DataFrame:
@@ -246,37 +299,18 @@ def lsh_candidate_pairs(
     uncapped plan stays exactly oracle-checkable.
     """
     exploded = _band_rows(signatures, num_hashes, bands, hasher)
-    # Bucket-array plan instead of an in-bucket self-join: ONE groupBy
-    # collects each bucket's member ids into a sorted array, then the pair
-    # set is enumerated map-side with array HOFs.  The join formulation
-    # computed the signature pipeline TWICE (the a_/b_ column renames make
-    # the two Exchange subtrees non-identical, defeating ReuseExchange) and
-    # paid a sort-merge join; this plan computes signatures once and is
-    # 1.75× faster at sf1.  Memory stays bounded: the arrays hold ids only
-    # (8 B each — a degenerate 10⁶-doc bucket is an 8 MB row), and with
-    # ``max_bucket_size`` the quadratic enumeration is cut to the anchor
-    # star exactly like :func:`capped_bucket_pairs` (pairs (i, j) with
-    # i < j, i < cap over the id-sorted bucket).
-    buckets = (
-        exploded.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    n = F.size("ids")
-    n_anchor = F.least(F.lit(max_bucket_size), n) if max_bucket_size is not None else n
-    ids = F.col("ids")
-    pairs_arr = F.flatten(
-        F.transform(
-            F.slice(ids, F.lit(1), n_anchor),
-            lambda a, i: F.transform(
-                F.slice(ids, i + F.lit(2), n - i - F.lit(1)),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
+    # Bucket-array plan instead of an in-bucket self-join (see
+    # :func:`sorted_bucket_pairs`): signatures are computed once — the join
+    # formulation computed them per side and paid an SMJ; 1.75× faster at
+    # sf1, and the arrays hold ids only (a degenerate 10⁶-doc bucket is an
+    # 8 MB row) with the cap bounding the quadratic enumeration.
+    pairs = sorted_bucket_pairs(
+        exploded, ["band", "bh"], F.col("id"),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        max_bucket_size,
     )
     return (
-        buckets.select(F.explode(pairs_arr).alias("p"))
-        .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        pairs.groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -334,22 +368,15 @@ def ngram_jaccard_pairs(
     # singleton buckets produce no pairs but DO count toward each document's
     # surviving-set size, so the ≥2 filter applies to enumeration only
     buckets = surviving.where(F.size("mem") >= 2)
-    mem, nmem = F.col("mem"), F.size("mem")
-    pairs_arr = F.flatten(
-        F.transform(
-            mem,
-            lambda a, i: F.transform(
-                F.slice(mem, i + F.lit(2), nmem - i - F.lit(1)),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"), b["id"].alias("id_b"),
-                    a["n"].alias("n_a"), b["n"].alias("n_b"),
-                ),
-            ),
-        )
+    pairs = bucket_pairs_from(
+        buckets, "mem",
+        lambda a, b: F.struct(
+            a["id"].alias("id_a"), b["id"].alias("id_b"),
+            a["n"].alias("n_a"), b["n"].alias("n_b"),
+        ),
     )
     inter = (
-        buckets.select(F.explode(pairs_arr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),
             F.max("p.n_a").alias("n_a"),

@@ -542,31 +542,21 @@ def phash_near_duplicates(
         )
         for b in range(bands)
     ]
+    from .dedup import sorted_bucket_pairs
+
     rows = hashes.select(
         F.col("id"), F.col("phash"), F.explode(F.array(*band_cols)).alias("bandkey")
     ).select("id", "phash", F.col("bandkey.band").alias("band"), F.col("bandkey.bk").alias("bk"))
-    buckets = (
-        rows.groupBy("band", "bk")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "phash"))).alias("mem"))
-        .where(F.size("mem") >= 2)
-    )
-    mem, nmem = F.col("mem"), F.size("mem")
-    n_anchor = F.least(F.lit(max_bucket_size), nmem) if max_bucket_size is not None else nmem
-    pairs_arr = F.flatten(
-        F.transform(
-            F.slice(mem, F.lit(1), n_anchor),
-            lambda a, i: F.transform(
-                F.slice(mem, i + F.lit(2), nmem - i - F.lit(1)),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"), b["id"].alias("id_b"),
-                    F.bit_count(a["phash"].bitwiseXOR(b["phash"])).alias("hamming"),
-                ),
-            ),
-        )
+    pairs = sorted_bucket_pairs(
+        rows, ["band", "bk"], F.struct("id", "phash"),
+        lambda a, b: F.struct(
+            a["id"].alias("id_a"), b["id"].alias("id_b"),
+            F.bit_count(a["phash"].bitwiseXOR(b["phash"])).alias("hamming"),
+        ),
+        max_bucket_size,
     )
     return (
-        buckets.select(F.explode(pairs_arr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -707,26 +697,16 @@ def video_near_duplicates(
     per hash, so a video repeating a frame doesn't self-inflate), pairs
     enumerate map-side via the bucket-array plan, and a pair-count groupBy
     applies the threshold.  Output: (id_a, id_b, n_shared_frames)."""
+    from .dedup import sorted_bucket_pairs
+
     rows = frame_hashes.select("phash", "id").distinct()
-    buckets = (
-        rows.groupBy("phash")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    ids, n = F.col("ids"), F.size("ids")
-    n_anchor = F.least(F.lit(max_bucket_size), n) if max_bucket_size is not None else n
-    pairs_arr = F.flatten(
-        F.transform(
-            F.slice(ids, F.lit(1), n_anchor),
-            lambda a, i: F.transform(
-                F.slice(ids, i + F.lit(2), n - i - F.lit(1)),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
+    pairs = sorted_bucket_pairs(
+        rows, ["phash"], F.col("id"),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        max_bucket_size,
     )
     return (
-        buckets.select(F.explode(pairs_arr).alias("p"))
-        .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        pairs.groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_frames"))
         .where(F.col("n_shared_frames") >= min_shared_frames)
     )
