@@ -74,3 +74,45 @@ def test_approx_skips_missing(spark):
         df, "k", func="approx_quantile", value="v", finalize_kwargs={"q": 1.0}
     ).collect()}
     assert aq[1] == 3.0 and (aq[2] is None or np.isnan(aq[2]))
+
+
+def test_hll_sketch_table_incremental(spark, tmp_path_factory):
+    """Incremental sketch loop: per-batch sketches appended to a table must
+    merge to the same estimate as sketching everything at once, and land
+    within HLL error of the exact distinct count."""
+    from dask_groupby_spark.operators.sketches import (
+        hll_merge_count,
+        hll_read,
+        hll_sketch_table,
+    )
+
+    rows = [(d % 3, f"user_{d % 997}") for d in range(5000)]
+    df = spark.createDataFrame(rows, "grp int, uid string")
+    first, second = df.where("grp != 2 OR uid < 'user_5'"), df.where(
+        "grp = 2 AND uid >= 'user_5'"
+    )
+
+    path = str(tmp_path_factory.mktemp("hll") / "sketches")
+    hll_sketch_table(first, "grp", value="uid", path=path)
+    hll_sketch_table(second, "grp", value="uid", path=path)  # append batch 2
+
+    merged = {
+        r["grp"]: r["approx_distinct"]
+        for r in hll_merge_count(hll_read(spark, path), "grp").collect()
+    }
+    direct = {
+        r["grp"]: r["approx_distinct"]
+        for r in hll_merge_count(hll_sketch_table(df, "grp", value="uid"), "grp").collect()
+    }
+    assert merged == direct  # associative merge == one-shot sketch
+
+    exact = {
+        r["grp"]: r["n"]
+        for r in df.groupBy("grp").agg(__import__("pyspark.sql.functions", fromlist=["F"]).countDistinct("uid").alias("n")).collect()
+    }
+    for g, est in merged.items():
+        assert abs(est - exact[g]) / exact[g] < 0.05
+
+    # global rollup from the same table, no keys
+    total = hll_merge_count(hll_read(spark, path)).collect()[0]["approx_distinct"]
+    assert abs(total - 997) / 997 < 0.05
