@@ -1853,6 +1853,113 @@ def q_multimodal_meta(spark, sf):
     )
 
 
+def q_salted_join(spark, sf):
+    """Skew-salted equi-join (r5): lineitem⋈orders through the salting
+    rewrite must be row-identical to the plain SQL join — the oracle IS
+    the plain join, so the key proves salt-replication changes the
+    shuffle shape and nothing else."""
+    from dask_groupby_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+#: fixed heavy-hitter candidates for the cms_heavy contract key (terms from
+#: the synthetic vocabulary + one absent term exercising the zero path)
+_CMS_TERMS = ["hash", "spark", "table", "the", "value", "window", "zzzmissing"]
+
+
+def q_cms_heavy(spark, sf):
+    """Count-min sketch frequency estimates (r5): corpus terms → bounded
+    (d, bucket, cnt) counter table → CM estimates for a fixed candidate
+    list.  Portable hasher, so DuckDB reproduces the identical buckets and
+    min-over-depths arithmetic."""
+    from dask_groupby_spark.operators.sketches import cms_estimate, cms_sketch_table
+    from dask_groupby_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tk = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sk = cms_sketch_table(tk, "term", width=256, depth=4, hasher="portable")
+    q = spark.createDataFrame([(t,) for t in _CMS_TERMS], "term string")
+    return cms_estimate(
+        sk, q, "term", width=256, depth=4, hasher="portable"
+    ).orderBy("term")
+
+
+def q_vocab(spark, sf):
+    """Frequency-ranked corpus vocabulary (r5): distributed top-k cut +
+    deterministic (cnt DESC, term ASC) id assignment."""
+    from dask_groupby_spark.operators.vocab import build_vocab
+
+    docs = load_table(spark, sf, "documents")
+    return build_vocab(docs, max_size=25).orderBy("term_id")
+
+
+def q_encode_ids(spark, sf):
+    """Token-id encoding, flat form (r5): posexplode + broadcast vocab
+    join, OOV → -1 — the map-only trainer-feed path."""
+    from dask_groupby_spark.operators.vocab import build_vocab, encode_tokens_flat
+
+    docs = load_table(spark, sf, "documents")
+    vocab = build_vocab(docs, max_size=16)
+    flat = encode_tokens_flat(docs, vocab)
+    return flat.select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "token_id"
+    ).orderBy("doc_id", "pos")
+
+
+def q_clf_score(spark, sf):
+    """Hashing-trick linear classifier scores (r5): fastText-style
+    sigmoid(mean(w[h(token) % dim])) with hash-derived pseudo-weights —
+    zero-shuffle model scoring, bucket arithmetic mirrored in DuckDB."""
+    from dask_groupby_spark.operators.text import hash_classifier_score
+
+    docs = load_table(spark, sf, "documents")
+    out = hash_classifier_score(docs, dim=64, hasher="portable")
+    return out.select(
+        "doc_id", "n_tokens", F.round("clf_score", 6).alias("clf_score")
+    ).orderBy("doc_id")
+
+
+def q_pii_redact(spark, sf):
+    """PII redaction (r5): deterministic synthetic email + IPv4 injected
+    per doc (both engines), then the regex scrub — counts on the original
+    text, sentinel replacements in dict order."""
+    from dask_groupby_spark.operators.curate import redact_pii
+
+    docs = load_table(spark, sf, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@mail"),
+            F.pmod(F.col("doc_id"), F.lit(7)),
+            F.lit(".com from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)),
+            F.lit("."),
+            F.pmod(F.col("doc_id"), F.lit(100)),
+        ).alias("text"),
+    )
+    out = redact_pii(salted)
+    return out.select(
+        "doc_id", "email_n", "ipv4_n", "phone_n", "text"
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -1882,15 +1989,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this dict
 # (insertion order) against the DuckDB oracle. r5 rotation (VERDICT r4 items
-# 2/7): the window front-loads (a) keys whose code or oracle changed this
-# round (stream_late is NEW - the late/out-of-order watermark contract;
+# 2/7): the window front-loads (a) keys that are NEW or changed this round
+# (late-r5 additions salted_join/cms_heavy/vocab/encode_ids/clf_score/
+# pii_redact, then stream_late - the late/out-of-order watermark contract;
 # chunk_docs and calendar_mean changed semantics; the dedup/similarity
 # family grew the bucket cap; pivot grew the discovery guard), then (b) the
 # 28 r1-era keys with no official driver row since the r3 testdata encoding
 # change (mode/nanmode, bins_*, reindex_fill, grid_fill, min_count,
 # dayofyear, month_hour, resample_5d, first_ts, the 4 complex_*, all 13
-# scan_*), then (c) the oldest remaining greens (r2 rows). DISPLACED out of
-# the r4 window (all hold fresh green r4 rows): wquantile_sketch, xdim_bins,
+# scan_*), then (c) the oldest remaining green (approx_quantile, r2). The
+# 6 new keys displace the other r2-green rows (dup_spans..dedup_exact) out
+# of the window — those keep their r2-r3 official rows. Also DISPLACED
+# since r4 (all hold fresh green r4 rows): wquantile_sketch, xdim_bins,
 # xdim_dataset, stream_agg, stream_enrich, fill_stat, winsorize,
 # stream_join, mixture, pack, twa, stream_sliding, range_join, sessionize,
 # mean_ts, resample_time, stream_window, stream_session, and the 30
@@ -1899,6 +2009,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 window: new or changed this round ---
+    "salted_join": q_salted_join,
+    "cms_heavy": q_cms_heavy,
+    "vocab": q_vocab,
+    "encode_ids": q_encode_ids,
+    "clf_score": q_clf_score,
+    "pii_redact": q_pii_redact,
     "lm_score": q_lm_score,
     "bpe_tokens": q_bpe_tokens,
     "mh_index_probe": q_mh_index_probe,
@@ -1944,8 +2060,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_cumprod": q_scan_cumprod,
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
-    # --- r5 window: oldest remaining official greens (r2 rows) ---
+    # --- r5 window: oldest remaining official green (r2 row) ---
     "approx_quantile": q_approx_quantile,
+    # ----------------------------------------------------------------- 50
+    # --- displaced by the 6 late-r5 keys: hold official r2-r3 rows ---
     "dup_spans": q_dup_spans,
     "span_dedup": q_span_dedup,
     "xdim_reduce": q_xdim_reduce,
@@ -1957,7 +2075,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "simhash": q_simhash,
     "dedup_exact": q_dedup_exact,
-    # ----------------------------------------------------------------- 50
     # --- displaced: fresh green r4 rows ---
     "wquantile_sketch": q_wquantile_sketch,
     "xdim_bins": q_xdim_bins,

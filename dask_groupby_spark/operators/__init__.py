@@ -25,14 +25,19 @@ from .similarity import (
     pca_project,
     semantic_deduplicate,
 )
+from .curate import PII_PATTERNS, redact_pii
+from .joins import salted_join
+from .sketches import cms_estimate, cms_sketch_table
 from .text import (
     add_text_features,
     bpe_token_estimate,
     document_fingerprint,
+    hash_classifier_score,
     language_id,
     lm_quality_score,
     tokens,
 )
+from .vocab import build_vocab, encode_tokens, encode_tokens_flat
 
 __all__ = [
     "duplicate_clusters",
@@ -54,7 +59,16 @@ __all__ = [
     "add_text_features",
     "bpe_token_estimate",
     "document_fingerprint",
+    "hash_classifier_score",
     "language_id",
     "lm_quality_score",
     "tokens",
+    "PII_PATTERNS",
+    "redact_pii",
+    "salted_join",
+    "cms_sketch_table",
+    "cms_estimate",
+    "build_vocab",
+    "encode_tokens",
+    "encode_tokens_flat",
 ]

@@ -335,3 +335,56 @@ def pack_sequences(
         return pdf
 
     return df.groupBy(*by).applyInPandas(pack, schema=out_schema)
+
+
+#: Redaction patterns restricted to the RE2 ∩ Java-regex common subset
+#: (no lookarounds, no backrefs) so the DuckDB oracle evaluates the
+#: IDENTICAL pattern — same discipline as text.BPE_PRETOKEN_RE.
+PII_PATTERNS: "dict[str, str]" = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: "dict[str, str] | None" = None,
+    out: str | None = None,
+    counts: bool = True,
+) -> DataFrame:
+    """Regex PII redaction — the standard pre-release scrub (emails, IPv4
+    addresses, phone-like digit runs by default) every public-corpus
+    pipeline runs before training.  Each match is replaced by a
+    ``<KIND>`` sentinel; with ``counts=True`` a ``{kind}_n`` column
+    records how many matches each document had (counted on the ORIGINAL
+    text, so earlier replacements can't mask later counters).
+
+    Patterns apply in dict order — order matters when they overlap (the
+    default email pattern must run before phone, or the digits inside an
+    address would be half-eaten).  Replacement sentinels contain no
+    word characters that later defaults re-match.
+
+    Plan: a chain of ``regexp_replace``/``regexp_count`` projections —
+    map-only, zero shuffle, no UDF; scrubbing is free at any scale.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = out or text_col
+    red = F.col(text_col)
+    for kind, pat in pats.items():
+        red = F.regexp_replace(red, F.lit(pat), F.lit(f"<{kind.upper()}>"))
+    cols = [c for c in df.columns if c != text_col or out != text_col]
+    proj = df.select(
+        *cols,
+        *(
+            [
+                F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"{kind}_n")
+                for kind, pat in pats.items()
+            ]
+            if counts
+            else []
+        ),
+        red.alias(out),
+    )
+    return proj

@@ -204,3 +204,63 @@ def asof_join(
         + [F.when(matched, F.col("__c")["__rts"]).alias(f"{on}{suffix}")]
     )
     return carried.select(*out_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    salt: int = 16,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the classic salting rewrite for the case
+    AQE's skew-join splitting can't reach (a single hot key whose matching
+    build rows themselves overflow one task).
+
+    The hot key's left rows all hash to ONE reducer in a plain shuffle
+    join; salting splits them ``salt`` ways — each left row gets a
+    deterministic salt from a hash of its whole tuple, and the (small)
+    right side is replicated once per salt value, so every left row still
+    meets exactly one copy of each matching right row.  Join output is
+    therefore IDENTICAL to the unsalted join for ``inner`` and ``left``
+    semantics (right/full would multiply unmatched right rows — rejected).
+
+    Cost model: right side grows ``salt``×, left shuffle spreads the hot
+    key over ``salt`` reducers.  Use when |right| · salt ≪ |left|'s hot
+    bucket — i.e. a dimension-sized right side against a skewed fact.
+    ``salt`` bounds the split (16–64 is typical; more spreads thinner but
+    replicates more).
+
+    Colliding non-key right columns are suffixed.  No flox counterpart
+    (SURVEY.md §2.4) — Spark-native scale surface, same family as
+    ``range_join``'s shuffle-shape rewrite.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): "
+            "replicating the right side multiplies unmatched right rows "
+            "under right/full semantics"
+        )
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1 (got {salt})")
+    lcols = left.columns
+    rename = {
+        c: f"{c}{suffix}" for c in right.columns if c in lcols and c not in keys
+    }
+    for old, new in rename.items():
+        if new in lcols or new in right.columns:
+            raise ValueError(f"suffixed column {new!r} still collides")
+        right = right.withColumnRenamed(old, new)
+    # deterministic per-row salt: hash of the full left tuple, NOT a key
+    # column (the whole point is splitting identical keys apart) and NOT
+    # rand() (breaks retry/replay determinism on task re-execution)
+    lsalted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
+    )
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = lsalted.join(rsalted, on=keys + ["__salt"], how=how)
+    return out.drop("__salt")

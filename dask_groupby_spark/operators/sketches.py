@@ -57,3 +57,82 @@ def hll_merge_count(
 def hll_read(spark: SparkSession, path: str) -> DataFrame:
     """Load a persisted sketch table (parquet of (by…, hll) rows)."""
     return spark.read.parquet(path)
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    value: str,
+    width: int = 1024,
+    depth: int = 4,
+    path: str | None = None,
+    mode: str = "append",
+    hasher: str = "fast",
+) -> DataFrame:
+    """Count-min sketch of ``value`` frequencies as a mergeable table of
+    ``(d, bucket, cnt)`` rows — the frequency-estimation sibling of
+    :func:`hll_sketch_table` (Cormode & Muthukrishnan 2005).
+
+    Each input row maps to ``depth`` (row, bucket) counter increments; the
+    groupBy is map-side combined, so the shuffle carries at most
+    ``partitions x depth x width`` counter rows regardless of corpus size
+    — raw values never leave their partition.  Sketch rows from separate
+    batches/days ADD (counters are linear), so an appended parquet table
+    rolls up over any time window without recounting history.
+
+    ``width`` bounds the overestimate (error ~ 2N/width with probability
+    1 - (1/2)^depth over the N total increments); ``hasher='portable'``
+    switches to the md5-based cross-engine hash for oracle checking.
+    """
+    from .dedup import _hasher
+
+    h = _hasher(hasher)
+    col = F.col(value).cast("string")
+    buckets = F.array(
+        *[F.pmod(h(col, seed=f"cms{d}"), F.lit(width)) for d in range(depth)]
+    )
+    out = (
+        df.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if path is not None:
+        out.write.mode(mode).parquet(path)
+    return out
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    queries: DataFrame,
+    value: str,
+    width: int = 1024,
+    depth: int = 4,
+    out: str = "est_count",
+    hasher: str = "fast",
+) -> DataFrame:
+    """Frequency estimates for ``queries[value]`` from count-min sketch
+    rows (one or many :func:`cms_sketch_table` batches, pre-unioned).
+
+    Per query value: recompute its ``depth`` buckets, LEFT-join the
+    counter rows (missing bucket = 0), SUM within each depth (batches
+    add), then MIN across depths — the classic CM estimate, an upper
+    bound on the true count.  The SKETCH side is broadcast — it is
+    bounded at ``depth x width`` counter rows by construction (the
+    preserved side of a left join cannot be the build side), so the
+    query list may be arbitrarily large and the corpus is never
+    rescanned.
+    """
+    from .dedup import _hasher
+
+    h = _hasher(hasher)
+    col = F.col(value).cast("string")
+    buckets = F.array(
+        *[F.pmod(h(col, seed=f"cms{d}"), F.lit(width)) for d in range(depth)]
+    )
+    q = queries.select(
+        F.col(value), F.posexplode(buckets).alias("d", "bucket")
+    )
+    joined = q.join(F.broadcast(sketches), on=["d", "bucket"], how="left")
+    per_depth = joined.groupBy(value, "d").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__c")
+    )
+    return per_depth.groupBy(value).agg(F.min("__c").alias(out))

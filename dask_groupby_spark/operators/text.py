@@ -489,3 +489,65 @@ def gopher_quality_flags(
         symbol_ratio.alias("g_symbol_ratio"),
         F.coalesce(passes, F.lit(False)).alias("gopher_pass"),
     )
+
+
+def hash_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: "list[float] | None" = None,
+    dim: int = 1024,
+    bias: float = 0.0,
+    out: str = "clf_score",
+    hasher: str = "fast",
+) -> DataFrame:
+    """Hashing-trick linear classifier score per document — the fastText-
+    style quality/topic classifier pattern (Joulin et al. 2016) that
+    corpus pipelines run over every document: each token indexes a fixed
+    weight vector through ``hash(token) % dim``, the document score is
+    ``sigmoid(bias + mean(w[h(t)]))``.
+
+    Pass ``weights`` (a trained ``dim``-sized vector — it is inlined as a
+    literal array, so keep ``dim`` in the 10^3-10^4 range; bigger models
+    should broadcast-join a ``(bucket, weight)`` table instead).  With
+    ``weights=None`` a deterministic pseudo-weight is derived from each
+    bucket's own hash (uniform in [-1, 1]) — the full scoring path with a
+    placeholder model, cross-engine checkable with ``hasher='portable'``.
+
+    Plan: pure map-side fold over the token array — zero shuffle, no UDF;
+    scoring 100 TB is embarrassingly parallel.
+    """
+    from .dedup import _hasher
+
+    h = _hasher(hasher)
+    tk = tokens(F.col(text_col))
+
+    def bucket(t: Column) -> Column:
+        return F.pmod(h(t, seed="cb"), F.lit(dim))
+
+    if weights is not None:
+        if len(weights) != dim:
+            raise ValueError(f"len(weights)={len(weights)} != dim={dim}")
+        warr = F.array(*[F.lit(float(w)) for w in weights])
+
+        def weight(t: Column) -> Column:
+            return F.element_at(warr, (bucket(t) + 1).cast("int"))
+
+    else:
+
+        def weight(t: Column) -> Column:
+            return (
+                F.pmod(h(bucket(t).cast("string"), seed="cw"), F.lit(2001))
+                - F.lit(1000)
+            ) / F.lit(1000.0)
+
+    n = F.size(tk)
+    total = F.aggregate(
+        tk, F.lit(0.0), lambda acc, t: acc + weight(t)
+    )
+    score = F.lit(bias) + total / n
+    return df.where(n > 0).select(
+        id_col,
+        n.alias("n_tokens"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias(out),
+    )

@@ -1374,3 +1374,115 @@ SELECT 'fake' AS meta_format,
        (max(length(text) % 768 + 1))::INT AS max_h
 FROM documents""",
 }
+
+
+# ---------------------------------------------------------------------------
+# late-r5 keys: built programmatically (hash arithmetic repeats per depth /
+# per pattern), appended to ORACLE_SQL after the literal dict.
+
+
+def _ph60(expr: str, seed: str) -> str:
+    """portable 60-bit hash — must match operators/dedup.py portable_hash."""
+    return f"CAST('0x'||substr(md5('{seed}:'||{expr}),1,15) AS BIGINT)"
+
+
+ORACLE_SQL["salted_join"] = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+# must match __spark_entry__._CMS_TERMS and the q_cms_heavy width/depth
+_CMS_TERMS = ["hash", "spark", "table", "the", "value", "window", "zzzmissing"]
+_CMS_W, _CMS_D = 256, 4
+
+_CMS_BUCKETS = "\nUNION ALL\n".join(
+    f"SELECT {d} AS d, {_ph60('term', f'cms{d}')} % {_CMS_W} AS bucket, "
+    "count(*)::BIGINT AS cnt FROM tk2 GROUP BY 2"
+    for d in range(_CMS_D)
+)
+_CMS_QB = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS term, {d} AS d, "
+    f"{_ph60(repr(t), f'cms{d}')} % {_CMS_W} AS bucket"
+    for t in _CMS_TERMS
+    for d in range(_CMS_D)
+)
+
+ORACLE_SQL["cms_heavy"] = f"""{_TOKS},
+tk2 AS (SELECT unnest(tk) AS term FROM toks),
+buckets AS (
+{_CMS_BUCKETS}
+),
+qb AS (
+{_CMS_QB}
+),
+per_depth AS (
+  SELECT q.term, q.d, coalesce(sum(b.cnt), 0)::BIGINT AS c
+  FROM qb q LEFT JOIN buckets b ON q.d = b.d AND q.bucket = b.bucket
+  GROUP BY q.term, q.d
+)
+SELECT term, min(c)::BIGINT AS est_count
+FROM per_depth GROUP BY term ORDER BY term"""
+
+_VOCAB_CTE = """
+tk2 AS (SELECT unnest(tk) AS term FROM toks),
+c AS (SELECT term, count(*)::BIGINT AS cnt FROM tk2 GROUP BY term),
+vocab AS (
+  SELECT term, cnt,
+         (row_number() OVER (ORDER BY cnt DESC, term ASC) - 1)::BIGINT AS term_id
+  FROM c
+)"""
+
+ORACLE_SQL["vocab"] = f"""{_TOKS},{_VOCAB_CTE}
+SELECT term, cnt, term_id FROM vocab WHERE term_id < 25 ORDER BY term_id"""
+
+ORACLE_SQL["encode_ids"] = f"""{_TOKS},{_VOCAB_CTE},
+flat AS (
+  SELECT doc_id,
+         unnest(range(0, len(tk))) AS pos,
+         unnest(tk) AS term
+  FROM toks
+)
+SELECT f.doc_id, f.pos::BIGINT AS pos,
+       coalesce(CASE WHEN v.term_id < 16 THEN v.term_id END, -1)::BIGINT
+         AS token_id
+FROM flat f LEFT JOIN vocab v USING (term)
+ORDER BY doc_id, pos"""
+
+# hash-classifier pseudo-weight: w(t) = ((H('cw:'||(H('cb:'||t) % 64)) % 2001)
+# - 1000)/1000 — must match text.hash_classifier_score(dim=64, weights=None)
+_CLF_W = (
+    f"(({_ph60('(' + _ph60('t', 'cb') + ' % 64)', 'cw')} % 2001) - 1000) / 1000.0"
+)
+
+ORACLE_SQL["clf_score"] = f"""{_TOKS}
+SELECT doc_id, len(tk)::INT AS n_tokens,
+       round(1.0 / (1.0 + exp(-(list_sum(list_transform(tk, t -> {_CLF_W}))
+                                / len(tk)))), 6) AS clf_score
+FROM toks WHERE len(tk) > 0 ORDER BY doc_id"""
+
+# regexes must match operators/curate.py PII_PATTERNS (RE2 ∩ Java subset);
+# replacement chain order = dict order (email, ipv4, phone)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+ORACLE_SQL["pii_redact"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+              || '.com from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))::INT AS email_n,
+       len(regexp_extract_all(text, '{_PII_IPV4}'))::INT AS ipv4_n,
+       len(regexp_extract_all(text, '{_PII_PHONE}'))::INT AS phone_n,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_IPV4}', '<IPV4>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS text
+FROM s ORDER BY doc_id"""

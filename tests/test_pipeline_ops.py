@@ -1,0 +1,242 @@
+"""Round-5 pipeline surface: salted_join, count-min sketch, vocabulary
+encoding, hash-classifier scoring, PII redaction."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark.operators import (
+    build_vocab,
+    cms_estimate,
+    cms_sketch_table,
+    encode_tokens,
+    encode_tokens_flat,
+    hash_classifier_score,
+    redact_pii,
+    salted_join,
+)
+
+
+def pmd5(val, seed=""):
+    """python mirror of dedup.portable_hash."""
+    return int(hashlib.md5(f"{seed}:{val}".encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (0) with 500 rows, tail keys with 1 each
+    left = spark.createDataFrame(
+        [(0, i) for i in range(500)] + [(k, 1000 + k) for k in range(1, 20)],
+        "k bigint, lv bigint",
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(0, 15)], "k bigint, rv string"
+    )
+    return left, right
+
+
+def test_salted_join_inner_matches_plain(spark, skewed):
+    left, right = skewed
+    got = salted_join(left, right, on="k", salt=8)
+    want = left.join(right, on="k", how="inner")
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_salted_join_left_matches_plain(spark, skewed):
+    left, right = skewed
+    got = salted_join(left, right, on="k", how="left", salt=4)
+    want = left.join(right, on="k", how="left")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_suffixes_collisions(spark):
+    left = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    right = spark.createDataFrame([(1, "b")], "k bigint, v string")
+    out = salted_join(left, right, on="k", salt=2)
+    assert set(out.columns) == {"k", "v", "v_right"}
+    row = out.collect()[0]
+    assert (row["v"], row["v_right"]) == ("a", "b")
+
+
+def test_salted_join_rejects_right_outer(spark, skewed):
+    left, right = skewed
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(left, right, on="k", how="right")
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    # the hot key's left rows must land on several salt values
+    left, _ = skewed
+    n = (
+        left.where(F.col("k") == 0)
+        .select(F.pmod(F.xxhash64("k", "lv"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n >= 4
+
+
+# ------------------------------------------------------------------ count-min
+
+
+def test_cms_estimate_upper_bound_and_exact_when_sparse(spark):
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "term string")
+    sk = cms_sketch_table(df, "term", width=1024, depth=4)
+    q = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "term string")
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(sk, q, "term", width=1024, depth=4).collect()
+    }
+    # upper bound always; exact here (3 distinct values, width 1024)
+    assert est["a"] == 50 and est["b"] == 20 and est["c"] == 5
+    assert est["zz"] == 0
+
+
+def test_cms_batches_add(spark, tmp_path):
+    p = str(tmp_path / "cms")
+    d1 = spark.createDataFrame([("x",)] * 10, "term string")
+    d2 = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, "term string")
+    cms_sketch_table(d1, "term", width=64, depth=3, path=p)
+    cms_sketch_table(d2, "term", width=64, depth=3, path=p)
+    merged = spark.read.parquet(p)
+    q = spark.createDataFrame([("x",), ("y",)], "term string")
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(merged, q, "term", width=64, depth=3).collect()
+    }
+    assert est["x"] >= 17 and est["y"] >= 3  # CM overestimates, never under
+
+
+def test_cms_portable_matches_python(spark):
+    # portable hasher: bucket arithmetic reproducible outside Spark
+    df = spark.createDataFrame([("w",)] * 4, "term string")
+    sk = cms_sketch_table(df, "term", width=32, depth=2, hasher="portable")
+    rows = {(r["d"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    for d in range(2):
+        assert rows[(d, pmd5("w", f"cms{d}") % 32)] == 4
+
+
+# ----------------------------------------------------------------- vocabulary
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "b a a c b a"),
+            (1, "a b d"),
+            (2, "  a   "),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_build_vocab_rank_and_ties(spark, tiny_docs):
+    v = {
+        r["term"]: (r["cnt"], r["term_id"])
+        for r in build_vocab(tiny_docs).collect()
+    }
+    # counts: a=5, b=3, c=1, d=1; tie c/d broken alphabetically
+    assert v == {"a": (5, 0), "b": (3, 1), "c": (1, 2), "d": (1, 3)}
+
+
+def test_build_vocab_max_size_and_min_count(spark, tiny_docs):
+    top = build_vocab(tiny_docs, max_size=2).collect()
+    assert {(r["term"], r["term_id"]) for r in top} == {("a", 0), ("b", 1)}
+    kept = build_vocab(tiny_docs, min_count=2).collect()
+    assert {r["term"] for r in kept} == {"a", "b"}
+
+
+def test_encode_tokens_flat_and_oov(spark, tiny_docs):
+    vocab = build_vocab(tiny_docs, max_size=2)  # a->0, b->1
+    flat = encode_tokens_flat(tiny_docs, vocab).orderBy("doc_id", "pos")
+    got = [(r["doc_id"], r["pos"], r["token_id"]) for r in flat.collect()]
+    assert got == [
+        (0, 0, 1), (0, 1, 0), (0, 2, 0), (0, 3, -1), (0, 4, 1), (0, 5, 0),
+        (1, 0, 0), (1, 1, 1), (1, 2, -1),
+        (2, 0, 0),
+    ]
+
+
+def test_encode_tokens_array_order(spark, tiny_docs):
+    vocab = build_vocab(tiny_docs)
+    enc = {
+        r["doc_id"]: r["token_ids"]
+        for r in encode_tokens(tiny_docs, vocab).collect()
+    }
+    assert enc[0] == [1, 0, 0, 2, 1, 0]
+    assert enc[1] == [0, 1, 3]
+    assert enc[2] == [0]
+    assert 3 not in enc  # empty doc contributes no tokens
+
+
+# ------------------------------------------------------------ hash classifier
+
+
+def test_hash_classifier_pseudo_weights_match_python(spark, tiny_docs):
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["clf_score"])
+        for r in hash_classifier_score(
+            tiny_docs, dim=64, hasher="portable"
+        ).collect()
+    }
+
+    def w(tok):
+        b = pmd5(tok, "cb") % 64
+        return (pmd5(str(b), "cw") % 2001 - 1000) / 1000.0
+
+    for doc_id, text in [(0, "b a a c b a"), (1, "a b d"), (2, "a")]:
+        toks = text.split()
+        score = sum(w(t) for t in toks) / len(toks)
+        want = 1.0 / (1.0 + math.exp(-score))
+        n, got = out[doc_id]
+        assert n == len(toks)
+        assert got == pytest.approx(want, rel=1e-12)
+    assert 3 not in out  # empty docs dropped
+
+
+def test_hash_classifier_explicit_weights(spark):
+    df = spark.createDataFrame([(0, "x x y")], "doc_id bigint, text string")
+    # all-zero weights except nothing: score = sigmoid(bias)
+    out = hash_classifier_score(df, weights=[0.0] * 16, dim=16, bias=2.0)
+    assert out.collect()[0]["clf_score"] == pytest.approx(
+        1 / (1 + math.exp(-2.0)), rel=1e-12
+    )
+    with pytest.raises(ValueError, match="dim"):
+        hash_classifier_score(df, weights=[0.0] * 8, dim=16)
+
+
+# -------------------------------------------------------------- PII redaction
+
+
+def test_redact_pii_defaults(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob@example.com and 10.0.0.1 call +1 555-123-4567 ok"),
+            (1, "clean text only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r0 = out[0]
+    assert "<EMAIL>" in r0["text"] and "<IPV4>" in r0["text"] and "<PHONE>" in r0["text"]
+    assert "bob@" not in r0["text"] and "10.0.0.1" not in r0["text"]
+    assert (r0["email_n"], r0["ipv4_n"], r0["phone_n"]) == (1, 1, 1)
+    r1 = out[1]
+    assert r1["text"] == "clean text only"
+    assert (r1["email_n"], r1["ipv4_n"], r1["phone_n"]) == (0, 0, 0)
+
+
+def test_redact_pii_out_col_keeps_original(spark):
+    df = spark.createDataFrame([(0, "x a@b.co y")], "doc_id bigint, text string")
+    out = redact_pii(df, out="redacted", counts=False).collect()[0]
+    assert out["text"] == "x a@b.co y"
+    assert out["redacted"] == "x <EMAIL> y"
