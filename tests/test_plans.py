@@ -320,3 +320,80 @@ def test_ngram_jaccard_default_single_scan(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert count_exchanges(out) == 2, plan
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_redact_pii_zero_exchange(spark):
+    """Redaction is a chain of regexp projections — no shuffle at any
+    pattern count."""
+    from dask_groupby_spark.operators.curate import redact_pii
+
+    docs = load_table(spark, SF, "documents")
+    assert count_exchanges(redact_pii(docs)) == 0
+
+
+def test_hash_classifier_zero_exchange(spark):
+    """Classifier scoring is a map-side fold over the token array — the
+    100 TB path may not shuffle, with or without an explicit weight
+    vector."""
+    from dask_groupby_spark.operators.text import hash_classifier_score
+
+    docs = load_table(spark, SF, "documents")
+    assert count_exchanges(hash_classifier_score(docs, dim=64)) == 0
+    assert (
+        count_exchanges(
+            hash_classifier_score(docs, weights=[0.1] * 32, dim=32)
+        )
+        == 0
+    )
+
+
+def test_encode_tokens_flat_broadcasts_vocab(spark):
+    """Flat token-id encoding: the corpus side explodes map-side and joins
+    the bounded vocab via BroadcastHashJoin — no corpus Exchange (the only
+    shuffles in the plan belong to the vocab build, whose input is capped
+    by max_size)."""
+    from dask_groupby_spark.operators.vocab import build_vocab, encode_tokens_flat
+
+    docs = load_table(spark, SF, "documents")
+    vocab = build_vocab(docs, max_size=16)
+    out = encode_tokens_flat(docs, vocab)
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cms_sketch_single_exchange_bounded(spark):
+    """CMS build: posexplode map-side, ONE map-combined Exchange whose
+    post-combine volume is bounded by depth x width counters per task."""
+    from dask_groupby_spark.operators.sketches import cms_sketch_table
+    from dask_groupby_spark.operators.text import tokens as toks
+
+    docs = load_table(spark, SF, "documents")
+    tk = docs.select(F.explode(toks(F.col("text"))).alias("term"))
+    sk = cms_sketch_table(tk, "term", width=64, depth=4)
+    assert count_exchanges(sk) == 1
+    assert "partial_count" in physical_plan(sk), physical_plan(sk)
+
+
+def test_salted_join_partitions_on_key_and_salt(spark, li):
+    """The salted join must actually spread the hot key: when the join
+    shuffles (broadcast disabled, as it would be for a real fact⋈fact),
+    BOTH sides hash-partition on (key, __salt) — the salt column reaches
+    the exchange, so one hot l_orderkey lands on `salt` reducers."""
+    from dask_groupby_spark.operators.joins import salted_join
+
+    orders = load_table(spark, SF, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(li, orders, on="l_orderkey", salt=8)
+        plan = physical_plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, plan
+    import re
+
+    parts = re.findall(r"hashpartitioning\(l_orderkey[^)]*\)", plan)
+    assert parts and all("__salt" in p for p in parts), plan
