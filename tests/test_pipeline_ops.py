@@ -240,3 +240,85 @@ def test_redact_pii_out_col_keeps_original(spark):
     out = redact_pii(df, out="redacted", counts=False).collect()[0]
     assert out["text"] == "x a@b.co y"
     assert out["redacted"] == "x <EMAIL> y"
+
+
+# ----------------------------------------------------------- property tests
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@settings(**_PROP)
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)), max_size=30),
+    rrows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)), max_size=10),
+    salt=st.integers(1, 7),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_always_matches_plain(spark, lrows, rrows, salt, how):
+    left = spark.createDataFrame(lrows or [(None, None)], "k int, lv int")
+    right = spark.createDataFrame(rrows or [(None, None)], "k int, rv int")
+    got = salted_join(left, right, on="k", how=how, salt=salt)
+    want = left.join(right, on="k", how=how)
+    key = lambda r: tuple((x is None, x) for x in r)
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+
+
+@settings(**_PROP)
+@given(
+    vals=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60),
+    width=st.sampled_from([8, 64]),
+    depth=st.integers(1, 4),
+)
+def test_cms_never_underestimates(spark, vals, width, depth):
+    df = spark.createDataFrame([(v,) for v in vals], "term string")
+    sk = cms_sketch_table(df, "term", width=width, depth=depth)
+    q = spark.createDataFrame([(v,) for v in set(vals)], "term string")
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(sk, q, "term", width=width, depth=depth).collect()
+    }
+    true = Counter(vals)
+    for term, n in true.items():
+        assert n <= est[term] <= len(vals), (term, n, est[term])
+
+
+@settings(**_PROP)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), max_size=8).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    max_size=st.integers(1, 8),
+)
+def test_vocab_encode_roundtrip_matches_python(spark, docs, max_size):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    vocab = build_vocab(df, max_size=max_size)
+    # python reference: rank by (-cnt, term), cut at max_size
+    cnt = Counter(t for d in docs for t in d.split())
+    ranked = sorted(cnt, key=lambda t: (-cnt[t], t))[:max_size]
+    ids = {t: i for i, t in enumerate(ranked)}
+    got_vocab = {r["term"]: (r["cnt"], r["term_id"]) for r in vocab.collect()}
+    assert got_vocab == {t: (cnt[t], ids[t]) for t in ids}
+    flat = encode_tokens_flat(df, vocab).collect()
+    got = sorted((r["doc_id"], r["pos"], r["token_id"]) for r in flat)
+    want = sorted(
+        (i, p, ids.get(t, -1))
+        for i, d in enumerate(docs)
+        for p, t in enumerate(d.split())
+    )
+    assert got == want
