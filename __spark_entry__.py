@@ -1857,14 +1857,16 @@ def q_salted_join(spark, sf):
     """Skew-salted equi-join (r5): lineitem⋈orders through the salting
     rewrite must be row-identical to the plain SQL join — the oracle IS
     the plain join, so the key proves salt-replication changes the
-    shuffle shape and nothing else."""
+    shuffle shape and nothing else.  Exercises the partial (hot_keys)
+    path, the form that survives fact⋈fact at scale: only declared hot
+    keys split, everything else keeps salt 0."""
     from dask_groupby_spark.operators.joins import salted_join
 
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders").withColumnRenamed(
         "o_orderkey", "l_orderkey"
     )
-    joined = salted_join(li, orders, on="l_orderkey", salt=8)
+    joined = salted_join(li, orders, on="l_orderkey", salt=8, hot_keys=[1, 2, 3])
     return (
         joined.groupBy("o_orderpriority")
         .agg(

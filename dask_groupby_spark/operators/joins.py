@@ -18,6 +18,7 @@ same shape Spark itself uses for stream-stream interval joins.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -213,6 +214,7 @@ def salted_join(
     how: str = "inner",
     salt: int = 16,
     suffix: str = "_right",
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Skew-mitigating equi-join: the classic salting rewrite for the case
     AQE's skew-join splitting can't reach (a single hot key whose matching
@@ -226,11 +228,18 @@ def salted_join(
     therefore IDENTICAL to the unsalted join for ``inner`` and ``left``
     semantics (right/full would multiply unmatched right rows — rejected).
 
-    Cost model: right side grows ``salt``×, left shuffle spreads the hot
-    key over ``salt`` reducers.  Use when |right| · salt ≪ |left|'s hot
-    bucket — i.e. a dimension-sized right side against a skewed fact.
-    ``salt`` bounds the split (16–64 is typical; more spreads thinner but
-    replicates more).
+    Cost model: with ``hot_keys=None`` the WHOLE right side grows
+    ``salt``× — only sensible for a dimension-sized right side.  Pass
+    ``hot_keys`` (the known hot key values — single values, or tuples for
+    a multi-column ``on``) and only those keys salt: non-hot rows take
+    salt 0 on both sides, so right-side replication is bounded by
+    |hot matches| · (salt−1) extra rows instead of |right| · salt — the
+    form that survives a fact⋈fact join where one key holds 1% of the
+    table.  Hot-key lists come cheap from a pre-pass
+    (``df.groupBy(key).count().orderBy(F.desc("count")).limit(k)``) or a
+    :func:`~dask_groupby_spark.operators.sketches.cms_estimate` over
+    candidates.  ``salt`` bounds the split (16–64 is typical; more
+    spreads thinner but replicates more).
 
     Colliding non-key right columns are suffixed.  No flox counterpart
     (SURVEY.md §2.4) — Spark-native scale surface, same family as
@@ -256,11 +265,38 @@ def salted_join(
     # deterministic per-row salt: hash of the full left tuple, NOT a key
     # column (the whole point is splitting identical keys apart) and NOT
     # rand() (breaks retry/replay determinism on task re-execution)
-    lsalted = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
-    )
-    rsalted = right.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
-    )
+    row_salt = F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
+    all_salts = F.array(*[F.lit(i) for i in range(salt)])
+    if hot_keys is None:
+        lsalted = left.withColumn("__salt", row_salt)
+        rsalted = right.withColumn("__salt", F.explode(all_salts))
+    else:
+        # partial salting: only the declared hot keys split; everything
+        # else keeps salt 0, so the right side replicates ONLY its hot rows
+        def hot_pred(cols):
+            preds = []
+            for hk in hot_keys:
+                vals = hk if isinstance(hk, (tuple, list)) else (hk,)
+                if len(vals) != len(keys):
+                    raise ValueError(
+                        f"hot key {hk!r} arity != join keys {keys!r}"
+                    )
+                eq = F.lit(True)
+                for k, v in zip(cols, vals):
+                    eq = eq & (F.col(k) == F.lit(v))
+                preds.append(eq)
+            return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
+
+        lsalted = left.withColumn(
+            "__salt", F.when(hot_pred(keys), row_salt).otherwise(F.lit(0))
+        )
+        rsalted = right.withColumn(
+            "__salt",
+            F.explode(
+                F.when(hot_pred(keys), all_salts).otherwise(
+                    F.array(F.lit(0))
+                )
+            ),
+        )
     out = lsalted.join(rsalted, on=keys + ["__salt"], how=how)
     return out.drop("__salt")

@@ -1,10 +1,12 @@
 """Generate a synthetic sf1 benchmark directory (10x sf0.1) for the scale-
-validation bench (VERDICT r4 item 4): replicate the four bench tables ten
+validation bench (VERDICT r4 item 4): replicate the five bench tables ten
 times with per-copy key shifts and content perturbation, so cardinalities
 scale the way real data would:
 
 - lineitem: l_orderkey shifted per copy -> 1.5M distinct orders at sf1
   (matches real TPC-H sf1), group count scales 10x with the rows;
+- orders: o_orderkey shifted with the same span, so lineitem⋈orders stays
+  referentially intact per copy;
 - events:   event_id/user_id shifted, ts jittered by copy seconds;
 - documents: doc_id shifted; text vowels rotated per copy (translate(),
   JVM-side) so copies are NOT near-duplicates of each other - the dup rate
@@ -42,6 +44,7 @@ def main(out_dir: str = "/tmp/sf1", copies: int = 10) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     li = load_table(spark, SRC, "lineitem")
+    orders = load_table(spark, SRC, "orders")
     ev = load_table(spark, SRC, "events")
     docs = load_table(spark, SRC, "documents")
     emb = load_table(spark, SRC, "embeddings")
@@ -64,6 +67,14 @@ def main(out_dir: str = "/tmp/sf1", copies: int = 10) -> None:
             li,
             lambda d, i: d.withColumn(
                 "l_orderkey", F.col("l_orderkey") + F.lit(i * okey_span)
+            ),
+        ),
+        # orders shares l_orderkey's per-copy shift so lineitem⋈orders joins
+        # stay referentially intact at sf1 (salted_join bench row)
+        "orders": replicate(
+            orders,
+            lambda d, i: d.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * okey_span)
             ),
         ),
         "events": replicate(

