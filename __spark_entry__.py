@@ -1962,6 +1962,54 @@ def q_pii_redact(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_stream_cms(spark, sf):
+    """Streaming heavy hitters (late r5): the documents corpus replayed as
+    two mtime-ordered file batches through stream_cms_update; the merged
+    batch_id-partitioned sketch table answers the SAME frequency estimates
+    as the one-shot batch sketch (counters are linear), so the oracle is
+    the identical min-over-depths SQL as cms_heavy."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from dask_groupby_spark.operators.sketches import cms_estimate
+    from dask_groupby_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    base = tempfile.mkdtemp(prefix="stream_cms_")
+    stage = os.path.join(base, "in")
+    os.makedirs(stage)
+    half = [tk.where(F.col("doc_id") % 2 == i).select("term") for i in (0, 1)]
+    for i, b in enumerate(half, 1):
+        d = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1700000000 + i * 100,) * 2)
+
+    from dask_groupby_spark.streaming import stream_cms_update
+
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    skpath = os.path.join(base, "sk")
+    q = stream_cms_update(
+        stream, "term", skpath, os.path.join(base, "ckpt"),
+        width=256, depth=4, hasher="portable",
+    )
+    q.awaitTermination(120)
+    merged = spark.read.parquet(skpath)
+    qdf = spark.createDataFrame([(t,) for t in _CMS_TERMS], "term string")
+    return cms_estimate(
+        merged, qdf, "term", width=256, depth=4, hasher="portable"
+    ).orderBy("term")
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -1992,16 +2040,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this dict
 # (insertion order) against the DuckDB oracle. r5 rotation (VERDICT r4 items
 # 2/7): the window front-loads (a) keys that are NEW or changed this round
-# (late-r5 additions salted_join/cms_heavy/vocab/encode_ids/clf_score/
-# pii_redact, then stream_late - the late/out-of-order watermark contract;
-# chunk_docs and calendar_mean changed semantics; the dedup/similarity
-# family grew the bucket cap; pivot grew the discovery guard), then (b) the
-# 28 r1-era keys with no official driver row since the r3 testdata encoding
-# change (mode/nanmode, bins_*, reindex_fill, grid_fill, min_count,
-# dayofyear, month_hour, resample_5d, first_ts, the 4 complex_*, all 13
-# scan_*), then (c) the oldest remaining green (approx_quantile, r2). The
-# 6 new keys displace the other r2-green rows (dup_spans..dedup_exact) out
-# of the window — those keep their r2-r3 official rows. Also DISPLACED
+# (late-r5 additions salted_join/cms_heavy/stream_cms/vocab/encode_ids/
+# clf_score/pii_redact, then stream_late - the late/out-of-order watermark
+# contract; chunk_docs and calendar_mean changed semantics; the
+# dedup/similarity family grew the bucket cap; pivot grew the discovery
+# guard), then (b) the 28 r1-era keys with no official driver row since
+# the r3 testdata encoding change (mode/nanmode, bins_*, reindex_fill,
+# grid_fill, min_count, dayofyear, month_hour, resample_5d, first_ts, the
+# 4 complex_*, all 13 scan_*) — 7 + 15 + 28 = exactly 50. The 7 new keys
+# displace the r2-green rows (approx_quantile..dedup_exact) out of the
+# window — those keep their r2-r3 official rows. Also DISPLACED
 # since r4 (all hold fresh green r4 rows): wquantile_sketch, xdim_bins,
 # xdim_dataset, stream_agg, stream_enrich, fill_stat, winsorize,
 # stream_join, mixture, pack, twa, stream_sliding, range_join, sessionize,
@@ -2013,6 +2061,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 window: new or changed this round ---
     "salted_join": q_salted_join,
     "cms_heavy": q_cms_heavy,
+    "stream_cms": q_stream_cms,
     "vocab": q_vocab,
     "encode_ids": q_encode_ids,
     "clf_score": q_clf_score,
@@ -2062,10 +2111,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_cumprod": q_scan_cumprod,
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
-    # --- r5 window: oldest remaining official green (r2 row) ---
-    "approx_quantile": q_approx_quantile,
     # ----------------------------------------------------------------- 50
-    # --- displaced by the 6 late-r5 keys: hold official r2-r3 rows ---
+    # --- displaced by the 7 late-r5 keys: hold official r2-r3 rows ---
+    "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,
     "span_dedup": q_span_dedup,
     "xdim_reduce": q_xdim_reduce,

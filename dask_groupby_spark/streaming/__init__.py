@@ -474,3 +474,48 @@ def stream_ingest_dedup(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def stream_cms_update(
+    stream_df: DataFrame,
+    value: str,
+    path: str,
+    checkpoint: str,
+    width: int = 1024,
+    depth: int = 4,
+    hasher: str = "fast",
+    trigger: dict | None = None,
+):
+    """Streaming heavy-hitter counters: each micro-batch is folded into a
+    count-min sketch (:func:`~dask_groupby_spark.operators.sketches.
+    cms_sketch_table`) and written to a ``batch_id=``-partitioned parquet
+    sketch table — counters are linear, so
+    :func:`~dask_groupby_spark.operators.sketches.cms_estimate` over the
+    table answers frequency queries for the WHOLE stream history at any
+    moment, at ``depth × width`` rows of state per batch and no raw-value
+    retention.
+
+    Delivery is effectively exactly-once for the counters: the batch's
+    rows land in their own ``batch_id=<n>`` partition with ``overwrite``
+    mode, so a foreachBatch replay rewrites the same partition instead of
+    double-counting (contrast the at-least-once append loop of
+    :func:`stream_ingest_dedup`, where over-delivery is semantically
+    harmless; double-counted frequencies would not be).
+
+    Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
+    """
+    from ..operators.sketches import cms_sketch_table
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sk = cms_sketch_table(
+            batch, value, width=width, depth=depth, hasher=hasher
+        )
+        sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -1486,3 +1486,7 @@ SELECT doc_id,
          '{_PII_IPV4}', '<IPV4>', 'g'),
          '{_PII_PHONE}', '<PHONE>', 'g') AS text
 FROM s ORDER BY doc_id"""
+
+# stream_cms: the merged streaming sketch equals the one-shot batch sketch
+# (counters are linear), so the oracle is the identical CM arithmetic
+ORACLE_SQL["stream_cms"] = ORACLE_SQL["cms_heavy"]

@@ -457,3 +457,53 @@ def test_stream_ingest_dedup(spark, tmp_path_factory):
     assert kept == [102, 202]
     indexed = {r["id"] for r in spark.read.parquet(f"{index}/signatures").collect()}
     assert indexed == {1, 2, 102, 202}
+
+
+def test_stream_cms_update_matches_batch(spark, tmp_path_factory):
+    """Streaming CMS: per-batch sketch partitions merge to EXACTLY the
+    batch sketch of the full input (counters are linear), and estimates
+    answer over the whole stream history."""
+    import os
+    import time as _time
+
+    from dask_groupby_spark.operators.sketches import cms_estimate, cms_sketch_table
+    from dask_groupby_spark.streaming import stream_cms_update
+
+    base = tmp_path_factory.mktemp("stream_cms")
+    indir, skpath, ckpt = str(base / "in"), str(base / "sk"), str(base / "ckpt")
+    os.makedirs(indir)
+
+    b1 = spark.createDataFrame([("a",)] * 6 + [("b",)] * 2, "term string")
+    b2 = spark.createDataFrame([("a",)] * 3 + [("c",)] * 4, "term string")
+    b1.coalesce(1).write.parquet(f"{indir}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(f"{indir}/b2")
+    now = _time.time()
+    for sub, age in (("b1", 20), ("b2", 10)):
+        for root, _, files in os.walk(f"{indir}/{sub}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/*")
+    )
+    q = stream_cms_update(stream, "term", skpath, ckpt, width=64, depth=3)
+    q.awaitTermination(120)
+
+    merged = spark.read.parquet(skpath)
+    assert {r["batch_id"] for r in merged.select("batch_id").distinct().collect()} == {0, 1}
+    qdf = spark.createDataFrame([("a",), ("b",), ("c",)], "term string")
+    got = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(merged, qdf, "term", width=64, depth=3).collect()
+    }
+    full = b1.unionByName(b2)
+    want_sk = cms_sketch_table(full, "term", width=64, depth=3)
+    want = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(want_sk, qdf, "term", width=64, depth=3).collect()
+    }
+    assert got == want
+    assert got["a"] >= 9 and got["b"] >= 2 and got["c"] >= 4
