@@ -2010,6 +2010,28 @@ def q_stream_cms(spark, sf):
     ).orderBy("term")
 
 
+def q_hist_quantile(spark, sf):
+    """Mergeable histogram-sketch quantiles (late r5): declared-domain
+    fixed-bin counters per event_type, inverted CDF read off the
+    cumulative histogram, bin-midpoint estimates — deterministic pure
+    arithmetic, mirrored exactly in DuckDB."""
+    from dask_groupby_spark.operators.sketches import hist_quantile, hist_sketch_table
+
+    ev = load_table(spark, sf, "events")
+    sk = hist_sketch_table(
+        ev, "value", lo=0.0, hi=500.0, by=["event_type"], bins=100
+    )
+    out = hist_quantile(
+        sk, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, by=["event_type"], bins=100
+    )
+    return out.select(
+        "event_type",
+        F.round("p0_5", 6).alias("p0_5"),
+        F.round("p0_9", 6).alias("p0_9"),
+        F.round("p0_99", 6).alias("p0_99"),
+    ).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2040,14 +2062,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this dict
 # (insertion order) against the DuckDB oracle. r5 rotation (VERDICT r4 items
 # 2/7): the window front-loads (a) keys that are NEW or changed this round
-# (late-r5 additions salted_join/cms_heavy/stream_cms/vocab/encode_ids/
+# (late-r5 additions salted_join/cms_heavy/hist_quantile/vocab/encode_ids/
 # clf_score/pii_redact, then stream_late - the late/out-of-order watermark
 # contract; chunk_docs and calendar_mean changed semantics; the
 # dedup/similarity family grew the bucket cap; pivot grew the discovery
 # guard), then (b) the 28 r1-era keys with no official driver row since
 # the r3 testdata encoding change (mode/nanmode, bins_*, reindex_fill,
 # grid_fill, min_count, dayofyear, month_hour, resample_5d, first_ts, the
-# 4 complex_*, all 13 scan_*) — 7 + 15 + 28 = exactly 50. The 7 new keys
+# 4 complex_*, all 13 scan_*) — 7 + 15 + 28 = exactly 50. The new keys
 # displace the r2-green rows (approx_quantile..dedup_exact) out of the
 # window — those keep their r2-r3 official rows. Also DISPLACED
 # since r4 (all hold fresh green r4 rows): wquantile_sketch, xdim_bins,
@@ -2061,7 +2083,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 window: new or changed this round ---
     "salted_join": q_salted_join,
     "cms_heavy": q_cms_heavy,
-    "stream_cms": q_stream_cms,
+    "hist_quantile": q_hist_quantile,
     "vocab": q_vocab,
     "encode_ids": q_encode_ids,
     "clf_score": q_clf_score,
@@ -2112,7 +2134,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # --- displaced by the 7 late-r5 keys: hold official r2-r3 rows ---
+    # stream_cms sits just outside the window by choice: its oracle SQL is
+    # IDENTICAL to in-window cms_heavy (merged streaming sketch == batch
+    # sketch, counters linear), and the streaming delivery semantics are
+    # pytest-asserted — keeping all 28 r1-era keys in-window (VERDICT r4
+    # item 2) outranks a second official row for the same arithmetic.
+    "stream_cms": q_stream_cms,
+    # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,
     "span_dedup": q_span_dedup,

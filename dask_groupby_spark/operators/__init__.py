@@ -27,7 +27,12 @@ from .similarity import (
 )
 from .curate import PII_PATTERNS, redact_pii
 from .joins import salted_join
-from .sketches import cms_estimate, cms_sketch_table
+from .sketches import (
+    cms_estimate,
+    cms_sketch_table,
+    hist_quantile,
+    hist_sketch_table,
+)
 from .text import (
     add_text_features,
     bpe_token_estimate,
@@ -68,6 +73,8 @@ __all__ = [
     "salted_join",
     "cms_sketch_table",
     "cms_estimate",
+    "hist_sketch_table",
+    "hist_quantile",
     "build_vocab",
     "encode_tokens",
     "encode_tokens_flat",

@@ -136,3 +136,100 @@ def cms_estimate(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("__c")
     )
     return per_depth.groupBy(value).agg(F.min("__c").alias(out))
+
+
+def hist_sketch_table(
+    df: DataFrame,
+    value: str,
+    lo: float,
+    hi: float,
+    by: "tuple[str, ...] | list[str]" = (),
+    bins: int = 256,
+    path: str | None = None,
+    mode: str = "append",
+) -> DataFrame:
+    """Fixed-domain histogram of ``value`` as a mergeable table of
+    ``(by…, bin, cnt)`` rows — the order-statistics member of the sketch
+    trio (:func:`hll_sketch_table` = distinct counts,
+    :func:`cms_sketch_table` = frequencies, this = quantiles).
+
+    The domain ``[lo, hi)`` is DECLARED, not measured — that is what makes
+    batches mergeable: every batch buckets against the same edges, so
+    counter rows from different days simply add (contrast
+    ``weighted_quantile_sketch``, whose per-group min/max pass is the
+    right call for one-shot queries but pins the edges to one batch's
+    range).  Out-of-range values clamp into the edge bins (count
+    preserved; their value error is unbounded — declare a domain that
+    covers the data).  NULL/NaN rows are dropped.
+
+    One map-combined shuffle bounded at ``|groups| x bins`` counter rows
+    per task, regardless of corpus size.
+    """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo (got [{lo}, {hi}))")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1 (got {bins})")
+    by = list(by)
+    x = F.col(value).cast("double")
+    b = F.floor((x - F.lit(float(lo))) / F.lit((hi - lo) / bins))
+    clamped = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+    out = (
+        df.where(x.isNotNull() & ~F.isnan(x))
+        .select(*by, clamped.alias("bin"))
+        .groupBy(*by, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if path is not None:
+        out.write.mode(mode).parquet(path)
+    return out
+
+
+def hist_quantile(
+    sketches: DataFrame,
+    q,
+    lo: float,
+    hi: float,
+    by: "tuple[str, ...] | list[str]" = (),
+    bins: int = 256,
+    prefix: str = "p",
+    sort: bool = True,
+) -> DataFrame:
+    """Quantile estimates from histogram sketch rows (one or many
+    :func:`hist_sketch_table` batches, pre-unioned): merge counters per
+    ``(by…, bin)``, read the inverted CDF off the ≤``bins``-row cumulative
+    histogram, return the answering bin's MIDPOINT — the same convention
+    (and half-bin-width error bound, ``(hi-lo)/bins/2``) as
+    ``weighted_quantile_sketch``.  Deterministic pure arithmetic, so
+    cross-engine reproducible.  ``q``: scalar or sequence; one column per
+    q named ``{prefix}{q}`` with '.'→'_'.
+    """
+    from pyspark.sql import Window
+
+    qs = [float(q)] if isinstance(q, (int, float)) else [float(x) for x in q]
+    if any(not (0.0 <= x <= 1.0) for x in qs):
+        raise ValueError("q must be in [0, 1]")
+    by = list(by)
+    merged = sketches.groupBy(*by, "bin").agg(F.sum("cnt").alias("__c"))
+    wcum = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*by)
+    staged = merged.select(
+        *by,
+        "bin",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__tot"),
+    )
+    mid = F.lit(float(lo)) + (F.col("bin") + F.lit(0.5)) * F.lit(
+        (hi - lo) / bins
+    )
+    aggs = [
+        F.min(F.when(F.col("__cum") >= F.lit(x) * F.col("__tot"), mid)).alias(
+            f"{prefix}{x}".replace(".", "_")
+        )
+        for x in qs
+    ]
+    out = staged.groupBy(*by).agg(*aggs) if by else staged.groupBy().agg(*aggs)
+    return out.orderBy(*by) if sort and by else out

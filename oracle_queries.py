@@ -1490,3 +1490,29 @@ FROM s ORDER BY doc_id"""
 # stream_cms: the merged streaming sketch equals the one-shot batch sketch
 # (counters are linear), so the oracle is the identical CM arithmetic
 ORACLE_SQL["stream_cms"] = ORACLE_SQL["cms_heavy"]
+
+# hist_quantile: declared-domain [0,500) x 100 bins over events.value,
+# cumulative-histogram inverted CDF, bin-midpoint estimate — must match
+# sketches.hist_sketch_table / hist_quantile arithmetic exactly
+_HIST_MID = "(0.0 + (bin + 0.5) * 5.0)"
+ORACLE_SQL["hist_quantile"] = f"""
+WITH h AS (
+  SELECT event_type,
+         greatest(0, least(99, CAST(floor(value / 5.0) AS INT)))::INT AS bin,
+         count(*)::BIGINT AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM h
+)
+SELECT event_type,
+       round(min(CASE WHEN cum >= 0.5  * tot THEN {_HIST_MID} END), 6) AS p0_5,
+       round(min(CASE WHEN cum >= 0.9  * tot THEN {_HIST_MID} END), 6) AS p0_9,
+       round(min(CASE WHEN cum >= 0.99 * tot THEN {_HIST_MID} END), 6) AS p0_99
+FROM c GROUP BY event_type ORDER BY event_type"""

@@ -370,3 +370,61 @@ def test_salted_join_hot_keys_multi_column(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     with pytest.raises(ValueError, match="arity"):
         salted_join(left, right, on=["a", "b"], hot_keys=[0])
+
+
+# ------------------------------------------------------------ histogram sketch
+
+
+def test_hist_quantile_within_half_bin(spark):
+    import numpy as np
+
+    from dask_groupby_spark.operators.sketches import hist_quantile, hist_sketch_table
+
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(0, 100, 2000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    sk = hist_sketch_table(df, "v", lo=0.0, hi=100.0, bins=200)
+    row = hist_quantile(sk, [0.5, 0.9], lo=0.0, hi=100.0, bins=200).collect()[0]
+    half_bin = 100.0 / 200 / 2
+    assert abs(row["p0_5"] - np.quantile(vals, 0.5)) <= 100.0 / 200 + half_bin
+    assert abs(row["p0_9"] - np.quantile(vals, 0.9)) <= 100.0 / 200 + half_bin
+
+
+def test_hist_batches_add_and_grouped(spark, tmp_path):
+    from dask_groupby_spark.operators.sketches import hist_quantile, hist_sketch_table
+
+    p = str(tmp_path / "hist")
+    b1 = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)], "k string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", float(i)) for i in range(50, 100)]
+        + [("b", 10.0)] * 5,
+        "k string, v double",
+    )
+    hist_sketch_table(b1, "v", lo=0.0, hi=100.0, by=["k"], bins=100, path=p)
+    hist_sketch_table(b2, "v", lo=0.0, hi=100.0, by=["k"], bins=100, path=p)
+    merged = spark.read.parquet(p)
+    got = {
+        r["k"]: r["p0_5"]
+        for r in hist_quantile(
+            merged, 0.5, lo=0.0, hi=100.0, by=["k"], bins=100
+        ).collect()
+    }
+    # group a: 0..99 uniform -> median bin 49, midpoint 49.5
+    assert got["a"] == pytest.approx(49.5)
+    assert got["b"] == pytest.approx(10.5)  # all mass in bin 10
+
+
+def test_hist_clamps_out_of_range(spark):
+    from dask_groupby_spark.operators.sketches import hist_sketch_table
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (99.0,), (250.0,), (float("nan"),), (None,)],
+        "v double",
+    )
+    sk = {
+        r["bin"]: r["cnt"]
+        for r in hist_sketch_table(df, "v", lo=0.0, hi=100.0, bins=10).collect()
+    }
+    assert sk == {0: 2, 9: 2}  # -5 clamps low, 250 clamps high; nan/null drop

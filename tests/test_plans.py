@@ -397,3 +397,16 @@ def test_salted_join_partitions_on_key_and_salt(spark, li):
 
     parts = re.findall(r"hashpartitioning\(l_orderkey[^)]*\)", plan)
     assert parts and all("__salt" in p for p in parts), plan
+
+
+def test_hist_sketch_single_exchange_bounded(spark):
+    """Histogram sketch build: map-side bucketing, ONE map-combined
+    Exchange bounded at |groups| x bins counter rows."""
+    from dask_groupby_spark.operators.sketches import hist_sketch_table
+
+    ev = load_table(spark, SF, "events")
+    sk = hist_sketch_table(
+        ev, "value", lo=0.0, hi=500.0, by=["event_type"], bins=100
+    )
+    assert count_exchanges(sk) == 1
+    assert "partial_count" in physical_plan(sk)
