@@ -2032,6 +2032,31 @@ def q_hist_quantile(spark, sf):
     ).orderBy("event_type")
 
 
+def q_seg_dedup(spark, sf):
+    """Intra-document repeated-segment removal (late r5): two copies of
+    each doc's 40-char prefix injected as extra newline segments in BOTH
+    engines; the second copy must vanish (first occurrence wins), and for
+    docs shorter than 40 chars the prefix equals the whole text, so both
+    injected copies vanish — exercises both branches."""
+    from dask_groupby_spark.operators.text import remove_repeated_segments
+
+    docs = load_table(spark, sf, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("\n"),
+            F.substring(F.col("text"), 1, 40),
+        ).alias("text"),
+    )
+    out = remove_repeated_segments(salted, count_cols=True)
+    return out.select(
+        "doc_id", "seg_n_before", "seg_n_after", "text"
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2134,12 +2159,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # stream_cms sits just outside the window by choice: its oracle SQL is
-    # IDENTICAL to in-window cms_heavy (merged streaming sketch == batch
-    # sketch, counters linear), and the streaming delivery semantics are
-    # pytest-asserted — keeping all 28 r1-era keys in-window (VERDICT r4
-    # item 2) outranks a second official row for the same arithmetic.
+    # stream_cms and seg_dedup sit just outside the window by choice:
+    # stream_cms's oracle SQL is IDENTICAL to in-window cms_heavy (merged
+    # streaming sketch == batch sketch, counters linear) with the delivery
+    # semantics pytest-asserted, and seg_dedup is pytest + local-gate
+    # covered — keeping all 28 r1-era keys in-window (VERDICT r4 item 2)
+    # outranks first official rows for these two; rotate them in next round.
     "stream_cms": q_stream_cms,
+    "seg_dedup": q_seg_dedup,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

@@ -551,3 +551,49 @@ def hash_classifier_score(
         n.alias("n_tokens"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias(out),
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    out: str | None = None,
+    min_len: int = 0,
+    count_cols: bool = False,
+) -> DataFrame:
+    """Within-document repeated-segment removal — the "repeated line
+    removal" cleaning step of web-corpus pipelines (navigation bars,
+    cookie banners, boilerplate repeated down a page): split on ``sep``,
+    keep each segment's FIRST occurrence, drop later exact repeats,
+    rejoin.  Segments shorter than ``min_len`` characters are always kept
+    (blank lines / structural separators are not content repeats).
+
+    Cross-document repetition is the dedup family's job
+    (:func:`~dask_groupby_spark.operators.dedup.remove_duplicate_spans`);
+    this is the intra-document complement, and it is map-only — a
+    split → indexed filter (first index wins via ``array_position``) →
+    rejoin projection, zero shuffle, no UDF.  Per-segment cost is
+    O(segments²) inside the row (array_position scans), bounded by
+    document size, never by corpus size.
+
+    ``count_cols=True`` adds ``seg_n_before``/``seg_n_after``.
+    """
+    out = out or text_col
+    segs = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        segs,
+        lambda x, i: (F.length(x) < F.lit(min_len))
+        | (F.array_position(segs, x) == i + 1),
+    )
+    cols = [c for c in df.columns if c != text_col or out != text_col]
+    extra = (
+        [
+            F.size(segs).alias("seg_n_before"),
+            F.size(kept).alias("seg_n_after"),
+        ]
+        if count_cols
+        else []
+    )
+    return df.select(
+        *cols, *extra, F.array_join(kept, sep).alias(out)
+    )

@@ -1516,3 +1516,23 @@ SELECT event_type,
        round(min(CASE WHEN cum >= 0.9  * tot THEN {_HIST_MID} END), 6) AS p0_9,
        round(min(CASE WHEN cum >= 0.99 * tot THEN {_HIST_MID} END), 6) AS p0_99
 FROM c GROUP BY event_type ORDER BY event_type"""
+
+# seg_dedup: split on newline, keep each segment's FIRST occurrence
+# (DuckDB list lambdas index 1-based; Spark's filter() indexes 0-based,
+# hence `= i` here vs `== i + 1` in operators/text.py)
+ORACLE_SQL["seg_dedup"] = """
+WITH s AS (
+  SELECT doc_id,
+         text || chr(10) || substr(text, 1, 40)
+              || chr(10) || substr(text, 1, 40) AS text
+  FROM documents
+),
+seg AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM s),
+k AS (
+  SELECT doc_id, l,
+         list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+  FROM seg
+)
+SELECT doc_id, len(l)::INT AS seg_n_before, len(kept)::INT AS seg_n_after,
+       array_to_string(kept, chr(10)) AS text
+FROM k ORDER BY doc_id"""

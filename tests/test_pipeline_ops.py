@@ -428,3 +428,38 @@ def test_hist_clamps_out_of_range(spark):
         for r in hist_sketch_table(df, "v", lo=0.0, hi=100.0, bins=10).collect()
     }
     assert sk == {0: 2, 9: 2}  # -5 clamps low, 250 clamps high; nan/null drop
+
+
+# ----------------------------------------------------- repeated-segment removal
+
+
+def test_remove_repeated_segments(spark):
+    from dask_groupby_spark.operators.text import remove_repeated_segments
+
+    df = spark.createDataFrame(
+        [
+            (0, "intro\ncookie banner\nbody one\ncookie banner\nbody two"),
+            (1, "a\n\nb\n\na"),  # blank lines repeat; 'a' repeats
+            (2, "unique only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["seg_n_before"], r["seg_n_after"])
+        for r in remove_repeated_segments(df, count_cols=True).collect()
+    }
+    assert got[0] == ("intro\ncookie banner\nbody one\nbody two", 5, 4)
+    assert got[1] == ("a\n\nb", 5, 3)  # second blank + second 'a' dropped
+    assert got[2] == ("unique only", 1, 1)
+    # min_len keeps short segments even when repeated
+    kept = remove_repeated_segments(df, min_len=2).collect()
+    by_id = {r["doc_id"]: r["text"] for r in kept}
+    assert by_id[1] == "a\n\nb\n\na"  # 'a' and '' both < 2 chars -> kept
+
+
+def test_remove_repeated_segments_out_col(spark):
+    from dask_groupby_spark.operators.text import remove_repeated_segments
+
+    df = spark.createDataFrame([(0, "x\nx\ny")], "doc_id bigint, text string")
+    row = remove_repeated_segments(df, out="clean").collect()[0]
+    assert row["text"] == "x\nx\ny" and row["clean"] == "x\ny"
