@@ -2057,6 +2057,26 @@ def q_seg_dedup(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_quantize(spark, sf):
+    """int8 embedding quantization (late r5): per-vector symmetric codes
+    flattened to (vec_id, i, q) plus the scale — explicit floor(+0.5)
+    rounding makes the codes bit-identical cross-engine."""
+    from dask_groupby_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.posexplode("q_vec").alias("i", "qv"),
+    ).select(
+        "vec_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.col("qv").cast("int").alias("qv"),
+        "q_scale",
+    ).orderBy("vec_id", "i")
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2167,6 +2187,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # outranks first official rows for these two; rotate them in next round.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
+    "quantize": q_quantize,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

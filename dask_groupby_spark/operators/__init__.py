@@ -20,9 +20,11 @@ from .dedup import (
 from .similarity import (
     PCAModel,
     cosine_topk,
+    dequantize_embeddings,
     embedding_near_duplicates,
     embedding_pca,
     pca_project,
+    quantize_embeddings,
     semantic_deduplicate,
 )
 from .curate import PII_PATTERNS, redact_pii
@@ -60,6 +62,8 @@ __all__ = [
     "embedding_near_duplicates",
     "embedding_pca",
     "pca_project",
+    "quantize_embeddings",
+    "dequantize_embeddings",
     "semantic_deduplicate",
     "add_text_features",
     "bpe_token_estimate",

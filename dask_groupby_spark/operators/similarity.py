@@ -687,3 +687,59 @@ def pca_project(
     proj = pandas_udf(_proj, "array<double>")
 
     return df.withColumn(out_col, proj(F.col(vec_col).cast("array<double>")))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric int quantization for embedding storage — the
+    standard 4× (int8) shrink of an embedding lake before ANN serving:
+    ``scale = max|x| / (2^(bits-1)-1)``, ``q = floor(x/scale + 0.5)``
+    clipped into the signed range, stored as ``tinyint``/``smallint``
+    arrays next to one float scale per vector.
+
+    The rounding is written as an EXPLICIT ``floor(+0.5)`` (half toward
+    +inf) rather than engine ``round()`` so every engine — and the DuckDB
+    oracle — computes bit-identical codes.  All-zero vectors take scale 1
+    (codes all zero).  Map-only projection, zero shuffle; recall loss at
+    int8 is typically <1% for cosine retrieval, and
+    :func:`dequantize_embeddings` reconstructs within ``scale/2`` per
+    element (asserted in tests).
+    """
+    if bits < 2 or bits > 16:
+        raise ValueError(f"bits must be in [2, 16] (got {bits})")
+    qmax = (1 << (bits - 1)) - 1
+    itype = "tinyint" if bits <= 8 else "smallint"
+    vec = F.col(vec_col)
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, absmax / F.lit(float(qmax))).otherwise(F.lit(1.0))
+    code = lambda x: (
+        F.greatest(
+            F.lit(-qmax),
+            F.least(F.lit(qmax), F.floor(x.cast("double") / scale + F.lit(0.5))),
+        ).cast(itype)
+    )
+    return df.withColumn(scale_col, scale).withColumn(
+        q_col, F.transform(vec, code)
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+    out: str = "embedding",
+) -> DataFrame:
+    """Reconstruct float vectors from :func:`quantize_embeddings` output:
+    ``x ≈ q · scale`` (error ≤ scale/2 per element).  Map-only."""
+    return df.withColumn(
+        out,
+        F.transform(
+            F.col(q_col),
+            lambda q: (q.cast("double") * F.col(scale_col)).cast("float"),
+        ),
+    )

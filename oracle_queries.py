@@ -1536,3 +1536,20 @@ k AS (
 SELECT doc_id, len(l)::INT AS seg_n_before, len(kept)::INT AS seg_n_after,
        array_to_string(kept, chr(10)) AS text
 FROM k ORDER BY doc_id"""
+
+# quantize: per-vector symmetric int8 codes, explicit floor(+0.5) rounding
+# — must match similarity.quantize_embeddings arithmetic exactly
+ORACLE_SQL["quantize"] = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0
+              THEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       unnest(range(0, len(embedding)))::BIGINT AS i,
+       unnest(list_transform(embedding, x ->
+         greatest(-127, least(127, floor(x::DOUBLE / scale + 0.5)))))::INT AS qv,
+       round(scale, 6) AS q_scale
+FROM s ORDER BY vec_id, i"""

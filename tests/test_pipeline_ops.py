@@ -463,3 +463,58 @@ def test_remove_repeated_segments_out_col(spark):
     df = spark.createDataFrame([(0, "x\nx\ny")], "doc_id bigint, text string")
     row = remove_repeated_segments(df, out="clean").collect()[0]
     assert row["text"] == "x\nx\ny" and row["clean"] == "x\ny"
+
+
+# ------------------------------------------------------ embedding quantization
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    import numpy as np
+
+    from dask_groupby_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    vecs.append((99, [0.0] * 16))  # all-zero vector
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    q = quantize_embeddings(df)
+    back = dequantize_embeddings(q, out="recon")
+    for r in back.collect():
+        orig, recon, scale = r["embedding"], r["recon"], r["q_scale"]
+        assert all(abs(a - b) <= scale / 2 + 1e-7 for a, b in zip(orig, recon))
+        assert all(-127 <= c <= 127 for c in r["q_vec"])
+    zero = {r["vec_id"]: r for r in q.collect()}[99]
+    assert zero["q_scale"] == 1.0 and all(c == 0 for c in zero["q_vec"])
+    # storage type really is byte
+    assert dict(q.dtypes)["q_vec"] == "array<tinyint>"
+
+
+def test_quantize_matches_python(spark):
+    import math
+
+    from dask_groupby_spark.operators.similarity import quantize_embeddings
+
+    vec = [0.5, -1.0, 0.25, 0.9999]
+    df = spark.createDataFrame([(0, vec)], "vec_id bigint, embedding array<float>")
+    row = quantize_embeddings(df).collect()[0]
+    import numpy as np
+
+    f32 = [float(np.float32(x)) for x in vec]
+    scale = max(abs(x) for x in f32) / 127
+    want = [max(-127, min(127, math.floor(x / scale + 0.5))) for x in f32]
+    assert list(row["q_vec"]) == want
+    assert row["q_scale"] == pytest.approx(scale, rel=1e-12)
+
+
+def test_quantize_16bit(spark):
+    from dask_groupby_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame([(0, [1.0, -1.0])], "vec_id bigint, embedding array<float>")
+    q = quantize_embeddings(df, bits=16)
+    assert dict(q.dtypes)["q_vec"] == "array<smallint>"
+    assert list(q.collect()[0]["q_vec"]) == [32767, -32767]
+    with pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(df, bits=32)
