@@ -2077,6 +2077,22 @@ def q_quantize(spark, sf):
     ).orderBy("vec_id", "i")
 
 
+def q_skew_stats(spark, sf):
+    """Hot-key diagnostic (late r5): top-10 l_suppkey counts with total
+    and cumulative fractions — the pre-pass that feeds
+    salted_join(hot_keys=...)."""
+    from dask_groupby_spark.operators.selection import key_skew_stats
+
+    li = load_table(spark, sf, "lineitem")
+    out = key_skew_stats(li, "l_suppkey", top=10)
+    return out.select(
+        "l_suppkey",
+        "n",
+        F.round("frac", 9).alias("frac"),
+        F.round("cum_frac", 9).alias("cum_frac"),
+    ).orderBy("l_suppkey")
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2188,6 +2204,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
     "quantize": q_quantize,
+    "skew_stats": q_skew_stats,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

@@ -28,6 +28,7 @@ from .similarity import (
     semantic_deduplicate,
 )
 from .curate import PII_PATTERNS, redact_pii
+from .selection import key_skew_stats
 from .joins import salted_join
 from .sketches import (
     cms_estimate,
@@ -75,6 +76,7 @@ __all__ = [
     "PII_PATTERNS",
     "redact_pii",
     "salted_join",
+    "key_skew_stats",
     "cms_sketch_table",
     "cms_estimate",
     "hist_sketch_table",

@@ -538,10 +538,11 @@ def near_deduplicate(
     hasher: str = "fast",
     max_iter: int = 20,
     max_bucket_size: int | None = 10_000,
+    keep_by: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash signatures → LSH band
     buckets → candidate pairs → transitive clusters → keep the minimum-id
-    member of each cluster.
+    member of each cluster (or the best-quality member, see ``keep_by``).
 
     Returns the surviving rows of ``df`` (all original columns).  This is
     the composition the individual operators exist for: at 100 TB the only
@@ -554,6 +555,13 @@ def near_deduplicate(
     cap the result is identical to uncapped; above it, oversized buckets
     contribute an anchor star instead of a clique, which clusters to the
     same single keeper.  Set None to force the uncapped plan.
+
+    ``keep_by`` names a numeric quality column of ``df`` (a
+    ``hash_classifier_score`` / ``lm_quality_score`` output, a length…):
+    each cluster then keeps its HIGHEST-quality member (ties → smallest
+    id) instead of the min-id one — what production pipelines actually
+    want, since the arbitrary min-id member may be the truncated copy.
+    Costs one extra join + window over the (tiny) cluster table only.
     """
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k, hasher=hasher
@@ -566,9 +574,25 @@ def near_deduplicate(
         max_bucket_size=max_bucket_size,
     )
     clusters = duplicate_clusters(pairs, max_iter=max_iter)
-    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
+    if keep_by is None:
+        losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window
+
+        qual = df.select(
+            F.col(id_col).alias("id"), F.col(keep_by).alias("__q")
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("__q").desc_nulls_last(), F.col("id").asc()
+        )
+        losers = (
+            clusters.join(qual, on="id")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
+        )
     return df.join(losers, on=id_col, how="left_anti")
 
 

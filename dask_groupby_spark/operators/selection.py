@@ -147,3 +147,39 @@ def sample_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    *by: str,
+    top: int = 20,
+) -> DataFrame:
+    """Hot-key diagnostic: the top-``top`` keys by row count with each
+    key's fraction of the total and the running cumulative fraction —
+    the pre-pass that feeds ``salted_join(hot_keys=…)`` and decides
+    whether AQE's skew splitting suffices or explicit salting is needed
+    (a key above ~1/partitions of the table is a candidate).
+
+    One map-combined count shuffle + a distributed top-k cut
+    (TakeOrdered); the total is a 1-row aggregate broadcast into the
+    ≤``top``-row result, and the cumulative window runs on those rows
+    only.  Deterministic order: count DESC, then keys ASC.
+    """
+    from pyspark.sql import Window
+
+    if not by:
+        raise ValueError("key_skew_stats needs at least one key column")
+    counts = df.groupBy(*by).agg(F.count(F.lit(1)).alias("n"))
+    order = [F.col("n").desc()] + [F.col(k).asc() for k in by]
+    cut = counts.orderBy(*order).limit(top)
+    total = counts.agg(F.sum("n").alias("__t"))
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cut.crossJoin(F.broadcast(total))
+        .select(
+            *by,
+            "n",
+            (F.col("n") / F.col("__t")).alias("frac"),
+            (F.sum("n").over(w) / F.col("__t")).alias("cum_frac"),
+        )
+    )

@@ -1553,3 +1553,22 @@ SELECT vec_id,
          greatest(-127, least(127, floor(x::DOUBLE / scale + 0.5)))))::INT AS qv,
        round(scale, 6) AS q_scale
 FROM s ORDER BY vec_id, i"""
+
+# skew_stats: top-10 keys by count with total/cumulative fractions —
+# must match selection.key_skew_stats ordering (count DESC, key ASC)
+ORACLE_SQL["skew_stats"] = """
+WITH c AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1
+),
+t AS (SELECT sum(n) AS tot FROM c),
+r AS (
+  SELECT l_suppkey, n,
+         row_number() OVER (ORDER BY n DESC, l_suppkey ASC) AS rn,
+         sum(n) OVER (ORDER BY n DESC, l_suppkey ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT l_suppkey, n,
+       round((n / tot)::DOUBLE, 9) AS frac,
+       round((cum / tot)::DOUBLE, 9) AS cum_frac
+FROM r, t WHERE rn <= 10 ORDER BY l_suppkey"""

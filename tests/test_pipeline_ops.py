@@ -518,3 +518,43 @@ def test_quantize_16bit(spark):
     assert list(q.collect()[0]["q_vec"]) == [32767, -32767]
     with pytest.raises(ValueError, match="bits"):
         quantize_embeddings(df, bits=32)
+
+
+# -------------------------------------------------- keeper quality + skew stats
+
+
+def test_near_dedup_keep_by_quality(spark):
+    from dask_groupby_spark.operators.dedup import near_deduplicate
+
+    # docs 1,2,3 are near-identical; doc 2 has the best quality score.
+    # doc 9 is unrelated and must survive regardless.
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base, 0.2),
+        (2, base + " extra", 0.9),
+        (3, base, 0.5),
+        (9, "completely unrelated text about catalyst optimizer rule ordering", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, q double")
+    kept_minid = sorted(
+        r["doc_id"] for r in near_deduplicate(df, num_hashes=16, bands=8).collect()
+    )
+    assert kept_minid == [1, 9]
+    kept_best = sorted(
+        r["doc_id"]
+        for r in near_deduplicate(df, num_hashes=16, bands=8, keep_by="q").collect()
+    )
+    assert kept_best == [2, 9]
+
+
+def test_key_skew_stats(spark, skewed):
+    from dask_groupby_spark.operators.selection import key_skew_stats
+
+    left, _ = skewed  # key 0 has 500 rows, keys 1..19 one each
+    out = key_skew_stats(left, "k", top=3).collect()
+    assert [r["k"] for r in out] == [0, 1, 2]
+    assert out[0]["n"] == 500
+    assert out[0]["frac"] == pytest.approx(500 / 519)
+    assert out[2]["cum_frac"] == pytest.approx(502 / 519)
+    with pytest.raises(ValueError, match="at least one"):
+        key_skew_stats(left)
