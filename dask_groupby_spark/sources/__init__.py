@@ -168,6 +168,7 @@ def save_table(
     fmt: str = "parquet",
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
     max_records_per_file: int | None = None,
     **options,
 ) -> None:
@@ -176,10 +177,17 @@ def save_table(
 
     ``partition_by`` on a low-cardinality key gives downstream queries
     partition PRUNING (a filter on the key skips whole directories);
+    ``sort_by`` sorts WITHIN each output task before writing, which
+    clusters values so parquet row-group min/max statistics become
+    selective — a range filter on a sorted column then skips most
+    row groups at scan time (the poor man's Z-order; for one sort key it
+    is optimal data skipping, no table format required).
     ``max_records_per_file`` caps file sizes so a skewed partition doesn't
     produce one giant file.  For a layout that also removes the aggregation
     shuffle, see :func:`~dask_groupby_spark.plans.bucket_table`.
     """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -186,3 +186,41 @@ def test_write_stream_file_sink_roundtrip(spark, tmpdir):
     assert got[("2024-05-01T00:00:00", "k0")] == 0.0
     assert got[("2024-05-01T01:00:00", "k0")] == 2.0
     assert got[("2024-05-01T01:00:00", "k1")] == 3.0
+
+
+def test_save_table_sort_by_tightens_rowgroup_stats(spark, tmp_path):
+    """sort_by clusters values so parquet row-group min/max stats become
+    selective: with multiple row groups, each sorted group must span a
+    small, non-overlapping slice of the domain (that is what lets a range
+    filter skip groups at scan time)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dask_groupby_spark.sources import save_table
+
+    df = (
+        spark.range(0, 200_000)
+        .select(
+            (F.col("id") * 48271 % 200_000).alias("k"),  # shuffled order
+            F.col("id").alias("payload"),
+        )
+        .coalesce(1)
+    )
+    path = str(tmp_path / "sorted")
+    save_table(df, path, sort_by=("k",), **{"parquet.block.size": "65536"})
+    f = glob.glob(f"{path}/part-*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.num_row_groups >= 4  # small block size -> many groups
+    spans = []
+    for i in range(md.num_row_groups):
+        col = md.row_group(i).column(0)
+        assert col.path_in_schema == "k"
+        st = col.statistics
+        spans.append((st.min, st.max))
+    spans.sort()
+    # each group's span is a narrow slice, and consecutive groups don't
+    # overlap (strictly increasing min after sort)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+        assert hi1 - lo1 < 200_000 / 2
