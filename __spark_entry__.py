@@ -2093,6 +2093,15 @@ def q_skew_stats(spark, sf):
     ).orderBy("l_suppkey")
 
 
+def q_ngram_counts(spark, sf):
+    """Corpus bigram count table (late r5): map-side n-gram generation,
+    one map-combined shuffle — the KenLM-style count-LM raw material."""
+    from dask_groupby_spark.operators.text import ngram_counts
+
+    docs = load_table(spark, sf, "documents")
+    return ngram_counts(docs, n=2, min_count=2).orderBy("ngram")
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2205,6 +2214,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seg_dedup": q_seg_dedup,
     "quantize": q_quantize,
     "skew_stats": q_skew_stats,
+    "ngram_counts": q_ngram_counts,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

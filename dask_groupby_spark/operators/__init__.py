@@ -43,6 +43,7 @@ from .text import (
     hash_classifier_score,
     language_id,
     lm_quality_score,
+    ngram_counts,
     tokens,
 )
 from .vocab import build_vocab, encode_tokens, encode_tokens_flat
@@ -72,6 +73,7 @@ __all__ = [
     "hash_classifier_score",
     "language_id",
     "lm_quality_score",
+    "ngram_counts",
     "tokens",
     "PII_PATTERNS",
     "redact_pii",

@@ -597,3 +597,42 @@ def remove_repeated_segments(
     return df.select(
         *cols, *extra, F.array_join(kept, sep).alias(out)
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus n-gram counts ``(ngram, cnt)`` — the raw material of
+    count-based language models (KenLM-style n-gram LMs, the classic
+    decontamination/blocklist source, and the vocabulary for
+    :func:`lm_quality_score`'s external-LM mode when fit on a reference
+    corpus).
+
+    N-grams are generated MAP-SIDE from each row's token array (a
+    ``transform`` over start positions + ``slice`` — no explode-then-join,
+    no pair shuffle); the single groupBy is map-side combined, so the
+    Exchange carries (ngram, partial-count) rows, not corpus tokens.
+    ``min_count`` prunes the long tail AFTER aggregation (the standard
+    count-cutoff; it cannot be pushed below the shuffle without changing
+    semantics).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    out = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("cnt") >= F.lit(min_count))
+    return out

@@ -519,3 +519,40 @@ def stream_cms_update(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def stream_hist_update(
+    stream_df: DataFrame,
+    value: str,
+    path: str,
+    checkpoint: str,
+    lo: float,
+    hi: float,
+    by: "tuple[str, ...] | list[str]" = (),
+    bins: int = 256,
+    trigger: dict | None = None,
+):
+    """Streaming quantiles: each micro-batch folds into a declared-domain
+    histogram (:func:`~dask_groupby_spark.operators.sketches.
+    hist_sketch_table`) written to its own ``batch_id=`` partition with
+    overwrite mode — the same effectively-exactly-once counter contract
+    as :func:`stream_cms_update` (replays rewrite, never double-count).
+    :func:`~dask_groupby_spark.operators.sketches.hist_quantile` over the
+    table answers p50/p99-style queries for the whole stream history at
+    ``|groups| × bins`` rows of state per batch.
+
+    Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
+    """
+    from ..operators.sketches import hist_sketch_table
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sk = hist_sketch_table(batch, value, lo=lo, hi=hi, by=by, bins=bins)
+        sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

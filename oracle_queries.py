@@ -1572,3 +1572,14 @@ SELECT l_suppkey, n,
        round((n / tot)::DOUBLE, 9) AS frac,
        round((cum / tot)::DOUBLE, 9) AS cum_frac
 FROM r, t WHERE rn <= 10 ORDER BY l_suppkey"""
+
+# ngram_counts: corpus bigram counts, min_count=2 cutoff — mirrors
+# text.ngram_counts (map-side slice windows) via the shingle convention
+ORACLE_SQL["ngram_counts"] = f"""{_TOKS},
+sh AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+                               i -> array_to_string(tk[i:i+1], ' '))) AS ngram
+  FROM toks
+)
+SELECT ngram, count(*)::BIGINT AS cnt
+FROM sh GROUP BY ngram HAVING count(*) >= 2 ORDER BY ngram"""

@@ -558,3 +558,32 @@ def test_key_skew_stats(spark, skewed):
     assert out[2]["cum_frac"] == pytest.approx(502 / 519)
     with pytest.raises(ValueError, match="at least one"):
         key_skew_stats(left)
+
+
+# -------------------------------------------------------------- n-gram counts
+
+
+def test_ngram_counts_matches_python(spark, tiny_docs):
+    from dask_groupby_spark.operators.text import ngram_counts
+
+    got = {
+        r["ngram"]: r["cnt"] for r in ngram_counts(tiny_docs, n=2).collect()
+    }
+    texts = ["b a a c b a", "a b d", "a", ""]
+    want = Counter(
+        " ".join(t.split()[i : i + 2])
+        for t in texts
+        for i in range(len(t.split()) - 1)
+    )
+    assert got == dict(want)
+    # unigram mode == vocab counts; short docs contribute nothing at n=3
+    uni = {r["ngram"]: r["cnt"] for r in ngram_counts(tiny_docs, n=1).collect()}
+    assert uni == {"a": 5, "b": 3, "c": 1, "d": 1}
+    tri = {r["ngram"]: r["cnt"] for r in ngram_counts(tiny_docs, n=3).collect()}
+    assert tri == Counter(
+        " ".join(t.split()[i : i + 3])
+        for t in texts
+        for i in range(len(t.split()) - 2)
+    )
+    cut = {r["ngram"] for r in ngram_counts(tiny_docs, n=1, min_count=3).collect()}
+    assert cut == {"a", "b"}

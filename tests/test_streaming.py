@@ -507,3 +507,44 @@ def test_stream_cms_update_matches_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert got["a"] >= 9 and got["b"] >= 2 and got["c"] >= 4
+
+
+def test_stream_hist_update_matches_batch(spark, tmp_path_factory):
+    """Streaming histogram: merged per-batch partitions give the SAME
+    quantile estimates as the one-shot batch sketch of the full input."""
+    import os
+    import time as _time
+
+    from dask_groupby_spark.operators.sketches import hist_quantile, hist_sketch_table
+    from dask_groupby_spark.streaming import stream_hist_update
+
+    base = tmp_path_factory.mktemp("stream_hist")
+    indir, skpath, ckpt = str(base / "in"), str(base / "sk"), str(base / "ckpt")
+    os.makedirs(indir)
+    b1 = spark.createDataFrame([("a", float(i)) for i in range(50)], "k string, v double")
+    b2 = spark.createDataFrame([("a", float(i)) for i in range(50, 100)], "k string, v double")
+    b1.coalesce(1).write.parquet(f"{indir}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(f"{indir}/b2")
+    now = _time.time()
+    for sub, age in (("b1", 20), ("b2", 10)):
+        for root, _, files in os.walk(f"{indir}/{sub}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/*")
+    )
+    q = stream_hist_update(stream, "v", skpath, ckpt, lo=0.0, hi=100.0, by=["k"], bins=100)
+    q.awaitTermination(120)
+
+    merged = spark.read.parquet(skpath)
+    got = hist_quantile(merged, 0.5, lo=0.0, hi=100.0, by=["k"], bins=100).collect()[0]
+    full = b1.unionByName(b2)
+    want = hist_quantile(
+        hist_sketch_table(full, "v", lo=0.0, hi=100.0, by=["k"], bins=100),
+        0.5, lo=0.0, hi=100.0, by=["k"], bins=100,
+    ).collect()[0]
+    assert got["p0_5"] == want["p0_5"] == 49.5
