@@ -196,3 +196,60 @@ def save_table(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+    fmt: str = "parquet",
+    sort_by: tuple[str, ...] = (),
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a fragmented table directory into
+    ~``target_file_mb``-sized files.
+
+    Streaming sinks and per-batch appends (``stream_ingest_dedup``,
+    ``mode="append"`` sketch tables…) leave thousands of KB-sized files;
+    at scan time each costs an open + footer read + seek, and the
+    scheduler pays one task minimum per file — on object stores the
+    request overhead dominates long before 100 TB.  Periodic compaction
+    is the standard fix.
+
+    Sizes come from the Hadoop FileSystem API (works for any scheme the
+    session can read).  The data is read once, repartitioned to
+    ``ceil(bytes / target)`` (``coalesce`` — no shuffle — when shrinking
+    the partition count; a full repartition only when growing it), written
+    to a temp sibling directory, then swapped in via delete + rename.
+    The swap is NOT atomic on object stores without atomic rename —
+    run compaction when no reader races the swap, or use a table format
+    with snapshot isolation for that guarantee.  Operates on FLAT
+    directories; compact a hive-partitioned table per partition
+    directory, or the rewrite would inline the partition columns and
+    lose the layout.  ``sort_by`` re-sorts within the new files (see
+    :func:`save_table`).
+
+    Returns ``(n_files_before, n_files_after)``.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    summary = fs.getContentSummary(jpath)
+    n_before = int(summary.getFileCount())
+    total_bytes = int(summary.getLength())
+    n_parts = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.format(fmt).load(path)
+    cur = df.rdd.getNumPartitions()
+    df = df.coalesce(n_parts) if n_parts <= cur else df.repartition(n_parts)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    df.write.format(fmt).mode("overwrite").save(tmp)
+    fs.delete(jpath, True)
+    if not fs.rename(jtmp, jpath):
+        raise IOError(f"rename {tmp} -> {path} failed; data is at {tmp}")
+    n_after = int(fs.getContentSummary(jpath).getFileCount())
+    return n_before, n_after

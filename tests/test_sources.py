@@ -224,3 +224,22 @@ def test_save_table_sort_by_tightens_rowgroup_stats(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
         assert hi1 - lo1 < 200_000 / 2
+
+
+def test_compact_table_shrinks_files_keeps_data(spark, tmp_path):
+    from dask_groupby_spark.sources import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    before_sum = spark.read.parquet(path).agg(F.sum("id")).first()[0]
+
+    n_before, n_after = compact_table(spark, path, target_file_mb=512)
+    assert n_before >= 40 and n_after <= 2
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == before_sum
+    assert set(back.columns) == {"id", "g"}
