@@ -717,12 +717,27 @@ def quantize_embeddings(
     vec = F.col(vec_col)
     absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = F.when(absmax > 0, absmax / F.lit(float(qmax))).otherwise(F.lit(1.0))
-    code = lambda x: (
-        F.greatest(
-            F.lit(-qmax),
-            F.least(F.lit(qmax), F.floor(x.cast("double") / scale + F.lit(0.5))),
+
+    # the lambda must reference the MATERIALIZED scale column, not the
+    # absmax expression: Spark does not hoist invariant subtrees out of
+    # higher-order-function lambdas (see text.py:_stopword_hits), so an
+    # inline scale would recompute the full-array max per ELEMENT — O(d²)
+    # per vector.  NULL/NaN elements propagate as NULL codes (least/
+    # greatest SKIP nulls, so without the guard a missing value would
+    # silently encode as +qmax).
+    def code(x):
+        d = x.cast("double")
+        return F.when(
+            d.isNotNull() & ~F.isnan(d),
+            F.greatest(
+                F.lit(-qmax),
+                F.least(
+                    F.lit(qmax),
+                    F.floor(d / F.col(scale_col) + F.lit(0.5)),
+                ),
+            ),
         ).cast(itype)
-    )
+
     return df.withColumn(scale_col, scale).withColumn(
         q_col, F.transform(vec, code)
     )

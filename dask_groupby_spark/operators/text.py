@@ -578,8 +578,12 @@ def remove_repeated_segments(
 
     ``count_cols=True`` adds ``seg_n_before``/``seg_n_after``.
     """
+    import re as _re
+
     out = out or text_col
-    segs = F.split(F.col(text_col), sep)
+    # F.split takes a REGEX but array_join re-inserts sep literally —
+    # escape, or a metachar separator ('. ', '|') would shred the text
+    segs = F.split(F.col(text_col), _re.escape(sep))
     kept = F.filter(
         segs,
         lambda x, i: (F.length(x) < F.lit(min_len))

@@ -187,7 +187,11 @@ def save_table(
     shuffle, see :func:`~dask_groupby_spark.plans.bucket_table`.
     """
     if sort_by:
-        df = df.sortWithinPartitions(*sort_by)
+        # the file writer REQUIRES ordering on partition columns; sorting
+        # by (partition_by, sort_by) satisfies it, otherwise Spark inserts
+        # its own partition-column-only SortExec on top and the sort_by
+        # clustering is lost whenever that sort spills
+        df = df.sortWithinPartitions(*partition_by, *sort_by)
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -246,10 +250,19 @@ def compact_table(
         df = df.sortWithinPartitions(*sort_by)
 
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
     df.write.format(fmt).mode("overwrite").save(tmp)
-    fs.delete(jpath, True)
+    # crash-safe swap order: park the original FIRST, then move the new
+    # copy in, then drop the parked one — a crash at any point leaves the
+    # data recoverable under one of the three paths (delete-then-rename
+    # would lose the live path entirely if the process died in between)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"rename {path} -> {old} failed; new data is at {tmp}")
     if not fs.rename(jtmp, jpath):
-        raise IOError(f"rename {tmp} -> {path} failed; data is at {tmp}")
+        fs.rename(jold, jpath)  # roll back
+        raise IOError(f"rename {tmp} -> {path} failed; original restored")
+    fs.delete(jold, True)
     n_after = int(fs.getContentSummary(jpath).getFileCount())
     return n_before, n_after

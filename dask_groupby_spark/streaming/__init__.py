@@ -476,6 +476,35 @@ def stream_ingest_dedup(
     )
 
 
+def _stream_sketch_update(
+    stream_df: DataFrame,
+    build_fn,
+    path: str,
+    checkpoint: str,
+    trigger: dict | None,
+):
+    """Shared scaffolding for streaming mergeable-sketch sinks: each
+    micro-batch is folded by ``build_fn(batch) -> DataFrame`` and written
+    to its own ``batch_id=<n>`` partition with overwrite mode — replays
+    of a batch REWRITE their partition instead of appending, so the
+    counters are effectively exactly-once (contrast the at-least-once
+    append loop of :func:`stream_ingest_dedup`, where over-delivery is
+    semantically harmless; double-counted sketch rows would not be)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        build_fn(batch).write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def stream_cms_update(
     stream_df: DataFrame,
     value: str,
@@ -486,38 +515,27 @@ def stream_cms_update(
     hasher: str = "fast",
     trigger: dict | None = None,
 ):
-    """Streaming heavy-hitter counters: each micro-batch is folded into a
-    count-min sketch (:func:`~dask_groupby_spark.operators.sketches.
-    cms_sketch_table`) and written to a ``batch_id=``-partitioned parquet
-    sketch table — counters are linear, so
+    """Streaming heavy-hitter counters: per-batch count-min sketches
+    (:func:`~dask_groupby_spark.operators.sketches.cms_sketch_table`)
+    under the idempotent ``batch_id=``-partition contract of
+    :func:`_stream_sketch_update`.  Counters are linear, so
     :func:`~dask_groupby_spark.operators.sketches.cms_estimate` over the
-    table answers frequency queries for the WHOLE stream history at any
-    moment, at ``depth × width`` rows of state per batch and no raw-value
-    retention.
-
-    Delivery is effectively exactly-once for the counters: the batch's
-    rows land in their own ``batch_id=<n>`` partition with ``overwrite``
-    mode, so a foreachBatch replay rewrites the same partition instead of
-    double-counting (contrast the at-least-once append loop of
-    :func:`stream_ingest_dedup`, where over-delivery is semantically
-    harmless; double-counted frequencies would not be).
+    merged table answers frequency queries for the WHOLE stream history
+    at any moment, at ``depth x width`` rows of state per batch and no
+    raw-value retention.
 
     Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
     """
     from ..operators.sketches import cms_sketch_table
 
-    def process(batch: DataFrame, batch_id: int) -> None:
-        sk = cms_sketch_table(
-            batch, value, width=width, depth=depth, hasher=hasher
-        )
-        sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
-
-    return (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-        .trigger(**(trigger or {"availableNow": True}))
-        .start()
+    return _stream_sketch_update(
+        stream_df,
+        lambda b: cms_sketch_table(
+            b, value, width=width, depth=depth, hasher=hasher
+        ),
+        path,
+        checkpoint,
+        trigger,
     )
 
 
@@ -532,27 +550,51 @@ def stream_hist_update(
     bins: int = 256,
     trigger: dict | None = None,
 ):
-    """Streaming quantiles: each micro-batch folds into a declared-domain
-    histogram (:func:`~dask_groupby_spark.operators.sketches.
-    hist_sketch_table`) written to its own ``batch_id=`` partition with
-    overwrite mode — the same effectively-exactly-once counter contract
-    as :func:`stream_cms_update` (replays rewrite, never double-count).
+    """Streaming quantiles: per-batch declared-domain histograms
+    (:func:`~dask_groupby_spark.operators.sketches.hist_sketch_table`)
+    under the same idempotent partition contract.
     :func:`~dask_groupby_spark.operators.sketches.hist_quantile` over the
-    table answers p50/p99-style queries for the whole stream history at
-    ``|groups| × bins`` rows of state per batch.
+    merged table answers p50/p99-style queries for the whole stream
+    history at ``|groups| x bins`` rows of state per batch.
 
     Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
     """
     from ..operators.sketches import hist_sketch_table
 
-    def process(batch: DataFrame, batch_id: int) -> None:
-        sk = hist_sketch_table(batch, value, lo=lo, hi=hi, by=by, bins=bins)
-        sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+    return _stream_sketch_update(
+        stream_df,
+        lambda b: hist_sketch_table(b, value, lo=lo, hi=hi, by=by, bins=bins),
+        path,
+        checkpoint,
+        trigger,
+    )
 
-    return (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-        .trigger(**(trigger or {"availableNow": True}))
-        .start()
+
+def stream_hll_update(
+    stream_df: DataFrame,
+    *by: str,
+    value: str,
+    path: str,
+    checkpoint: str,
+    lg_k: int = 12,
+    trigger: dict | None = None,
+):
+    """Streaming distinct counts: per-batch HLL sketch rows
+    (:func:`~dask_groupby_spark.operators.sketches.hll_sketch_table`)
+    under the same idempotent partition contract — HLL union is
+    idempotent AND commutative, so
+    :func:`~dask_groupby_spark.operators.sketches.hll_merge_count` over
+    the merged table gives whole-history per-group distinct estimates at
+    ~2.5 KB of state per (group, batch).
+
+    Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
+    """
+    from ..operators.sketches import hll_sketch_table
+
+    return _stream_sketch_update(
+        stream_df,
+        lambda b: hll_sketch_table(b, *by, value=value, lg_k=lg_k),
+        path,
+        checkpoint,
+        trigger,
     )

@@ -587,3 +587,72 @@ def test_ngram_counts_matches_python(spark, tiny_docs):
     )
     cut = {r["ngram"] for r in ngram_counts(tiny_docs, n=1, min_count=3).collect()}
     assert cut == {"a", "b"}
+
+
+# --------------------------------------------------------- review-fix guards
+
+
+def test_remove_repeated_segments_metachar_sep(spark):
+    # sep must be treated literally even when it is a regex metachar
+    from dask_groupby_spark.operators.text import remove_repeated_segments
+
+    df = spark.createDataFrame(
+        [(0, "alpha. beta. alpha. gamma")], "doc_id bigint, text string"
+    )
+    row = remove_repeated_segments(df, sep=". ").collect()[0]
+    assert row["text"] == "alpha. beta. gamma"
+    row = remove_repeated_segments(
+        spark.createDataFrame([(0, "x|y|x")], "doc_id bigint, text string"),
+        sep="|",
+    ).collect()[0]
+    assert row["text"] == "x|y"
+
+
+def test_quantize_null_elements_propagate(spark):
+    from dask_groupby_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.5, None, -0.25])], "vec_id bigint, embedding array<float>"
+    )
+    row = quantize_embeddings(df).collect()[0]
+    assert row["q_vec"][1] is None  # NOT +127
+    assert row["q_vec"][0] == 127 and row["q_vec"][2] == -63
+    back = dequantize_embeddings(quantize_embeddings(df), out="r").collect()[0]
+    assert back["r"][1] is None
+
+
+def test_save_table_sort_by_with_partition_by(spark, tmp_path):
+    # sort_by clustering must survive a partitioned write
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dask_groupby_spark.sources import save_table
+
+    df = (
+        spark.range(0, 100_000)
+        .select(
+            (F.col("id") % 2).alias("p"),
+            (F.col("id") * 48271 % 100_000).alias("k"),
+        )
+        .coalesce(1)
+    )
+    path = str(tmp_path / "psorted")
+    save_table(
+        df, path, partition_by=("p",), sort_by=("k",),
+        **{"parquet.block.size": "65536"},
+    )
+    for part in glob.glob(f"{path}/p=*/part-*.parquet"):
+        md = pq.ParquetFile(part).metadata
+        spans = sorted(
+            (
+                md.row_group(i).column(0).statistics.min,
+                md.row_group(i).column(0).statistics.max,
+            )
+            for i in range(md.num_row_groups)
+        )
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2  # clustered within each partition file

@@ -548,3 +548,54 @@ def test_stream_hist_update_matches_batch(spark, tmp_path_factory):
         0.5, lo=0.0, hi=100.0, by=["k"], bins=100,
     ).collect()[0]
     assert got["p0_5"] == want["p0_5"] == 49.5
+
+
+def test_stream_hll_update_matches_batch(spark, tmp_path_factory):
+    """Streaming HLL: merged per-batch sketch rows union to the same
+    distinct-count estimates as the one-shot batch sketch."""
+    import os
+    import time as _time
+
+    from dask_groupby_spark.operators.sketches import (
+        hll_merge_count,
+        hll_sketch_table,
+    )
+    from dask_groupby_spark.streaming import stream_hll_update
+
+    base = tmp_path_factory.mktemp("stream_hll")
+    indir, skpath, ckpt = str(base / "in"), str(base / "sk"), str(base / "ckpt")
+    os.makedirs(indir)
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(100)], "k string, u bigint"
+    )
+    b2 = spark.createDataFrame(
+        [("a", i) for i in range(50, 150)] + [("b", 1)], "k string, u bigint"
+    )
+    b1.coalesce(1).write.parquet(f"{indir}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(f"{indir}/b2")
+    now = _time.time()
+    for sub, age in (("b1", 20), ("b2", 10)):
+        for root, _, files in os.walk(f"{indir}/{sub}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("k string, u bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/*")
+    )
+    q = stream_hll_update(stream, "k", value="u", path=skpath, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["k"]: r["approx_distinct"]
+        for r in hll_merge_count(spark.read.parquet(skpath), "k").collect()
+    }
+    full = b1.unionByName(b2)
+    want = {
+        r["k"]: r["approx_distinct"]
+        for r in hll_merge_count(hll_sketch_table(full, "k", value="u"), "k").collect()
+    }
+    assert got == want
+    assert got["a"] == 150 and got["b"] == 1  # exact at this cardinality
