@@ -2105,6 +2105,26 @@ def q_ngram_counts(spark, sf):
     return ngram_counts(docs, n=2, min_count=2).orderBy("ngram")
 
 
+def q_profile(spark, sf):
+    """One-pass table profile (late r5): per-column nonnull/distinct/min/
+    max over the integer and string lineitem columns in ONE fused
+    aggregate (exact distincts for oracle parity; float/timestamp columns
+    excluded from the key because engine-native string rendering of
+    doubles is not contract-stable)."""
+    from dask_groupby_spark.operators.profile import table_profile
+
+    li = load_table(spark, sf, "lineitem")
+    out = table_profile(
+        li,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus",
+        ],
+        exact_distinct=True,
+    )
+    return out.orderBy("column")
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2207,19 +2227,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # FIVE late-r5 keys sit just outside the window by explicit choice —
-    # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts.  All five
-    # are oracle-backed and pass the full local gate; stream_cms's oracle
-    # SQL is additionally IDENTICAL to in-window cms_heavy (merged
+    # SIX late-r5 keys sit just outside the window by explicit choice —
+    # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile.
+    # All six are oracle-backed and pass the full local gate; stream_cms's
+    # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL FIVE into the
+    # outranks first official rows for these — ROTATE ALL SIX into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
     "quantize": q_quantize,
     "skew_stats": q_skew_stats,
     "ngram_counts": q_ngram_counts,
+    "profile": q_profile,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

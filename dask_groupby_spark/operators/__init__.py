@@ -28,6 +28,7 @@ from .similarity import (
     semantic_deduplicate,
 )
 from .curate import PII_PATTERNS, redact_pii
+from .profile import table_profile
 from .selection import key_skew_stats
 from .joins import salted_join
 from .sketches import (
@@ -79,6 +80,7 @@ __all__ = [
     "redact_pii",
     "salted_join",
     "key_skew_stats",
+    "table_profile",
     "cms_sketch_table",
     "cms_estimate",
     "hist_sketch_table",

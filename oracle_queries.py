@@ -1583,3 +1583,16 @@ sh AS (
 )
 SELECT ngram, count(*)::BIGINT AS cnt
 FROM sh GROUP BY ngram HAVING count(*) >= 2 ORDER BY ngram"""
+
+# profile: per-column nonnull/distinct/min/max in long form — must match
+# operators/profile.py table_profile (exact distincts, string-cast min/max)
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus",
+]
+ORACLE_SQL["profile"] = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS \"column\", count({c})::BIGINT AS n_nonnull, "
+    f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+    f"min({c})::VARCHAR AS min, max({c})::VARCHAR AS max FROM lineitem"
+    for c in _PROFILE_COLS
+) + "\nORDER BY \"column\""

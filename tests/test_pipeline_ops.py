@@ -656,3 +656,40 @@ def test_save_table_sort_by_with_partition_by(spark, tmp_path):
         )
         for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
             assert hi1 <= lo2  # clustered within each partition file
+
+
+# -------------------------------------------------------------- table profile
+
+
+def test_table_profile_exact(spark):
+    from dask_groupby_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, [1]), (2, "b", None, [2]), (2, None, 3.5, None)],
+        "i bigint, s string, x double, arr array<int>",
+    )
+    got = {
+        r["column"]: (r["n_nonnull"], r["n_distinct"], r["min"], r["max"])
+        for r in table_profile(df, exact_distinct=True).collect()
+    }
+    assert got["i"] == (3, 2, "1", "2")
+    assert got["s"] == (2, 2, "a", "b")
+    assert got["x"] == (2, 2, "1.5", "3.5")
+    assert got["arr"][:2] == (2, 2) and got["arr"][2] is None
+
+
+def test_table_profile_single_pass(spark):
+    # ONE aggregate over one scan: a single pair of HashAggregates and no
+    # per-column re-scan (one 'Scan' node in the plan)
+    from dask_groupby_spark.operators.profile import table_profile
+    from dask_groupby_spark.plans import physical_plan
+    from dask_groupby_spark.sources import load_table
+
+    import re
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    out = table_profile(li, columns=["l_orderkey", "l_quantity"])
+    plan = physical_plan(out)
+    # exactly one numbered Scan node in the formatted plan details
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert out.count() == 2
