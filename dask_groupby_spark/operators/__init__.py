@@ -23,6 +23,8 @@ from .similarity import (
     dequantize_embeddings,
     embedding_near_duplicates,
     embedding_pca,
+    kmeans_assign,
+    kmeans_fit,
     pca_project,
     quantize_embeddings,
     semantic_deduplicate,
@@ -65,6 +67,8 @@ __all__ = [
     "embedding_near_duplicates",
     "embedding_pca",
     "pca_project",
+    "kmeans_fit",
+    "kmeans_assign",
     "quantize_embeddings",
     "dequantize_embeddings",
     "semantic_deduplicate",

@@ -758,3 +758,44 @@ def dequantize_embeddings(
             lambda q: (q.cast("double") * F.col(scale_col)).cast("float"),
         ),
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[dict]":
+    """Spherical k-means centroids over an embedding column — the public
+    face of the IVF coarse-quantizer fit, exposed because corpus
+    clustering is a curation primitive in its own right (cluster → per-
+    cluster `mixture_sample` is the standard topic-balancing pattern, and
+    SemDeDup's original formulation clusters first).
+
+    Deterministic: seeds = the ``k`` lowest-id vectors; each Lloyd
+    iteration is one corpus pass — map-only assignment against the
+    literal-inlined centroid table, O(dim)-state spherical centroid
+    update (:func:`group_centroids`), re-collect of the KB-sized table
+    (the one justified driver collect in this family; empty cells keep
+    their previous centroid).  Returns ``[{cell, cv}, …]`` for
+    :func:`kmeans_assign` or persistence.
+    """
+    return _ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=k, refine_iters=iters
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: "list[dict]",
+    vec_col: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment (cosine, ties → smallest cell id) as a
+    MAP-ONLY projection: the centroid table from :func:`kmeans_fit` is
+    inlined as literals, so assigning 100 TB of embeddings is one scan
+    with zero shuffle."""
+    cent_arr = _centroid_literal(centroids)
+    cv = F.col(vec_col).cast("array<double>")
+    return df.withColumn(out, F.array_max(_cell_scores(cent_arr, cv))["cell"])

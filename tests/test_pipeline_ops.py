@@ -726,3 +726,59 @@ def test_quantized_retrieval_recall(spark):
     e, a = nbrs(exact), nbrs(approx)
     for qid in e:
         assert len(e[qid] & a[qid]) >= 2, (qid, e[qid], a[qid])
+
+
+# -------------------------------------------------------------------- k-means
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """kmeans_fit/assign vs a numpy spherical-Lloyd reference with the
+    same deterministic seeding (k lowest-id vectors) and tie rules."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(60, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    X = np.array([[float(np.float32(v)) for v in row] for row in X])
+    k, iters = 4, 3
+
+    def assign(Xn, C):
+        sims = (Xn / np.linalg.norm(Xn, axis=1, keepdims=True)) @ (
+            C / np.linalg.norm(C, axis=1, keepdims=True)
+        ).T
+        return sims.argmax(axis=1)  # argmax ties -> lowest index, same rule
+
+    C = X[:k].copy()
+    cells = list(range(k))
+    for _ in range(iters):
+        a = assign(X, C)
+        for j in range(k):
+            m = X[a == j]
+            if len(m):
+                c = m.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+
+    cents = kmeans_fit(df, k=k, iters=iters)
+    got_C = np.array([c["cv"] for c in cents])
+    assert np.allclose(got_C, C, atol=1e-6)
+    got_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, cents).collect()
+    }
+    want = assign(X, C)
+    assert all(got_assign[i] == cells[want[i]] for i in range(60))
+
+
+def test_kmeans_assign_zero_exchange(spark):
+    from dask_groupby_spark.operators.similarity import kmeans_assign, kmeans_fit
+    from dask_groupby_spark.plans import count_exchanges
+    from dask_groupby_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=1)
+    assert count_exchanges(kmeans_assign(emb, cents)) == 0
