@@ -29,6 +29,7 @@ from .similarity import (
     quantize_embeddings,
     semantic_deduplicate,
 )
+from .bpe import bpe_encode, bpe_train
 from .curate import PII_PATTERNS, redact_pii
 from .profile import table_profile
 from .selection import key_skew_stats
@@ -82,6 +83,8 @@ __all__ = [
     "tokens",
     "PII_PATTERNS",
     "redact_pii",
+    "bpe_train",
+    "bpe_encode",
     "salted_join",
     "key_skew_stats",
     "table_profile",

@@ -1,0 +1,162 @@
+"""Byte-pair encoding trained and applied IN Spark — the real tokenizer
+step (Sennrich et al. 2016), not the budgeting estimate
+(``text.bpe_token_estimate``).
+
+The scale trick is classic BPE's own: training runs on the WORD-FREQUENCY
+table, not the corpus.  One corpus pass reduces 100 TB of text to a
+(word, count) table bounded by the distinct-word count; every merge
+iteration after that is a tiny aggregate + map over that table.  Encoding
+is then a map-only Arrow pass with a per-batch word→pieces cache (words
+repeat — the cache turns per-token work into per-distinct-word work).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: end-of-word marker appended as a trailing symbol before merging —
+#: standard BPE, so "low" as a whole word and "low" as a prefix of
+#: "lower" learn different merges.
+EOW = "</w>"
+
+
+def _chars(word):
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+        F.array(F.lit(EOW)),
+    )
+
+
+def _merge_adjacent(syms, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a+b — one
+    aggregate fold, same greedy semantics as reference BPE."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    min_pair_count: int = 2,
+) -> "list[tuple[str, str]]":
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    ONE corpus pass builds the (word, count) table; each merge iteration
+    then runs entirely on that table: explode adjacent symbol pairs
+    weighted by word count (map-side), aggregate, collect the single best
+    pair (count DESC, pair ASC — deterministic ties), and rewrite the
+    symbol arrays map-side.  The iterative lineage is cut with an eager
+    ``localCheckpoint`` per round, the same driver-loop discipline as
+    ``duplicate_clusters``.  Stops early when no pair reaches
+    ``min_pair_count``.
+
+    Returns the merge list in order — the model artifact for
+    :func:`bpe_encode` (persist it yourself; it is a plain python list).
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1 (got {num_merges})")
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_chars(F.col("w")).alias("syms"), "cnt")
+    )
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("a"),
+                        F.element_at(F.col("syms"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "cnt",
+        ).where(F.size("syms") >= 2)
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merges.append((a, b))
+        words = words.select(
+            _merge_adjacent(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def _encode_word(word: str, merges: Sequence[tuple[str, str]]) -> list[str]:
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "bpe_pieces",
+) -> DataFrame:
+    """Apply trained merges: ``(id_col, out)`` with the document's BPE
+    pieces in order.  Arrow ``mapInPandas`` (the documented escape-hatch
+    tier — 50+ sequential merge rewrites are a poor fit for nested
+    Column folds) with a per-batch word→pieces cache, so cost scales
+    with DISTINCT words per batch, not tokens.  Map-only: encoding
+    100 TB is one scan, zero shuffle.
+    """
+    merges = [tuple(m) for m in merges]
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            pieces = []
+            for text in pdf[text_col]:
+                doc: list[str] = []
+                for w in (text or "").split():
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = _encode_word(w, merges)
+                    doc.extend(got)
+                pieces.append(doc)
+            yield pd.DataFrame({id_col: pdf[id_col], out: pieces})
+
+    return src.mapInPandas(run, schema=f"{id_col} bigint, {out} array<string>")

@@ -782,3 +782,75 @@ def test_kmeans_assign_zero_exchange(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     cents = kmeans_fit(emb, k=4, iters=1)
     assert count_exchanges(kmeans_assign(emb, cents)) == 0
+
+
+# ------------------------------------------------------------------------ BPE
+
+
+def py_bpe_train(word_counts, num_merges, min_pair_count=2):
+    """pure-python reference BPE (Sennrich et al.): same tie rules."""
+    syms = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_reference(spark):
+    from dask_groupby_spark.operators.bpe import bpe_encode, bpe_train
+
+    texts = [
+        "low low low lower lower lowest",
+        "new newer newest new new",
+        "wide wider widest low new",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    wc = Counter(t for x in texts for t in x.split())
+    want_merges, want_syms = py_bpe_train(wc, num_merges=12)
+    got_merges = bpe_train(df, num_merges=12)
+    assert got_merges == want_merges
+
+    enc = {
+        r["doc_id"]: r["bpe_pieces"]
+        for r in bpe_encode(df, got_merges).collect()
+    }
+    for i, t in enumerate(texts):
+        want = [p for w in t.split() for p in want_syms[w]]
+        assert enc[i] == want
+
+
+def test_bpe_early_stop_and_encode_oov(spark):
+    from dask_groupby_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "ab ab cd")], "doc_id bigint, text string"
+    )
+    # only ('a','b') reaches min_pair_count=2; training stops early
+    merges = bpe_train(df, num_merges=50)
+    assert merges[0] == ("a", "b")
+    assert len(merges) < 50
+    # OOV word at encode time falls back to chars + learned merges
+    oov = spark.createDataFrame([(1, "abx")], "doc_id bigint, text string")
+    enc = bpe_encode(oov, merges).collect()[0]["bpe_pieces"]
+    assert enc[0] == "ab" and enc[-1] == "</w>"
