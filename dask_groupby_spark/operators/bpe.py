@@ -58,29 +58,43 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 100,
     min_pair_count: int = 2,
+    collect_threshold: int = 1_000_000,
 ) -> "list[tuple[str, str]]":
     """Learn ``num_merges`` BPE merges from the corpus.
 
-    ONE corpus pass builds the (word, count) table; each merge iteration
-    then runs entirely on that table: explode adjacent symbol pairs
-    weighted by word count (map-side), aggregate, collect the single best
-    pair (count DESC, pair ASC — deterministic ties), and rewrite the
-    symbol arrays map-side.  The iterative lineage is cut with an eager
-    ``localCheckpoint`` per round, the same driver-loop discipline as
-    ``duplicate_clusters``.  Stops early when no pair reaches
-    ``min_pair_count``.
+    ONE corpus pass builds the (word, count) table.  When that table has
+    ≤ ``collect_threshold`` distinct words it is COLLECTED and the merge
+    loop runs driver-local — the corpus-scale pass is the distributed
+    part; the table it produces is distinct-WORD-sized (millions, not the
+    corpus's trillions of tokens), and a 32k-merge production vocabulary
+    needs 32k rounds, which as Spark jobs cost ~0.1 s of scheduling
+    each.  This is how reference tokenizer trainers structure the work
+    too (aggregate once, iterate in memory).
+
+    Above the threshold (or with ``collect_threshold=0``) the loop runs
+    fully distributed: each merge is a map-side pair explode + aggregate
+    + single-row collect + map-side greedy rewrite, with an eager
+    ``localCheckpoint`` per round cutting the iterative lineage (the
+    ``duplicate_clusters`` discipline).  Both paths pick the best pair
+    by (count DESC, pair ASC) and stop early when no pair reaches
+    ``min_pair_count`` — identical merges, asserted in tests.
 
     Returns the merge list in order — the model artifact for
     :func:`bpe_encode` (persist it yourself; it is a plain python list).
     """
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1 (got {num_merges})")
-    words = (
+    counts = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(_chars(F.col("w")).alias("syms"), "cnt")
     )
+    if collect_threshold:
+        counts = counts.localCheckpoint(eager=True)
+        if counts.count() <= collect_threshold:
+            wc = {r["w"]: r["cnt"] for r in counts.collect()}
+            return _train_local(wc, num_merges, min_pair_count)
+    words = counts.select(_chars(F.col("w")).alias("syms"), "cnt")
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -160,3 +174,35 @@ def bpe_encode(
             yield pd.DataFrame({id_col: pdf[id_col], out: pieces})
 
     return src.mapInPandas(run, schema=f"{id_col} bigint, {out} array<string>")
+
+
+def _train_local(
+    word_counts: "dict[str, int]", num_merges: int, min_pair_count: int
+) -> "list[tuple[str, str]]":
+    """Driver-local merge loop over the collected (word, count) table —
+    bit-identical semantics to the distributed loop (same greedy rewrite,
+    same (count DESC, pair ASC) ties, same early stop)."""
+    syms = {w: list(w) + [EOW] for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges

@@ -854,3 +854,15 @@ def test_bpe_early_stop_and_encode_oov(spark):
     oov = spark.createDataFrame([(1, "abx")], "doc_id bigint, text string")
     enc = bpe_encode(oov, merges).collect()[0]["bpe_pieces"]
     assert enc[0] == "ab" and enc[-1] == "</w>"
+
+
+def test_bpe_local_and_distributed_paths_identical(spark):
+    from dask_groupby_spark.operators.bpe import bpe_train
+
+    texts = ["low low lower lowest", "new newer newest", "wide low new new"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    local = bpe_train(df, num_merges=10)  # word table tiny -> local path
+    distributed = bpe_train(df, num_merges=10, collect_threshold=0)
+    assert local == distributed and len(local) == 10
