@@ -2125,6 +2125,62 @@ def q_profile(spark, sf):
     return out.orderBy("column")
 
 
+def q_bivar(spark, sf):
+    """Grouped bivariate statistics (operators/stats.py
+    grouped_bivariate): pairwise n / Pearson corr / covariances / OLS fit
+    of extendedprice on the NaN-contaminated quantity, per return flag —
+    seven sufficient-statistic aggregates fused into ONE map-combined
+    aggregate (single Exchange).  The NaN rows exercise pairwise
+    deletion; rounding granularities sit ≥3 decades above the
+    engine-noise floor of each statistic's magnitude."""
+    from dask_groupby_spark.operators import grouped_bivariate
+
+    out = grouped_bivariate(_li(spark, sf), "l_returnflag", "v", "l_extendedprice")
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("corr", 6).alias("corr"),
+        F.round("covar_samp", 2).alias("covar_samp"),
+        F.round("covar_pop", 2).alias("covar_pop"),
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 8).alias("r2"),
+    )
+
+
+def q_spearman(spark, sf):
+    """Grouped Spearman rank correlation (operators/stats.py
+    grouped_spearman): average-tie fractional ranks from rank() + a
+    per-(group,value) count — both windows and the final corr share ONE
+    Exchange on the group key."""
+    from dask_groupby_spark.operators import grouped_spearman
+
+    out = grouped_spearman(_li(spark, sf), "l_returnflag", "v", "l_extendedprice")
+    return out.select(
+        "l_returnflag", "n", F.round("spearman", 6).alias("spearman")
+    )
+
+
+def q_psi(spark, sf):
+    """Population Stability Index (operators/stats.py
+    population_stability): drift of events.value between the first and
+    second half of the January timeline over fixed breaks — each
+    snapshot collapses to ≤6 bin rows via one map-combined count, so
+    everything after the two scans is bounded."""
+    from dask_groupby_spark.operators import population_stability
+
+    ev = load_table(spark, sf, "events")
+    ref = ev.where(F.dayofmonth("ts") <= 15)
+    cur = ev.where(F.dayofmonth("ts") > 15)
+    out = population_stability(ref, cur, "value", [10.0, 20.0, 35.0, 60.0, 100.0])
+    return out.select(
+        "bin",
+        F.round("ref_frac", 6).alias("ref_frac"),
+        F.round("cur_frac", 6).alias("cur_frac"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2227,13 +2283,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # SIX late-r5 keys sit just outside the window by explicit choice —
-    # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile.
+    # NINE late-r5 keys sit just outside the window by explicit choice —
+    # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
+    # bivar, spearman, psi.
     # All six are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL SIX into the
+    # outranks first official rows for these — ROTATE ALL NINE into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2241,6 +2298,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_stats": q_skew_stats,
     "ngram_counts": q_ngram_counts,
     "profile": q_profile,
+    # --- r5 continuation session (also parked for the r6 rotation) ---
+    "bivar": q_bivar,
+    "spearman": q_spearman,
+    "psi": q_psi,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

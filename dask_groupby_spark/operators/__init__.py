@@ -34,6 +34,7 @@ from .curate import PII_PATTERNS, redact_pii
 from .profile import table_profile
 from .selection import key_skew_stats
 from .joins import salted_join
+from .stats import grouped_bivariate, grouped_spearman, population_stability
 from .sketches import (
     cms_estimate,
     cms_sketch_table,
@@ -86,6 +87,9 @@ __all__ = [
     "bpe_train",
     "bpe_encode",
     "salted_join",
+    "grouped_bivariate",
+    "grouped_spearman",
+    "population_stability",
     "key_skew_stats",
     "table_profile",
     "cms_sketch_table",

@@ -1,0 +1,199 @@
+"""Grouped bivariate statistics and distribution-drift scoring.
+
+No flox counterpart (its reductions are all univariate — SURVEY.md §2.1);
+this is Spark-native surface in the training-pipeline family: feature
+correlation / linear-fit per group for data-card QA, and Population
+Stability Index (PSI) for detecting drift between two corpus snapshots
+(e.g. last month's crawl vs this month's) before a retrain.
+
+Everything here is pure Column expressions over built-in JVM aggregates
+(``corr`` / ``covar_*`` / ``regr_*`` are Catalyst ImperativeAggregates
+with map-side partial merge), so the plans are the same
+partial-agg → Exchange(by) → final-agg shape as every reduction in
+``aggregations.py`` — one shuffle of group-level sufficient statistics,
+no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "grouped_bivariate",
+    "grouped_spearman",
+    "population_stability",
+]
+
+
+def _safe_corr(x: Column, y: Column) -> Column:
+    """Pearson correlation that returns NULL for degenerate groups
+    (n < 2 or zero variance) instead of raising: Spark 4's ANSI mode
+    makes the built-in ``corr`` throw DIVIDE_BY_ZERO there (unlike the
+    ``regr_*`` family, which nulls).  ``covar_pop / (σx · σy)`` under
+    ``try_divide`` is algebraically identical, uses the same
+    Welford-merge ImperativeAggregates (so partial aggregation and the
+    single-Exchange plan are unchanged), and matches DuckDB's NULL."""
+    return F.try_divide(
+        F.covar_pop(x, y), F.stddev_pop(x) * F.stddev_pop(y)
+    )
+
+
+def _clean(c: str) -> Column:
+    """NULL out NaN so the pairwise-deletion semantics of corr/covar
+    (skip a row when EITHER side is missing) treat NaN as missing —
+    matching numpy's nan* family and DuckDB (whose doubles from parquet
+    carry NULL, not NaN, for missing)."""
+    col = F.col(c)
+    return F.when(~F.isnan(col.cast("double")), col.cast("double"))
+
+
+def grouped_bivariate(
+    df: DataFrame,
+    by: str | Sequence[str],
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-group bivariate summary of ``(x, y)``: pairwise count,
+    Pearson correlation, sample/population covariance, and the OLS fit
+    of ``y`` on ``x`` (slope, intercept, r²).
+
+    One fused aggregate — all seven statistics share the scan and a
+    single Exchange on ``by`` (each is a sufficient-statistics
+    aggregate: n, Σx, Σy, Σxx, Σyy, Σxy — Catalyst merges the partials
+    map-side, so the shuffle carries one small state row per group per
+    map partition regardless of data size).
+
+    Rows where either side is NULL **or NaN** are excluded (pairwise
+    deletion, numpy ``nan*`` semantics).  Groups with fewer than two
+    complete pairs yield NULL corr/slope (zero variance ⇒ undefined),
+    matching both Spark's and DuckDB's built-ins.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    cx, cy = _clean(x), _clean(y)
+    # null either side when the other is missing => every aggregate sees
+    # exactly the complete-pair subset (corr/covar/regr already do
+    # pairwise deletion internally, but regr_count counts (y,x) pairs —
+    # make the contract explicit and uniform).
+    both = cx.isNotNull() & cy.isNotNull()
+    px = F.when(both, cx)
+    py = F.when(both, cy)
+    return df.groupBy(*keys).agg(
+        F.count(px).alias("n"),
+        _safe_corr(px, py).alias("corr"),
+        F.covar_samp(px, py).alias("covar_samp"),
+        F.covar_pop(px, py).alias("covar_pop"),
+        F.regr_slope(py, px).alias("slope"),
+        F.regr_intercept(py, px).alias("intercept"),
+        F.regr_r2(py, px).alias("r2"),
+    )
+
+
+def grouped_spearman(
+    df: DataFrame,
+    by: str | Sequence[str],
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation of ``(x, y)`` — the
+    robust-to-outliers / monotonic-association companion to
+    :func:`grouped_bivariate` (heavy-tailed quality scores and doc
+    lengths make Pearson nearly useless on web corpora).
+
+    Ties get average (fractional) ranks — scipy ``spearmanr`` semantics:
+    ``avg_rank = min_rank + (|ties| - 1) / 2``, built from ``rank()``
+    plus a per-(group, value) count.  Both rank transforms partition the
+    windows by ``by``, so Catalyst plans ONE Exchange on the group keys
+    and re-sorts within partitions for each ordering — no extra shuffle
+    vs Pearson, just two in-partition sorts, then the same fused
+    ``corr`` aggregate (which needs no further Exchange: the data is
+    already partitioned by ``by``).
+
+    Rows where either side is NULL/NaN are excluded BEFORE ranking
+    (pairwise deletion on the complete-pair subset, as scipy does).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    cx, cy = _clean(x), _clean(y)
+    ranked = df.select(*keys, cx.alias("__x"), cy.alias("__y")).where(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    for c in ("__x", "__y"):
+        wr = Window.partitionBy(*keys).orderBy(c)
+        wt = Window.partitionBy(*keys, c)
+        ranked = ranked.withColumn(
+            f"{c}r",
+            F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0,
+        )
+    return ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        _safe_corr(F.col("__xr"), F.col("__yr")).alias("spearman"),
+    )
+
+
+def _bin_index(col: Column, breaks: Sequence[float]) -> Column:
+    """0-based bin index for explicit interior ``breaks``: values below
+    ``breaks[0]`` → 0, ≥ ``breaks[-1]`` → ``len(breaks)`` (left-closed
+    bins, under/overflow kept as the edge bins — a drift score must see
+    mass ESCAPING the historical range, so PSI never drops rows the way
+    histogram binning does)."""
+    idx: Column = F.lit(0)
+    for b in breaks:
+        idx = idx + (col >= F.lit(float(b))).cast("int")
+    return idx
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    breaks: Sequence[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current snapshot of ``col``, over explicit bin ``breaks``: one row
+    per bin ``(bin, ref_frac, cur_frac, psi_term)`` with
+    ``psi_term = (p - q) · ln(p / q)`` (``p``/``q`` = eps-smoothed
+    fractions).  ``PSI = Σ psi_term``; the conventional reading is
+    < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 retrain.
+
+    Scale shape: each snapshot collapses to ≤ ``len(breaks)+1`` rows via
+    one map-combined count aggregate (binning is a pure projection, so
+    the scan-side work is a single pass each); the normalising totals
+    and the ref⊔cur alignment then run on those tiny bin tables — an
+    unpartitioned window over ≤ a few hundred rows and a broadcast-sized
+    outer join.  Nothing downstream of the two scans depends on data
+    size.  NULL/NaN rows are excluded on both sides (they are a
+    *different* drift signal — track them with :func:`table_profile`).
+
+    ``breaks`` should come from the REFERENCE distribution (e.g. its
+    deciles via ``approx_quantile``) so the expected fractions are
+    ~uniform; the function takes them explicitly to keep the two scans
+    independent and the oracle deterministic.
+    """
+    if not breaks:
+        raise ValueError("breaks must be non-empty")
+    bs = [float(b) for b in breaks]
+    if bs != sorted(bs):
+        raise ValueError("breaks must be ascending")
+
+    def _bins(df: DataFrame, out: str) -> DataFrame:
+        c = _clean(col)
+        binned = df.select(_bin_index(c, bs).alias("bin")).where(
+            c.isNotNull()
+        )
+        counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+        # unpartitioned window over <= len(breaks)+1 rows — bounded
+        total = F.sum("cnt").over(Window.partitionBy())
+        return counts.select("bin", (F.col("cnt") / total).alias(out))
+
+    p, q = _bins(ref, "ref_frac"), _bins(cur, "cur_frac")
+    joined = p.join(q, "bin", "full").select(
+        "bin",
+        F.coalesce("ref_frac", F.lit(0.0)).alias("ref_frac"),
+        F.coalesce("cur_frac", F.lit(0.0)).alias("cur_frac"),
+    )
+    ps = F.greatest(F.col("ref_frac"), F.lit(float(eps)))
+    qs = F.greatest(F.col("cur_frac"), F.lit(float(eps)))
+    return joined.withColumn("psi_term", (ps - qs) * F.log(ps / qs))

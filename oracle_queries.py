@@ -1596,3 +1596,69 @@ ORACLE_SQL["profile"] = "\nUNION ALL\n".join(
     f"min({c})::VARCHAR AS min, max({c})::VARCHAR AS max FROM lineitem"
     for c in _PROFILE_COLS
 ) + "\nORDER BY \"column\""
+
+# bivar / spearman: pairwise-complete (x=NaN-contaminated quantity via _LI's
+# t.v nulled, y=extendedprice) — must match operators/stats.py semantics:
+# NaN => NULL, pairwise deletion, NULL for degenerate groups.
+_BIVAR_PAIRS = f"""{_LI}
+, bp AS (
+  SELECT l_returnflag,
+         CASE WHEN isnan(v) THEN NULL ELSE v END AS x,
+         l_extendedprice AS y
+  FROM t
+)"""
+
+ORACLE_SQL["bivar"] = f"""{_BIVAR_PAIRS}
+SELECT l_returnflag,
+       count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)::BIGINT AS n,
+       round(corr(x, y), 6)                 AS corr,
+       round(covar_samp(x, y), 2)           AS covar_samp,
+       round(covar_pop(x, y), 2)            AS covar_pop,
+       round(regr_slope(y, x), 4)           AS slope,
+       round(regr_intercept(y, x), 2)       AS intercept,
+       round(regr_r2(y, x), 8)              AS r2
+FROM bp GROUP BY l_returnflag"""
+
+# average (fractional) ranks: rank() gives the min rank of a tie run;
+# avg = min + (|ties|-1)/2 — identical to stats.py grouped_spearman.
+ORACLE_SQL["spearman"] = f"""{_BIVAR_PAIRS}
+, cp AS (SELECT l_returnflag, x, y FROM bp
+         WHERE x IS NOT NULL AND y IS NOT NULL),
+rk AS (
+  SELECT l_returnflag,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+           + (count(*) OVER (PARTITION BY l_returnflag, x) - 1) / 2.0 AS xr,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+           + (count(*) OVER (PARTITION BY l_returnflag, y) - 1) / 2.0 AS yr
+  FROM cp
+)
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(corr(xr, yr), 6) AS spearman
+FROM rk GROUP BY l_returnflag"""
+
+# psi: first vs second half of the events month, fixed interior breaks
+# [10,20,35,60,100]; bin = sum of (x >= break) indicators, eps=1e-6
+# smoothing — mirrors operators/stats.py population_stability.
+_PSI_BIN = ("CAST((x >= 10.0)::INT + (x >= 20.0)::INT + (x >= 35.0)::INT"
+            " + (x >= 60.0)::INT + (x >= 100.0)::INT AS INTEGER)")
+ORACLE_SQL["psi"] = f"""
+WITH e AS (
+  SELECT date_part('day', ts) AS d, value AS x FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+rb AS (SELECT {_PSI_BIN} AS bin, count(*) AS cnt FROM e WHERE d <= 15 GROUP BY 1),
+cb AS (SELECT {_PSI_BIN} AS bin, count(*) AS cnt FROM e WHERE d > 15 GROUP BY 1),
+rf AS (SELECT bin, cnt / (SELECT sum(cnt) FROM rb) AS ref_frac FROM rb),
+cf AS (SELECT bin, cnt / (SELECT sum(cnt) FROM cb) AS cur_frac FROM cb),
+j AS (
+  SELECT COALESCE(rf.bin, cf.bin) AS bin,
+         COALESCE(ref_frac, 0.0) AS ref_frac,
+         COALESCE(cur_frac, 0.0) AS cur_frac
+  FROM rf FULL JOIN cf ON rf.bin = cf.bin
+)
+SELECT bin,
+       round(ref_frac, 6) AS ref_frac,
+       round(cur_frac, 6) AS cur_frac,
+       round((greatest(ref_frac, 1e-6) - greatest(cur_frac, 1e-6))
+             * ln(greatest(ref_frac, 1e-6) / greatest(cur_frac, 1e-6)), 6) AS psi_term
+FROM j"""

@@ -1,0 +1,207 @@
+"""Bivariate statistics + PSI drift (operators/stats.py): differential
+tests against numpy / pandas-rank references, semantics edge cases, and
+plan shape."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark.operators import (
+    grouped_bivariate,
+    grouped_spearman,
+    population_stability,
+)
+
+NAN = float("nan")
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    rng = np.random.default_rng(7)
+    n = 400
+    g = rng.integers(0, 4, n)
+    x = rng.normal(size=n) * (g + 1)
+    y = 2.0 * x + rng.normal(size=n) + g
+    rows = []
+    for i in range(n):
+        xv = None if i % 17 == 0 else float(x[i])
+        yv = NAN if i % 23 == 0 else float(y[i])
+        rows.append((int(g[i]), xv, yv))
+    return spark.createDataFrame(rows, "g int, x double, y double"), rows
+
+
+def _complete_pairs(rows, g):
+    xs, ys = [], []
+    for gg, xv, yv in rows:
+        if gg != g or xv is None or yv is None:
+            continue
+        if isinstance(xv, float) and math.isnan(xv):
+            continue
+        if isinstance(yv, float) and math.isnan(yv):
+            continue
+        xs.append(xv)
+        ys.append(yv)
+    return np.array(xs), np.array(ys)
+
+
+def test_bivariate_vs_numpy(xy):
+    df, rows = xy
+    got = {r["g"]: r for r in grouped_bivariate(df, "g", "x", "y").collect()}
+    for g in range(4):
+        xs, ys = _complete_pairs(rows, g)
+        r = got[g]
+        assert r["n"] == len(xs)
+        assert r["corr"] == pytest.approx(np.corrcoef(xs, ys)[0, 1], rel=1e-9)
+        assert r["covar_samp"] == pytest.approx(np.cov(xs, ys, ddof=1)[0, 1], rel=1e-9)
+        assert r["covar_pop"] == pytest.approx(np.cov(xs, ys, ddof=0)[0, 1], rel=1e-9)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert r["slope"] == pytest.approx(slope, rel=1e-7)
+        assert r["intercept"] == pytest.approx(intercept, rel=1e-7)
+        # r2 for simple OLS == corr^2
+        assert r["r2"] == pytest.approx(np.corrcoef(xs, ys)[0, 1] ** 2, rel=1e-7)
+
+
+def test_bivariate_degenerate_groups(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 1.0, 2.0),          # single pair -> corr/slope NULL
+            (1, 3.0, 1.0), (1, 3.0, 5.0),   # zero x-variance -> NULL slope/corr
+            (2, None, 1.0), (2, 2.0, NAN),  # no complete pairs -> n=0
+        ],
+        "g int, x double, y double",
+    )
+    got = {r["g"]: r for r in grouped_bivariate(df, "g", "x", "y").collect()}
+    assert got[0]["n"] == 1 and got[0]["corr"] is None and got[0]["slope"] is None
+    assert got[1]["n"] == 2 and got[1]["slope"] is None
+    assert got[2]["n"] == 0 and got[2]["corr"] is None
+
+
+def test_bivariate_multi_key(xy):
+    df, _ = xy
+    two = df.withColumn("h", (F.col("g") % 2))
+    out = grouped_bivariate(two, ["g", "h"], "x", "y")
+    assert set(out.columns) == {"g", "h", "n", "corr", "covar_samp", "covar_pop", "slope", "intercept", "r2"}
+    assert out.count() == 4
+
+
+def test_spearman_vs_pandas(xy):
+    df, rows = xy
+    got = {r["g"]: r for r in grouped_spearman(df, "g", "x", "y").collect()}
+    for g in range(4):
+        xs, ys = _complete_pairs(rows, g)
+        rx = pd.Series(xs).rank(method="average")
+        ry = pd.Series(ys).rank(method="average")
+        ref = np.corrcoef(rx, ry)[0, 1]
+        assert got[g]["n"] == len(xs)
+        assert got[g]["spearman"] == pytest.approx(ref, rel=1e-9)
+
+
+def test_spearman_ties(spark):
+    # heavy ties: average ranks must match pandas method="average"
+    rows = [(0, float(i % 3), float((i * 7) % 5)) for i in range(30)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    got = grouped_spearman(df, "g", "x", "y").collect()[0]
+    rx = pd.Series([r[1] for r in rows]).rank(method="average")
+    ry = pd.Series([r[2] for r in rows]).rank(method="average")
+    assert got["spearman"] == pytest.approx(np.corrcoef(rx, ry)[0, 1], rel=1e-9)
+
+
+def test_spearman_monotone_is_one(spark):
+    rows = [(0, float(i), math.exp(i / 3.0)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    got = grouped_spearman(df, "g", "x", "y").collect()[0]
+    assert got["spearman"] == pytest.approx(1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------- PSI
+
+
+def _psi_ref(ref_vals, cur_vals, breaks, eps=1e-6):
+    nb = len(breaks) + 1
+    def fracs(vals):
+        cnt = np.zeros(nb)
+        for v in vals:
+            cnt[np.searchsorted(breaks, v, side="right")] += 1
+        return cnt / cnt.sum()
+    p, q = fracs(ref_vals), fracs(cur_vals)
+    p, q = np.maximum(p, eps), np.maximum(q, eps)
+    return ((p - q) * np.log(p / q)), p, q
+
+
+def test_psi_matches_reference(spark):
+    rng = np.random.default_rng(3)
+    ref_vals = rng.normal(0, 1, 500)
+    cur_vals = rng.normal(0.5, 1.3, 400)
+    breaks = [-1.0, -0.3, 0.0, 0.3, 1.0]
+    ref = spark.createDataFrame([(float(v),) for v in ref_vals], "x double")
+    cur = spark.createDataFrame([(float(v),) for v in cur_vals], "x double")
+    out = population_stability(ref, cur, "x", breaks).collect()
+    terms, p, q = _psi_ref(ref_vals, cur_vals, breaks)
+    got = {r["bin"]: r for r in out}
+    for b in range(len(breaks) + 1):
+        assert got[b]["ref_frac"] == pytest.approx(p[b] if p[b] > 1e-6 else got[b]["ref_frac"], rel=1e-9)
+        assert got[b]["psi_term"] == pytest.approx(terms[b], rel=1e-9)
+    total = sum(r["psi_term"] for r in out)
+    assert total == pytest.approx(float(terms.sum()), rel=1e-9)
+    assert total > 0.1  # a real shift registers
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    vals = [(float(i % 10),) for i in range(200)]
+    df = spark.createDataFrame(vals, "x double")
+    out = population_stability(df, df, "x", [2.0, 5.0, 8.0]).collect()
+    assert sum(abs(r["psi_term"]) for r in out) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_psi_disjoint_bins_and_missing(spark):
+    # ref only in low bin, cur only in high bin; NULL/NaN dropped
+    ref = spark.createDataFrame([(0.0,), (0.5,), (None,)], "x double")
+    cur = spark.createDataFrame([(9.0,), (NAN,)], "x double")
+    out = {r["bin"]: r for r in population_stability(ref, cur, "x", [5.0]).collect()}
+    assert out[0]["ref_frac"] == 1.0 and out[0]["cur_frac"] == 0.0
+    assert out[1]["ref_frac"] == 0.0 and out[1]["cur_frac"] == 1.0
+    # (1 - eps) * ln((1)/(eps)) each side, symmetric
+    assert out[0]["psi_term"] == pytest.approx(out[1]["psi_term"], rel=1e-12)
+    assert out[0]["psi_term"] > 10  # massive drift
+
+
+def test_psi_validates_breaks(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        population_stability(df, df, "x", [])
+    with pytest.raises(ValueError):
+        population_stability(df, df, "x", [2.0, 1.0])
+
+
+# ---------------------------------------------------------------- plans
+
+
+def test_bivariate_single_exchange(spark):
+    from dask_groupby_spark.plans import count_exchanges, physical_plan
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"),
+        F.rand(1).alias("x"),
+        F.rand(2).alias("y"),
+    )
+    out = grouped_bivariate(df, "g", "x", "y")
+    assert count_exchanges(out) == 1, physical_plan(out)
+    plan = physical_plan(out)
+    assert "partial" in plan.lower(), plan  # map-side combine of the state rows
+
+
+def test_spearman_single_exchange(spark):
+    from dask_groupby_spark.plans import count_exchanges, physical_plan
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"),
+        F.rand(1).alias("x"),
+        F.rand(2).alias("y"),
+    )
+    out = grouped_spearman(df, "g", "x", "y")
+    # windows + final agg all share the partitioning on g: ONE Exchange
+    assert count_exchanges(out) == 1, physical_plan(out)
