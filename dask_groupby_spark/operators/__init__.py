@@ -6,6 +6,7 @@ sides, no driver-side loops).
 """
 
 from .dedup import (
+    dedup_paragraphs,
     duplicate_clusters,
     exact_duplicates,
     lsh_candidate_pairs,
@@ -54,6 +55,7 @@ from .text import (
 from .vocab import build_vocab, encode_tokens, encode_tokens_flat
 
 __all__ = [
+    "dedup_paragraphs",
     "duplicate_clusters",
     "exact_duplicates",
     "minhash_signatures",

@@ -857,3 +857,88 @@ def near_duplicates_against_index(
         .where(F.col("est_jaccard") >= threshold)
         .select("new_id", "index_id", "n_shared_bands", "est_jaccard")
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 0,
+    normalize: bool = False,
+    count_cols: bool = False,
+) -> DataFrame:
+    """CROSS-document paragraph dedup with document reconstruction — the
+    corpus-wide "keep the first occurrence of every paragraph" cleaning
+    step (C4 / RefinedWeb style: a cookie banner or licence block pasted
+    into a million pages survives in exactly ONE document).  The
+    intra-document variant is
+    :func:`~dask_groupby_spark.operators.text.remove_repeated_segments`;
+    span-level (substring) dedup is :func:`remove_duplicate_spans`.
+
+    Semantics: split each document on ``sep``; a paragraph occurrence is
+    kept iff it is the globally FIRST occurrence of that paragraph text
+    under the total order ``(id, position)``, or shorter than
+    ``min_len`` characters (structural separators are never deduped);
+    surviving paragraphs rejoin in original order.  Documents losing all
+    paragraphs come back as ``''`` (they are kept as rows — dropping is
+    the caller's policy, e.g. ``length(text) > 0``).
+    ``normalize=True`` fingerprints on the whitespace-collapsed
+    lowercase form (near-boilerplate with spacing jitter still dedups)
+    while the KEPT text stays verbatim.
+
+    Plan shape (two Exchanges, both on narrow-ish rows): posexplode is
+    map-side; the first-occurrence decision is ONE window over
+    ``partitionBy(fingerprint)`` ordered by ``(id, pos)`` — each
+    paragraph's candidate set shuffles together, state per fingerprint
+    is one row; reassembly is ONE ``groupBy(id)`` with a map-combined
+    ``collect_list`` of ``(pos, seg)`` structs, sorted and joined
+    in-expression.  Nothing collects to the driver; the hot-key analog
+    (a paragraph duplicated 10⁸×) costs a single window partition of
+    narrow rows — sort-based, spillable — not a pair blow-up, because
+    the decision is rank-1, never pairwise.
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    other = [c for c in df.columns if c not in (id_col, text_col)]
+    segs = F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+    rows = df.select(F.col(id_col).alias("__id"), segs.alias("__pos", "__seg"))
+    fp = F.lower(F.regexp_replace(F.trim(F.col("__seg")), r"\s+", " ")) if normalize else F.col("__seg")
+    rows = rows.withColumn("__fp", portable_hash(fp))
+    w = Window.partitionBy("__fp").orderBy("__id", "__pos")
+    flagged = rows.withColumn(
+        "__keep",
+        (F.length("__seg") < F.lit(min_len))
+        | (F.row_number().over(w) == 1),
+    )
+    rebuilt = (
+        flagged.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("seg_n_before"),
+            F.sum(F.col("__keep").cast("int")).alias("seg_n_after"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__keep"), F.struct("__pos", "__seg"))
+                )
+            ).alias("__kept"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "seg_n_before",
+            "seg_n_after",
+            F.array_join(F.transform("__kept", lambda s: s["__seg"]), sep).alias(
+                text_col
+            ),
+        )
+    )
+    if other:
+        # re-attach passthrough columns (id join — co-partitioned sizes)
+        rebuilt = df.drop(text_col).join(rebuilt, on=id_col)
+        rebuilt = rebuilt.select(
+            id_col, *other, "seg_n_before", "seg_n_after", text_col
+        )
+    if not count_cols:
+        rebuilt = rebuilt.drop("seg_n_before", "seg_n_after")
+    return rebuilt

@@ -1662,3 +1662,29 @@ SELECT bin,
        round((greatest(ref_frac, 1e-6) - greatest(cur_frac, 1e-6))
              * ln(greatest(ref_frac, 1e-6) / greatest(cur_frac, 1e-6)), 6) AS psi_term
 FROM j"""
+
+# para_dedup: cross-document paragraph dedup + reconstruction — must match
+# operators/dedup.py dedup_paragraphs: global first occurrence under
+# (doc_id, pos) wins, survivors rejoin in original order.
+ORACLE_SQL["para_dedup"] = """
+WITH d2 AS (
+  SELECT doc_id,
+         'NAVBAR HOME ABOUT CONTACT' || chr(10) || text || chr(10)
+           || substr(text, 1, 40) AS text
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, i AS pos, l[i] AS seg
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM d2),
+       unnest(range(1, len(l)+1)) AS t(i)
+),
+fl AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM sp
+)
+SELECT doc_id, count(*)::BIGINT AS seg_n_before,
+       count(CASE WHEN rn = 1 THEN 1 END)::BIGINT AS seg_n_after,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+                               chr(10) ORDER BY pos), '')) AS text_md5
+FROM fl GROUP BY doc_id"""

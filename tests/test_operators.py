@@ -1150,3 +1150,78 @@ def test_video_phash_shared_frames(spark):
     assert pairs[(1, 4)] == 8          # exact clone: all frames shared
     assert pairs.get((1, 2), 0) >= 2   # half-overlap passes the threshold
     assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+# ---------------------------------------------------------- dedup_paragraphs
+
+
+class TestDedupParagraphs:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "COOKIE\nalpha beta\ngamma", "s1"),
+                (2, "COOKIE\ndelta\nalpha beta", "s2"),
+                (3, "epsilon\nCOOKIE\nzz", "s3"),
+            ],
+            "doc_id bigint, text string, src string",
+        )
+
+    def test_global_first_occurrence_wins(self, spark):
+        from dask_groupby_spark.operators import dedup_paragraphs
+
+        out = {
+            r["doc_id"]: r
+            for r in dedup_paragraphs(self._df(spark), count_cols=True).collect()
+        }
+        assert out[1]["text"] == "COOKIE\nalpha beta\ngamma"
+        assert out[2]["text"] == "delta"  # COOKIE + alpha beta seen earlier
+        assert out[3]["text"] == "epsilon\nzz"
+        assert out[2]["seg_n_before"] == 3 and out[2]["seg_n_after"] == 1
+        # passthrough column survives
+        assert out[3]["src"] == "s3"
+
+    def test_doc_emptied_entirely_stays_as_row(self, spark):
+        from dask_groupby_spark.operators import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [(1, "a\nb"), (2, "a\nb")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+        assert out[1] == "a\nb" and out[2] == ""
+
+    def test_normalize_fingerprints_but_keeps_verbatim(self, spark):
+        from dask_groupby_spark.operators import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [(1, "A  B\nx"), (2, "a b\ny")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df, normalize=True).collect()}
+        assert out[1] == "A  B\nx" and out[2] == "y"
+
+    def test_min_len_segments_never_deduped(self, spark):
+        from dask_groupby_spark.operators import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [(1, "xx\nLONGPARA"), (2, "xx\nLONGPARA")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df, min_len=3).collect()}
+        assert out[1] == "xx\nLONGPARA" and out[2] == "xx"
+
+    def test_two_exchanges(self, spark):
+        from dask_groupby_spark.operators import dedup_paragraphs
+        from dask_groupby_spark.plans import count_exchanges
+
+        df = spark.createDataFrame([(1, "a\nb")], "doc_id bigint, text string")
+        assert count_exchanges(dedup_paragraphs(df)) == 2
+
+    def test_hot_paragraph_is_rank_not_pairwise(self, spark):
+        from dask_groupby_spark.operators import dedup_paragraphs
+
+        # one paragraph duplicated across 300 docs: output must keep it in
+        # exactly the smallest doc_id — linear work, no pair enumeration
+        rows = [(i, f"BOILER\nunique {i}") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = dedup_paragraphs(df).collect()
+        keep = [r["doc_id"] for r in out if "BOILER" in r["text"]]
+        assert keep == [0]
+        assert all("unique" in r["text"] for r in out)
