@@ -2211,6 +2211,28 @@ def q_para_dedup(spark, sf):
     )
 
 
+def q_bloom_join(spark, sf):
+    """Bloom-prefiltered exact semi join (operators/joins.py
+    bloom_semi_join): lineitem rows whose order is a high-value order —
+    the key-side bitmap broadcasts (the big side NEVER shuffles during
+    the prefilter), then the exact semi join removes the ~0.01% false
+    positives, so the result equals a plain SEMI JOIN bit-for-bit.
+    Aggregated to cents (exact integer sums) for the contract."""
+    from dask_groupby_spark.operators import bloom_semi_join
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_totalprice") > 150000
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    hits = bloom_semi_join(li, orders, "l_orderkey", num_bits=1 << 18)
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2313,14 +2335,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # TEN late-r5 keys sit just outside the window by explicit choice —
+    # ELEVEN late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
-    # bivar, spearman, psi, para_dedup.
+    # bivar, spearman, psi, para_dedup, bloom_join.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL TEN into the
+    # outranks first official rows for these — ROTATE ALL ELEVEN into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2333,6 +2355,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman": q_spearman,
     "psi": q_psi,
     "para_dedup": q_para_dedup,
+    "bloom_join": q_bloom_join,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

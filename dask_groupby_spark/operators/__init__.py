@@ -34,7 +34,7 @@ from .bpe import bpe_encode, bpe_train
 from .curate import PII_PATTERNS, redact_pii
 from .profile import table_profile
 from .selection import key_skew_stats
-from .joins import salted_join
+from .joins import bloom_bits_table, bloom_prefilter, bloom_semi_join, salted_join
 from .stats import grouped_bivariate, grouped_spearman, population_stability
 from .sketches import (
     cms_estimate,
@@ -89,6 +89,9 @@ __all__ = [
     "bpe_train",
     "bpe_encode",
     "salted_join",
+    "bloom_bits_table",
+    "bloom_prefilter",
+    "bloom_semi_join",
     "grouped_bivariate",
     "grouped_spearman",
     "population_stability",

@@ -300,3 +300,113 @@ def salted_join(
         )
     out = lsalted.join(rsalted, on=keys + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def bloom_bits_table(
+    keys: DataFrame,
+    on: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Distributed Bloom filter over ``keys[on]`` as a ``(word, bits)``
+    table: each key sets ``num_hashes`` bit positions
+    (``pmod(xxhash64(key, seed_i), m)``), positions pack into 64-bit
+    words via a map-combined ``bit_or`` — the result is ≤ ``m/64`` rows
+    (2⁲³ bits → 128 Ki rows ≈ 1 MiB) REGARDLESS of key count, which is
+    the whole point: a 100 M-row key set that could never broadcast
+    collapses to a broadcastable bitmap.
+
+    The table never touches the driver — downstream consumers broadcast
+    it with Spark's own mechanism (:func:`bloom_prefilter`).  Persist it
+    with ``save_table`` to reuse across jobs (bitmaps OR together, so
+    incremental key batches union by re-aggregating ``bit_or``).
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    k = keys.select(F.col(on).alias("__k")).where(F.col("__k").isNotNull())
+    pos = [
+        F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)
+    ]
+    exploded = k.select(
+        F.explode(F.array(*pos)).alias("__pos")
+    ).select(
+        F.shiftright("__pos", 6).alias("word"),
+        # pyspark's shiftleft() only accepts a literal int shift — go
+        # through call_function for a per-row (column) shift amount
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("bigint"),
+            F.col("__pos").bitwiseAND(F.lit(63)).cast("int"),
+        ).alias("__bit"),
+    )
+    return exploded.groupBy("word").agg(F.bit_or("__bit").alias("bits"))
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    bits: DataFrame,
+    on: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Keep the rows of ``df`` whose ``on`` key PROBABLY appears in the
+    Bloom ``bits`` table (from :func:`bloom_bits_table` with the SAME
+    ``num_bits``/``num_hashes``) — a superset of the true matches with
+    false-positive rate ≈ ``(1 - e^(-kn/m))^k``, zero false negatives.
+
+    Map-side only from ``df``'s perspective: ``num_hashes`` broadcast
+    hash joins against the ≤ m/64-row bitmap (aliased per hash seed), so
+    the big side NEVER shuffles — this is the 100 TB shuffle-killer: cut
+    a fact table to the ~matching fraction BEFORE the exact join's
+    Exchange.  NULL keys never match (semi-join semantics).
+    """
+    out = df.where(F.col(on).isNotNull())
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(num_bits))
+        w = F.shiftright(pos, 6)
+        b = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), pos.bitwiseAND(F.lit(63)).cast("int")
+        )
+        bt = F.broadcast(
+            bits.select(F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}"))
+        )
+        out = (
+            out.withColumn(f"__w{i}", w)
+            .join(bt, on=f"__w{i}", how="inner")
+            .where(F.col(f"__b{i}").bitwiseAND(b) != 0)
+            .drop(f"__w{i}", f"__b{i}")
+        )
+    return out
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """EXACT semi join of ``big`` against ``small``'s keys, with a Bloom
+    prefilter cutting the big side map-side first.  Use when ``small``'s
+    key set is too large to broadcast (the broadcast-join regime needs no
+    Bloom) but its BITMAP is not: the prefilter drops the non-matching
+    bulk of ``big`` before the exact semi join's Exchange, so the shuffle
+    carries ~|matches| + fpp·|big| rows instead of |big|.
+
+    ``exact=False`` skips the verification join and returns the
+    prefiltered superset (acceptable when downstream tolerates the fpp,
+    e.g. candidate generation).
+    """
+    # persist: each of the num_hashes broadcast exchanges in the
+    # prefilter re-evaluates its input — cached, the key-side scan and
+    # bitmap aggregation run once (the bitmap is <= m/64 rows, MB-sized)
+    bits = bloom_bits_table(small, on, num_bits, num_hashes).persist()
+    cand = bloom_prefilter(big, bits, on, num_bits, num_hashes)
+    if not exact:
+        return cand
+    return cand.join(
+        small.select(F.col(on)).distinct(), on=on, how="leftsemi"
+    )

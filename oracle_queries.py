@@ -1688,3 +1688,12 @@ SELECT doc_id, count(*)::BIGINT AS seg_n_before,
        md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
                                chr(10) ORDER BY pos), '')) AS text_md5
 FROM fl GROUP BY doc_id"""
+
+# bloom_join: Bloom prefilter + exact semi join == plain semi join; sums in
+# exact integer cents so both engines agree bit-for-bit.
+ORACLE_SQL["bloom_join"] = """
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+GROUP BY l_returnflag"""

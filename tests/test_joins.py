@@ -227,3 +227,81 @@ def test_asof_randomized_vs_duckdb(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+# ------------------------------------------------------------- bloom semi join
+
+
+class TestBloomSemiJoin:
+    def test_exact_vs_plain_semi_join(self, spark):
+        from dask_groupby_spark.operators.joins import bloom_semi_join
+        from pyspark.sql import functions as F
+
+        big = spark.range(20000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        small = spark.range(0, 20000, 37).select(F.col("id").alias("k"))
+        got = sorted(r["k"] for r in bloom_semi_join(big, small, "k", num_bits=1 << 14).collect())
+        want = sorted(r["k"] for r in big.join(small, "k", "leftsemi").collect())
+        assert got == want
+
+    def test_prefilter_superset_no_false_negatives(self, spark):
+        from dask_groupby_spark.operators.joins import bloom_bits_table, bloom_prefilter
+        from pyspark.sql import functions as F
+
+        big = spark.range(20000).select(F.col("id").alias("k"))
+        small = spark.range(0, 20000, 100).select(F.col("id").alias("k"))
+        bits = bloom_bits_table(small, "k", 1 << 14, 3)
+        cand = set(r["k"] for r in bloom_prefilter(big, bits, "k", 1 << 14, 3).collect())
+        truth = set(range(0, 20000, 100))
+        assert truth <= cand                      # zero false negatives
+        assert len(cand) < 20000 * 0.2            # and the filter actually filters
+
+    def test_big_side_never_shuffles(self, spark):
+        from dask_groupby_spark.operators.joins import bloom_bits_table, bloom_prefilter
+        from dask_groupby_spark.plans import physical_plan
+        from pyspark.sql import functions as F
+
+        big = spark.range(1000).select(F.col("id").alias("k"))
+        small = spark.range(10).select(F.col("id").alias("k"))
+        import re
+
+        plan = physical_plan(bloom_prefilter(big, bloom_bits_table(small, "k", 1 << 10), "k", 1 << 10))
+        # all three probes are broadcast joins; the big side never shuffles
+        assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 3, plan
+        assert "SortMergeJoin" not in plan, plan
+        # the only Exchanges are the bitmap builds (partitioned on word);
+        # the probe key never shuffles
+        assert "hashpartitioning(k" not in plan, plan
+
+    def test_null_keys_dropped(self, spark):
+        from dask_groupby_spark.operators.joins import bloom_semi_join
+
+        big = spark.createDataFrame([(1,), (None,), (2,)], "k bigint")
+        small = spark.createDataFrame([(1,), (None,)], "k bigint")
+        got = sorted(r["k"] for r in bloom_semi_join(big, small, "k", num_bits=1 << 10).collect())
+        assert got == [1]
+
+    def test_validates_params(self, spark):
+        from dask_groupby_spark.operators.joins import bloom_bits_table
+
+        df = spark.createDataFrame([(1,)], "k bigint")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            bloom_bits_table(df, "k", num_bits=100)   # not multiple of 64
+        with _pt.raises(ValueError):
+            bloom_bits_table(df, "k", num_hashes=0)
+
+    def test_bitmaps_union_incrementally(self, spark):
+        from dask_groupby_spark.operators.joins import bloom_bits_table, bloom_prefilter
+        from pyspark.sql import functions as F
+
+        a = spark.range(0, 50).select(F.col("id").alias("k"))
+        b = spark.range(50, 100).select(F.col("id").alias("k"))
+        merged = (
+            bloom_bits_table(a, "k", 1 << 10)
+            .unionByName(bloom_bits_table(b, "k", 1 << 10))
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        big = spark.range(200).select(F.col("id").alias("k"))
+        cand = set(r["k"] for r in bloom_prefilter(big, merged, "k", 1 << 10).collect())
+        assert set(range(100)) <= cand
