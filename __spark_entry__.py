@@ -2233,6 +2233,22 @@ def q_bloom_join(spark, sf):
     )
 
 
+def q_zorder(spark, sf):
+    """Z-order clustering key (plans.py zorder_key): 8-bit Morton
+    interleave of (l_quantity, l_tax), aggregated per high-byte curve
+    cell with an exact integer key sum — every row's full bit interleave
+    must match DuckDB's mirrored expression (min/max scaling constants
+    are engine-computed but identical: min/max involve no summation, and
+    the scaling arithmetic is the same IEEE op sequence)."""
+    from dask_groupby_spark.plans import zorder_key
+
+    li = load_table(spark, sf, "lineitem")
+    z = li.select(zorder_key(li, ["l_quantity", "l_tax"], bits=8).alias("zkey"))
+    return z.groupBy(F.shiftright("zkey", 8).alias("cell")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("zkey").alias("zsum")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2335,14 +2351,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # ELEVEN late-r5 keys sit just outside the window by explicit choice —
+    # TWELVE late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
-    # bivar, spearman, psi, para_dedup, bloom_join.
+    # bivar, spearman, psi, para_dedup, bloom_join, zorder.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL ELEVEN into the
+    # outranks first official rows for these — ROTATE ALL TWELVE into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2356,6 +2372,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi": q_psi,
     "para_dedup": q_para_dedup,
     "bloom_join": q_bloom_join,
+    "zorder": q_zorder,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

@@ -109,3 +109,85 @@ def assert_single_shuffle(df: DataFrame) -> None:
         raise AssertionError(
             f"unexpected shuffle count {n} in plan:\n{physical_plan(df)}"
         )
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: "list[str]",
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) clustering key over numeric ``cols``: each
+    column min/max-normalizes to a ``bits``-bit integer, and the bit
+    planes interleave into one BIGINT whose sort order traces the
+    space-filling Z-curve.  Sorting a table by this key clusters rows
+    that are close in EVERY listed dimension, so parquet row-group
+    min/max statistics become selective for range filters on ANY of the
+    columns — the multi-column completion of ``save_table(sort_by=...)``
+    (optimal for one column, useless for the second).
+
+    Cost: ONE bounded stats job (min/max per column — 2·|cols| scalars
+    to the driver, same documented KB-collect class as the IVF
+    quantizer) to inline the scaling constants; the key itself is a pure
+    projection (constant-shift ``shiftright``/``shiftleft``/OR chain,
+    whole-stage codegen, no UDF).  NULLs scale to cell 0; a constant
+    column contributes 0 to every key (try_divide).  Requires
+    ``len(cols) * bits <= 63``.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols or len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (one column: sort_by)")
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds 63 key bits")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    m = (1 << bits) - 1
+    planes = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None:  # all-NULL column
+            planes.append(F.lit(0).cast("bigint"))
+            continue
+        scaled = F.floor(
+            F.try_divide(F.col(c).cast("double") - F.lit(mn), F.lit(mx - mn)) * F.lit(float(m))
+        )
+        planes.append(F.coalesce(scaled, F.lit(0)).cast("bigint"))
+    key = F.lit(0).cast("bigint")
+    n = len(cols)
+    for j in range(bits):
+        for i, p in enumerate(planes):
+            # bit j of column i lands at position j*n + i
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(p, j).bitwiseAND(F.lit(1)), j * n + i)
+            )
+    return key
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: "list[str]",
+    bits: int = 16,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Physically cluster ``df`` along the Z-curve of ``cols`` for
+    writing: range-partition on the Z-key (so each output file owns a
+    contiguous curve segment — balanced via range sampling, skew-safe)
+    and sort within partitions, then drop the key.  Feed the result
+    straight to ``save_table`` (no extra ``sort_by``):
+
+        save_table(cluster_by_zorder(df, ["x", "y"]), path)
+
+    One Exchange (rangepartitioning) + in-partition sort — the same
+    cost as a single-column sorted write, but every listed column gets
+    data skipping.
+    """
+    k = zorder_key(df, cols, bits)
+    out = df.withColumn("__zkey", k)
+    out = (
+        out.repartitionByRange(partitions, "__zkey")
+        if partitions
+        else out.repartitionByRange("__zkey")
+    )
+    return out.sortWithinPartitions("__zkey").drop("__zkey")

@@ -1697,3 +1697,30 @@ SELECT l_returnflag, count(*)::BIGINT AS n_rows,
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
 GROUP BY l_returnflag"""
+
+# zorder: mirror plans.py zorder_key bit-for-bit — same scaling constants
+# (min/max are exact, no summation), same IEEE op order, same interleave.
+def _zorder_sql(cols, bits):
+    n = len(cols)
+    m = float((1 << bits) - 1)
+    scaled = [
+        f"CAST(coalesce(floor(({c}::DOUBLE - mn{i}) / nullif(mx{i} - mn{i}, 0.0)"
+        f" * {m}), 0) AS BIGINT)"
+        for i, c in enumerate(cols)
+    ]
+    terms = []
+    for j in range(bits):
+        for i in range(n):
+            terms.append(f"((({scaled[i]} >> {j}) & 1) << {j * n + i})")
+    stats = ", ".join(
+        f"min({c}::DOUBLE) AS mn{i}, max({c}::DOUBLE) AS mx{i}"
+        for i, c in enumerate(cols)
+    )
+    return f"""
+WITH s AS (SELECT {stats} FROM lineitem),
+z AS (SELECT ({' | '.join(terms)}) AS zkey FROM lineitem, s)
+SELECT zkey >> 8 AS cell, count(*)::BIGINT AS n, sum(zkey)::BIGINT AS zsum
+FROM z GROUP BY 1"""
+
+
+ORACLE_SQL["zorder"] = _zorder_sql(["l_quantity", "l_tax"], 8)

@@ -410,3 +410,108 @@ def test_hist_sketch_single_exchange_bounded(spark):
     )
     assert count_exchanges(sk) == 1
     assert "partial_count" in physical_plan(sk)
+
+
+# ---------------------------------------------------------------- z-order
+
+
+def test_zorder_validates(spark):
+    import pytest as _pt
+
+    from dask_groupby_spark.plans import zorder_key
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with _pt.raises(ValueError):
+        zorder_key(df, ["x"])                  # one column: use sort_by
+    with _pt.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=32)    # 64 key bits > 63
+
+
+def test_zorder_key_interleaves(spark):
+    from dask_groupby_spark.plans import zorder_key
+    from pyspark.sql import functions as F
+
+    # 4x4 grid, bits=2: zkey must be the classic Morton order
+    rows = [(float(x), float(y)) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = df.withColumn("z", zorder_key(df, ["x", "y"], bits=2)).collect()
+    got = {(r["x"], r["y"]): r["z"] for r in out}
+
+    def morton(x, y):
+        z = 0
+        for j in range(2):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    for x in range(4):
+        for y in range(4):
+            assert got[(float(x), float(y))] == morton(x, y)
+
+
+def test_zorder_null_and_constant_columns(spark):
+    from dask_groupby_spark.plans import zorder_key
+
+    df = spark.createDataFrame(
+        [(None, 5.0, 1.0), (0.0, 5.0, 2.0), (2.0, 5.0, 3.0)],
+        "x double, c double, y double",
+    )
+    out = df.withColumn("z", zorder_key(df, ["x", "c"], bits=4)).collect()
+    # NULL x -> cell 0; constant column contributes 0 everywhere
+    zs = {r["y"]: r["z"] for r in out}
+    assert zs[1.0] == 0 and zs[2.0] == 0
+    assert zs[3.0] == sum(1 << (2 * j) for j in range(4))  # x at max cell, c zero
+
+
+def test_cluster_by_zorder_single_range_exchange(spark):
+    from dask_groupby_spark.plans import cluster_by_zorder, physical_plan
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    plan = physical_plan(cluster_by_zorder(df, ["x", "y"], bits=4))
+    assert plan.count("rangepartitioning") >= 1
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_zorder_improves_second_dimension_skipping(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dask_groupby_spark.plans import cluster_by_zorder
+    from dask_groupby_spark.sources import save_table
+
+    df = spark.range(40000).select(
+        (F.col("id") % 200).cast("double").alias("x"),
+        F.floor(F.col("id") / 200).cast("double").alias("y"),
+    )
+    save_table(cluster_by_zorder(df, ["x", "y"], bits=8, partitions=2),
+               str(tmp_path / "z"), max_records_per_file=2500)
+    save_table(df.repartitionByRange(2, "x"), str(tmp_path / "lin"),
+               sort_by=("x",), max_records_per_file=2500)
+
+    def hit_frac(path, col, lo, hi):
+        tot = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                r = md.row_group(rg)
+                idx = [i for i in range(r.num_columns)
+                       if r.column(i).path_in_schema == col][0]
+                st = r.column(idx).statistics
+                tot += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit / tot
+
+    # linear layout cannot skip on y at all; z-order must skip most groups
+    assert hit_frac(str(tmp_path / "lin"), "y", 50, 60) == 1.0
+    assert hit_frac(str(tmp_path / "z"), "y", 50, 60) < 0.7
+    # and still skips on x
+    assert hit_frac(str(tmp_path / "z"), "x", 50, 60) < 0.7
