@@ -2249,6 +2249,29 @@ def q_zorder(spark, sf):
     )
 
 
+def q_ttest(spark, sf):
+    """Grouped Welch t-test (operators/stats.py grouped_ttest): per
+    event_type mean shift between the first and second half of the
+    events month — two map-combined (n, mean, var) aggregates joined on
+    group-level rows, t and Welch–Satterthwaite df from the sufficient
+    statistics."""
+    from dask_groupby_spark.operators import grouped_ttest
+
+    ev = load_table(spark, sf, "events")
+    ref = ev.where(F.dayofmonth("ts") <= 15)
+    cur = ev.where(F.dayofmonth("ts") > 15)
+    out = grouped_ttest(ref, cur, "event_type", "value")
+    return out.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round("mean_ref", 6).alias("mean_ref"),
+        F.round("mean_cur", 6).alias("mean_cur"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("df", 4).alias("df"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2351,14 +2374,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # TWELVE late-r5 keys sit just outside the window by explicit choice —
+    # THIRTEEN late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
-    # bivar, spearman, psi, para_dedup, bloom_join, zorder.
+    # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL TWELVE into the
+    # outranks first official rows for these — ROTATE ALL THIRTEEN into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2373,6 +2396,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "para_dedup": q_para_dedup,
     "bloom_join": q_bloom_join,
     "zorder": q_zorder,
+    "ttest": q_ttest,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

@@ -35,7 +35,12 @@ from .curate import PII_PATTERNS, redact_pii
 from .profile import table_profile
 from .selection import key_skew_stats
 from .joins import bloom_bits_table, bloom_prefilter, bloom_semi_join, salted_join
-from .stats import grouped_bivariate, grouped_spearman, population_stability
+from .stats import (
+    grouped_bivariate,
+    grouped_spearman,
+    grouped_ttest,
+    population_stability,
+)
 from .sketches import (
     cms_estimate,
     cms_sketch_table,
@@ -94,6 +99,7 @@ __all__ = [
     "bloom_semi_join",
     "grouped_bivariate",
     "grouped_spearman",
+    "grouped_ttest",
     "population_stability",
     "key_skew_stats",
     "table_profile",

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "grouped_bivariate",
     "grouped_spearman",
+    "grouped_ttest",
     "population_stability",
 ]
 
@@ -197,3 +198,59 @@ def population_stability(
     ps = F.greatest(F.col("ref_frac"), F.lit(float(eps)))
     qs = F.greatest(F.col("cur_frac"), F.lit(float(eps)))
     return joined.withColumn("psi_term", (ps - qs) * F.log(ps / qs))
+
+
+def grouped_ttest(
+    ref: DataFrame,
+    cur: DataFrame,
+    by: str | Sequence[str],
+    col: str,
+) -> DataFrame:
+    """Per-group Welch two-sample t-test between a reference and a
+    current snapshot of ``col`` — the per-segment companion to
+    :func:`population_stability` (PSI says a marginal distribution
+    moved; this says WHICH groups' means moved, with unequal variances
+    allowed, which is the realistic case across corpus segments).
+
+    Returns one row per group present in BOTH snapshots:
+    ``(by…, n_ref, n_cur, mean_ref, mean_cur, t_stat, df)`` with
+    Welch's ``t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂)`` and Welch–Satterthwaite
+    degrees of freedom.  Groups where either side has < 2 complete
+    values (or zero variance on both sides) yield NULL ``t_stat``/``df``
+    rather than an error — ANSI-safe via ``try_divide``.
+
+    Scale shape: each snapshot collapses to one (n, Σ-free mean,
+    var_samp) row per group in a single map-combined aggregate; the
+    join runs on those group-level rows (broadcast-sized for any sane
+    group count, and AQE picks that up).  NULL/NaN values are excluded
+    per side (numpy ``nan*`` semantics via the shared cleaner).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        c = _clean(col)
+        return df.groupBy(*keys).agg(
+            F.count(c).alias(f"n_{tag}"),
+            F.avg(c).alias(f"mean_{tag}"),
+            F.var_samp(c).alias(f"var_{tag}"),
+        )
+
+    j = _side(ref, "ref").join(_side(cur, "cur"), on=keys, how="inner")
+    se_ref = F.try_divide(F.col("var_ref"), F.col("n_ref"))
+    se_cur = F.try_divide(F.col("var_cur"), F.col("n_cur"))
+    se2 = se_ref + se_cur
+    t = F.try_divide(F.col("mean_ref") - F.col("mean_cur"), F.sqrt(se2))
+    dof = F.try_divide(
+        se2 * se2,
+        F.try_divide(se_ref * se_ref, F.col("n_ref") - 1)
+        + F.try_divide(se_cur * se_cur, F.col("n_cur") - 1),
+    )
+    return j.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        "mean_ref",
+        "mean_cur",
+        t.alias("t_stat"),
+        dof.alias("df"),
+    )

@@ -1724,3 +1724,28 @@ FROM z GROUP BY 1"""
 
 
 ORACLE_SQL["zorder"] = _zorder_sql(["l_quantity", "l_tax"], 8)
+
+# ttest: Welch two-sample t per event_type between the two month halves —
+# mirrors operators/stats.py grouped_ttest (var_samp sufficient stats;
+# NULL/NaN excluded; try_divide semantics via nullif).
+ORACLE_SQL["ttest"] = """
+WITH e AS (
+  SELECT event_type, date_part('day', ts) AS d, value AS x FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+a AS (SELECT event_type, count(x)::BIGINT AS n_ref, avg(x) AS mean_ref,
+             var_samp(x) AS var_ref FROM e WHERE d <= 15 GROUP BY 1),
+b AS (SELECT event_type, count(x)::BIGINT AS n_cur, avg(x) AS mean_cur,
+             var_samp(x) AS var_cur FROM e WHERE d > 15 GROUP BY 1),
+j AS (
+  SELECT a.event_type, n_ref, n_cur, mean_ref, mean_cur,
+         var_ref / n_ref AS s1, var_cur / n_cur AS s2
+  FROM a JOIN b ON a.event_type = b.event_type
+)
+SELECT event_type, n_ref, n_cur,
+       round(mean_ref, 6) AS mean_ref,
+       round(mean_cur, 6) AS mean_cur,
+       round((mean_ref - mean_cur) / nullif(sqrt(s1 + s2), 0.0), 6) AS t_stat,
+       round((s1 + s2) * (s1 + s2)
+             / nullif(s1 * s1 / (n_ref - 1) + s2 * s2 / (n_cur - 1), 0.0), 4) AS df
+FROM j"""

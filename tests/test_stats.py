@@ -205,3 +205,61 @@ def test_spearman_single_exchange(spark):
     out = grouped_spearman(df, "g", "x", "y")
     # windows + final agg all share the partitioning on g: ONE Exchange
     assert count_exchanges(out) == 1, physical_plan(out)
+
+
+# ---------------------------------------------------------------- t-test
+
+
+def _welch(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    n1, n2 = len(a), len(b)
+    se2 = v1 / n1 + v2 / n2
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    return t, df
+
+
+def test_ttest_vs_reference(spark):
+    from dask_groupby_spark.operators import grouped_ttest
+
+    rng = np.random.default_rng(11)
+    ref_rows, cur_rows, ref_np, cur_np = [], [], {}, {}
+    for g in range(3):
+        a = rng.normal(g, 1.0, 150 + 10 * g)
+        b = rng.normal(g + 0.3, 2.0, 120)
+        ref_np[g], cur_np[g] = a, b
+        ref_rows += [(g, float(v)) for v in a]
+        cur_rows += [(g, float(v)) for v in b]
+    ref = spark.createDataFrame(ref_rows, "g int, x double")
+    cur = spark.createDataFrame(cur_rows, "g int, x double")
+    got = {r["g"]: r for r in grouped_ttest(ref, cur, "g", "x").collect()}
+    for g in range(3):
+        t, df = _welch(ref_np[g], cur_np[g])
+        assert got[g]["n_ref"] == len(ref_np[g])
+        assert got[g]["t_stat"] == pytest.approx(t, rel=1e-9)
+        assert got[g]["df"] == pytest.approx(df, rel=1e-9)
+
+
+def test_ttest_degenerate_null_not_error(spark):
+    from dask_groupby_spark.operators import grouped_ttest
+
+    ref = spark.createDataFrame([(0, 1.0), (1, 1.0), (1, 2.0)], "g int, x double")
+    cur = spark.createDataFrame([(0, 2.0), (0, 3.0), (1, 5.0), (1, 5.0)], "g int, x double")
+    got = {r["g"]: r for r in grouped_ttest(ref, cur, "g", "x").collect()}
+    assert got[0]["t_stat"] is None          # single ref value -> NULL var
+    assert got[1]["t_stat"] is not None      # cur zero-var but ref var>0: finite t
+    assert got[1]["df"] is not None
+
+
+def test_ttest_nan_null_excluded(spark):
+    from dask_groupby_spark.operators import grouped_ttest
+
+    ref = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, NAN), (0, None), (0, 3.0)], "g int, x double"
+    )
+    cur = spark.createDataFrame([(0, 4.0), (0, 6.0)], "g int, x double")
+    got = grouped_ttest(ref, cur, "g", "x").collect()[0]
+    assert got["n_ref"] == 3 and got["n_cur"] == 2
+    t, df = _welch([1.0, 2.0, 3.0], [4.0, 6.0])
+    assert got["t_stat"] == pytest.approx(t, rel=1e-9)
