@@ -2272,6 +2272,31 @@ def q_ttest(spark, sf):
     )
 
 
+def q_validate(spark, sf):
+    """Declarative quality gate (operators/validate.py check_rules):
+    four row-level rules over lineitem counted in ONE fused aggregate
+    over ONE scan (NULL predicate = violation, the conservative
+    reading)."""
+    from dask_groupby_spark.operators import check_rules
+
+    li = load_table(spark, sf, "lineitem")
+    out = check_rules(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") > 0,
+            "price_nonneg": F.col("l_extendedprice") >= 0,
+            "flag_enum": F.col("l_returnflag").isin("A", "N", "R"),
+            "discount_range": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+        },
+    )
+    return out.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.round("violation_frac", 6).alias("violation_frac"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2374,14 +2399,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # THIRTEEN late-r5 keys sit just outside the window by explicit choice —
+    # FOURTEEN late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
-    # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest.
+    # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL THIRTEEN into the
+    # outranks first official rows for these — ROTATE ALL FOURTEEN into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2397,6 +2422,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_join": q_bloom_join,
     "zorder": q_zorder,
     "ttest": q_ttest,
+    "validate": q_validate,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

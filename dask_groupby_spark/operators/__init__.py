@@ -57,6 +57,7 @@ from .text import (
     ngram_counts,
     tokens,
 )
+from .validate import check_referential, check_rules, check_unique
 from .vocab import build_vocab, encode_tokens, encode_tokens_flat
 
 __all__ = [
@@ -110,4 +111,7 @@ __all__ = [
     "build_vocab",
     "encode_tokens",
     "encode_tokens_flat",
+    "check_rules",
+    "check_unique",
+    "check_referential",
 ]

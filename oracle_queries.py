@@ -1749,3 +1749,20 @@ SELECT event_type, n_ref, n_cur,
        round((s1 + s2) * (s1 + s2)
              / nullif(s1 * s1 / (n_ref - 1) + s2 * s2 / (n_cur - 1), 0.0), 4) AS df
 FROM j"""
+
+# validate: row-level rule violations — NULL predicate counts as a
+# violation, mirroring operators/validate.py check_rules.
+_VRULES = {
+    "qty_positive": "l_quantity > 0",
+    "price_nonneg": "l_extendedprice >= 0",
+    "flag_enum": "l_returnflag IN ('A','N','R')",
+    "discount_range": "l_discount >= 0 AND l_discount <= 0.1",
+}
+ORACLE_SQL["validate"] = "\nUNION ALL\n".join(
+    f"SELECT '{n}' AS rule, count(*)::BIGINT AS n_rows, "
+    f"(count(*) - sum(CASE WHEN coalesce({p}, FALSE) THEN 1 ELSE 0 END))::BIGINT"
+    f" AS n_violations, "
+    f"round((count(*) - sum(CASE WHEN coalesce({p}, FALSE) THEN 1 ELSE 0 END))"
+    f" / count(*), 6) AS violation_frac FROM lineitem"
+    for n, p in _VRULES.items()
+)

@@ -1,0 +1,89 @@
+"""Data-quality validation (operators/validate.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_groupby_spark.operators import check_referential, check_rules, check_unique
+
+
+@pytest.fixture(scope="module")
+def vdf(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, -1.0, "b"),     # violates positive
+            (3, None, "a"),     # NULL -> violates positive (conservative)
+            (3, 5.0, "zzz"),    # dup id, violates enum
+        ],
+        "id bigint, v double, cat string",
+    )
+
+
+class TestCheckRules:
+    def test_counts(self, vdf):
+        out = {r["rule"]: r for r in check_rules(vdf, {
+            "positive": F.col("v") > 0,
+            "enum": F.col("cat").isin("a", "b"),
+            "id_set": F.col("id").isNotNull(),
+        }).collect()}
+        assert out["positive"]["n_rows"] == 4
+        assert out["positive"]["n_violations"] == 2      # -1 and NULL
+        assert out["enum"]["n_violations"] == 1
+        assert out["id_set"]["n_violations"] == 0
+        assert out["positive"]["violation_frac"] == pytest.approx(0.5)
+
+    def test_single_pass_plan(self, vdf):
+        import re
+
+        from dask_groupby_spark.plans import physical_plan
+
+        plan = physical_plan(check_rules(vdf, {"a": F.col("v") > 0, "b": F.col("id") > 0}))
+        # one scan, one partial/final aggregate pair regardless of rule count
+        assert len(re.findall(r"^\(\d+\) Scan", plan, re.M)) == 1, plan
+        assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2, plan
+
+    def test_empty_rules_raise(self, vdf):
+        with pytest.raises(ValueError):
+            check_rules(vdf, {})
+
+
+class TestCheckUnique:
+    def test_summary(self, spark, vdf):
+        r = check_unique(vdf, "id").collect()[0]
+        assert r["n_rows"] == 4 and r["n_keys"] == 3
+        assert r["n_dup_keys"] == 1 and r["n_dup_rows"] == 1
+
+    def test_multi_col_and_null_keys(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (1, None), (2, "x")], "a bigint, b string"
+        )
+        r = check_unique(df, ["a", "b"]).collect()[0]
+        assert r["n_keys"] == 2 and r["n_dup_rows"] == 1
+
+    def test_sample_keys(self, vdf):
+        rows = check_unique(vdf, "id", sample_keys=5).collect()
+        assert [(r["id"], r["cnt"]) for r in rows] == [(3, 2)]
+
+
+class TestCheckReferential:
+    def test_orphans(self, spark):
+        child = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (9, "z"), (None, "w")], "k bigint, p string"
+        )
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
+        r = check_referential(child, parent, "k").collect()[0]
+        assert r["n_rows"] == 4 and r["n_orphans"] == 2  # 9 and NULL
+        assert r["orphan_frac"] == pytest.approx(0.5)
+
+    def test_sample_orphans(self, spark):
+        child = spark.createDataFrame([(9, "z")], "k bigint, p string")
+        parent = spark.createDataFrame([(1,)], "k bigint")
+        rows = check_referential(child, parent, "k", sample_orphans=10).collect()
+        assert [r["k"] for r in rows] == [9]
+
+    def test_parent_col_rename(self, spark):
+        child = spark.createDataFrame([(1,), (5,)], "k bigint")
+        parent = spark.createDataFrame([(1,)], "pk bigint")
+        r = check_referential(child, parent, "k", parent_col="pk").collect()[0]
+        assert r["n_orphans"] == 1
