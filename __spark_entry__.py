@@ -2297,6 +2297,30 @@ def q_validate(spark, sf):
     )
 
 
+def q_chisq(spark, sf):
+    """Grouped chi-squared homogeneity (operators/stats.py
+    grouped_chisq): did each user cohort's event-type mix move between
+    the two month halves?  One union + one map-combined (group,
+    category) count shuffle; expectations and the per-group fold run on
+    cohort×category rows."""
+    from dask_groupby_spark.operators import grouped_chisq
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "cohort", F.pmod(F.col("user_id"), F.lit(5))
+    )
+    ref = ev.where(F.dayofmonth("ts") <= 15)
+    cur = ev.where(F.dayofmonth("ts") > 15)
+    out = grouped_chisq(ref, cur, "cohort", "event_type")
+    return out.select(
+        "cohort",
+        "n_ref",
+        "n_cur",
+        "n_cats",
+        F.round("chisq", 6).alias("chisq"),
+        "dof",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2399,14 +2423,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # FOURTEEN late-r5 keys sit just outside the window by explicit choice —
+    # FIFTEEN late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
-    # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate.
+    # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate, chisq.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL FOURTEEN into the
+    # outranks first official rows for these — ROTATE ALL FIFTEEN into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2423,6 +2447,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder": q_zorder,
     "ttest": q_ttest,
     "validate": q_validate,
+    "chisq": q_chisq,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

@@ -37,6 +37,7 @@ from .selection import key_skew_stats
 from .joins import bloom_bits_table, bloom_prefilter, bloom_semi_join, salted_join
 from .stats import (
     grouped_bivariate,
+    grouped_chisq,
     grouped_spearman,
     grouped_ttest,
     population_stability,
@@ -99,6 +100,7 @@ __all__ = [
     "bloom_prefilter",
     "bloom_semi_join",
     "grouped_bivariate",
+    "grouped_chisq",
     "grouped_spearman",
     "grouped_ttest",
     "population_stability",

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "grouped_bivariate",
+    "grouped_chisq",
     "grouped_spearman",
     "grouped_ttest",
     "population_stability",
@@ -253,4 +254,58 @@ def grouped_ttest(
         "mean_cur",
         t.alias("t_stat"),
         dof.alias("df"),
+    )
+
+
+def grouped_chisq(
+    ref: DataFrame,
+    cur: DataFrame,
+    by: str | Sequence[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-group chi-squared test of homogeneity for a CATEGORICAL
+    column between two snapshots — the categorical member of the drift
+    trio (:func:`population_stability` = numeric marginal,
+    :func:`grouped_ttest` = means, this = category mix: did the
+    language/source/topic composition of each segment move?).
+
+    Returns ``(by…, n_ref, n_cur, n_cats, chisq, dof)`` per group:
+    2×C contingency of observed counts, expected under homogeneity
+    ``e = n_side · tot_cat / N``, ``chisq = Σ (o−e)²/e``,
+    ``dof = C − 1``.  Groups present in only one snapshot yield NULL
+    ``chisq`` (the test is undefined).  NULL categories are excluded.
+
+    Scale shape: one union + ONE map-combined count aggregate on
+    ``(by…, category)`` — the only data-sized shuffle; the expected-
+    value window and final per-group fold run on |groups|·|cats| rows.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    u = ref.select(
+        *keys, F.col(cat_col).alias("__c"), F.lit(0).alias("__s")
+    ).unionByName(
+        cur.select(*keys, F.col(cat_col).alias("__c"), F.lit(1).alias("__s"))
+    ).where(F.col("__c").isNotNull())
+    cell = u.groupBy(*keys, "__c").agg(
+        F.sum((F.col("__s") == 0).cast("bigint")).alias("o_ref"),
+        F.sum((F.col("__s") == 1).cast("bigint")).alias("o_cur"),
+    )
+    w = Window.partitionBy(*keys)
+    cell = cell.withColumn("n_ref", F.sum("o_ref").over(w)).withColumn(
+        "n_cur", F.sum("o_cur").over(w)
+    )
+    tot = F.col("o_ref") + F.col("o_cur")
+    n_all = F.col("n_ref") + F.col("n_cur")
+    # expectations in DOUBLE: a bigint n_side·tot product overflows once
+    # both counts pass ~3e9 (10¹² rows/group is realistic at 100 TB)
+    e_ref = F.col("n_ref").cast("double") * tot / n_all
+    e_cur = F.col("n_cur").cast("double") * tot / n_all
+    term = F.try_divide((F.col("o_ref") - e_ref) * (F.col("o_ref") - e_ref), e_ref) + F.try_divide(
+        (F.col("o_cur") - e_cur) * (F.col("o_cur") - e_cur), e_cur
+    )
+    return cell.groupBy(*keys).agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(term).alias("chisq"),
+        (F.count(F.lit(1)) - 1).alias("dof"),
     )

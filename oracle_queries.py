@@ -1766,3 +1766,37 @@ ORACLE_SQL["validate"] = "\nUNION ALL\n".join(
     f" / count(*), 6) AS violation_frac FROM lineitem"
     for n, p in _VRULES.items()
 )
+
+# chisq: 2xC homogeneity per cohort — mirrors operators/stats.py
+# grouped_chisq (expected = n_side * tot_cat / N; one-sided groups NULL).
+ORACLE_SQL["chisq"] = """
+WITH e AS (
+  SELECT CAST(user_id % 5 AS BIGINT) AS cohort, event_type AS c,
+         CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END AS s
+  FROM events WHERE event_type IS NOT NULL
+),
+cell AS (
+  SELECT cohort, c,
+         sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS o_ref,
+         sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS o_cur
+  FROM e GROUP BY cohort, c
+),
+tot AS (
+  SELECT *, sum(o_ref) OVER (PARTITION BY cohort) AS n_ref,
+            sum(o_cur) OVER (PARTITION BY cohort) AS n_cur
+  FROM cell
+),
+term AS (
+  SELECT cohort, n_ref, n_cur,
+         (o_ref - n_ref::DOUBLE * (o_ref + o_cur) / (n_ref + n_cur))
+           * (o_ref - n_ref::DOUBLE * (o_ref + o_cur) / (n_ref + n_cur))
+           / nullif(n_ref::DOUBLE * (o_ref + o_cur) / (n_ref + n_cur), 0.0)
+         + (o_cur - n_cur::DOUBLE * (o_ref + o_cur) / (n_ref + n_cur))
+           * (o_cur - n_cur::DOUBLE * (o_ref + o_cur) / (n_ref + n_cur))
+           / nullif(n_cur::DOUBLE * (o_ref + o_cur) / (n_ref + n_cur), 0.0) AS t
+  FROM tot
+)
+SELECT cohort, first(n_ref)::BIGINT AS n_ref, first(n_cur)::BIGINT AS n_cur,
+       count(*)::BIGINT AS n_cats, round(sum(t), 6) AS chisq,
+       (count(*) - 1)::BIGINT AS dof
+FROM term GROUP BY cohort"""

@@ -263,3 +263,68 @@ def test_ttest_nan_null_excluded(spark):
     assert got["n_ref"] == 3 and got["n_cur"] == 2
     t, df = _welch([1.0, 2.0, 3.0], [4.0, 6.0])
     assert got["t_stat"] == pytest.approx(t, rel=1e-9)
+
+
+# ---------------------------------------------------------------- chi-squared
+
+
+def _chisq_ref(ref_cats, cur_cats):
+    cats = sorted(set(ref_cats) | set(cur_cats))
+    o1 = np.array([ref_cats.count(c) for c in cats], dtype=float)
+    o2 = np.array([cur_cats.count(c) for c in cats], dtype=float)
+    n1, n2 = o1.sum(), o2.sum()
+    tot = o1 + o2
+    e1, e2 = n1 * tot / (n1 + n2), n2 * tot / (n1 + n2)
+    chi = ((o1 - e1) ** 2 / e1 + (o2 - e2) ** 2 / e2).sum()
+    return chi, len(cats) - 1
+
+
+def test_chisq_vs_reference(spark):
+    from dask_groupby_spark.operators import grouped_chisq
+
+    rng = np.random.default_rng(5)
+    cats = ["a", "b", "c", "d"]
+    ref_rows, cur_rows, per_g = [], [], {}
+    for g in range(3):
+        a = list(rng.choice(cats, 200, p=[0.4, 0.3, 0.2, 0.1]))
+        b = list(rng.choice(cats, 150, p=[0.25, 0.25, 0.25, 0.25]))
+        per_g[g] = (a, b)
+        ref_rows += [(g, c) for c in a]
+        cur_rows += [(g, c) for c in b]
+    ref = spark.createDataFrame(ref_rows, "g int, c string")
+    cur = spark.createDataFrame(cur_rows, "g int, c string")
+    got = {r["g"]: r for r in grouped_chisq(ref, cur, "g", "c").collect()}
+    for g in range(3):
+        chi, dof = _chisq_ref(*per_g[g])
+        assert got[g]["chisq"] == pytest.approx(chi, rel=1e-9)
+        assert got[g]["dof"] == dof
+        assert got[g]["n_ref"] == 200 and got[g]["n_cur"] == 150
+
+
+def test_chisq_identical_mix_is_zero(spark):
+    from dask_groupby_spark.operators import grouped_chisq
+
+    rows = [(0, c) for c in ["a"] * 30 + ["b"] * 20]
+    df = spark.createDataFrame(rows, "g int, c string")
+    got = grouped_chisq(df, df, "g", "c").collect()[0]
+    assert got["chisq"] == pytest.approx(0.0, abs=1e-12)
+    assert got["dof"] == 1
+
+
+def test_chisq_one_sided_group_is_null(spark):
+    from dask_groupby_spark.operators import grouped_chisq
+
+    ref = spark.createDataFrame([(0, "a"), (1, "a")], "g int, c string")
+    cur = spark.createDataFrame([(0, "a"), (0, "b")], "g int, c string")
+    got = {r["g"]: r for r in grouped_chisq(ref, cur, "g", "c").collect()}
+    assert got[1]["chisq"] is None          # group 1 absent from cur
+    assert got[0]["chisq"] is not None
+
+
+def test_chisq_null_categories_excluded(spark):
+    from dask_groupby_spark.operators import grouped_chisq
+
+    ref = spark.createDataFrame([(0, "a"), (0, None), (0, "b")], "g int, c string")
+    cur = spark.createDataFrame([(0, "a"), (0, "b")], "g int, c string")
+    got = grouped_chisq(ref, cur, "g", "c").collect()[0]
+    assert got["n_ref"] == 2 and got["n_cur"] == 2
