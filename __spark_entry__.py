@@ -2321,6 +2321,39 @@ def q_chisq(spark, sf):
     )
 
 
+def q_ks(spark, sf):
+    """Grouped two-sample Kolmogorov–Smirnov (operators/stats.py
+    grouped_ks): bin-free drift of events.value between the month
+    halves per event_type — tie-exact via RANGE-frame cumulative
+    counts, one Exchange."""
+    from dask_groupby_spark.operators import grouped_ks
+
+    ev = load_table(spark, sf, "events")
+    ref = ev.where(F.dayofmonth("ts") <= 15)
+    cur = ev.where(F.dayofmonth("ts") > 15)
+    out = grouped_ks(ref, cur, "event_type", "value")
+    return out.select(
+        "event_type", "n_ref", "n_cur", F.round("ks_stat", 6).alias("ks_stat")
+    )
+
+
+def q_mad(spark, sf):
+    """Grouped Median Absolute Deviation (operators/stats.py
+    grouped_mad): robust dispersion of extendedprice per return flag —
+    exact median, then median of absolute deviations (DuckDB's built-in
+    mad() is the oracle)."""
+    from dask_groupby_spark.operators import grouped_mad
+
+    li = load_table(spark, sf, "lineitem")
+    out = grouped_mad(li, "l_returnflag", "l_extendedprice")
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2423,14 +2456,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # FIFTEEN late-r5 keys sit just outside the window by explicit choice —
+    # SEVENTEEN late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
-    # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate, chisq.
+    # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
+    # chisq, ks, mad.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL FIFTEEN into the
+    # outranks first official rows for these — ROTATE ALL SEVENTEEN into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2448,6 +2482,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ttest": q_ttest,
     "validate": q_validate,
     "chisq": q_chisq,
+    "ks": q_ks,
+    "mad": q_mad,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

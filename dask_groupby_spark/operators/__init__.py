@@ -38,6 +38,8 @@ from .joins import bloom_bits_table, bloom_prefilter, bloom_semi_join, salted_jo
 from .stats import (
     grouped_bivariate,
     grouped_chisq,
+    grouped_ks,
+    grouped_mad,
     grouped_spearman,
     grouped_ttest,
     population_stability,
@@ -101,6 +103,8 @@ __all__ = [
     "bloom_semi_join",
     "grouped_bivariate",
     "grouped_chisq",
+    "grouped_ks",
+    "grouped_mad",
     "grouped_spearman",
     "grouped_ttest",
     "population_stability",

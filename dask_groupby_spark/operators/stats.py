@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "grouped_bivariate",
     "grouped_chisq",
+    "grouped_ks",
+    "grouped_mad",
     "grouped_spearman",
     "grouped_ttest",
     "population_stability",
@@ -308,4 +310,89 @@ def grouped_chisq(
         F.count(F.lit(1)).alias("n_cats"),
         F.sum(term).alias("chisq"),
         (F.count(F.lit(1)) - 1).alias("dof"),
+    )
+
+
+def grouped_ks(
+    ref: DataFrame,
+    cur: DataFrame,
+    by: str | Sequence[str],
+    col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov statistic between two
+    snapshots of ``col`` — the bin-free member of the drift family
+    (PSI needs breaks; KS is ``D = sup|F₁(v) − F₂(v)|`` over the pooled
+    empirical CDFs, sensitive anywhere in the distribution).
+
+    Returns ``(by…, n_ref, n_cur, ks_stat)``; groups present in only
+    one snapshot yield NULL.  Ties are handled exactly (scipy
+    ``ks_2samp`` semantics): the CDF step is evaluated AFTER each tie
+    run via a RANGE window frame — every row of a tie run sees the
+    cumulative count including all its ties.
+
+    Plan: union tagged sides → ONE Exchange on the group keys; the
+    cumulative counts are range-frame window sums over the value order,
+    the per-group totals full-frame sums over the same partitioning, and
+    the final ``max`` aggregate reuses it — one shuffle total, sorts
+    in-partition (spillable).  NULL/NaN excluded per side.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    c = _clean(col)
+    u = ref.select(*keys, c.alias("__v"), F.lit(0).alias("__s")).unionByName(
+        cur.select(*keys, c.alias("__v"), F.lit(1).alias("__s"))
+    ).where(F.col("__v").isNotNull())
+    wv = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*keys)
+    ref_ind = (F.col("__s") == 0).cast("bigint")
+    cur_ind = (F.col("__s") == 1).cast("bigint")
+    stepped = u.select(
+        *keys,
+        F.sum(ref_ind).over(wv).alias("__c1"),
+        F.sum(cur_ind).over(wv).alias("__c2"),
+        F.sum(ref_ind).over(wg).alias("__n1"),
+        F.sum(cur_ind).over(wg).alias("__n2"),
+    )
+    d = F.abs(
+        F.try_divide("__c1", "__n1") - F.try_divide("__c2", "__n2")
+    )
+    return stepped.groupBy(*keys).agg(
+        F.first("__n1").alias("n_ref"),
+        F.first("__n2").alias("n_cur"),
+        F.max(d).alias("ks_stat"),
+    )
+
+
+def grouped_mad(
+    df: DataFrame,
+    by: str | Sequence[str],
+    col: str,
+) -> DataFrame:
+    """Per-group Median Absolute Deviation — the robust dispersion
+    measure (breakdown point 50%: a heavy-tailed quality score or a few
+    corrupt documents cannot drag it the way they drag stddev).
+    Returns ``(by…, n, median, mad)`` with ``mad = median(|x − med|)``
+    (raw — multiply by 1.4826 for the normal-consistent sigma).
+
+    Two exact-percentile passes by necessity (the inner median must be
+    known before deviations exist): groupBy median → broadcast-sized
+    join back on the group keys → groupBy deviation-median.  Exact
+    medians are holistic (like ``median``/``quantile`` in the registry);
+    for the bounded-state sketch escape at extreme group sizes use
+    ``approx_quantile``-based deviations instead.  NULL/NaN excluded.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    c = _clean(col)
+    med = df.groupBy(*keys).agg(
+        F.count(c).alias("n"),
+        F.percentile(c, F.lit(0.5)).alias("median"),
+    )
+    dev = df.select(*keys, c.alias("__v")).join(med, on=keys)
+    return dev.groupBy(*keys).agg(
+        F.first("n").alias("n"),
+        F.first("median").alias("median"),
+        F.percentile(F.abs(F.col("__v") - F.col("median")), F.lit(0.5)).alias("mad"),
     )

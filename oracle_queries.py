@@ -1800,3 +1800,37 @@ SELECT cohort, first(n_ref)::BIGINT AS n_ref, first(n_cur)::BIGINT AS n_cur,
        count(*)::BIGINT AS n_cats, round(sum(t), 6) AS chisq,
        (count(*) - 1)::BIGINT AS dof
 FROM term GROUP BY cohort"""
+
+# ks: two-sample KS per event_type — RANGE-frame cumulative counts make the
+# CDF step land after each tie run, mirroring operators/stats.py grouped_ks.
+ORACLE_SQL["ks"] = """
+WITH u AS (
+  SELECT event_type, value AS v,
+         CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END AS s
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+st AS (
+  SELECT event_type,
+         sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY v
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY v
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+         sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type) AS n1,
+         sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type) AS n2
+  FROM u
+)
+SELECT event_type, first(n1)::BIGINT AS n_ref, first(n2)::BIGINT AS n_cur,
+       round(max(abs(c1 / nullif(n1, 0) - c2 / nullif(n2, 0))), 6) AS ks_stat
+FROM st GROUP BY event_type"""
+
+# mad: DuckDB's built-in mad() == median(|x - median|), matching
+# operators/stats.py grouped_mad's two exact-percentile passes.
+ORACLE_SQL["mad"] = """
+SELECT l_returnflag, count(l_extendedprice)::BIGINT AS n,
+       round(median(l_extendedprice), 6) AS median,
+       round(mad(l_extendedprice), 6) AS mad
+FROM lineitem GROUP BY l_returnflag"""

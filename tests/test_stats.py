@@ -328,3 +328,95 @@ def test_chisq_null_categories_excluded(spark):
     cur = spark.createDataFrame([(0, "a"), (0, "b")], "g int, c string")
     got = grouped_chisq(ref, cur, "g", "c").collect()[0]
     assert got["n_ref"] == 2 and got["n_cur"] == 2
+
+
+# ---------------------------------------------------------------- KS test
+
+
+def _ks_ref(a, b):
+    # scipy-free exact two-sample KS: evaluate |F1-F2| after each tie run
+    allv = np.sort(np.unique(np.concatenate([a, b])))
+    f1 = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    f2 = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    return np.abs(f1 - f2).max()
+
+
+def test_ks_vs_reference(spark):
+    from dask_groupby_spark.operators import grouped_ks
+
+    rng = np.random.default_rng(13)
+    ref_rows, cur_rows, per_g = [], [], {}
+    for g in range(3):
+        a = rng.normal(0, 1, 180)
+        b = rng.normal(0.4 * g, 1.2, 140)
+        per_g[g] = (a, b)
+        ref_rows += [(g, float(v)) for v in a]
+        cur_rows += [(g, float(v)) for v in b]
+    ref = spark.createDataFrame(ref_rows, "g int, x double")
+    cur = spark.createDataFrame(cur_rows, "g int, x double")
+    got = {r["g"]: r for r in grouped_ks(ref, cur, "g", "x").collect()}
+    for g in range(3):
+        a, b = per_g[g]
+        assert got[g]["n_ref"] == 180 and got[g]["n_cur"] == 140
+        assert got[g]["ks_stat"] == pytest.approx(_ks_ref(a, b), abs=1e-12)
+
+
+def test_ks_ties_exact(spark):
+    from dask_groupby_spark.operators import grouped_ks
+
+    # heavily tied integer-valued data
+    a = np.array([1.0, 1.0, 2.0, 2.0, 2.0, 3.0])
+    b = np.array([1.0, 2.0, 3.0, 3.0, 3.0, 3.0])
+    ref = spark.createDataFrame([(0, float(v)) for v in a], "g int, x double")
+    cur = spark.createDataFrame([(0, float(v)) for v in b], "g int, x double")
+    got = grouped_ks(ref, cur, "g", "x").collect()[0]
+    assert got["ks_stat"] == pytest.approx(_ks_ref(a, b), abs=1e-12)
+
+
+def test_ks_identical_zero_and_disjoint_one(spark):
+    from dask_groupby_spark.operators import grouped_ks
+
+    a = spark.createDataFrame([(0, float(i)) for i in range(20)], "g int, x double")
+    assert grouped_ks(a, a, "g", "x").collect()[0]["ks_stat"] == 0.0
+    b = spark.createDataFrame([(0, float(i + 100)) for i in range(20)], "g int, x double")
+    assert grouped_ks(a, b, "g", "x").collect()[0]["ks_stat"] == 1.0
+
+
+def test_ks_single_exchange(spark):
+    from dask_groupby_spark.operators import grouped_ks
+    from dask_groupby_spark.plans import count_exchanges
+
+    a = spark.range(100).select((F.col("id") % 3).alias("g"), F.rand(1).alias("x"))
+    b = spark.range(100).select((F.col("id") % 3).alias("g"), F.rand(2).alias("x"))
+    assert count_exchanges(grouped_ks(a, b, "g", "x")) == 1
+
+
+# ---------------------------------------------------------------- MAD
+
+
+def test_mad_vs_numpy(spark):
+    from dask_groupby_spark.operators import grouped_mad
+
+    rng = np.random.default_rng(17)
+    rows, per_g = [], {}
+    for g in range(3):
+        v = rng.normal(g, 1 + g, 151)          # odd count -> exact median
+        per_g[g] = v
+        rows += [(g, float(x)) for x in v]
+    df = spark.createDataFrame(rows, "g int, x double")
+    got = {r["g"]: r for r in grouped_mad(df, "g", "x").collect()}
+    for g in range(3):
+        med = np.median(per_g[g])
+        mad = np.median(np.abs(per_g[g] - med))
+        assert got[g]["median"] == pytest.approx(med, rel=1e-12)
+        assert got[g]["mad"] == pytest.approx(mad, rel=1e-12)
+        assert got[g]["n"] == 151
+
+
+def test_mad_robust_to_outlier(spark):
+    from dask_groupby_spark.operators import grouped_mad
+
+    base = [(0, float(v)) for v in [1, 2, 3, 4, 5]]
+    df = spark.createDataFrame(base + [(0, 1e9)], "g int, x double")
+    got = grouped_mad(df, "g", "x").collect()[0]
+    assert got["mad"] <= 2.0      # the 1e9 outlier cannot drag MAD
