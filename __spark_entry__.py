@@ -2354,6 +2354,36 @@ def q_mad(spark, sf):
     )
 
 
+def q_overlap_join(spark, sf):
+    """Interval-overlap join (operators/joins.py interval_overlap_join):
+    click-sessions [ts, ts+30m] x view-sessions [ts, ts+45m] per user —
+    grid-bucket equi-join with the overlap-start anchor rule (each pair
+    from exactly one bucket, no dedup pass), aggregated to per-user pair
+    counts with an exact integer id checksum."""
+    from dask_groupby_spark.operators import interval_overlap_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("lid"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("rid"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("e"),
+    )
+    pairs = interval_overlap_join(
+        clicks, views, "s", "e", "s", "e", by=["user_id"], bucket_width=3600.0
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("lid") + F.col("rid")).alias("pair_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2456,15 +2486,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # SEVENTEEN late-r5 keys sit just outside the window by explicit choice —
+    # EIGHTEEN late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
     # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad.
+    # chisq, ks, mad, overlap_join.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL SEVENTEEN into the
+    # outranks first official rows for these — ROTATE ALL EIGHTEEN into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2484,6 +2514,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chisq": q_chisq,
     "ks": q_ks,
     "mad": q_mad,
+    "overlap_join": q_overlap_join,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

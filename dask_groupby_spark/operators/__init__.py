@@ -34,7 +34,13 @@ from .bpe import bpe_encode, bpe_train
 from .curate import PII_PATTERNS, redact_pii
 from .profile import table_profile
 from .selection import key_skew_stats
-from .joins import bloom_bits_table, bloom_prefilter, bloom_semi_join, salted_join
+from .joins import (
+    bloom_bits_table,
+    bloom_prefilter,
+    bloom_semi_join,
+    interval_overlap_join,
+    salted_join,
+)
 from .stats import (
     grouped_bivariate,
     grouped_chisq,
@@ -101,6 +107,7 @@ __all__ = [
     "bloom_bits_table",
     "bloom_prefilter",
     "bloom_semi_join",
+    "interval_overlap_join",
     "grouped_bivariate",
     "grouped_chisq",
     "grouped_ks",

@@ -410,3 +410,69 @@ def bloom_semi_join(
     return cand.join(
         small.select(F.col(on)).distinct(), on=on, how="leftsemi"
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str] = (),
+    bucket_width: float = 3600.0,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner join of INTERVALS to INTERVALS on overlap:
+    ``l.start ≤ r.end AND r.start ≤ l.end`` (+ equal ``by`` keys) — the
+    session-vs-session / annotation-vs-annotation alignment
+    :func:`range_join` (point-in-interval) cannot express.
+
+    Same grid decomposition as ``range_join`` — each interval explodes
+    into its covered fixed-width buckets and the join is a hash
+    equi-join on ``(by…, bucket)`` — plus the standard dedup-free
+    assignment trick: a qualifying pair may share MANY buckets, so the
+    exact predicate additionally requires the joint bucket to be the one
+    containing ``greatest(l.start, r.start)`` (the overlap's first
+    instant).  Every overlapping pair is emitted from exactly ONE
+    bucket — no distinct pass over the (potentially huge) pair stream.
+
+    ``bucket_width`` (seconds when the bounds are timestamps) ≈ typical
+    interval length: wider buckets → fewer exploded rows; narrower →
+    fewer same-bucket false candidates.  Degenerate (end < start) and
+    NULL-bound intervals are dropped.  Output: left columns + right
+    columns suffixed (``by`` keys unsuffixed).
+    """
+    by = list(by)
+    left = normalize_time(left, left_start, left_end)
+    right = normalize_time(right, right_start, right_end)
+    w = float(bucket_width)
+
+    def _explode(df: DataFrame, s: str, e: str, tag: str) -> DataFrame:
+        ss, ee = time_to_seconds(df, s), time_to_seconds(df, e)
+        df = df.where(ss.isNotNull() & ee.isNotNull() & (ee >= ss))
+        b0 = F.floor(ss / F.lit(w)).cast("bigint")
+        b1 = F.floor(ee / F.lit(w)).cast("bigint")
+        return df.withColumn(
+            f"__bucket_{tag}", F.explode(F.sequence(b0, b1))
+        ).withColumn(f"__s_{tag}", ss).withColumn(f"__e_{tag}", ee)
+
+    l = _explode(left, left_start, left_end, "l")
+    r = _explode(right, right_start, right_end, "r")
+    for c in right.columns:
+        if c in left.columns and c not in by:
+            r = r.withColumnRenamed(c, f"{c}{suffix}")
+    cond = [l[f"__bucket_l"] == r[f"__bucket_r"]] + [l[k] == r[k] for k in by]
+    joined = l.join(r, reduce(lambda a, b: a & b, cond), "inner")
+    ls, le = l["__s_l"], l["__e_l"]
+    rs, re_ = r["__s_r"], r["__e_r"]
+    overlap = (ls <= re_) & (rs <= le)
+    anchor = l["__bucket_l"] == F.floor(F.greatest(ls, rs) / F.lit(w)).cast("bigint")
+    out = joined.where(overlap & anchor)
+    drop = [l[k] for k in by] if by else []
+    # keep ONE copy of the by keys (from the right side's join output)
+    out = out.drop("__bucket_l", "__bucket_r", "__s_l", "__e_l", "__s_r", "__e_r")
+    if by:
+        for k in by:
+            out = out.drop(r[k])
+    return out

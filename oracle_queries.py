@@ -1834,3 +1834,23 @@ SELECT l_returnflag, count(l_extendedprice)::BIGINT AS n,
        round(median(l_extendedprice), 6) AS median,
        round(mad(l_extendedprice), 6) AS mad
 FROM lineitem GROUP BY l_returnflag"""
+
+# overlap_join: interval-overlap pairs per user — DuckDB evaluates the plain
+# overlap predicate; the Spark side's grid decomposition must produce the
+# identical pair set exactly once each.
+ORACLE_SQL["overlap_join"] = """
+WITH c AS (
+  SELECT user_id, event_id AS lid, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, event_id AS rid, ts AS s, ts + INTERVAL 45 MINUTE AS e
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT c.user_id, lid, rid
+  FROM c JOIN v ON c.user_id = v.user_id AND c.s <= v.e AND v.s <= c.e
+)
+SELECT user_id, count(*)::BIGINT AS n_pairs,
+       sum(lid + rid)::BIGINT AS pair_sum
+FROM p GROUP BY user_id"""

@@ -305,3 +305,87 @@ class TestBloomSemiJoin:
         big = spark.range(200).select(F.col("id").alias("k"))
         cand = set(r["k"] for r in bloom_prefilter(big, merged, "k", 1 << 10).collect())
         assert set(range(100)) <= cand
+
+
+# ------------------------------------------------------- interval overlap join
+
+
+class TestIntervalOverlapJoin:
+    def _brute(self, lrows, rrows):
+        return sorted(
+            (lt, rt)
+            for (lu, ls, le, lt) in lrows
+            for (ru, rs, re, rt) in rrows
+            if lu == ru and ls <= re and rs <= le
+        )
+
+    def test_matches_brute_force_random(self, spark):
+        import numpy as np
+
+        from dask_groupby_spark.operators.joins import interval_overlap_join
+
+        rng = np.random.default_rng(23)
+        lrows = [
+            (int(rng.integers(0, 5)), float(s), float(s + rng.exponential(10)), f"l{i}")
+            for i, s in enumerate(rng.uniform(0, 500, 120))
+        ]
+        rrows = [
+            (int(rng.integers(0, 5)), float(s), float(s + rng.exponential(5)), f"r{i}")
+            for i, s in enumerate(rng.uniform(0, 500, 100))
+        ]
+        l = spark.createDataFrame(lrows, "uid bigint, s double, e double, tag string")
+        r = spark.createDataFrame(rrows, "uid bigint, s double, e double, rtag string")
+        want = self._brute(lrows, rrows)
+        for w in (3.0, 11.0, 50.0):   # result must be bucket-width invariant
+            out = interval_overlap_join(l, r, "s", "e", "s", "e", by=["uid"], bucket_width=w)
+            got = sorted((row["tag"], row["rtag"]) for row in out.collect())
+            assert got == want, f"bucket_width={w}"
+
+    def test_no_duplicate_pairs_on_long_intervals(self, spark):
+        from dask_groupby_spark.operators.joins import interval_overlap_join
+
+        # both intervals span many buckets; the anchor rule must emit once
+        l = spark.createDataFrame([(1, 0.0, 1000.0, "L")], "uid bigint, s double, e double, tag string")
+        r = spark.createDataFrame([(1, 500.0, 1500.0, "R")], "uid bigint, s double, e double, rtag string")
+        out = interval_overlap_join(l, r, "s", "e", "s", "e", by=["uid"], bucket_width=10.0)
+        assert out.count() == 1
+
+    def test_degenerate_and_null_intervals_dropped(self, spark):
+        from dask_groupby_spark.operators.joins import interval_overlap_join
+
+        l = spark.createDataFrame(
+            [(1, 5.0, 1.0, "rev"), (1, None, 3.0, "null"), (1, 0.0, 10.0, "ok")],
+            "uid bigint, s double, e double, tag string",
+        )
+        r = spark.createDataFrame([(1, 2.0, 3.0, "R")], "uid bigint, s double, e double, rtag string")
+        out = interval_overlap_join(l, r, "s", "e", "s", "e", by=["uid"])
+        assert [row["tag"] for row in out.collect()] == ["ok"]
+
+    def test_timestamp_bounds(self, spark):
+        from dask_groupby_spark.operators.joins import interval_overlap_join
+        from pyspark.sql import functions as F
+
+        l = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00", "L")],
+            "uid bigint, s string, e string, tag string",
+        ).select("uid", F.col("s").cast("timestamp").alias("s"),
+                 F.col("e").cast("timestamp").alias("e"), "tag")
+        r = spark.createDataFrame(
+            [(1, "2024-01-01 00:30:00", "2024-01-01 02:00:00", "R"),
+             (1, "2024-01-01 01:30:00", "2024-01-01 02:00:00", "miss")],
+            "uid bigint, s string, e string, rtag string",
+        ).select("uid", F.col("s").cast("timestamp").alias("s"),
+                 F.col("e").cast("timestamp").alias("e"), "rtag")
+        out = interval_overlap_join(l, r, "s", "e", "s", "e", by=["uid"])
+        assert [row["rtag"] for row in out.collect()] == ["R"]
+
+    def test_equi_join_not_cartesian(self, spark):
+        import re
+
+        from dask_groupby_spark.operators.joins import interval_overlap_join
+        from dask_groupby_spark.plans import physical_plan
+
+        l = spark.createDataFrame([(1, 0.0, 1.0, "L")], "uid bigint, s double, e double, tag string")
+        r = spark.createDataFrame([(1, 0.5, 2.0, "R")], "uid bigint, s double, e double, rtag string")
+        plan = physical_plan(interval_overlap_join(l, r, "s", "e", "s", "e", by=["uid"]))
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
