@@ -2384,6 +2384,28 @@ def q_overlap_join(spark, sf):
     )
 
 
+def q_psi_hist(spark, sf):
+    """Incremental PSI from mergeable histogram tables
+    (operators/sketches.py psi_from_histograms over hist_sketch_table):
+    same month-half drift as `psi` but via the persisted-sketch path —
+    each half collapses to ≤8 declared-domain counter rows first, so the
+    diff never rescans raw data."""
+    from dask_groupby_spark.operators import hist_sketch_table, psi_from_histograms
+
+    ev = load_table(spark, sf, "events")
+    ref = ev.where(F.dayofmonth("ts") <= 15)
+    cur = ev.where(F.dayofmonth("ts") > 15)
+    hr = hist_sketch_table(ref, "value", 0.0, 200.0, bins=8)
+    hc = hist_sketch_table(cur, "value", 0.0, 200.0, bins=8)
+    out = psi_from_histograms(hr, hc)
+    return out.select(
+        "bin",
+        F.round("ref_frac", 6).alias("ref_frac"),
+        F.round("cur_frac", 6).alias("cur_frac"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2486,15 +2508,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # EIGHTEEN late-r5 keys sit just outside the window by explicit choice —
+    # NINETEEN late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
     # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad, overlap_join.
+    # chisq, ks, mad, overlap_join, psi_hist.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL EIGHTEEN into the
+    # outranks first official rows for these — ROTATE ALL NINETEEN into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2515,6 +2537,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks": q_ks,
     "mad": q_mad,
     "overlap_join": q_overlap_join,
+    "psi_hist": q_psi_hist,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

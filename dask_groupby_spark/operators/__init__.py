@@ -55,6 +55,7 @@ from .sketches import (
     cms_sketch_table,
     hist_quantile,
     hist_sketch_table,
+    psi_from_histograms,
 )
 from .text import (
     add_text_features,
@@ -121,6 +122,7 @@ __all__ = [
     "cms_estimate",
     "hist_sketch_table",
     "hist_quantile",
+    "psi_from_histograms",
     "build_vocab",
     "encode_tokens",
     "encode_tokens_flat",

@@ -233,3 +233,48 @@ def hist_quantile(
     ]
     out = staged.groupBy(*by).agg(*aggs) if by else staged.groupBy().agg(*aggs)
     return out.orderBy(*by) if sort and by else out
+
+
+def psi_from_histograms(
+    ref_hist: DataFrame,
+    cur_hist: DataFrame,
+    by: "tuple[str, ...] | list[str]" = (),
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index computed FROM two mergeable histogram
+    tables (:func:`hist_sketch_table` outputs with the SAME declared
+    domain/bins) instead of from raw data — the incremental/streaming
+    form of :func:`~dask_groupby_spark.operators.stats.population_stability`:
+    persist one histogram per day via ``stream_hist_update`` or batch
+    appends, then diff ANY two windows without rescanning the corpus.
+
+    Accepts multi-batch tables (rows re-aggregate by summing ``cnt``)
+    and an optional ``by`` grouping (per-segment PSI).  Returns one row
+    per (by…, bin) with ``ref_frac``/``cur_frac``/``psi_term``
+    (eps-smoothed ``(p−q)·ln(p/q)``; Σ per group = PSI).  Bins absent
+    from one side get fraction 0.  Everything runs on bounded
+    |groups|·bins counter rows — data size left the picture when the
+    histograms were built.
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+
+    def _frac(h: DataFrame, out: str) -> DataFrame:
+        c = h.groupBy(*by, "bin").agg(F.sum("cnt").alias("cnt"))
+        w = Window.partitionBy(*by) if by else Window.partitionBy()
+        return c.select(
+            *by, "bin", (F.col("cnt") / F.sum("cnt").over(w)).alias(out)
+        )
+
+    p = _frac(ref_hist, "ref_frac")
+    q = _frac(cur_hist, "cur_frac")
+    j = p.join(q, on=by + ["bin"], how="full").select(
+        *by,
+        "bin",
+        F.coalesce("ref_frac", F.lit(0.0)).alias("ref_frac"),
+        F.coalesce("cur_frac", F.lit(0.0)).alias("cur_frac"),
+    )
+    ps = F.greatest(F.col("ref_frac"), F.lit(float(eps)))
+    qs = F.greatest(F.col("cur_frac"), F.lit(float(eps)))
+    return j.withColumn("psi_term", (ps - qs) * F.log(ps / qs))

@@ -266,3 +266,54 @@ def compact_table(
     fs.delete(jold, True)
     n_after = int(fs.getContentSummary(jpath).getFileCount())
     return n_before, n_after
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: "tuple[str, ...] | list[str] | str",
+    fmt: str = "parquet",
+) -> None:
+    """MERGE-style upsert into a persisted flat table: rows of
+    ``updates`` REPLACE target rows with the same key tuple, new keys
+    append — the maintenance primitive for persisted MinHash indexes,
+    sketch tables, and any slowly-changing dimension, without a table
+    format dependency.
+
+    Plan: target LEFT ANTI join the updates' distinct keys (AQE
+    broadcasts the key set when it fits) ∪ updates, written to a temp
+    sibling and swapped in with the same crash-safe park → move → drop
+    sequence as :func:`compact_table` (same non-atomic-rename caveat on
+    object stores — don't race readers).  The target is read ONCE,
+    during the temp write; a missing target path degrades to a plain
+    first write.  ``updates`` must be unique per key (pre-aggregate
+    otherwise — which duplicate would win is undefined, as in SQL
+    MERGE).  Schemas must match by name.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    if not fs.exists(jpath):
+        updates.write.format(fmt).mode("overwrite").save(path)
+        return
+    target = spark.read.format(fmt).load(path)
+    missing = set(ks) - set(target.columns)
+    if missing:
+        raise ValueError(f"key columns {sorted(missing)} not in target table")
+    kept = target.join(updates.select(*ks).distinct(), on=ks, how="left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+
+    tmp = path.rstrip("/") + "__upsert_tmp"
+    old = path.rstrip("/") + "__upsert_old"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    merged.write.format(fmt).mode("overwrite").save(tmp)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"rename {path} -> {old} failed; new data is at {tmp}")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jold, jpath)
+        raise IOError(f"rename {tmp} -> {path} failed; original restored")
+    fs.delete(jold, True)

@@ -1854,3 +1854,28 @@ p AS (
 SELECT user_id, count(*)::BIGINT AS n_pairs,
        sum(lid + rid)::BIGINT AS pair_sum
 FROM p GROUP BY user_id"""
+
+# psi_hist: PSI via fixed-domain histogram counters (domain [0,200), 8 bins,
+# clamp into edge bins) — mirrors hist_sketch_table + psi_from_histograms.
+ORACLE_SQL["psi_hist"] = """
+WITH e AS (
+  SELECT date_part('day', ts) AS d,
+         CAST(greatest(0, least(7, floor((value - 0.0) / 25.0))) AS INTEGER) AS bin
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+rb AS (SELECT bin, count(*) AS cnt FROM e WHERE d <= 15 GROUP BY 1),
+cb AS (SELECT bin, count(*) AS cnt FROM e WHERE d > 15 GROUP BY 1),
+rf AS (SELECT bin, cnt / (SELECT sum(cnt) FROM rb) AS ref_frac FROM rb),
+cf AS (SELECT bin, cnt / (SELECT sum(cnt) FROM cb) AS cur_frac FROM cb),
+j AS (
+  SELECT COALESCE(rf.bin, cf.bin) AS bin,
+         COALESCE(ref_frac, 0.0) AS ref_frac,
+         COALESCE(cur_frac, 0.0) AS cur_frac
+  FROM rf FULL JOIN cf ON rf.bin = cf.bin
+)
+SELECT bin,
+       round(ref_frac, 6) AS ref_frac,
+       round(cur_frac, 6) AS cur_frac,
+       round((greatest(ref_frac, 1e-6) - greatest(cur_frac, 1e-6))
+             * ln(greatest(ref_frac, 1e-6) / greatest(cur_frac, 1e-6)), 6) AS psi_term
+FROM j"""

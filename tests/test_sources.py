@@ -243,3 +243,61 @@ def test_compact_table_shrinks_files_keeps_data(spark, tmp_path):
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).first()[0] == before_sum
     assert set(back.columns) == {"id", "g"}
+
+
+# ---------------------------------------------------------------- upsert
+
+
+class TestUpsertTable:
+    def test_first_write_then_update_and_insert(self, spark, tmp_path):
+        from dask_groupby_spark.sources import upsert_table
+
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k bigint, name string, v double",
+        )
+        upsert_table(spark, p, base, "k")          # missing path -> first write
+        upd = spark.createDataFrame(
+            [(2, "B2", 22.0), (4, "d", 40.0)], "k bigint, name string, v double"
+        )
+        upsert_table(spark, p, upd, "k")
+        got = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(p).collect()}
+        assert got == {1: ("a", 10.0), 2: ("B2", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    def test_multi_column_key(self, spark, tmp_path):
+        from dask_groupby_spark.sources import upsert_table
+
+        p = str(tmp_path / "t2")
+        base = spark.createDataFrame(
+            [(1, "x", 1.0), (1, "y", 2.0)], "a bigint, b string, v double"
+        )
+        upsert_table(spark, p, base, ["a", "b"])
+        upd = spark.createDataFrame([(1, "y", 99.0)], "a bigint, b string, v double")
+        upsert_table(spark, p, upd, ["a", "b"])
+        got = {(r["a"], r["b"]): r["v"] for r in spark.read.parquet(p).collect()}
+        assert got == {(1, "x"): 1.0, (1, "y"): 99.0}
+
+    def test_bad_key_raises_and_leaves_table_intact(self, spark, tmp_path):
+        import pytest as _pt
+
+        from dask_groupby_spark.sources import upsert_table
+
+        p = str(tmp_path / "t3")
+        base = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+        upsert_table(spark, p, base, "k")
+        upd = spark.createDataFrame([(2, 2.0)], "nope bigint, v double")
+        with _pt.raises(ValueError):
+            upsert_table(spark, p, upd, "nope")
+        assert spark.read.parquet(p).count() == 1
+
+    def test_no_leftover_temp_dirs(self, spark, tmp_path):
+        import os
+
+        from dask_groupby_spark.sources import upsert_table
+
+        p = str(tmp_path / "t4")
+        base = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+        upsert_table(spark, p, base, "k")
+        upsert_table(spark, p, base, "k")
+        assert sorted(os.listdir(tmp_path)) == ["t4"]

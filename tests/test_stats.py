@@ -420,3 +420,54 @@ def test_mad_robust_to_outlier(spark):
     df = spark.createDataFrame(base + [(0, 1e9)], "g int, x double")
     got = grouped_mad(df, "g", "x").collect()[0]
     assert got["mad"] <= 2.0      # the 1e9 outlier cannot drag MAD
+
+
+# ------------------------------------------------------ PSI from histograms
+
+
+def test_psi_from_histograms_matches_direct(spark):
+    """hist_sketch_table -> psi_from_histograms must equal
+    population_stability with the same uniform breaks."""
+    from dask_groupby_spark.operators import hist_sketch_table, psi_from_histograms
+
+    rng = np.random.default_rng(29)
+    ref = spark.createDataFrame([(float(v),) for v in rng.uniform(0, 10, 400)], "x double")
+    cur = spark.createDataFrame([(float(v),) for v in rng.uniform(2, 12, 300)], "x double")
+    bins, lo, hi = 5, 0.0, 10.0
+    hr = hist_sketch_table(ref, "x", lo, hi, bins=bins)
+    hc = hist_sketch_table(cur, "x", lo, hi, bins=bins)
+    via_hist = {r["bin"]: r["psi_term"] for r in psi_from_histograms(hr, hc).collect()}
+    # direct PSI over the same interior breaks; hist clamps overflow into the
+    # top bin, so compare against breaks [2,4,6,8] with the top bins merged
+    breaks = [2.0, 4.0, 6.0, 8.0]
+    direct = {r["bin"]: r["psi_term"] for r in population_stability(
+        ref, cur, "x", breaks).collect()}
+    # bin k of the histogram corresponds to PSI bin k except clamping: here
+    # cur has mass >10 clamped into hist bin 4 while direct's top bin 4 is
+    # open-ended >=8 -> identical sets
+    for b in range(bins):
+        assert via_hist[b] == pytest.approx(direct[b], rel=1e-9)
+
+
+def test_psi_from_histograms_merges_batches(spark):
+    from dask_groupby_spark.operators import hist_sketch_table, psi_from_histograms
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    h1 = hist_sketch_table(a.limit(50), "x", 0.0, 10.0, bins=5)
+    h2 = hist_sketch_table(a.subtract(a.limit(50)) if False else a, "x", 0.0, 10.0, bins=5)
+    # identical distribution vs itself (h2 union h2) -> PSI 0
+    merged = h2.unionByName(h2)
+    out = psi_from_histograms(h2, merged).collect()
+    assert sum(abs(r["psi_term"]) for r in out) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_psi_from_histograms_grouped(spark):
+    from dask_groupby_spark.operators import hist_sketch_table, psi_from_histograms
+
+    rows = [("a", float(i % 5)) for i in range(50)] + [("b", float(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    h = hist_sketch_table(df, "x", 0.0, 5.0, by=["g"], bins=5)
+    out = psi_from_histograms(h, h, by=["g"]).collect()
+    gs = {r["g"] for r in out}
+    assert gs == {"a", "b"}
+    assert all(abs(r["psi_term"]) < 1e-12 for r in out)
