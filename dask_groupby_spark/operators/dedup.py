@@ -879,7 +879,9 @@ def dedup_paragraphs(
     Semantics: split each document on ``sep``; a paragraph occurrence is
     kept iff it is the globally FIRST occurrence of that paragraph text
     under the total order ``(id, position)``, or shorter than
-    ``min_len`` characters (structural separators are never deduped);
+    ``max(min_len, 1)`` characters (empty segments from consecutive
+    separators — blank-line structure — are never deduped, and neither
+    are real segments under ``min_len``);
     surviving paragraphs rejoin in original order.  Documents losing all
     paragraphs come back as ``''`` (they are kept as rows — dropping is
     the caller's policy, e.g. ``length(text) > 0``).
@@ -906,11 +908,18 @@ def dedup_paragraphs(
     segs = F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
     rows = df.select(F.col(id_col).alias("__id"), segs.alias("__pos", "__seg"))
     fp = F.lower(F.regexp_replace(F.trim(F.col("__seg")), r"\s+", " ")) if normalize else F.col("__seg")
-    rows = rows.withColumn("__fp", portable_hash(fp))
+    # FULL 128-bit md5, not the 60-bit portable_hash: at ~10^10 distinct
+    # paragraphs a 2^60 space expects birthday collisions, and a collision
+    # here silently DELETES unrelated content (and diverges from the
+    # oracle, which partitions by the raw segment)
+    rows = rows.withColumn("__fp", F.md5(fp))
     w = Window.partitionBy("__fp").orderBy("__id", "__pos")
     flagged = rows.withColumn(
         "__keep",
-        (F.length("__seg") < F.lit(min_len))
+        # empty segments (consecutive separators — blank-line structure)
+        # are never deduped, whatever min_len says; real segments shorter
+        # than min_len are likewise always kept
+        (F.length("__seg") < F.greatest(F.lit(min_len), F.lit(1)))
         | (F.row_number().over(w) == 1),
     )
     rebuilt = (

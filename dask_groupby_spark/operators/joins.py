@@ -388,6 +388,7 @@ def bloom_semi_join(
     num_bits: int = 1 << 23,
     num_hashes: int = 3,
     exact: bool = True,
+    cache_bits: bool = True,
 ) -> DataFrame:
     """EXACT semi join of ``big`` against ``small``'s keys, with a Bloom
     prefilter cutting the big side map-side first.  Use when ``small``'s
@@ -399,11 +400,17 @@ def bloom_semi_join(
     ``exact=False`` skips the verification join and returns the
     prefiltered superset (acceptable when downstream tolerates the fpp,
     e.g. candidate generation).
+
+    ``cache_bits=True`` persists the bitmap so the key-side scan and
+    aggregation run once instead of once per hash (each broadcast
+    exchange re-evaluates its input).  The MB-sized cache entry lives
+    until Spark's LRU evicts it — a long-running app calling this in a
+    loop should instead build ONE :func:`bloom_bits_table`, manage its
+    persistence, and call :func:`bloom_prefilter` directly.
     """
-    # persist: each of the num_hashes broadcast exchanges in the
-    # prefilter re-evaluates its input — cached, the key-side scan and
-    # bitmap aggregation run once (the bitmap is <= m/64 rows, MB-sized)
-    bits = bloom_bits_table(small, on, num_bits, num_hashes).persist()
+    bits = bloom_bits_table(small, on, num_bits, num_hashes)
+    if cache_bits:
+        bits = bits.persist()
     cand = bloom_prefilter(big, bits, on, num_bits, num_hashes)
     if not exact:
         return cand
@@ -469,10 +476,8 @@ def interval_overlap_join(
     overlap = (ls <= re_) & (rs <= le)
     anchor = l["__bucket_l"] == F.floor(F.greatest(ls, rs) / F.lit(w)).cast("bigint")
     out = joined.where(overlap & anchor)
-    drop = [l[k] for k in by] if by else []
-    # keep ONE copy of the by keys (from the right side's join output)
+    # keep ONE copy of the by keys (the LEFT side's; the right copies drop)
     out = out.drop("__bucket_l", "__bucket_r", "__s_l", "__e_l", "__s_r", "__e_r")
-    if by:
-        for k in by:
-            out = out.drop(r[k])
+    for k in by:
+        out = out.drop(r[k])
     return out

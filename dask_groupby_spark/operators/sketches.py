@@ -258,6 +258,8 @@ def psi_from_histograms(
     """
     from pyspark.sql import Window
 
+    from .stats import psi_terms
+
     by = list(by)
 
     def _frac(h: DataFrame, out: str) -> DataFrame:
@@ -267,14 +269,6 @@ def psi_from_histograms(
             *by, "bin", (F.col("cnt") / F.sum("cnt").over(w)).alias(out)
         )
 
-    p = _frac(ref_hist, "ref_frac")
-    q = _frac(cur_hist, "cur_frac")
-    j = p.join(q, on=by + ["bin"], how="full").select(
-        *by,
-        "bin",
-        F.coalesce("ref_frac", F.lit(0.0)).alias("ref_frac"),
-        F.coalesce("cur_frac", F.lit(0.0)).alias("cur_frac"),
-    )
-    ps = F.greatest(F.col("ref_frac"), F.lit(float(eps)))
-    qs = F.greatest(F.col("cur_frac"), F.lit(float(eps)))
-    return j.withColumn("psi_term", (ps - qs) * F.log(ps / qs))
+    # alignment + smoothing shared with population_stability (ONE
+    # definition of the convention — the two PSI paths cannot drift)
+    return psi_terms(_frac(ref_hist, "ref_frac"), _frac(cur_hist, "cur_frac"), by, eps)

@@ -193,7 +193,25 @@ def population_stability(
         return counts.select("bin", (F.col("cnt") / total).alias(out))
 
     p, q = _bins(ref, "ref_frac"), _bins(cur, "cur_frac")
-    joined = p.join(q, "bin", "full").select(
+    return psi_terms(p, q, eps=eps)
+
+
+def psi_terms(
+    p: DataFrame,
+    q: DataFrame,
+    by: Sequence[str] = (),
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Align two per-bin fraction tables (``(by…, bin, ref_frac)`` /
+    ``(by…, bin, cur_frac)``) and compute the eps-smoothed PSI term per
+    bin — the shared tail of :func:`population_stability` and
+    :func:`~dask_groupby_spark.operators.sketches.psi_from_histograms`
+    (ONE definition of the smoothing convention, so the batch and
+    incremental paths cannot drift apart).  Bins absent from one side
+    get fraction 0 before smoothing."""
+    keys = list(by)
+    joined = p.join(q, on=keys + ["bin"], how="full").select(
+        *keys,
         "bin",
         F.coalesce("ref_frac", F.lit(0.0)).alias("ref_frac"),
         F.coalesce("cur_frac", F.lit(0.0)).alias("cur_frac"),
@@ -238,7 +256,15 @@ def grouped_ttest(
             F.var_samp(c).alias(f"var_{tag}"),
         )
 
-    j = _side(ref, "ref").join(_side(cur, "cur"), on=keys, how="inner")
+    # null-SAFE key equality: a NULL-key group present in both snapshots
+    # must survive the join (plain `on=keys` equality would drop it,
+    # inconsistently with grouped_bivariate/grouped_ks on the same data)
+    a, b = _side(ref, "ref").alias("__a"), _side(cur, "cur").alias("__b")
+    cond = None
+    for k in keys:
+        eq = a[k].eqNullSafe(b[k])
+        cond = eq if cond is None else cond & eq
+    j = a.join(b, cond, "inner").drop(*[b[k] for k in keys])
     se_ref = F.try_divide(F.col("var_ref"), F.col("n_ref"))
     se_cur = F.try_divide(F.col("var_cur"), F.col("n_cur"))
     se2 = se_ref + se_cur
@@ -390,7 +416,14 @@ def grouped_mad(
         F.count(c).alias("n"),
         F.percentile(c, F.lit(0.5)).alias("median"),
     )
-    dev = df.select(*keys, c.alias("__v")).join(med, on=keys)
+    # null-SAFE key equality so a NULL-key group keeps its median row
+    vals = df.select(*keys, c.alias("__v")).alias("__v_side")
+    m = med.alias("__m_side")
+    cond = None
+    for k in keys:
+        eq = vals[k].eqNullSafe(m[k])
+        cond = eq if cond is None else cond & eq
+    dev = vals.join(m, cond).drop(*[m[k] for k in keys])
     return dev.groupBy(*keys).agg(
         F.first("n").alias("n"),
         F.first("median").alias("median"),

@@ -39,6 +39,11 @@ def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     """
     if not rules:
         raise ValueError("no rules given")
+    for name in rules:
+        # names are interpolated into the stack() expression — a quote or
+        # backtick would break out of the generated SQL
+        if "'" in name or "`" in name:
+            raise ValueError(f"rule name may not contain quotes/backticks: {name!r}")
     aggs = []
     for name, pred in rules.items():
         ok = F.coalesce(pred.cast("boolean"), F.lit(False))

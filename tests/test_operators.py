@@ -1225,3 +1225,14 @@ class TestDedupParagraphs:
         keep = [r["doc_id"] for r in out if "BOILER" in r["text"]]
         assert keep == [0]
         assert all("unique" in r["text"] for r in out)
+
+    def test_empty_segments_preserve_blank_line_structure(self, spark):
+        from dask_groupby_spark.operators import dedup_paragraphs
+
+        # consecutive separators produce empty segments in BOTH docs; they
+        # are structure, not content — never deduped across the corpus
+        df = spark.createDataFrame(
+            [(1, "p1\n\npA"), (2, "p2\n\npB")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+        assert out[1] == "p1\n\npA" and out[2] == "p2\n\npB"

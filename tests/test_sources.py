@@ -301,3 +301,14 @@ class TestUpsertTable:
         upsert_table(spark, p, base, "k")
         upsert_table(spark, p, base, "k")
         assert sorted(os.listdir(tmp_path)) == ["t4"]
+
+    def test_null_key_rows_replaced_not_appended(self, spark, tmp_path):
+        from dask_groupby_spark.sources import upsert_table
+
+        p = str(tmp_path / "t5")
+        base = spark.createDataFrame([(None, "old"), (1, "x")], "k bigint, v string")
+        upsert_table(spark, p, base, "k")
+        upd = spark.createDataFrame([(None, "new")], "k bigint, v string")
+        upsert_table(spark, p, upd, "k")
+        got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+        assert got == {None: "new", 1: "x"}

@@ -471,3 +471,32 @@ def test_psi_from_histograms_grouped(spark):
     gs = {r["g"] for r in out}
     assert gs == {"a", "b"}
     assert all(abs(r["psi_term"]) < 1e-12 for r in out)
+
+
+# --------------------------------------------------- review-fix regressions
+
+
+def test_ttest_null_key_group_survives(spark):
+    from dask_groupby_spark.operators import grouped_ttest
+
+    ref = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 3.0), ("a", 1.0), ("a", 2.0)],
+        "g string, x double",
+    )
+    cur = spark.createDataFrame(
+        [(None, 4.0), (None, 6.0), ("a", 3.0), ("a", 5.0)], "g string, x double"
+    )
+    got = {r["g"]: r for r in grouped_ttest(ref, cur, "g", "x").collect()}
+    assert None in got and got[None]["n_ref"] == 3 and got[None]["n_cur"] == 2
+    assert got[None]["t_stat"] is not None
+
+
+def test_mad_null_key_group_survives(spark):
+    from dask_groupby_spark.operators import grouped_mad
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 9.0), ("a", 5.0)], "g string, x double"
+    )
+    got = {r["g"]: r for r in grouped_mad(df, "g", "x").collect()}
+    assert got[None]["median"] == 2.0 and got[None]["mad"] == 1.0
+    assert got["a"]["mad"] == 0.0

@@ -87,3 +87,15 @@ class TestCheckReferential:
         parent = spark.createDataFrame([(1,)], "pk bigint")
         r = check_referential(child, parent, "k", parent_col="pk").collect()[0]
         assert r["n_orphans"] == 1
+
+
+def test_rule_name_with_quote_rejected(spark):
+    from pyspark.sql import functions as F
+
+    from dask_groupby_spark.operators import check_rules
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        check_rules(df, {"isn't null": F.col("v").isNotNull()})
+    with pytest.raises(ValueError):
+        check_rules(df, {"a`b": F.col("v").isNotNull()})
