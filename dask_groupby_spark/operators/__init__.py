@@ -55,6 +55,7 @@ from .sketches import (
     cms_sketch_table,
     hist_quantile,
     hist_sketch_table,
+    ks_from_histograms,
     psi_from_histograms,
 )
 from .text import (
@@ -123,6 +124,7 @@ __all__ = [
     "hist_sketch_table",
     "hist_quantile",
     "psi_from_histograms",
+    "ks_from_histograms",
     "build_vocab",
     "encode_tokens",
     "encode_tokens_flat",

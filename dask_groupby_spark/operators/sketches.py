@@ -272,3 +272,63 @@ def psi_from_histograms(
     # alignment + smoothing shared with population_stability (ONE
     # definition of the convention — the two PSI paths cannot drift)
     return psi_terms(_frac(ref_hist, "ref_frac"), _frac(cur_hist, "cur_frac"), by, eps)
+
+
+def ks_from_histograms(
+    ref_hist: DataFrame,
+    cur_hist: DataFrame,
+    by: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
+    """Approximate two-sample KS statistic FROM two mergeable histogram
+    tables (same declared domain/bins) — the incremental form of
+    :func:`~dask_groupby_spark.operators.stats.grouped_ks`, exact up to
+    bin resolution: the empirical CDFs are evaluated at bin edges, so
+    ``|D_hist − D_exact| ≤`` the largest single-bin mass (shrink bins to
+    tighten).
+
+    Returns one row per group ``(by…, n_ref, n_cur, ks_stat)``; with no
+    ``by``, one row.  Runs entirely on |groups|·bins counter rows.
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+
+    def _cdf(h: DataFrame, tag: str) -> DataFrame:
+        c = h.groupBy(*by, "bin").agg(F.sum("cnt").alias("cnt"))
+        w = Window.partitionBy(*by) if by else Window.partitionBy()
+        wc = (
+            Window.partitionBy(*by).orderBy("bin")
+            if by
+            else Window.partitionBy().orderBy("bin")
+        ).rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        return c.select(
+            *by,
+            "bin",
+            F.sum("cnt").over(w).alias(f"n_{tag}"),
+            (F.sum("cnt").over(wc) / F.sum("cnt").over(w)).alias(f"f_{tag}"),
+        )
+
+    p, q = _cdf(ref_hist, "ref"), _cdf(cur_hist, "cur")
+    j = p.join(q, on=by + ["bin"], how="full")
+    # a bin absent from one side keeps that side's PREVIOUS cdf value —
+    # fill by carrying the last non-null forward over the bin order
+    wf = (
+        Window.partitionBy(*by).orderBy("bin")
+        if by
+        else Window.partitionBy().orderBy("bin")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f_ref = F.coalesce(F.last("f_ref", ignorenulls=True).over(wf), F.lit(0.0))
+    f_cur = F.coalesce(F.last("f_cur", ignorenulls=True).over(wf), F.lit(0.0))
+    n_ref = F.max("n_ref").over(Window.partitionBy(*by) if by else Window.partitionBy())
+    n_cur = F.max("n_cur").over(Window.partitionBy(*by) if by else Window.partitionBy())
+    stepped = j.select(
+        *by,
+        n_ref.alias("n_ref"),
+        n_cur.alias("n_cur"),
+        F.abs(f_ref - f_cur).alias("__d"),
+    )
+    return stepped.groupBy(*by).agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.max("__d").alias("ks_stat"),
+    )

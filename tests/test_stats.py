@@ -500,3 +500,49 @@ def test_mad_null_key_group_survives(spark):
     got = {r["g"]: r for r in grouped_mad(df, "g", "x").collect()}
     assert got[None]["median"] == 2.0 and got[None]["mad"] == 1.0
     assert got["a"]["mad"] == 0.0
+
+
+# ------------------------------------------------------- KS from histograms
+
+
+def test_ks_from_histograms_error_bounded_by_bin_mass(spark):
+    from dask_groupby_spark.operators import grouped_ks, hist_sketch_table, ks_from_histograms
+
+    rng = np.random.default_rng(31)
+    a = rng.uniform(0, 10, 600)
+    b = rng.uniform(3, 13, 500)
+    ref = spark.createDataFrame([(float(v),) for v in a], "x double")
+    cur = spark.createDataFrame([(float(v),) for v in b], "x double")
+    bins = 64
+    hr = hist_sketch_table(ref, "x", 0.0, 13.0, bins=bins)
+    hc = hist_sketch_table(cur, "x", 0.0, 13.0, bins=bins)
+    approx = ks_from_histograms(hr, hc).collect()[0]
+    exact = grouped_ks(
+        ref.withColumn("g", F.lit(0)), cur.withColumn("g", F.lit(0)), "g", "x"
+    ).collect()[0]
+    max_bin_mass = max(600 / bins / 600, 500 / bins / 500) * 3  # loose bound
+    assert approx["n_ref"] == 600 and approx["n_cur"] == 500
+    assert abs(approx["ks_stat"] - exact["ks_stat"]) <= max_bin_mass
+    assert approx["ks_stat"] > 0.15    # the real shift registers
+
+
+def test_ks_from_histograms_identical_zero_and_grouped(spark):
+    from dask_groupby_spark.operators import hist_sketch_table, ks_from_histograms
+
+    rows = [("a", float(i % 7)) for i in range(70)] + [("b", float(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    h = hist_sketch_table(df, "x", 0.0, 7.0, by=["g"], bins=7)
+    out = {r["g"]: r for r in ks_from_histograms(h, h, by=["g"]).collect()}
+    assert out["a"]["ks_stat"] == 0.0 and out["b"]["ks_stat"] == 0.0
+    assert out["a"]["n_ref"] == 70 and out["b"]["n_cur"] == 40
+
+
+def test_ks_from_histograms_missing_bins_carry_cdf(spark):
+    from dask_groupby_spark.operators import ks_from_histograms
+
+    # hand-built counter tables with disjoint bins: ref mass in bin 0,
+    # cur mass in bin 3 -> D must reach 1.0 (cdf carried between bins)
+    ref = spark.createDataFrame([(0, 10)], "bin int, cnt bigint")
+    cur = spark.createDataFrame([(3, 5)], "bin int, cnt bigint")
+    got = ks_from_histograms(ref, cur).collect()[0]
+    assert got["ks_stat"] == 1.0

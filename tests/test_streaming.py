@@ -599,3 +599,50 @@ def test_stream_hll_update_matches_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert got["a"] == 150 and got["b"] == 1  # exact at this cardinality
+
+
+def test_streaming_drift_psi_ks_from_stream_histograms(spark, tmp_path_factory):
+    """The streaming-drift composition: two stream_hist_update runs (a
+    'reference' week and a 'current' week, each consumed as a file
+    stream) feed psi_from_histograms / ks_from_histograms, and the PSI
+    equals the direct raw-data population_stability over the same
+    declared-domain edges — drift monitoring without rescanning raw
+    data, exactly-once per batch."""
+    import os
+    import time as _time
+
+    from dask_groupby_spark.operators import ks_from_histograms, psi_from_histograms
+    from dask_groupby_spark.operators.stats import population_stability
+    from dask_groupby_spark.streaming import stream_hist_update
+
+    base = tmp_path_factory.mktemp("stream_drift")
+    ref_rows = [(float(i % 10),) for i in range(300)]
+    cur_rows = [(float((i % 10) + 2),) for i in range(200)]     # shifted
+    ref_df = spark.createDataFrame(ref_rows, "v double")
+    cur_df = spark.createDataFrame(cur_rows, "v double")
+
+    paths = {}
+    for tag, df in (("ref", ref_df), ("cur", cur_df)):
+        indir = str(base / f"in_{tag}")
+        os.makedirs(indir)
+        df.coalesce(1).write.parquet(f"{indir}/b1")
+        stream = spark.readStream.schema("v double").parquet(f"{indir}/*")
+        q = stream_hist_update(
+            stream, "v", str(base / f"sk_{tag}"), str(base / f"ck_{tag}"),
+            lo=0.0, hi=12.0, bins=6,
+        )
+        q.awaitTermination(120)
+        paths[tag] = spark.read.parquet(str(base / f"sk_{tag}"))
+
+    psi = psi_from_histograms(paths["ref"], paths["cur"]).collect()
+    # direct PSI over the same interior edges [2,4,6,8,10] (domain [0,12)/6)
+    direct = population_stability(ref_df, cur_df, "v", [2.0, 4.0, 6.0, 8.0, 10.0]).collect()
+    got = {r["bin"]: r["psi_term"] for r in psi}
+    want = {r["bin"]: r["psi_term"] for r in direct}
+    assert set(got) == set(want)
+    for b in got:
+        assert got[b] == pytest.approx(want[b], rel=1e-9)
+
+    ks = ks_from_histograms(paths["ref"], paths["cur"]).collect()[0]
+    assert ks["n_ref"] == 300 and ks["n_cur"] == 200
+    assert ks["ks_stat"] > 0.1    # the shift registers through the sketch path
