@@ -2406,6 +2406,28 @@ def q_psi_hist(spark, sf):
     )
 
 
+def q_pagerank(spark, sf):
+    """PageRank authority scores (operators/graph.py pagerank) over a
+    deterministic user→item graph derived from events (user_id →
+    event_id mod 997).  Iterative power iteration — not
+    SQL-expressible, so no oracle entry (rows-only check, like
+    pca_embed); exact numpy differential lives in tests/test_graph.py.
+    Output: top-100 nodes by rank with rank rounded for stability."""
+    from dask_groupby_spark.operators import pagerank
+
+    ev = load_table(spark, sf, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.pmod(F.col("event_id"), F.lit(997)).alias("dst"),
+    )
+    pr = pagerank(edges, iters=5)
+    return (
+        pr.orderBy(F.col("rank").desc(), "id")
+        .limit(100)
+        .select("id", F.round("rank", 8).alias("rank"))
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2508,15 +2530,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # NINETEEN late-r5 keys sit just outside the window by explicit choice —
+    # TWENTY late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
     # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad, overlap_join, psi_hist.
+    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only).
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL NINETEEN into the
+    # outranks first official rows for these — ROTATE ALL TWENTY into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2538,6 +2560,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad": q_mad,
     "overlap_join": q_overlap_join,
     "psi_hist": q_psi_hist,
+    "pagerank": q_pagerank,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

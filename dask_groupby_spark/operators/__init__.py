@@ -32,6 +32,7 @@ from .similarity import (
 )
 from .bpe import bpe_encode, bpe_train
 from .curate import PII_PATTERNS, redact_pii
+from .graph import pagerank
 from .profile import table_profile
 from .selection import key_skew_stats
 from .joins import (
@@ -119,6 +120,7 @@ __all__ = [
     "population_stability",
     "key_skew_stats",
     "table_profile",
+    "pagerank",
     "cms_sketch_table",
     "cms_estimate",
     "hist_sketch_table",

@@ -1,0 +1,107 @@
+"""Link-graph analytics for crawl curation — PageRank-style authority
+scoring over an edge table (the quality prior used by web-corpus
+pipelines to keep pages that the link graph vouches for; see also
+:func:`~dask_groupby_spark.operators.dedup.duplicate_clusters`, the
+connected-components sibling built on the same iterative-join pattern).
+
+No flox counterpart (SURVEY.md §2.4) — Spark-native surface.  Iterative
+by nature (not SQL-expressible as one query): each power-iteration step
+is one co-partitioned join + one map-combined aggregate, with eager
+``localCheckpoint`` lineage cuts so the plan does not grow with the
+iteration count — the same hardening as ``kmeans_fit``/``bpe_train``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """PageRank over a directed edge table: returns ``(id, rank)`` for
+    every node (ranks sum to 1).  Standard damped power iteration with
+    correct dangling-node handling — the rank mass of nodes with no
+    out-edges redistributes uniformly each step, so the total stays 1
+    (dropping it, the common shortcut, deflates every score and the
+    ranking of low-degree nodes).
+
+    Per iteration: ranks ⋈ edges on ``src`` (both sides hash-partitioned
+    on the node id — the edge side is repartitioned ONCE up front and
+    the partitioning is reused every step) → per-edge contribution
+    ``rank/out_degree`` → map-combined sum per ``dst``.  A node's state
+    is one double; the shuffle carries |edges| contribution rows — the
+    unavoidable volume for exact PageRank.  Every iteration ends in an
+    eager ``localCheckpoint``: O(1) plan depth, no lineage blow-up, and
+    the next step's join starts from materialized partitions.
+
+    Duplicate edges act as parallel links (they weight the transition);
+    pre-``distinct()`` if simple-graph semantics are wanted.  Self-loops
+    count as ordinary edges.  NULL endpoints are dropped.
+    """
+    if not 0 < damping < 1:
+        raise ValueError("damping must be in (0, 1)")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if partitions:
+        e = e.repartition(partitions, "src")
+    else:
+        e = e.repartition("src")
+    e = e.localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # node table with out-degree (NULL -> dangling), partitioned like edges
+    base = nodes.join(deg, nodes["id"] == deg["src"], "left").select(
+        "id", F.coalesce("__deg", F.lit(0)).alias("__deg")
+    )
+    base = (base.repartition(partitions, "id") if partitions else base.repartition("id"))
+    base = base.localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        return base.select("id", F.lit(0.0).alias("rank"))
+
+    d = float(damping)
+    ranks = base.select("id", "__deg", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        # mass parked on dangling nodes, redistributed uniformly (one
+        # tiny scalar collect per iteration — O(1) driver traffic)
+        dangling = (
+            ranks.where(F.col("__deg") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            ranks.where(F.col("__deg") > 0)
+            .join(e, ranks["id"] == e["src"])
+            .select("dst", (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            base.join(contribs, base["id"] == contribs["dst"], "left")
+            .select(
+                "id",
+                "__deg",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "rank")

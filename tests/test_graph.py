@@ -1,0 +1,67 @@
+"""PageRank (operators/graph.py): numpy power-iteration differential,
+dangling mass conservation, edge semantics."""
+
+import numpy as np
+import pytest
+
+from dask_groupby_spark.operators import pagerank
+
+
+def _numpy_pagerank(edges, n, d=0.85, iters=10):
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[deg == 0].sum()
+        new = np.full(n, (1.0 - d) / n) + d * dangling / n
+        for s, t in edges:
+            new[t] += d * r[s] / deg[s]
+        r = new
+    return r
+
+
+def test_pagerank_vs_numpy(spark):
+    rng = np.random.default_rng(41)
+    n = 30
+    edges = [(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(120)]
+    # leave some nodes dangling: drop all out-edges of nodes 0-4
+    edges = [(s, t) for (s, t) in edges if s >= 5]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    # exact reference over the node set the operator sees (nodes present
+    # in at least one edge), relabeled 0..m-1
+    present = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(present)}
+    want = _numpy_pagerank([(idx[s], idx[t]) for s, t in edges], len(present))
+    assert set(got) == set(present)
+    for v in present:
+        assert got[v] == pytest.approx(want[idx[v]], rel=1e-9, abs=1e-12)
+
+
+def test_pagerank_mass_conserved_and_sums_to_one(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0)]  # 3-cycle + a feeder
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = pagerank(df, iters=20).collect()
+    assert sum(r["rank"] for r in out) == pytest.approx(1.0, abs=1e-12)
+    got = {r["id"]: r["rank"] for r in out}
+    assert got[0] > got[3]          # cycle member beats the feeder
+
+
+def test_pagerank_star_authority(spark):
+    # everyone links to node 0: it must dominate
+    edges = [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["rank"] for r in pagerank(df, iters=15).collect()}
+    assert got[0] == max(got.values())
+    assert got[0] > 0.4
+
+
+def test_pagerank_null_edges_dropped_and_validation(spark):
+    df = spark.createDataFrame([(0, 1), (None, 2), (1, None)], "src bigint, dst bigint")
+    out = pagerank(df, iters=3).collect()
+    assert sorted(r["id"] for r in out) == [0, 1]
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
