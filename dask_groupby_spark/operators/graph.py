@@ -26,6 +26,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     partitions: int | None = None,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge table: returns ``(id, rank)`` for
     every node (ranks sum to 1).  Standard damped power iteration with
@@ -46,6 +47,14 @@ def pagerank(
     Duplicate edges act as parallel links (they weight the transition);
     pre-``distinct()`` if simple-graph semantics are wanted.  Self-loops
     count as ordinary edges.  NULL endpoints are dropped.
+
+    ``personalization``: an ``(id, weight)`` DataFrame turns this into
+    PERSONALIZED PageRank (TrustRank): teleportation and dangling mass
+    flow to the seed set proportionally to ``weight`` instead of
+    uniformly — scores become "authority as seen from the trusted
+    seeds", the standard spam-demotion / seed-expansion prior for crawl
+    curation.  Weights normalize internally; nodes absent from the seed
+    table get teleport probability 0 (they score > 0 only via links).
     """
     if not 0 < damping < 1:
         raise ValueError("damping must be in (0, 1)")
@@ -70,17 +79,33 @@ def pagerank(
     base = nodes.join(deg, nodes["id"] == deg["src"], "left").select(
         "id", F.coalesce("__deg", F.lit(0)).alias("__deg")
     )
+    if personalization is not None:
+        pcols = personalization.columns
+        seeds = personalization.select(
+            F.col(pcols[0]).alias("id"), F.col(pcols[1]).cast("double").alias("__w")
+        ).where(F.col("__w") > 0)
+        tot = seeds.agg(F.sum("__w")).collect()[0][0]
+        if not tot:
+            raise ValueError("personalization weights sum to zero")
+        base = base.join(seeds, on="id", how="left").select(
+            "id", "__deg", (F.coalesce("__w", F.lit(0.0)) / F.lit(float(tot))).alias("__t")
+        )
+    else:
+        base = base.withColumn("__t", F.lit(None).cast("double"))  # filled after count
+
     base = (base.repartition(partitions, "id") if partitions else base.repartition("id"))
     base = base.localCheckpoint(eager=True)
     n = base.count()
     if n == 0:
         return base.select("id", F.lit(0.0).alias("rank"))
+    if personalization is None:
+        base = base.withColumn("__t", F.lit(1.0 / n)).localCheckpoint(eager=True)
 
     d = float(damping)
-    ranks = base.select("id", "__deg", F.lit(1.0 / n).alias("rank"))
+    ranks = base.select("id", "__deg", "__t", F.col("__t").alias("rank"))
     for _ in range(iters):
-        # mass parked on dangling nodes, redistributed uniformly (one
-        # tiny scalar collect per iteration — O(1) driver traffic)
+        # mass parked on dangling nodes, redistributed over the teleport
+        # distribution (one tiny scalar collect per iteration)
         dangling = (
             ranks.where(F.col("__deg") == 0).agg(F.sum("rank")).collect()[0][0]
             or 0.0
@@ -97,9 +122,11 @@ def pagerank(
             .select(
                 "id",
                 "__deg",
+                "__t",
                 (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d) * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling / n))
+                    F.lit(1.0 - d) * F.col("__t")
+                    + F.lit(d)
+                    * (F.coalesce("__in", F.lit(0.0)) + F.lit(dangling) * F.col("__t"))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

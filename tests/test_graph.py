@@ -65,3 +65,38 @@ def test_pagerank_null_edges_dropped_and_validation(spark):
         pagerank(df, damping=1.5)
     with pytest.raises(ValueError):
         pagerank(df, iters=0)
+
+
+def test_personalized_pagerank_vs_numpy(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]   # 4 dangles
+    seeds = {0: 3.0, 2: 1.0}
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    pers = spark.createDataFrame(list(seeds.items()), "id bigint, w double")
+    got = {r["id"]: r["rank"] for r in pagerank(df, iters=12, personalization=pers).collect()}
+
+    n, d = 5, 0.85
+    t = np.zeros(n)
+    for k, w in seeds.items():
+        t[k] = w
+    t /= t.sum()
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = t.copy()
+    for _ in range(12):
+        dangling = r[deg == 0].sum()
+        new = (1 - d) * t + d * dangling * t
+        for s, dd in edges:
+            new[dd] += d * r[s] / deg[s]
+        r = new
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], rel=1e-9, abs=1e-12)
+    # mass conserved; non-seed, non-reachable-from-seed mass comes only via links
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_personalized_pagerank_zero_weights_raise(spark):
+    df = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    pers = spark.createDataFrame([(0, 0.0)], "id bigint, w double")
+    with pytest.raises(ValueError):
+        pagerank(df, personalization=pers)
