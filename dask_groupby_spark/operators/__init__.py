@@ -32,7 +32,7 @@ from .similarity import (
 )
 from .bpe import bpe_encode, bpe_train
 from .curate import PII_PATTERNS, redact_pii
-from .graph import pagerank
+from .graph import connected_components, pagerank
 from .profile import table_profile
 from .selection import key_skew_stats
 from .joins import (
@@ -121,6 +121,7 @@ __all__ = [
     "key_skew_stats",
     "table_profile",
     "pagerank",
+    "connected_components",
     "cms_sketch_table",
     "cms_estimate",
     "hist_sketch_table",

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def pagerank(
@@ -132,3 +132,29 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", "rank")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected graph: ``(id, component)``
+    with each component labeled by its minimum member id — the general
+    public face of the min-label propagation engine that
+    :func:`~dask_groupby_spark.operators.dedup.duplicate_clusters` runs
+    over near-dup candidate pairs (same algorithm, same per-round
+    2-shuffle plan, Σ-label convergence certificate, localCheckpoint
+    lineage cuts; see its docstring for the scale analysis).
+
+    Edge direction is ignored (the edge list is symmetrized).  Nodes
+    with no edges are absent — they are their own singleton component
+    by definition.
+    """
+    from .dedup import duplicate_clusters
+
+    return duplicate_clusters(
+        edges, id_a=src, id_b=dst, max_iter=max_iter,
+        out_id="id", out_cluster="component",
+    )

@@ -100,3 +100,13 @@ def test_personalized_pagerank_zero_weights_raise(spark):
     pers = spark.createDataFrame([(0, 0.0)], "id bigint, w double")
     with pytest.raises(ValueError):
         pagerank(df, personalization=pers)
+
+
+def test_connected_components_general_api(spark):
+    from dask_groupby_spark.operators import connected_components
+
+    # two components: {0,1,2,3} (via chain) and {10,11}
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
