@@ -2428,6 +2428,22 @@ def q_pagerank(spark, sf):
     )
 
 
+def q_auc(spark, sf):
+    """Per-group ROC AUC via the Mann–Whitney rank-sum identity
+    (operators/stats.py grouped_auc): does extendedprice 'predict'
+    return-flag A within each linestatus — average-tie ranks, one
+    Exchange shared by the window and both aggregates."""
+    from dask_groupby_spark.operators import grouped_auc
+
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "is_a", (F.col("l_returnflag") == "A").cast("int")
+    )
+    out = grouped_auc(li, "l_linestatus", "is_a", "l_extendedprice")
+    return out.select(
+        "l_linestatus", "n_pos", "n_neg", F.round("auc", 6).alias("auc")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2530,15 +2546,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # TWENTY late-r5 keys sit just outside the window by explicit choice —
+    # TWENTY-ONE late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
     # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only).
+    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL TWENTY into the
+    # outranks first official rows for these — ROTATE ALL TWENTY-ONE into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2561,6 +2577,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overlap_join": q_overlap_join,
     "psi_hist": q_psi_hist,
     "pagerank": q_pagerank,
+    "auc": q_auc,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

@@ -43,6 +43,7 @@ from .joins import (
     salted_join,
 )
 from .stats import (
+    grouped_auc,
     grouped_bivariate,
     grouped_chisq,
     grouped_ks,
@@ -111,6 +112,7 @@ __all__ = [
     "bloom_prefilter",
     "bloom_semi_join",
     "interval_overlap_join",
+    "grouped_auc",
     "grouped_bivariate",
     "grouped_chisq",
     "grouped_ks",

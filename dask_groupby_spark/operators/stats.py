@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "grouped_auc",
     "grouped_bivariate",
     "grouped_chisq",
     "grouped_ks",
@@ -429,3 +430,46 @@ def grouped_mad(
         F.first("median").alias("median"),
         F.percentile(F.abs(F.col("__v") - F.col("median")), F.lit(0.5)).alias("mad"),
     )
+
+
+def grouped_auc(
+    df: DataFrame,
+    by: str | Sequence[str],
+    label: str,
+    score: str,
+) -> DataFrame:
+    """Per-group ROC AUC of ``score`` against binary ``label`` via the
+    Mann–Whitney rank-sum identity — how a quality/toxicity classifier
+    is evaluated per segment at corpus scale without materializing a
+    single ROC curve: ``AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` where
+    ``R⁺`` is the rank sum of positives under average-tie ranks (ties
+    contribute ½, the standard convention).
+
+    Returns ``(by…, n_pos, n_neg, auc)``; groups with no positives or
+    no negatives yield NULL (undefined).  One Exchange: the rank window
+    and both aggregates share the group partitioning, exactly like
+    :func:`grouped_spearman`.  Label semantics: truthy/1 = positive,
+    0/false = negative, NULL label or NULL/NaN score rows excluded.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    s = _clean(score)
+    rows = df.select(
+        *keys,
+        F.col(label).cast("boolean").alias("__y"),
+        s.alias("__s"),
+    ).where(F.col("__y").isNotNull() & F.col("__s").isNotNull())
+    wr = Window.partitionBy(*keys).orderBy("__s")
+    wt = Window.partitionBy(*keys, "__s")
+    ranked = rows.withColumn(
+        "__r", F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(F.col("__y").cast("bigint")).alias("n_pos"),
+        F.sum((~F.col("__y")).cast("bigint")).alias("n_neg"),
+        F.sum(F.when(F.col("__y"), F.col("__r"))).alias("__rpos"),
+    )
+    auc = F.try_divide(
+        F.col("__rpos") - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0,
+        F.col("n_pos").cast("double") * F.col("n_neg"),
+    )
+    return agg.select(*keys, "n_pos", "n_neg", auc.alias("auc"))

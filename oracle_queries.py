@@ -1879,3 +1879,31 @@ SELECT bin,
        round((greatest(ref_frac, 1e-6) - greatest(cur_frac, 1e-6))
              * ln(greatest(ref_frac, 1e-6) / greatest(cur_frac, 1e-6)), 6) AS psi_term
 FROM j"""
+
+# auc: Mann-Whitney rank-sum AUC per linestatus — average-tie ranks,
+# mirroring operators/stats.py grouped_auc.
+ORACLE_SQL["auc"] = """
+WITH p AS (
+  SELECT l_linestatus,
+         CASE WHEN l_returnflag = 'A' THEN TRUE ELSE FALSE END AS y,
+         l_extendedprice AS s
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+),
+rk AS (
+  SELECT l_linestatus, y,
+         rank() OVER (PARTITION BY l_linestatus ORDER BY s)
+           + (count(*) OVER (PARTITION BY l_linestatus, s) - 1) / 2.0 AS r
+  FROM p
+),
+a AS (
+  SELECT l_linestatus,
+         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n_neg,
+         sum(CASE WHEN y THEN r END) AS rpos
+  FROM rk GROUP BY l_linestatus
+)
+SELECT l_linestatus, n_pos, n_neg,
+       round((rpos - n_pos::DOUBLE * (n_pos + 1) / 2.0)
+             / nullif(n_pos::DOUBLE * n_neg, 0.0), 6) AS auc
+FROM a"""

@@ -546,3 +546,60 @@ def test_ks_from_histograms_missing_bins_carry_cdf(spark):
     cur = spark.createDataFrame([(3, 5)], "bin int, cnt bigint")
     got = ks_from_histograms(ref, cur).collect()[0]
     assert got["ks_stat"] == 1.0
+
+
+# ---------------------------------------------------------------- AUC
+
+
+def _auc_ref(y, s):
+    # rank-sum AUC with average ties (== sklearn roc_auc_score)
+    order = pd.Series(s).rank(method="average")
+    rpos = order[np.asarray(y, dtype=bool)].sum()
+    npos = int(np.sum(y))
+    nneg = len(y) - npos
+    return (rpos - npos * (npos + 1) / 2) / (npos * nneg)
+
+
+def test_auc_vs_reference(spark):
+    from dask_groupby_spark.operators import grouped_auc
+
+    rng = np.random.default_rng(37)
+    rows, per_g = [], {}
+    for g in range(3):
+        y = rng.integers(0, 2, 200)
+        s = rng.normal(0, 1, 200) + 0.8 * y      # informative scores
+        per_g[g] = (y, s)
+        rows += [(g, int(y[i]), float(s[i])) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, y int, s double")
+    got = {r["g"]: r for r in grouped_auc(df, "g", "y", "s").collect()}
+    for g in range(3):
+        y, s = per_g[g]
+        assert got[g]["n_pos"] == int(y.sum())
+        assert got[g]["auc"] == pytest.approx(_auc_ref(y, s), rel=1e-12)
+        assert got[g]["auc"] > 0.6               # informative
+
+
+def test_auc_tie_and_edge_semantics(spark):
+    from dask_groupby_spark.operators import grouped_auc
+
+    # all scores tied -> AUC exactly 0.5
+    df = spark.createDataFrame([(0, i % 2, 1.0) for i in range(10)], "g int, y int, s double")
+    assert grouped_auc(df, "g", "y", "s").collect()[0]["auc"] == pytest.approx(0.5)
+    # perfect separation -> 1.0
+    df2 = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 1, 3.0), (0, 0, 0.0), (0, 0, 1.0)], "g int, y int, s double"
+    )
+    assert grouped_auc(df2, "g", "y", "s").collect()[0]["auc"] == 1.0
+    # single-class group -> NULL
+    df3 = spark.createDataFrame([(0, 1, 2.0), (0, 1, 3.0)], "g int, y int, s double")
+    assert grouped_auc(df3, "g", "y", "s").collect()[0]["auc"] is None
+
+
+def test_auc_single_exchange(spark):
+    from dask_groupby_spark.operators import grouped_auc
+    from dask_groupby_spark.plans import count_exchanges
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 2).alias("y"), F.rand(5).alias("s")
+    )
+    assert count_exchanges(grouped_auc(df, "g", "y", "s")) == 1
