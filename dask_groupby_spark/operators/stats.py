@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "calibration_bins",
     "grouped_auc",
     "grouped_bivariate",
     "grouped_chisq",
@@ -473,3 +474,45 @@ def grouped_auc(
         F.col("n_pos").cast("double") * F.col("n_neg"),
     )
     return agg.select(*keys, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def calibration_bins(
+    df: DataFrame,
+    by: str | Sequence[str],
+    label: str,
+    score: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram data per group: bucket ``score`` into
+    ``bins`` uniform bins over the declared ``[lo, hi)`` (out-of-range
+    clamps into the edge bins, same convention as ``hist_sketch_table``)
+    and report ``(by…, bin, n, mean_score, pos_rate)`` — a calibrated
+    classifier has ``pos_rate ≈ mean_score`` per bin; the expected
+    calibration error is ``Σ n/N·|pos_rate − mean_score|`` downstream.
+    The per-bin companion to :func:`grouped_auc` (AUC is
+    threshold-free ranking quality; this is probability quality).
+
+    ONE map-combined aggregate on ``(by…, bin)`` — same cost shape as a
+    histogram.  NULL label or NULL/NaN score rows are excluded.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo (got [{lo}, {hi}))")
+    keys = [by] if isinstance(by, str) else list(by)
+    s = _clean(score)
+    b = F.floor((s - F.lit(float(lo))) / F.lit((hi - lo) / bins))
+    clamped = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+    rows = df.select(
+        *keys,
+        F.col(label).cast("boolean").alias("__y"),
+        s.alias("__s"),
+        clamped.alias("bin"),
+    ).where(F.col("__y").isNotNull() & F.col("__s").isNotNull())
+    return rows.groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__s").alias("mean_score"),
+        F.avg(F.col("__y").cast("double")).alias("pos_rate"),
+    )

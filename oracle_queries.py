@@ -1907,3 +1907,24 @@ SELECT l_linestatus, n_pos, n_neg,
        round((rpos - n_pos::DOUBLE * (n_pos + 1) / 2.0)
              / nullif(n_pos::DOUBLE * n_neg, 0.0), 6) AS auc
 FROM a"""
+
+# calibration: uniform declared-domain score bins with edge clamping —
+# mirrors operators/stats.py calibration_bins (avg of ordered doubles
+# rounded 6; mean_score noise ~1e-14 against the 1e-6 grid).
+ORACLE_SQL["calibration"] = """
+WITH p AS (
+  SELECT event_type,
+         value / 200.0 AS score,
+         CASE WHEN value > 40 THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+b AS (
+  SELECT event_type, y, score,
+         CAST(greatest(0, least(7, floor((score - 0.0) / 0.125))) AS INTEGER) AS bin
+  FROM p
+)
+SELECT event_type, bin, count(*)::BIGINT AS n,
+       round(avg(score), 6) AS mean_score,
+       round(avg(y), 6) AS pos_rate
+FROM b GROUP BY event_type, bin"""

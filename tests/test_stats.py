@@ -603,3 +603,38 @@ def test_auc_single_exchange(spark):
         (F.col("id") % 3).alias("g"), (F.col("id") % 2).alias("y"), F.rand(5).alias("s")
     )
     assert count_exchanges(grouped_auc(df, "g", "y", "s")) == 1
+
+
+# ---------------------------------------------------------------- calibration
+
+
+def test_calibration_bins_vs_numpy(spark):
+    from dask_groupby_spark.operators import calibration_bins
+
+    rng = np.random.default_rng(43)
+    s = rng.uniform(0, 1, 500)
+    y = (rng.uniform(0, 1, 500) < s).astype(int)   # perfectly calibrated scores
+    df = spark.createDataFrame(
+        [(0, int(y[i]), float(s[i])) for i in range(500)], "g int, y int, s double"
+    )
+    got = {r["bin"]: r for r in calibration_bins(df, "g", "y", "s", bins=5).collect()}
+    for b in range(5):
+        mask = np.clip(np.floor(s / 0.2), 0, 4).astype(int) == b
+        assert got[b]["n"] == int(mask.sum())
+        assert got[b]["mean_score"] == pytest.approx(float(s[mask].mean()), rel=1e-12)
+        assert got[b]["pos_rate"] == pytest.approx(float(y[mask].mean()), rel=1e-12)
+    # calibrated: pos_rate tracks mean_score
+    ece = sum(got[b]["n"] / 500 * abs(got[b]["pos_rate"] - got[b]["mean_score"]) for b in range(5))
+    assert ece < 0.08
+
+
+def test_calibration_bins_clamp_and_validation(spark):
+    from dask_groupby_spark.operators import calibration_bins
+
+    df = spark.createDataFrame([(0, 1, -0.5), (0, 0, 1.7)], "g int, y int, s double")
+    got = {r["bin"]: r for r in calibration_bins(df, "g", "y", "s", bins=4).collect()}
+    assert got[0]["n"] == 1 and got[3]["n"] == 1     # clamped into edge bins
+    with pytest.raises(ValueError):
+        calibration_bins(df, "g", "y", "s", bins=0)
+    with pytest.raises(ValueError):
+        calibration_bins(df, "g", "y", "s", lo=1.0, hi=0.0)
