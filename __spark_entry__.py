@@ -2466,6 +2466,33 @@ def q_calibration(spark, sf):
     )
 
 
+def q_table_diff(spark, sf):
+    """Snapshot diff (operators/validate.py table_diff): events vs a
+    deterministically edited copy — 10% of keys removed, every 7th
+    value bumped, early-day rows re-keyed as additions; classification
+    happens in ONE tag-union-groupBy shuffle with null-safe comparison."""
+    from dask_groupby_spark.operators import table_diff
+
+    ev = load_table(spark, sf, "events")
+    old = ev.select(F.col("event_id").alias("k"), "event_type", "value")
+    new = (
+        ev.where(F.pmod("event_id", F.lit(10)) != 0)
+        .select(
+            F.col("event_id").alias("k"),
+            "event_type",
+            F.when(F.pmod("event_id", F.lit(7)) == 0, F.col("value") + 1)
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        .unionByName(
+            ev.where(F.dayofmonth("ts") <= 2).select(
+                (F.col("event_id") + 10_000_000).alias("k"), "event_type", "value"
+            )
+        )
+    )
+    return table_diff(old, new, "k")
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2568,15 +2595,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # TWENTY-TWO late-r5 keys sit just outside the window by explicit choice —
+    # TWENTY-THREE late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
     # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc, calibration.
+    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc, calibration, table_diff.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL TWENTY-TWO into the
+    # outranks first official rows for these — ROTATE ALL TWENTY-THREE into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2601,6 +2628,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "auc": q_auc,
     "calibration": q_calibration,
+    "table_diff": q_table_diff,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

@@ -71,7 +71,7 @@ from .text import (
     ngram_counts,
     tokens,
 )
-from .validate import check_referential, check_rules, check_unique
+from .validate import check_referential, check_rules, check_unique, table_diff
 from .vocab import build_vocab, encode_tokens, encode_tokens_flat
 
 __all__ = [
@@ -138,4 +138,5 @@ __all__ = [
     "check_rules",
     "check_unique",
     "check_referential",
+    "table_diff",
 ]

@@ -21,7 +21,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_rules", "check_unique", "check_referential"]
+__all__ = ["check_rules", "check_unique", "check_referential", "table_diff"]
 
 
 def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
@@ -125,4 +125,80 @@ def check_referential(
     return total.crossJoin(cnt).withColumn(
         "orphan_frac",
         F.coalesce(F.try_divide("n_orphans", "n_rows"), F.lit(0.0)),
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    detail: bool = False,
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table: how many
+    rows were added / removed / changed / unchanged, and (with
+    ``detail=True``) which — the audit step between two corpus builds
+    ("what did the new crawl actually change?") before promoting one.
+
+    ONE shuffle total: both sides union with a side tag and aggregate by
+    the key — GROUP BY treats NULL keys as equal in both Spark and SQL
+    (unlike join equality), so NULL-keyed rows diff correctly for free.
+    Per-key state is the two compared-column structs.  Change detection
+    is a null-safe per-column comparison (``<=>``), applied to
+    ``compare_cols`` (default: all shared non-key columns).  Each side
+    must be unique per key (pre-aggregate otherwise, as for
+    ``upsert_table``).
+
+    ``detail=False`` (default): one row ``(n_added, n_removed,
+    n_changed, n_unchanged)``.  ``detail=True``: one row per key with a
+    ``diff_status`` column (``added|removed|changed|unchanged``) plus
+    the key columns — filter and join back to either side for payloads.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    cols = (
+        list(compare_cols)
+        if compare_cols is not None
+        else [c for c in old.columns if c in new.columns and c not in ks]
+    )
+    missing = [c for c in ks + cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"columns missing from one side: {missing}")
+
+    def _tag(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            *ks,
+            F.lit(side).alias("__side"),
+            F.struct(*[F.col(c) for c in cols]).alias("__vals")
+            if cols
+            else F.lit(None).alias("__vals"),
+        )
+
+    u = _tag(old, 0).unionByName(_tag(new, 1))
+    per_key = u.groupBy(*ks).agg(
+        F.max(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__in_old"),
+        F.max(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__in_new"),
+        F.first(F.when(F.col("__side") == 0, F.col("__vals")), ignorenulls=True).alias("__ov"),
+        F.first(F.when(F.col("__side") == 1, F.col("__vals")), ignorenulls=True).alias("__nv"),
+    )
+    if cols:
+        same = None
+        for c in cols:
+            eq = F.col("__ov").getField(c).eqNullSafe(F.col("__nv").getField(c))
+            same = eq if same is None else same & eq
+    else:
+        same = F.lit(True)
+    status = (
+        F.when((F.col("__in_old") == 0) & (F.col("__in_new") == 1), "added")
+        .when((F.col("__in_old") == 1) & (F.col("__in_new") == 0), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    flagged = per_key.withColumn("diff_status", status)
+    if detail:
+        return flagged.select(*ks, "diff_status")
+    return flagged.agg(
+        F.sum((F.col("diff_status") == "added").cast("bigint")).alias("n_added"),
+        F.sum((F.col("diff_status") == "removed").cast("bigint")).alias("n_removed"),
+        F.sum((F.col("diff_status") == "changed").cast("bigint")).alias("n_changed"),
+        F.sum((F.col("diff_status") == "unchanged").cast("bigint")).alias("n_unchanged"),
     )

@@ -1928,3 +1928,29 @@ SELECT event_type, bin, count(*)::BIGINT AS n,
        round(avg(score), 6) AS mean_score,
        round(avg(y), 6) AS pos_rate
 FROM b GROUP BY event_type, bin"""
+
+# table_diff: snapshot diff summary — same synthetic edits in SQL, null-safe
+# comparison via IS NOT DISTINCT FROM, mirrors operators/validate.py.
+ORACLE_SQL["table_diff"] = """
+WITH o AS (SELECT event_id AS k, event_type, value FROM events),
+n AS (
+  SELECT event_id AS k, event_type,
+         CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 10 <> 0
+  UNION ALL
+  SELECT event_id + 10000000 AS k, event_type, value
+  FROM events WHERE date_part('day', ts) <= 2
+),
+st AS (
+  SELECT CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+                   AND o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+              ELSE 'changed' END AS s
+  FROM o FULL JOIN n ON o.k = n.k
+)
+SELECT sum(CASE WHEN s = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       sum(CASE WHEN s = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       sum(CASE WHEN s = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       sum(CASE WHEN s = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+FROM st"""

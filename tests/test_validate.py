@@ -99,3 +99,64 @@ def test_rule_name_with_quote_rejected(spark):
         check_rules(df, {"isn't null": F.col("v").isNotNull()})
     with pytest.raises(ValueError):
         check_rules(df, {"a`b": F.col("v").isNotNull()})
+
+
+# ---------------------------------------------------------------- table_diff
+
+
+class TestTableDiff:
+    def _two(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (None, "n", 0.0)],
+            "k bigint, name string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 1.0),          # unchanged
+             (2, "B", 2.0),          # changed (name)
+             (4, "d", 4.0),          # added
+             (None, "n", 0.0)],      # unchanged (NULL key diffs correctly)
+            "k bigint, name string, v double",
+        )
+        return old, new
+
+    def test_summary_counts(self, spark):
+        from dask_groupby_spark.operators import table_diff
+
+        old, new = self._two(spark)
+        r = table_diff(old, new, "k").collect()[0]
+        assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (1, 1, 1, 2)
+
+    def test_detail_statuses(self, spark):
+        from dask_groupby_spark.operators import table_diff
+
+        old, new = self._two(spark)
+        got = {r["k"]: r["diff_status"] for r in table_diff(old, new, "k", detail=True).collect()}
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added", None: "unchanged"}
+
+    def test_null_value_change_detected(self, spark):
+        from dask_groupby_spark.operators import table_diff
+
+        old = spark.createDataFrame([(1, None)], "k bigint, v double")
+        new = spark.createDataFrame([(1, 5.0)], "k bigint, v double")
+        assert table_diff(old, new, "k").collect()[0]["n_changed"] == 1
+        # NULL -> NULL is unchanged (null-safe comparison)
+        assert table_diff(old, old, "k").collect()[0]["n_unchanged"] == 1
+
+    def test_compare_cols_subset(self, spark):
+        from dask_groupby_spark.operators import table_diff
+
+        old = spark.createDataFrame([(1, "a", 1.0)], "k bigint, name string, v double")
+        new = spark.createDataFrame([(1, "ZZZ", 1.0)], "k bigint, name string, v double")
+        r = table_diff(old, new, "k", compare_cols=["v"]).collect()[0]
+        assert r["n_unchanged"] == 1      # name ignored
+
+    def test_single_exchange_and_validation(self, spark):
+        import pytest as _pt
+
+        from dask_groupby_spark.operators import table_diff
+        from dask_groupby_spark.plans import count_exchanges
+
+        old, new = self._two(spark)
+        assert count_exchanges(table_diff(old, new, "k", detail=True)) == 1
+        with _pt.raises(ValueError):
+            table_diff(old, new, "nope")
