@@ -249,3 +249,58 @@ def test_minhash_lsh_matches_python_reference_randomized(spark):
     }
     assert got == dict(expect)
     assert got  # planted dups must collide
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_stats_family_repartition_invariance(spark, seed):
+    """grouped_bivariate / grouped_ks / grouped_auc / table_diff must be
+    invariant under repartition(p) — no operator may depend on row order
+    or partition boundaries."""
+    from pyspark.sql import functions as F
+
+    from dask_groupby_spark.operators import (
+        grouped_auc,
+        grouped_bivariate,
+        grouped_ks,
+        table_diff,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 600
+    rows = [
+        (
+            int(rng.integers(0, 4)),
+            float(rng.normal()) if rng.random() > 0.05 else None,
+            float(rng.normal()),
+            int(rng.integers(0, 2)),
+        )
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g int, x double, y double, lab int")
+
+    def rounded(out, cols):
+        return sorted(
+            tuple(round(r[c], 9) if isinstance(r[c], float) else r[c] for c in cols)
+            for r in out.collect()
+        )
+
+    base_biv = rounded(grouped_bivariate(df, "g", "x", "y"), ["g", "n", "corr", "slope"])
+    ref = df.where(F.col("g") < 2)
+    cur = df.where(F.col("g") >= 0)
+    base_ks = rounded(grouped_ks(ref, cur, "g", "x"), ["g", "n_ref", "ks_stat"])
+    base_auc = rounded(grouped_auc(df, "g", "lab", "y"), ["g", "n_pos", "auc"])
+    for p in (1, 3, 17):
+        d2 = df.repartition(p)
+        assert rounded(grouped_bivariate(d2, "g", "x", "y"), ["g", "n", "corr", "slope"]) == base_biv
+        assert rounded(
+            grouped_ks(d2.where(F.col("g") < 2), d2, "g", "x"), ["g", "n_ref", "ks_stat"]
+        ) == base_ks
+        assert rounded(grouped_auc(d2, "g", "lab", "y"), ["g", "n_pos", "auc"]) == base_auc
+
+    # table_diff invariance: ids as keys
+    keyed = df.withColumn("id", F.monotonically_increasing_id())
+    old = keyed.select("id", "x")
+    new = keyed.select("id", (F.col("x") * 2).alias("x"))
+    base_diff = table_diff(old, new, "id").collect()[0].asDict()
+    got = table_diff(old.repartition(7), new.repartition(3), "id").collect()[0].asDict()
+    assert got == base_diff
