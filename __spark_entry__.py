@@ -2493,6 +2493,25 @@ def q_table_diff(spark, sf):
     return table_diff(old, new, "k")
 
 
+def q_qnorm(spark, sf):
+    """Quantile normalization (operators/stats.py quantile_normalize):
+    extendedprice per return flag mapped onto the pooled distribution —
+    exact-percentile grid (1001 points, bounded collect), one rank
+    window, literal-array interpolation.  Aggregated to per-group
+    explicit-floor cent sums (the cross-engine rounding used by
+    quantize)."""
+    from dask_groupby_spark.operators import quantile_normalize
+
+    li = load_table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = quantile_normalize(li, "l_returnflag", "l_extendedprice")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("l_extendedprice_qnorm") * 100 + 0.5).cast("bigint")
+        ).alias("sum_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2595,15 +2614,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # TWENTY-THREE late-r5 keys sit just outside the window by explicit choice —
+    # TWENTY-FOUR late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
     # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc, calibration, table_diff.
+    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc, calibration, table_diff, qnorm.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL TWENTY-THREE into the
+    # outranks first official rows for these — ROTATE ALL TWENTY-FOUR into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2629,6 +2648,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "auc": q_auc,
     "calibration": q_calibration,
     "table_diff": q_table_diff,
+    "qnorm": q_qnorm,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

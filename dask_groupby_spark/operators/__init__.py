@@ -52,6 +52,7 @@ from .stats import (
     grouped_spearman,
     grouped_ttest,
     population_stability,
+    quantile_normalize,
 )
 from .sketches import (
     cms_estimate,
@@ -122,6 +123,7 @@ __all__ = [
     "grouped_spearman",
     "grouped_ttest",
     "population_stability",
+    "quantile_normalize",
     "key_skew_stats",
     "table_profile",
     "pagerank",

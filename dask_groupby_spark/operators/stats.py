@@ -31,6 +31,7 @@ __all__ = [
     "grouped_spearman",
     "grouped_ttest",
     "population_stability",
+    "quantile_normalize",
 ]
 
 
@@ -516,3 +517,49 @@ def calibration_bins(
         F.avg("__s").alias("mean_score"),
         F.avg(F.col("__y").cast("double")).alias("pos_rate"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    by: str | Sequence[str],
+    col: str,
+    resolution: int = 1000,
+    out: str | None = None,
+) -> DataFrame:
+    """Map each group's distribution of ``col`` onto the POOLED
+    distribution — quantile normalization, the score-harmonization step
+    before one global threshold: a "0.8" from a lenient domain scorer
+    and a "0.3" from a strict one land at comparable values, because
+    each value is replaced by the pooled quantile at its within-group
+    percentile rank.
+
+    Adds ``out`` (default ``<col>_qnorm``): ``Q_pool(percent_rank_g(x))``
+    with linear interpolation on a ``resolution``-point exact-percentile
+    grid of the pooled values.  The grid is the ONLY non-distributed
+    state — ``resolution+1`` doubles collected once (documented
+    KB-collect class, like the IVF quantizer); the rank is one window
+    over the group partitioning and the mapping is a pure literal-array
+    projection.  NULL/NaN rows pass through with NULL ``out``.
+    Monotone within each group by construction (ranks preserve order).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    out = out or f"{col}_qnorm"
+    if resolution < 1:
+        raise ValueError("resolution must be >= 1")
+    c = _clean(col)
+    probs = [i / resolution for i in range(resolution + 1)]
+    grid = df.select(
+        F.percentile(c, F.array(*[F.lit(p) for p in probs])).alias("g")
+    ).collect()[0]["g"]
+    if grid is None:
+        return df.withColumn(out, F.lit(None).cast("double"))
+    nn = df.where(c.isNotNull()).withColumn("__cc", c)
+    nulls = df.where(c.isNull()).withColumn(out, F.lit(None).cast("double"))
+    w = Window.partitionBy(*keys).orderBy("__cc")
+    pos = F.percent_rank().over(w) * resolution
+    lo = F.least(F.floor(pos), F.lit(resolution - 1)).cast("int")
+    frac = pos - lo
+    arr = F.array(*[F.lit(float(v)) for v in grid])
+    val = F.element_at(arr, lo + 1) * (1 - frac) + F.element_at(arr, lo + 2) * frac
+    mapped = nn.withColumn(out, val).drop("__cc")
+    return mapped.unionByName(nulls)

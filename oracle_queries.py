@@ -1954,3 +1954,30 @@ SELECT sum(CASE WHEN s = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
        sum(CASE WHEN s = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
        sum(CASE WHEN s = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
 FROM st"""
+
+# qnorm: pooled-quantile normalization — grid = quantile_cont over the whole
+# table (== Spark's exact percentile, linear interpolation), percent_rank per
+# group, identical interpolation arithmetic, explicit floor(+0.5) cents.
+ORACLE_SQL["qnorm"] = """
+WITH g AS (
+  SELECT quantile_cont(l_extendedprice,
+                       list_transform(range(0, 1001), i -> i / 1000.0)) AS grid
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag,
+         percent_rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice) * 1000 AS pos
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+v AS (
+  SELECT l_returnflag,
+         grid[least(CAST(floor(pos) AS INTEGER), 999) + 1]
+           * (1 - (pos - least(CAST(floor(pos) AS INTEGER), 999)))
+         + grid[least(CAST(floor(pos) AS INTEGER), 999) + 2]
+           * (pos - least(CAST(floor(pos) AS INTEGER), 999)) AS q
+  FROM r, g
+)
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       sum(CAST(floor(q * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+FROM v GROUP BY l_returnflag"""

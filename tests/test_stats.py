@@ -638,3 +638,60 @@ def test_calibration_bins_clamp_and_validation(spark):
         calibration_bins(df, "g", "y", "s", bins=0)
     with pytest.raises(ValueError):
         calibration_bins(df, "g", "y", "s", lo=1.0, hi=0.0)
+
+
+# ---------------------------------------------------- quantile normalization
+
+
+def test_quantile_normalize_harmonizes_groups(spark):
+    from dask_groupby_spark.operators import quantile_normalize
+
+    rng = np.random.default_rng(47)
+    # two scorers of the same latent quality: group b reads 10x higher
+    latent = rng.uniform(0, 1, 400)
+    rows = [(("a", float(latent[i])) if i % 2 == 0 else ("b", float(latent[i] * 10)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, s double")
+    out = quantile_normalize(df, "g", "s").collect()
+    a = sorted(r["s_qnorm"] for r in out if r["g"] == "a")
+    b = sorted(r["s_qnorm"] for r in out if r["g"] == "b")
+    # after normalization the two groups live on the SAME (pooled) scale
+    assert abs(np.median(a) - np.median(b)) < 0.6
+    # raw medians differ by ~5x the pooled spread before normalization
+    raw_a = np.median([r[1] for r in rows if r[0] == "a"])
+    raw_b = np.median([r[1] for r in rows if r[0] == "b"])
+    assert raw_b / raw_a > 5
+
+
+def test_quantile_normalize_monotone_and_range(spark):
+    from dask_groupby_spark.operators import quantile_normalize
+
+    rng = np.random.default_rng(53)
+    rows = [(0, float(v)) for v in rng.normal(0, 1, 200)]
+    df = spark.createDataFrame(rows, "g int, s double")
+    out = quantile_normalize(df, "g", "s").collect()
+    pairs = sorted((r["s"], r["s_qnorm"]) for r in out)
+    qs = [p[1] for p in pairs]
+    assert all(qs[i] <= qs[i + 1] + 1e-12 for i in range(len(qs) - 1))   # monotone
+    lo, hi = min(r[1] for r in rows), max(r[1] for r in rows)
+    assert min(qs) >= lo - 1e-9 and max(qs) <= hi + 1e-9                 # pooled range
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    from dask_groupby_spark.operators import quantile_normalize
+
+    # one group == the pooled distribution: mapping is ~identity
+    rows = [(0, float(i)) for i in range(101)]
+    df = spark.createDataFrame(rows, "g int, s double")
+    out = {r["s"]: r["s_qnorm"] for r in quantile_normalize(df, "g", "s", resolution=100).collect()}
+    for v in [0.0, 25.0, 50.0, 99.0, 100.0]:
+        assert out[v] == pytest.approx(v, abs=1e-9)
+
+
+def test_quantile_normalize_nulls_pass_through(spark):
+    from dask_groupby_spark.operators import quantile_normalize
+
+    df = spark.createDataFrame([(0, 1.0), (0, None), (0, NAN), (0, 2.0)], "g int, s double")
+    out = quantile_normalize(df, "g", "s").collect()
+    assert len(out) == 4
+    assert sum(1 for r in out if r["s_qnorm"] is None) == 2
