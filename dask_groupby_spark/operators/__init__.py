@@ -32,7 +32,7 @@ from .similarity import (
 )
 from .bpe import bpe_encode, bpe_train
 from .curate import PII_PATTERNS, redact_pii
-from .graph import connected_components, pagerank
+from .graph import connected_components, hits, pagerank
 from .profile import table_profile
 from .selection import key_skew_stats
 from .joins import (
@@ -128,6 +128,7 @@ __all__ = [
     "table_profile",
     "pagerank",
     "connected_components",
+    "hits",
     "cms_sketch_table",
     "cms_estimate",
     "hist_sketch_table",

@@ -110,3 +110,44 @@ def test_connected_components_general_api(spark):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+
+def test_hits_vs_numpy(spark):
+    from dask_groupby_spark.operators import hits
+
+    rng = np.random.default_rng(59)
+    n = 20
+    edges = list({(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: (r["hub"], r["authority"]) for r in hits(df, iters=8).collect()}
+
+    present = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(present)}
+    m = len(present)
+    E = np.zeros((m, m))
+    for s, t in edges:
+        E[idx[s], idx[t]] = 1
+    h = np.ones(m)
+    a = np.ones(m)
+    for _ in range(8):
+        a = E.T @ h
+        a /= np.linalg.norm(a) or 1.0
+        h = E @ a
+        h /= np.linalg.norm(h) or 1.0
+    for v in present:
+        assert got[v][0] == pytest.approx(h[idx[v]], rel=1e-9, abs=1e-12)
+        assert got[v][1] == pytest.approx(a[idx[v]], rel=1e-9, abs=1e-12)
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    from dask_groupby_spark.operators import hits
+
+    # node 0 is a pure hub (links out to 1..4), nodes 1..4 pure authorities
+    edges = [(0, i) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r for r in hits(df, iters=5).collect()}
+    assert got[0]["hub"] == pytest.approx(1.0)
+    assert got[0]["authority"] == 0.0
+    for i in range(1, 5):
+        assert got[i]["hub"] == 0.0
+        assert got[i]["authority"] == pytest.approx(0.5)
