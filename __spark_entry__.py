@@ -2512,6 +2512,21 @@ def q_qnorm(spark, sf):
     )
 
 
+def q_outliers(spark, sf):
+    """Robust outlier flagging (operators/stats.py flag_outliers):
+    modified z-score |0.6745·(x−med)/MAD| > 2 per event_type, counted
+    per group (k=2 so the synthetic uniform-ish values actually flag
+    some rows)."""
+    from dask_groupby_spark.operators import flag_outliers
+
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    out = flag_outliers(ev, "event_type", "value", k=2.0)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value_outlier").cast("bigint")).alias("n_flagged"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver API
 
@@ -2614,15 +2629,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
     # ----------------------------------------------------------------- 50
-    # TWENTY-FOUR late-r5 keys sit just outside the window by explicit choice —
+    # TWENTY-FIVE late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
     # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc, calibration, table_diff, qnorm.
+    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc, calibration, table_diff, qnorm, outliers.
     # All are oracle-backed and pass the full local gate; stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL TWENTY-FOUR into the
+    # outranks first official rows for these — ROTATE ALL TWENTY-FIVE into the
     # r6 window, displacing r5-green rows.
     "stream_cms": q_stream_cms,
     "seg_dedup": q_seg_dedup,
@@ -2649,6 +2664,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration": q_calibration,
     "table_diff": q_table_diff,
     "qnorm": q_qnorm,
+    "outliers": q_outliers,
     # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
     "approx_quantile": q_approx_quantile,
     "dup_spans": q_dup_spans,

@@ -44,6 +44,7 @@ from .joins import (
 )
 from .stats import (
     calibration_bins,
+    flag_outliers,
     grouped_auc,
     grouped_bivariate,
     grouped_chisq,
@@ -115,6 +116,7 @@ __all__ = [
     "bloom_semi_join",
     "interval_overlap_join",
     "calibration_bins",
+    "flag_outliers",
     "grouped_auc",
     "grouped_bivariate",
     "grouped_chisq",

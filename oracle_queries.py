@@ -1981,3 +1981,18 @@ v AS (
 SELECT l_returnflag, count(*)::BIGINT AS n,
        sum(CAST(floor(q * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
 FROM v GROUP BY l_returnflag"""
+
+# outliers: modified z-score robust flags per event_type — DuckDB's
+# median/mad mirror operators/stats.py flag_outliers (k=2).
+ORACLE_SQL["outliers"] = """
+WITH s AS (
+  SELECT event_type, median(value) AS med, mad(value) AS m
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type
+)
+SELECT e.event_type, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN m = 0 THEN (e.value <> med)::INT
+                ELSE (abs(0.6745 * (e.value - med) / m) > 2.0)::INT
+           END)::BIGINT AS n_flagged
+FROM events e JOIN s ON e.event_type = s.event_type
+GROUP BY e.event_type"""

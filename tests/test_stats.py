@@ -695,3 +695,35 @@ def test_quantile_normalize_nulls_pass_through(spark):
     out = quantile_normalize(df, "g", "s").collect()
     assert len(out) == 4
     assert sum(1 for r in out if r["s_qnorm"] is None) == 2
+
+
+# ---------------------------------------------------------------- outliers
+
+
+def test_flag_outliers_vs_reference(spark):
+    from dask_groupby_spark.operators import flag_outliers
+
+    rng = np.random.default_rng(61)
+    vals = list(rng.normal(10, 1, 99)) + [1e6]       # one wild point
+    df = spark.createDataFrame([(0, float(v)) for v in vals], "g int, x double")
+    out = {r["x"]: r["x_outlier"] for r in flag_outliers(df, "g", "x").collect()}
+    med = np.median(vals)
+    mad = np.median(np.abs(np.array(vals) - med))
+    for v in vals:
+        want = abs(0.6745 * (v - med) / mad) > 3.5
+        assert out[float(v)] == want
+    assert out[1e6] is True
+    assert sum(1 for f in out.values() if f) <= 3    # robust: few flags
+
+
+def test_flag_outliers_zero_mad_and_nulls(spark):
+    from dask_groupby_spark.operators import flag_outliers
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (0, 5.0), (0, 5.0), (0, 9.0), (0, None)], "g int, x double"
+    )
+    rows = flag_outliers(df, "g", "x").collect()
+    got = {(r["x"]): r["x_outlier"] for r in rows}
+    assert got[5.0] is False and got[9.0] is True    # zero MAD: != median flags
+    assert got[None] is None
+    assert len(rows) == 5                            # every row kept
