@@ -19,6 +19,24 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "hits", "pagerank"]
 
 
+def _prep_edges(edges: DataFrame, src: str, dst: str, partitions: int | None):
+    """Shared edge cleanup for the iterative operators: canonical
+    (src, dst) columns, NULL endpoints dropped, ONE repartition on src
+    reused by every iteration, eager localCheckpoint; plus the distinct
+    node-id table.  Returns ``(e, nodes)``."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    e = e.repartition(partitions, "src") if partitions else e.repartition("src")
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return e, nodes
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -60,20 +78,7 @@ def pagerank(
         raise ValueError("damping must be in (0, 1)")
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    if partitions:
-        e = e.repartition(partitions, "src")
-    else:
-        e = e.repartition("src")
-    e = e.localCheckpoint(eager=True)
-
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    e, nodes = _prep_edges(edges, src, dst, partitions)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # node table with out-degree (NULL -> dangling), partitioned like edges
     base = nodes.join(deg, nodes["id"] == deg["src"], "left").select(
@@ -81,13 +86,27 @@ def pagerank(
     )
     if personalization is not None:
         pcols = personalization.columns
-        seeds = personalization.select(
-            F.col(pcols[0]).alias("id"), F.col(pcols[1]).cast("double").alias("__w")
-        ).where(F.col("__w") > 0)
-        tot = seeds.agg(F.sum("__w")).collect()[0][0]
+        # pre-aggregate duplicate seed ids (a concatenated seed list must
+        # not fan the node table out through the join), and normalize
+        # over seeds THAT EXIST IN THE GRAPH — a seed absent from this
+        # snapshot's edges would otherwise leak its share of teleport
+        # mass every iteration, deflating all ranks
+        seeds = (
+            personalization.select(
+                F.col(pcols[0]).alias("id"),
+                F.col(pcols[1]).cast("double").alias("__w"),
+            )
+            .where(F.col("__w") > 0)
+            .groupBy("id")
+            .agg(F.sum("__w").alias("__w"))
+        )
+        base = base.join(seeds, on="id", how="left")
+        tot = base.agg(F.sum("__w")).collect()[0][0]
         if not tot:
-            raise ValueError("personalization weights sum to zero")
-        base = base.join(seeds, on="id", how="left").select(
+            raise ValueError(
+                "no personalization seed with positive weight appears in the graph"
+            )
+        base = base.select(
             "id", "__deg", (F.coalesce("__w", F.lit(0.0)) / F.lit(float(tot))).alias("__t")
         )
     else:
@@ -182,16 +201,7 @@ def hits(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    e = e.repartition(partitions, "src") if partitions else e.repartition("src")
-    e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    e, nodes = _prep_edges(edges, src, dst, partitions)
     nodes = (
         nodes.repartition(partitions, "id") if partitions else nodes.repartition("id")
     ).localCheckpoint(eager=True)
@@ -212,14 +222,14 @@ def hits(
         norm = state.agg(F.sqrt(F.sum(F.col("auth") * F.col("auth")))).collect()[0][0]
         state = state.select("id", (F.col("auth") / F.lit(norm or 1.0)).alias("auth"))
         # hub update: sum of destination authorities over out-edges
+        # (state already holds one row per node — no re-join to nodes)
         h = (
             state.join(e, state["id"] == e["dst"])
             .groupBy("src")
             .agg(F.sum("auth").alias("__h"))
         )
         state = (
-            nodes.join(state, on="id")
-            .join(h, nodes["id"] == h["src"], "left")
+            state.join(h, state["id"] == h["src"], "left")
             .select("id", "auth", F.coalesce("__h", F.lit(0.0)).alias("hub"))
             .localCheckpoint(eager=True)
         )

@@ -169,13 +169,13 @@ def hist_sketch_table(
         raise ValueError(f"need hi > lo (got [{lo}, {hi}))")
     if bins < 1:
         raise ValueError(f"bins must be >= 1 (got {bins})")
+    from .stats import uniform_bin
+
     by = list(by)
     x = F.col(value).cast("double")
-    b = F.floor((x - F.lit(float(lo))) / F.lit((hi - lo) / bins))
-    clamped = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
     out = (
         df.where(x.isNotNull() & ~F.isnan(x))
-        .select(*by, clamped.alias("bin"))
+        .select(*by, uniform_bin(x, lo, hi, bins).alias("bin"))
         .groupBy(*by, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -291,7 +291,7 @@ def ks_from_histograms(
     """
     from pyspark.sql import Window
 
-    by = list(by)
+    by = [by] if isinstance(by, str) else list(by)
 
     def _cdf(h: DataFrame, tag: str) -> DataFrame:
         c = h.groupBy(*by, "bin").agg(F.sum("cnt").alias("cnt"))

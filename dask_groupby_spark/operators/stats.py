@@ -49,6 +49,15 @@ def _safe_corr(x: Column, y: Column) -> Column:
     )
 
 
+def uniform_bin(col: Column, lo: float, hi: float, bins: int) -> Column:
+    """THE uniform-binning convention shared by ``hist_sketch_table``
+    and :func:`calibration_bins`: ``floor((x − lo)/width)`` clamped into
+    the edge bins — one definition, so sketch-table bins and
+    calibration bins can never drift out of alignment."""
+    b = F.floor((col - F.lit(float(lo))) / F.lit((hi - lo) / bins))
+    return F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+
+
 def _clean(c: str) -> Column:
     """NULL out NaN so the pairwise-deletion semantics of corr/covar
     (skip a row when EITHER side is missing) treat NaN as missing —
@@ -505,13 +514,11 @@ def calibration_bins(
         raise ValueError(f"need hi > lo (got [{lo}, {hi}))")
     keys = [by] if isinstance(by, str) else list(by)
     s = _clean(score)
-    b = F.floor((s - F.lit(float(lo))) / F.lit((hi - lo) / bins))
-    clamped = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
     rows = df.select(
         *keys,
         F.col(label).cast("boolean").alias("__y"),
         s.alias("__s"),
-        clamped.alias("bin"),
+        uniform_bin(s, lo, hi, bins).alias("bin"),
     ).where(F.col("__y").isNotNull() & F.col("__s").isNotNull())
     return rows.groupBy(*keys, "bin").agg(
         F.count(F.lit(1)).alias("n"),

@@ -1984,15 +1984,23 @@ FROM v GROUP BY l_returnflag"""
 
 # outliers: modified z-score robust flags per event_type — DuckDB's
 # median/mad mirror operators/stats.py flag_outliers (k=2).
+# NaN values become NULL (Spark's flag is NULL there, excluded from the
+# sum), the join back is null-safe and LEFT (NULL-keyed or all-missing
+# groups keep their n_rows row), mirroring flag_outliers exactly.
 ORACLE_SQL["outliers"] = """
-WITH s AS (
-  SELECT event_type, median(value) AS med, mad(value) AS m
-  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
-  GROUP BY event_type
+WITH e2 AS (
+  SELECT event_type,
+         CASE WHEN value IS NULL OR isnan(value) THEN NULL ELSE value END AS v
+  FROM events
+),
+s AS (
+  SELECT event_type, median(v) AS med, mad(v) AS m
+  FROM e2 WHERE v IS NOT NULL GROUP BY event_type
 )
-SELECT e.event_type, count(*)::BIGINT AS n_rows,
-       sum(CASE WHEN m = 0 THEN (e.value <> med)::INT
-                ELSE (abs(0.6745 * (e.value - med) / m) > 2.0)::INT
+SELECT e2.event_type, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN v IS NULL THEN NULL
+                WHEN m = 0 THEN (v <> med)::INT
+                ELSE (abs(0.6745 * (v - med) / m) > 2.0)::INT
            END)::BIGINT AS n_flagged
-FROM events e JOIN s ON e.event_type = s.event_type
-GROUP BY e.event_type"""
+FROM e2 LEFT JOIN s ON e2.event_type IS NOT DISTINCT FROM s.event_type
+GROUP BY e2.event_type"""

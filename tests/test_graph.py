@@ -151,3 +151,33 @@ def test_hits_hub_vs_authority_separation(spark):
     for i in range(1, 5):
         assert got[i]["hub"] == 0.0
         assert got[i]["authority"] == pytest.approx(0.5)
+
+
+def test_personalized_pagerank_absent_seed_mass_not_leaked(spark):
+    from dask_groupby_spark.operators import pagerank
+
+    edges = [(0, 1), (1, 0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    # seed 99 is not in the graph: its weight must NOT bleed teleport mass
+    pers = spark.createDataFrame([(0, 1.0), (99, 9.0)], "id bigint, w double")
+    out = pagerank(df, iters=15, personalization=pers).collect()
+    assert sum(r["rank"] for r in out) == pytest.approx(1.0, abs=1e-12)
+
+    # ALL seeds absent -> explicit error, not silent all-zero ranks
+    bad = spark.createDataFrame([(99, 1.0)], "id bigint, w double")
+    with pytest.raises(ValueError):
+        pagerank(df, personalization=bad)
+
+
+def test_personalized_pagerank_duplicate_seed_rows_aggregate(spark):
+    from dask_groupby_spark.operators import pagerank
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    dup = spark.createDataFrame([(0, 1.0), (0, 2.0)], "id bigint, w double")
+    merged = spark.createDataFrame([(0, 3.0)], "id bigint, w double")
+    a = {r["id"]: r["rank"] for r in pagerank(df, iters=10, personalization=dup).collect()}
+    b = {r["id"]: r["rank"] for r in pagerank(df, iters=10, personalization=merged).collect()}
+    assert len(a) == 3                      # node table NOT fanned out
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-12)
