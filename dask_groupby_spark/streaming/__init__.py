@@ -598,3 +598,36 @@ def stream_hll_update(
         checkpoint,
         trigger,
     )
+
+
+def stream_rules_update(
+    stream_df: DataFrame,
+    rules,
+    path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Streaming data-quality monitoring: evaluate a
+    :func:`~dask_groupby_spark.operators.validate.check_rules` rule set
+    on every micro-batch and append the per-batch violation counts to a
+    ``batch_id=``-partitioned metrics table — the quality time series a
+    pipeline dashboards/alerts on (a jump in ``violation_frac`` is the
+    earliest sign an upstream producer broke).
+
+    Same idempotent per-partition overwrite contract as the sketch
+    updaters (:func:`_stream_sketch_update`): a replayed batch rewrites
+    its own partition, never double-counts.  Counts are linear, so the
+    whole-history rates roll up from the table with one aggregate:
+    ``SUM(n_violations)/SUM(n_rows)`` per rule.
+
+    Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
+    """
+    from ..operators.validate import check_rules
+
+    return _stream_sketch_update(
+        stream_df,
+        lambda b: check_rules(b, rules),
+        path,
+        checkpoint,
+        trigger,
+    )

@@ -646,3 +646,43 @@ def test_streaming_drift_psi_ks_from_stream_histograms(spark, tmp_path_factory):
     ks = ks_from_histograms(paths["ref"], paths["cur"]).collect()[0]
     assert ks["n_ref"] == 300 and ks["n_cur"] == 200
     assert ks["ks_stat"] > 0.1    # the shift registers through the sketch path
+
+
+def test_stream_rules_update_matches_batch(spark, tmp_path_factory):
+    """Streaming quality monitor: merged per-batch rule-violation
+    counters equal the one-shot batch check_rules of the full input, and
+    per-batch rows are inspectable as a time series."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_groupby_spark.operators import check_rules
+    from dask_groupby_spark.streaming import stream_rules_update
+
+    base = tmp_path_factory.mktemp("stream_rules")
+    indir, mpath, ckpt = str(base / "in"), str(base / "m"), str(base / "ck")
+    os.makedirs(indir)
+    b1 = spark.createDataFrame([(i, float(i % 7) - 1) for i in range(40)], "id bigint, v double")
+    b2 = spark.createDataFrame([(i, None) for i in range(40, 50)], "id bigint, v double")
+    b1.coalesce(1).write.parquet(f"{indir}/b1")
+    b2.coalesce(1).write.parquet(f"{indir}/b2")
+
+    rules = lambda: {"v_nonneg": F.col("v") >= 0, "id_set": F.col("id").isNotNull()}
+    stream = spark.readStream.schema("id bigint, v double").parquet(f"{indir}/*")
+    q = stream_rules_update(stream, rules(), mpath, ckpt)
+    q.awaitTermination(120)
+
+    merged = (
+        spark.read.parquet(mpath)
+        .groupBy("rule")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("n_violations").alias("n_violations"))
+    )
+    got = {r["rule"]: (r["n_rows"], r["n_violations"]) for r in merged.collect()}
+    full = b1.unionByName(b2)
+    want = {r["rule"]: (r["n_rows"], r["n_violations"])
+            for r in check_rules(full, rules()).collect()}
+    assert got == want
+    assert got["v_nonneg"][1] > 0        # NULLs + negatives counted
+    # the time series is per-batch partitioned
+    import glob
+    assert len(glob.glob(f"{mpath}/batch_id=*")) >= 1
