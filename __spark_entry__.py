@@ -2632,8 +2632,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # TWENTY-FIVE late-r5 keys sit just outside the window by explicit choice —
     # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
     # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc, calibration, table_diff, qnorm, outliers.
-    # All are oracle-backed and pass the full local gate; stream_cms's
+    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc,
+    # calibration, table_diff, qnorm, outliers.
+    # All but pagerank are oracle-backed and pass the full local gate;
+    # stream_cms's
     # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
     # streaming sketch == batch sketch, counters linear).  Keeping all 28
     # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
