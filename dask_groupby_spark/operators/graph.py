@@ -19,14 +19,26 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "hits", "pagerank"]
 
 
-def _prep_edges(edges: DataFrame, src: str, dst: str, partitions: int | None):
+def _prep_edges(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    partitions: int | None,
+    weight: str | None = None,
+):
     """Shared edge cleanup for the iterative operators: canonical
-    (src, dst) columns, NULL endpoints dropped, ONE repartition on src
-    reused by every iteration, eager localCheckpoint; plus the distinct
-    node-id table.  Returns ``(e, nodes)``."""
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    (src, dst[, __w]) columns, NULL endpoints (and non-positive weights)
+    dropped, ONE repartition on src reused by every iteration, eager
+    localCheckpoint; plus the distinct node-id table.
+    Returns ``(e, nodes)``."""
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("double").alias("__w"))
+    e = edges.select(*cols).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if weight is not None:
+        e = e.where(F.col("__w") > 0)
     e = e.repartition(partitions, "src") if partitions else e.repartition("src")
     e = e.localCheckpoint(eager=True)
     nodes = (
@@ -45,6 +57,7 @@ def pagerank(
     iters: int = 10,
     partitions: int | None = None,
     personalization: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge table: returns ``(id, rank)`` for
     every node (ranks sum to 1).  Standard damped power iteration with
@@ -73,13 +86,20 @@ def pagerank(
     seeds", the standard spam-demotion / seed-expansion prior for crawl
     curation.  Weights normalize internally; nodes absent from the seed
     table get teleport probability 0 (they score > 0 only via links).
+
+    ``weight``: an edge-weight column makes the random walk follow each
+    out-link with probability proportional to its weight (link counts,
+    anchor-text frequency…) — rows with NULL or non-positive weight are
+    dropped.  Unweighted is the ``weight=None`` special case (every
+    edge weight 1).
     """
     if not 0 < damping < 1:
         raise ValueError("damping must be in (0, 1)")
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e, nodes = _prep_edges(edges, src, dst, partitions)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    e, nodes = _prep_edges(edges, src, dst, partitions, weight)
+    wcol = F.col("__w") if weight is not None else F.lit(1.0)
+    deg = e.groupBy("src").agg(F.sum(wcol).alias("__deg"))
     # node table with out-degree (NULL -> dangling), partitioned like edges
     base = nodes.join(deg, nodes["id"] == deg["src"], "left").select(
         "id", F.coalesce("__deg", F.lit(0)).alias("__deg")
@@ -132,7 +152,10 @@ def pagerank(
         contribs = (
             ranks.where(F.col("__deg") > 0)
             .join(e, ranks["id"] == e["src"])
-            .select("dst", (F.col("rank") / F.col("__deg")).alias("__c"))
+            .select(
+                "dst",
+                (F.col("rank") * wcol / F.col("__deg")).alias("__c"),
+            )
             .groupBy("dst")
             .agg(F.sum("__c").alias("__in"))
         )

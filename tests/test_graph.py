@@ -181,3 +181,36 @@ def test_personalized_pagerank_duplicate_seed_rows_aggregate(spark):
     assert len(a) == 3                      # node table NOT fanned out
     for k in a:
         assert a[k] == pytest.approx(b[k], rel=1e-12)
+
+
+def test_weighted_pagerank_vs_numpy(spark):
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 2.0), (2, 1, 2.0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    got = {r["id"]: r["rank"] for r in pagerank(df, iters=12, weight="w").collect()}
+
+    n, d = 3, 0.85
+    wsum = np.zeros(n)
+    for s, _, w in edges:
+        wsum[s] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        new = np.full(n, (1.0 - d) / n)
+        for s, t, w in edges:
+            new[t] += d * r[s] * w / wsum[s]
+        r = new
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    # the 3x-weighted 0->1 edge must dominate 0->2
+    assert got[1] > got[2]
+
+
+def test_weighted_pagerank_nonpositive_weights_dropped(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.0), (0, 3, -1.0), (1, 0, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    out = pagerank(df, iters=5, weight="w").collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == [0, 1]      # zero/negative-weight edges (and their nodes) gone
+    assert sum(r["rank"] for r in out) == pytest.approx(1.0, abs=1e-12)
