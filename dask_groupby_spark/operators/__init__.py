@@ -31,7 +31,7 @@ from .similarity import (
     semantic_deduplicate,
 )
 from .bpe import bpe_encode, bpe_train
-from .curate import PII_PATTERNS, redact_pii
+from .curate import PII_PATTERNS, redact_pii, shuffle_rows
 from .graph import connected_components, hits, pagerank
 from .profile import table_profile
 from .selection import key_skew_stats
@@ -108,6 +108,7 @@ __all__ = [
     "tokens",
     "PII_PATTERNS",
     "redact_pii",
+    "shuffle_rows",
     "bpe_train",
     "bpe_encode",
     "salted_join",

@@ -388,3 +388,35 @@ def redact_pii(
         red.alias(out),
     )
     return proj
+
+
+def shuffle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle of row order — the final step before
+    training export (SGD wants examples decorrelated from crawl/source
+    order; a corpus written in domain order trains measurably worse).
+
+    Rows order by a seeded hash of their id: reproducible across runs
+    and cluster sizes (the permutation is a pure function of
+    ``(id, seed)``), re-shuffleable by changing ``seed`` per epoch.
+    Implementation is the scale-correct one: ``repartitionByRange`` on
+    the hash (range sampling balances output files even if ids cluster)
+    + in-partition sort — one Exchange, no global total order
+    materialized on any single node, no RNG state.  Feed straight to
+    ``save_table`` (no extra sort_by) — downstream sequential readers
+    then see hash order, i.e. shuffled.
+    """
+    from .dedup import fast_hash
+
+    h = fast_hash(F.col(id_col).cast("string"), seed=seed)
+    out = df.withColumn("__shuf", h)
+    out = (
+        out.repartitionByRange(partitions, "__shuf")
+        if partitions
+        else out.repartitionByRange("__shuf")
+    )
+    return out.sortWithinPartitions("__shuf").drop("__shuf")

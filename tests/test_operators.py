@@ -1236,3 +1236,42 @@ class TestDedupParagraphs:
         )
         out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()}
         assert out[1] == "p1\n\npA" and out[2] == "p2\n\npB"
+
+
+class TestShuffleRows:
+    def test_deterministic_and_decorrelated(self, spark):
+        from dask_groupby_spark.operators import shuffle_rows
+
+        df = spark.createDataFrame(
+            [(i, f"src{i // 50}") for i in range(200)], "doc_id bigint, source string"
+        )
+        a = [r["doc_id"] for r in shuffle_rows(df, partitions=4).collect()]
+        b = [r["doc_id"] for r in shuffle_rows(df.repartition(7), partitions=4).collect()]
+        assert a == b                               # pure function of (id, seed)
+        assert a != sorted(a)                       # actually shuffled
+        # source runs are broken up: no 50-long monotone block survives
+        srcs = [r["source"] for r in shuffle_rows(df, partitions=4).collect()]
+        longest = run = 1
+        for i in range(1, len(srcs)):
+            run = run + 1 if srcs[i] == srcs[i - 1] else 1
+            longest = max(longest, run)
+        assert longest < 10
+
+    def test_seed_changes_permutation(self, spark):
+        from dask_groupby_spark.operators import shuffle_rows
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+        a = [r["doc_id"] for r in shuffle_rows(df, seed="ep0", partitions=2).collect()]
+        b = [r["doc_id"] for r in shuffle_rows(df, seed="ep1", partitions=2).collect()]
+        assert a != b and sorted(a) == sorted(b)
+
+    def test_single_range_exchange(self, spark):
+        import re
+
+        from dask_groupby_spark.operators import shuffle_rows
+        from dask_groupby_spark.plans import physical_plan
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+        plan = physical_plan(shuffle_rows(df, partitions=2))
+        assert "rangepartitioning" in plan
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
