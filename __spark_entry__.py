@@ -2643,28 +2643,80 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# NOTE on ordering: the round driver verifies the FIRST 50 entries of this dict
-# (insertion order) against the DuckDB oracle. r5 rotation (VERDICT r4 items
-# 2/7): the window front-loads (a) keys that are NEW or changed this round
-# (late-r5 additions salted_join/cms_heavy/hist_quantile/vocab/encode_ids/
-# clf_score/pii_redact, then stream_late - the late/out-of-order watermark
-# contract; chunk_docs and calendar_mean changed semantics; the
-# dedup/similarity family grew the bucket cap; pivot grew the discovery
-# guard), then (b) the 28 r1-era keys with no official driver row since
-# the r3 testdata encoding change (mode/nanmode, bins_*, reindex_fill,
-# grid_fill, min_count, dayofyear, month_hour, resample_5d, first_ts, the
-# 4 complex_*, all 13 scan_*) — 7 + 15 + 28 = exactly 50. The new keys
-# displace the r2-green rows (approx_quantile..dedup_exact) out of the
-# window — those keep their r2-r3 official rows. Also DISPLACED
-# since r4 (all hold fresh green r4 rows): wquantile_sketch, xdim_bins,
-# xdim_dataset, stream_agg, stream_enrich, fill_stat, winsorize,
-# stream_join, mixture, pack, twa, stream_sliding, range_join, sessionize,
-# mean_ts, resample_time, stream_window, stream_session, and the 30
-# count..nunique reductions. ALL entries remain registered and pass the
-# local gate regardless of position (scripts/check_driver_contract.py runs
-# the full set).
+# NOTE on ordering: the round driver verifies the FIRST 50 entries of this
+# dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
+# item 1, executed for real this time — the r6 edit was a comment-only no-op):
+# the window is (a) the 26 late-r5 keys that have NEVER had a driver row
+# (stream_cms..sql_entry — the whole stats/drift/eval family plus the audit
+# and storage keys; pagerank now carries its r6 value-checked CTE oracle,
+# qnorm its r6 distributed exact-rank grid, para_dedup its r7-fixed
+# empty-segment-aware oracle), (b) media_phash — FIRST registration of the
+# pixel/FFT multimodal tier, VALUES oracle pinned from
+# tests/fixtures/media_expected.py, (c) pca_embed to re-confirm the r6-cleaned
+# rows-only row, and (d) the 22 keys holding the OLDEST official rows
+# (r2-r3 era: approx_quantile..dedup_exact, rank..langid) for a freshness
+# re-check.  26+1+1+22 = exactly 50.  After this round EVERY registered key
+# has at least one official driver row.  DISPLACED below the marker: all keys
+# holding fresh green r4-r6 rows (the r5/r6 window, the r1-era re-checks, the
+# 30 count..nunique reductions, streaming, joins — positions don't affect
+# registration; scripts/check_driver_contract.py runs the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r5 window: new or changed this round ---
+    # --- r7 window: the 26 keys with no driver row in r1-r6 ---
+    "stream_cms": q_stream_cms,
+    "seg_dedup": q_seg_dedup,
+    "quantize": q_quantize,
+    "skew_stats": q_skew_stats,
+    "ngram_counts": q_ngram_counts,
+    "profile": q_profile,
+    "bivar": q_bivar,
+    "spearman": q_spearman,
+    "psi": q_psi,
+    "para_dedup": q_para_dedup,
+    "bloom_join": q_bloom_join,
+    "zorder": q_zorder,
+    "ttest": q_ttest,
+    "validate": q_validate,
+    "chisq": q_chisq,
+    "ks": q_ks,
+    "mad": q_mad,
+    "overlap_join": q_overlap_join,
+    "psi_hist": q_psi_hist,
+    "pagerank": q_pagerank,
+    "auc": q_auc,
+    "calibration": q_calibration,
+    "table_diff": q_table_diff,
+    "qnorm": q_qnorm,
+    "outliers": q_outliers,
+    "sql_entry": q_sql_entry,
+    # --- r7 window: first registration (pixel/FFT multimodal tier) ---
+    "media_phash": q_media_phash,
+    # --- r7 window: re-confirm the r6-cleaned rows-only row ---
+    "pca_embed": q_pca_embed,
+    # --- r7 window: oldest official rows (r2-r3 era) re-checked ---
+    "approx_quantile": q_approx_quantile,
+    "dup_spans": q_dup_spans,
+    "span_dedup": q_span_dedup,
+    "xdim_reduce": q_xdim_reduce,
+    "accessor_climatology": q_accessor_climatology,
+    "stream_dedup": q_stream_dedup,
+    "stream_cumsum": q_stream_cumsum,
+    "entropy": q_entropy,
+    "resample_dense_keys": q_resample_dense_keys,
+    "multimodal_meta": q_multimodal_meta,
+    "simhash": q_simhash,
+    "dedup_exact": q_dedup_exact,
+    "rank": q_rank,
+    "wquantile": q_wquantile,
+    "corr": q_corr,
+    "bloom_decontam": q_bloom_decontam,
+    "describe": q_describe,
+    "wsample": q_wsample,
+    "rollup": q_rollup,
+    "ewma_scan": q_ewma,
+    "text_stats": q_text_stats,
+    "langid": q_langid,
+    # ----------------------------------------------------------------- 50
+    # --- displaced: fresh green r4-r6 rows ---
     "salted_join": q_salted_join,
     "cms_heavy": q_cms_heavy,
     "hist_quantile": q_hist_quantile,
@@ -2675,7 +2727,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "bpe_tokens": q_bpe_tokens,
     "mh_index_probe": q_mh_index_probe,
-    "pca_embed": q_pca_embed,
     "gopher": q_gopher,
     "stream_late": q_stream_late,
     "chunk_docs": q_chunk_docs,
@@ -2687,8 +2738,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "minhash": q_minhash,
     "pivot": q_pivot,
-    # --- r5 window: r1-era keys, no official driver row since the r3
-    # testdata encoding change (local gate green throughout) ---
     "mode": q_mode,
     "nanmode": q_nanmode,
     "bins_right": q_bins_right,
@@ -2717,60 +2766,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_cumprod": q_scan_cumprod,
     "scan_nancumprod": q_scan_nancumprod,
     "scan_diff": q_scan_diff,
-    # ----------------------------------------------------------------- 50
-    # TWENTY-SIX late-r5 keys sit just outside the window by explicit choice —
-    # stream_cms, seg_dedup, quantize, skew_stats, ngram_counts, profile,
-    # bivar, spearman, psi, para_dedup, bloom_join, zorder, ttest, validate,
-    # chisq, ks, mad, overlap_join, psi_hist, pagerank (rows-only), auc,
-    # calibration, table_diff, qnorm, outliers, sql_entry.
-    # All but pagerank are oracle-backed and pass the full local gate;
-    # stream_cms's
-    # oracle SQL is additionally IDENTICAL to in-window cms_heavy (merged
-    # streaming sketch == batch sketch, counters linear).  Keeping all 28
-    # r1-era keys in-window (VERDICT r4 item 2, named-list deliverable)
-    # outranks first official rows for these — ROTATE ALL TWENTY-SIX into the
-    # r6 window, displacing r5-green rows.
-    "stream_cms": q_stream_cms,
-    "seg_dedup": q_seg_dedup,
-    "quantize": q_quantize,
-    "skew_stats": q_skew_stats,
-    "ngram_counts": q_ngram_counts,
-    "profile": q_profile,
-    # --- r5 continuation session (also parked for the r6 rotation) ---
-    "bivar": q_bivar,
-    "spearman": q_spearman,
-    "psi": q_psi,
-    "para_dedup": q_para_dedup,
-    "bloom_join": q_bloom_join,
-    "zorder": q_zorder,
-    "ttest": q_ttest,
-    "validate": q_validate,
-    "chisq": q_chisq,
-    "ks": q_ks,
-    "mad": q_mad,
-    "overlap_join": q_overlap_join,
-    "psi_hist": q_psi_hist,
-    "pagerank": q_pagerank,
-    "auc": q_auc,
-    "calibration": q_calibration,
-    "table_diff": q_table_diff,
-    "qnorm": q_qnorm,
-    "outliers": q_outliers,
-    "sql_entry": q_sql_entry,
-    # --- displaced by the late-r5 keys: hold official r2-r3 rows ---
-    "approx_quantile": q_approx_quantile,
-    "dup_spans": q_dup_spans,
-    "span_dedup": q_span_dedup,
-    "xdim_reduce": q_xdim_reduce,
-    "accessor_climatology": q_accessor_climatology,
-    "stream_dedup": q_stream_dedup,
-    "stream_cumsum": q_stream_cumsum,
-    "entropy": q_entropy,
-    "resample_dense_keys": q_resample_dense_keys,
-    "multimodal_meta": q_multimodal_meta,
-    "simhash": q_simhash,
-    "dedup_exact": q_dedup_exact,
-    # --- displaced: fresh green r4 rows ---
     "wquantile_sketch": q_wquantile_sketch,
     "xdim_bins": q_xdim_bins,
     "xdim_dataset": q_xdim_dataset,
@@ -2819,17 +2814,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile": q_quantile,
     "nanquantile_vec": q_nanquantile_vec,
     "nunique": q_nunique,
-    # --- r3-era greens ---
-    "rank": q_rank,
-    "wquantile": q_wquantile,
-    "corr": q_corr,
-    "bloom_decontam": q_bloom_decontam,
-    "describe": q_describe,
-    "wsample": q_wsample,
-    "rollup": q_rollup,
-    "ewma_scan": q_ewma,
-    "text_stats": q_text_stats,
-    "langid": q_langid,
     "fingerprint": q_fingerprint,
     "tfidf": q_tfidf,
     "repetition": q_repetition,

@@ -1664,8 +1664,14 @@ SELECT bin,
 FROM j"""
 
 # para_dedup: cross-document paragraph dedup + reconstruction — must match
-# operators/dedup.py dedup_paragraphs: global first occurrence under
-# (doc_id, pos) wins, survivors rejoin in original order.
+# operators/dedup.py dedup_paragraphs: keep iff the segment is empty
+# (length < max(min_len,1) with the default min_len=0 — consecutive
+# separators / blank-line structure are NEVER deduped) OR it is the
+# globally first occurrence under (doc_id, pos); survivors rejoin in
+# original order.  The keep rule mirrors dedup.py:917-924 exactly:
+# short-ness is a property of the segment VALUE, so numbering short rows
+# inside the window (as the engine does) cannot change which non-short
+# row ranks first.
 ORACLE_SQL["para_dedup"] = """
 WITH d2 AS (
   SELECT doc_id,
@@ -1680,12 +1686,14 @@ sp AS (
 ),
 fl AS (
   SELECT doc_id, pos, seg,
-         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+         (length(seg) < 1) OR
+         (row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1)
+           AS keep
   FROM sp
 )
 SELECT doc_id, count(*)::BIGINT AS seg_n_before,
-       count(CASE WHEN rn = 1 THEN 1 END)::BIGINT AS seg_n_after,
-       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+       count(CASE WHEN keep THEN 1 END)::BIGINT AS seg_n_after,
+       md5(coalesce(string_agg(CASE WHEN keep THEN seg END,
                                chr(10) ORDER BY pos), '')) AS text_md5
 FROM fl GROUP BY doc_id"""
 
@@ -2064,3 +2072,34 @@ ORACLE_SQL["pagerank"] = _pagerank_sql()
 from __spark_entry__ import _SQL_ENTRY as _SQL_ENTRY_TEXT  # noqa: E402
 
 ORACLE_SQL["sql_entry"] = _SQL_ENTRY_TEXT
+
+# media_phash: the multimodal pixel/FFT contract key — the Spark side
+# REALLY decodes the committed PNG/WAV fixture (tests/fixtures/media.parquet,
+# stdlib-built by scripts/make_media_fixture.py) through the Arrow
+# mapInPandas tier; the oracle inlines the pinned expected rows from
+# tests/fixtures/media_expected.py as SQL VALUES, loaded here from that one
+# source of truth so the oracle can never drift from the fixture.  Any
+# behavior change in the decode/DCT/FFT path (or the Arrow plumbing) breaks
+# the exact-value compare.
+def _media_phash_sql() -> str:
+    import importlib.util as _ilu
+    import os as _os
+
+    _p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                       "tests", "fixtures", "media_expected.py")
+    _spec = _ilu.spec_from_file_location("media_expected", _p)
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    rows = ",\n  ".join(
+        f"({mid}, '{kind}', CAST({ph} AS BIGINT))"
+        for mid, kind, ph in _mod.EXPECTED
+    )
+    return f"""
+SELECT media_id::BIGINT AS media_id, kind, phash
+FROM (VALUES
+  {rows}
+) AS t(media_id, kind, phash)
+ORDER BY media_id"""
+
+
+ORACLE_SQL["media_phash"] = _media_phash_sql()

@@ -1,0 +1,168 @@
+"""Contract-key pins that the per-round driver gate alone can't cover:
+the committed media fixture round-trip (exact pinned hashes through the
+REAL PNG/WAV decode + Arrow mapInPandas tier) and the para_dedup
+engine-vs-oracle agreement on the adversarial inputs the sf tables don't
+contain (consecutive separators, trailing separators, empty documents —
+the exact shapes ADVICE r6 #2 flagged as a latent gate failure)."""
+
+import os
+
+import duckdb
+import pytest
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _expected_media():
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "media_expected", os.path.join(FIXDIR, "media_expected.py")
+    )
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.EXPECTED
+
+
+class TestMediaFixture:
+    def test_spark_round_trip_equals_pinned(self, spark):
+        """The committed media.parquet decoded through the distributed
+        image_phash / audio_fingerprint path must reproduce the pinned
+        (media_id, kind, phash) rows bit-for-bit — any drift in the
+        PNG/WAV decoders, the DCT/FFT arithmetic, or the Arrow batch
+        plumbing fails here before it fails in the driver gate."""
+        from pyspark.sql import functions as F
+
+        from dask_groupby_spark.operators.multimodal import (
+            audio_fingerprint,
+            image_phash,
+        )
+
+        media = spark.read.parquet(os.path.join(FIXDIR, "media.parquet"))
+        img = image_phash(
+            media.where(F.col("kind") == "image"), id_col="media_id"
+        ).select("id", F.lit("image").alias("kind"), "phash")
+        aud = audio_fingerprint(
+            media.where(F.col("kind") == "audio"), id_col="media_id"
+        ).select("id", F.lit("audio").alias("kind"), "phash")
+        got = sorted(
+            (r["id"], r["kind"], r["phash"])
+            for r in img.unionByName(aud).collect()
+        )
+        assert got == sorted(_expected_media())
+
+    def test_values_oracle_matches_pinned(self):
+        """The ORACLE_SQL['media_phash'] VALUES block is generated from
+        media_expected.EXPECTED at import time — prove the generated SQL
+        actually evaluates back to the pinned rows under DuckDB."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from oracle_queries import ORACLE_SQL
+
+        rows = duckdb.sql(ORACLE_SQL["media_phash"]).fetchall()
+        assert sorted(rows) == sorted(_expected_media())
+
+    def test_key_registered_in_window(self):
+        """media_phash must be registered AND inside the driver's 50-key
+        window (VERDICT r6 item 2: the r6 fixture shipped as dead code)."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __spark_entry__ as entrymod
+
+        keys = list(entrymod._QUERIES)
+        assert "media_phash" in keys[:50]
+
+
+# adversarial doc set: trailing separator (→ empty last segment), double
+# separator in both docs (blank-line structure shared corpus-wide), a doc
+# that is ONLY separators, an empty doc, and a shared paragraph
+_PARA_DOCS = [
+    (1, "COOKIE\n\nalpha\n"),
+    (2, "COOKIE\n\nbeta\n\n"),
+    (3, "\n\n"),
+    (4, ""),
+    (5, "alpha\nCOOKIE"),
+]
+
+
+class TestParaDedupOracleAgreement:
+    def test_engine_matches_oracle_on_consecutive_separators(self, spark):
+        """Run dedup_paragraphs AND the r7-fixed oracle keep rule
+        (length(seg) < 1 OR global-first) over the same adversarial docs;
+        every (doc_id, seg_n_before, seg_n_after, text) must agree.  Under
+        the pre-r7 oracle (plain rn=1) doc 2's and doc 3's empty segments
+        would be deduped against doc 1's — this is the case that would
+        have flipped the key red in the driver window."""
+        from dask_groupby_spark.operators import dedup_paragraphs
+
+        df = spark.createDataFrame(_PARA_DOCS, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["seg_n_before"], r["seg_n_after"], r["text"])
+            for r in dedup_paragraphs(df, count_cols=True).collect()
+        }
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", _PARA_DOCS)
+        # the oracle's keep rule verbatim (oracle_queries.py para_dedup),
+        # minus the NAVBAR salting — the rule itself is under test
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(
+                """
+                WITH sp AS (
+                  SELECT doc_id, i AS pos, l[i] AS seg
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                        FROM docs),
+                       unnest(range(1, len(l)+1)) AS t(i)
+                ),
+                fl AS (
+                  SELECT doc_id, pos, seg,
+                         (length(seg) < 1) OR
+                         (row_number() OVER (PARTITION BY seg
+                                             ORDER BY doc_id, pos) = 1)
+                           AS keep
+                  FROM sp
+                )
+                SELECT doc_id, count(*)::BIGINT,
+                       count(CASE WHEN keep THEN 1 END)::BIGINT,
+                       coalesce(string_agg(CASE WHEN keep THEN seg END,
+                                           chr(10) ORDER BY pos), '')
+                FROM fl GROUP BY doc_id
+                """
+            ).fetchall()
+        }
+        assert got == want
+        # spot-check the semantics directly: blank-line structure survives
+        # everywhere; shared COOKIE/alpha survive only at their global
+        # first occurrence (doc 1)
+        assert got[1] == (4, 4, "COOKIE\n\nalpha\n")
+        assert got[2] == (5, 4, "\nbeta\n\n")  # COOKIE deduped, empties kept
+        assert got[3] == (3, 3, "\n\n")        # separator-only doc intact
+        assert got[4] == (1, 1, "")            # empty doc: one empty seg
+        assert got[5] == (2, 0, "")            # fully deduped, row survives
+
+
+class TestWindowRotation:
+    def test_r7_window_is_the_parked_26_plus_media(self):
+        """VERDICT r6 item 1: the 26 keys with no driver row in r1-r6 must
+        be the FIRST entries of _QUERIES (dict order is what the driver
+        consumes) — this test makes the rotation un-revertable."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __spark_entry__ as entrymod
+
+        parked = {
+            "stream_cms", "seg_dedup", "quantize", "skew_stats",
+            "ngram_counts", "profile", "bivar", "spearman", "psi",
+            "para_dedup", "bloom_join", "zorder", "ttest", "validate",
+            "chisq", "ks", "mad", "overlap_join", "psi_hist", "pagerank",
+            "auc", "calibration", "table_diff", "qnorm", "outliers",
+            "sql_entry",
+        }
+        window = list(entrymod._QUERIES)[:50]
+        assert parked <= set(window)
+        assert "media_phash" in window and "pca_embed" in window
