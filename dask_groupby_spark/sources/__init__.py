@@ -238,6 +238,8 @@ def compact_table(
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(conf)
+    # heal a crash-interrupted previous swap (same window as upsert_table)
+    _recover_interrupted_swap(fs, jvm, path, "__compact")
     summary = fs.getContentSummary(jpath)
     n_before = int(summary.getFileCount())
     total_bytes = int(summary.getLength())
@@ -268,6 +270,46 @@ def compact_table(
     return n_before, n_after
 
 
+def _recover_interrupted_swap(fs, jvm, path: str, stem: str) -> None:
+    """Heal a crash inside the park → move → drop swap sequence that
+    :func:`compact_table` / :func:`upsert_table` use (``stem`` is
+    ``"__compact"`` or ``"__upsert"``).  Without this, a crash landing
+    between the two renames leaves the live path MISSING with the real
+    data parked at ``<path><stem>_old`` — and the next upsert call's
+    missing-target → first-write branch would then silently drop the
+    original table (ADVICE r6 #1, silent data loss).
+
+    States and their recovery (the swap is: write tmp → rename path→old
+    → rename tmp→path → delete old):
+
+    - ``old`` exists, ``path`` exists: the swap COMPLETED and only the
+      final cleanup delete was missed → drop ``old`` (and any stale
+      ``tmp``), else the next park rename would collide with it.
+    - ``old`` exists, ``path`` missing: crash mid-swap → ROLL BACK:
+      restore ``old`` to ``path`` and drop the orphaned ``tmp``.  The
+      interrupted call never returned success, so discarding its merged
+      temp is the at-most-once outcome; the caller's fresh ``updates``
+      re-apply on the healed table.
+    - only ``tmp`` exists: crash during the temp write → harmless, the
+      next ``mode("overwrite")`` replaces it.
+    """
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jold = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + stem + "_old")
+    jtmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + stem + "_tmp")
+    if not fs.exists(jold):
+        return
+    if fs.exists(jpath):
+        fs.delete(jold, True)
+    else:
+        if not fs.rename(jold, jpath):
+            raise IOError(
+                f"recovery rename {path}{stem}_old -> {path} failed; "
+                "original data is parked at the _old path — recover manually"
+            )
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+
+
 def upsert_table(
     spark: SparkSession,
     path: str,
@@ -296,6 +338,10 @@ def upsert_table(
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(conf)
+    # heal any crash-interrupted previous swap BEFORE the missing-target
+    # check — otherwise the first-write branch below destroys the parked
+    # original (ADVICE r6 #1)
+    _recover_interrupted_swap(fs, jvm, path, "__upsert")
     if not fs.exists(jpath):
         updates.write.format(fmt).mode("overwrite").save(path)
         return

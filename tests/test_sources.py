@@ -312,3 +312,76 @@ class TestUpsertTable:
         upsert_table(spark, p, upd, "k")
         got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
         assert got == {None: "new", 1: "x"}
+
+    # -------- crash-window recovery (ADVICE r6 #1: silent data loss) --------
+
+    def test_crash_between_renames_recovers_original(self, spark, tmp_path):
+        """Simulate a crash landing BETWEEN the two swap renames: the live
+        path is missing, the real data is parked at __upsert_old, a merged
+        temp sits at __upsert_tmp.  The next upsert must NOT take the
+        first-write branch (which would drop the original silently) — it
+        must restore the parked data, drop the stale temp, and apply the
+        fresh updates on top."""
+        import os
+        import shutil
+
+        from dask_groupby_spark.sources import upsert_table
+
+        p = str(tmp_path / "t6")
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+        )
+        upsert_table(spark, p, base, "k")
+        # forge the mid-swap crash state: park the live dir, leave a temp
+        os.rename(p, p + "__upsert_old")
+        shutil.copytree(p + "__upsert_old", p + "__upsert_tmp")
+        assert not os.path.exists(p)
+
+        upd = spark.createDataFrame([(2, "B2"), (4, "d")], "k bigint, v string")
+        upsert_table(spark, p, upd, "k")
+        got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+        # original rows 1 and 3 survived the crash; update + insert applied
+        assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+        assert not os.path.exists(p + "__upsert_old")
+        assert not os.path.exists(p + "__upsert_tmp")
+
+    def test_crash_after_swap_before_cleanup(self, spark, tmp_path):
+        """Crash AFTER the swap completed but before the parked copy was
+        deleted: live path and __upsert_old both exist.  The next upsert
+        must drop the superseded _old (else its own park rename collides)
+        and proceed normally."""
+        import os
+        import shutil
+
+        from dask_groupby_spark.sources import upsert_table
+
+        p = str(tmp_path / "t7")
+        base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+        upsert_table(spark, p, base, "k")
+        shutil.copytree(p, p + "__upsert_old")  # superseded parked copy
+
+        upd = spark.createDataFrame([(2, "B2")], "k bigint, v string")
+        upsert_table(spark, p, upd, "k")
+        got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+        assert got == {1: "a", 2: "B2"}
+        assert not os.path.exists(p + "__upsert_old")
+        assert not os.path.exists(p + "__upsert_tmp")
+
+    def test_compact_recovers_parked_table(self, spark, tmp_path):
+        """compact_table shares the swap sequence — a mid-swap crash state
+        must heal (restore the parked original) instead of failing on the
+        missing live path."""
+        import os
+
+        from dask_groupby_spark.sources import compact_table
+
+        p = str(tmp_path / "t8")
+        spark.range(100).repartition(8).write.parquet(p)
+        os.rename(p, p + "__compact_old")
+
+        n_before, n_after = compact_table(spark, p, target_file_mb=512)
+        assert n_after <= n_before
+        assert sorted(
+            r["id"] for r in spark.read.parquet(p).collect()
+        ) == list(range(100))
+        assert not os.path.exists(p + "__compact_old")

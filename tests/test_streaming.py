@@ -686,3 +686,167 @@ def test_stream_rules_update_matches_batch(spark, tmp_path_factory):
     # the time series is per-batch partitioned
     import glob
     assert len(glob.glob(f"{mpath}/batch_id=*")) >= 1
+
+
+# ------------------------------------------------- crash recovery (r7)
+
+
+def _drain(q):
+    """availableNow queries self-stop, but the session's StreamingQueryManager
+    can still hold the checkpoint registration briefly — wait for full
+    termination and force-stop so a restart on the SAME checkpoint doesn't
+    trip the concurrent-use guard."""
+    import time as _time
+
+    q.awaitTermination(120)
+    q.stop()
+    for _ in range(100):
+        if not q.isActive:
+            break
+        _time.sleep(0.2)
+
+
+def _age_files(root_dir, age_s):
+    import os
+    import time as _time
+
+    now = _time.time()
+    for root, _, files in os.walk(root_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (now - age_s, now - age_s))
+
+
+def test_stream_cms_crash_recovery_no_double_count(spark, tmp_path_factory):
+    """Kill-and-restart-from-checkpoint (VERDICT r5 item #7): run batch 0,
+    then forge the canonical crash point — sink output for the batch is on
+    disk but the epoch commit marker is NOT (delete checkpoint/commits/0).
+    On restart Structured Streaming replays batch 0 with the SAME batch_id
+    and the SAME recorded source offsets; the batch_id=-partition overwrite
+    contract must absorb the replay (rewrite, not append) so counters are
+    exactly-once, then process the newly-arrived file as batch 1."""
+    import os
+
+    from dask_groupby_spark.operators.sketches import cms_estimate, cms_sketch_table
+    from dask_groupby_spark.streaming import stream_cms_update
+
+    base = tmp_path_factory.mktemp("cms_crash")
+    indir, skpath, ckpt = str(base / "in"), str(base / "sk"), str(base / "ckpt")
+    os.makedirs(indir)
+
+    b1 = spark.createDataFrame([("a",)] * 6 + [("b",)] * 2, "term string")
+    b2 = spark.createDataFrame([("a",)] * 3 + [("c",)] * 4, "term string")
+
+    # phase 1: only b1 exists; availableNow drains it as batch 0 and stops
+    b1.coalesce(1).write.parquet(f"{indir}/b1")
+    _age_files(f"{indir}/b1", 20)
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/*")
+    )
+    q = stream_cms_update(stream, "term", skpath, ckpt, width=64, depth=3)
+    _drain(q)
+    assert os.path.isdir(f"{skpath}/batch_id=0")
+
+    # forge the crash: epoch commit lost, sink output + offsets survive
+    os.remove(f"{ckpt}/commits/0")
+    if os.path.exists(f"{ckpt}/commits/.0.crc"):
+        os.remove(f"{ckpt}/commits/.0.crc")  # checksum sibling blocks rewrite
+
+    # phase 2: new data arrives while "down"; restart from the checkpoint
+    b2.coalesce(1).write.parquet(f"{indir}/b2")
+    _age_files(f"{indir}/b2", 10)
+    stream2 = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/*")
+    )
+    q2 = stream_cms_update(stream2, "term", skpath, ckpt, width=64, depth=3)
+    _drain(q2)
+
+    merged = spark.read.parquet(skpath)
+    assert {
+        r["batch_id"] for r in merged.select("batch_id").distinct().collect()
+    } == {0, 1}
+    qdf = spark.createDataFrame([("a",), ("b",), ("c",)], "term string")
+    got = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(merged, qdf, "term", width=64, depth=3).collect()
+    }
+    want_sk = cms_sketch_table(b1.unionByName(b2), "term", width=64, depth=3)
+    want = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(want_sk, qdf, "term", width=64, depth=3).collect()
+    }
+    # replayed batch 0 REWROTE its partition: a double-count would inflate
+    # 'a' to >= 15 and 'b' to >= 4
+    assert got == want
+
+
+def test_stream_ingest_dedup_crash_recovery_self_heals(spark, tmp_path_factory):
+    """Same forged crash for the at-least-once append loop: the replayed
+    batch's survivors are ALREADY in the MinHash index (appended before the
+    crash), so on replay they match themselves at Jaccard 1.0 and are
+    dropped — the ingest loop converges to exactly-once output without any
+    sink-side transaction."""
+    import os
+
+    from dask_groupby_spark.operators.dedup import minhash_index_write
+    from dask_groupby_spark.streaming import stream_ingest_dedup
+
+    base = tmp_path_factory.mktemp("ingest_crash")
+    index, indir = str(base / "index"), str(base / "in")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    os.makedirs(indir)
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank"),
+         (2, "a completely different document about spark catalyst optimizer rules")],
+        "doc_id bigint, text string",
+    )
+    minhash_index_write(corpus, index)
+
+    novel_1 = "entirely new material discussing large scale stream ingestion loops"
+    novel_2 = "yet another unrelated passage describing watermark based state eviction"
+    b1 = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog near the river bank"),
+         (102, novel_1)],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(201, novel_1), (202, novel_2)], "doc_id bigint, text string"
+    )
+
+    b1.coalesce(1).write.parquet(f"{indir}/b1")
+    _age_files(f"{indir}/b1", 20)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/*")
+    )
+    q = stream_ingest_dedup(stream, index, out, ckpt, threshold=0.8)
+    _drain(q)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [102]
+
+    os.remove(f"{ckpt}/commits/0")  # crash after sink write, before commit
+    if os.path.exists(f"{ckpt}/commits/.0.crc"):
+        os.remove(f"{ckpt}/commits/.0.crc")
+
+    b2.coalesce(1).write.parquet(f"{indir}/b2")
+    _age_files(f"{indir}/b2", 10)
+    stream2 = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/*")
+    )
+    q2 = stream_ingest_dedup(stream2, index, out, ckpt, threshold=0.8)
+    _drain(q2)
+
+    # replayed 102 matched itself in the index and was dropped; 201 matched
+    # 102; 202 is the only new survivor — NO duplicate rows in out
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [102, 202]
+    indexed = sorted(
+        r["id"] for r in spark.read.parquet(f"{index}/signatures").collect()
+    )
+    assert indexed == [1, 2, 102, 202]
