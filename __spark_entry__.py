@@ -1445,24 +1445,23 @@ def q_pca_embed(spark, sf):
     (the r5 red row, VERDICT r5 item #1).  Values are rounded AND the
     sign is canonicalized per component (eigenvector sign is arbitrary:
     numpy's eigh may flip any column run-to-run, so each dim's values
-    are oriented by the sign of that dim's largest-|value| projection)."""
+    are oriented by the sign of the dim's skewness-like Σval³ — a
+    whole-population statistic that run-to-run numeric jitter cannot
+    flip, unlike the previous max-|val| anchor row, whose identity could
+    swap between two near-equal-magnitude opposite-sign entries
+    (ADVICE r6 #4); an exactly-zero Σval³ orients positive)."""
     from dask_groupby_spark.operators.similarity import embedding_pca, pca_project
-    from pyspark.sql import Window
 
     emb = load_table(spark, sf, "embeddings")
     model = embedding_pca(emb, k=4)
     flat = pca_project(emb, model).select(
         "vec_id", F.posexplode("pca").alias("dim", "val")
     )
-    # per-dim sign orientation: multiply by sign of the max-|val| entry
-    # (deterministic tie-break on vec_id); bounded window — 4 dims only
-    w = Window.partitionBy("dim").orderBy(
-        F.abs(F.col("val")).desc(), F.col("vec_id")
-    )
-    anchor = (
-        flat.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("dim", F.signum("val").alias("sgn"))
+    # per-dim sign orientation: one map-combined aggregate over 4 dims
+    anchor = flat.groupBy("dim").agg(
+        F.when(F.sum(F.pow("val", 3)) < 0, F.lit(-1.0))
+        .otherwise(F.lit(1.0))
+        .alias("sgn")
     )
     return (
         flat.join(F.broadcast(anchor), "dim")

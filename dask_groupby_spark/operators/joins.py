@@ -403,20 +403,24 @@ def bloom_semi_join(
 
     ``cache_bits=True`` persists the bitmap so the key-side scan and
     aggregation run once instead of once per hash (each broadcast
-    exchange re-evaluates its input).  The MB-sized cache entry lives
-    until Spark's LRU evicts it — a long-running app calling this in a
-    loop should instead build ONE :func:`bloom_bits_table`, manage its
-    persistence, and call :func:`bloom_prefilter` directly.
+    exchange re-evaluates its input).  The persisted bitmap is exposed
+    on the returned DataFrame as ``.bloom_bits`` — after the result has
+    been consumed, call ``result.bloom_bits.unpersist()`` to release the
+    MB-sized cache entry instead of waiting for Spark's LRU.  A
+    long-running app calling this in a loop should instead build ONE
+    :func:`bloom_bits_table`, manage its persistence, and call
+    :func:`bloom_prefilter` directly.
     """
     bits = bloom_bits_table(small, on, num_bits, num_hashes)
     if cache_bits:
         bits = bits.persist()
     cand = bloom_prefilter(big, bits, on, num_bits, num_hashes)
-    if not exact:
-        return cand
-    return cand.join(
+    out = cand if not exact else cand.join(
         small.select(F.col(on)).distinct(), on=on, how="leftsemi"
     )
+    if cache_bits:
+        out.bloom_bits = bits
+    return out
 
 
 def interval_overlap_join(

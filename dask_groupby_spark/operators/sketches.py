@@ -319,13 +319,20 @@ def ks_from_histograms(
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     f_ref = F.coalesce(F.last("f_ref", ignorenulls=True).over(wf), F.lit(0.0))
     f_cur = F.coalesce(F.last("f_cur", ignorenulls=True).over(wf), F.lit(0.0))
-    n_ref = F.max("n_ref").over(Window.partitionBy(*by) if by else Window.partitionBy())
-    n_cur = F.max("n_cur").over(Window.partitionBy(*by) if by else Window.partitionBy())
+    wg = Window.partitionBy(*by) if by else Window.partitionBy()
+    n_ref = F.coalesce(F.max("n_ref").over(wg), F.lit(0))
+    n_cur = F.coalesce(F.max("n_cur").over(wg), F.lit(0))
+    # one-sided groups (all mass on one histogram) must agree with
+    # grouped_ks, whose try_divide yields NULL there — not a phantom
+    # D=1.0 against an empty side's all-zero CDF
+    d = F.when(
+        (n_ref > 0) & (n_cur > 0), F.abs(f_ref - f_cur)
+    ).otherwise(F.lit(None).cast("double"))
     stepped = j.select(
         *by,
         n_ref.alias("n_ref"),
         n_cur.alias("n_cur"),
-        F.abs(f_ref - f_cur).alias("__d"),
+        d.alias("__d"),
     )
     return stepped.groupBy(*by).agg(
         F.first("n_ref").alias("n_ref"),

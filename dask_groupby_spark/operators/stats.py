@@ -548,7 +548,14 @@ def _pooled_exact_grid(
     """
     import math
 
-    nn = df.select(c.alias("__v")).where(F.col("__v").isNotNull())
+    # NaN -> NULL before the null filter (ADVICE r6 #2): callers passing a
+    # _clean()-ed column are unaffected, but a raw double column's NaNs
+    # would otherwise sort LAST under Spark ordering and poison the upper
+    # grid anchors
+    v = c.cast("double")
+    nn = df.select(
+        F.when(~F.isnan(v), v).otherwise(F.lit(None)).alias("__v")
+    ).where(F.col("__v").isNotNull())
     n = nn.count()
     if n == 0:
         return None

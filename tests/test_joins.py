@@ -272,6 +272,23 @@ class TestBloomSemiJoin:
         # the probe key never shuffles
         assert "hashpartitioning(k" not in plan, plan
 
+    def test_cached_bits_expose_unpersist_handle(self, spark):
+        """cache_bits=True persists the bitmap with no way to release it
+        (ADVICE r6 #4) — the result must carry the persisted DataFrame as
+        .bloom_bits so callers can unpersist after consuming."""
+        from dask_groupby_spark.operators.joins import bloom_semi_join
+
+        big = spark.range(1000).selectExpr("id AS k")
+        small = spark.range(0, 1000, 50).selectExpr("id AS k")
+        out = bloom_semi_join(big, small, "k", num_bits=1 << 10)
+        assert out.bloom_bits.storageLevel.useMemory
+        out.count()
+        out.bloom_bits.unpersist(blocking=True)
+        assert not out.bloom_bits.storageLevel.useMemory
+        # cache_bits=False leaves nothing persisted and no handle
+        out2 = bloom_semi_join(big, small, "k", num_bits=1 << 10, cache_bits=False)
+        assert not hasattr(out2, "bloom_bits")
+
     def test_null_keys_dropped(self, spark):
         from dask_groupby_spark.operators.joins import bloom_semi_join
 

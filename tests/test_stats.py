@@ -526,6 +526,36 @@ def test_ks_from_histograms_error_bounded_by_bin_mass(spark):
     assert approx["ks_stat"] > 0.15    # the real shift registers
 
 
+def test_ks_from_histograms_one_sided_group_matches_grouped_ks(spark):
+    """A group with all mass on ONE side must agree with grouped_ks:
+    n=0 for the empty side and NULL ks_stat — not a phantom D=1.0
+    against the empty side's all-zero CDF (ADVICE r6 #3)."""
+    from dask_groupby_spark.operators import (
+        grouped_ks,
+        hist_sketch_table,
+        ks_from_histograms,
+    )
+
+    ref = spark.createDataFrame(
+        [("both", 1.0), ("both", 2.0), ("ref_only", 5.0)], "g string, x double"
+    )
+    cur = spark.createDataFrame(
+        [("both", 1.5), ("cur_only", 7.0)], "g string, x double"
+    )
+    hr = hist_sketch_table(ref, "x", 0.0, 10.0, bins=16, by=["g"])
+    hc = hist_sketch_table(cur, "x", 0.0, 10.0, bins=16, by=["g"])
+    approx = {r["g"]: r for r in ks_from_histograms(hr, hc, by=["g"]).collect()}
+    exact = {r["g"]: r for r in grouped_ks(ref, cur, "g", "x").collect()}
+
+    for g in ("ref_only", "cur_only"):
+        assert approx[g]["ks_stat"] is None and exact[g]["ks_stat"] is None
+        assert (approx[g]["n_ref"], approx[g]["n_cur"]) == (
+            exact[g]["n_ref"], exact[g]["n_cur"],
+        )
+    assert approx["both"]["ks_stat"] is not None
+    assert (approx["both"]["n_ref"], approx["both"]["n_cur"]) == (2, 1)
+
+
 def test_ks_from_histograms_identical_zero_and_grouped(spark):
     from dask_groupby_spark.operators import hist_sketch_table, ks_from_histograms
 
@@ -751,6 +781,25 @@ def test_pooled_exact_grid_matches_percentile_multipartition(spark):
         assert len(grid) == 201
         for a, b in zip(grid, ref):
             assert a == pytest.approx(b, abs=1e-9), rpp
+
+
+def test_pooled_exact_grid_raw_nan_column_guarded(spark):
+    """ADVICE r6 #2: a RAW double column (no _clean) containing NaN must
+    not poison the upper anchors — the helper now applies the NaN->NULL
+    guard itself, so raw and cleaned columns give the same grid."""
+    from pyspark.sql import functions as F
+    from dask_groupby_spark.operators.stats import _clean, _pooled_exact_grid
+
+    rows = [(float(i),) for i in range(100)] + [(NAN,)] * 10 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "s double")
+    raw = _pooled_exact_grid(df, F.col("s"), 20)
+    cleaned = _pooled_exact_grid(df, _clean("s"), 20)
+    assert raw == cleaned
+    assert raw[-1] == 99.0          # max anchor is the true max, not NaN
+    assert all(v == v for v in raw)  # no NaN leaked into any anchor
+    # all-NaN raw column -> None (the docstring's promise)
+    dfn = spark.createDataFrame([(NAN,), (NAN,)], "s double")
+    assert _pooled_exact_grid(dfn, F.col("s"), 4) is None
 
 
 def test_pooled_exact_grid_edge_cases(spark):
