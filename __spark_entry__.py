@@ -1911,6 +1911,33 @@ def q_media_phash(spark, sf):
     )
 
 
+def q_media_video(spark, sf):
+    """Video-tier contract key (r7): the keyframe fingerprint table —
+    `sample_video_frames` 1→N mapInPandas fan-out (stub byte-slice
+    decode until an ffmpeg kernel lands; this container ships no video
+    libs) → per-frame pHash over the committed deterministic fixture
+    (tests/fixtures/media_video.parquet, seeded byte payloads,
+    scripts/make_video_fixture.py).  The oracle inlines the pinned
+    (media_id, frame_idx, phash) rows as SQL VALUES from
+    media_video_expected.py, so the key catches any drift in the
+    fan-out shape, the frame slicing, or the byte-stub hash tier, AND
+    proves the Arrow 1→N plumbing is byte-stable under distribution.
+    The sf dir is intentionally unused: the fixture is the table under
+    test."""
+    import os
+
+    from dask_groupby_spark.operators.multimodal import video_phash
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "media_video.parquet")
+    media = spark.read.parquet(path)
+    return (
+        video_phash(media, every_nth=16, max_frames=8, id_col="media_id")
+        .select(F.col("id").alias("media_id"), "frame_idx", "phash")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 def q_salted_join(spark, sf):
     """Skew-salted equi-join (r5): lineitem⋈orders through the salting
     rewrite must be row-identical to the plain SQL join — the oracle IS
@@ -2687,8 +2714,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qnorm": q_qnorm,
     "outliers": q_outliers,
     "sql_entry": q_sql_entry,
-    # --- r7 window: first registration (pixel/FFT multimodal tier) ---
+    # --- r7 window: first registrations (pixel/FFT + video multimodal tiers;
+    # media_video pushes langid — freshest of the r3-era refresh block — just
+    # past the marker, where its official r3 row stands) ---
     "media_phash": q_media_phash,
+    "media_video": q_media_video,
     # --- r7 window: re-confirm the r6-cleaned rows-only row ---
     "pca_embed": q_pca_embed,
     # --- r7 window: oldest official rows (r2-r3 era) re-checked ---
@@ -2713,9 +2743,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "ewma_scan": q_ewma,
     "text_stats": q_text_stats,
-    "langid": q_langid,
     # ----------------------------------------------------------------- 50
-    # --- displaced: fresh green r4-r6 rows ---
+    # --- displaced: fresh green r3-r6 rows ---
+    "langid": q_langid,
     "salted_join": q_salted_join,
     "cms_heavy": q_cms_heavy,
     "hist_quantile": q_hist_quantile,

@@ -2103,3 +2103,29 @@ ORDER BY media_id"""
 
 
 ORACLE_SQL["media_phash"] = _media_phash_sql()
+
+# media_video: the video keyframe tier — same pinned-VALUES pattern as
+# media_phash, loaded from tests/fixtures/media_video_expected.py (one
+# source of truth; see scripts/make_video_fixture.py).
+def _media_video_sql() -> str:
+    import importlib.util as _ilu
+    import os as _os
+
+    _p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                       "tests", "fixtures", "media_video_expected.py")
+    _spec = _ilu.spec_from_file_location("media_video_expected", _p)
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    rows = ",\n  ".join(
+        f"({mid}, {idx}, CAST({ph} AS BIGINT))"
+        for mid, idx, ph in _mod.EXPECTED
+    )
+    return f"""
+SELECT media_id::BIGINT AS media_id, frame_idx::INTEGER AS frame_idx, phash
+FROM (VALUES
+  {rows}
+) AS t(media_id, frame_idx, phash)
+ORDER BY media_id, frame_idx"""
+
+
+ORACLE_SQL["media_video"] = _media_video_sql()

@@ -75,6 +75,68 @@ class TestMediaFixture:
         assert "media_phash" in keys[:50]
 
 
+def _expected_video():
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "media_video_expected", os.path.join(FIXDIR, "media_video_expected.py")
+    )
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestVideoFixture:
+    def test_spark_round_trip_equals_pinned(self, spark):
+        """media_video.parquet through the distributed 1→N frame fan-out +
+        per-frame pHash must reproduce the pinned rows exactly — this is
+        also the drift guard between sample_video_frames' stub slicing and
+        the generator script's mirror of it."""
+        from dask_groupby_spark.operators.multimodal import video_phash
+
+        exp = _expected_video()
+        media = spark.read.parquet(os.path.join(FIXDIR, "media_video.parquet"))
+        got = sorted(
+            (r["id"], r["frame_idx"], r["phash"])
+            for r in video_phash(
+                media, every_nth=exp.EVERY_NTH, max_frames=exp.MAX_FRAMES,
+                id_col="media_id",
+            ).collect()
+        )
+        assert got == sorted(exp.EXPECTED)
+
+    def test_values_oracle_matches_pinned(self):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from oracle_queries import ORACLE_SQL
+
+        rows = duckdb.sql(ORACLE_SQL["media_video"]).fetchall()
+        assert sorted(rows) == sorted(_expected_video().EXPECTED)
+
+    def test_shared_keyframes_pair_through_near_dup_join(self, spark):
+        """Videos 21 and 23 share their first 3 frame blocks by fixture
+        construction: the shared-keyframe inverted-index join must emit
+        exactly that pair at min_shared_frames=2 and drop it at 4."""
+        from dask_groupby_spark.operators.multimodal import (
+            video_near_duplicates,
+            video_phash,
+        )
+
+        exp = _expected_video()
+        media = spark.read.parquet(os.path.join(FIXDIR, "media_video.parquet"))
+        hashes = video_phash(
+            media, every_nth=exp.EVERY_NTH, max_frames=exp.MAX_FRAMES,
+            id_col="media_id",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["n_shared_frames"]
+            for r in video_near_duplicates(hashes, min_shared_frames=2).collect()
+        }
+        assert pairs == {(21, 23): 3}
+        assert video_near_duplicates(hashes, min_shared_frames=4).count() == 0
+
+
 # adversarial doc set: trailing separator (→ empty last segment), double
 # separator in both docs (blank-line structure shared corpus-wide), a doc
 # that is ONLY separators, an empty doc, and a shared paragraph
@@ -166,3 +228,4 @@ class TestWindowRotation:
         window = list(entrymod._QUERIES)[:50]
         assert parked <= set(window)
         assert "media_phash" in window and "pca_embed" in window
+        assert "media_video" in window
