@@ -1938,6 +1938,30 @@ def q_media_video(spark, sf):
     )
 
 
+#: fixed query-term set for the bm25 contract key (synthetic-vocabulary
+#: terms + one absent term exercising the zero-df path)
+_BM25_TERMS = ["hash", "spark", "the", "window", "zzzmissing"]
+
+
+def q_bm25(spark, sf):
+    """Okapi BM25 document scoring (operators/text.py bm25_scores, r7):
+    every document ranked against a fixed query-term set — the lexical
+    retrieval ranker of data-selection pipelines.  Fully SQL-expressible
+    (tokenize → literal-filtered tf → df → the Lucene-smoothed IDF
+    formula), so the oracle recomputes exact values; both sides round
+    the term-sum to 6dp (sum order over the ≤5 query terms differs
+    between engines).  Scale: the corpus token stream is filtered
+    map-side to query-term hits BEFORE any shuffle; doc length rides
+    the groupBy keys; df re-enters by broadcast."""
+    from dask_groupby_spark.operators import bm25_scores
+
+    docs = load_table(spark, sf, "documents")
+    out = bm25_scores(docs, _BM25_TERMS)
+    return out.select(
+        "doc_id", "dl", F.round("bm25", 6).alias("bm25")
+    ).orderBy("doc_id")
+
+
 def q_salted_join(spark, sf):
     """Skew-salted equi-join (r5): lineitem⋈orders through the salting
     rewrite must be row-identical to the plain SQL join — the oracle IS
@@ -2719,6 +2743,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # past the marker, where its official r3 row stands) ---
     "media_phash": q_media_phash,
     "media_video": q_media_video,
+    # --- r7 window: new operator this round (BM25 retrieval scoring;
+    # pushes text_stats below the marker next to langid — both hold
+    # official r3 rows) ---
+    "bm25": q_bm25,
     # --- r7 window: re-confirm the r6-cleaned rows-only row ---
     "pca_embed": q_pca_embed,
     # --- r7 window: oldest official rows (r2-r3 era) re-checked ---
@@ -2742,9 +2770,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wsample": q_wsample,
     "rollup": q_rollup,
     "ewma_scan": q_ewma,
-    "text_stats": q_text_stats,
     # ----------------------------------------------------------------- 50
     # --- displaced: fresh green r3-r6 rows ---
+    "text_stats": q_text_stats,
     "langid": q_langid,
     "salted_join": q_salted_join,
     "cms_heavy": q_cms_heavy,

@@ -640,3 +640,88 @@ def ngram_counts(
     if min_count > 1:
         out = out.where(F.col("cnt") >= F.lit(min_count))
     return out
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: "list[str] | tuple[str, ...]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against one query term
+    set — the retrieval-scoring member of the curation family
+    (data-selection pipelines rank a web corpus against a target-domain
+    query / seed set and keep the top slice; BM25 is the standard
+    lexical ranker before any embedding pass).
+
+    ``score(d) = Σ_t  IDF(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``
+    with the +1-smoothed ``IDF(t) = ln((N − df + 0.5)/(df + 0.5) + 1)``
+    (Robertson/Sparck-Jones as used by Lucene — never negative).
+
+    Returns ``(id_col, dl, bm25)`` for EVERY document (no-hit docs score
+    0.0 — filter ``bm25 > 0`` for matches only, or window for top-k).
+
+    Plan shape, sized for a 100 TB corpus against a KB query:
+    corpus stats ``(N, avgdl)`` are ONE map-combined aggregate collecting
+    two scalars; the token explode stream is filtered by the query-term
+    literal set MAP-SIDE, so the per-(doc, term) groupBy's Exchange
+    carries only matching tokens (≈ |hits|, not |corpus tokens|); doc
+    length rides the groupBy keys (constant per doc — no length join);
+    per-term doc frequencies aggregate the ≤ |terms| × |docs| tf rows
+    down to ≤ |terms| rows, which re-enter by broadcast; the final score
+    is one groupBy(id) plus one id-equi-join back to the doc-length
+    table to restore zero-hit docs.  Two shuffles total (matching
+    tokens; id join) — the corpus is never shuffled whole, nothing
+    pairwise, every broadcast bounded by the query size.
+    """
+    terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tk = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    dl = tk.select("__id", F.size("__tk").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(st["n"]), st["avgdl"]
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, dl int, bm25 double"
+        )
+    tf = (
+        tk.select("__id", F.size("__tk").alias("__dl"),
+                  F.explode("__tk").alias("__term"))
+        .where(F.col("__term").isin(terms))
+        .groupBy("__id", "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        + 1.0
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.lit(float(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .select(
+            "__id",
+            (idf * F.col("__tf") * (k1 + 1.0) / denom).alias("__s"),
+        )
+        .groupBy("__id")
+        .agg(F.sum("__s").alias("__bm25"))
+    )
+    return (
+        dl.join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "dl",
+            F.coalesce("__bm25", F.lit(0.0)).alias("bm25"),
+        )
+    )

@@ -2129,3 +2129,37 @@ ORDER BY media_id, frame_idx"""
 
 
 ORACLE_SQL["media_video"] = _media_video_sql()
+
+# bm25: Okapi BM25 with the Lucene-smoothed IDF, k1=1.2 b=0.75, fixed
+# query-term list (mirrors __spark_entry__._BM25_TERMS).  Expression
+# nesting mirrors text.py bm25_scores term-for-term so every
+# intermediate double is identical; only the final per-doc term sum can
+# differ in order -> both sides round to 6dp.
+ORACLE_SQL["bm25"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS tk
+  FROM documents
+),
+dl AS (SELECT doc_id, len(tk)::INTEGER AS dl FROM tk),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+  WHERE t IN ('hash', 'spark', 'the', 'window', 'zzzmissing')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln((st.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) ) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN st
+  GROUP BY 1
+)
+SELECT dl.doc_id, dl.dl, round(coalesce(sc.s, 0.0), 6) AS bm25
+FROM dl LEFT JOIN sc USING (doc_id)"""

@@ -1275,3 +1275,78 @@ class TestShuffleRows:
         plan = physical_plan(shuffle_rows(df, partitions=2))
         assert "rangepartitioning" in plan
         assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+# ------------------------------------------------------------------ bm25
+
+
+class TestBM25:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from dask_groupby_spark.operators import bm25_scores
+
+        # corpus: 3 docs, dl = 2,3,1; avgdl = 2.0; query {a, z}
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a a c"), (3, "d")], "doc_id bigint, text string"
+        )
+        got = {r["doc_id"]: r for r in bm25_scores(df, ["a", "z"]).collect()}
+
+        def idf(dfreq, n=3.0):
+            return math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+
+        def term(tf, dl, dfreq, k1=1.2, b=0.75, avgdl=2.0):
+            return idf(dfreq) * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+
+        assert got[1]["dl"] == 2 and got[1]["bm25"] == pytest.approx(term(1, 2, 2))
+        assert got[2]["dl"] == 3 and got[2]["bm25"] == pytest.approx(term(2, 3, 2))
+        # no query term: present with score exactly 0.0
+        assert got[3]["dl"] == 1 and got[3]["bm25"] == 0.0
+
+    def test_idf_never_negative_and_absent_term_ignored(self, spark):
+        from dask_groupby_spark.operators import bm25_scores
+
+        # 'a' in EVERY doc: plain Robertson IDF would go negative at
+        # df=n; the +1 smoothing keeps it > 0
+        df = spark.createDataFrame(
+            [(i, "a filler") for i in range(4)], "doc_id bigint, text string"
+        )
+        rows = bm25_scores(df, ["a", "neverthere"]).collect()
+        assert all(r["bm25"] > 0 for r in rows)
+
+    def test_empty_query_raises_empty_corpus_empty(self, spark):
+        import pytest as _pt
+
+        from dask_groupby_spark.operators import bm25_scores
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with _pt.raises(ValueError):
+            bm25_scores(df, [])
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        assert bm25_scores(empty, ["a"]).count() == 0
+
+    def test_corpus_never_shuffles_whole(self, spark):
+        from dask_groupby_spark.operators import bm25_scores
+        from dask_groupby_spark.plans import physical_plan
+
+        df = spark.createDataFrame(
+            [(i, "w x y z") for i in range(100)], "doc_id bigint, text string"
+        )
+        plan = physical_plan(bm25_scores(df, ["x"]))
+        # doc frequencies re-enter by broadcast, never a shuffled term join
+        assert "BroadcastHashJoin" in plan
+        # the only sort-merge join is the final zero-hit restore on __id
+        # (narrow (id, dl) rows); no join ever shuffles on the term
+        import re
+
+        smj_keys = re.findall(
+            r"SortMergeJoin[\s\S]{0,200}?Left keys \[1\]: \[(\w+)#", plan
+        )
+        assert smj_keys and all(k.startswith("__id") for k in smj_keys), smj_keys
+        # the query-term literal filter runs BELOW the tf Exchange (same
+        # stage as the explode), so the shuffle carries only matching
+        # tokens — visible as a Filter on __term = <literal> feeding the
+        # (id, dl, term) aggregate
+        assert re.search(r"Condition : \(__term#\d+ = x\)", plan), plan
