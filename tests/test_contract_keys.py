@@ -228,4 +228,4 @@ class TestWindowRotation:
         window = list(entrymod._QUERIES)[:50]
         assert parked <= set(window)
         assert "media_phash" in window and "pca_embed" in window
-        assert "media_video" in window
+        assert "media_video" in window and "bm25" in window
