@@ -1962,6 +1962,28 @@ def q_bm25(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_leak_split(spark, sf):
+    """Leakage-safe train/test split (operators/curate.py
+    leakage_safe_split, r7): near-dup clusters are atomic — LSH pairs →
+    min-label connected components → every member hashes on the CLUSTER
+    label, singletons on their own id, through train_test_split's exact
+    seeded-portable-hash rule.  The oracle recomposes the dup_clusters
+    recursive-CTE closure + the split oracle's md5 threshold on
+    coalesce(cluster_id, doc_id) — exact values, including the invariant
+    the operator exists for: no cluster straddles the split."""
+    from dask_groupby_spark.operators.curate import leakage_safe_split
+
+    docs = load_table(spark, sf, "documents")
+    sig = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, shingle_k=3, hasher="portable"
+    )
+    pairs = lsh_candidate_pairs(sig, num_hashes=4, bands=4, hasher="portable")
+    out = leakage_safe_split(
+        docs, pairs, 0.25, hasher="portable", seed="s1"
+    )
+    return out.select("doc_id", "cluster_id", "split").orderBy("doc_id")
+
+
 def q_salted_join(spark, sf):
     """Skew-salted equi-join (r5): lineitem⋈orders through the salting
     rewrite must be row-identical to the plain SQL join — the oracle IS
@@ -2747,6 +2769,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pushes text_stats below the marker next to langid — both hold
     # official r3 rows) ---
     "bm25": q_bm25,
+    # --- r7 window: leakage-safe split (cluster-atomic; displaces
+    # ewma_scan below the marker — official r3 row stands) ---
+    "leak_split": q_leak_split,
     # --- r7 window: re-confirm the r6-cleaned rows-only row ---
     "pca_embed": q_pca_embed,
     # --- r7 window: oldest official rows (r2-r3 era) re-checked ---
@@ -2769,9 +2794,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "describe": q_describe,
     "wsample": q_wsample,
     "rollup": q_rollup,
-    "ewma_scan": q_ewma,
     # ----------------------------------------------------------------- 50
     # --- displaced: fresh green r3-r6 rows ---
+    "ewma_scan": q_ewma,
     "text_stats": q_text_stats,
     "langid": q_langid,
     "salted_join": q_salted_join,

@@ -87,6 +87,55 @@ def train_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    test_frac: float,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: str = "split",
+    hasher: str = "fast",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/test split where near-duplicate CLUSTERS are atomic: every
+    member of a connected component in the candidate-pair graph
+    (LSH/Jaccard/embedding near-dup output) hashes on its CLUSTER label
+    instead of its own id, so a training document can never have a
+    near-duplicate in test — the intra-corpus leak mode that n-gram
+    benchmark decontamination cannot catch (the "leak" is a paraphrase
+    of another *training-corpus* doc, not of an eval set).
+
+    Composition: :func:`~dask_groupby_spark.operators.dedup.duplicate_clusters`
+    (min-label connected components over the pair list) → split key =
+    ``coalesce(cluster_id, id)`` (singletons are their own cluster) →
+    the exact seeded-hash threshold rule of :func:`train_test_split`
+    (reused verbatim, so the split is deterministic, engine-portable
+    with ``hasher="portable"``, and growth-stable: existing clusters
+    never flip when new docs arrive).
+
+    Output: ``df``'s columns + ``cluster_id`` (NULL for singletons) +
+    ``out_col``.  Scale: the cluster table holds only PAIRED docs
+    (|clusters| ≪ |corpus| — the LSH filter's point), re-entering by an
+    id-equi join (broadcast when small, co-partitioned otherwise); the
+    split itself stays a map-side projection.
+    """
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs, id_a, id_b).withColumnRenamed(
+        "id", id_col
+    )
+    joined = df.join(clusters, on=id_col, how="left")
+    with_key = joined.withColumn(
+        "__split_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    out = train_test_split(
+        with_key, test_frac, id_col="__split_key", seed=seed,
+        hasher=hasher, out_col=out_col,
+    )
+    return out.drop("__split_key")
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

@@ -27,6 +27,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import tokens
 
@@ -450,6 +451,7 @@ def duplicate_clusters(
     max_iter: int = 20,
     out_id: str = "id",
     out_cluster: str = "cluster_id",
+    max_driver_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """Transitive duplicate clusters from a candidate-pair edge list
     (LSH/Jaccard/embedding near-dup output): connected components by
@@ -460,16 +462,26 @@ def duplicate_clusters(
     A~B and B~C must collapse to ONE keeper even though (A, C) was never
     emitted as a pair.
 
-    Distributed algorithm (the standard Spark formulation, not a driver
-    union-find): start with label(v) = v; each round every vertex takes the
-    min label in its closed neighborhood (one join + one groupBy on the
-    symmetrized edge list); stop when no label changed.  Rounds needed =
-    graph diameter ≤ O(log n) for near-dup cliques (dup clusters are dense,
-    typically diameter ≤ 2), each round a fixed 2-shuffle plan.  Label
-    tables are persisted and localCheckpoint()ed per round to cut the
-    iterative lineage — the loop is on the *driver*, the data never leaves
-    executors.  Edges are assumed few relative to the corpus (the LSH
-    filter's whole point), so labels ≪ input rows.
+    Two tiers, both exact and identical in output (the BPE-style
+    thresholded split — ``bpe.py``'s driver-loop precedent):
+
+    - **small subgraph** (symmetrized edge count ≤ ``max_driver_edges``,
+      default 2M ≈ tens of MB): union-find on the driver — O(E·α) with
+      ZERO per-round shuffles.  The LSH filter's whole point is that the
+      pair graph is a sliver of the corpus, so this is the common case
+      even at large SFs, and it removes ~10 s of per-round job overhead
+      (persist + checkpoint + convergence aggregate × rounds) that
+      dominates when the graph is small.  A bounded, documented collect
+      (the KB/MB class); pass ``max_driver_edges=None/0`` to force the
+      distributed path.
+    - **at scale**: the standard Spark min-label formulation — label(v)
+      = v; each round every vertex takes the min label in its closed
+      neighborhood (one join + one groupBy on the symmetrized edge
+      list); stop when no label changed.  Rounds = graph diameter ≤
+      O(log n) (dup clusters are dense, typically diameter ≤ 2), each
+      round a fixed 2-shuffle plan; labels persist + localCheckpoint per
+      round to cut the iterative lineage — the loop is on the *driver*,
+      the data never leaves executors.
 
     Output: one row per vertex appearing in ``pairs`` — (out_id,
     out_cluster).  Singleton documents (no pair) are their own cluster by
@@ -483,13 +495,47 @@ def duplicate_clusters(
         .persist()
     )
     # Size the per-round parallelism to the SUBGRAPH, not the session
-    # default: the LSH filter's whole point is |edges| ≪ |corpus|, and on a
-    # small component graph a 32-partition shuffle per round is pure task-
-    # scheduling overhead (measured 30-40% of near_dedup wall-clock at
-    # sf0.1).  The count also materializes the persist that every round
-    # reuses.  ~1M edges per partition keeps tasks comfortably in memory;
-    # a billion-edge subgraph at 100 TB still fans out to ~1000 tasks.
+    # default: a 32-partition shuffle per round on a small component graph
+    # is pure task-scheduling overhead (measured 30-40% of near_dedup
+    # wall-clock at sf0.1).  The count also materializes the persist that
+    # every round reuses.  ~1M edges per partition keeps tasks comfortably
+    # in memory; a billion-edge subgraph at 100 TB still fans out to
+    # ~1000 tasks.
     n_edges = edges.count()
+    if max_driver_edges and n_edges <= max_driver_edges:
+        import pandas as pd
+
+        pdf = edges.toPandas()  # Arrow batch transfer, not Py4J rows
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by min keeps the root the component minimum, so
+                # labels match the distributed min-label result exactly
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+        verts = list(parent)
+        dtype = pairs.schema[id_a].dataType
+        schema = T.StructType(
+            [T.StructField(out_id, dtype), T.StructField(out_cluster, dtype)]
+        )
+        out_pdf = pd.DataFrame(
+            {out_id: verts, out_cluster: [find(v) for v in verts]}
+        )
+        return pairs.sparkSession.createDataFrame(out_pdf, schema)
     p = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
     edges = edges.repartition(p, "dst")
     labels = edges.select(F.col("src").alias("v")).distinct().select(

@@ -909,6 +909,43 @@ reach AS (
   ) SELECT v, l FROM r
 )
 SELECT v AS id, min(l)::BIGINT AS cluster_id FROM reach GROUP BY v""",
+    # leak_split: the dup_clusters closure + the split oracle's md5
+    # threshold, keyed on coalesce(cluster_id, doc_id) — near-dup
+    # clusters are atomic across the split (curate.py leakage_safe_split)
+    "leak_split": _minhash_cte(4, 3)
+    + """,
+bands AS (
+  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
+  UNION ALL
+  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+),
+lpairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+ledges AS (
+  SELECT id_a AS s, id_b AS d FROM lpairs
+  UNION SELECT id_b, id_a FROM lpairs
+),
+lreach AS (
+  WITH RECURSIVE r(v, l) AS (
+    SELECT s, s FROM ledges
+    UNION
+    SELECT e.s, r.l FROM ledges e JOIN r ON e.d = r.v
+  ) SELECT v, l FROM r
+),
+lclusters AS (SELECT v AS id, min(l)::BIGINT AS cluster_id FROM lreach GROUP BY v)
+SELECT d.doc_id, c.cluster_id,
+       CASE WHEN CAST('0x' || substr(md5('s1:' ||
+                 CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 15)
+                 AS BIGINT) < 288230376151711744
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN lclusters c ON d.doc_id = c.id
+ORDER BY d.doc_id""",
     "entropy": f"""{_TOKS},
 tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
 cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),

@@ -229,3 +229,53 @@ class TestWindowRotation:
         assert parked <= set(window)
         assert "media_phash" in window and "pca_embed" in window
         assert "media_video" in window and "bm25" in window
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_never_straddle_split(self, spark):
+        """The invariant the operator exists for: every member of a
+        connected component lands on the same side, singletons split
+        independently."""
+        from dask_groupby_spark.operators.curate import leakage_safe_split
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(40)], "doc_id bigint, text string"
+        )
+        # components: {0,1,2} (chain), {10,11}, rest singletons
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+        )
+        out = leakage_safe_split(docs, pairs, 0.5, hasher="portable").collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert len(out) == 40
+        assert {by_id[i]["split"] for i in (0, 1, 2)} == {by_id[0]["split"]}
+        assert {by_id[i]["split"] for i in (10, 11)} == {by_id[10]["split"]}
+        assert all(by_id[i]["cluster_id"] is None for i in range(3, 10))
+        assert by_id[2]["cluster_id"] == 0 and by_id[11]["cluster_id"] == 10
+        # both sides populated at 0.5 over 37 effective keys
+        splits = {r["split"] for r in out}
+        assert splits == {"train", "test"}
+
+    def test_driver_uf_equals_distributed_labels(self, spark):
+        """The r7 thresholded driver union-find must return EXACTLY the
+        distributed min-label result — same vertices, same cluster ids —
+        on a graph with chains (diameter > 2), multiple components, and
+        reversed-order edges."""
+        from dask_groupby_spark.operators.dedup import duplicate_clusters
+
+        edges = [(5, 4), (4, 3), (3, 2), (2, 1), (9, 8), (20, 25), (25, 21)]
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        uf = {
+            (r["id"], r["cluster_id"])
+            for r in duplicate_clusters(pairs).collect()
+        }
+        dist = {
+            (r["id"], r["cluster_id"])
+            for r in duplicate_clusters(pairs, max_driver_edges=None).collect()
+        }
+        assert uf == dist
+        assert uf == {
+            (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (8, 8), (9, 8),
+            (20, 20), (21, 20), (25, 20),
+        }
