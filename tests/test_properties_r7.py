@@ -1,0 +1,121 @@
+"""Hypothesis property tests for the round-7 operators: BM25 against a
+pure-Python oracle on generated corpora, and the duplicate_clusters
+driver-union-find tier against a Python connected-components oracle on
+random graphs (the tier-equality guarantee, randomized).
+
+One Spark collect() per example; tiny sizes keep the suite fast.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORDS = ["a", "b", "c", "dd", "ee"]
+
+
+@st.composite
+def corpus(draw):
+    n = draw(st.integers(1, 8))
+    docs = []
+    for i in range(n):
+        m = draw(st.integers(0, 6))
+        docs.append((i, " ".join(draw(
+            st.lists(st.sampled_from(WORDS), min_size=m, max_size=m)
+        ))))
+    return docs
+
+
+def _bm25_oracle(docs, terms, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in docs}
+    dls = {i: len(tk) for i, tk in toks.items()}
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for t in set(terms):
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for tk2 in toks.values() if t in tk2)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dls[i] / avgdl)
+            )
+        out[i] = (dls[i], s)
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=corpus(), terms=st.lists(st.sampled_from(WORDS + ["zz"]),
+                                     min_size=1, max_size=3))
+def test_bm25_matches_python_oracle(spark, data, terms):
+    from dask_groupby_spark.operators import bm25_scores
+
+    df = spark.createDataFrame(data, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["dl"], r["bm25"])
+        for r in bm25_scores(df, terms).collect()
+    }
+    want = _bm25_oracle(data, terms)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0]
+        if want[i][1] == 0.0:
+            assert got[i][1] == 0.0  # no-hit docs are exactly zero
+        else:
+            assert math.isclose(
+                got[i][1], want[i][1], rel_tol=1e-9, abs_tol=1e-12
+            )
+
+
+def _cc_oracle(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {}
+    for start in adj:
+        if start in label:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        m = min(comp)
+        for v in comp:
+            label[v] = m
+    return set(label.items())
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1, max_size=20,
+))
+def test_duplicate_clusters_uf_matches_python_cc(spark, edges):
+    """Random graphs (self-loops, parallel edges, reversed duplicates
+    included): the driver union-find tier must equal a Python BFS
+    connected-components min-label oracle."""
+    from dask_groupby_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == _cc_oracle(edges)
