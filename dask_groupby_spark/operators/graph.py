@@ -181,14 +181,16 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    max_driver_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """Connected components of an undirected graph: ``(id, component)``
     with each component labeled by its minimum member id — the general
-    public face of the min-label propagation engine that
+    public face of the two-tier engine that
     :func:`~dask_groupby_spark.operators.dedup.duplicate_clusters` runs
-    over near-dup candidate pairs (same algorithm, same per-round
-    2-shuffle plan, Σ-label convergence certificate, localCheckpoint
-    lineage cuts; see its docstring for the scale analysis).
+    over near-dup candidate pairs (driver union-find up to
+    ``max_driver_edges`` symmetrized edges, min-label propagation with
+    the Σ-label convergence certificate and localCheckpoint lineage cuts
+    beyond; see its docstring for the scale analysis).
 
     Edge direction is ignored (the edge list is symmetrized).  Nodes
     with no edges are absent — they are their own singleton component
@@ -199,6 +201,7 @@ def connected_components(
     return duplicate_clusters(
         edges, id_a=src, id_b=dst, max_iter=max_iter,
         out_id="id", out_cluster="component",
+        max_driver_edges=max_driver_edges,
     )
 
 
