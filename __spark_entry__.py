@@ -1984,6 +1984,26 @@ def q_leak_split(spark, sf):
     return out.select("doc_id", "cluster_id", "split").orderBy("doc_id")
 
 
+def q_interp_time(spark, sf):
+    """Per-group linear time interpolation of missing values
+    (core.py groupby_interpolate, r7): vnull gaps fill along the line
+    between the nearest valid neighbors with epoch-micros/1e6 as the
+    x-axis (irregular sampling interpolates by TIME); one-sided gaps
+    stay NULL.  The oracle mirrors the two window carries + row-local
+    lerp term-for-term (epoch_us/1e6 = unix_micros/1e6, identical
+    IEEE op order); NaN values count as missing on both sides."""
+    from dask_groupby_spark import groupby_interpolate
+
+    ev = _ev(spark, sf)
+    out = groupby_interpolate(
+        ev, "event_type", value="vnull", order_by=["ts", "event_id"],
+        out="interp",
+    )
+    return out.select(
+        "event_id", "event_type", F.round("interp", 6).alias("interp")
+    ).orderBy("event_id")
+
+
 def q_salted_join(spark, sf):
     """Skew-salted equi-join (r5): lineitem⋈orders through the salting
     rewrite must be row-identical to the plain SQL join — the oracle IS
@@ -2772,6 +2792,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r7 window: leakage-safe split (cluster-atomic; displaces
     # ewma_scan below the marker — official r3 row stands) ---
     "leak_split": q_leak_split,
+    # --- r7 window: per-group linear time interpolation (displaces
+    # rollup below the marker — official r3 row stands) ---
+    "interp_time": q_interp_time,
     # --- r7 window: re-confirm the r6-cleaned rows-only row ---
     "pca_embed": q_pca_embed,
     # --- r7 window: oldest official rows (r2-r3 era) re-checked ---
@@ -2793,9 +2816,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontam": q_bloom_decontam,
     "describe": q_describe,
     "wsample": q_wsample,
-    "rollup": q_rollup,
     # ----------------------------------------------------------------- 50
     # --- displaced: fresh green r3-r6 rows ---
+    "rollup": q_rollup,
     "ewma_scan": q_ewma,
     "text_stats": q_text_stats,
     "langid": q_langid,

@@ -28,6 +28,7 @@ from .core import (
     groupby_agg,
     groupby_describe,
     groupby_fill_stat,
+    groupby_interpolate,
     groupby_rank,
     groupby_reduce,
     groupby_scan,
@@ -54,6 +55,7 @@ __all__ = [
     "complex_col",
     "groupby_describe",
     "groupby_fill_stat",
+    "groupby_interpolate",
     "groupby_rank",
     "groupby_winsorize",
     "groupby_rolling",

@@ -586,6 +586,72 @@ def groupby_winsorize(
     return df.withColumn(out, F.when(missing, v).otherwise(clipped))
 
 
+def groupby_interpolate(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    order_by: "str | list[str]",
+    out: str = None,
+    limit: int = None,
+) -> DataFrame:
+    """Per-group LINEAR interpolation of missing values along an ordering
+    axis — pandas ``g[value].interpolate(method="index")`` / xarray
+    ``interpolate_na(use_coordinate=True)``: each NULL/NaN run fills
+    along the straight line between its nearest valid neighbors, with
+    the FIRST ordering column as the x-axis, so irregularly-sampled
+    series interpolate by time, not by row position (timestamps are
+    handled via the exact micros view, ``dtypes.time_to_seconds``).
+
+    ``order_by`` may list extra tie-break columns after the axis (ties
+    on the axis get x_next == x_prev → the previous valid value, a
+    0/0-free midpoint convention).  Leading/trailing one-sided gaps stay
+    missing — compose with :func:`groupby_scan`'s ffill/bfill or
+    :func:`groupby_fill_stat` for edge policy.  ``limit`` caps the run
+    length filled (pandas ``limit=``): positions > ``limit`` rows past
+    the last valid value stay missing.
+
+    Plan: one Exchange on the group keys + ONE in-partition sort shared
+    by all four window frames (backward carries of (x, v, row#) with an
+    UNBOUNDED PRECEDING frame, forward carries with an UNBOUNDED
+    FOLLOWING frame over the SAME sort order) — the lerp itself is
+    row-local arithmetic, no join, no second shuffle, hot groups spill
+    through the sort like any grouped scan.
+    """
+    from .dtypes import time_to_seconds
+
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    out = out or value
+    v = F.col(value)
+    missing = v.isNull()
+    if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
+        missing = missing | F.isnan(v)
+    x = time_to_seconds(df, order_cols[0])
+    base = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    valid_x = F.when(~missing, x)
+    valid_v = F.when(~missing, v.cast("double"))
+    df2 = df.withColumn("__x", x).withColumn("__rn", F.row_number().over(base))
+    valid_rn = F.when(~missing, F.col("__rn"))
+    xp = F.last(valid_x, ignorenulls=True).over(wb)
+    vp = F.last(valid_v, ignorenulls=True).over(wb)
+    rp = F.last(valid_rn, ignorenulls=True).over(wb)
+    xn = F.first(valid_x, ignorenulls=True).over(wf)
+    vn = F.first(valid_v, ignorenulls=True).over(wf)
+    frac = F.when(xn == xp, F.lit(0.0)).otherwise(
+        (F.col("__x") - xp) / (xn - xp)
+    )
+    lerp = vp + (vn - vp) * frac
+    filled = F.when(~missing, v.cast("double")).otherwise(lerp)
+    if limit is not None:
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        filled = F.when(
+            missing & (F.col("__rn") - rp > F.lit(limit)), F.lit(None)
+        ).otherwise(filled)
+    return df2.withColumn(out, filled).drop("__x", "__rn")
+
+
 def groupby_agg(
     df: DataFrame,
     *by: str,

@@ -2200,3 +2200,39 @@ sc AS (
 )
 SELECT dl.doc_id, dl.dl, round(coalesce(sc.s, 0.0), 6) AS bm25
 FROM dl LEFT JOIN sc USING (doc_id)"""
+
+# interp_time: per-group linear time interpolation — mirrors
+# core.py groupby_interpolate term-for-term: backward/forward IGNORE
+# NULLS carries of (x, v) over (event_type / ts, event_id) order,
+# x = epoch micros / 1e6 (identical to Spark's unix_micros/1e6), lerp
+# vp + (vn-vp) * ((x-xp)/(xn-xp)), equal-x ties -> vp, one-sided gaps
+# NULL, NaN counts as missing.
+ORACLE_SQL["interp_time"] = _EV + """
+, s AS (
+  SELECT event_id, event_type,
+         epoch_us(ts)::DOUBLE / 1000000.0 AS x,
+         CASE WHEN vnull IS NOT NULL AND NOT isnan(vnull)
+              THEN vnull END AS v
+  FROM t
+),
+c AS (
+  SELECT event_id, event_type, x, v,
+         last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+           OVER wb AS xp,
+         last_value(v IGNORE NULLS) OVER wb AS vp,
+         first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+           OVER wf AS xn,
+         first_value(v IGNORE NULLS) OVER wf AS vn
+  FROM s
+  WINDOW
+    wb AS (PARTITION BY event_type ORDER BY x, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY event_type ORDER BY x, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, event_type,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN xn = xp THEN vp
+                  ELSE vp + (vn - vp) * ((x - xp) / (xn - xp)) END,
+             6) AS interp
+FROM c ORDER BY event_id"""

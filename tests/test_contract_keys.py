@@ -9,6 +9,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
@@ -279,3 +280,79 @@ class TestLeakageSafeSplit:
             (8, 8), (9, 8),
             (20, 20), (21, 20), (25, 20),
         }
+
+
+class TestGroupbyInterpolate:
+    def test_time_weighted_lerp_and_edges(self, spark):
+        from dask_groupby_spark import groupby_interpolate
+
+        df = spark.createDataFrame(
+            [("a", 0.0, 10.0), ("a", 1.0, None), ("a", 2.0, None),
+             ("a", 4.0, 50.0), ("a", 5.0, None),
+             ("b", 0.0, None), ("b", 1.0, 1.0), ("b", 3.0, None),
+             ("b", 5.0, 9.0)],
+            "g string, x double, v double",
+        )
+        got = {
+            (r["g"], r["x"]): r["v2"]
+            for r in groupby_interpolate(
+                df, "g", value="v", order_by="x", out="v2"
+            ).collect()
+        }
+        # x-weighted, not row-weighted: gap at x=1,2 on the 10→50 line
+        # over x∈[0,4] gives 20 and 30 (row-position lerp would give
+        # 23.33 and 36.67)
+        assert got[("a", 1.0)] == 20.0 and got[("a", 2.0)] == 30.0
+        assert got[("a", 5.0)] is None          # trailing gap
+        assert got[("b", 0.0)] is None          # leading gap
+        assert got[("b", 3.0)] == 5.0           # midpoint of 1→9 over [1,5]
+
+    def test_limit_ties_nan_and_all_missing(self, spark):
+        import math
+
+        from dask_groupby_spark import groupby_interpolate
+
+        df = spark.createDataFrame(
+            [("a", 0.0, 0.0), ("a", 1.0, None), ("a", 2.0, None),
+             ("a", 3.0, 30.0),
+             ("t", 1.0, 5.0), ("t", 1.0, None), ("t", 2.0, 7.0),
+             ("n", 0.0, 1.0), ("n", 1.0, float("nan")), ("n", 2.0, 3.0),
+             ("m", 0.0, None), ("m", 1.0, None)],
+            "g string, x double, v double",
+        )
+        got = {
+            (r["g"], r["x"], i): r["v2"]
+            for i, r in enumerate(
+                groupby_interpolate(
+                    df, "g", value="v", order_by="x", out="v2", limit=1
+                ).orderBy("g", "x").collect()
+            )
+        }
+        vals = {(g, x): v for (g, x, _), v in got.items()}
+        assert vals[("a", 1.0)] == 10.0         # within limit
+        assert vals[("a", 2.0)] is None         # 2 rows past last valid
+        # equal-x tie: NULL row between two valid rows at the same/next x
+        # takes the previous valid value (0/0-free convention)
+        assert vals[("t", 1.0)] == 5.0
+        # NaN counts as missing and interpolates
+        assert vals[("n", 1.0)] == 2.0
+        # all-missing group stays missing
+        assert vals[("m", 0.0)] is None and vals[("m", 1.0)] is None
+
+    def test_timestamp_axis_single_exchange(self, spark):
+        from dask_groupby_spark import groupby_interpolate
+        from dask_groupby_spark.plans import count_exchanges
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", 0.0),
+             ("a", "2024-01-01 00:10:00", None),
+             ("a", "2024-01-01 00:40:00", 4.0)],
+            "g string, ts string, v double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = groupby_interpolate(df, "g", value="v", order_by="ts", out="v2")
+        # all four window frames share one partitioning + sort (checked
+        # BEFORE collect: the post-execution AQE plan prints the same
+        # exchange again under its query stage)
+        assert count_exchanges(out) == 1
+        rows = {r["ts"].minute: r["v2"] for r in out.collect()}
+        assert rows[10] == 1.0                  # 10/40 of the 0→4 ramp
