@@ -688,8 +688,15 @@ def bm25_scores(
     ).collect()[0]
     n_docs, avgdl = int(st["n"]), st["avgdl"]
     if n_docs == 0:
+        from pyspark.sql import types as _T
+
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, dl int, bm25 double"
+            [],
+            _T.StructType([
+                _T.StructField(id_col, df.schema[id_col].dataType),
+                _T.StructField("dl", _T.IntegerType()),
+                _T.StructField("bm25", _T.DoubleType()),
+            ]),
         )
     tf = (
         tk.select("__id", F.size("__tk").alias("__dl"),

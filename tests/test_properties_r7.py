@@ -119,3 +119,28 @@ def test_duplicate_clusters_uf_matches_python_cc(spark, edges):
         for r in duplicate_clusters(pairs).collect()
     }
     assert got == _cc_oracle(edges)
+
+
+def test_uf_tier_edge_cases(spark):
+    """Empty pair list and non-numeric ids through the driver tier:
+    schema preserved, min-label = lexicographic min for strings (same
+    ordering Spark's F.min uses in the distributed tier)."""
+    from dask_groupby_spark.operators.dedup import duplicate_clusters
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = duplicate_clusters(empty)
+    assert out.collect() == []
+    assert out.schema.simpleString() == "struct<id:bigint,cluster_id:bigint>"
+
+    sp = spark.createDataFrame([("x", "y"), ("y", "z")], "id_a string, id_b string")
+    got = sorted((r["id"], r["cluster_id"]) for r in duplicate_clusters(sp).collect())
+    assert got == [("x", "x"), ("y", "x"), ("z", "x")]
+
+
+def test_bm25_empty_corpus_preserves_id_type(spark):
+    from dask_groupby_spark.operators import bm25_scores
+
+    e = spark.createDataFrame([], "name string, text string")
+    out = bm25_scores(e, ["a"], id_col="name")
+    assert out.count() == 0
+    assert out.schema.simpleString() == "struct<name:string,dl:int,bm25:double>"
