@@ -122,6 +122,11 @@ def leakage_safe_split(
     """
     from .dedup import duplicate_clusters
 
+    if "cluster_id" in df.columns:
+        raise ValueError(
+            "df already has a 'cluster_id' column — rename it before "
+            "leakage_safe_split (the output claims that name)"
+        )
     clusters = duplicate_clusters(pairs, id_a, id_b).withColumnRenamed(
         "id", id_col
     )

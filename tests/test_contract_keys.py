@@ -356,3 +356,14 @@ class TestGroupbyInterpolate:
         assert count_exchanges(out) == 1
         rows = {r["ts"].minute: r["v2"] for r in out.collect()}
         assert rows[10] == 1.0                  # 10/40 of the 0→4 ramp
+
+
+def test_leak_split_rejects_cluster_id_collision(spark):
+    import pytest as _pt
+
+    from dask_groupby_spark.operators.curate import leakage_safe_split
+
+    df = spark.createDataFrame([(1, "t", 9)], "doc_id bigint, text string, cluster_id int")
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with _pt.raises(ValueError, match="cluster_id"):
+        leakage_safe_split(df, pairs, 0.5)
