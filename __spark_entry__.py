@@ -2742,15 +2742,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # (stream_cms..sql_entry — the whole stats/drift/eval family plus the audit
 # and storage keys; pagerank now carries its r6 value-checked CTE oracle,
 # qnorm its r6 distributed exact-rank grid, para_dedup its r7-fixed
-# empty-segment-aware oracle), (b) media_phash — FIRST registration of the
-# pixel/FFT multimodal tier, VALUES oracle pinned from
-# tests/fixtures/media_expected.py, (c) pca_embed to re-confirm the r6-cleaned
-# rows-only row, and (d) the 22 keys holding the OLDEST official rows
-# (r2-r3 era: approx_quantile..dedup_exact, rank..langid) for a freshness
-# re-check.  26+1+1+22 = exactly 50.  After this round EVERY registered key
-# has at least one official driver row.  DISPLACED below the marker: all keys
-# holding fresh green r4-r6 rows (the r5/r6 window, the r1-era re-checks, the
-# 30 count..nunique reductions, streaming, joins — positions don't affect
+# empty-segment-aware oracle), (b) the FIVE first-registration r7 keys —
+# media_phash + media_video (pixel/FFT + video multimodal tiers, pinned
+# VALUES oracles), bm25, leak_split, interp_time (exact SQL oracles),
+# (c) pca_embed to re-confirm the r6-cleaned rows-only row, and (d) the 18
+# keys holding the OLDEST official rows (r2-r3 era:
+# approx_quantile..dedup_exact, rank..wsample) for a freshness re-check.
+# 26+5+1+18 = exactly 50.  After this round EVERY registered key has at
+# least one official driver row.  DISPLACED below the marker: rollup,
+# ewma_scan, text_stats, langid (official r3 rows stand — each pushed out
+# by one of the late-r7 key insertions) and all keys holding fresh green
+# r4-r6 rows (the r5/r6 window, the r1-era re-checks, the 30
+# count..nunique reductions, streaming, joins — positions don't affect
 # registration; scripts/check_driver_contract.py runs the full set).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r7 window: the 26 keys with no driver row in r1-r6 ---

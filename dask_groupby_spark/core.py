@@ -621,6 +621,12 @@ def groupby_interpolate(
 
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     out = out or value
+    clash = {"__x", "__rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"df columns {sorted(clash)} collide with groupby_interpolate's "
+            "temporaries — rename them first"
+        )
     v = F.col(value)
     missing = v.isNull()
     if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):

@@ -491,6 +491,11 @@ def duplicate_clusters(
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
         .union(pairs.select(b.alias("src"), a.alias("dst")))
+        # NULL endpoints carry no identity to cluster on: drop the edge
+        # (uniform across BOTH tiers — previously the distributed joins
+        # silently never matched them while the driver tier would have
+        # NaN-poisoned its Arrow int columns)
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .persist()
     )

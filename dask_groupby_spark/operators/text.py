@@ -682,7 +682,11 @@ def bm25_scores(
     tk = df.select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
     )
-    dl = tk.select("__id", F.size("__tk").alias("dl"))
+    # narrow (id, dl) rows, persisted: materialized once by the stats
+    # collect below and reused by the final zero-hit restore join, so the
+    # corpus is tokenized twice total (dl build + tf build), not three
+    # times; Spark's LRU reclaims the KB/row cache entry
+    dl = tk.select("__id", F.size("__tk").alias("dl")).persist()
     st = dl.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -697,6 +701,13 @@ def bm25_scores(
                 _T.StructField("dl", _T.IntegerType()),
                 _T.StructField("bm25", _T.DoubleType()),
             ]),
+        )
+    if avgdl is None:
+        # every document's text is NULL: dl is NULL everywhere, no token
+        # can match — all rows score exactly 0.0 (avg ignored the NULLs,
+        # so the n_docs>0 guard above didn't catch this)
+        return dl.select(
+            F.col("__id").alias(id_col), "dl", F.lit(0.0).alias("bm25")
         )
     tf = (
         tk.select("__id", F.size("__tk").alias("__dl"),

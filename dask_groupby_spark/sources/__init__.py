@@ -238,8 +238,12 @@ def compact_table(
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(conf)
-    # heal a crash-interrupted previous swap (same window as upsert_table)
+    # heal a crash-interrupted previous swap — BOTH stems: the parked
+    # data is the same live path regardless of which maintenance op
+    # crashed, and healing only our own sibling would leave upsert-crash
+    # wreckage to strand this call (and vice versa)
     _recover_interrupted_swap(fs, jvm, path, "__compact")
+    _recover_interrupted_swap(fs, jvm, path, "__upsert")
     summary = fs.getContentSummary(jpath)
     n_before = int(summary.getFileCount())
     total_bytes = int(summary.getLength())
@@ -340,8 +344,11 @@ def upsert_table(
     fs = jpath.getFileSystem(conf)
     # heal any crash-interrupted previous swap BEFORE the missing-target
     # check — otherwise the first-write branch below destroys the parked
-    # original (ADVICE r6 #1)
+    # original (ADVICE r6 #1).  BOTH stems: a compact-crash leaves the
+    # same live path missing, and treating it as a first write would
+    # lose the data parked at __compact_old just the same
     _recover_interrupted_swap(fs, jvm, path, "__upsert")
+    _recover_interrupted_swap(fs, jvm, path, "__compact")
     if not fs.exists(jpath):
         updates.write.format(fmt).mode("overwrite").save(path)
         return

@@ -2110,62 +2110,52 @@ from __spark_entry__ import _SQL_ENTRY as _SQL_ENTRY_TEXT  # noqa: E402
 
 ORACLE_SQL["sql_entry"] = _SQL_ENTRY_TEXT
 
-# media_phash: the multimodal pixel/FFT contract key — the Spark side
-# REALLY decodes the committed PNG/WAV fixture (tests/fixtures/media.parquet,
-# stdlib-built by scripts/make_media_fixture.py) through the Arrow
-# mapInPandas tier; the oracle inlines the pinned expected rows from
-# tests/fixtures/media_expected.py as SQL VALUES, loaded here from that one
-# source of truth so the oracle can never drift from the fixture.  Any
-# behavior change in the decode/DCT/FFT path (or the Arrow plumbing) breaks
-# the exact-value compare.
-def _media_phash_sql() -> str:
+# media_phash / media_video: the multimodal pixel/FFT and video-keyframe
+# contract keys — the Spark side REALLY decodes the committed fixtures
+# (tests/fixtures/media*.parquet, stdlib-built by scripts/make_media_fixture.py
+# / make_video_fixture.py) through the Arrow mapInPandas tier; the oracles
+# inline the pinned expected rows from the fixtures' *_expected.py modules as
+# SQL VALUES, loaded here from that one source of truth so an oracle can
+# never drift from its fixture.  Any behavior change in the decode/DCT/FFT
+# path, the frame fan-out, or the Arrow plumbing breaks the exact-value
+# compare.
+def _pinned_values_sql(module_file: str, cols: list, casts: list) -> str:
     import importlib.util as _ilu
     import os as _os
 
     _p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                       "tests", "fixtures", "media_expected.py")
-    _spec = _ilu.spec_from_file_location("media_expected", _p)
+                       "tests", "fixtures", module_file)
+    _spec = _ilu.spec_from_file_location(module_file[:-3], _p)
     _mod = _ilu.module_from_spec(_spec)
     _spec.loader.exec_module(_mod)
     rows = ",\n  ".join(
-        f"({mid}, '{kind}', CAST({ph} AS BIGINT))"
-        for mid, kind, ph in _mod.EXPECTED
+        "(" + ", ".join(
+            f"'{v}'" if isinstance(v, str) else f"CAST({v} AS BIGINT)"
+            if c == "phash" else str(v)
+            for v, c in zip(row, cols)
+        ) + ")"
+        for row in _mod.EXPECTED
     )
+    sel = ", ".join(f"{c}{cast}" for c, cast in zip(cols, casts))
+    order = cols[0] if len(cols) < 3 or cols[1] == "kind" else f"{cols[0]}, {cols[1]}"
     return f"""
-SELECT media_id::BIGINT AS media_id, kind, phash
+SELECT {sel}
 FROM (VALUES
   {rows}
-) AS t(media_id, kind, phash)
-ORDER BY media_id"""
+) AS t({', '.join(cols)})
+ORDER BY {order}"""
 
 
-ORACLE_SQL["media_phash"] = _media_phash_sql()
-
-# media_video: the video keyframe tier — same pinned-VALUES pattern as
-# media_phash, loaded from tests/fixtures/media_video_expected.py (one
-# source of truth; see scripts/make_video_fixture.py).
-def _media_video_sql() -> str:
-    import importlib.util as _ilu
-    import os as _os
-
-    _p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                       "tests", "fixtures", "media_video_expected.py")
-    _spec = _ilu.spec_from_file_location("media_video_expected", _p)
-    _mod = _ilu.module_from_spec(_spec)
-    _spec.loader.exec_module(_mod)
-    rows = ",\n  ".join(
-        f"({mid}, {idx}, CAST({ph} AS BIGINT))"
-        for mid, idx, ph in _mod.EXPECTED
-    )
-    return f"""
-SELECT media_id::BIGINT AS media_id, frame_idx::INTEGER AS frame_idx, phash
-FROM (VALUES
-  {rows}
-) AS t(media_id, frame_idx, phash)
-ORDER BY media_id, frame_idx"""
-
-
-ORACLE_SQL["media_video"] = _media_video_sql()
+ORACLE_SQL["media_phash"] = _pinned_values_sql(
+    "media_expected.py",
+    ["media_id", "kind", "phash"],
+    ["::BIGINT AS media_id", "", ""],
+)
+ORACLE_SQL["media_video"] = _pinned_values_sql(
+    "media_video_expected.py",
+    ["media_id", "frame_idx", "phash"],
+    ["::BIGINT AS media_id", "::INTEGER AS frame_idx", ""],
+)
 
 # bm25: Okapi BM25 with the Lucene-smoothed IDF, k1=1.2 b=0.75, fixed
 # query-term list (mirrors __spark_entry__._BM25_TERMS).  Expression

@@ -14,15 +14,19 @@ from pyspark.sql import functions as F
 FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
 
-def _expected_media():
+def _load_fixture_module(name):
     import importlib.util as ilu
 
     spec = ilu.spec_from_file_location(
-        "media_expected", os.path.join(FIXDIR, "media_expected.py")
+        name, os.path.join(FIXDIR, f"{name}.py")
     )
     mod = ilu.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.EXPECTED
+    return mod
+
+
+def _expected_media():
+    return _load_fixture_module("media_expected").EXPECTED
 
 
 class TestMediaFixture:
@@ -77,14 +81,7 @@ class TestMediaFixture:
 
 
 def _expected_video():
-    import importlib.util as ilu
-
-    spec = ilu.spec_from_file_location(
-        "media_video_expected", os.path.join(FIXDIR, "media_video_expected.py")
-    )
-    mod = ilu.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    return _load_fixture_module("media_video_expected")
 
 
 class TestVideoFixture:
@@ -308,36 +305,36 @@ class TestGroupbyInterpolate:
         assert got[("b", 3.0)] == 5.0           # midpoint of 1→9 over [1,5]
 
     def test_limit_ties_nan_and_all_missing(self, spark):
-        import math
-
         from dask_groupby_spark import groupby_interpolate
 
+        # explicit tie-break column `i` — order_by=["x"] alone gives no
+        # deterministic order for equal-x rows (and the q_interp_time
+        # contract key likewise tie-breaks on event_id)
         df = spark.createDataFrame(
-            [("a", 0.0, 0.0), ("a", 1.0, None), ("a", 2.0, None),
-             ("a", 3.0, 30.0),
-             ("t", 1.0, 5.0), ("t", 1.0, None), ("t", 2.0, 7.0),
-             ("n", 0.0, 1.0), ("n", 1.0, float("nan")), ("n", 2.0, 3.0),
-             ("m", 0.0, None), ("m", 1.0, None)],
-            "g string, x double, v double",
+            [("a", 0.0, 0, 0.0), ("a", 1.0, 1, None), ("a", 2.0, 2, None),
+             ("a", 3.0, 3, 30.0),
+             # missing row BETWEEN two valid rows at the SAME x: the
+             # equal-x (xn == xp) convention takes the previous value
+             ("t", 1.0, 0, 5.0), ("t", 1.0, 1, None), ("t", 1.0, 2, 7.0),
+             ("n", 0.0, 0, 1.0), ("n", 1.0, 1, float("nan")),
+             ("n", 2.0, 2, 3.0),
+             ("m", 0.0, 0, None), ("m", 1.0, 1, None)],
+            "g string, x double, i int, v double",
         )
-        got = {
-            (r["g"], r["x"], i): r["v2"]
-            for i, r in enumerate(
-                groupby_interpolate(
-                    df, "g", value="v", order_by="x", out="v2", limit=1
-                ).orderBy("g", "x").collect()
-            )
+        vals = {
+            (r["g"], r["i"]): r["v2"]
+            for r in groupby_interpolate(
+                df, "g", value="v", order_by=["x", "i"], out="v2", limit=1
+            ).collect()
         }
-        vals = {(g, x): v for (g, x, _), v in got.items()}
-        assert vals[("a", 1.0)] == 10.0         # within limit
-        assert vals[("a", 2.0)] is None         # 2 rows past last valid
-        # equal-x tie: NULL row between two valid rows at the same/next x
-        # takes the previous valid value (0/0-free convention)
-        assert vals[("t", 1.0)] == 5.0
+        assert vals[("a", 1)] == 10.0           # within limit
+        assert vals[("a", 2)] is None           # 2 rows past last valid
+        # equal-x tie (xn == xp): previous valid value, 0/0-free
+        assert vals[("t", 1)] == 5.0
         # NaN counts as missing and interpolates
-        assert vals[("n", 1.0)] == 2.0
+        assert vals[("n", 1)] == 2.0
         # all-missing group stays missing
-        assert vals[("m", 0.0)] is None and vals[("m", 1.0)] is None
+        assert vals[("m", 0)] is None and vals[("m", 1)] is None
 
     def test_timestamp_axis_single_exchange(self, spark):
         from dask_groupby_spark import groupby_interpolate

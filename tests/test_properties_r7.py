@@ -144,3 +144,44 @@ def test_bm25_empty_corpus_preserves_id_type(spark):
     out = bm25_scores(e, ["a"], id_col="name")
     assert out.count() == 0
     assert out.schema.simpleString() == "struct<name:string,dl:int,bm25:double>"
+
+
+def test_uf_tier_null_endpoints_dropped(spark):
+    """r7 review finding: NULL-endpoint edges must not NaN-poison the
+    driver tier's Arrow columns — both tiers drop them uniformly."""
+    from dask_groupby_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (None, None)],
+        "id_a bigint, id_b bigint",
+    )
+    for mde in (2_000_000, None):
+        got = sorted(
+            (r["id"], r["cluster_id"])
+            for r in duplicate_clusters(pairs, max_driver_edges=mde).collect()
+        )
+        assert got == [(1, 1), (2, 1)], mde
+
+
+def test_bm25_all_null_text_scores_zero(spark):
+    """r7 review finding: a corpus whose every text is NULL must return
+    all rows at bm25=0.0 (dl NULL), not crash on avgdl=None."""
+    from dask_groupby_spark.operators import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id bigint, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["dl"], r["bm25"]) for r in bm25_scores(df, ["a"]).collect()
+    )
+    assert got == [(1, None, 0.0), (2, None, 0.0)]
+
+
+def test_interpolate_rejects_temp_column_collision(spark):
+    import pytest as _pt
+
+    from dask_groupby_spark import groupby_interpolate
+
+    df = spark.createDataFrame([(1, 1.0, 2.0, 9.0)], "g int, x double, __x double, v double")
+    with _pt.raises(ValueError, match="__x"):
+        groupby_interpolate(df, "g", value="v", order_by="x")

@@ -385,3 +385,25 @@ class TestUpsertTable:
             r["id"] for r in spark.read.parquet(p).collect()
         ) == list(range(100))
         assert not os.path.exists(p + "__compact_old")
+
+    def test_cross_stem_recovery(self, spark, tmp_path):
+        """r7 review finding: a COMPACT-crash wreck must be healed by the
+        next UPSERT too (and vice versa) — healing only one's own stem
+        would re-open the silent first-write data loss through the other
+        maintenance op."""
+        import os
+
+        from dask_groupby_spark.sources import upsert_table
+
+        p = str(tmp_path / "t9")
+        base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+        upsert_table(spark, p, base, "k")
+        # forge a compact_table mid-swap crash state
+        os.rename(p, p + "__compact_old")
+        assert not os.path.exists(p)
+
+        upd = spark.createDataFrame([(3, "c")], "k bigint, v string")
+        upsert_table(spark, p, upd, "k")
+        got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+        assert got == {1: "a", 2: "b", 3: "c"}  # original healed, not dropped
+        assert not os.path.exists(p + "__compact_old")
