@@ -735,7 +735,7 @@ def bm25_scores(
         .groupBy("__id")
         .agg(F.sum("__s").alias("__bm25"))
     )
-    return (
+    out_df = (
         dl.join(scored, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
@@ -743,3 +743,8 @@ def bm25_scores(
             F.coalesce("__bm25", F.lit(0.0)).alias("bm25"),
         )
     )
+    # unpersist handle (same contract as bloom_semi_join.bloom_bits):
+    # after consuming the result, result.bm25_doc_lengths.unpersist()
+    # releases the cached (id, dl) table instead of waiting for LRU
+    out_df.bm25_doc_lengths = dl
+    return out_df

@@ -185,3 +185,14 @@ def test_interpolate_rejects_temp_column_collision(spark):
     df = spark.createDataFrame([(1, 1.0, 2.0, 9.0)], "g int, x double, __x double, v double")
     with _pt.raises(ValueError, match="__x"):
         groupby_interpolate(df, "g", value="v", order_by="x")
+
+
+def test_bm25_exposes_doc_length_unpersist_handle(spark):
+    from dask_groupby_spark.operators import bm25_scores
+
+    df = spark.createDataFrame([(1, "a b"), (2, "c")], "doc_id bigint, text string")
+    out = bm25_scores(df, ["a"])
+    assert out.bm25_doc_lengths.storageLevel.useMemory
+    out.count()
+    out.bm25_doc_lengths.unpersist(blocking=True)
+    assert not out.bm25_doc_lengths.storageLevel.useMemory
