@@ -43,6 +43,15 @@ def table_profile(
     cols = list(columns) if columns is not None else list(df.columns)
     if not cols:
         raise ValueError("no columns to profile")
+    for c in cols:
+        # names are interpolated into the generated stack() SQL — the
+        # same guard as validate.check_rules (quotes/backticks/backslash
+        # would break out of or mangle the expression); raise clearly
+        # instead of a ParseException mid-profile
+        if any(ch in c for ch in ("'", "`", "\\")):
+            raise ValueError(
+                f"column name not profilable (quotes/backticks/backslashes): {c!r}"
+            )
     complex_types = {"array", "map", "struct"}
     aggs = []
     for c in cols:

@@ -91,7 +91,13 @@ def cms_sketch_table(
         *[F.pmod(h(col, seed=f"cms{d}"), F.lit(width)) for d in range(depth)]
     )
     out = (
-        df.select(F.posexplode(buckets).alias("d", "bucket"))
+        # NULLs carry no countable identity and are dropped, matching
+        # hist_sketch_table / hll_sketch_agg (previously the fast hasher
+        # piled every NULL onto one bucket per depth — inflating N and
+        # the 2N/width bound — and the portable hasher emitted junk
+        # (d, NULL) counter rows)
+        df.where(F.col(value).isNotNull())
+        .select(F.posexplode(buckets).alias("d", "bucket"))
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -128,7 +134,10 @@ def cms_estimate(
     buckets = F.array(
         *[F.pmod(h(col, seed=f"cms{d}"), F.lit(width)) for d in range(depth)]
     )
-    q = queries.select(
+    # distinct query values: duplicate rows in `queries` would each join
+    # the same counter rows and the per-depth SUM would multiply the
+    # estimate by the multiplicity — no longer a CM upper bound
+    q = queries.select(value).where(F.col(value).isNotNull()).distinct().select(
         F.col(value), F.posexplode(buckets).alias("d", "bucket")
     )
     joined = q.join(F.broadcast(sketches), on=["d", "bucket"], how="left")
@@ -171,7 +180,7 @@ def hist_sketch_table(
         raise ValueError(f"bins must be >= 1 (got {bins})")
     from .stats import uniform_bin
 
-    by = list(by)
+    by = [by] if isinstance(by, str) else list(by)
     x = F.col(value).cast("double")
     out = (
         df.where(x.isNotNull() & ~F.isnan(x))
@@ -208,7 +217,7 @@ def hist_quantile(
     qs = [float(q)] if isinstance(q, (int, float)) else [float(x) for x in q]
     if any(not (0.0 <= x <= 1.0) for x in qs):
         raise ValueError("q must be in [0, 1]")
-    by = list(by)
+    by = [by] if isinstance(by, str) else list(by)
     merged = sketches.groupBy(*by, "bin").agg(F.sum("cnt").alias("__c"))
     wcum = (
         Window.partitionBy(*by)
@@ -260,7 +269,7 @@ def psi_from_histograms(
 
     from .stats import psi_terms
 
-    by = list(by)
+    by = [by] if isinstance(by, str) else list(by)
 
     def _frac(h: DataFrame, out: str) -> DataFrame:
         c = h.groupBy(*by, "bin").agg(F.sum("cnt").alias("cnt"))
@@ -308,8 +317,20 @@ def ks_from_histograms(
             (F.sum("cnt").over(wc) / F.sum("cnt").over(w)).alias(f"f_{tag}"),
         )
 
-    p, q = _cdf(ref_hist, "ref"), _cdf(cur_hist, "cur")
-    j = p.join(q, on=by + ["bin"], how="full")
+    p, q = _cdf(ref_hist, "ref").alias("__kp"), _cdf(cur_hist, "cur").alias("__kq")
+    # NULL-SAFE key match (module invariant, see stats.py psi_terms): a
+    # NULL-key group's ref and cur rows must pair, not produce duplicate
+    # bin rows whose arbitrary tie order corrupts the forward-filled CDFs.
+    # String-qualified refs — ref_hist and cur_hist may be the same frame.
+    pc, qc = (lambda c: F.col(f"__kp.{c}")), (lambda c: F.col(f"__kq.{c}"))
+    cond = pc("bin").eqNullSafe(qc("bin"))
+    for k in by:
+        cond = cond & pc(k).eqNullSafe(qc(k))
+    j = p.join(q, cond, how="full").select(
+        *[F.coalesce(pc(k), qc(k)).alias(k) for k in by],
+        F.coalesce(pc("bin"), qc("bin")).alias("bin"),
+        "n_ref", "f_ref", "n_cur", "f_cur",
+    )
     # a bin absent from one side keeps that side's PREVIOUS cdf value —
     # fill by carrying the last non-null forward over the bin order
     wf = (

@@ -221,11 +221,22 @@ def psi_terms(
     :func:`~dask_groupby_spark.operators.sketches.psi_from_histograms`
     (ONE definition of the smoothing convention, so the batch and
     incremental paths cannot drift apart).  Bins absent from one side
-    get fraction 0 before smoothing."""
-    keys = list(by)
-    joined = p.join(q, on=keys + ["bin"], how="full").select(
-        *keys,
-        "bin",
+    get fraction 0 before smoothing.  The key match is NULL-SAFE (the
+    module invariant stated at grouped_ttest/grouped_mad): a NULL-key
+    segment's ref and cur rows must pair up, not split into two
+    half-rows whose phantom 0-fractions read as massive drift."""
+    keys = [by] if isinstance(by, str) else list(by)
+    # string-qualified refs, not DataFrame[col]: p and q may share lineage
+    # (e.g. psi_from_histograms(h, h)) and unqualified columns would be
+    # ambiguous under the self-join analyzer
+    pa_, qa = p.alias("__p"), q.alias("__q")
+    pc, qc = (lambda c: F.col(f"__p.{c}")), (lambda c: F.col(f"__q.{c}"))
+    cond = pc("bin").eqNullSafe(qc("bin"))
+    for k in keys:
+        cond = cond & pc(k).eqNullSafe(qc(k))
+    joined = pa_.join(qa, cond, how="full").select(
+        *[F.coalesce(pc(k), qc(k)).alias(k) for k in keys],
+        F.coalesce(pc("bin"), qc("bin")).alias("bin"),
         F.coalesce("ref_frac", F.lit(0.0)).alias("ref_frac"),
         F.coalesce("cur_frac", F.lit(0.0)).alias("cur_frac"),
     )
@@ -570,6 +581,12 @@ def _pooled_exact_grid(
     # skips the range-boundary sampling job entirely — the sort is tiny)
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(1, min(conf_parts * 4, n // rows_per_partition))
+    # HARD floor: monotonically_increasing_id packs the within-partition
+    # counter into 33 bits — a range partition holding >= 2^33 rows would
+    # bleed into the pid bits and corrupt every derived global rank.  At
+    # n ~ 1e12 (the 100 TB regime) the conf_parts*4 cap alone could allow
+    # that; the floor keeps partitions < 2^33 regardless of session conf.
+    n_parts = max(n_parts, -(-n // ((1 << 33) - 1)))
     # ONE range shuffle, NO window: after repartitionByRange +
     # sortWithinPartitions, monotonically_increasing_id() IS
     # (pid << 33) + within-partition row index in sorted order — the

@@ -40,10 +40,14 @@ def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     if not rules:
         raise ValueError("no rules given")
     for name in rules:
-        # names are interpolated into the stack() expression — a quote or
-        # backtick would break out of the generated SQL
-        if "'" in name or "`" in name:
-            raise ValueError(f"rule name may not contain quotes/backticks: {name!r}")
+        # names are interpolated into the stack() expression — a quote,
+        # backtick, or backslash (Spark string-literal escape char with
+        # the default escapedStringLiterals=false) would break out of or
+        # mangle the generated SQL
+        if any(ch in name for ch in ("'", "`", "\\")):
+            raise ValueError(
+                f"rule name may not contain quotes/backticks/backslashes: {name!r}"
+            )
     aggs = []
     for name, pred in rules.items():
         ok = F.coalesce(pred.cast("boolean"), F.lit(False))
@@ -117,12 +121,18 @@ def check_referential(
     pkeys = parent.select(F.col(pcol).alias(on)).where(
         F.col(on).isNotNull()
     ).distinct()
-    orphans = child.join(pkeys, on=on, how="left_anti")
     if sample_orphans > 0:
-        return orphans.limit(sample_orphans)
-    total = child.agg(F.count(F.lit(1)).alias("n_rows"))
-    cnt = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-    return total.crossJoin(cnt).withColumn(
+        return child.join(pkeys, on=on, how="left_anti").limit(sample_orphans)
+    # ONE child scan (r7): left join against the distinct parent keys with
+    # a match marker, then count + conditional-count in a single
+    # aggregate — the former separate n_rows job re-read the full child
+    marked = child.select(F.col(on)).join(
+        pkeys.withColumn("__hit", F.lit(1)), on=on, how="left"
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("__hit").isNull()).cast("bigint")).alias("n_orphans"),
+    ).withColumn(
         "orphan_frac",
         F.coalesce(F.try_divide("n_orphans", "n_rows"), F.lit(0.0)),
     )

@@ -818,3 +818,84 @@ def test_pooled_exact_grid_edge_cases(spark):
     df2 = spark.createDataFrame([(0.0,), (10.0,)], "s double")
     grid = _pooled_exact_grid(df2, _clean("s"), 4)
     assert grid == pytest.approx([0.0, 2.5, 5.0, 7.5, 10.0])
+
+
+# ----------------------------------------------- r7 deep-review regressions
+
+
+def test_psi_terms_null_key_group_pairs_up(spark):
+    """r7 review: a NULL-key segment's ref and cur rows must pair
+    null-safely — identical distributions must give PSI ~ 0, not two
+    phantom half-rows reading as massive drift."""
+    from dask_groupby_spark.operators import hist_sketch_table, psi_from_histograms
+
+    rows = [(None, float(v)) for v in range(20)] + [("a", float(v)) for v in range(20)]
+    ref = spark.createDataFrame(rows, "g string, x double")
+    hr = hist_sketch_table(ref, "x", 0.0, 20.0, bins=4, by=["g"])
+    out = psi_from_histograms(hr, hr, by=["g"]).collect()
+    # one row per (group, bin) — no duplicated bins for the NULL group
+    assert len(out) == len({(r["g"], r["bin"]) for r in out}) == 8
+    assert all(abs(r["psi_term"]) < 1e-12 for r in out)
+
+
+def test_ks_from_histograms_null_key_group(spark):
+    from dask_groupby_spark.operators import hist_sketch_table, ks_from_histograms
+
+    rows = [(None, float(v)) for v in range(20)]
+    ref = spark.createDataFrame(rows, "g string, x double")
+    hr = hist_sketch_table(ref, "x", 0.0, 20.0, bins=4, by=["g"])
+    out = ks_from_histograms(hr, hr, by=["g"]).collect()
+    assert len(out) == 1 and out[0]["g"] is None
+    assert out[0]["ks_stat"] == 0.0
+    assert out[0]["n_ref"] == 20 and out[0]["n_cur"] == 20
+
+
+def test_cms_ignores_nulls_and_dedups_queries(spark):
+    """r7 review: NULL values must not pile onto one bucket (fast) or
+    emit junk rows (portable); duplicate query rows must not multiply
+    the estimate."""
+    from dask_groupby_spark.operators import cms_estimate, cms_sketch_table
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [(None,)] * 100, "term string"
+    )
+    for hasher in ("fast", "portable"):
+        sk = cms_sketch_table(df, "term", width=64, depth=3, hasher=hasher)
+        assert sk.where(F.col("bucket").isNull()).count() == 0
+        # total increments = 5 non-null rows x 3 depths
+        assert sk.agg(F.sum("cnt")).first()[0] == 15, hasher
+        q = spark.createDataFrame([("a",), ("a",), ("zz",)], "term string")
+        got = {
+            r["term"]: r["est_count"]
+            for r in cms_estimate(sk, q, "term", width=64, depth=3, hasher=hasher).collect()
+        }
+        assert got == {"a": 5, "zz": 0}, hasher  # not doubled, one row each
+
+
+def test_histogram_family_accepts_str_by(spark):
+    from dask_groupby_spark.operators import (
+        hist_quantile,
+        hist_sketch_table,
+        psi_from_histograms,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)], "g string, x double"
+    )
+    h = hist_sketch_table(df, "x", 0.0, 10.0, bins=5, by="g")
+    assert h.columns[0] == "g"
+    assert psi_from_histograms(h, h, by="g").count() == 5
+    qq = hist_quantile(h, 0.5, 0.0, 10.0, by="g", bins=5)
+    assert qq.count() == 1
+
+
+def test_pooled_grid_partition_floor():
+    """r7 review: n_parts must keep every range partition under 2^33 rows
+    (monotonically_increasing_id's counter width) no matter the session
+    conf — checked arithmetically for the 1e12-row regime."""
+    n = 10**12
+    conf_parts = 32
+    rows_per_partition = 2_000_000
+    n_parts = max(1, min(conf_parts * 4, n // rows_per_partition))
+    n_parts = max(n_parts, -(-n // ((1 << 33) - 1)))
+    assert n / n_parts < (1 << 33)

@@ -160,3 +160,39 @@ class TestTableDiff:
         assert count_exchanges(table_diff(old, new, "k", detail=True)) == 1
         with _pt.raises(ValueError):
             table_diff(old, new, "nope")
+
+
+def test_check_rules_rejects_backslash_names(spark):
+    from dask_groupby_spark.operators import check_rules
+
+    df = spark.createDataFrame([(1,)], "v bigint")
+    with pytest.raises(ValueError, match="backslash"):
+        check_rules(df, {"bad\\name": F.col("v") > 0})
+
+
+def test_check_referential_single_scan_counts(spark):
+    """r7 review: the summary path now produces both counts from ONE
+    child scan; NULL child keys still count as orphans."""
+    from dask_groupby_spark.operators import check_referential
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "fk bigint")
+    row = check_referential(child, parent, "fk").collect()[0]
+    assert row["n_rows"] == 4 and row["n_orphans"] == 2
+    assert abs(row["orphan_frac"] - 0.5) < 1e-12
+    # sample path unchanged
+    from dask_groupby_spark.operators import check_referential as cr
+    orphans = cr(child, parent, "fk", sample_orphans=10).collect()
+    assert sorted((r["fk"] is None, r["fk"]) for r in orphans) == [
+        (False, 99), (True, None)
+    ]
+
+
+def test_table_profile_rejects_unquotable_names(spark):
+    from dask_groupby_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame([(1,)], "v bigint").withColumnRenamed("v", "a`b")
+    with pytest.raises(ValueError, match="not profilable"):
+        table_profile(df)
