@@ -120,25 +120,32 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("__w").alias("__w"))
         )
-        base = base.join(seeds, on="id", how="left")
-        tot = base.agg(F.sum("__w")).collect()[0][0]
-        if not tot:
-            raise ValueError(
-                "no personalization seed with positive weight appears in the graph"
-            )
-        base = base.select(
-            "id", "__deg", (F.coalesce("__w", F.lit(0.0)) / F.lit(float(tot))).alias("__t")
+        base = base.join(seeds, on="id", how="left").select(
+            "id", "__deg", F.coalesce("__w", F.lit(0.0)).alias("__w")
         )
     else:
-        base = base.withColumn("__t", F.lit(None).cast("double"))  # filled after count
+        base = base.withColumn("__w", F.lit(None).cast("double"))
 
     base = (base.repartition(partitions, "id") if partitions else base.repartition("id"))
     base = base.localCheckpoint(eager=True)
     n = base.count()
     if n == 0:
         return base.select("id", F.lit(0.0).alias("rank"))
-    if personalization is None:
-        base = base.withColumn("__t", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    if personalization is not None:
+        # normalize AFTER the checkpoint (r7 review): collecting the seed
+        # total from the pre-checkpoint plan re-ran the nodes⋈deg⋈seeds
+        # join a second time; on the checkpointed table it is one cheap
+        # scalar aggregate, and __t stays a projection over the checkpoint
+        tot = base.agg(F.sum("__w")).collect()[0][0]
+        if not tot:
+            raise ValueError(
+                "no personalization seed with positive weight appears in the graph"
+            )
+        base = base.select(
+            "id", "__deg", (F.col("__w") / F.lit(float(tot))).alias("__t")
+        )
+    else:
+        base = base.select("id", "__deg", F.lit(1.0 / n).alias("__t"))
 
     d = float(damping)
     ranks = base.select("id", "__deg", "__t", F.col("__t").alias("rank"))

@@ -62,6 +62,11 @@ def range_join(
     lb = F.floor(time_to_seconds(left, on) / w).cast("bigint")
     l2 = left.withColumn("__b", lb)
     rcols = [c for c in right.columns if c not in by]
+    for c in rcols:
+        if f"{c}{suffix}" in left.columns:
+            raise ValueError(
+                f"suffixed column {c}{suffix!r} still collides"
+            )
     r2 = right.select(
         *by,
         *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
@@ -178,6 +183,11 @@ def asof_join(
             .when(d_b <= d_f, carry_b)
             .otherwise(carry_f)
         )
+    # a left row with a NULL timestamp has no as-of position at all — it
+    # must stay unmatched under EVERY direction (r7 review: NULLs sort
+    # first, so the forward carry would otherwise attach the partition's
+    # earliest right row, and nearest would fall through to it)
+    chosen = F.when(F.col(on).isNotNull(), chosen)
 
     carried = unioned.select(
         "*",
@@ -325,7 +335,14 @@ def bloom_bits_table(
         raise ValueError("num_bits must be a multiple of 64")
     if num_hashes < 1:
         raise ValueError("num_hashes must be >= 1")
-    k = keys.select(F.col(on).alias("__k")).where(F.col("__k").isNotNull())
+    # canonicalize to STRING before hashing: xxhash64 is type-sensitive
+    # (xxhash64(1::INT) != xxhash64(1::BIGINT)), so a build/probe key-type
+    # mismatch — routine parquet schema drift — would silently produce
+    # false NEGATIVES in a filter whose contract is "zero false negatives"
+    # (r7 review).  bloom_prefilter applies the same cast.
+    k = keys.select(F.col(on).cast("string").alias("__k")).where(
+        F.col("__k").isNotNull()
+    )
     pos = [
         F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)
     ]
@@ -363,8 +380,9 @@ def bloom_prefilter(
     Exchange.  NULL keys never match (semi-join semantics).
     """
     out = df.where(F.col(on).isNotNull())
+    key_s = F.col(on).cast("string")  # same canonical form as the build side
     for i in range(num_hashes):
-        pos = F.pmod(F.xxhash64(F.col(on), F.lit(i)), F.lit(num_bits))
+        pos = F.pmod(F.xxhash64(key_s, F.lit(i)), F.lit(num_bits))
         w = F.shiftright(pos, 6)
         b = F.call_function(
             "shiftleft", F.lit(1).cast("bigint"), pos.bitwiseAND(F.lit(63)).cast("int")
@@ -472,7 +490,13 @@ def interval_overlap_join(
     r = _explode(right, right_start, right_end, "r")
     for c in right.columns:
         if c in left.columns and c not in by:
-            r = r.withColumnRenamed(c, f"{c}{suffix}")
+            new = f"{c}{suffix}"
+            # same guard as salted_join: a pre-existing column with the
+            # suffixed name would silently duplicate and poison every
+            # downstream reference with AMBIGUOUS_REFERENCE
+            if new in left.columns or new in right.columns:
+                raise ValueError(f"suffixed column {new!r} still collides")
+            r = r.withColumnRenamed(c, new)
     cond = [l[f"__bucket_l"] == r[f"__bucket_r"]] + [l[k] == r[k] for k in by]
     joined = l.join(r, reduce(lambda a, b: a & b, cond), "inner")
     ls, le = l["__s_l"], l["__e_l"]

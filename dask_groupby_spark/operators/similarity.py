@@ -33,6 +33,20 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """THE per-query top-k tail shared by every ANN path (r7: was four
+    copy-pasted blocks — one definition so the tie-break and the output
+    contract cannot drift): rank by cosine desc, neighbor_id asc."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -67,14 +81,7 @@ def cosine_topk(
         "neighbor_id",
         (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(scored, k)
 
 
 def cosine_topk_blas(
@@ -98,14 +105,28 @@ def cosine_topk_blas(
     at corpus scale.  float64 matmul accumulation differs from the JVM
     fold's strict left-to-right order by ~1 ulp — use :func:`cosine_topk`
     when bit-exact parity with the SQL oracle matters.
+
+    Zero-norm vectors (cosine undefined) are EXCLUDED on both sides —
+    a zero corpus vector never appears as a neighbor and a zero query
+    emits no rows (the SQL path instead carries them as NULL cosines
+    ranked last).  Ids may be any type — the output id columns keep the
+    input's Spark type (r7 review: the former int64 hardcode crashed on
+    string ids despite the parity claim).
     """
     import numpy as np
     import pandas as pd
 
+    id_type = dict(queries.dtypes)[id_col]
+    integral = id_type in ("tinyint", "smallint", "int", "bigint")
     qrows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    q_ids = np.array(
+        [r[0] for r in qrows], dtype="int64" if integral else object
+    )
     Q = np.array([list(r[1]) for r in qrows], dtype="float64")
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qn_ = np.linalg.norm(Q, axis=1, keepdims=True)
+    q_zero = (qn_ == 0.0).ravel()
+    qn_[qn_ == 0.0] = 1.0  # avoid 0/0 NaN; masked to -inf below
+    Qn = Q / qn_
 
     corpus_proj = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -117,9 +138,16 @@ def cosine_topk_blas(
             if not len(pdf):
                 continue
             C = np.array(pdf["cv"].tolist(), dtype="float64")
-            ids = pdf["neighbor_id"].to_numpy(dtype="int64")
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            ids = pdf["neighbor_id"].to_numpy()
+            cn_ = np.linalg.norm(C, axis=1, keepdims=True)
+            c_zero = (cn_ == 0.0).ravel()
+            cn_[cn_ == 0.0] = 1.0
+            Cn = C / cn_
             S = Cn @ Qn.T  # (batch, queries)
+            # NaN would rank FIRST under Spark's desc ordering — mask
+            # undefined cosines to -inf so the post-filter drops them
+            S[c_zero, :] = -np.inf
+            S[:, q_zero] = -np.inf
             if exclude_self:
                 S[ids[:, None] == q_ids[None, :]] = -np.inf
             kk = min(k, S.shape[0])
@@ -128,7 +156,7 @@ def cosine_topk_blas(
             out_q, out_n, out_c = [], [], []
             for j in range(S.shape[1]):
                 rows = part[:, j]
-                out_q.extend([int(q_ids[j])] * len(rows))
+                out_q.extend([q_ids[j]] * len(rows))
                 out_n.extend(ids[rows].tolist())
                 out_c.extend(S[rows, j].tolist())
             yield pd.DataFrame(
@@ -136,16 +164,10 @@ def cosine_topk_blas(
             )
 
     partial = corpus_proj.mapInPandas(
-        score, schema="query_id bigint, neighbor_id bigint, cosine double"
+        score,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
     ).where(F.col("cosine") != float("-inf"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(partial, k)
 
 
 def _hyperplane(dim: int, plane_id: int, seed: str = "lshplane") -> list[float]:
@@ -177,10 +199,14 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine re-scoring.  ~2^n_planes× less scoring work; recall
-    tunable via n_planes (fewer planes → bigger buckets → higher recall)."""
+    tunable via n_planes (fewer planes → bigger buckets → higher recall).
+    ``exclude_self=False`` keeps same-id pairs — REQUIRED when query ids
+    are unrelated to corpus ids (an accidental id collision would
+    otherwise silently drop a legitimate neighbor; r7 review)."""
     planes = [_hyperplane(dim, i) for i in range(n_planes)]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -194,22 +220,15 @@ def lsh_bucketed_topk(
         _norm(F.col(vec_col).cast("array<double>")).alias("qn"),
         lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
     )
-    joined = c.join(F.broadcast(q), on="bucket").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    joined = c.join(F.broadcast(q), on="bucket")
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(scored, k)
 
 
 def ivf_topk(
@@ -221,6 +240,7 @@ def ivf_topk(
     n_cells: int = 8,
     nprobe: int = 2,
     refine_iters: int = 0,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     ``n_cells`` cells, probe the ``nprobe`` nearest cells per query, exact
@@ -266,7 +286,7 @@ def ivf_topk(
         _norm(cv).alias("qn"),
         F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
     )
-    return _score_candidates(c, q, k)
+    return _score_candidates(c, q, k, exclude_self)
 
 
 def _ivf_centroids(
@@ -348,25 +368,20 @@ def _cell_scores(cent_arr: Column, v: Column) -> Column:
     )
 
 
-def _score_candidates(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+def _score_candidates(
+    c: DataFrame, q: DataFrame, k: int, exclude_self: bool = True
+) -> DataFrame:
     """Shared IVF tail: candidate join on cell (queries broadcast), exact
     cosine, per-query top-k."""
-    joined = c.join(F.broadcast(q), on="cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    joined = c.join(F.broadcast(q), on="cell")
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(scored, k)
 
 
 def ivf_index_write(
@@ -419,6 +434,7 @@ def ivf_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 2,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Query a persisted IVF index (:func:`ivf_index_write`): load the tiny
     centroid table, assign each query its ``nprobe`` cells map-only, and
@@ -444,7 +460,7 @@ def ivf_index_topk(
     # the probed-cell set is bounded by n_cells — a planner-side collect
     cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     idx = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(cells))
-    return _score_candidates(idx, q, k)
+    return _score_candidates(idx, q, k, exclude_self)
 
 
 def group_centroids(
@@ -475,10 +491,17 @@ def group_centroids(
         ).alias("__dm")
     )
     asm = asm.withColumn("__c", F.transform(F.col("__dm"), lambda s: s["__m"]))
-    centroid = F.col("__c")
-    if normalize:
-        centroid = F.transform(centroid, lambda x: x / _norm(F.col("__c")))
-    return asm.select(*by, centroid.alias(out_col))
+    if not normalize:
+        return asm.select(*by, F.col("__c").alias(out_col))
+    # materialize the norm ONCE per centroid: Spark does not hoist
+    # invariant subtrees out of HOF lambdas, so dividing by _norm inside
+    # the transform would re-fold the whole array per element — O(dim²)
+    # (the quantize_embeddings pitfall documented below)
+    asm = asm.withColumn("__n", _norm(F.col("__c")))
+    return asm.select(
+        *by,
+        F.transform(F.col("__c"), lambda x: x / F.col("__n")).alias(out_col),
+    )
 
 
 def embedding_near_duplicates(
@@ -677,12 +700,25 @@ def pca_project(
     if whiten:
         W = W / np.sqrt(np.maximum(model.explained_variance, 1e-12))[:, None]
 
+    dim = W.shape[1]
+
     def _proj(col):
-        X = np.array(col.tolist(), dtype="float64")
-        if X.ndim != 2:
-            return pd.Series([], dtype=object)
+        vals = col.tolist()
+        # row-wise guards (r7 review): NULL or wrong-dimension rows
+        # project to NULL instead of crashing the whole Arrow batch (or
+        # worse, returning a length-mismatched empty Series)
+        ok = [
+            v is not None and len(v) == dim and all(x is not None for x in v)
+            for v in vals
+        ]
+        if not any(ok):
+            return pd.Series([None] * len(vals), dtype=object)
+        X = np.array([v for v, o in zip(vals, ok) if o], dtype="float64")
         Y = (X - mu) @ W.T
-        return pd.Series(list(Y))
+        out, it = [], iter(list(Y))
+        for o in ok:
+            out.append(next(it) if o else None)
+        return pd.Series(out, dtype=object)
 
     proj = pandas_udf(_proj, "array<double>")
 

@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+import pytest
+
 from dask_groupby_spark.operators.joins import asof_join
 from dask_groupby_spark.plans import count_exchanges
 
@@ -406,3 +408,63 @@ class TestIntervalOverlapJoin:
         r = spark.createDataFrame([(1, 0.5, 2.0, "R")], "uid bigint, s double, e double, rtag string")
         plan = physical_plan(interval_overlap_join(l, r, "s", "e", "s", "e", by=["uid"]))
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ----------------------------------------------- r7 deep-review regressions
+
+
+class TestR7JoinFixes:
+    def test_asof_null_left_ts_unmatched_all_directions(self, spark):
+        """A left row with NULL timestamp has no as-of position: it must
+        stay unmatched under backward AND forward AND nearest (forward
+        used to attach the partition's earliest right row)."""
+        from dask_groupby_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, None, "x"), (1, 5.0, "y")], "k bigint, ts double, lv string"
+        )
+        right = spark.createDataFrame(
+            [(1, 1.0, "r1"), (1, 9.0, "r9")], "k bigint, ts double, rv string"
+        )
+        for direction in ("backward", "forward", "nearest"):
+            out = {
+                (r["lv"]): r["rv_right"]
+                for r in asof_join(
+                    left, right, on="ts", by=["k"], direction=direction
+                ).collect()
+            }
+            assert out["x"] is None, direction
+            assert out["y"] is not None, direction
+
+    def test_bloom_key_type_drift_no_false_negatives(self, spark):
+        """INT big side vs BIGINT small side (parquet schema drift): the
+        canonical string hash must keep the zero-false-negative contract
+        — the type-sensitive xxhash64 used to drop true matches."""
+        from dask_groupby_spark.operators.joins import bloom_semi_join
+
+        big = spark.range(1000).selectExpr("CAST(id AS INT) AS k")
+        small = spark.range(0, 1000, 100).selectExpr("id AS k")  # BIGINT
+        got = sorted(r["k"] for r in bloom_semi_join(big, small, "k", num_bits=1 << 12).collect())
+        assert got == list(range(0, 1000, 100))
+
+    def test_interval_and_range_join_suffix_collision_raises(self, spark):
+        from dask_groupby_spark.operators.joins import (
+            interval_overlap_join,
+            range_join,
+        )
+
+        left = spark.createDataFrame(
+            [(0.0, 5.0, "a", "clash")], "s double, e double, v string, v_right string"
+        )
+        right = spark.createDataFrame(
+            [(1.0, 2.0, "b")], "s double, e double, v string"
+        )
+        with pytest.raises(ValueError, match="collides"):
+            interval_overlap_join(left, right, "s", "e", "s", "e").collect()
+        pleft = spark.createDataFrame(
+            [(1.0, "x", "clash")], "t double, v string, v_right string"
+        )
+        with pytest.raises(ValueError, match="collides"):
+            range_join(pleft, right.withColumnRenamed("e", "end")
+                       .withColumnRenamed("s", "start"),
+                       "t", "start", "end").collect()

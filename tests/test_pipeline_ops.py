@@ -866,3 +866,81 @@ def test_bpe_local_and_distributed_paths_identical(spark):
     local = bpe_train(df, num_merges=10)  # word table tiny -> local path
     distributed = bpe_train(df, num_merges=10, collect_threshold=0)
     assert local == distributed and len(local) == 10
+
+
+# ----------------------------------------------- r7 deep-review regressions
+
+
+def test_blas_topk_zero_norm_and_string_ids(spark):
+    """Zero-norm vectors are excluded (NaN used to rank FIRST under desc);
+    non-integer ids work (used to crash on the int64 hardcode)."""
+    from dask_groupby_spark.operators.similarity import cosine_topk_blas
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("z", [0.0, 0.0]), ("b", [0.9, 0.1])],
+        "vec_id string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0]), ("q0", [0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    rows = cosine_topk_blas(corpus, queries, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # zero-norm corpus vector never appears; zero-norm query emits nothing
+    assert all(r["neighbor_id"] != "z" for r in rows)
+    assert "q0" not in by_q
+    got = [(r["rank"], r["neighbor_id"]) for r in sorted(by_q["q1"], key=lambda r: r["rank"])]
+    assert got == [(1, "a"), (2, "b")]
+    assert all(r["cosine"] == r["cosine"] for r in rows)  # no NaN leaked
+
+
+def test_lsh_and_ivf_exclude_self_flag(spark):
+    """exclude_self=False keeps same-id pairs — required when query ids
+    are unrelated to corpus ids (an id collision used to silently drop a
+    legitimate neighbor with no way to disable)."""
+    from dask_groupby_spark.operators.similarity import ivf_topk, lsh_bucketed_topk
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0, 0.0]), (8, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # query id 7 is UNRELATED to corpus id 7 but collides
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.05, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    for fn, kw in ((lsh_bucketed_topk, {"dim": 4, "n_planes": 1}),
+                   (ivf_topk, {"n_cells": 1, "nprobe": 1})):
+        dropped = fn(corpus, queries, k=1, **kw).collect()
+        kept = fn(corpus, queries, k=1, exclude_self=False, **kw).collect()
+        assert all(r["neighbor_id"] != 7 for r in dropped), fn.__name__
+        assert [r["neighbor_id"] for r in kept] == [7], fn.__name__
+
+
+def test_pca_project_null_and_ragged_rows(spark):
+    from dask_groupby_spark.operators.similarity import embedding_pca, pca_project
+
+    good = [(i, [float(i), float(i % 3), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(good, "vec_id bigint, embedding array<double>")
+    model = embedding_pca(df, k=2)
+    dirty = spark.createDataFrame(
+        good + [(100, None), (101, [1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["pca"] for r in pca_project(dirty, model).collect()}
+    assert out[100] is None and out[101] is None
+    assert out[0] is not None and len(out[0]) == 2
+
+
+def test_group_centroids_normalize_unit_norm(spark):
+    import math
+
+    from dask_groupby_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [("g", [3.0, 0.0]), ("g", [0.0, 4.0])], "k string, embedding array<double>"
+    )
+    row = group_centroids(df, "k", normalize=True).collect()[0]
+    n = math.sqrt(sum(v * v for v in row["centroid"]))
+    assert abs(n - 1.0) < 1e-12
