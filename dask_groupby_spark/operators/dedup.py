@@ -546,7 +546,6 @@ def duplicate_clusters(
     labels = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
     ).persist()
-    prev_sum = None
 
     def step(lbls):
         # min label over closed neighborhood: own label ∪ neighbors' labels
@@ -564,17 +563,22 @@ def duplicate_clusters(
         # two hops per materialization: near-dup clusters have tiny
         # diameters, so doubling the hop count per blocking round halves
         # the number of driver round-trips; the checkpoint is lazy — the
-        # convergence aggregate below is the job that materializes it
+        # convergence count below is the job that materializes it
         new = step(step(labels)).localCheckpoint(eager=False)
-        # labels are monotonically non-increasing, so Σlbl is a convergence
-        # certificate: unchanged sum ⇔ no label changed (one tiny aggregate
-        # per round instead of a diff join)
-        cur_sum = new.agg(F.sum("lbl")).first()[0]
+        # exact, type-agnostic convergence certificate: compare against the
+        # previous round (both sides hash-partitioned by v from the
+        # groupBy, so the join adds no Exchange).  NOT a Σlbl aggregate —
+        # sum() of a STRING label column is NULL, and NULL == NULL would
+        # have silently stopped the loop after one round for string ids.
+        changed = (
+            new.join(labels.select("v", F.col("lbl").alias("__prev")), on="v")
+            .where(F.col("lbl") != F.col("__prev"))
+            .count()
+        )
         labels.unpersist()
         labels = new
-        if cur_sum == prev_sum:
+        if changed == 0:
             break
-        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("v").alias(out_id), F.col("lbl").alias(out_cluster))
 
@@ -749,7 +753,10 @@ def remove_duplicate_spans(
             " ",
         ).alias("__rebuilt")
     )
-    res = df.join(rebuilt, on=F.col(id_col) == F.col("id"), how="left").drop("id")
+    # rebuilt's key gets a reserved name so the expression join stays
+    # unambiguous even when id_col itself is named "id"
+    rebuilt = rebuilt.withColumnRenamed("id", "__rid")
+    res = df.join(rebuilt, on=F.col(id_col) == F.col("__rid"), how="left").drop("__rid")
     return res.withColumn(out_col, F.coalesce(F.col("__rebuilt"), F.lit(""))).drop(
         "__rebuilt"
     )
@@ -935,7 +942,9 @@ def dedup_paragraphs(
     are real segments under ``min_len``);
     surviving paragraphs rejoin in original order.  Documents losing all
     paragraphs come back as ``''`` (they are kept as rows — dropping is
-    the caller's policy, e.g. ``length(text) > 0``).
+    the caller's policy, e.g. ``length(text) > 0``), and a NULL text is
+    treated as the empty document (one empty segment → reconstructed
+    ``''``), not silently dropped.
     ``normalize=True`` fingerprints on the whitespace-collapsed
     lowercase form (near-boilerplate with spacing jitter still dedups)
     while the KEPT text stays verbatim.
@@ -956,7 +965,11 @@ def dedup_paragraphs(
     from pyspark.sql import Window
 
     other = [c for c in df.columns if c not in (id_col, text_col)]
-    segs = F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+    # NULL text reads as the empty document: split(NULL) explodes to zero
+    # rows, which would drop the document from the output entirely (the
+    # reassembly join is inner on ids that produced segments) — coalesce
+    # keeps the row, reconstructed as '' like any fully-deduped document
+    segs = F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep)))
     rows = df.select(F.col(id_col).alias("__id"), segs.alias("__pos", "__seg"))
     fp = F.lower(F.regexp_replace(F.trim(F.col("__seg")), r"\s+", " ")) if normalize else F.col("__seg")
     # FULL 128-bit md5, not the 60-bit portable_hash: at ~10^10 distinct

@@ -1717,8 +1717,10 @@ WITH d2 AS (
   FROM documents
 ),
 sp AS (
+  -- coalesce mirrors dedup_paragraphs: a NULL text is the empty document
+  -- (one empty segment), not a vanished row
   SELECT doc_id, i AS pos, l[i] AS seg
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM d2),
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS l FROM d2),
        unnest(range(1, len(l)+1)) AS t(i)
 ),
 fl AS (

@@ -196,3 +196,47 @@ def test_bm25_exposes_doc_length_unpersist_handle(spark):
     out.count()
     out.bm25_doc_lengths.unpersist(blocking=True)
     assert not out.bm25_doc_lengths.storageLevel.useMemory
+
+
+def test_distributed_clusters_string_ids_converge(spark):
+    """r7 deep-review finding: the distributed tier's old convergence
+    certificate was sum(lbl), which is NULL for STRING ids — the loop
+    stopped after one double-hop round, wrong for diameter > 4 chains.
+    An 11-vertex chain needs 3 double-hop rounds; all must label 'a'."""
+    from dask_groupby_spark.operators.dedup import duplicate_clusters
+
+    chain = [(chr(ord("a") + i), chr(ord("a") + i + 1)) for i in range(10)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, max_driver_edges=0).collect()
+    }
+    assert got == {chr(ord("a") + i): "a" for i in range(11)}
+
+
+def test_remove_duplicate_spans_id_col_named_id(spark):
+    from dask_groupby_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "x y")], "id bigint, text string"
+    )
+    out = {
+        r["id"]: r["text"]
+        for r in remove_duplicate_spans(df, id_col="id", k=4).collect()
+    }
+    assert out[1] == "a b c d" and out[2] == "x y"
+
+
+def test_dedup_paragraphs_null_text_kept_as_empty_row(spark):
+    """r7 deep-review finding: a NULL text exploded to zero segment rows
+    and the doc vanished from the inner reassembly join — it must come
+    back as '' like any fully-deduped document."""
+    from dask_groupby_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "p1\np2", "m1"), (2, None, "m2")],
+        "doc_id bigint, text string, meta string",
+    )
+    out = {r["doc_id"]: (r["text"], r["meta"]) for r in dedup_paragraphs(df).collect()}
+    assert out[1] == ("p1\np2", "m1")
+    assert out[2] == ("", "m2")
