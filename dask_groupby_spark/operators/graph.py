@@ -196,7 +196,7 @@ def connected_components(
     :func:`~dask_groupby_spark.operators.dedup.duplicate_clusters` runs
     over near-dup candidate pairs (driver union-find up to
     ``max_driver_edges`` symmetrized edges, min-label propagation with
-    the Σ-label convergence certificate and localCheckpoint lineage cuts
+    a type-agnostic changed-label convergence check and localCheckpoint cuts
     beyond; see its docstring for the scale analysis).
 
     Edge direction is ignored (the edge list is symmetrized).  Nodes
