@@ -981,13 +981,14 @@ def q_stream_cumsum(spark, sf):
         .start()
     )
     q.awaitTermination()
+    # the output key column keeps the input's name/type since r7
     final = (
         spark.table(name)
-        .groupBy("key")
+        .groupBy("user_id")
         .agg(F.max(F.struct("n_seen", "running_sum")).alias("s"))
     )
     return final.select(
-        F.col("key").alias("user_id"),
+        "user_id",
         F.col("s.n_seen").alias("n_seen"),
         F.round("s.running_sum", 4).alias("running_sum"),
     )

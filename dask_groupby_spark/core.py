@@ -487,6 +487,11 @@ def groupby_rank(
             # pandas normalizes dense ranks by the MAX dense rank (number of
             # distinct valid values), not the valid row count; second window
             # shares the partitioning → same single Exchange
+            if "__dr" in df.columns:
+                raise ValueError(
+                    "df column '__dr' collides with groupby_rank's temporary "
+                    "— rename it first"
+                )
             dr = F.when(valid, rank)
             staged = df.withColumn("__dr", dr)
             denom = F.max("__dr").over(Window.partitionBy(*by))

@@ -425,6 +425,11 @@ def redact_pii(
     """
     pats = PII_PATTERNS if patterns is None else patterns
     out = out or text_col
+    if out != text_col and out in df.columns:
+        raise ValueError(
+            f"out={out!r} collides with an existing column — the result "
+            "would carry two columns of that name"
+        )
     red = F.col(text_col)
     for kind, pat in pats.items():
         red = F.regexp_replace(red, F.lit(pat), F.lit(f"<{kind.upper()}>"))

@@ -581,6 +581,11 @@ def remove_repeated_segments(
     import re as _re
 
     out = out or text_col
+    if out != text_col and out in df.columns:
+        raise ValueError(
+            f"out={out!r} collides with an existing column — the result "
+            "would carry two columns of that name"
+        )
     # F.split takes a REGEX but array_join re-inserts sep literally —
     # escape, or a metachar separator ('. ', '|') would shred the text
     segs = F.split(F.col(text_col), _re.escape(sep))

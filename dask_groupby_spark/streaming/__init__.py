@@ -289,11 +289,13 @@ def streaming_ffill(
     inside a batch is not an event-time guarantee; pair with a watermark
     upstream if late data matters).  Unfillable leading gaps surface as
     NULL (Arrow maps pandas NaN to null), where the batch scan emits NaN.
+    The output key/timestamp columns keep the INPUT's name and type (r7:
+    the former hardcoded ``key bigint`` schema broke on string keys).
     """
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
-            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(key_col, stream.schema[key_col].dataType),
+            T.StructField(ts_col, stream.schema[ts_col].dataType),
             T.StructField(out_col, T.DoubleType()),
         ]
     )
@@ -314,7 +316,7 @@ def streaming_ffill(
                     last = float(filled[i])
             yield pd.DataFrame(
                 {
-                    "key": [key[0]] * len(pdf),
+                    key_col: [key[0]] * len(pdf),
                     ts_col: pdf[ts_col].to_numpy(),
                     out_col: filled,
                 }
@@ -342,10 +344,12 @@ def streaming_cumsum(
 ) -> DataFrame:
     """Per-key running sum across micro-batches via arbitrary stateful
     processing (``applyInPandasWithState``) — state is a single float per
-    key, so memory is O(#keys) regardless of stream length."""
+    key, so memory is O(#keys) regardless of stream length.  The output
+    key column keeps the input's name and type (r7: the former hardcoded
+    ``key bigint`` schema broke on string keys)."""
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            T.StructField(key_col, stream.schema[key_col].dataType),
             T.StructField("n_seen", T.LongType()),
             T.StructField(out_col, T.DoubleType()),
         ]
@@ -366,7 +370,7 @@ def streaming_cumsum(
             total += float(vals.sum())
             n += int(len(vals))
         state.update((total, n))
-        yield pd.DataFrame({"key": [key[0]], "n_seen": [n], out_col: [total]})
+        yield pd.DataFrame({key_col: [key[0]], "n_seen": [n], out_col: [total]})
 
     return (
         stream.groupBy(F.col(key_col))

@@ -944,3 +944,22 @@ def test_group_centroids_normalize_unit_norm(spark):
     row = group_centroids(df, "k", normalize=True).collect()[0]
     n = math.sqrt(sum(v * v for v in row["centroid"]))
     assert abs(n - 1.0) < 1e-12
+
+
+def test_out_column_collision_guards(spark):
+    """r7 review: an `out` name colliding with an existing column must
+    raise instead of silently emitting duplicate column names."""
+    from dask_groupby_spark.core import groupby_rank
+    from dask_groupby_spark.operators.curate import redact_pii
+    from dask_groupby_spark.operators.text import remove_repeated_segments
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co x", "clash")], "id bigint, text string, scrubbed string"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        redact_pii(df, out="scrubbed")
+    with pytest.raises(ValueError, match="collides"):
+        remove_repeated_segments(df, out="scrubbed")
+    rdf = spark.createDataFrame([(1, 2.0, 0.5)], "k bigint, v double, __dr double")
+    with pytest.raises(ValueError, match="__dr"):
+        groupby_rank(rdf, "k", value="v", method="dense", pct=True)

@@ -850,3 +850,29 @@ def test_stream_ingest_dedup_crash_recovery_self_heals(spark, tmp_path_factory):
         r["id"] for r in spark.read.parquet(f"{index}/signatures").collect()
     )
     assert indexed == [1, 2, 102, 202]
+
+
+def test_streaming_cumsum_string_keys(spark, tmpdir):
+    """r7 review: the output key column keeps the input's NAME and TYPE —
+    the former hardcoded `key bigint` schema broke on string keys."""
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)], "domain string, v double"
+    ).coalesce(1).write.parquet(f"{tmpdir}/in/f1")
+    stream = spark.readStream.schema("domain string, v double").parquet(
+        f"{tmpdir}/in/*"
+    )
+    out = streaming_cumsum(stream, "domain", "v")
+    assert out.schema["domain"].dataType.typeName() == "string"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("strsum")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["domain"]: (r["n_seen"], r["running_sum"])
+        for r in spark.sql("select * from strsum").collect()
+    }
+    assert got == {"a": (2, 4.0), "b": (1, 2.0)}
