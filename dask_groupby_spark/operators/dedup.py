@@ -489,8 +489,21 @@ def duplicate_clusters(
     """
     a, b = F.col(id_a), F.col(id_b)
     edges = (
-        pairs.select(a.alias("src"), b.alias("dst"))
-        .union(pairs.select(b.alias("src"), a.alias("dst")))
+        # symmetrize with a map-side explode, NOT pairs ∪ pairs.flipped:
+        # a union re-executes the caller's (unpersisted) pair pipeline once
+        # PER BRANCH — at sf1 that silently doubled near_deduplicate's
+        # dominant cost (the whole LSH sig/bucket/enumeration chain ran
+        # twice, measured 7.4 s vs 3.7 s).  The explode doubles rows from a
+        # single execution instead.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
         # NULL endpoints carry no identity to cluster on: drop the edge
         # (uniform across BOTH tiers — previously the distributed joins
         # silently never matched them while the driver tier would have
