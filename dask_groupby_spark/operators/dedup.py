@@ -365,7 +365,13 @@ def ngram_jaccard_pairs(
     member = F.struct(F.col("id"), F.lit(0).alias("n")) if capped else F.struct("id", "n")
     surviving = sh.groupBy("sh").agg(F.array_sort(F.collect_list(member)).alias("mem"))
     if capped:
-        surviving = surviving.where(F.size("mem") <= max_shingle_df)
+        # the capped plan reads `surviving` from THREE places (pair
+        # enumeration + the sizes table joined per pair side), and Spark
+        # does not reuse the groupBy(sh) Exchange across them (measured 13
+        # parquet scans and 1.7× the uncapped wall at sf0.1) — persist the
+        # already-reduced bucket table so the shingle pipeline runs once;
+        # result.ngram_shingle_buckets.unpersist() releases it eagerly
+        surviving = surviving.where(F.size("mem") <= max_shingle_df).persist()
     # singleton buckets produce no pairs but DO count toward each document's
     # surviving-set size, so the ≥2 filter applies to enumeration only
     buckets = surviving.where(F.size("mem") >= 2)
@@ -396,7 +402,7 @@ def ngram_jaccard_pairs(
             .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
             .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         )
-    return (
+    out = (
         inter.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -405,6 +411,10 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+    if capped:
+        # unpersist handle (same contract as bm25_scores.bm25_doc_lengths)
+        out.ngram_shingle_buckets = surviving
+    return out
 
 
 def simhash(
