@@ -242,7 +242,13 @@ def tfidf_top_terms(
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.length("term") >= min_len)
-    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregate and the score join,
+    # and Spark 4/AQE does not reuse the tf Exchange across the two
+    # consumers (measured on lm_quality_score, same shape: the corpus
+    # explode+shuffle ran once per consumer) — persist the reduced
+    # (doc, term, tf) rows so tokenization runs once;
+    # result.tfidf_term_counts.unpersist() releases the cache eagerly
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = df.select(F.count(F.lit(1)).alias("N"))
     scored = (
@@ -257,11 +263,13 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "term", "tf", "tfidf", "rank")
     )
+    out.tfidf_term_counts = tf  # unpersist handle
+    return out
 
 
 def document_fingerprint(
@@ -374,6 +382,13 @@ def lm_quality_score(
     )
     external = vocab is not None
     if not external:
+        # internal-LM mode reads tf TWICE (vocab fit + score join) and
+        # Spark 4/AQE does not reuse the tf Exchange across them (measured:
+        # the corpus explode+shuffle ran once per consumer) — persist the
+        # already-reduced (doc, term, tf) rows so tokenization runs once;
+        # result.lm_term_counts.unpersist() releases the cache eagerly
+        # (same handle contract as bm25_scores.bm25_doc_lengths)
+        tf = tf.persist()
         vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     totals = vocab.agg(
         F.sum("cnt").alias("T"), F.count(F.lit(1)).alias("V")
@@ -387,7 +402,7 @@ def lm_quality_score(
         )
     else:
         p = F.col("cnt") / F.col("T")
-    return (
+    res = (
         joined.groupBy("id")
         .agg(
             F.sum("tf").alias("n_tokens"),
@@ -395,6 +410,9 @@ def lm_quality_score(
         )
         .select(F.col("id").alias(id_col), "n_tokens", out)
     )
+    if not external:
+        res.lm_term_counts = tf  # unpersist handle
+    return res
 
 
 #: GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible syntax
