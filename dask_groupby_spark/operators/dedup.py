@@ -351,10 +351,11 @@ def ngram_jaccard_pairs(
     |corpus|-row side (the earlier self-join formulation force-broadcast
     the per-doc size table: a driver OOM at corpus scale), and the shingle
     pipeline is computed ONCE.  With ``max_shingle_df`` the per-doc sizes
-    must be recounted over the *surviving* shingle space, which is a second
-    aggregate over the filtered buckets (its Exchange reuses the groupBy(sh)
-    shuffle) and two AQE-strategy joins on the already-thresholded pair
-    counts.
+    must be recounted over the *surviving* shingle space — the bucket table
+    is persisted across its three consumers (AQE does not reuse the
+    groupBy(sh) Exchange between them; release it via the returned frame's
+    ``ngram_shingle_buckets.unpersist()``) — plus two AQE-strategy joins on
+    the already-thresholded pair counts.
     """
     base = df.select(
         F.col(id_col).alias("id"),

@@ -549,8 +549,8 @@ def _pooled_exact_grid(
 
     One count job + one query: ``repartitionByRange`` on the value, per-
     partition ``row_number`` plus broadcast cumulative partition counts
-    gives exact global ranks (both branches hang off the same range
-    exchange, so partition ids are consistent via exchange reuse); only
+    gives exact global ranks (the ranked rows are persisted across the
+    count and anchor branches — released after the collect); only
     rows whose rank is an interpolation anchor — ``floor(p*(n-1))`` /
     ``+1`` for each grid prob, <= 2(resolution+1) of them — survive the
     ``InSet`` filter and reach the driver.  Interpolation uses DuckDB's
@@ -591,8 +591,13 @@ def _pooled_exact_grid(
     # sortWithinPartitions, monotonically_increasing_id() IS
     # (pid << 33) + within-partition row index in sorted order — the
     # within-partition rank for free.  Both branches (per-pid counts and
-    # the anchor filter) hang off the same exchange (ReuseExchange), so
-    # pids are consistent and the data is shuffled exactly once.
+    # the anchor filter) read `parts`, and Spark 4/AQE does NOT reuse the
+    # range exchange across them (measured: two rangepartitioning
+    # Exchanges, the data shuffled and sorted twice) — persist the ranked
+    # rows so the shuffle+sort runs once; released right after the eager
+    # anchor collect below.  (Even unpersisted the OUTPUT stays correct:
+    # range bounds sample the deterministic scan, and rank→value is
+    # tie-insensitive — but the double shuffle is pure waste.)
     parts = (
         nn.repartitionByRange(n_parts, "__v")
         .sortWithinPartitions("__v")
@@ -602,6 +607,7 @@ def _pooled_exact_grid(
             F.shiftright("__mid", 33).alias("__pid"),
             (F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))).alias("__rn0"),
         )
+        .persist()
     )
     # cumulative offsets: one window over <= n_parts rows (bounded by config)
     offs = (
@@ -635,6 +641,7 @@ def _pooled_exact_grid(
         .where((m <= slack) | (m >= F.lit(int(n - 1)) - slack))
         .collect()
     )
+    parts.unpersist()
     rankmap = {r["__grank"]: r["__v"] for r in anchors}
     grid: list[float] = []
     for p in probs:
@@ -677,8 +684,8 @@ def quantile_normalize(
     O(probs x distinct) driver-side scan, and it only gets worse with
     data volume).  Instead :func:`_pooled_exact_grid` range-partitions
     the values, turns per-partition ``row_number`` + broadcast partition
-    offsets into exact global ranks (the exchange is reused between the
-    count and rank branches of the single query), filters to the
+    offsets into exact global ranks (the ranked rows are persisted across
+    the count and rank branches, one shuffle+sort total), filters to the
     <= 2(resolution+1) interpolation anchor ranks, and interpolates on
     the driver with DuckDB's own ``lo*(1-d)+hi*d`` lerp — verified
     bitwise-equal to ``quantile_cont`` (1001/1001), where Spark's

@@ -370,7 +370,8 @@ def lm_quality_score(
 
     Plan at 100 TB: explode → per-(doc, term) counts (ONE shuffle, map-side
     combined — the join and the vocab fit both run over these already-
-    reduced rows, and their shared Exchange is reused); the corpus totals
+    reduced rows, PERSISTED so the corpus tokenizes once: AQE does not
+    reuse the exchange across the two consumers); the corpus totals
     are 1-row aggregates broadcast by construction; the term join strategy
     is left to AQE (a web-scale vocabulary must be allowed to shuffle —
     force-broadcasting it would OOM the driver).
