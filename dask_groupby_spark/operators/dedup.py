@@ -862,6 +862,7 @@ def minhash_index_probe(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_pushdown_buckets: int = 10_000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs between a new batch and a persisted
     index (:func:`minhash_index_write`).  Output: (new_id, index_id,
@@ -877,11 +878,23 @@ def minhash_index_probe(
     row-group skipping: the corpus index is mostly never read.  Larger
     batches fall back to the plain join (AQE picks the strategy); the
     index side still never carries more than (bh, id) per row.
+
+    The batch signature table feeds TWO consumers (the pushdown collect
+    and the join probe) and Spark does not reuse exchanges across them —
+    it is therefore PERSISTED so the batch is sketched once (release via
+    the returned frame's ``batch_signatures.unpersist()``), unless the
+    caller passes ``signatures=`` (a precomputed signature table built
+    with the index's stored parameters — ownership stays with the caller).
     """
     meta = _index_meta(spark, path)
-    sig = minhash_signatures(
-        new_docs, id_col, text_col, meta["num_hashes"], meta["shingle_k"], meta["hasher"]
-    )
+    if signatures is None:
+        sig = minhash_signatures(
+            new_docs, id_col, text_col,
+            meta["num_hashes"], meta["shingle_k"], meta["hasher"],
+        ).persist()
+        owned = True
+    else:
+        sig, owned = signatures, False
     probe = _band_rows(sig, meta["num_hashes"], meta["bands"], meta["hasher"]).select(
         F.col("id").alias("new_id"), "band", "bh"
     )
@@ -891,12 +904,15 @@ def minhash_index_probe(
     bhs = [r["bh"] for r in probe.select("bh").distinct().limit(max_pushdown_buckets + 1).collect()]
     if len(bhs) <= max_pushdown_buckets:
         index = index.where(F.col("bh").isin(bhs))
-    return (
+    out = (
         index.join(F.broadcast(probe) if len(bhs) <= max_pushdown_buckets else probe,
                    on=["band", "bh"], how="inner")
         .groupBy("new_id", "index_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+    if owned:
+        out.batch_signatures = sig  # unpersist handle
+    return out
 
 
 def near_duplicates_against_index(
@@ -916,29 +932,40 @@ def near_duplicates_against_index(
     Composition: :func:`minhash_index_probe` (candidates; index mostly
     unread thanks to the bh pushdown) → join the two signature tables on
     the candidate ids only → score map-side.  The candidate set is
-    LSH-bucketed, never all-pairs.
+    LSH-bucketed, never all-pairs.  The batch is sketched ONCE: a single
+    persisted signature table serves the probe's pushdown collect, the
+    probe join, and the Jaccard verification columns (release it via the
+    returned frame's ``batch_signatures.unpersist()`` — the production
+    ingest loop does this per batch).
     """
     meta = _index_meta(spark, path)
-    cands = minhash_index_probe(
-        spark, path, new_docs, id_col, text_col, max_pushdown_buckets
-    )
     h = meta["num_hashes"]
-    new_sig = minhash_signatures(
+    sig = minhash_signatures(
         new_docs, id_col, text_col, h, meta["shingle_k"], meta["hasher"]
-    ).select(F.col("id").alias("new_id"), *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(h)])
+    ).persist()
+    cands = minhash_index_probe(
+        spark, path, new_docs, id_col, text_col, max_pushdown_buckets,
+        signatures=sig,
+    )
+    new_sig = sig.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(h)],
+    )
     idx_sig = spark.read.parquet(f"{path}/signatures").select(
         F.col("id").alias("index_id"), *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(h)]
     )
     agree = sum(
         F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0) for i in range(h)
     )
-    return (
+    out = (
         cands.join(new_sig, on="new_id")
         .join(idx_sig, on="index_id")
         .withColumn("est_jaccard", agree / F.lit(float(h)))
         .where(F.col("est_jaccard") >= threshold)
         .select("new_id", "index_id", "n_shared_bands", "est_jaccard")
     )
+    out.batch_signatures = sig  # unpersist handle
+    return out
 
 
 def dedup_paragraphs(

@@ -435,14 +435,11 @@ def stream_ingest_dedup(
         spark = batch.sparkSession
         meta = _index_meta(spark, index_path)
         batch = batch.localCheckpoint(eager=True)  # reused 3-4× below
-        dup_vs_index = (
-            near_duplicates_against_index(
-                spark, index_path, batch, id_col, text_col,
-                threshold=threshold, max_pushdown_buckets=max_pushdown_buckets,
-            )
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
+        nd = near_duplicates_against_index(
+            spark, index_path, batch, id_col, text_col,
+            threshold=threshold, max_pushdown_buckets=max_pushdown_buckets,
         )
+        dup_vs_index = nd.select(F.col("new_id").alias(id_col)).distinct()
         remaining = batch.join(dup_vs_index, on=id_col, how="left_anti")
         sig = minhash_signatures(
             remaining, id_col, text_col,
@@ -470,6 +467,10 @@ def stream_ingest_dedup(
                 meta["num_hashes"], meta["bands"], meta["shingle_k"],
                 meta["hasher"], mode="append",
             )
+        # release the batch's persisted signature table (r7: the batch is
+        # sketched once per trigger; without this, state accumulates
+        # across micro-batches until LRU eviction)
+        nd.batch_signatures.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(process)
