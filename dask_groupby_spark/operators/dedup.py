@@ -904,9 +904,14 @@ def minhash_index_probe(
     bhs = [r["bh"] for r in probe.select("bh").distinct().limit(max_pushdown_buckets + 1).collect()]
     if len(bhs) <= max_pushdown_buckets:
         index = index.where(F.col("bh").isin(bhs))
+    # join strategy stays AQE's size-based pick: the old F.broadcast(probe)
+    # hint was gated on the DISTINCT-bucket count, which does not bound the
+    # probe's ROW count — a huge batch concentrated in few buckets would
+    # have been force-broadcast into the driver.  AQE broadcasts a small
+    # probe from its actual runtime size and shuffles a huge one; the
+    # bh IN (…) pushdown above prunes the index scan either way.
     out = (
-        index.join(F.broadcast(probe) if len(bhs) <= max_pushdown_buckets else probe,
-                   on=["band", "bh"], how="inner")
+        index.join(probe, on=["band", "bh"], how="inner")
         .groupBy("new_id", "index_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
