@@ -641,16 +641,23 @@ def embedding_pca(
     )
 
     def partials(batches):
+        # accumulate across ALL Arrow batches of the partition and emit ONE
+        # row at the end (r7 review: yielding per batch made the collect
+        # O(rows / arrow-batch-size) — at corpus scale that is terabytes of
+        # 33 KB partial rows to the driver, not the O(partitions) KB budget
+        # this function promises)
+        n, s, g = 0, None, None
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.array(pdf["v"].tolist(), dtype="float64")
+            n += X.shape[0]
+            bs, bg = X.sum(axis=0), X.T @ X
+            s = bs if s is None else s + bs
+            g = bg if g is None else g + bg
+        if n:
             yield pd.DataFrame(
-                {
-                    "n": [X.shape[0]],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
     rows = src.mapInPandas(

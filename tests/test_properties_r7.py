@@ -240,3 +240,26 @@ def test_dedup_paragraphs_null_text_kept_as_empty_row(spark):
     out = {r["doc_id"]: (r["text"], r["meta"]) for r in dedup_paragraphs(df).collect()}
     assert out[1] == ("p1\np2", "m1")
     assert out[2] == ("", "m2")
+
+
+def test_embedding_pca_one_partial_row_per_partition(spark):
+    """r7 review: the PCA moment pass must emit ONE partial row per
+    partition, not one per Arrow batch — tiny Arrow batches (standing in
+    for a corpus-scale run) must not multiply the driver collect."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.similarity import embedding_pca
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(4)
+    ref = embedding_pca(df, k=2)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        tiny = embedding_pca(df, k=2)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert np.allclose(ref.mean, tiny.mean)
+    assert np.allclose(ref.components, tiny.components, atol=1e-9)
