@@ -97,14 +97,18 @@ def cosine_topk_blas(
 
     Plan: the (small, by the same contract that lets :func:`cosine_topk`
     broadcast it) query matrix ships to executors inside the UDF closure;
-    each corpus Arrow batch scores ALL queries with one normalized matmul
-    and emits only its PARTIAL top-k per query.  The final window then
-    ranks ≤ k·num_batches candidates per query instead of |corpus| scored
-    pairs — the shuffle shrinks from O(|corpus|·|queries|) rows to
-    O(k·batches·|queries|), which is what makes brute-force scoring viable
-    at corpus scale.  float64 matmul accumulation differs from the JVM
-    fold's strict left-to-right order by ~1 ulp — use :func:`cosine_topk`
-    when bit-exact parity with the SQL oracle matters.
+    each corpus Arrow batch scores ALL queries with one normalized matmul,
+    and a running per-query top-k is carried ACROSS the partition's
+    batches (ordered by the output tie-break, cosine desc then id asc, so
+    the partial set is an exact superset of the global answer) — each
+    partition emits ONE k·|queries| candidate block.  The final window
+    then ranks ≤ k·partitions candidates per query instead of |corpus|
+    scored pairs — the shuffle shrinks from O(|corpus|·|queries|) to
+    O(k·partitions·|queries|) rows (r7: was per-BATCH partials,
+    ~100× more rows at default 10k-row Arrow batches).  float64 matmul
+    accumulation differs from the JVM fold's strict left-to-right order
+    by ~1 ulp — use :func:`cosine_topk` when bit-exact parity with the
+    SQL oracle matters.
 
     Zero-norm vectors (cosine undefined) are EXCLUDED on both sides —
     a zero corpus vector never appears as a neighbor and a zero query
@@ -133,7 +137,14 @@ def cosine_topk_blas(
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
 
+    nq = len(qrows)
+
     def score(batches):
+        # running per-query top-k across ALL batches of the partition,
+        # ordered by the OUTPUT tie-break (cosine desc, neighbor_id asc) so
+        # dropping beyond-k candidates here can never change the final
+        # window's answer — one k·|queries| block per partition
+        best: list = [[] for _ in range(nq)]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -145,20 +156,28 @@ def cosine_topk_blas(
             Cn = C / cn_
             S = Cn @ Qn.T  # (batch, queries)
             # NaN would rank FIRST under Spark's desc ordering — mask
-            # undefined cosines to -inf so the post-filter drops them
+            # undefined cosines to -inf and drop them below
             S[c_zero, :] = -np.inf
             S[:, q_zero] = -np.inf
             if exclude_self:
                 S[ids[:, None] == q_ids[None, :]] = -np.inf
             kk = min(k, S.shape[0])
-            # partial top-k per query within this batch
             part = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, queries)
-            out_q, out_n, out_c = [], [], []
-            for j in range(S.shape[1]):
+            for j in range(nq):
                 rows = part[:, j]
-                out_q.extend([q_ids[j]] * len(rows))
-                out_n.extend(ids[rows].tolist())
-                out_c.extend(S[rows, j].tolist())
+                cand = best[j] + [
+                    (float(S[r, j]), ids[r]) for r in rows if S[r, j] != -np.inf
+                ]
+                if len(cand) > len(best[j]):
+                    cand.sort(key=lambda t: (-t[0], t[1]))
+                    best[j] = cand[:k]
+        out_q, out_n, out_c = [], [], []
+        for j in range(nq):
+            for cos, nid in best[j]:
+                out_q.append(q_ids[j])
+                out_n.append(nid)
+                out_c.append(cos)
+        if out_q:
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
             )
@@ -166,7 +185,7 @@ def cosine_topk_blas(
     partial = corpus_proj.mapInPandas(
         score,
         schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
-    ).where(F.col("cosine") != float("-inf"))
+    )
     return _topk(partial, k)
 
 
