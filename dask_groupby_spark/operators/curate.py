@@ -247,12 +247,13 @@ def decontaminate_bloom(
     broadcast outgrows the driver; here the broadcast is the m-bit filter
     (m/64 longs — 512 KiB at m=2²², FIXED regardless of blocklist size).
 
-    Plan: filter build = one bounded shuffle on word_idx; membership = the
-    k probes exploded MAP-SIDE into (doc, shingle-hash, word, mask) rows and
-    resolved by ONE broadcast hash join against the (word_idx, bits) table
-    (a single filter build, a single corpus scan); then two narrow shuffles
-    — all-probes-set per (doc, shingle-hash), overlap count per doc.  The
-    corpus text never shuffles (shingles ride as 63-bit hashes).
+    Plan: filter build = one bounded shuffle on word_idx; membership = k
+    successive BROADCAST joins against the (word_idx, bits) table — one per
+    probe, each a map-side hash lookup, no row explosion (r7: the earlier
+    explode-k-probe-rows → join → regroup paid an Exchange over k× the
+    shingle rows just to AND the probe bits back together); then ONE
+    narrow shuffle — the per-doc overlap count over matching shingles
+    only.  The corpus text never shuffles.
 
     Bloom false positives can only OVER-drop (a clean doc removed), never
     leak contamination; at the default m=2²², k=5 the FP rate at 1e5
@@ -265,42 +266,58 @@ def decontaminate_bloom(
         _shingle_rows(benchmark, bench_text_col, bench_text_col, k)
         .select("sh").distinct()
     )
-    bloom = bloom_build(bench_sh, "sh", m_bits=m_bits, n_hashes=n_hashes, hasher=hasher)
-
-    from .dedup import fast_hash
+    # persisted: the k per-probe broadcast builds below would otherwise
+    # each re-run the blocklist scan + filter shuffle (AQE does not reuse
+    # exchanges across broadcast builds); the table itself is ≤ m/64 rows.
+    # Release via the returned frame's bloom_filter_table.unpersist().
+    bloom = bloom_build(
+        bench_sh, "sh", m_bits=m_bits, n_hashes=n_hashes, hasher=hasher
+    ).persist()
 
     corpus_sh = _shingle_rows(df, id_col, text_col, k)
-    probe_rows = corpus_sh.select(
-        "id",
-        fast_hash(F.col("sh"), "shid").alias("shash"),
-        F.explode(
-            F.array(*[_bloom_probe(F.col("sh"), i, m_bits, hasher) for i in range(n_hashes)])
-        ).alias("__p"),
-    ).select(
-        "id",
-        "shash",
-        F.shiftright("__p", 6).alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").alias("__m"),
-    )
-    joined = probe_rows.join(F.broadcast(bloom), on="word_idx", how="left")
-    ok = F.coalesce(
-        F.col("bits").bitwiseAND(F.col("__m")) == F.col("__m"), F.lit(False)
-    )
-    per_sh = joined.groupBy("id", "shash").agg(
-        (F.min(ok.cast("int")) == 1).alias("__hit")
-    )
+    # k successive broadcast lookups, AND-ed map-side — rows stay one per
+    # (doc, distinct shingle); `sh` rows are already per-doc distinct
+    # (array_distinct before the explode), so the final count is the
+    # number of distinct contaminated shingles per doc, as before
+    out = corpus_sh
+    ok = None
+    for i in range(n_hashes):
+        p = _bloom_probe(F.col("sh"), i, m_bits, hasher)
+        out = out.withColumn(f"__w{i}", F.shiftright(p, 6)).withColumn(
+            f"__m{i}",
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.pmod(p, F.lit(64)).cast("int"),
+            ),
+        )
+        bt = F.broadcast(
+            bloom.select(
+                F.col("word_idx").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+            )
+        )
+        out = out.join(bt, on=f"__w{i}", how="left")
+        bit_ok = F.coalesce(
+            F.col(f"__b{i}").bitwiseAND(F.col(f"__m{i}")) == F.col(f"__m{i}"),
+            F.lit(False),
+        )
+        ok = bit_ok if ok is None else ok & bit_ok
     hits = (
-        per_sh.groupBy("id")
-        .agg(F.sum(F.col("__hit").cast("int")).alias("n_contaminated_ngrams"))
+        out.where(ok)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
         .where(F.col("n_contaminated_ngrams") >= min_overlaps)
         .withColumnRenamed("id", id_col)
     )
     if mark_only:
-        return df.join(hits, on=id_col, how="left").withColumn(
+        res = df.join(hits, on=id_col, how="left").withColumn(
             "n_contaminated_ngrams",
             F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)),
         )
-    return df.join(hits.select(id_col), on=id_col, how="left_anti")
+    else:
+        res = df.join(hits.select(id_col), on=id_col, how="left_anti")
+    res.bloom_filter_table = bloom  # unpersist handle
+    return res
 
 
 def mixture_sample(

@@ -471,7 +471,9 @@ def test_decontaminate(spark):
 def test_decontaminate_bloom_matches_exact(spark):
     """Bloom-summarized decontamination == exact path at zero-FP sizing
     (same drop set and same per-doc overlap counts), membership resolved by
-    a single broadcast join."""
+    k map-side broadcast lookups — no probe-row explode, no regroup
+    shuffle (r7: the earlier explode → join → groupBy(id, shash) plan
+    paid an Exchange over k× the shingle rows)."""
     import numpy as np
 
     from dask_groupby_spark.operators.curate import decontaminate, decontaminate_bloom
@@ -491,10 +493,13 @@ def test_decontaminate_bloom_matches_exact(spark):
     bm = {r["doc_id"]: r["n_contaminated_ngrams"]
           for r in decontaminate_bloom(corpus, bench, k=5, mark_only=True).collect()}
     assert em == bm
-    plan = decontaminate_bloom(corpus, bench, k=5, mark_only=True) \
-        ._jdf.queryExecution().executedPlan().toString()
-    # ONE membership broadcast + the final attach join — never k per-probe joins
-    assert plan.count("BroadcastHashJoin") <= 2
+    marked = decontaminate_bloom(corpus, bench, k=5, mark_only=True)
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    # every membership lookup is a BROADCAST join (k probes + the attach)…
+    assert plan.count("BroadcastHashJoin") >= 5
+    # …and the old probe-row explode + (id, shash) regroup Exchange is gone
+    assert "shash" not in plan
+    marked.bloom_filter_table.unpersist(blocking=True)
 
 
 def test_multimodal_audio_features(docs):
