@@ -2756,6 +2756,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # r4-r6 rows (the r5/r6 window, the r1-era re-checks, the 30
 # count..nunique reductions, streaming, joins — positions don't affect
 # registration; scripts/check_driver_contract.py runs the full set).
+#
+# R8 ROTATION GUIDANCE (for the next round, AFTER CORRECTNESS_r07.json
+# confirms the r7 window went green): every key then has an official
+# row, so the r8 first-50 should become a pure FRESHNESS window — the 50
+# keys whose latest official row is oldest (start from the r3-era rows
+# displaced this round: rollup, ewma_scan, text_stats, langid, then the
+# r4 block).  Keep any key that r7's driver run flagged red at the FRONT
+# instead, fixed first.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r7 window: the 26 keys with no driver row in r1-r6 ---
     "stream_cms": q_stream_cms,
