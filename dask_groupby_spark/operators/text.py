@@ -49,15 +49,26 @@ def _stopword_hits(toks: Column, words) -> Column:
 
 
 def add_text_features(
-    df: DataFrame, text_col: str = "text", lang: str = "en"
+    df: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document quality features: char count, token count, mean token
     length, punctuation ratio, stopword ratio.  One narrow projection —
     evaluated map-side, no shuffle; the token array is materialized once
-    into a temp column and shared by every feature."""
+    into a temp column and shared by every feature.
+
+    ``tokens_col`` names an existing pre-tokenized array column to reuse
+    — when several text operators compose over the same documents,
+    tokenize ONCE (``df.withColumn("tk", tokens(F.col("text")))``) and
+    pass it to each, instead of paying a regex split per operator."""
     t = F.col(text_col)
-    df = df.withColumn("__toks", tokens(t))
-    toks = F.col("__toks")
+    own_toks = tokens_col is None
+    tkc = "__toks" if own_toks else tokens_col
+    if own_toks:
+        df = df.withColumn(tkc, tokens(t))
+    toks = F.col(tkc)
     n_tok = F.size(toks)
     n_char = F.length(t)
     tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -78,20 +89,29 @@ def add_text_features(
             "stopword_ratio",
             F.when(n_tok > 0, sw.cast("double") / n_tok).otherwise(F.lit(0.0)),
         )
-        .drop("__toks")
+        .drop(*(["__toks"] if own_toks else []))
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "lang_pred",
+    tokens_col: str | None = None,
+) -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts
     (ties → lexicographically smallest language code; 'und' when all zero).
 
     At scale this is a map-only projection; a real model would slot in as a
-    Pandas UDF behind the same column contract.
+    Pandas UDF behind the same column contract.  ``tokens_col`` reuses a
+    pre-tokenized array column (see :func:`add_text_features`).
     """
     t = F.col(text_col)
-    df = df.withColumn("__toks", tokens(t))
-    toks = F.col("__toks")
+    own_toks = tokens_col is None
+    tkc = "__toks" if own_toks else tokens_col
+    if own_toks:
+        df = df.withColumn(tkc, tokens(t))
+    toks = F.col(tkc)
     scored = F.array(
         *[
             F.struct(
@@ -107,7 +127,7 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     pred = F.when(max_score > 0, F.array_min(F.transform(winners, lambda s: s["code"]))).otherwise(
         F.lit("und")
     )
-    return df.withColumn(out, pred).drop("__toks")
+    return df.withColumn(out, pred).drop(*(["__toks"] if own_toks else []))
 
 
 def repetition_features(
@@ -462,6 +482,7 @@ def gopher_quality_flags(
     df: DataFrame,
     text_col: str = "text",
     stopwords=STOPWORDS["en"],
+    tokens_col: str | None = None,
     **overrides,
 ) -> DataFrame:
     """Gopher-rules document quality signals (Rae et al. 2021): word count
@@ -469,12 +490,20 @@ def gopher_quality_flags(
     an alphabetic character, ≤10% hash/ellipsis symbols — appended as typed
     columns plus a single ``gopher_pass`` verdict.
 
-    One narrow map-only projection (the token array is bound once and every
-    rule folds over it — no shuffle, no UDF); compose with
-    ``curate_documents`` or filter directly on ``gopher_pass``.
+    One narrow map-only projection, no shuffle, no UDF; the token array is
+    MATERIALIZED into a column first (codegen does not CSE the tokenize
+    expression across the rules' higher-order-function lambdas — binding
+    the bare expression re-split the text once per rule).  ``tokens_col``
+    reuses an existing pre-tokenized column instead (see
+    :func:`add_text_features`).  Compose with ``curate_documents`` or
+    filter directly on ``gopher_pass``.
     """
     cfg = {**GOPHER_DEFAULTS, **overrides}
-    toks = tokens(F.col(text_col))
+    own_toks = tokens_col is None
+    tkc = "__toks" if own_toks else tokens_col
+    if own_toks:
+        df = df.withColumn(tkc, tokens(F.col(text_col)))
+    toks = F.col(tkc)
     n = F.size(toks)
     mean_len = F.when(
         n > 0,
@@ -499,7 +528,7 @@ def gopher_quality_flags(
         & (alpha_ratio >= cfg["min_alpha_ratio"])
         & (symbol_ratio <= cfg["max_symbol_ratio"])
     )
-    return df.select(
+    out = df.select(
         "*",
         n.cast("bigint").alias("g_n_words"),
         mean_len.alias("g_mean_word_len"),
@@ -508,6 +537,7 @@ def gopher_quality_flags(
         symbol_ratio.alias("g_symbol_ratio"),
         F.coalesce(passes, F.lit(False)).alias("gopher_pass"),
     )
+    return out.drop("__toks") if own_toks else out
 
 
 def hash_classifier_score(

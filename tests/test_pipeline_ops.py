@@ -963,3 +963,25 @@ def test_out_column_collision_guards(spark):
     rdf = spark.createDataFrame([(1, 2.0, 0.5)], "k bigint, v double, __dr double")
     with pytest.raises(ValueError, match="__dr"):
         groupby_rank(rdf, "k", value="v", method="dense", pct=True)
+
+
+def test_tokens_col_reuse_identical(spark):
+    """tokens_col= reuses a pre-tokenized column — identical results to
+    each operator tokenizing on its own (r7: composed pipelines paid one
+    regex split per operator; gopher paid one per RULE)."""
+    from dask_groupby_spark.operators.text import (
+        add_text_features,
+        gopher_quality_flags,
+        language_id,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "der hund und die katze"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    pre = df.withColumn("tk", tokens(F.col("text")))
+    for fn in (add_text_features, language_id, gopher_quality_flags):
+        a = fn(df).drop("tk").orderBy("doc_id").collect()
+        b = fn(pre, tokens_col="tk").drop("tk").orderBy("doc_id").collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b], fn.__name__
