@@ -136,9 +136,17 @@ def bench_queries(spark, sf):
                               n_cells=16, nprobe=3))
 
     def text_pipeline():
-        from dask_groupby_spark.operators.text import add_text_features, language_id
+        from dask_groupby_spark.operators.text import (
+            add_text_features,
+            language_id,
+            tokens,
+        )
 
-        feats = language_id(add_text_features(docs))
+        # tokenize ONCE and share across the composed operators (tokens_col)
+        toked = docs.withColumn("__tk", tokens(F.col("text")))
+        feats = language_id(
+            add_text_features(toked, tokens_col="__tk"), tokens_col="__tk"
+        )
         _materialize(
             feats.groupBy("lang_pred").agg(
                 F.count(F.lit(1)).alias("n"),
