@@ -91,9 +91,18 @@ def groupby_rolling(
         elif f == "max":
             col = F.max(clean).over(w)
         else:  # var / std, ddof=1 (pandas default)
-            s2 = F.sum(clean * clean).over(w)
-            var = (s2 - s * s / n) / (n - F.lit(1))
-            var = F.when(n > 1, var)
+            # SHIFTED one-pass moments: variance is shift-invariant, and
+            # centering by the group mean first (one unordered window over
+            # the same partitioning — no extra Exchange) kills the
+            # catastrophic cancellation of Σx² − (Σx)²/n when |mean| ≫
+            # spread (hypothesis found 3.8e-6 relative error vs pandas at
+            # values ~1e5 with variance ~0.5; shifted it is ~1 ulp)
+            shift = F.avg(clean).over(Window.partitionBy(*by))
+            c = clean - shift
+            s2 = F.sum(c * c).over(w)
+            sc = F.sum(c).over(w)
+            var = (s2 - sc * sc / n) / (n - F.lit(1))
+            var = F.when(n > 1, F.greatest(var, F.lit(0.0)))
             col = var if f == "var" else F.sqrt(var)
         # short frame → NaN (pandas min_periods)
         col = F.when(n >= F.lit(max(min_periods, 1)), col).otherwise(F.lit(NAN))

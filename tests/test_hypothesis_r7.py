@@ -1,0 +1,166 @@
+"""r7 hypothesis parity sweep: randomized inputs against the PANDAS
+reference semantics each operator's docstring claims — merge_asof for the
+as-of join, GroupBy.rolling for rolling aggregates, and the inverted-CDF
+definition for weighted quantiles.  Same one-collect-per-example
+discipline as test_hypothesis.py.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dask_groupby_spark.operators.joins import asof_join
+from dask_groupby_spark.operators.weighted import weighted_quantile
+from dask_groupby_spark.rolling import groupby_rolling
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def asof_tables(draw):
+    # DISTINCT timestamps within each side of a key: equal-ts tie order
+    # between engines is a convention, not a semantic, so we generate
+    # tie-free inputs and let direction/tolerance carry the test
+    nl = draw(st.integers(1, 15))
+    nr = draw(st.integers(0, 15))
+    keys_l = draw(st.lists(st.integers(0, 2), min_size=nl, max_size=nl))
+    keys_r = draw(st.lists(st.integers(0, 2), min_size=nr, max_size=nr))
+    ts_pool = draw(st.permutations(list(range(200))))
+    left = [(k, float(ts_pool[i]), float(i)) for i, k in enumerate(keys_l)]
+    right = [
+        (k, float(ts_pool[nl + j]), float(100 + j)) for j, k in enumerate(keys_r)
+    ]
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
+    tolerance = draw(st.one_of(st.none(), st.floats(1.0, 50.0, allow_nan=False)))
+    return left, right, direction, tolerance
+
+
+@settings(**_SETTINGS)
+@given(data=asof_tables())
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    left, right, direction, tolerance = data
+    ldf = spark.createDataFrame(left, "k bigint, ts double, lv double")
+    rdf = spark.createDataFrame(right, "k bigint, ts double, rv double")
+    got = asof_join(
+        ldf, rdf, on="ts", by=["k"], direction=direction, tolerance=tolerance,
+        right_cols=["rv"],
+    ).collect()
+    lp = pd.DataFrame(left, columns=["k", "ts", "lv"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "ts", "rv"]).sort_values("ts")
+    if len(rp):
+        exp = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction,
+            tolerance=tolerance,
+        )
+        exp_map = {row.lv: row.rv for row in exp.itertuples()}
+    else:
+        exp_map = {row.lv: float("nan") for row in lp.itertuples()}
+    assert len(got) == len(left)
+    for r in got:
+        e = exp_map[r["lv"]]
+        g = r["rv_right"]
+        if g is None:
+            assert isinstance(e, float) and math.isnan(e), (r, e)
+        else:
+            assert not math.isnan(e) and g == e, (r, e)
+
+
+@st.composite
+def rolling_data(draw):
+    n = draw(st.integers(1, 30))
+    labels = draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(
+            st.one_of(
+                st.floats(-1e5, 1e5, allow_nan=False), st.just(float("nan"))
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    window = draw(st.integers(1, 6))
+    min_periods = draw(st.integers(1, min(3, window)))  # pandas needs mp <= window
+    return labels, vals, window, min_periods
+
+
+@settings(**_SETTINGS)
+@given(data=rolling_data())
+def test_rolling_matches_pandas(spark, data):
+    labels, vals, window, min_periods = data
+    rows = [
+        (int(i), int(l), float(v)) for i, (l, v) in enumerate(zip(labels, vals))
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, label bigint, val double")
+    funcs = ["sum", "mean", "min", "max", "var"]
+    got = {
+        r["idx"]: r
+        for r in groupby_rolling(
+            df, "label", funcs=funcs, value="val", idx_col="idx",
+            window=window, min_periods=min_periods,
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["idx", "label", "val"]).set_index("idx")
+    roll = pdf.groupby("label")["val"].rolling(window, min_periods=min_periods)
+    exp = {
+        "sum": roll.sum(), "mean": roll.mean(), "min": roll.min(),
+        "max": roll.max(), "var": roll.var(ddof=1),
+    }
+    for f in funcs:
+        for (_, idx), e in exp[f].items():
+            g = got[idx][f"rolling_{f}"]
+            if isinstance(e, float) and math.isnan(e):
+                assert math.isnan(g), (f, idx, g)
+            else:
+                assert abs(g - e) <= 1e-6 * max(1.0, abs(e)), (f, idx, g, e)
+
+
+@st.composite
+def wq_data(draw):
+    n = draw(st.integers(1, 30))
+    labels = draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(st.floats(-1e4, 1e4, allow_nan=False), min_size=n, max_size=n)
+    )
+    ws = draw(st.lists(st.floats(0.0, 10.0, allow_nan=False), min_size=n, max_size=n))
+    qs = draw(
+        st.lists(st.floats(0.0, 1.0, allow_nan=False), min_size=1, max_size=3)
+    )
+    return labels, vals, ws, qs
+
+
+@settings(**_SETTINGS)
+@given(data=wq_data())
+def test_weighted_quantile_matches_python_inverted_cdf(spark, data):
+    labels, vals, ws, qs = data
+    rows = [
+        (int(l), float(v), float(w)) for l, v, w in zip(labels, vals, ws)
+    ]
+    df = spark.createDataFrame(rows, "label bigint, val double, w double")
+    out = weighted_quantile(df, "label", value="val", weight="w", q=qs)
+    got = {r["label"]: r for r in out.collect()}
+
+    ref: dict = {}
+    for l, v, w in rows:
+        if w > 0:
+            ref.setdefault(l, []).append((v, w))
+    for lab, pairs in ref.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        for q in qs:
+            target = q * tot
+            cum, ans = 0.0, None
+            for v, w in pairs:
+                cum += w
+                if cum >= target:
+                    ans = v
+                    break
+            name = f"wq_{float(q)}".replace(".", "_")
+            g = got[lab][name]
+            assert g == ans, (lab, q, g, ans)
