@@ -76,46 +76,47 @@ def groupby_bivariate(
 
     ``funcs`` ⊆ {corr, cov, slope, intercept, r2} (``cov`` honors ``ddof``:
     1 = sample, 0 = population; slope/intercept/r2 are the OLS fit of
-    y on x).  Computed from the five raw moments Σx, Σy, Σxy, Σx², Σy²
-    in ONE hash aggregate — algebraic, map-side combinable, one shuffle;
-    never calls the non-combinable two-pass formulations.
+    y on x).  Built from Spark's NUMERICALLY STABLE co-moment aggregates
+    (``corr``/``covar_samp``/``covar_pop`` — Welford-style merge, no
+    Σx²−(Σx)²/n cancellation when |mean| ≫ spread) — still one fused
+    hash aggregate, map-side combinable, one shuffle.
     """
     ok = _valid(df, x) & _valid(df, y)
     xv = F.when(ok, F.col(x).cast("double"))
     yv = F.when(ok, F.col(y).cast("double"))
     n = F.count(xv)
-    sx, sy = F.sum(xv), F.sum(yv)
-    sxy = F.sum(xv * yv)
-    sxx, syy = F.sum(xv * xv), F.sum(yv * yv)
-    cov_num = sxy - sx * sy / n  # n·Cov_pop numerator
+    cov_pop = F.covar_pop(xv, yv)
+    vx = F.var_pop(xv)
+    vy = F.var_pop(yv)
     aggs = []
     for f in funcs:
         if f == "cov":
-            denom = n - F.lit(ddof)
-            aggs.append(
-                F.when(denom > 0, cov_num / denom).alias("cov")
-            )
+            if ddof == 1:
+                aggs.append(F.when(n > 1, F.covar_samp(xv, yv)).alias("cov"))
+            elif ddof == 0:
+                aggs.append(F.when(n > 0, cov_pop).alias("cov"))
+            else:
+                denom = n - F.lit(ddof)
+                aggs.append(
+                    F.when(denom > 0, cov_pop * n / denom).alias("cov")
+                )
         elif f == "corr":
-            vx = sxx - sx * sx / n
-            vy = syy - sy * sy / n
             aggs.append(
-                F.when((n > 1) & (vx > 0) & (vy > 0), cov_num / F.sqrt(vx * vy))
-                .alias("corr")
+                F.when((n > 1) & (vx > 0) & (vy > 0), F.corr(xv, yv)).alias("corr")
             )
         elif f == "slope":
-            vx = sxx - sx * sx / n
-            aggs.append(F.when(vx > 0, cov_num / vx).alias("slope"))
+            aggs.append(F.when(vx > 0, cov_pop / vx).alias("slope"))
         elif f == "intercept":
-            vx = sxx - sx * sx / n
             aggs.append(
-                F.when(vx > 0, (sy - (cov_num / vx) * sx) / n).alias("intercept")
+                F.when(vx > 0, F.avg(yv) - (cov_pop / vx) * F.avg(xv)).alias(
+                    "intercept"
+                )
             )
         elif f == "r2":
-            vx = sxx - sx * sx / n
-            vy = syy - sy * sy / n
             aggs.append(
                 F.when(
-                    (vx > 0) & (vy > 0), (cov_num * cov_num) / (vx * vy)
+                    (vx > 0) & (vy > 0),
+                    (cov_pop * cov_pop) / (vx * vy),
                 ).alias("r2")
             )
         else:
