@@ -188,11 +188,13 @@ def _var_expr(ctx: Ctx) -> Column:
         return F.var_pop(ctx.clean)
     if ddof == 1:
         return F.var_samp(ctx.clean)
-    # generic ddof (ref: aggregations.py:337-368): (sumsq − sum²/n)/(n−ddof)
+    # generic ddof (ref: aggregations.py:337-368) via the STABLE builtin:
+    # var_ddof = var_pop · n/(n−ddof) exactly — no Σx²−(Σx)²/n raw-moment
+    # cancellation when |mean| ≫ spread (r7 numerical-stability sweep)
     n = F.count(ctx.clean)
-    s = F.sum(ctx.clean.cast("double"))
-    sq = F.sum(ctx.clean.cast("double") * ctx.clean.cast("double"))
-    return F.when(n > F.lit(ddof), (sq - s * s / n) / (n - F.lit(ddof)))
+    return F.when(
+        n > F.lit(ddof), F.var_pop(ctx.clean) * n / (n - F.lit(ddof))
+    )
 
 
 def _nanvar(ctx: Ctx) -> Column:

@@ -36,11 +36,20 @@ def groupby_weighted(
     - ``wmean`` = Σ wᵢ·xᵢ / Σ wᵢ  (NaN when total weight is 0/empty)
     - ``wvar``  = Σ wᵢ·xᵢ² / Σ wᵢ − wmean²  (population, frequency weights)
 
-    All requested funcs share one ``agg()`` → one shuffle.
+    All requested funcs share one ``agg()`` → one shuffle.  ``wvar`` is
+    computed over values SHIFTED by the group's min (variance is
+    shift-invariant; the deterministic shift kills the raw-moment
+    cancellation when |mean| ≫ spread) — the min comes from an unordered
+    window over the same keys, whose partitioning the aggregate reuses,
+    so the plan stays a single Exchange.
     """
     ok = _valid(df, value) & _valid(df, weight)
     x = F.when(ok, F.col(value).cast("double"))
     w = F.when(ok, F.col(weight).cast("double"))
+    if "wvar" in funcs:
+        from pyspark.sql import Window
+
+        df = df.withColumn("__wv_k", F.min(x).over(Window.partitionBy(*by)))
     wsum_x = F.sum(w * x)
     wsum = F.sum(w)
     aggs = []
@@ -50,11 +59,13 @@ def groupby_weighted(
         elif f == "wmean":
             aggs.append((wsum_x / wsum).alias("wmean"))
         elif f == "wvar":
-            aggs.append(
-                (F.sum(w * x * x) / wsum - (wsum_x / wsum) * (wsum_x / wsum)).alias(
-                    "wvar"
-                )
-            )
+            c = x - F.col("__wv_k")
+            swc = F.sum(w * c)
+            raw = F.sum(w * c * c) / wsum - (swc / wsum) * (swc / wsum)
+            # clamp the tiny negative rounding residue to 0 WITHOUT
+            # coercing the all-missing NULL (greatest() would return 0.0
+            # for a NULL operand)
+            aggs.append(F.when(raw < 0, F.lit(0.0)).otherwise(raw).alias("wvar"))
         else:
             raise ValueError(f"unknown weighted func {f!r}")
     out = df.groupBy(*by).agg(*aggs)
