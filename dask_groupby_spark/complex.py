@@ -164,30 +164,34 @@ def groupby_reduce_complex(
         agg = (
             F.min_by(v, pick_idx) if base == "first" else F.max_by(v, pick_idx)
         ).alias(out)
-    elif base == "var":
+    elif base in ("var", "std"):
         # numpy: var(z) = mean(|z - E z|^2) = E|z|^2 - |E z|^2 — REAL-valued.
-        # One pass: Σ(re²+im²), Σre, Σim, n; ddof in the denominator.
+        # Computed over values SHIFTED by the group's (min re, min im):
+        # variance is shift-invariant for complex z too, the min is
+        # deterministic (order-insensitive, unlike a float-mean shift), and
+        # shifting kills the raw-moment cancellation when |mean| ≫ spread
+        # (r7 numerical-stability sweep).  The unordered window shares the
+        # aggregate's key partitioning — still one Exchange.
+        from pyspark.sql import Window
+
+        wsh = Window.partitionBy(*by)
+        keyed = keyed.withColumn(
+            "__c_kre", F.min(F.when(valid, re)).over(wsh)
+        ).withColumn("__c_kim", F.min(F.when(valid, im)).over(wsh))
+        cre = re - F.col("__c_kre")
+        cim = im - F.col("__c_kim")
         n = F.count(clean)
-        ssq = F.sum(F.when(valid, re * re + im * im))
-        sre, sim = F.sum(F.when(valid, re)), F.sum(F.when(valid, im))
+        ssq = F.sum(F.when(valid, cre * cre + cim * cim))
+        sre, sim = F.sum(F.when(valid, cre)), F.sum(F.when(valid, cim))
         num = ssq - (sre * sre + sim * sim) / n
         # clamp tiny negative rounding residue like Spark's var_pop does;
         # guard n > ddof (as in aggregations._var_expr) so degenerate groups
         # (n <= ddof, incl. all-missing) yield NULL → NaN downstream instead
         # of ANSI DIVIDE_BY_ZERO / greatest() swallowing the NULL into 0.0
-        agg = F.when(
-            n > F.lit(int(ddof)),
-            F.greatest(num / (n - F.lit(int(ddof))), F.lit(0.0)),
-        ).alias(out)
-    elif base == "std":
-        n = F.count(clean)
-        ssq = F.sum(F.when(valid, re * re + im * im))
-        sre, sim = F.sum(F.when(valid, re)), F.sum(F.when(valid, im))
-        num = ssq - (sre * sre + sim * sim) / n
-        agg = F.when(
-            n > F.lit(int(ddof)),
-            F.sqrt(F.greatest(num / (n - F.lit(int(ddof))), F.lit(0.0))),
-        ).alias(out)
+        core = F.greatest(num / (n - F.lit(int(ddof))), F.lit(0.0))
+        if base == "std":
+            core = F.sqrt(core)
+        agg = F.when(n > F.lit(int(ddof)), core).alias(out)
     elif base in ("argmin", "argmax"):
         # lexicographic extreme (numpy complex ordering), smallest-index
         # tie-break via max(struct(key, -idx)) — same trick as the scalar
