@@ -164,3 +164,100 @@ def test_weighted_quantile_matches_python_inverted_cdf(spark, data):
             name = f"wq_{float(q)}".replace(".", "_")
             g = got[lab][name]
             assert g == ans, (lab, q, g, ans)
+
+
+@st.composite
+def rank_data(draw):
+    n = draw(st.integers(1, 25))
+    labels = draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    # small integer value pool forces plenty of ties
+    vals = draw(
+        st.lists(
+            st.one_of(st.integers(0, 5).map(float), st.just(float("nan"))),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    method = draw(st.sampled_from(["average", "min", "max", "dense", "first"]))
+    ascending = draw(st.booleans())
+    pct = draw(st.booleans())
+    return labels, vals, method, ascending, pct
+
+
+@settings(**_SETTINGS)
+@given(data=rank_data())
+def test_groupby_rank_matches_pandas(spark, data):
+    from dask_groupby_spark.core import groupby_rank
+
+    labels, vals, method, ascending, pct = data
+    rows = [
+        (int(i), int(l), float(v)) for i, (l, v) in enumerate(zip(labels, vals))
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, label bigint, val double")
+    got = {
+        r["idx"]: r["rank"]
+        for r in groupby_rank(
+            df, "label", value="val", method=method, ascending=ascending,
+            pct=pct, idx_col="idx",
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["idx", "label", "val"]).set_index("idx")
+    exp = pdf.groupby("label")["val"].rank(
+        method=method, ascending=ascending, pct=pct, na_option="keep"
+    )
+    for idx, e in exp.items():
+        g = got[idx]
+        if isinstance(e, float) and math.isnan(e):
+            assert g is None, (idx, g)
+        else:
+            assert g is not None and abs(float(g) - e) <= 1e-9, (idx, g, e)
+
+
+@st.composite
+def interp_data(draw):
+    n = draw(st.integers(1, 25))
+    labels = draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    xs = draw(st.permutations(list(range(100)))).__getitem__(slice(n))
+    vals = draw(
+        st.lists(
+            st.one_of(
+                st.floats(-1e4, 1e4, allow_nan=False), st.just(float("nan"))
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return labels, xs, vals
+
+
+@settings(**_SETTINGS)
+@given(data=interp_data())
+def test_groupby_interpolate_matches_pandas(spark, data):
+    from dask_groupby_spark.core import groupby_interpolate
+
+    labels, xs, vals = data
+    rows = [
+        (int(l), float(x), float(v)) for l, x, v in zip(labels, xs, vals)
+    ]
+    df = spark.createDataFrame(rows, "label bigint, x double, val double")
+    got = {
+        (r["label"], r["x"]): r["interp"]
+        for r in groupby_interpolate(
+            df, "label", value="val", order_by="x", out="interp"
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["label", "x", "val"])
+    for lab, g in pdf.groupby("label"):
+        g = g.sort_values("x").set_index("x")
+        # pandas interpolate fills trailing gaps too (ffill tail); the
+        # engine leaves one-sided gaps missing — mirror by masking where
+        # no later valid value exists
+        e = g["val"].interpolate(method="index", limit_area="inside")
+        for x, ev in e.items():
+            gv = got[(lab, x)]
+            if isinstance(ev, float) and math.isnan(ev):
+                assert gv is None or math.isnan(gv), (lab, x, gv)
+            else:
+                assert gv is not None and abs(gv - ev) <= 1e-9 * max(1.0, abs(ev)), (
+                    lab, x, gv, ev,
+                )
