@@ -261,3 +261,49 @@ def test_groupby_interpolate_matches_pandas(spark, data):
                 assert gv is not None and abs(gv - ev) <= 1e-9 * max(1.0, abs(ev)), (
                     lab, x, gv, ev,
                 )
+
+
+@st.composite
+def interval_tables(draw):
+    nl = draw(st.integers(1, 12))
+    nr = draw(st.integers(1, 12))
+
+    def intervals(n, tag):
+        out = []
+        for i in range(n):
+            s = draw(st.floats(0.0, 100.0, allow_nan=False))
+            length = draw(st.floats(0.0, 30.0, allow_nan=False))
+            k = draw(st.integers(0, 1))
+            out.append((k, float(s), float(s + length), float(tag + i)))
+        return out
+
+    left = intervals(nl, 0)
+    right = intervals(nr, 100)
+    width = draw(st.sampled_from([1.0, 7.0, 24.0, 150.0]))
+    return left, right, width
+
+
+@settings(**_SETTINGS)
+@given(data=interval_tables())
+def test_interval_overlap_join_matches_naive_predicate(spark, data):
+    """The grid decomposition must produce every overlapping pair EXACTLY
+    once at ANY bucket width — intervals spanning many buckets co-occur in
+    each shared bucket and must dedup to one output row."""
+    from dask_groupby_spark.operators.joins import interval_overlap_join
+
+    left, right, width = data
+    ldf = spark.createDataFrame(left, "k bigint, s double, e double, lid double")
+    rdf = spark.createDataFrame(right, "k bigint, s double, e double, rid double")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "s", "e", "s", "e", by=["k"], bucket_width=width
+        ).collect()
+    )
+    exp = sorted(
+        (l[3], r[3])
+        for l in left
+        for r in right
+        if l[0] == r[0] and l[1] <= r[2] and r[1] <= l[2]
+    )
+    assert got == exp
