@@ -307,3 +307,68 @@ def test_interval_overlap_join_matches_naive_predicate(spark, data):
         if l[0] == r[0] and l[1] <= r[2] and r[1] <= l[2]
     )
     assert got == exp
+
+
+@st.composite
+def jaccard_corpus(draw):
+    n_docs = draw(st.integers(2, 10))
+    vocab = ["a", "b", "c", "d"]
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(0, 10))
+        toks = [draw(st.sampled_from(vocab)) for _ in range(n_tok)]
+        docs.append((i, " ".join(toks)))
+    k = draw(st.integers(1, 3))
+    threshold = draw(st.sampled_from([0.0, 0.3, 0.7]))
+    max_df = draw(st.one_of(st.none(), st.integers(1, 6)))
+    return docs, k, threshold, max_df
+
+
+@settings(**_SETTINGS)
+@given(data=jaccard_corpus())
+def test_ngram_jaccard_matches_python_reference(spark, data):
+    """Exact Jaccard (and the max_shingle_df stop-shingle variant: both
+    intersections AND set sizes over the surviving shingle space) against
+    a direct python computation."""
+    from dask_groupby_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs, k, threshold, max_df = data
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = ngram_jaccard_pairs(
+        df, k=k, threshold=threshold, max_shingle_df=max_df
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()
+    }
+    if hasattr(out, "ngram_shingle_buckets"):
+        out.ngram_shingle_buckets.unpersist()
+
+    def shingles(text):
+        toks = [t for t in text.split(" ") if t]
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+
+    sets = {i: shingles(t) for i, t in docs}
+    sets = {i: s for i, s in sets.items() if s}
+    if max_df is not None:
+        from collections import Counter
+
+        dfreq = Counter(sh for s in sets.values() for sh in s)
+        sets = {
+            i: {sh for sh in s if dfreq[sh] <= max_df} for i, s in sets.items()
+        }
+    exp = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue  # candidates require >= 1 shared shingle
+            j = inter / len(sets[a] | sets[b])
+            if j >= threshold:
+                exp[(a, b)] = j
+    assert set(got) == set(exp), (set(got) ^ set(exp))
+    for pair, j in exp.items():
+        assert abs(got[pair] - j) <= 1e-9, (pair, got[pair], j)
