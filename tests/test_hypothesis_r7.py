@@ -372,3 +372,55 @@ def test_ngram_jaccard_matches_python_reference(spark, data):
     assert set(got) == set(exp), (set(got) ^ set(exp))
     for pair, j in exp.items():
         assert abs(got[pair] - j) <= 1e-9, (pair, got[pair], j)
+
+
+@st.composite
+def paragraph_corpus(draw):
+    n_docs = draw(st.integers(1, 8))
+    paras = ["alpha", "beta beta", "GAMMA", " alpha ", "", "x"]
+    docs = []
+    for i in range(n_docs):
+        n_seg = draw(st.integers(0, 5))
+        segs = [draw(st.sampled_from(paras)) for _ in range(n_seg)]
+        docs.append((i, "\n".join(segs)))
+    normalize = draw(st.booleans())
+    min_len = draw(st.sampled_from([0, 2]))
+    return docs, normalize, min_len
+
+
+@settings(**_SETTINGS)
+@given(data=paragraph_corpus())
+def test_dedup_paragraphs_matches_python_reference(spark, data):
+    """Cross-document paragraph dedup vs a direct python walk: global
+    (doc_id, pos) first-occurrence order, min_len/empty exemptions, and
+    the normalize=True whitespace-collapsed-lowercase fingerprint."""
+    import re as _re
+
+    from dask_groupby_spark.operators.dedup import dedup_paragraphs
+
+    docs, normalize, min_len = data
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_paragraphs(
+            df, normalize=normalize, min_len=min_len
+        ).collect()
+    }
+
+    def fp(seg):
+        return _re.sub(r"\s+", " ", seg.strip()).lower() if normalize else seg
+
+    seen = set()
+    exp = {}
+    for i, text in docs:  # doc_id order == generation order
+        kept = []
+        for seg in text.split("\n"):
+            if len(seg) < max(min_len, 1):
+                kept.append(seg)
+                continue
+            f = fp(seg)
+            if f not in seen:
+                seen.add(f)
+                kept.append(seg)
+        exp[i] = "\n".join(kept)
+    assert got == exp
