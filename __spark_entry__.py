@@ -1148,8 +1148,8 @@ def q_winsorize(spark, sf):
 
 
 def q_corr(spark, sf):
-    """bivariate grouped corr+cov (pairwise-complete, one algebraic
-    aggregate from raw moments)."""
+    """bivariate grouped corr+cov (pairwise-complete, one fused aggregate
+    over Spark's stable co-moment builtins)."""
     from dask_groupby_spark.operators.weighted import groupby_bivariate
 
     li = load_table(spark, sf, "lineitem")
