@@ -424,3 +424,40 @@ def test_dedup_paragraphs_matches_python_reference(spark, data):
                 kept.append(seg)
         exp[i] = "\n".join(kept)
     assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(data=wq_data())
+def test_weighted_quantile_sketch_error_bound(spark, data):
+    """The histogram sketch's answer must sit within half a bucket width
+    of the exact inverted-CDF answer (the documented value-space bound),
+    for every group and every q."""
+    from dask_groupby_spark.operators.weighted import (
+        weighted_quantile,
+        weighted_quantile_sketch,
+    )
+
+    labels, vals, ws, qs = data
+    rows = [(int(l), float(v), float(w)) for l, v, w in zip(labels, vals, ws)]
+    df = spark.createDataFrame(rows, "label bigint, val double, w double")
+    bins = 64
+    exact = {r["label"]: r for r in weighted_quantile(
+        df, "label", value="val", weight="w", q=qs).collect()}
+    sk = {r["label"]: r for r in weighted_quantile_sketch(
+        df, "label", value="val", weight="w", q=qs, bins=bins).collect()}
+    spans = {}
+    for l, v, w in rows:
+        if w > 0:
+            lo, hi = spans.get(l, (v, v))
+            spans[l] = (min(lo, v), max(hi, v))
+    for lab, er in exact.items():
+        half = (spans[lab][1] - spans[lab][0]) / bins / 2 if lab in spans else 0.0
+        for q in qs:
+            name = f"wq_{float(q)}".replace(".", "_")
+            e, s = er[name], sk[lab][name]
+            if e is None:
+                assert s is None, (lab, q, s)
+            else:
+                assert s is not None and abs(s - e) <= half + 1e-9, (
+                    lab, q, s, e, half,
+                )
