@@ -96,7 +96,12 @@ def groupby_rolling(
             # the same partitioning — no extra Exchange) kills the
             # catastrophic cancellation of Σx² − (Σx)²/n when |mean| ≫
             # spread (hypothesis found 3.8e-6 relative error vs pandas at
-            # values ~1e5 with variance ~0.5; shifted it is ~1 ulp)
+            # values ~1e5 with variance ~0.5; shifted it is ~1 ulp).
+            # Residual conditioning bound: a WINDOW whose values sit far
+            # from the group mean still one-passes over centered values of
+            # that offset's magnitude — absolute error ~ eps·n·max(x−K)²,
+            # the same class as pandas' own online rolling var (a window-
+            # local two-pass is not expressible as window aggregates).
             shift = F.avg(clean).over(Window.partitionBy(*by))
             c = clean - shift
             s2 = F.sum(c * c).over(w)

@@ -110,15 +110,35 @@ def test_rolling_matches_pandas(spark, data):
     roll = pdf.groupby("label")["val"].rolling(window, min_periods=min_periods)
     exp = {
         "sum": roll.sum(), "mean": roll.mean(), "min": roll.min(),
-        "max": roll.max(), "var": roll.var(ddof=1),
+        "max": roll.max(),
     }
-    for f in funcs:
+    for f in ["sum", "mean", "min", "max"]:
         for (_, idx), e in exp[f].items():
             g = got[idx][f"rolling_{f}"]
             if isinstance(e, float) and math.isnan(e):
                 assert math.isnan(g), (f, idx, g)
             else:
                 assert abs(g - e) <= 1e-6 * max(1.0, abs(e)), (f, idx, g, e)
+    # var: numpy TWO-PASS truth with a conditioning-aware tolerance —
+    # pandas' own online rolling var drifts by the same one-pass class
+    # (soak caught pandas at 0.5000019 vs our shifted-moment 0.5), so a
+    # strict pandas compare tests nothing.  Both engines' one-pass error
+    # scales with eps * n * (max |x - group_mean| in window)^2.
+    for lab, g in pdf.groupby("label"):
+        vs = g["val"].to_numpy()
+        gmean = float(np.nanmean(vs)) if not np.all(np.isnan(vs)) else 0.0
+        idxs = g.index.to_list()
+        for i, idx in enumerate(idxs):
+            w = vs[max(0, i - window + 1) : i + 1]
+            valid = w[~np.isnan(w)]
+            gv = got[idx]["rolling_var"]
+            if len(valid) < max(min_periods, 2):
+                assert math.isnan(gv), (idx, gv)
+                continue
+            truth = float(np.var(valid, ddof=1))
+            c2 = float(np.max((valid - gmean) ** 2))
+            tol = 1e-13 * len(valid) * max(1.0, c2) + 1e-9
+            assert abs(gv - truth) <= tol, (idx, gv, truth, tol)
 
 
 @st.composite
