@@ -101,3 +101,68 @@ def test_sessionize_matches_python_walk(spark, data, gap_min):
                 sid += 1
             prev = ts
             assert got[rid] == sid, (k, rid, got[rid], sid)
+
+
+def test_r7_ops_repartition_invariance(spark):
+    """Spark == itself under adversarial repartitioning for the r7-era
+    operators (the analog of the reference's dask-rechunking sweep):
+    bm25, leakage_safe_split, groupby_interpolate, and near_deduplicate
+    with keep_by must not depend on physical row placement."""
+    import numpy as np
+
+    from dask_groupby_spark.core import groupby_interpolate
+    from dask_groupby_spark.operators.curate import leakage_safe_split
+    from dask_groupby_spark.operators.dedup import near_deduplicate
+    from dask_groupby_spark.operators.text import bm25_scores
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "spark", "hash"]
+    docs_rows = [
+        (i, " ".join(rng.choice(words, 12)), float(rng.integers(0, 100)))
+        for i in range(80)
+    ]
+    # plant near-duplicate pairs so clustering has real work
+    docs_rows += [(100 + i, docs_rows[i][1] + " tail", 1.0) for i in range(10)]
+    base = spark.createDataFrame(docs_rows, "doc_id bigint, text string, q double")
+
+    def runs(fn):
+        outs = []
+        for n in (1, 7):
+            outs.append(sorted(map(tuple, fn(base.repartition(n)).collect())))
+        assert outs[0] == outs[1], fn
+        return outs[0]
+
+    runs(lambda d: bm25_scores(d, ["spark", "hash"]).select("doc_id", "dl", "bm25"))
+    runs(
+        lambda d: near_deduplicate(
+            d, num_hashes=8, bands=4, keep_by="q"
+        ).select("doc_id")
+    )
+
+    from dask_groupby_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    def leak(d):
+        pairs = lsh_candidate_pairs(
+            minhash_signatures(d, "doc_id", "text", 8, 3), 8, 4
+        )
+        return leakage_safe_split(d, pairs, 0.3).select(
+            "doc_id", "cluster_id", "split"
+        )
+
+    runs(leak)
+
+    ev_rows = [
+        (int(i % 3), float(i * 7 % 50), float(i) if i % 4 else None, int(i))
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(ev_rows, "k bigint, x double, v double, rid bigint")
+    runs2 = []
+    for n in (1, 5):
+        out = groupby_interpolate(
+            ev.repartition(n), "k", value="v", order_by=["x", "rid"], out="iv"
+        )
+        runs2.append(sorted((r["rid"], r["iv"]) for r in out.collect()))
+    assert runs2[0] == runs2[1]
