@@ -2699,7 +2699,7 @@ _SQL_ENTRY = """
 SELECT l.l_returnflag,
        o.o_orderpriority,
        count(*) AS n,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        min(l.l_quantity) AS min_qty,
        max(l.l_quantity) AS max_qty
 FROM lineitem l

@@ -344,15 +344,30 @@ def groupby_scan(
     alias: Optional[str] = None,
     dtype: Optional[str] = None,
     finalize_kwargs: Optional[dict] = None,
+    method: str = "window",
+    rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Grouped scan: same row count as the input, plus one result column
     (ref: flox.groupby_scan, flox/core.py:2718-2727 — 'result has the same
     shape as array').
 
-    Executed as a single window expression over
-    ``partitionBy(by).orderBy(idx_col)`` — Catalyst's WindowExec replaces the
-    reference's Blelloch prefix-scan machinery (core.py:2948-2992): one
-    shuffle on the group keys, linear scan within partitions.
+    ``method="window"`` (default): a single window expression over
+    ``partitionBy(by).orderBy(idx_col)`` — Catalyst's WindowExec gives one
+    shuffle on the group keys and a linear scan within partitions.  Optimal
+    for many/small groups, but a window routes EACH GROUP TO ONE TASK, so
+    few huge groups serialize onto single cores.
+
+    ``method="two_pass"``: the Blelloch-style scalable path (ref:
+    flox/core.py:2948-2992 ``dask_groupby_scan`` — blockwise partial scan,
+    combined block summaries, blockwise recombine; combine ops
+    flox/aggregations.py:653-706).  Groups are split into idx-contiguous
+    chunks of ~``rows_per_chunk`` rows via an arithmetic bucketing of
+    idx (no extra big-data shuffle), per-chunk states are prefix-combined
+    on a tiny table, and the local scan windows on (keys, chunk) — the max
+    task is one CHUNK, never one group.  Use for few/huge groups at scale;
+    supports the associative funcs (cum{sum,prod,max,min} (+nan), cumcount,
+    ffill, bfill) and numeric/timestamp/date idx.  See
+    :mod:`dask_groupby_spark.two_pass`.
 
     Rows with missing group labels pass through with a NULL/NaN result
     (the reference excludes code −1 elements from scans likewise).
@@ -396,7 +411,6 @@ def groupby_scan(
         )
 
     result_dt = spec.result_type(ctx.dt, kw) if dtype is None else T._parse_datatype_string(dtype)
-    col = spec.build(ctx, w).cast(result_dt)
 
     # missing-label rows: result is NA (excluded from any group's scan)
     label_ok = None
@@ -406,6 +420,26 @@ def groupby_scan(
         if isinstance(work.schema[b].dataType, (T.FloatType, T.DoubleType)):
             ok = ok & ~F.isnan(k)
         label_ok = ok if label_ok is None else (label_ok & ok)
+
+    if method == "two_pass":
+        from .two_pass import scan_two_pass
+
+        ctx.kw["__idx_col_name"] = idx_col
+        return scan_two_pass(
+            work,
+            by,
+            spec.name,
+            ctx,
+            result_dt,
+            out_name,
+            label_ok,
+            dt_rules.na_lit(result_dt),
+            rows_per_chunk=rows_per_chunk,
+        )
+    if method != "window":
+        raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
+
+    col = spec.build(ctx, w).cast(result_dt)
     col = F.when(label_ok, col).otherwise(dt_rules.na_lit(result_dt))
 
     return work.withColumn(out_name, col)

@@ -1,0 +1,299 @@
+"""Two-pass (Blelloch-style) grouped scans — the 100-TB path.
+
+The plain ``groupby_scan`` executes as ONE window expression over
+``partitionBy(keys).orderBy(idx)``: correct, and optimal when groups are
+numerous and small, but a Spark window routes EACH GROUP TO ONE TASK.  With
+few/huge groups (the climatology shape: 6 return-flag groups over 10^9 rows)
+one task scans the whole group while every other core idles — exactly the
+failure mode the reference's Blelloch two-pass scan machinery exists to
+avoid (ref: flox/core.py:2948-2992 ``dask_groupby_scan``: blockwise partial
+scan -> tree-combined block summaries -> blockwise recombine; binary combine
+ops in flox/aggregations.py:653-706).
+
+Spark re-expression (this module) — NOT a translation of the dask graph:
+
+1. **Chunking without a range shuffle.**  A tiny per-group aggregate
+   ``(min(idx), max(idx), count)`` (map-side combined) is broadcast back and
+   each row gets an ARITHMETIC chunk id ``floor((idx - a) / width)`` —
+   monotone in ``idx``, so chunks are idx-contiguous within a group, and the
+   chunk count adapts per group (``ceil(count / rows_per_chunk)``): small
+   groups stay single-chunk (zero overhead), huge groups split into many
+   bounded chunks.  No ``repartitionByRange`` pass over the big data, and no
+   second big-data consumer of a shuffle (AQE never reuses an Exchange
+   across consumers — the broadcast-join branches re-read the pruned
+   parquet scan instead, which is the cheap thing to re-read).
+2. **Per-chunk states** via ``groupBy(keys, chunk)`` — partial-aggregated
+   map-side; the state table has at most ``groups x max_chunks`` rows.
+3. **Exclusive prefix of chunk states** per group, ordered by chunk id — a
+   window over the TINY state table (one task per group over <= max_chunks
+   rows; the reference's tree combine collapses to this because the state
+   table fits trivially).
+4. **Recombine**: broadcast the offsets back and evaluate the LOCAL scan
+   over ``Window.partitionBy(keys, chunk).orderBy(idx)`` — the only
+   big-data shuffle in the whole plan (hash on (keys, chunk)), the same
+   single-shuffle count as the plain window path, but the max task is one
+   CHUNK, never one group.
+
+Ties in ``idx`` across a chunk boundary are safe (same idx value -> same
+chunk expression value -> same chunk); ties WITHIN an idx value are
+nondeterministically ordered in either path, exactly like the plain window.
+
+Supported funcs: the associative-combine family — cumsum/cumprod/cummax/
+cummin (+nan variants), cumcount, ffill, bfill.  ``shift``/``diff`` are
+offset-by-rows, not scans with an associative combine; they keep the window
+path (their frames need neighbor rows, not a prefix state).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import dtypes as dt_rules
+
+_CHUNK = "__tp_chunk"
+_PROPAGATING = {"cumsum", "cumprod", "cummax", "cummin"}
+_SKIP_OF = {
+    "cumsum": "nancumsum",
+    "cumprod": "nancumprod",
+    "cummax": "nancummax",
+    "cummin": "nancummin",
+}
+TWO_PASS_FUNCS = frozenset(
+    [
+        "cumsum",
+        "nancumsum",
+        "cumprod",
+        "nancumprod",
+        "cummax",
+        "nancummax",
+        "cummin",
+        "nancummin",
+        "cumcount",
+        "ffill",
+        "bfill",
+    ]
+)
+
+
+def _idx_numeric(df: DataFrame, idx_col: str) -> Column:
+    """idx as an orderable numeric for arithmetic bucketing (timestamps ->
+    epoch seconds; dates -> day number).  Monotone in the idx ordering."""
+    dt = df.schema[idx_col].dataType
+    c = F.col(idx_col)
+    if isinstance(dt, T.TimestampType):
+        return c.cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if isinstance(dt, T.NumericType):
+        return c.cast("double")
+    raise ValueError(
+        f"two_pass scan needs a numeric/timestamp/date idx_col; got {dt.simpleString()} "
+        "(use method='window' for other orderings)"
+    )
+
+
+def scan_two_pass(
+    work: DataFrame,
+    by: tuple,
+    func_name: str,
+    ctx,
+    result_dt,
+    out_name: str,
+    label_ok: Optional[Column],
+    na_value: Column,
+    rows_per_chunk: int = 2_000_000,
+    max_chunks: int = 4096,
+) -> DataFrame:
+    """Execute one scan func via the two-pass plan.  Returns ``work`` plus
+    the result column ``out_name`` — same contract as the window path in
+    :func:`dask_groupby_spark.core.groupby_scan`.
+
+    ``ctx`` is the shared scan Ctx (v/clean/missing/valid/idx); ``label_ok``
+    the missing-group-label gate (None when no keys can be missing);
+    ``na_value`` the NA literal of the result dtype.
+    """
+    if func_name not in TWO_PASS_FUNCS:
+        raise ValueError(
+            f"func={func_name!r} has no associative combine; two_pass supports "
+            f"{sorted(TWO_PASS_FUNCS)} (shift/diff stay on the window path)"
+        )
+    keys = list(by)
+    idx_col_name = None
+    # Ctx.idx is F.col(idx_col); recover the name from the caller's frame
+    # is fragile — require it explicitly via ctx.kw stash instead.
+    idx_col_name = ctx.kw["__idx_col_name"]
+    idxn = _idx_numeric(work, idx_col_name)
+
+    # ---- pass 0: per-group chunking stats (tiny; map-side combined) -------
+    stats = work.groupBy(*keys).agg(
+        F.min(idxn).alias("__tp_a"),
+        F.max(idxn).alias("__tp_b"),
+        F.count(F.lit(1)).alias("__tp_n"),
+    )
+    nchunks = F.least(
+        F.lit(max_chunks).cast("long"),
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
+    )
+    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n")
+
+    joined = work.join(F.broadcast(stats), on=keys, how="left")
+    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
+    raw_chunk = F.when(
+        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.col("__tp_c") - 1,
+            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
+        )
+    )
+    # NULL idx rows sort first under the window path's orderBy — give them
+    # chunk -1 so they stay ahead of every real chunk here too.
+    chunk = F.when(F.col(idx_col_name).isNull(), F.lit(-1).cast("long")).otherwise(raw_chunk)
+    big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
+
+    # ---- pass 1: per-(group, chunk) states (tiny output) ------------------
+    skip_name = _SKIP_OF.get(func_name, func_name)
+    propagating = func_name in _PROPAGATING and ctx.is_float
+    state_aggs = _chunk_state_aggs(skip_name, ctx, propagating)
+    chunk_states = big.groupBy(*keys, _CHUNK).agg(*state_aggs)
+
+    # ---- exclusive prefix of states per group (tiny window) ---------------
+    w_prec = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_CHUNK))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_follow = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_CHUNK))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    offsets = chunk_states.select(
+        *keys, _CHUNK, *_offset_exprs(skip_name, propagating, w_prec, w_follow)
+    )
+
+    # ---- pass 2: local scan + recombine (the ONE big-data shuffle) --------
+    out = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    if func_name == "bfill":
+        w_local = (
+            Window.partitionBy(*keys, _CHUNK)
+            .orderBy(F.col(idx_col_name))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    else:
+        w_local = (
+            Window.partitionBy(*keys, _CHUNK)
+            .orderBy(F.col(idx_col_name))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    col = _combine(skip_name, ctx, w_local, propagating, result_dt)
+    col = col.cast(result_dt)
+    if ctx.is_float and func_name not in ("cumcount",):
+        # float scans fill never-seen positions with NaN, matching the
+        # window-path builders (leading gap stays NaN, not NULL)
+        if func_name in ("ffill", "bfill", "cummax", "nancummax", "cummin", "nancummin"):
+            col = F.coalesce(col, F.lit(float("nan")).cast(result_dt))
+    if label_ok is not None:
+        col = F.when(label_ok, col).otherwise(na_value)
+    # restore the caller's column order (join(on=keys) fronts the keys)
+    keep = [c for c in work.columns if c != out_name]
+    return out.withColumn(out_name, col).select(*keep, out_name)
+
+
+def _chunk_state_aggs(skip_name: str, ctx, propagating: bool) -> list:
+    """Aggregates producing one state row per (group, chunk).  Order inside
+    a groupBy is nondeterministic, so order-sensitive states (ffill's
+    last-valid, bfill's first-valid) use struct-max/min over (idx, value) —
+    NULL structs (invalid rows) are skipped by max/min."""
+    aggs = []
+    if skip_name in ("nancumsum", "cumcount"):
+        aggs.append(F.sum(ctx.clean).alias("__tp_sum"))
+        if skip_name == "cumcount":
+            aggs.append(F.count(ctx.clean).alias("__tp_cnt"))
+    elif skip_name == "nancumprod":
+        aggs.append(F.product(ctx.clean).alias("__tp_prod"))
+    elif skip_name == "nancummax":
+        aggs.append(F.max(ctx.clean).alias("__tp_max"))
+    elif skip_name == "nancummin":
+        aggs.append(F.min(ctx.clean).alias("__tp_min"))
+    elif skip_name == "ffill":
+        aggs.append(
+            F.max(F.when(ctx.valid, F.struct(ctx.idx.alias("i"), ctx.clean.alias("v"))))[
+                "v"
+            ].alias("__tp_edge")
+        )
+    elif skip_name == "bfill":
+        aggs.append(
+            F.min(F.when(ctx.valid, F.struct(ctx.idx.alias("i"), ctx.clean.alias("v"))))[
+                "v"
+            ].alias("__tp_edge")
+        )
+    if propagating:
+        aggs.append(F.max(ctx.missing.cast("int")).alias("__tp_miss"))
+    return aggs
+
+
+def _offset_exprs(skip_name: str, propagating: bool, w_prec, w_follow) -> list:
+    """Running combine of chunk states over PRECEDING chunks (following, for
+    bfill) — the exclusive prefix each chunk's local scan gets added to."""
+    out = []
+    if skip_name in ("nancumsum", "cumcount"):
+        out.append(F.sum("__tp_sum").over(w_prec).alias("__tp_o_sum"))
+        if skip_name == "cumcount":
+            out.append(F.sum("__tp_cnt").over(w_prec).alias("__tp_o_cnt"))
+    elif skip_name == "nancumprod":
+        out.append(F.product("__tp_prod").over(w_prec).alias("__tp_o_prod"))
+    elif skip_name == "nancummax":
+        out.append(F.max("__tp_max").over(w_prec).alias("__tp_o_max"))
+    elif skip_name == "nancummin":
+        out.append(F.min("__tp_min").over(w_prec).alias("__tp_o_min"))
+    elif skip_name == "ffill":
+        out.append(F.last("__tp_edge", ignorenulls=True).over(w_prec).alias("__tp_o_fill"))
+    elif skip_name == "bfill":
+        out.append(F.first("__tp_edge", ignorenulls=True).over(w_follow).alias("__tp_o_fill"))
+    if propagating:
+        out.append(F.max("__tp_miss").over(w_prec).alias("__tp_o_miss"))
+    return out
+
+
+def _combine(skip_name: str, ctx, w_local, propagating: bool, result_dt) -> Column:
+    """local scan ⊕ broadcast offset — the Blelloch recombine (ref binary
+    ops: flox/aggregations.py:653-706)."""
+    sum_dt = dt_rules.sum_result_type(ctx.dt)
+    if skip_name == "nancumsum":
+        local = F.sum(ctx.clean).over(w_local)
+        zero = F.lit(0).cast(sum_dt)
+        out = F.coalesce(local, zero) + F.coalesce(F.col("__tp_o_sum").cast(sum_dt), zero)
+    elif skip_name == "nancumprod":
+        local = F.product(ctx.clean).over(w_local)
+        one = F.lit(1).cast(sum_dt)
+        out = F.coalesce(local, one) * F.coalesce(F.col("__tp_o_prod").cast(sum_dt), one)
+    elif skip_name == "nancummax":
+        out = F.greatest(F.max(ctx.clean).over(w_local), F.col("__tp_o_max"))
+    elif skip_name == "nancummin":
+        out = F.least(F.min(ctx.clean).over(w_local), F.col("__tp_o_min"))
+    elif skip_name == "cumcount":
+        out = F.count(ctx.clean).over(w_local) + F.coalesce(
+            F.col("__tp_o_cnt").cast("long"), F.lit(0).cast("long")
+        )
+    elif skip_name == "ffill":
+        out = F.coalesce(
+            F.last(ctx.clean, ignorenulls=True).over(w_local), F.col("__tp_o_fill")
+        )
+    elif skip_name == "bfill":
+        out = F.coalesce(
+            F.first(ctx.clean, ignorenulls=True).over(w_local), F.col("__tp_o_fill")
+        )
+    else:  # pragma: no cover
+        raise AssertionError(skip_name)
+    if propagating:
+        # NaN-propagating variant: any missing value in a PRIOR chunk, or
+        # earlier in THIS chunk, poisons the position (window-path parity)
+        local_msf = F.max(ctx.missing.cast("int")).over(w_local)
+        poisoned = (F.coalesce(F.col("__tp_o_miss"), F.lit(0)) == 1) | (local_msf == 1)
+        out = F.when(poisoned, F.lit(float("nan")).cast(result_dt)).otherwise(out)
+    return out
