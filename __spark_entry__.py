@@ -2566,7 +2566,9 @@ def q_pagerank(spark, sf):
     the DuckDB oracle, including exact dangling-mass redistribution.
     Ordering/limit use the ROUNDED rank (then id) so last-ulp
     sum-order differences between engines cannot reorder the top-100
-    cut; the numpy differential stays in tests/test_graph.py."""
+    cut; r8 coarsened the compare to round-5 (VERDICT r7 #5 — round-6
+    left a residual boundary-flake risk at larger SFs); the numpy
+    differential stays in tests/test_graph.py."""
     from dask_groupby_spark.operators import pagerank
 
     ev = load_table(spark, sf, "events")
@@ -2575,7 +2577,7 @@ def q_pagerank(spark, sf):
         F.pmod(F.col("event_id"), F.lit(997)).alias("dst"),
     )
     pr = pagerank(edges, iters=5)
-    r = F.round("rank", 6).alias("rank")
+    r = F.round("rank", 5).alias("rank")
     return (
         pr.select(F.col("id").cast("bigint").alias("id"), r)
         .orderBy(F.col("rank").desc(), "id")

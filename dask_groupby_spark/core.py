@@ -674,10 +674,15 @@ def groupby_interpolate(
     base = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
     wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    valid_x = F.when(~missing, x)
-    valid_v = F.when(~missing, v.cast("double"))
+    # a row with a valid value but a NULL/NaN ordering-axis value cannot be
+    # an interpolation anchor: letting valid_v carry it while valid_x skips
+    # it would desynchronize the (x, v) pair and lerp a later gap against
+    # mismatched endpoints — all three carries gate on the axis too
+    anchor = ~missing & x.isNotNull() & ~F.isnan(x.cast("double"))
+    valid_x = F.when(anchor, x)
+    valid_v = F.when(anchor, v.cast("double"))
     df2 = df.withColumn("__x", x).withColumn("__rn", F.row_number().over(base))
-    valid_rn = F.when(~missing, F.col("__rn"))
+    valid_rn = F.when(anchor, F.col("__rn"))
     xp = F.last(valid_x, ignorenulls=True).over(wb)
     vp = F.last(valid_v, ignorenulls=True).over(wb)
     rp = F.last(valid_rn, ignorenulls=True).over(wb)

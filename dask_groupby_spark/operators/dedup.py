@@ -557,7 +557,12 @@ def duplicate_clusters(
                     rs, rd = rd, rs
                 parent[rd] = rs
         verts = list(parent)
-        dtype = pairs.schema[id_a].dataType
+        # the explode's F.array(struct(a,b), struct(b,a)) coerced src/dst to
+        # their COMMON wider type — use it for both output columns, exactly
+        # like the distributed tier's union-unified label type (r7 review:
+        # pairs.schema[id_a] alone mistyped id_b-only vertices when the two
+        # id columns differed, e.g. int vs bigint)
+        dtype = edges.schema["src"].dataType
         schema = T.StructType(
             [T.StructField(out_id, dtype), T.StructField(out_cluster, dtype)]
         )

@@ -120,7 +120,11 @@ def cosine_topk_blas(
     import numpy as np
     import pandas as pd
 
+    # query_id's Arrow type comes from the queries frame, neighbor_id's from
+    # the CORPUS frame (its values do) — with exclude_self=False the two id
+    # spaces may have different types (r7 review follow-up)
     id_type = dict(queries.dtypes)[id_col]
+    nbr_type = dict(corpus.dtypes)[id_col]
     integral = id_type in ("tinyint", "smallint", "int", "bigint")
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array(
@@ -184,7 +188,7 @@ def cosine_topk_blas(
 
     partial = corpus_proj.mapInPandas(
         score,
-        schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
+        schema=f"query_id {id_type}, neighbor_id {nbr_type}, cosine double",
     )
     return _topk(partial, k)
 

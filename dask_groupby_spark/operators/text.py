@@ -748,6 +748,7 @@ def bm25_scores(
     if n_docs == 0:
         from pyspark.sql import types as _T
 
+        dl.unpersist()  # empty corpus: nothing reuses the cache entry
         return df.sparkSession.createDataFrame(
             [],
             _T.StructType([
@@ -760,9 +761,11 @@ def bm25_scores(
         # every document's text is NULL: dl is NULL everywhere, no token
         # can match — all rows score exactly 0.0 (avg ignored the NULLs,
         # so the n_docs>0 guard above didn't catch this)
-        return dl.select(
+        out_null = dl.select(
             F.col("__id").alias(id_col), "dl", F.lit(0.0).alias("bm25")
         )
+        out_null.bm25_doc_lengths = dl  # persist-handle contract (below)
+        return out_null
     tf = (
         tk.select("__id", F.size("__tk").alias("__dl"),
                   F.explode("__tk").alias("__term"))
