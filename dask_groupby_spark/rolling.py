@@ -43,12 +43,23 @@ def groupby_rolling(
     min_periods: int = 1,
     range_between: tuple | None = None,
     prefix: str = "rolling_",
+    method: str = "window",
+    rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Append one ``<prefix><func>`` column per requested func: the rolling
     aggregate over the trailing ``window`` rows (or, with
     ``range_between=(lo, hi)``, the rows whose ``idx_col`` lies within
     ``[idx+lo, idx+hi]`` — an interval frame on the *values* of the order
     column, e.g. seconds for an epoch column).
+
+    ``method="two_pass"`` (RANGE frames only): the chunked scalable path —
+    groups split into idx-contiguous chunks with the frame's context width
+    replicated across chunk fringes, so one huge group spans many tasks
+    instead of serializing onto one (see
+    :func:`dask_groupby_spark.two_pass.rolling_two_pass`).  Row-count
+    frames keep the window path: "the last W rows of a chunk" is not a
+    function of idx values, so their context cannot be chunked
+    arithmetically — convert to a range frame on a dense axis to scale.
     """
     if isinstance(funcs, str):
         funcs = (funcs,)
@@ -63,55 +74,83 @@ def groupby_rolling(
     missing = v.isNull() | (F.isnan(v) if dt in ("float", "double") else F.lit(False))
     clean = F.when(~missing, v.cast("double"))
 
+    def build_exprs(w, w_shift) -> dict:
+        """All requested rolling columns over frame spec ``w``; ``w_shift``
+        is the matching UNORDERED partition spec (whole group on the window
+        path, one chunk on the two-pass path — any per-frame constant is a
+        valid variance shift, and every frame lies inside one chunk)."""
+        n = F.count(clean).over(w)
+        nrows = F.count(F.lit(1)).over(w)
+        s = F.sum(clean).over(w)
+        exprs: dict[str, Column] = {}
+        for f in funcs:
+            if f == "count":
+                # pandas: count's min_periods gate uses TOTAL frame rows (NaN
+                # rows count as observations); every other func gates on valid
+                col = F.when(
+                    nrows >= F.lit(max(min_periods, 1)), n.cast("double")
+                ).otherwise(F.lit(NAN))
+                exprs[f"{prefix}{f}"] = col
+                continue
+            elif f == "sum":
+                col = F.coalesce(s, F.lit(0.0))
+            elif f == "mean":
+                col = s / n
+            elif f == "min":
+                col = F.min(clean).over(w)
+            elif f == "max":
+                col = F.max(clean).over(w)
+            else:  # var / std, ddof=1 (pandas default)
+                # SHIFTED one-pass moments: variance is shift-invariant, and
+                # centering by the group mean first (one unordered window over
+                # the same partitioning — no extra Exchange) kills the
+                # catastrophic cancellation of Σx² − (Σx)²/n when |mean| ≫
+                # spread (hypothesis found 3.8e-6 relative error vs pandas at
+                # values ~1e5 with variance ~0.5; shifted it is ~1 ulp).
+                # Residual conditioning bound: a WINDOW whose values sit far
+                # from the group mean still one-passes over centered values of
+                # that offset's magnitude — absolute error ~ eps·n·max(x−K)²,
+                # the same class as pandas' own online rolling var (a window-
+                # local two-pass is not expressible as window aggregates).
+                shift = F.avg(clean).over(w_shift)
+                c = clean - shift
+                s2 = F.sum(c * c).over(w)
+                sc = F.sum(c).over(w)
+                var = (s2 - sc * sc / n) / (n - F.lit(1))
+                var = F.when(n > 1, F.greatest(var, F.lit(0.0)))
+                col = var if f == "var" else F.sqrt(var)
+            # short frame → NaN (pandas min_periods)
+            col = F.when(n >= F.lit(max(min_periods, 1)), col).otherwise(F.lit(NAN))
+            col = F.coalesce(col, F.lit(NAN))
+            exprs[f"{prefix}{f}"] = col
+        return exprs
+
+    if method == "two_pass":
+        if range_between is None:
+            raise ValueError(
+                "method='two_pass' requires range_between= (row-count frames "
+                "cannot be chunked arithmetically — the window path handles them)"
+            )
+        from .two_pass import _CHUNK, rolling_two_pass
+
+        lo, hi = range_between
+        if not (lo <= 0 <= hi):
+            raise ValueError("two_pass range frames need lo <= 0 <= hi")
+        return rolling_two_pass(
+            df,
+            by,
+            idx_col,
+            lo,
+            hi,
+            lambda w: build_exprs(w, Window.partitionBy(*by, _CHUNK)),
+            rows_per_chunk=rows_per_chunk,
+        )
+    if method != "window":
+        raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
+
     w = Window.partitionBy(*by).orderBy(F.col(idx_col))
     if range_between is not None:
         w = w.rangeBetween(range_between[0], range_between[1])
     else:
         w = w.rowsBetween(-(window - 1), Window.currentRow)
-
-    n = F.count(clean).over(w)
-    nrows = F.count(F.lit(1)).over(w)
-    s = F.sum(clean).over(w)
-    exprs: dict[str, Column] = {}
-    for f in funcs:
-        if f == "count":
-            # pandas: count's min_periods gate uses TOTAL frame rows (NaN
-            # rows count as observations); every other func gates on valid
-            col = F.when(
-                nrows >= F.lit(max(min_periods, 1)), n.cast("double")
-            ).otherwise(F.lit(NAN))
-            exprs[f"{prefix}{f}"] = col
-            continue
-        elif f == "sum":
-            col = F.coalesce(s, F.lit(0.0))
-        elif f == "mean":
-            col = s / n
-        elif f == "min":
-            col = F.min(clean).over(w)
-        elif f == "max":
-            col = F.max(clean).over(w)
-        else:  # var / std, ddof=1 (pandas default)
-            # SHIFTED one-pass moments: variance is shift-invariant, and
-            # centering by the group mean first (one unordered window over
-            # the same partitioning — no extra Exchange) kills the
-            # catastrophic cancellation of Σx² − (Σx)²/n when |mean| ≫
-            # spread (hypothesis found 3.8e-6 relative error vs pandas at
-            # values ~1e5 with variance ~0.5; shifted it is ~1 ulp).
-            # Residual conditioning bound: a WINDOW whose values sit far
-            # from the group mean still one-passes over centered values of
-            # that offset's magnitude — absolute error ~ eps·n·max(x−K)²,
-            # the same class as pandas' own online rolling var (a window-
-            # local two-pass is not expressible as window aggregates).
-            shift = F.avg(clean).over(Window.partitionBy(*by))
-            c = clean - shift
-            s2 = F.sum(c * c).over(w)
-            sc = F.sum(c).over(w)
-            var = (s2 - sc * sc / n) / (n - F.lit(1))
-            var = F.when(n > 1, F.greatest(var, F.lit(0.0)))
-            col = var if f == "var" else F.sqrt(var)
-        # short frame → NaN (pandas min_periods)
-        col = F.when(n >= F.lit(max(min_periods, 1)), col).otherwise(F.lit(NAN))
-        col = F.coalesce(col, F.lit(NAN))
-        exprs[f"{prefix}{f}"] = col
-
-    return df.withColumns(exprs)
+    return df.withColumns(build_exprs(w, Window.partitionBy(*by)))

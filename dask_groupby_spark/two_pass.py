@@ -204,6 +204,115 @@ def scan_two_pass(
     return out.withColumn(out_name, col).select(*keep, out_name)
 
 
+def rolling_two_pass(
+    df: DataFrame,
+    by: tuple,
+    idx_col: str,
+    lo,
+    hi,
+    build_exprs,
+    rows_per_chunk: int = 2_000_000,
+    max_chunks: int = 4096,
+) -> DataFrame:
+    """Two-pass execution for RANGE-frame rolling aggregates
+    (``rangeBetween(lo, hi)``, lo <= 0 <= hi, both finite).
+
+    Row-count frames cannot be chunked arithmetically (the "last W rows of
+    a chunk" is not a function of idx values), but a range frame's context
+    width IS: a row's frame spans idx values within ``[idx+lo, idx+hi]``,
+    so replicating each chunk's tail ``|lo|``-width rows into the NEXT
+    chunk and its head ``hi``-width rows into the PREVIOUS one makes every
+    chunk self-contained.  Chunk width is clamped to at least
+    ``max(|lo|, hi)`` so context only ever comes from the adjacent chunk;
+    replicas are flagged and dropped from the output, so each output row's
+    frame is exactly the single-window answer.  One big-data shuffle
+    (hash on (keys, chunk)), max task = one chunk + its fringe.
+
+    ``build_exprs(w) -> dict[str, Column]`` receives the local window spec
+    and returns the output columns (the caller's existing expression
+    builder — semantics stay in rolling.py, only the partitioning here).
+    """
+    keys = list(by)
+    idxn = _idx_numeric(df, idx_col)
+    margin = float(max(-lo, hi, 0.0))
+
+    stats = df.groupBy(*keys).agg(
+        F.min(idxn).alias("__tp_a"),
+        F.max(idxn).alias("__tp_b"),
+        F.count(F.lit(1)).alias("__tp_n"),
+    )
+    nchunks = F.least(
+        F.lit(max_chunks).cast("long"),
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
+    )
+    if margin > 0:
+        # chunk width must be >= the context margin, so fringe replication
+        # never has to reach beyond the adjacent chunk
+        span = F.col("__tp_b") - F.col("__tp_a")
+        nchunks = F.least(
+            nchunks,
+            F.greatest(
+                F.lit(1).cast("long"), F.floor(span / F.lit(margin)).cast("long")
+            ),
+        )
+    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n")
+
+    joined = df.join(F.broadcast(stats), on=keys, how="left")
+    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
+    c0 = F.when(
+        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.col("__tp_c") - 1,
+            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
+        )
+    )
+    c0 = F.when(F.col(idx_col).isNull(), F.lit(-1).cast("long")).otherwise(c0)
+    joined = joined.withColumn("__tp_c0", c0)
+
+    # fringe replication: (chunk, is_ctx) membership array, exploded.
+    # tail rows (within |lo| of the chunk's upper edge) also serve chunk+1;
+    # head rows (within hi of the lower edge) also serve chunk-1.
+    upper = F.col("__tp_a") + (F.col("__tp_c0") + 1).cast("double") * width
+    lower = F.col("__tp_a") + F.col("__tp_c0").cast("double") * width
+    members = F.array(
+        F.struct(F.col("__tp_c0").alias("c"), F.lit(0).alias("ctx"))
+    )
+    if lo < 0:
+        members = F.when(
+            (F.col("__tp_c0") >= 0)
+            & (F.col("__tp_c0") < F.col("__tp_c") - 1)
+            & (idxn > upper - F.lit(-lo)),
+            F.concat(
+                members,
+                F.array(F.struct((F.col("__tp_c0") + 1).alias("c"), F.lit(1).alias("ctx"))),
+            ),
+        ).otherwise(members)
+    if hi > 0:
+        members = F.when(
+            (F.col("__tp_c0") > 0) & (idxn < lower + F.lit(hi)),
+            F.concat(
+                members,
+                F.array(F.struct((F.col("__tp_c0") - 1).alias("c"), F.lit(1).alias("ctx"))),
+            ),
+        ).otherwise(members)
+    big = (
+        joined.withColumn("__tp_m", F.explode(members))
+        .withColumn(_CHUNK, F.col("__tp_m.c"))
+        .withColumn("__tp_ctx", F.col("__tp_m.ctx"))
+        .drop("__tp_m", "__tp_a", "__tp_b", "__tp_c", "__tp_c0")
+    )
+
+    w_local = (
+        Window.partitionBy(*keys, _CHUNK)
+        .orderBy(F.col(idx_col))
+        .rangeBetween(lo, hi)
+    )
+    exprs = build_exprs(w_local)
+    out = big.withColumns(exprs).where(F.col("__tp_ctx") == 0)
+    return out.select(*df.columns, *exprs.keys())
+
+
 def _chunk_state_aggs(skip_name: str, ctx, propagating: bool) -> list:
     """Aggregates producing one state row per (group, chunk).  Order inside
     a groupBy is nondeterministic, so order-sensitive states (ffill's

@@ -780,6 +780,20 @@ SELECT event_id, event_type,
          OVER (PARTITION BY event_type ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
 FROM t""",
+    # scan_two_pass / scan_two_pass_ffill (r8): the chunked Blelloch path
+    # must equal the plain windowed scan — the oracle IS the window SQL.
+    "scan_two_pass": f"""{_EV}
+SELECT event_id, event_type,
+       round(coalesce(sum(CASE WHEN NOT isnan(vnan) THEN vnan END)
+         OVER (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 6) AS nancumsum
+FROM t""",
+    "scan_two_pass_ffill": f"""{_EV}
+SELECT event_id, event_type,
+       last_value(vnull IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
+FROM t""",
     "scan_bfill": f"""{_EV}
 SELECT event_id, event_type,
        first_value(vnull IGNORE NULLS)
@@ -881,6 +895,48 @@ bands AS (
 SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 GROUP BY 1, 2""",
+    # keep_by_dedup (r8, VERDICT r7 #7): the one-call near-dedup with the
+    # QUALITY keeper — the full portable-MinHash → band → pair →
+    # recursive-closure chain (identical to dup_clusters), then each
+    # cluster keeps its highest-quality member (quality = text length,
+    # ties → smallest id); survivors = everything minus the rank>1 rows.
+    "keep_by_dedup": _minhash_cte(4, 3)
+    + """,
+kbands AS (
+  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
+  UNION ALL
+  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+  UNION ALL
+  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
+),
+kpairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kbands a JOIN kbands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+kedges AS (
+  SELECT id_a AS s, id_b AS d FROM kpairs
+  UNION SELECT id_b, id_a FROM kpairs
+),
+kreach AS (
+  WITH RECURSIVE r(v, l) AS (
+    SELECT s, s FROM kedges
+    UNION
+    SELECT e.s, r.l FROM kedges e JOIN r ON e.d = r.v
+  ) SELECT v, l FROM r
+),
+kclusters AS (SELECT v AS id, min(l)::BIGINT AS cluster_id FROM kreach GROUP BY v),
+kranked AS (
+  SELECT c.id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC NULLS LAST, c.id ASC) AS rn
+  FROM kclusters c JOIN documents d ON d.doc_id = c.id
+)
+SELECT d.doc_id::BIGINT AS doc_id, length(d.text)::BIGINT AS quality
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM kranked WHERE rn > 1)
+ORDER BY doc_id""",
     "dup_clusters": _minhash_cte(4, 3)
     + """,
 bands AS (
@@ -2158,6 +2214,42 @@ ORACLE_SQL["media_phash"] = _pinned_values_sql(
     ["media_id", "kind", "phash"],
     ["::BIGINT AS media_id", "", ""],
 )
+# pca_embed (r8, VERDICT r7 item #4: promoted from rows-only to
+# value-checked): pinned integer micro-unit projections from the pure
+# numpy differential in scripts/make_pca_fixture.py over the committed
+# fixture — eigendecomposition itself is not SQL-expressible, so DuckDB
+# serves the independently-computed literals.
+def _pca_values_sql() -> str:
+    import importlib.util as _ilu
+    import os as _os
+
+    _p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                       "tests", "fixtures", "pca_expected.py")
+    _spec = _ilu.spec_from_file_location("pca_expected", _p)
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    rows = ",\n  ".join(f"({i}, {d}, {u})" for i, d, u in _mod.EXPECTED)
+    return f"""
+SELECT vec_id::BIGINT AS vec_id, dim::INTEGER AS dim, val_u::BIGINT AS val_u
+FROM (VALUES
+  {rows}
+) AS t(vec_id, dim, val_u)
+ORDER BY vec_id, dim"""
+
+
+ORACLE_SQL["pca_embed"] = _pca_values_sql()
+
+# audio_neardup (r8, VERDICT r7 #7): expected near-dup pairs computed from
+# the PINNED media_expected.py audio fingerprints (clip 13 = clip 11
+# gain-scaled → hamming 2; clip 14 = clip 11 + tail → hamming 2; 13↔14
+# → hamming 4; every other pair ≥ 14 apart and band-disjoint).  The
+# media_phash key already guards the fingerprints themselves, so these
+# literals can only drift if the banding/pair tier drifts.
+ORACLE_SQL["audio_neardup"] = """
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, hamming::INTEGER AS hamming
+FROM (VALUES (11, 13, 2), (11, 14, 2), (13, 14, 4)) AS t(id_a, id_b, hamming)
+ORDER BY id_a, id_b"""
+
 ORACLE_SQL["media_video"] = _pinned_values_sql(
     "media_video_expected.py",
     ["media_id", "frame_idx", "phash"],

@@ -157,3 +157,66 @@ def test_two_pass_column_order_preserved(spark, sdf):
         method="two_pass", rows_per_chunk=37,
     )
     assert w.columns == t.columns
+
+
+# ---------------------------------------------------------------------------
+# two-pass RANGE-frame rolling
+
+
+@pytest.fixture(scope="module")
+def roll_sdf(spark):
+    rng = np.random.default_rng(SEED + 1)
+    labels = rng.integers(0, 3, N)
+    # irregular idx: sorted distinct-ish values with gaps
+    idx = np.sort(rng.choice(np.arange(N * 4), size=N, replace=False))
+    vals = rng.random(N) * 1000 + 1e5  # large offset: exercises the var shift
+    vals[rng.random(N) < 0.12] = np.nan
+    rows = [(int(idx[i]), int(labels[i]), float(vals[i])) for i in range(N)]
+    return spark.createDataFrame(rows, "idx bigint, label bigint, val double").repartition(5)
+
+
+@pytest.mark.parametrize("lo,hi", [(-50, 0), (-30, 30), (0, 40)])
+def test_rolling_two_pass_matches_window(spark, roll_sdf, lo, hi):
+    from dask_groupby_spark.rolling import groupby_rolling
+
+    kw = dict(
+        funcs=["count", "sum", "mean", "min", "max", "var", "std"],
+        value="val", idx_col="idx", window=1, min_periods=2,
+        range_between=(lo, hi),
+    )
+    w = groupby_rolling(roll_sdf, "label", **kw)
+    t = groupby_rolling(
+        roll_sdf, "label", **kw, method="two_pass", rows_per_chunk=29
+    )
+    cols = [c for c in w.columns if c.startswith("rolling_")]
+    wm = {r["idx"]: tuple(r[c] for c in cols) for r in w.collect()}
+    tm = {r["idx"]: tuple(r[c] for c in cols) for r in t.collect()}
+    assert set(wm) == set(tm)
+    for i in wm:
+        for c, a, b in zip(cols, wm[i], tm[i]):
+            assert _cmp(a, b, c) or (
+                a is not None and b is not None
+                and math.isclose(a, b, rel_tol=1e-7, abs_tol=1e-9)
+            ), (i, c, a, b)
+
+
+def test_rolling_two_pass_rejects_row_frames(spark, roll_sdf):
+    from dask_groupby_spark.rolling import groupby_rolling
+
+    with pytest.raises(ValueError, match="range_between"):
+        groupby_rolling(
+            roll_sdf, "label", funcs="sum", value="val", idx_col="idx",
+            window=5, method="two_pass",
+        )
+
+
+def test_rolling_two_pass_multi_chunk_plan(spark, roll_sdf):
+    from dask_groupby_spark.rolling import groupby_rolling
+
+    t = groupby_rolling(
+        roll_sdf, "label", funcs="sum", value="val", idx_col="idx",
+        window=1, range_between=(-50, 0), method="two_pass", rows_per_chunk=29,
+    )
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    assert "__tp_chunk" in plan
+    assert t.count() == N  # context replicas dropped
