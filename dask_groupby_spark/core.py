@@ -632,6 +632,8 @@ def groupby_interpolate(
     order_by: "str | list[str]",
     out: str = None,
     limit: int = None,
+    method: str = "window",
+    rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Per-group LINEAR interpolation of missing values along an ordering
     axis — pandas ``g[value].interpolate(method="index")`` / xarray
@@ -655,6 +657,13 @@ def groupby_interpolate(
     FOLLOWING frame over the SAME sort order) — the lerp itself is
     row-local arithmetic, no join, no second shuffle, hot groups spill
     through the sort like any grouped scan.
+
+    ``method="two_pass"``: the chunked scalable path — anchor carries run
+    per axis-bucketed chunk with prefix-combined (rn, x, v) chunk states,
+    so one huge series spans many tasks instead of one
+    (:func:`dask_groupby_spark.two_pass.interpolate_two_pass`); same
+    output, same ``limit`` semantics (the global row number is rebuilt
+    from chunk-count prefixes).
     """
     from .dtypes import time_to_seconds
 
@@ -671,6 +680,17 @@ def groupby_interpolate(
     if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
         missing = missing | F.isnan(v)
     x = time_to_seconds(df, order_cols[0])
+    if limit is not None and limit < 1:
+        raise ValueError("limit must be >= 1")
+    if method == "two_pass":
+        from .two_pass import interpolate_two_pass
+
+        return interpolate_two_pass(
+            df, by, value, order_cols, out, limit, missing, x,
+            rows_per_chunk=rows_per_chunk,
+        )
+    if method != "window":
+        raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
     base = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
     wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)

@@ -138,7 +138,11 @@ def scan_two_pass(
         F.lit(max_chunks).cast("long"),
         F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
     )
-    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n")
+    # KB-class per-group table consumed by several plan branches; AQE never
+    # reuses an Exchange across consumers, so persist to keep the source
+    # scan under it single-execution (LRU reclaims the KB entry; the
+    # returned frame exposes it via the two_pass_stats handle)
+    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
 
     joined = work.join(F.broadcast(stats), on=keys, how="left")
     width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
@@ -201,7 +205,9 @@ def scan_two_pass(
         col = F.when(label_ok, col).otherwise(na_value)
     # restore the caller's column order (join(on=keys) fronts the keys)
     keep = [c for c in work.columns if c != out_name]
-    return out.withColumn(out_name, col).select(*keep, out_name)
+    res = out.withColumn(out_name, col).select(*keep, out_name)
+    res.two_pass_stats = stats  # persist-handle convention (bm25 precedent)
+    return res
 
 
 def rolling_two_pass(
@@ -255,7 +261,11 @@ def rolling_two_pass(
                 F.lit(1).cast("long"), F.floor(span / F.lit(margin)).cast("long")
             ),
         )
-    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n")
+    # KB-class per-group table consumed by several plan branches; AQE never
+    # reuses an Exchange across consumers, so persist to keep the source
+    # scan under it single-execution (LRU reclaims the KB entry; the
+    # returned frame exposes it via the two_pass_stats handle)
+    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
 
     joined = df.join(F.broadcast(stats), on=keys, how="left")
     width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
@@ -310,7 +320,151 @@ def rolling_two_pass(
     )
     exprs = build_exprs(w_local)
     out = big.withColumns(exprs).where(F.col("__tp_ctx") == 0)
-    return out.select(*df.columns, *exprs.keys())
+    res = out.select(*df.columns, *exprs.keys())
+    res.two_pass_stats = stats  # persist-handle convention
+    return res
+
+
+def interpolate_two_pass(
+    df: DataFrame,
+    by: tuple,
+    value: str,
+    order_cols: list,
+    out: str,
+    limit,
+    missing: Column,
+    x: Column,
+    rows_per_chunk: int = 2_000_000,
+    max_chunks: int = 4096,
+) -> DataFrame:
+    """Two-pass execution of :func:`~dask_groupby_spark.core.
+    groupby_interpolate` — same linear-interpolation semantics, but the
+    forward/backward anchor carries run per CHUNK with prefix-combined
+    chunk states instead of one whole-group window, so a huge series
+    spans many tasks.
+
+    Chunks bucket on the interpolation AXIS (the first order column), so
+    axis ties can never straddle a boundary; the global row number (the
+    ``limit=`` gap metric) is rebuilt as local row_number + the prefix of
+    chunk row counts, and each anchor state ships (global rn, x, v) —
+    exactly the reference Blelloch shape with a 3-tuple combine.
+    NULL/NaN-axis rows are non-anchors (same gate as the window path) and
+    bucket to chunk −1 with NULL results for their missing values.
+    """
+    keys = list(by)
+    v = F.col(value)
+    anchor = ~missing & x.isNotNull() & ~F.isnan(x.cast("double"))
+    idxn = x.cast("double")
+
+    stats = df.groupBy(*keys).agg(
+        F.min(idxn).alias("__tp_a"),
+        F.max(idxn).alias("__tp_b"),
+        F.count(F.lit(1)).alias("__tp_n"),
+    )
+    nchunks = F.least(
+        F.lit(max_chunks).cast("long"),
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
+    )
+    # KB-class per-group table consumed by several plan branches; AQE never
+    # reuses an Exchange across consumers, so persist to keep the source
+    # scan under it single-execution (LRU reclaims the KB entry; the
+    # returned frame exposes it via the two_pass_stats handle)
+    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
+    joined = df.join(F.broadcast(stats), on=keys, how="left")
+    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
+    chunk = F.when(
+        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.col("__tp_c") - 1,
+            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
+        )
+    )
+    chunk = F.when(idxn.isNull() | F.isnan(idxn), F.lit(-1).cast("long")).otherwise(chunk)
+    big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
+
+    base = (
+        Window.partitionBy(*keys, _CHUNK)
+        .orderBy(*[F.col(c) for c in order_cols])
+    )
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    rn_local = F.row_number().over(base)
+    big = big.withColumn("__tp_rnl", rn_local)
+
+    # ---- tiny chunk-state table: row count + edge anchors ----------------
+    a_struct = F.when(
+        anchor, F.struct(F.col("__tp_rnl").alias("rn"), idxn.alias("x"), v.cast("double").alias("v"))
+    )
+    states = big.groupBy(*keys, _CHUNK).agg(
+        F.count(F.lit(1)).alias("__tp_cnt"),
+        F.max(a_struct).alias("__tp_last_a"),   # rn_local IS the in-chunk order
+        F.min(a_struct).alias("__tp_first_a"),
+    )
+    w_prec = (
+        Window.partitionBy(*keys).orderBy(F.col(_CHUNK))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_follow = (
+        Window.partitionBy(*keys).orderBy(F.col(_CHUNK))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pre_cnt = F.coalesce(F.sum("__tp_cnt").over(w_prec), F.lit(0).cast("long"))
+    states = states.withColumn("__tp_pre", pre_cnt).withColumn(
+        # globalize the last-anchor row number BEFORE shipping it forward
+        "__tp_last_g",
+        F.when(
+            F.col("__tp_last_a").isNotNull(),
+            F.struct(
+                (F.col("__tp_last_a.rn") + F.col("__tp_pre")).alias("rn"),
+                F.col("__tp_last_a.x").alias("x"),
+                F.col("__tp_last_a.v").alias("v"),
+            ),
+        ),
+    )
+    offsets = states.select(
+        *keys,
+        _CHUNK,
+        "__tp_pre",
+        F.last("__tp_last_g", ignorenulls=True).over(w_prec).alias("__tp_off_b"),
+        F.first("__tp_first_a", ignorenulls=True).over(w_follow).alias("__tp_off_f"),
+    )
+
+    # ---- recombine --------------------------------------------------------
+    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    valid_x = F.when(anchor, idxn)
+    valid_v = F.when(anchor, v.cast("double"))
+    valid_rn = F.when(anchor, F.col("__tp_rnl"))
+    xp = F.coalesce(F.last(valid_x, ignorenulls=True).over(wb), F.col("__tp_off_b.x"))
+    vp = F.coalesce(F.last(valid_v, ignorenulls=True).over(wb), F.col("__tp_off_b.v"))
+    rp = F.coalesce(
+        F.last(valid_rn, ignorenulls=True).over(wb) + F.col("__tp_pre"),
+        F.col("__tp_off_b.rn"),
+    )
+    xn = F.coalesce(F.first(valid_x, ignorenulls=True).over(wf), F.col("__tp_off_f.x"))
+    vn = F.coalesce(F.first(valid_v, ignorenulls=True).over(wf), F.col("__tp_off_f.v"))
+    rn_g = F.col("__tp_rnl") + F.coalesce(F.col("__tp_pre"), F.lit(0).cast("long"))
+
+    frac = F.when(xn == xp, F.lit(0.0)).otherwise((idxn - xp) / (xn - xp))
+    lerp = vp + (vn - vp) * frac
+    filled = F.when(~missing, v.cast("double")).otherwise(lerp)
+    if limit is not None:
+        filled = F.when(
+            missing & (rn_g - rp > F.lit(limit)), F.lit(None)
+        ).otherwise(filled)
+    # restore the caller's column order with in-place substitution when
+    # out == value (the window path's withColumn semantics)
+    big = big.withColumn("__tp_out", filled)
+    sel = [
+        F.col("__tp_out").alias(out) if c == out else F.col(c)
+        for c in df.columns
+    ]
+    if out not in df.columns:
+        sel.append(F.col("__tp_out").alias(out))
+    res = big.select(*sel)
+    res.two_pass_stats = stats  # persist-handle convention
+    return res
 
 
 def _chunk_state_aggs(skip_name: str, ctx, propagating: bool) -> list:

@@ -68,16 +68,18 @@ class TestMediaFixture:
         rows = duckdb.sql(ORACLE_SQL["media_phash"]).fetchall()
         assert sorted(rows) == sorted(_expected_media())
 
-    def test_key_registered_in_window(self):
-        """media_phash must be registered AND inside the driver's 50-key
-        window (VERDICT r6 item 2: the r6 fixture shipped as dead code)."""
+    def test_key_registered(self):
+        """media_phash must stay registered (VERDICT r6 item 2: the r6
+        fixture shipped as dead code).  Its official green row landed in
+        r7; the r8+ freshness rotations may move it out of the first-50
+        window, so the window-position assert now lives with the current
+        window's own test (TestWindowRotation)."""
         import sys
 
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import __spark_entry__ as entrymod
 
-        keys = list(entrymod._QUERIES)
-        assert "media_phash" in keys[:50]
+        assert "media_phash" in entrymod._QUERIES
 
 
 def _expected_video():
@@ -206,27 +208,35 @@ class TestParaDedupOracleAgreement:
 
 
 class TestWindowRotation:
-    def test_r7_window_is_the_parked_26_plus_media(self):
-        """VERDICT r6 item 1: the 26 keys with no driver row in r1-r6 must
-        be the FIRST entries of _QUERIES (dict order is what the driver
-        consumes) — this test makes the rotation un-revertable."""
+    def test_r8_window_front_and_freshness(self):
+        """VERDICT r7 item 3: the r8 first-50 window = the red-fixed key
+        FIRST (sql_entry), this round's promotions/first-registrations,
+        then a pure freshness re-check of the oldest official rows (all
+        20 r3-era keys + the alphabetical head of the r4 block) — this
+        test makes the rotation un-revertable.  (The r7 window — the
+        parked 26 + media/bm25/leak_split — earned its official rows in
+        CORRECTNESS_r07.json and rotated out.)"""
         import sys
 
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import __spark_entry__ as entrymod
 
-        parked = {
-            "stream_cms", "seg_dedup", "quantize", "skew_stats",
-            "ngram_counts", "profile", "bivar", "spearman", "psi",
-            "para_dedup", "bloom_join", "zorder", "ttest", "validate",
-            "chisq", "ks", "mad", "overlap_join", "psi_hist", "pagerank",
-            "auc", "calibration", "table_diff", "qnorm", "outliers",
-            "sql_entry",
-        }
         window = list(entrymod._QUERIES)[:50]
-        assert parked <= set(window)
-        assert "media_phash" in window and "pca_embed" in window
-        assert "media_video" in window and "bm25" in window
+        assert window[0] == "sql_entry"  # red keys first, fixed first
+        new_r8 = {
+            "pca_embed", "keep_by_dedup", "audio_neardup",
+            "scan_two_pass", "scan_two_pass_ffill",
+        }
+        assert new_r8 <= set(window[:6])
+        r3_era = {
+            "rollup", "ewma_scan", "text_stats", "langid", "ann_ivf",
+            "ann_lsh", "ann_topk", "asof_join", "centroids", "curate",
+            "decontaminate", "fingerprint", "group_topk", "repetition",
+            "rolling", "sample_per_group", "split", "tfidf", "top_terms",
+            "wmean",
+        }
+        assert r3_era <= set(window)
+        assert len(window) == len(set(window)) == 50
 
 
 class TestLeakageSafeSplit:

@@ -220,3 +220,106 @@ def test_rolling_two_pass_multi_chunk_plan(spark, roll_sdf):
     plan = t._jdf.queryExecution().executedPlan().toString()
     assert "__tp_chunk" in plan
     assert t.count() == N  # context replicas dropped
+
+
+# ---------------------------------------------------------------------------
+# two-pass interpolation
+
+
+@pytest.fixture(scope="module")
+def interp_sdf(spark):
+    rng = np.random.default_rng(SEED + 2)
+    labels = rng.integers(0, 3, N)
+    xs = np.sort(rng.choice(np.arange(N * 3), size=N, replace=False)).astype("float64")
+    vals = rng.random(N) * 10
+    vals[rng.random(N) < 0.4] = np.nan  # long NaN runs across chunk edges
+    rows = [
+        (int(i), int(labels[i]), float(xs[i]), float(vals[i])) for i in range(N)
+    ]
+    return spark.createDataFrame(
+        rows, "rid bigint, label bigint, x double, v double"
+    ).repartition(6)
+
+
+@pytest.mark.parametrize("limit", [None, 3])
+def test_interpolate_two_pass_matches_window(spark, interp_sdf, limit):
+    from dask_groupby_spark.core import groupby_interpolate
+
+    kw = dict(value="v", order_by=["x", "rid"], out="vi", limit=limit)
+    w = groupby_interpolate(interp_sdf, "label", **kw)
+    t = groupby_interpolate(
+        interp_sdf, "label", **kw, method="two_pass", rows_per_chunk=31
+    )
+    wm = {r["rid"]: r["vi"] for r in w.collect()}
+    tm = {r["rid"]: r["vi"] for r in t.collect()}
+    assert set(wm) == set(tm)
+    bad = [i for i in wm if not _cmp(wm[i], tm[i], "interp")]
+    assert not bad, [(i, wm[i], tm[i]) for i in bad[:5]]
+
+
+def test_interpolate_two_pass_null_axis_and_order(spark):
+    """NULL-axis rows are non-anchors in BOTH paths (the r8 ADVICE fix);
+    column order/in-place substitution matches the window path."""
+    from dask_groupby_spark.core import groupby_interpolate
+
+    rows = [
+        (1, 1, 2.0, 10.0),
+        (2, 1, None, 20.0),
+        (3, 1, 4.0, None),
+        (4, 1, 6.0, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, g bigint, x double, v double")
+    t = groupby_interpolate(
+        df, "g", value="v", order_by=["x", "rid"], method="two_pass",
+        rows_per_chunk=2,
+    )
+    w = groupby_interpolate(df, "g", value="v", order_by=["x", "rid"])
+    assert t.columns == w.columns
+    got = {r["rid"]: r["v"] for r in t.collect()}
+    assert got[3] == pytest.approx(20.0)
+    assert got[2] == 20.0  # NULL-axis row keeps its own value
+
+
+def test_interpolate_two_pass_plan(spark, interp_sdf):
+    from dask_groupby_spark.core import groupby_interpolate
+
+    t = groupby_interpolate(
+        interp_sdf, "label", value="v", order_by=["x", "rid"],
+        method="two_pass", rows_per_chunk=31,
+    )
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    assert "__tp_chunk" in plan
+    assert t.count() == N
+
+
+# ---------------------------------------------------------------------------
+# randomized property: two_pass == window under random data / chunking /
+# placement (the F9 harness shape: the Spark analog of flox's 'dask ==
+# numpy under random chunking' property, applied to the Blelloch path)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_two_pass_random_property(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 300))
+    k = int(rng.integers(1, 5))
+    labels = rng.integers(0, k, n)
+    # non-uniform idx (squared spacing: skewed chunk occupancy)
+    idx = np.cumsum(rng.integers(1, 20, n) ** 2)
+    vals = rng.normal(0, 10, n)
+    vals[rng.random(n) < rng.random() * 0.5] = np.nan
+    rows = [(int(idx[i]), int(labels[i]), float(vals[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "idx bigint, label bigint, val double"
+    ).repartition(int(rng.integers(1, 9)))
+    rpc = int(rng.integers(2, 80))
+    for func in ("nancumsum", "cummax", "ffill", "bfill", "cumsum"):
+        w = groupby_scan(df, "label", func=func, value="val", idx_col="idx")
+        t = groupby_scan(
+            df, "label", func=func, value="val", idx_col="idx",
+            method="two_pass", rows_per_chunk=rpc,
+        )
+        wm = {r["idx"]: r[func] for r in w.collect()}
+        tm = {r["idx"]: r[func] for r in t.collect()}
+        bad = [i for i in wm if not _cmp(wm[i], tm[i], func)]
+        assert not bad, (seed, func, rpc, [(i, wm[i], tm[i]) for i in bad[:3]])
