@@ -610,9 +610,16 @@ def _scan_ffill(ctx: Ctx, w) -> Column:
 
 
 def _scan_bfill(ctx: Ctx, w_rev) -> Column:
-    # ref: aggregations.py:725-735 (ffill on reversed array) — here: a
-    # currentRow..unboundedFollowing frame instead of physically reversing.
-    filled = F.first(ctx.clean, ignorenulls=True).over(w_rev)
+    # ref: aggregations.py:725-735 (ffill on reversed array) — here: ffill
+    # over a DESC-ordered window with the ACCUMULATING unboundedPreceding
+    # frame (w_rev orders by idx DESC; core.py builds it).  NOT first() over
+    # a currentRow..unboundedFollowing frame: Spark evaluates unbounded-
+    # FOLLOWING frames by re-scanning the remaining partition suffix for
+    # EVERY row — O(n²) per group, measured 31 s vs 0.3 s on 20k-row groups
+    # at sf0.1 (r8).  The descending sort reverses the total order exactly
+    # (ASC NULLS FIRST ↔ DESC NULLS LAST), so this IS the reference's
+    # "ffill on reversed array", paid as one extra in-partition sort.
+    filled = F.last(ctx.clean, ignorenulls=True).over(w_rev)
     if ctx.is_float:
         return F.coalesce(filled, F.lit(NAN).cast(ctx.dt))
     return filled

@@ -395,10 +395,13 @@ def groupby_scan(
     ctx = _make_ctx(work, value, idx_col, kw)
 
     if spec.name == "bfill":
+        # DESC order + accumulating frame = ffill on the reversed sequence;
+        # an unboundedFollowing frame here would be O(n²) per group (Spark
+        # re-scans the suffix per row) — see _scan_bfill (r8)
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col(idx_col))
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col(idx_col).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     elif spec.name in ("shift", "diff"):
         # lag/lead reject row frames — unframed ordered window
@@ -669,7 +672,9 @@ def groupby_interpolate(
 
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     out = out or value
-    clash = {"__x", "__rn"} & set(df.columns)
+    clash = {"__x", "__rn", "__xp", "__vp", "__rp", "__xn", "__vn"} & set(
+        df.columns
+    )
     if clash:
         raise ValueError(
             f"df columns {sorted(clash)} collide with groupby_interpolate's "
@@ -692,8 +697,15 @@ def groupby_interpolate(
     if method != "window":
         raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
     base = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
+    # forward-looking carries run over the DESC-reversed sort with the
+    # ACCUMULATING unboundedPreceding frame — Spark evaluates unbounded-
+    # FOLLOWING frames by re-scanning the partition suffix per row, O(n²)
+    # per group (r8: 69 s vs 0.6 s on 20k-row groups at sf0.1); ASC NULLS
+    # FIRST ↔ DESC NULLS LAST reverses the total order exactly, costing
+    # one extra in-partition sort on the same Exchange
+    rev = Window.partitionBy(*by).orderBy(*[F.col(c).desc() for c in order_cols])
     wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wr = rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # a row with a valid value but a NULL/NaN ordering-axis value cannot be
     # an interpolation anchor: letting valid_v carry it while valid_x skips
     # it would desynchronize the (x, v) pair and lerp a later gap against
@@ -703,23 +715,33 @@ def groupby_interpolate(
     valid_v = F.when(anchor, v.cast("double"))
     df2 = df.withColumn("__x", x).withColumn("__rn", F.row_number().over(base))
     valid_rn = F.when(anchor, F.col("__rn"))
-    xp = F.last(valid_x, ignorenulls=True).over(wb)
-    vp = F.last(valid_v, ignorenulls=True).over(wb)
-    rp = F.last(valid_rn, ignorenulls=True).over(wb)
-    xn = F.first(valid_x, ignorenulls=True).over(wf)
-    vn = F.first(valid_v, ignorenulls=True).over(wf)
+    # materialize each carry ONCE: every occurrence of a window Column in a
+    # downstream expression tree becomes its own window expression after
+    # analysis (frac alone instantiated xp three times), so the lerp reads
+    # materialized columns instead (r8)
+    df2 = df2.withColumns(
+        {
+            "__xp": F.last(valid_x, ignorenulls=True).over(wb),
+            "__vp": F.last(valid_v, ignorenulls=True).over(wb),
+            "__rp": F.last(valid_rn, ignorenulls=True).over(wb),
+            "__xn": F.last(valid_x, ignorenulls=True).over(wr),
+            "__vn": F.last(valid_v, ignorenulls=True).over(wr),
+        }
+    )
+    xp, vp, rp = F.col("__xp"), F.col("__vp"), F.col("__rp")
+    xn, vn = F.col("__xn"), F.col("__vn")
     frac = F.when(xn == xp, F.lit(0.0)).otherwise(
         (F.col("__x") - xp) / (xn - xp)
     )
     lerp = vp + (vn - vp) * frac
     filled = F.when(~missing, v.cast("double")).otherwise(lerp)
     if limit is not None:
-        if limit < 1:
-            raise ValueError("limit must be >= 1")
         filled = F.when(
             missing & (F.col("__rn") - rp > F.lit(limit)), F.lit(None)
         ).otherwise(filled)
-    return df2.withColumn(out, filled).drop("__x", "__rn")
+    return df2.withColumn(out, filled).drop(
+        "__x", "__rn", "__xp", "__vp", "__rp", "__xn", "__vn"
+    )
 
 
 def groupby_agg(

@@ -161,13 +161,18 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward carry = last non-null over the EXACT order reversal (on DESC,
+    # side ASC) with the accumulating unboundedPreceding frame — first()
+    # over a currentRow..unboundedFollowing frame re-scans the partition
+    # suffix per row in Spark, O(n²) per key group (r8 finding; same fix as
+    # _scan_bfill / groupby_interpolate)
     w_f = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(on).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carry_b = F.last(F.col("__r"), ignorenulls=True).over(w_b)
-    carry_f = F.first(F.col("__r"), ignorenulls=True).over(w_f)
+    carry_f = F.last(F.col("__r"), ignorenulls=True).over(w_f)
 
     if direction == "backward":
         chosen = carry_b

@@ -171,10 +171,14 @@ def scan_two_pass(
         .orderBy(F.col(_CHUNK))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # "following" combines run over the DESC chunk order with the
+    # accumulating frame (unboundedFollowing frames re-scan the suffix per
+    # row in Spark — O(n²); harmless on this tiny table but the convention
+    # is uniform with the big-data windows below, r8)
     w_follow = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_CHUNK))
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col(_CHUNK).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = chunk_states.select(
         *keys, _CHUNK, *_offset_exprs(skip_name, propagating, w_prec, w_follow)
@@ -183,10 +187,13 @@ def scan_two_pass(
     # ---- pass 2: local scan + recombine (the ONE big-data shuffle) --------
     out = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
     if func_name == "bfill":
+        # ffill on the DESC-reversed order — NOT first() over a
+        # currentRow..unboundedFollowing frame, which Spark evaluates by
+        # re-scanning the chunk suffix per row (O(chunk²), r8 finding)
         w_local = (
             Window.partitionBy(*keys, _CHUNK)
-            .orderBy(F.col(idx_col_name))
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col(idx_col_name).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w_local = (
@@ -387,8 +394,15 @@ def interpolate_two_pass(
         Window.partitionBy(*keys, _CHUNK)
         .orderBy(*[F.col(c) for c in order_cols])
     )
+    # forward carries run on the EXACT order reversal with the accumulating
+    # frame (unboundedFollowing frames are O(chunk²) in Spark — r8 finding,
+    # same fix as the window path)
+    rev = (
+        Window.partitionBy(*keys, _CHUNK)
+        .orderBy(*[F.col(c).desc() for c in order_cols])
+    )
     wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wr = rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     rn_local = F.row_number().over(base)
     big = big.withColumn("__tp_rnl", rn_local)
@@ -407,8 +421,8 @@ def interpolate_two_pass(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_follow = (
-        Window.partitionBy(*keys).orderBy(F.col(_CHUNK))
-        .rowsBetween(1, Window.unboundedFollowing)
+        Window.partitionBy(*keys).orderBy(F.col(_CHUNK).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     pre_cnt = F.coalesce(F.sum("__tp_cnt").over(w_prec), F.lit(0).cast("long"))
     states = states.withColumn("__tp_pre", pre_cnt).withColumn(
@@ -428,7 +442,9 @@ def interpolate_two_pass(
         _CHUNK,
         "__tp_pre",
         F.last("__tp_last_g", ignorenulls=True).over(w_prec).alias("__tp_off_b"),
-        F.first("__tp_first_a", ignorenulls=True).over(w_follow).alias("__tp_off_f"),
+        # w_follow is DESC-ordered/exclusive: last == nearest FOLLOWING
+        # chunk's first anchor
+        F.last("__tp_first_a", ignorenulls=True).over(w_follow).alias("__tp_off_f"),
     )
 
     # ---- recombine --------------------------------------------------------
@@ -436,14 +452,30 @@ def interpolate_two_pass(
     valid_x = F.when(anchor, idxn)
     valid_v = F.when(anchor, v.cast("double"))
     valid_rn = F.when(anchor, F.col("__tp_rnl"))
-    xp = F.coalesce(F.last(valid_x, ignorenulls=True).over(wb), F.col("__tp_off_b.x"))
-    vp = F.coalesce(F.last(valid_v, ignorenulls=True).over(wb), F.col("__tp_off_b.v"))
-    rp = F.coalesce(
-        F.last(valid_rn, ignorenulls=True).over(wb) + F.col("__tp_pre"),
-        F.col("__tp_off_b.rn"),
+    # materialize each carry ONCE (each occurrence in the lerp tree would
+    # otherwise instantiate its own window expression — r8)
+    big = big.withColumns(
+        {
+            "__tp_xp": F.coalesce(
+                F.last(valid_x, ignorenulls=True).over(wb), F.col("__tp_off_b.x")
+            ),
+            "__tp_vp": F.coalesce(
+                F.last(valid_v, ignorenulls=True).over(wb), F.col("__tp_off_b.v")
+            ),
+            "__tp_rp": F.coalesce(
+                F.last(valid_rn, ignorenulls=True).over(wb) + F.col("__tp_pre"),
+                F.col("__tp_off_b.rn"),
+            ),
+            "__tp_xn": F.coalesce(
+                F.last(valid_x, ignorenulls=True).over(wr), F.col("__tp_off_f.x")
+            ),
+            "__tp_vn": F.coalesce(
+                F.last(valid_v, ignorenulls=True).over(wr), F.col("__tp_off_f.v")
+            ),
+        }
     )
-    xn = F.coalesce(F.first(valid_x, ignorenulls=True).over(wf), F.col("__tp_off_f.x"))
-    vn = F.coalesce(F.first(valid_v, ignorenulls=True).over(wf), F.col("__tp_off_f.v"))
+    xp, vp, rp = F.col("__tp_xp"), F.col("__tp_vp"), F.col("__tp_rp")
+    xn, vn = F.col("__tp_xn"), F.col("__tp_vn")
     rn_g = F.col("__tp_rnl") + F.coalesce(F.col("__tp_pre"), F.lit(0).cast("long"))
 
     frac = F.when(xn == xp, F.lit(0.0)).otherwise((idxn - xp) / (xn - xp))
@@ -517,7 +549,9 @@ def _offset_exprs(skip_name: str, propagating: bool, w_prec, w_follow) -> list:
     elif skip_name == "ffill":
         out.append(F.last("__tp_edge", ignorenulls=True).over(w_prec).alias("__tp_o_fill"))
     elif skip_name == "bfill":
-        out.append(F.first("__tp_edge", ignorenulls=True).over(w_follow).alias("__tp_o_fill"))
+        # w_follow is DESC-ordered with an exclusive accumulating frame, so
+        # last() here == "nearest following chunk's first-anchor"
+        out.append(F.last("__tp_edge", ignorenulls=True).over(w_follow).alias("__tp_o_fill"))
     if propagating:
         out.append(F.max("__tp_miss").over(w_prec).alias("__tp_o_miss"))
     return out
@@ -548,8 +582,9 @@ def _combine(skip_name: str, ctx, w_local, propagating: bool, result_dt) -> Colu
             F.last(ctx.clean, ignorenulls=True).over(w_local), F.col("__tp_o_fill")
         )
     elif skip_name == "bfill":
+        # w_local is DESC-ordered (see scan_two_pass): last == backward fill
         out = F.coalesce(
-            F.first(ctx.clean, ignorenulls=True).over(w_local), F.col("__tp_o_fill")
+            F.last(ctx.clean, ignorenulls=True).over(w_local), F.col("__tp_o_fill")
         )
     else:  # pragma: no cover
         raise AssertionError(skip_name)
