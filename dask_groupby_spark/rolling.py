@@ -74,14 +74,52 @@ def groupby_rolling(
     missing = v.isNull() | (F.isnan(v) if dt in ("float", "double") else F.lit(False))
     clean = F.when(~missing, v.cast("double"))
 
-    def build_exprs(w, w_shift) -> dict:
-        """All requested rolling columns over frame spec ``w``; ``w_shift``
-        is the matching UNORDERED partition spec (whole group on the window
-        path, one chunk on the two-pass path — any per-frame constant is a
-        valid variance shift, and every frame lies inside one chunk)."""
-        n = F.count(clean).over(w)
-        nrows = F.count(F.lit(1)).over(w)
-        s = F.sum(clean).over(w)
+    def apply_frames(frame_df: DataFrame, w, w_shift) -> tuple:
+        """Two-stage evaluation: materialize each raw frame aggregate ONCE
+        (Catalyst instantiates a separate window expression for EVERY
+        occurrence of a window Column in a downstream tree — the naive
+        7-func build carried 28 window expressions where 8 distinct
+        suffice, and sliding frames re-aggregate per row, so duplicates
+        multiply real work; r8), then compute the requested funcs as
+        row-local arithmetic.  ``w_shift`` is the matching UNORDERED
+        partition spec (whole group on the window path, one chunk on the
+        two-pass path — any per-frame constant is a valid variance shift,
+        and every frame lies inside one chunk).
+
+        Returns (frame_df_with_result_columns, result_names); helper
+        columns are dropped before returning.
+        """
+        needs_var = any(f in ("var", "std") for f in funcs)
+        if needs_var:
+            # SHIFTED one-pass moments: variance is shift-invariant, and
+            # centering by the group/chunk mean first (one unordered window
+            # over the same partitioning — no extra Exchange) kills the
+            # catastrophic cancellation of Σx² − (Σx)²/n when |mean| ≫
+            # spread (hypothesis found 3.8e-6 relative error vs pandas at
+            # values ~1e5 with variance ~0.5; shifted it is ~1 ulp).
+            # Residual conditioning bound: a WINDOW whose values sit far
+            # from the group mean still one-passes over centered values of
+            # that offset's magnitude — absolute error ~ eps·n·max(x−K)²,
+            # the same class as pandas' own online rolling var (a window-
+            # local two-pass is not expressible as window aggregates).
+            frame_df = frame_df.withColumn("__ro_sh", F.avg(clean).over(w_shift))
+        raw: dict[str, Column] = {
+            "__ro_n": F.count(clean).over(w),
+            "__ro_nr": F.count(F.lit(1)).over(w),
+        }
+        if any(f in ("sum", "mean") for f in funcs):
+            raw["__ro_s"] = F.sum(clean).over(w)
+        if "min" in funcs:
+            raw["__ro_min"] = F.min(clean).over(w)
+        if "max" in funcs:
+            raw["__ro_max"] = F.max(clean).over(w)
+        if needs_var:
+            c = clean - F.col("__ro_sh")
+            raw["__ro_s2"] = F.sum(c * c).over(w)
+            raw["__ro_sc"] = F.sum(c).over(w)
+        frame_df = frame_df.withColumns(raw)
+
+        n, nrows = F.col("__ro_n"), F.col("__ro_nr")
         exprs: dict[str, Column] = {}
         for f in funcs:
             if f == "count":
@@ -93,37 +131,28 @@ def groupby_rolling(
                 exprs[f"{prefix}{f}"] = col
                 continue
             elif f == "sum":
-                col = F.coalesce(s, F.lit(0.0))
+                col = F.coalesce(F.col("__ro_s"), F.lit(0.0))
             elif f == "mean":
-                col = s / n
+                col = F.col("__ro_s") / n
             elif f == "min":
-                col = F.min(clean).over(w)
+                col = F.col("__ro_min")
             elif f == "max":
-                col = F.max(clean).over(w)
+                col = F.col("__ro_max")
             else:  # var / std, ddof=1 (pandas default)
-                # SHIFTED one-pass moments: variance is shift-invariant, and
-                # centering by the group mean first (one unordered window over
-                # the same partitioning — no extra Exchange) kills the
-                # catastrophic cancellation of Σx² − (Σx)²/n when |mean| ≫
-                # spread (hypothesis found 3.8e-6 relative error vs pandas at
-                # values ~1e5 with variance ~0.5; shifted it is ~1 ulp).
-                # Residual conditioning bound: a WINDOW whose values sit far
-                # from the group mean still one-passes over centered values of
-                # that offset's magnitude — absolute error ~ eps·n·max(x−K)²,
-                # the same class as pandas' own online rolling var (a window-
-                # local two-pass is not expressible as window aggregates).
-                shift = F.avg(clean).over(w_shift)
-                c = clean - shift
-                s2 = F.sum(c * c).over(w)
-                sc = F.sum(c).over(w)
-                var = (s2 - sc * sc / n) / (n - F.lit(1))
+                var = (F.col("__ro_s2") - F.col("__ro_sc") * F.col("__ro_sc") / n) / (
+                    n - F.lit(1)
+                )
                 var = F.when(n > 1, F.greatest(var, F.lit(0.0)))
                 col = var if f == "var" else F.sqrt(var)
             # short frame → NaN (pandas min_periods)
             col = F.when(n >= F.lit(max(min_periods, 1)), col).otherwise(F.lit(NAN))
             col = F.coalesce(col, F.lit(NAN))
             exprs[f"{prefix}{f}"] = col
-        return exprs
+        frame_df = frame_df.withColumns(exprs).drop(
+            "__ro_sh", "__ro_n", "__ro_nr", "__ro_s", "__ro_min", "__ro_max",
+            "__ro_s2", "__ro_sc",
+        )
+        return frame_df, list(exprs.keys())
 
     if method == "two_pass":
         if range_between is None:
@@ -142,7 +171,7 @@ def groupby_rolling(
             idx_col,
             lo,
             hi,
-            lambda w: build_exprs(w, Window.partitionBy(*by, _CHUNK)),
+            lambda fdf, w: apply_frames(fdf, w, Window.partitionBy(*by, _CHUNK)),
             rows_per_chunk=rows_per_chunk,
         )
     if method != "window":
@@ -153,4 +182,5 @@ def groupby_rolling(
         w = w.rangeBetween(range_between[0], range_between[1])
     else:
         w = w.rowsBetween(-(window - 1), Window.currentRow)
-    return df.withColumns(build_exprs(w, Window.partitionBy(*by)))
+    out_df, _ = apply_frames(df, w, Window.partitionBy(*by))
+    return out_df

@@ -241,9 +241,10 @@ def rolling_two_pass(
     frame is exactly the single-window answer.  One big-data shuffle
     (hash on (keys, chunk)), max task = one chunk + its fringe.
 
-    ``build_exprs(w) -> dict[str, Column]`` receives the local window spec
-    and returns the output columns (the caller's existing expression
-    builder — semantics stay in rolling.py, only the partitioning here).
+    ``build_exprs(frame_df, w) -> (DataFrame, [names])`` receives the
+    fringe-replicated frame and the local window spec and appends the
+    output columns (the caller's existing two-stage builder — semantics
+    stay in rolling.py, only the partitioning here).
     """
     keys = list(by)
     idxn = _idx_numeric(df, idx_col)
@@ -325,9 +326,9 @@ def rolling_two_pass(
         .orderBy(F.col(idx_col))
         .rangeBetween(lo, hi)
     )
-    exprs = build_exprs(w_local)
-    out = big.withColumns(exprs).where(F.col("__tp_ctx") == 0)
-    res = out.select(*df.columns, *exprs.keys())
+    out, names = build_exprs(big, w_local)
+    out = out.where(F.col("__tp_ctx") == 0)
+    res = out.select(*df.columns, *names)
     res.two_pass_stats = stats  # persist-handle convention
     return res
 
