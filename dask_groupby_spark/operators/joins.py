@@ -171,14 +171,27 @@ def asof_join(
         .orderBy(F.col(on).desc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carry_b = F.last(F.col("__r"), ignorenulls=True).over(w_b)
-    carry_f = F.last(F.col("__r"), ignorenulls=True).over(w_f)
-
+    # materialize each carry ONCE — the nearest-direction chooser references
+    # both carries ~4× each, and every occurrence of a window Column in a
+    # downstream tree instantiates its own window expression (r8)
     if direction == "backward":
-        chosen = carry_b
+        unioned = unioned.withColumn(
+            "__cb", F.last(F.col("__r"), ignorenulls=True).over(w_b)
+        )
+        chosen = F.col("__cb")
     elif direction == "forward":
-        chosen = carry_f
+        unioned = unioned.withColumn(
+            "__cf", F.last(F.col("__r"), ignorenulls=True).over(w_f)
+        )
+        chosen = F.col("__cf")
     else:
+        unioned = unioned.withColumns(
+            {
+                "__cb": F.last(F.col("__r"), ignorenulls=True).over(w_b),
+                "__cf": F.last(F.col("__r"), ignorenulls=True).over(w_f),
+            }
+        )
+        carry_b, carry_f = F.col("__cb"), F.col("__cf")
         lts = time_expr_to_seconds(F.col(on), on_dt)
         d_b = lts - time_expr_to_seconds(carry_b["__rts"], r_on_dt)
         d_f = time_expr_to_seconds(carry_f["__rts"], r_on_dt) - lts
@@ -194,10 +207,11 @@ def asof_join(
     # earliest right row, and nearest would fall through to it)
     chosen = F.when(F.col(on).isNotNull(), chosen)
 
-    carried = unioned.select(
-        "*",
-        chosen.alias("__c"),
-    ).where(F.col("__side") == 1)
+    carried = (
+        unioned.select("*", chosen.alias("__c"))
+        .where(F.col("__side") == 1)
+        .drop("__cb", "__cf")
+    )
 
     matched = F.col("__c").isNotNull()
     if tolerance is not None:

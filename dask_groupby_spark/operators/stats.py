@@ -704,12 +704,16 @@ def quantile_normalize(
     nn = df.where(c.isNotNull()).withColumn("__cc", c)
     nulls = df.where(c.isNull()).withColumn(out, F.lit(None).cast("double"))
     w = Window.partitionBy(*keys).orderBy("__cc")
-    pos = F.percent_rank().over(w) * resolution
+    # materialize the rank ONCE: each occurrence of a window Column in the
+    # interpolation tree becomes its own window expression after analysis
+    # (the inline form instantiated ~6 percent_rank passes; r8)
+    nn = nn.withColumn("__pos", F.percent_rank().over(w) * resolution)
+    pos = F.col("__pos")
     lo = F.least(F.floor(pos), F.lit(resolution - 1)).cast("int")
     frac = pos - lo
     arr = F.array(*[F.lit(float(v)) for v in grid])
     val = F.element_at(arr, lo + 1) * (1 - frac) + F.element_at(arr, lo + 2) * frac
-    mapped = nn.withColumn(out, val).drop("__cc")
+    mapped = nn.withColumn(out, val).drop("__cc", "__pos")
     return mapped.unionByName(nulls)
 
 
