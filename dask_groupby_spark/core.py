@@ -369,6 +369,13 @@ def groupby_scan(
     ffill, bfill) and numeric/timestamp/date idx.  See
     :mod:`dask_groupby_spark.two_pass`.
 
+    ``method="auto"``: runs the (map-combined, column-pruned) per-group
+    count aggregate first — one cheap scalar job — and picks two_pass
+    exactly when some group exceeds ``rows_per_chunk`` rows AND the func/
+    idx dtype support it; otherwise the plain window.  The probe is the
+    same aggregate two_pass's chunking needs anyway, so the overhead is
+    one small job, not a second pass over the data.
+
     Rows with missing group labels pass through with a NULL/NaN result
     (the reference excludes code −1 elements from scans likewise).
     """
@@ -424,6 +431,20 @@ def groupby_scan(
             ok = ok & ~F.isnan(k)
         label_ok = ok if label_ok is None else (label_ok & ok)
 
+    if method == "auto":
+        from .two_pass import TWO_PASS_FUNCS, _idx_numeric
+
+        eligible = spec.name in TWO_PASS_FUNCS
+        if eligible:
+            try:
+                _idx_numeric(work, idx_col)
+            except ValueError:
+                eligible = False
+        if eligible:
+            mx = work.groupBy(*by).count().agg(F.max("count")).collect()[0][0]
+            method = "two_pass" if (mx or 0) > rows_per_chunk else "window"
+        else:
+            method = "window"
     if method == "two_pass":
         from .two_pass import scan_two_pass
 
@@ -440,7 +461,9 @@ def groupby_scan(
             rows_per_chunk=rows_per_chunk,
         )
     if method != "window":
-        raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
+        raise ValueError(
+            f"method must be 'window', 'two_pass', or 'auto', got {method!r}"
+        )
 
     col = spec.build(ctx, w).cast(result_dt)
     col = F.when(label_ok, col).otherwise(dt_rules.na_lit(result_dt))

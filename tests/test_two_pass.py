@@ -323,3 +323,32 @@ def test_two_pass_random_property(spark, seed):
         tm = {r["idx"]: r[func] for r in t.collect()}
         bad = [i for i in wm if not _cmp(wm[i], tm[i], func)]
         assert not bad, (seed, func, rpc, [(i, wm[i], tm[i]) for i in bad[:3]])
+
+
+def test_auto_method_dispatch(spark, sdf):
+    """auto picks window for small groups, two_pass when a group exceeds
+    rows_per_chunk, and falls back to window for non-associative funcs —
+    output identical either way."""
+    w = groupby_scan(sdf, "label", func="nancumsum", value="val", idx_col="idx")
+    # big threshold -> window chosen
+    a = groupby_scan(
+        sdf, "label", func="nancumsum", value="val", idx_col="idx",
+        method="auto", rows_per_chunk=10_000,
+    )
+    assert "__tp_chunk" not in a._jdf.queryExecution().executedPlan().toString()
+    # tiny threshold -> two_pass chosen
+    b = groupby_scan(
+        sdf, "label", func="nancumsum", value="val", idx_col="idx",
+        method="auto", rows_per_chunk=37,
+    )
+    assert "__tp_chunk" in b._jdf.queryExecution().executedPlan().toString()
+    wm = {r["idx"]: r["nancumsum"] for r in w.collect()}
+    for o in (a, b):
+        om = {r["idx"]: r["nancumsum"] for r in o.collect()}
+        assert all(_cmp(wm[i], om[i], "nancumsum") for i in wm)
+    # shift is not associative: auto degrades to window instead of raising
+    c = groupby_scan(
+        sdf, "label", func="shift", value="val", idx_col="idx",
+        method="auto", rows_per_chunk=37,
+    )
+    assert "__tp_chunk" not in c._jdf.queryExecution().executedPlan().toString()
