@@ -1370,11 +1370,23 @@ def q_keep_by_dedup(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
+    """Exact bigram-Jaccard pairs WITH the boilerplate-shingle cap the
+    100 TB plan documents (r8: max_shingle_df=256 — the r8 sf0.1 sweep
+    measured the uncapped key at 39 s because the synthetic vocabulary
+    puts most bigrams at df≈300, Σdf² = 73M enumeration rows; the cap
+    keeps 2.4M and the semantics become 'exact Jaccard over the
+    stop-shingle-filtered space', the standard formulation).  The
+    oracle applies the identical df filter, so the compare is exact at
+    every SF — at sf0.01 the cap never binds and values equal the
+    uncapped baseline."""
     docs = load_table(spark, sf, "documents")
-    out = ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.35)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
-        "id_a", "id_b"
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=2, threshold=0.35, max_shingle_df=256
     )
+    res = out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+    return res
 
 
 def q_simhash(spark, sf):

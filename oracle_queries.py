@@ -1052,13 +1052,19 @@ reb AS (
 SELECT d.doc_id, coalesce(reb.text_clean, '') AS text_clean
 FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
 ORDER BY d.doc_id""",
+    # r8: mirrors the query's max_shingle_df=256 boilerplate cap — shingles
+    # with document frequency > 256 are dropped BEFORE pairing, and the
+    # per-doc sizes count the SURVIVING shingle space (exact Jaccard over
+    # the stop-shingle-filtered sets, identical on both engines at any SF).
     "ngram_jaccard": f"""{_TOKS},
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
                                i -> array_to_string(tk[i:i+1], ' '))) AS sh
   FROM toks
 ),
+shdf AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 256),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN shdf USING (sh)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
