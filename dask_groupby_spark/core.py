@@ -509,6 +509,8 @@ def groupby_rank(
     pct: bool = False,
     idx_col: Optional[str] = None,
     alias: Optional[str] = None,
+    execution: str = "window",
+    rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Grouped rank transform (pandas ``GroupBy.rank`` parity — a transform
     the reference lacks; same row count as the input, one result column).
@@ -519,16 +521,33 @@ def groupby_rank(
     and never consume a rank.  ``pct=True`` divides by the group's valid
     count.
 
-    Executed as ONE window pass over ``partitionBy(by)`` — a single
-    Exchange + sort, the same scale class as ``groupby_scan``; giant groups
-    serialize in one task (range-partition upstream if needed), ordered
-    ranks cannot salt.
+    ``execution="window"`` (default): ONE window pass over
+    ``partitionBy(by)`` — a single Exchange + sort, the same scale class
+    as ``groupby_scan``; giant groups serialize in one task, ordered
+    ranks cannot salt.  ``execution="two_pass"``: the chunked scalable
+    path — ranks order by the VALUE, so chunks bucket on the value and
+    every tie adjustment stays chunk-local; global rank = local +
+    prefix(valid count) (prefix(distinct count) for dense).  Numeric/
+    timestamp/date values only.  (Named ``execution`` because ``method``
+    is pandas' tie-rule kwarg here.)  See
+    :func:`dask_groupby_spark.two_pass.rank_two_pass`.
     """
     if method not in ("average", "min", "max", "dense", "first"):
         raise ValueError(f"unknown method {method!r}")
     if method == "first" and idx_col is None:
         raise ValueError('method="first" requires idx_col= (appearance order)')
     out_name = alias or "rank"
+    if execution == "two_pass":
+        from .two_pass import rank_two_pass
+
+        return rank_two_pass(
+            df, by, value, method, ascending, pct, idx_col, out_name,
+            rows_per_chunk=rows_per_chunk,
+        )
+    if execution != "window":
+        raise ValueError(
+            f"execution must be 'window' or 'two_pass', got {execution!r}"
+        )
 
     v = F.col(value)
     valid = v.isNotNull()

@@ -596,3 +596,122 @@ def _combine(skip_name: str, ctx, w_local, propagating: bool, result_dt) -> Colu
         poisoned = (F.coalesce(F.col("__tp_o_miss"), F.lit(0)) == 1) | (local_msf == 1)
         out = F.when(poisoned, F.lit(float("nan")).cast(result_dt)).otherwise(out)
     return out
+
+
+def rank_two_pass(
+    df: DataFrame,
+    by: tuple,
+    value: str,
+    method: str,
+    ascending: bool,
+    pct: bool,
+    idx_col,
+    out_name: str,
+    rows_per_chunk: int = 2_000_000,
+    max_chunks: int = 4096,
+) -> DataFrame:
+    """Two-pass execution of :func:`~dask_groupby_spark.core.groupby_rank`
+    — identical pandas-parity semantics, chunked so one huge group spans
+    many tasks instead of one.
+
+    Ranks order by the VALUE itself, so chunks bucket on the value (negated
+    for descending): equal values land in one chunk by construction, which
+    makes every tie adjustment (min/max/average peers, dense steps,
+    first-method idx ordering) chunk-local, and the global rank is just
+    ``local + prefix(valid-count)`` (``prefix(distinct-count)`` for dense).
+    Missing values (NULL rank, never consuming a rank) ride through in a
+    sentinel chunk.  Numeric/timestamp/date values only — the window path
+    handles arbitrary orderable types.
+    """
+    keys = list(by)
+    v = F.col(value)
+    valid = v.isNotNull()
+    if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
+        valid = valid & ~F.isnan(v)
+    clean = F.when(valid, v)
+    vnum = _idx_numeric(df, value)  # raises for non-bucketable value types
+    ord_num = vnum if ascending else -vnum
+
+    stats = df.where(valid).groupBy(*keys).agg(
+        F.min(ord_num).alias("__tp_a"),
+        F.max(ord_num).alias("__tp_b"),
+        F.count(F.lit(1)).alias("__tp_nv"),
+    )
+    nchunks = F.least(
+        F.lit(max_chunks).cast("long"),
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_nv") / F.lit(rows_per_chunk))),
+    )
+    stats = stats.withColumn("__tp_c", nchunks).persist()
+
+    joined = df.join(F.broadcast(stats), on=keys, how="left")
+    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
+    raw_chunk = F.when(
+        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.col("__tp_c") - 1,
+            F.greatest(F.lit(0).cast("long"), F.floor((ord_num - F.col("__tp_a")) / width)),
+        )
+    )
+    # missing values never consume a rank: sentinel chunk, NULL rank below
+    chunk = F.when(~valid, F.lit(-1).cast("long")).otherwise(raw_chunk)
+    big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
+
+    # ---- tiny per-(group, chunk) states ----------------------------------
+    states = (
+        big.where(F.col(_CHUNK) >= 0)
+        .groupBy(*keys, _CHUNK)
+        .agg(
+            F.count(clean).alias("__tp_cnt"),
+            F.count_distinct(clean).alias("__tp_nd"),
+        )
+    )
+    w_prec = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_CHUNK))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*keys)
+    offsets = states.select(
+        *keys,
+        _CHUNK,
+        F.coalesce(F.sum("__tp_cnt").over(w_prec), F.lit(0).cast("long")).alias("__tp_pre"),
+        F.coalesce(F.sum("__tp_nd").over(w_prec), F.lit(0).cast("long")).alias("__tp_pre_nd"),
+        F.sum("__tp_nd").over(w_all).alias("__tp_tot_nd"),
+    )
+
+    # ---- local rank + recombine ------------------------------------------
+    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    order = clean.asc_nulls_last() if ascending else clean.desc_nulls_last()
+    wp = Window.partitionBy(*keys, _CHUNK)
+    pre = F.coalesce(F.col("__tp_pre"), F.lit(0).cast("long"))
+    if method == "first":
+        w = wp.orderBy(order, F.col(idx_col).asc())
+        rank = F.row_number().over(w) + pre
+    elif method == "dense":
+        rank = F.dense_rank().over(wp.orderBy(order)) + F.coalesce(
+            F.col("__tp_pre_nd"), F.lit(0).cast("long")
+        )
+    else:
+        min_rank = F.rank().over(wp.orderBy(order)) + pre
+        if method == "min":
+            rank = min_rank
+        else:
+            ties = F.count(clean).over(
+                wp.orderBy(order).rangeBetween(Window.currentRow, Window.currentRow)
+            )
+            max_rank = min_rank + ties - 1
+            rank = max_rank if method == "max" else (min_rank + max_rank) / 2.0
+    if pct:
+        denom = (
+            F.col("__tp_tot_nd")
+            if method == "dense"
+            else F.col("__tp_nv")  # total valid count from the stats join
+        )
+        rank = rank.cast("double") / denom
+    result_t = "double" if (pct or method == "average") else "long"
+    col = F.when(valid, rank.cast(result_t)).otherwise(F.lit(None).cast(result_t))
+    keep = [c for c in df.columns if c != out_name]
+    res = big.withColumn(out_name, col).select(*keep, out_name)
+    res.two_pass_stats = stats
+    return res

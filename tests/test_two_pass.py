@@ -352,3 +352,61 @@ def test_auto_method_dispatch(spark, sdf):
         method="auto", rows_per_chunk=37,
     )
     assert "__tp_chunk" not in c._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# two-pass rank
+
+
+@pytest.fixture(scope="module")
+def rank_sdf(spark):
+    rng = np.random.default_rng(SEED + 3)
+    labels = rng.integers(0, 3, N)
+    # heavy ties: values drawn from a small set, plus NaN/NULL-able floats
+    vals = rng.choice([1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 13.0], N)
+    vals[rng.random(N) < 0.15] = np.nan
+    rows = [(i, int(labels[i]), float(vals[i])) for i in range(N)]
+    return spark.createDataFrame(
+        rows, "idx bigint, label bigint, val double"
+    ).repartition(4)
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max", "dense", "first"])
+@pytest.mark.parametrize("ascending", [True, False])
+def test_rank_two_pass_matches_window(spark, rank_sdf, method, ascending):
+    from dask_groupby_spark import groupby_rank
+
+    kw = dict(value="val", method=method, ascending=ascending,
+              idx_col="idx" if method == "first" else None)
+    w = groupby_rank(rank_sdf, "label", **kw)
+    t = groupby_rank(rank_sdf, "label", **kw, execution="two_pass",
+                     rows_per_chunk=40)
+    wm = {r["idx"]: r["rank"] for r in w.collect()}
+    tm = {r["idx"]: r["rank"] for r in t.collect()}
+    assert set(wm) == set(tm)
+    bad = [i for i in wm if not _cmp(wm[i], tm[i], "rank")]
+    assert not bad, (method, ascending, [(i, wm[i], tm[i]) for i in bad[:5]])
+
+
+@pytest.mark.parametrize("method", ["average", "dense"])
+def test_rank_two_pass_pct(spark, rank_sdf, method):
+    from dask_groupby_spark import groupby_rank
+
+    w = groupby_rank(rank_sdf, "label", value="val", method=method, pct=True)
+    t = groupby_rank(rank_sdf, "label", value="val", method=method, pct=True,
+                     execution="two_pass", rows_per_chunk=40)
+    wm = {r["idx"]: r["rank"] for r in w.collect()}
+    tm = {r["idx"]: r["rank"] for r in t.collect()}
+    bad = [i for i in wm if not _cmp(wm[i], tm[i], "rank")]
+    assert not bad, (method, [(i, wm[i], tm[i]) for i in bad[:5]])
+
+
+def test_rank_two_pass_plan_and_types(spark, rank_sdf):
+    from dask_groupby_spark import groupby_rank
+
+    t = groupby_rank(rank_sdf, "label", value="val", method="min",
+                     execution="two_pass", rows_per_chunk=40)
+    assert "__tp_chunk" in t._jdf.queryExecution().executedPlan().toString()
+    assert dict(t.dtypes)["rank"] == "bigint"
+    w = groupby_rank(rank_sdf, "label", value="val", method="min")
+    assert t.columns == w.columns
