@@ -611,14 +611,21 @@ def groupby_fill_stat(
     value: str,
     func: str = "nanmean",
     out: str = None,
+    method: str = "window",
 ) -> DataFrame:
     """Missing-value imputation with a per-group statistic — pandas
     ``x.fillna(g.transform("mean"))``.  ``func`` ∈ {nanmean, nanmedian,
     nanmin, nanmax}; NaN and NULL both count as missing and are replaced;
     an all-missing group stays missing.
 
-    One unordered window over the group keys — a single Exchange, no join
-    back (the aggregate is evaluated alongside the rows in WindowExec).
+    ``method="window"`` (default): one unordered window over the group
+    keys — a single Exchange, no join back; right when groups are
+    numerous (each stays small, partitions spread).  ``method="join"``:
+    a map-combined groupBy aggregate + NULL-safe broadcast join —
+    ZERO big-data Exchange and no one-task-per-group serialization; the
+    scale path when groups are few/huge (the stats table must broadcast,
+    so group count is the bound).  Same semantics either way, including
+    a NULL/NaN-key group filling from its own statistic.
     """
     builders = {
         "nanmean": F.avg,
@@ -634,8 +641,40 @@ def groupby_fill_stat(
     if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
         missing = missing | F.isnan(v)
     clean = F.when(~missing, v)
+    if method == "join":
+        joined = _group_stat_join(
+            df, by, [builders[func](clean).alias("__gs")]
+        )
+        filled = F.when(missing, F.col("__gs")).otherwise(v)
+        return _stat_join_select(joined, df, filled, out)
+    if method != "window":
+        raise ValueError(f"method must be 'window' or 'join', got {method!r}")
     stat = builders[func](clean).over(Window.partitionBy(*by))
     return df.withColumn(out, F.when(missing, stat).otherwise(v))
+
+
+def _group_stat_join(df: DataFrame, by, aggs: list) -> DataFrame:
+    """Transform-op ``method="join"`` plumbing: per-group aggregates
+    (map-combined — only tiny partials shuffle) NULL-SAFE broadcast-joined
+    back, so the big side never shuffles and no group serializes onto one
+    task.  NULL (and NaN) keys match themselves, exactly like window
+    partitioning.  Returns the joined frame carrying ``df``'s columns plus
+    the aggregate aliases."""
+    keys = list(by)
+    stats = df.groupBy(*keys).agg(*aggs)
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(stats[k])
+        cond = c if cond is None else (cond & c)
+    joined = df.join(F.broadcast(stats), cond, "left")
+    for k in keys:
+        joined = joined.drop(stats[k])
+    return joined
+
+
+def _stat_join_select(joined: DataFrame, df: DataFrame, result: Column, out: str) -> DataFrame:
+    keep = [c for c in df.columns if c != out]
+    return joined.select(*keep, result.alias(out))
 
 
 def groupby_winsorize(
@@ -645,15 +684,20 @@ def groupby_winsorize(
     lower: float = 0.01,
     upper: float = 0.99,
     out: str = None,
+    method: str = "window",
 ) -> DataFrame:
     """Per-group winsorization: clip values into the group's
     [lower, upper] exact quantile band (linear interpolation, numpy
     convention — the outlier-capping step of feature pipelines).
 
-    Both quantiles evaluate in ONE unordered window pass over the keys —
-    single Exchange.  Holistic like any exact quantile: a giant group
-    buffers in one task (use the GK sketch + a join for hot keys).
-    Missing values pass through unchanged.
+    ``method="window"`` (default): both quantiles evaluate in ONE
+    unordered window pass over the keys — single Exchange.  Holistic
+    like any exact quantile: a giant group buffers in one task.
+    ``method="join"``: per-group quantile aggregate + NULL-safe
+    broadcast join — zero big-data Exchange, no per-group task; the
+    quantile buffer then lives in the (partial-row) aggregation instead
+    (swap in ``approx_quantile`` via ``groupby_agg`` + a join when even
+    that buffer is too hot).  Missing values pass through unchanged.
     """
     if not (0.0 <= lower <= upper <= 1.0):
         raise ValueError("need 0 <= lower <= upper <= 1")
@@ -663,6 +707,21 @@ def groupby_winsorize(
     if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
         missing = missing | F.isnan(v)
     clean = F.when(~missing, v)
+    if method == "join":
+        joined = _group_stat_join(
+            df,
+            by,
+            [
+                F.percentile(clean, F.lit(float(lower))).alias("__gs_lo"),
+                F.percentile(clean, F.lit(float(upper))).alias("__gs_hi"),
+            ],
+        )
+        clipped = F.least(F.greatest(v, F.col("__gs_lo")), F.col("__gs_hi"))
+        return _stat_join_select(
+            joined, df, F.when(missing, v).otherwise(clipped), out
+        )
+    if method != "window":
+        raise ValueError(f"method must be 'window' or 'join', got {method!r}")
     w = Window.partitionBy(*by)
     lo = F.percentile(clean, F.lit(float(lower))).over(w)
     hi = F.percentile(clean, F.lit(float(upper))).over(w)

@@ -410,3 +410,48 @@ def test_rank_two_pass_plan_and_types(spark, rank_sdf):
     assert dict(t.dtypes)["rank"] == "bigint"
     w = groupby_rank(rank_sdf, "label", value="val", method="min")
     assert t.columns == w.columns
+
+
+# ---------------------------------------------------------------------------
+# transform ops: method="join" (agg + null-safe broadcast join) parity
+
+
+def test_fill_stat_join_matches_window(spark):
+    from dask_groupby_spark import groupby_fill_stat
+
+    rows = [
+        (0, 1, 1.0), (1, 1, None), (2, 1, 3.0),
+        (3, None, 10.0), (4, None, float("nan")),   # NULL-key group fills from itself
+        (5, 2, None), (6, 2, None),                  # all-missing group stays missing
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, g bigint, v double").repartition(3)
+    for func in ("nanmean", "nanmedian", "nanmin", "nanmax"):
+        w = {r["idx"]: r["v"] for r in
+             groupby_fill_stat(df, "g", value="v", func=func).collect()}
+        j = {r["idx"]: r["v"] for r in
+             groupby_fill_stat(df, "g", value="v", func=func, method="join").collect()}
+        assert set(w) == set(j)
+        for i in w:
+            assert _cmp(w[i], j[i], func), (func, i, w[i], j[i])
+    # plan: no big-data Exchange on the join path (broadcast only)
+    out = groupby_fill_stat(df, "g", value="v", func="nanmean", method="join")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_join_matches_window(spark):
+    import numpy as np
+    from dask_groupby_spark import groupby_winsorize
+
+    rng = np.random.default_rng(99)
+    rows = [(i, int(rng.integers(0, 3)), float(rng.normal(0, 50))) for i in range(200)]
+    rows += [(200, 0, float("nan")), (201, None, 5.0)]
+    df = spark.createDataFrame(rows, "idx bigint, g bigint, v double").repartition(4)
+    w = {r["idx"]: r["wz"] for r in
+         groupby_winsorize(df, "g", value="v", lower=0.1, upper=0.9, out="wz").collect()}
+    j = {r["idx"]: r["wz"] for r in
+         groupby_winsorize(df, "g", value="v", lower=0.1, upper=0.9, out="wz",
+                           method="join").collect()}
+    assert set(w) == set(j)
+    for i in w:
+        assert _cmp(w[i], j[i], "wz"), (i, w[i], j[i])
