@@ -1153,6 +1153,26 @@ def q_rank(spark, sf):
     )
 
 
+def q_rank_two_pass(spark, sf):
+    """The chunked rank tier (r8 — core.py groupby_rank
+    execution='two_pass', two_pass.py rank_two_pass): same average-tie
+    pct semantics as the rank key, executed as value-bucketed chunk
+    ranks + prefix-combined valid counts, so one huge group spans many
+    tasks.  rows_per_chunk=2000 forces multi-chunk at every test SF; the
+    oracle is the plain window rank SQL — the two plans must agree to
+    the last rounded digit."""
+    from dask_groupby_spark import groupby_rank
+
+    ev = _ev(spark, sf)
+    out = groupby_rank(
+        ev, "event_type", value="value", method="average", pct=True,
+        alias="rank", execution="two_pass", rows_per_chunk=2000,
+    )
+    return out.select(
+        "event_id", "event_type", F.round(F.col("rank"), 6).alias("rank")
+    )
+
+
 def q_fill_stat(spark, sf):
     """per-group missing-value imputation — pandas
     ``x.fillna(g.transform("mean"))``; one unordered window, single
@@ -2920,6 +2940,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle — see q_pca_embed) ---
     "pca_embed": q_pca_embed,
     # --- r8 first registrations ---
+    "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,
     "scan_two_pass": q_scan_two_pass,
@@ -3077,7 +3098,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _R8_WINDOW = [
     "sql_entry",
     "pca_embed", "keep_by_dedup", "audio_neardup",
-    "scan_two_pass", "scan_two_pass_ffill",
+    "scan_two_pass", "scan_two_pass_ffill", "rank_two_pass",
     # latest official row = r3 (20 keys)
     "rollup", "ewma_scan", "text_stats", "langid", "ann_ivf", "ann_lsh",
     "ann_topk", "asof_join", "centroids", "curate", "decontaminate",
@@ -3087,7 +3108,7 @@ _R8_WINDOW = [
     "all", "any", "argmax", "argmin", "count", "fill_stat", "first",
     "last", "max", "mean", "mean_ts", "median", "min", "mixture",
     "nanargmax", "nanargmin", "nanfirst", "nanlast", "nanmax", "nanmean",
-    "nanmedian", "nanmin", "nanprod", "nanquantile_vec",
+    "nanmedian", "nanmin", "nanprod",
 ]
 assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 _QUERIES = {k: _QUERIES[k] for k in _R8_WINDOW} | {

@@ -770,6 +770,16 @@ SELECT event_id, event_type,
 FROM t
 WINDOW w AS (PARTITION BY event_type ORDER BY value ASC),
        peers AS (PARTITION BY event_type, value)""",
+    # rank_two_pass (r8): the chunked rank tier must equal the plain
+    # windowed rank — the oracle IS the window SQL.
+    "rank_two_pass": f"""{_EV}
+SELECT event_id, event_type,
+       round((rank() OVER w
+              + rank() OVER w + count(*) OVER peers - 1) / 2.0
+             / count(value) OVER (PARTITION BY event_type), 6) AS rank
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC),
+       peers AS (PARTITION BY event_type, value)""",
     "scan_diff": f"""{_EV}
 SELECT event_id, event_type,
        value - lag(value, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS diff

@@ -225,9 +225,9 @@ class TestWindowRotation:
         assert window[0] == "sql_entry"  # red keys first, fixed first
         new_r8 = {
             "pca_embed", "keep_by_dedup", "audio_neardup",
-            "scan_two_pass", "scan_two_pass_ffill",
+            "scan_two_pass", "scan_two_pass_ffill", "rank_two_pass",
         }
-        assert new_r8 <= set(window[:6])
+        assert new_r8 <= set(window[:7])
         r3_era = {
             "rollup", "ewma_scan", "text_stats", "langid", "ann_ivf",
             "ann_lsh", "ann_topk", "asof_join", "centroids", "curate",
