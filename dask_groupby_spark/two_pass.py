@@ -715,3 +715,201 @@ def rank_two_pass(
     res = big.withColumn(out_name, col).select(*keep, out_name)
     res.two_pass_stats = stats
     return res
+
+
+def ewma_two_pass(
+    df: DataFrame,
+    by: tuple,
+    value: str,
+    idx_col: str,
+    alpha: float,
+    adjust: bool,
+    ignore_na: bool,
+    out: str,
+    rows_per_chunk: int = 100_000,
+) -> DataFrame:
+    """Two-pass grouped EWMA — pandas ``ewm(alpha).mean()`` parity without
+    routing each group to one task (the applyInPandas tier's bound).
+
+    EWMA is a linear recurrence, but the CLOSED form per valid row t is a
+    pair of geometric sums, ``y_t = N_t / D_t`` with
+    ``N_t = Σ c_i·x_i·β^(e_t − e_i)`` (β = 1−α; e = row ordinal, or valid
+    ordinal when ``ignore_na``; c_i = α for adjust=False except the
+    group's first valid observation, else 1 — α cancels for adjust=True).
+    Segmented: within a chunk both sums are running window sums of
+    ``u_i = c_i·x_i·β^(−el_i)`` (LOCAL ordinals — the exponent is bounded
+    by the chunk span, which is clamped so β^(−span) stays finite), and the
+    β^(el) prefactor CANCELS in the ratio, so the final value is exactly
+    ``(R_c + Σu) / (Q_c + Σw)`` where (R, Q) are per-chunk carries obeying
+    ``R_{c+1} = β^{L_c}·(R_c + ΣN_c)`` — a recurrence over at most a few
+    thousand chunk states per group, evaluated in one Arrow step over the
+    TINY state table (the reference's own pattern: big data stays JVM,
+    KB-scale combine state may use Python).  NaN positions carry the
+    previous EWMA forward (``R/Q`` at chunk entry — the β factors cancel
+    there too), NaN until the first valid observation, exactly pandas.
+    """
+    import math
+
+    import pandas as pd
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(
+            "ewma two_pass needs 0 < alpha < 1 (alpha=1 is plain "
+            "carry-forward of the value — use the default path)"
+        )
+    if not adjust and not ignore_na:
+        # pandas adjust=False + ignore_na=False is the RENORMALIZING
+        # recursion (old_wt resets to 1 after every observation), which is
+        # an affine — not geometric — recurrence across gaps; the closed
+        # form below would be the textbook absolute-position weighting,
+        # which pandas only matches when gaps are absent.  Keep exactness:
+        # refuse rather than approximate.
+        raise NotImplementedError(
+            "ewma two_pass supports adjust=True (either ignore_na) and "
+            "adjust=False with ignore_na=True; pandas' adjust=False + "
+            "ignore_na=False renormalizing recursion stays on the "
+            "applyInPandas path"
+        )
+    beta = 1.0 - alpha
+    span_bound = max(8, int(280.0 / max(1e-12, -math.log10(beta))))
+    rpc = min(rows_per_chunk, span_bound)
+
+    keys = list(by)
+    v = F.col(value).cast("double")
+    valid = v.isNotNull() & ~F.isnan(v)
+    idxn = _idx_numeric(df, idx_col)
+
+    stats = df.groupBy(*keys).agg(
+        F.min(idxn).alias("__tp_a"),
+        F.max(idxn).alias("__tp_b"),
+        F.count(F.lit(1)).alias("__tp_n"),
+    )
+    # NO max_chunks clamp: the exponent-safety span takes precedence; the
+    # state table grows to n/rpc rows per group, still KB/MB class
+    nchunks = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rpc)))
+    stats = stats.withColumn("__tp_c", nchunks).persist()
+
+    joined = df.join(F.broadcast(stats), on=keys, how="left")
+    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
+    chunk = F.when(
+        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.col("__tp_c") - 1,
+            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
+        )
+    )
+    chunk = F.when(F.col(idx_col).isNull(), F.lit(-1).cast("long")).otherwise(chunk)
+    big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c", "__tp_n")
+
+    base = Window.partitionBy(*keys, _CHUNK).orderBy(F.col(idx_col))
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rl = F.row_number().over(base) - 1          # local row ordinal
+    vl = F.count(F.when(valid, 1)).over(wb) - 1  # local valid ordinal (at valid rows)
+    el = vl if ignore_na else rl
+    big = big.withColumn("__tp_el", F.when(valid, el)).withColumn(
+        "__tp_vl", F.count(F.when(valid, 1)).over(wb)
+    )
+    # exponent-safety: enforced exactly in the Arrow step below (chunk spans
+    # come from value-bucketing idx, so skew could exceed rpc)
+    bexp = F.pow(F.lit(beta), -F.col("__tp_el"))
+    # ---- per-chunk states --------------------------------------------------
+    state_L = (
+        F.count(F.when(valid, 1)) if ignore_na else F.count(F.lit(1))
+    )
+    chunk_states = (
+        big.where(F.col(_CHUNK) >= 0)
+        .groupBy(*keys, _CHUNK)
+        .agg(
+            state_L.alias("__tp_L"),
+            F.sum(F.when(valid, v * F.pow(F.lit(beta), -F.col("__tp_el")))).alias("__tp_sn"),
+            F.sum(F.when(valid, F.pow(F.lit(beta), -F.col("__tp_el")))).alias("__tp_sw"),
+            F.sum(F.when(valid, v * F.pow(F.lit(beta), -F.col("__tp_el")) * F.lit(alpha))).alias("__tp_sna"),
+            F.sum(F.when(valid, F.pow(F.lit(beta), -F.col("__tp_el")) * F.lit(alpha))).alias("__tp_swa"),
+            F.count(F.when(valid, 1)).alias("__tp_nv"),
+            F.max(F.when(valid & (F.col("__tp_vl") == 1), v)).alias("__tp_x_first"),
+            F.max(F.when(valid & (F.col("__tp_vl") == 1), F.col("__tp_el"))).alias("__tp_e_first"),
+        )
+    )
+
+    key_schema = ", ".join(
+        f"`{k}` {dict(df.dtypes)[k]}" for k in keys
+    )
+    out_schema = (
+        f"{key_schema}, `{_CHUNK}` long, `__tp_R` double, `__tp_Q` double, "
+        "`__tp_pre_valid` long, `__tp_y_prev` double"
+    )
+    adj = bool(adjust)
+    ign = bool(ignore_na)
+    a_, b_ = float(alpha), float(beta)
+    sb_ = span_bound
+
+    def recur(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_CHUNK, kind="mergesort").reset_index(drop=True)
+        R = Q = 0.0
+        pre_valid = 0
+        out_rows = []
+        for _, r in pdf.iterrows():
+            L = int(r["__tp_L"])
+            if L > sb_:
+                raise ValueError(
+                    f"ewma two_pass: chunk span {L} exceeds the exponent-safe "
+                    f"bound {sb_} (idx values too skewed for alpha={a_}); "
+                    "use the default applyInPandas path"
+                )
+            rec = {k: r[k] for k in pdf.columns if not k.startswith("__tp_")}
+            rec[_CHUNK] = int(r[_CHUNK])
+            rec["__tp_R"] = R
+            rec["__tp_Q"] = Q
+            rec["__tp_pre_valid"] = pre_valid
+            rec["__tp_y_prev"] = (R / Q) if Q > 0.0 else None
+            out_rows.append(rec)
+            # advance the carry past this chunk
+            if adj:
+                sn = r["__tp_sn"] or 0.0
+                sw = r["__tp_sw"] or 0.0
+            else:
+                # adjust=False: every valid term weights alpha EXCEPT the
+                # group's first valid observation (weight 1).  If that first
+                # observation lives in THIS chunk, add back (1-alpha)·its
+                # term (we summed it with alpha).
+                sn = r["__tp_sna"] or 0.0
+                sw = r["__tp_swa"] or 0.0
+                if pre_valid == 0 and int(r["__tp_nv"]) > 0:
+                    xf = r["__tp_x_first"]
+                    ef = r["__tp_e_first"]
+                    if xf is not None and ef is not None:
+                        corr = b_ ** (-float(ef))
+                        sn += (1.0 - a_) * float(xf) * corr
+                        sw += (1.0 - a_) * corr
+            decay = b_ ** L
+            R = decay * (R + sn)
+            Q = decay * (Q + sw)
+            pre_valid += int(r["__tp_nv"])
+        return pd.DataFrame(out_rows)
+
+    offsets = chunk_states.groupBy(*keys).applyInPandas(recur, schema=out_schema)
+
+    # ---- recombine ---------------------------------------------------------
+    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    gv = F.col("__tp_vl") + F.coalesce(F.col("__tp_pre_valid"), F.lit(0).cast("long"))
+    if adjust:
+        c_i = F.lit(1.0)
+    else:
+        c_i = F.when(gv == 1, F.lit(1.0)).otherwise(F.lit(alpha))
+    sn = F.sum(F.when(valid, v * bexp * c_i).otherwise(F.lit(0.0))).over(wb)
+    sw = F.sum(F.when(valid, bexp * c_i).otherwise(F.lit(0.0))).over(wb)
+    num = F.coalesce(F.col("__tp_R"), F.lit(0.0)) + sn
+    den = F.coalesce(F.col("__tp_Q"), F.lit(0.0)) + sw
+    y_valid = F.when(valid & (den > 0), num / den)
+    # NaN positions carry the last EWMA forward; before any valid: NaN
+    # undefined (before the group's first valid observation) stays NULL —
+    # the same rendering the applyInPandas tier produces through Arrow
+    y = F.coalesce(
+        F.last(y_valid, ignorenulls=True).over(wb),
+        F.col("__tp_y_prev"),
+    )
+    keep = [c for c in df.columns if c != out]
+    res = big.withColumn(out, y.cast("double")).select(*keep, out)
+    res.two_pass_stats = stats
+    return res

@@ -167,6 +167,8 @@ def ewma(
     adjust: bool = True,
     ignore_na: bool = False,
     out: str = "ewma",
+    method: str = "pandas",
+    rows_per_chunk: int = 100_000,
 ) -> DataFrame:
     """Grouped exponentially-weighted moving average — pandas
     ``GroupBy.ewm(alpha=...).mean()`` parity, including ``adjust`` and
@@ -178,10 +180,26 @@ def ewma(
 
     EWMA is a linear RECURRENCE (y_t depends on y_{t-1}), which a Spark
     window aggregate cannot express and whose closed form
-    ``Σ(1-α)^(t-i)x_i`` overflows for long series — so this is the
-    designed use of the Arrow ``applyInPandas`` tier: pandas' C kernel per
-    group, one shuffle on the keys.
+    ``Σ(1-α)^(t-i)x_i`` overflows for long series — so ``method="pandas"``
+    (default) is the designed use of the Arrow ``applyInPandas`` tier:
+    pandas' C kernel per group, one shuffle on the keys.  That routes each
+    group to ONE task; ``method="two_pass"`` is the r8 scalable execution
+    — segmented geometric sums whose β-prefactors cancel in the final
+    ratio, with the cross-chunk carry recurrence evaluated over the TINY
+    chunk-state table (see
+    :func:`dask_groupby_spark.two_pass.ewma_two_pass`); identical pandas
+    semantics, max task = one chunk.
     """
+    if method == "two_pass":
+        from .two_pass import ewma_two_pass
+
+        return ewma_two_pass(
+            df, by, value, idx_col, alpha, adjust, ignore_na, out,
+            rows_per_chunk=rows_per_chunk,
+        )
+    if method != "pandas":
+        raise ValueError(f"method must be 'pandas' or 'two_pass', got {method!r}")
+
     def _t(vals: pd.DataFrame) -> dict:
         return {
             out: vals.iloc[:, 0]

@@ -455,3 +455,80 @@ def test_winsorize_join_matches_window(spark):
     assert set(w) == set(j)
     for i in w:
         assert _cmp(w[i], j[i], "wz"), (i, w[i], j[i])
+
+
+# ---------------------------------------------------------------------------
+# two-pass EWMA vs pandas (all four adjust x ignore_na combinations)
+
+
+@pytest.mark.parametrize("adjust,ignore_na", [(True, True), (True, False), (False, True)])
+@pytest.mark.parametrize("alpha", [0.3, 0.05])
+def test_ewma_two_pass_matches_pandas(spark, adjust, ignore_na, alpha):
+    import pandas as pd
+    from dask_groupby_spark.udaf import ewma
+
+    rng = np.random.default_rng(hash((adjust, ignore_na, int(alpha * 100))) % 2**31)
+    n = 300
+    labels = rng.integers(0, 3, n)
+    vals = rng.normal(0, 5, n)
+    vals[rng.random(n) < 0.3] = np.nan          # heavy gaps
+    vals[np.flatnonzero(labels == 1)[:6]] = np.nan  # leading-NaN group
+    rows = [(i, int(labels[i]), float(vals[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "idx bigint, label bigint, v double").repartition(5)
+
+    got = {
+        r["idx"]: r["ewma"]
+        for r in ewma(
+            df, "label", value="v", idx_col="idx", alpha=alpha,
+            adjust=adjust, ignore_na=ignore_na,
+            method="two_pass", rows_per_chunk=23,   # many chunks per group
+        ).collect()
+    }
+    pdf = pd.DataFrame({"idx": range(n), "label": labels, "v": vals})
+    exp = (
+        pdf.sort_values("idx")
+        .groupby("label")["v"]
+        .transform(lambda s: s.ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na).mean())
+    )
+    bad = []
+    for i in range(n):
+        e, g = exp.iloc[i], got[i]
+        if math.isnan(e) and (g is None or math.isnan(g)):
+            continue
+        if g is None or not math.isclose(e, g, rel_tol=1e-9, abs_tol=1e-12):
+            bad.append((i, e, g))
+    assert not bad, (adjust, ignore_na, alpha, bad[:5])
+
+
+def test_ewma_two_pass_matches_pandas_tier(spark):
+    """Cross-check against the repo's own applyInPandas tier on a frame
+    with an all-NaN group and a single-row group."""
+    from dask_groupby_spark.udaf import ewma
+
+    rows = [
+        (0, 1, 2.0), (1, 1, None), (2, 1, 4.0), (3, 1, float("nan")), (4, 1, 1.0),
+        (5, 2, None), (6, 2, None),       # all-missing group
+        (7, 3, 9.0),                       # singleton group
+    ]
+    df = spark.createDataFrame(rows, "idx bigint, label bigint, v double")
+    for adjust, ignore_na in ((True, False), (True, True), (False, True)):
+        p = {r["idx"]: r["ewma"] for r in
+             ewma(df, "label", value="v", idx_col="idx", alpha=0.4, adjust=adjust,
+                  ignore_na=ignore_na).collect()}
+        t = {r["idx"]: r["ewma"] for r in
+             ewma(df, "label", value="v", idx_col="idx", alpha=0.4, adjust=adjust,
+                  ignore_na=ignore_na, method="two_pass", rows_per_chunk=2).collect()}
+        assert set(p) == set(t)
+        for i in p:
+            assert _cmp(p[i], t[i], "ewma"), (adjust, ignore_na, i, p[i], t[i])
+
+
+def test_ewma_two_pass_rejects_unsupported(spark):
+    from dask_groupby_spark.udaf import ewma
+
+    df = spark.createDataFrame([(0, 1, 1.0)], "idx bigint, label bigint, v double")
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "label", value="v", idx_col="idx", alpha=1.0, method="two_pass")
+    with pytest.raises(NotImplementedError, match="renormalizing"):
+        ewma(df, "label", value="v", idx_col="idx", alpha=0.3,
+             adjust=False, ignore_na=False, method="two_pass")
