@@ -74,18 +74,35 @@ def sessionize(
     ts_col: str,
     gap: float,
     out: str = "session_id",
+    method: str = "window",
+    rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Assign a per-key session index: a new session starts when the gap to
     the previous event of the same key exceeds ``gap`` seconds — the batch
     analog of ``streaming.session_reduce`` (F.session_window), as two window
     expressions (lag → boundary flag → running sum).
 
+    ``method="two_pass"``: the chunked scalable execution — chunks are
+    ts-contiguous, so each chunk's first-row boundary resolves against the
+    previous chunk's last timestamp on the tiny state table, and the
+    session prefix is a running sum of per-chunk boundary counts; one huge
+    key's stream spans many tasks instead of one
+    (:func:`dask_groupby_spark.two_pass.sessionize_two_pass`).
+
     Output: input columns + ``out`` (0-based session index per key).
     """
     from ..dtypes import time_to_seconds
 
-    w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc())
     ts = time_to_seconds(df, ts_col)
+    if method == "two_pass":
+        from ..two_pass import sessionize_two_pass
+
+        return sessionize_two_pass(
+            df, by, ts_col, gap, out, ts, rows_per_chunk=rows_per_chunk
+        )
+    if method != "window":
+        raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
+    w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc())
     prev = F.lag(ts).over(w)
     boundary = F.when(prev.isNull() | ((ts - prev) > gap), 1).otherwise(0)
     running = Window.partitionBy(*by).orderBy(F.col(ts_col).asc()).rowsBetween(

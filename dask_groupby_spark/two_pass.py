@@ -913,3 +913,103 @@ def ewma_two_pass(
     res = big.withColumn(out, y.cast("double")).select(*keep, out)
     res.two_pass_stats = stats
     return res
+
+
+def sessionize_two_pass(
+    df: DataFrame,
+    by: tuple,
+    ts_col: str,
+    gap: float,
+    out: str,
+    ts_expr,
+    rows_per_chunk: int = 2_000_000,
+    max_chunks: int = 4096,
+) -> DataFrame:
+    """Two-pass sessionization — same lag → boundary → running-sum
+    semantics as :func:`~dask_groupby_spark.operators.selection.sessionize`,
+    chunked so one huge key's event stream spans many tasks.
+
+    Chunks bucket on the timestamp; because chunks are ts-contiguous, the
+    predecessor of a chunk's first row is exactly the PREVIOUS chunk's last
+    row, so the tiny state table carries (min_ts, max_ts, interior-boundary
+    count) per chunk, an ordered lag over it resolves each chunk's
+    first-row boundary, and the session prefix is a plain running sum —
+    all SQL, no Arrow step.  NULL timestamps ride the sentinel chunk with
+    the window path's exact (per-row new-session) semantics.
+    """
+    keys = list(by)
+    ts = ts_expr
+    stats = df.groupBy(*keys).agg(
+        F.min(ts).alias("__tp_a"),
+        F.max(ts).alias("__tp_b"),
+        F.count(F.lit(1)).alias("__tp_n"),
+    )
+    nchunks = F.least(
+        F.lit(max_chunks).cast("long"),
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
+    )
+    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
+    joined = df.join(F.broadcast(stats), on=keys, how="left")
+    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
+    chunk = F.when(
+        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.col("__tp_c") - 1,
+            F.greatest(F.lit(0).cast("long"), F.floor((ts - F.col("__tp_a")) / width)),
+        )
+    )
+    chunk = F.when(ts.isNull(), F.lit(-1).cast("long")).otherwise(chunk)
+    big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
+
+    base = Window.partitionBy(*keys, _CHUNK).orderBy(F.col(ts_col).asc())
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # materialize the lag/row_number BEFORE aggregating (window functions
+    # cannot appear inside aggregate expressions)
+    big = big.withColumn("__tp_lp", F.lag(ts).over(base)).withColumn(
+        "__tp_rn", F.row_number().over(base)
+    )
+    local_prev = F.col("__tp_lp")
+    in_chunk_boundary = F.when(
+        local_prev.isNull() | ((ts - local_prev) > gap), 1
+    ).otherwise(0)
+
+    # tiny states: interior boundaries = every NON-FIRST row's boundary
+    # (the predecessor is in-chunk there; a NULL-ts predecessor in the
+    # sentinel chunk still starts a session, exactly like the window
+    # path's per-row lag), plus the chunk's edge timestamps
+    states = big.groupBy(*keys, _CHUNK).agg(
+        F.sum(
+            F.when(F.col("__tp_rn") > 1, in_chunk_boundary).otherwise(0)
+        ).alias("__tp_ib"),
+        F.min(ts).alias("__tp_min"),
+        F.max(ts).alias("__tp_max"),
+    )
+    w_ord = Window.partitionBy(*keys).orderBy(F.col(_CHUNK))
+    prev_last = F.lag("__tp_max").over(w_ord)
+    first_b = F.when(
+        prev_last.isNull() | ((F.col("__tp_min") - prev_last) > gap), 1
+    ).otherwise(0)
+    st2 = states.select(
+        *keys, _CHUNK,
+        prev_last.alias("__tp_prev_last"),
+        (F.col("__tp_ib") + first_b).alias("__tp_total"),
+    )
+    w_prec = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = st2.select(
+        *keys, _CHUNK, "__tp_prev_last",
+        F.coalesce(F.sum("__tp_total").over(w_prec), F.lit(0).cast("long")).alias("__tp_pre"),
+    )
+
+    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    eff_prev = F.coalesce(local_prev, F.col("__tp_prev_last"))
+    boundary = F.when(eff_prev.isNull() | ((ts - eff_prev) > gap), 1).otherwise(0)
+    session = (
+        F.sum(boundary).over(wb)
+        + F.coalesce(F.col("__tp_pre"), F.lit(0).cast("long"))
+        - 1
+    ).cast("bigint")
+    keep = [c for c in df.columns if c != out]
+    res = big.withColumn(out, session).select(*keep, out)
+    res.two_pass_stats = stats
+    return res

@@ -532,3 +532,42 @@ def test_ewma_two_pass_rejects_unsupported(spark):
     with pytest.raises(NotImplementedError, match="renormalizing"):
         ewma(df, "label", value="v", idx_col="idx", alpha=0.3,
              adjust=False, ignore_na=False, method="two_pass")
+
+
+# ---------------------------------------------------------------------------
+# two-pass sessionize
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_sessionize_two_pass_matches_window(spark, seed):
+    from dask_groupby_spark.operators.selection import sessionize
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    labels = rng.integers(0, 3, n)
+    # bursty timestamps: runs of close events separated by big gaps
+    ts = np.cumsum(rng.choice([1.0, 2.0, 120.0], n, p=[0.6, 0.3, 0.1]))
+    rows = [(i, int(labels[i]), float(ts[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "idx bigint, k bigint, ts double").repartition(5)
+    w = {r["idx"]: r["session_id"] for r in
+         sessionize(df, "k", ts_col="ts", gap=30.0).collect()}
+    t = {r["idx"]: r["session_id"] for r in
+         sessionize(df, "k", ts_col="ts", gap=30.0,
+                    method="two_pass", rows_per_chunk=19).collect()}
+    assert w == t
+
+
+def test_sessionize_two_pass_null_ts(spark):
+    """NULL timestamps: each starts its own session (window-path semantics),
+    and the first real-ts row after them starts a new one too."""
+    from dask_groupby_spark.operators.selection import sessionize
+
+    rows = [(0, 1, None), (1, 1, None), (2, 1, 10.0), (3, 1, 12.0), (4, 1, 100.0)]
+    df = spark.createDataFrame(rows, "idx bigint, k bigint, ts double")
+    w = {r["idx"]: r["session_id"] for r in
+         sessionize(df, "k", ts_col="ts", gap=30.0).collect()}
+    t = {r["idx"]: r["session_id"] for r in
+         sessionize(df, "k", ts_col="ts", gap=30.0,
+                    method="two_pass", rows_per_chunk=2).collect()}
+    assert w == t
+    assert t[0] == 0 and t[1] == 1 and t[2] == 2 and t[3] == 2 and t[4] == 3
