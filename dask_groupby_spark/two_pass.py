@@ -746,7 +746,9 @@ def ewma_two_pass(
     TINY state table (the reference's own pattern: big data stays JVM,
     KB-scale combine state may use Python).  NaN positions carry the
     previous EWMA forward (``R/Q`` at chunk entry — the β factors cancel
-    there too), NaN until the first valid observation, exactly pandas.
+    there too), NULL until the first valid observation, exactly pandas.
+    The renormalizing ``adjust=False, ignore_na=False`` mode routes to
+    :func:`_ewma_affine_two_pass` (affine-step composition).
     """
     import math
 
@@ -759,16 +761,11 @@ def ewma_two_pass(
         )
     if not adjust and not ignore_na:
         # pandas adjust=False + ignore_na=False is the RENORMALIZING
-        # recursion (old_wt resets to 1 after every observation), which is
-        # an affine — not geometric — recurrence across gaps; the closed
-        # form below would be the textbook absolute-position weighting,
-        # which pandas only matches when gaps are absent.  Keep exactness:
-        # refuse rather than approximate.
-        raise NotImplementedError(
-            "ewma two_pass supports adjust=True (either ignore_na) and "
-            "adjust=False with ignore_na=True; pandas' adjust=False + "
-            "ignore_na=False renormalizing recursion stays on the "
-            "applyInPandas path"
+        # recursion (old_wt resets to 1 after every observation) — an
+        # AFFINE, not geometric, recurrence across gaps; it has its own
+        # two-pass formulation via affine-step composition.
+        return _ewma_affine_two_pass(
+            df, by, value, idx_col, alpha, out, rows_per_chunk
         )
     beta = 1.0 - alpha
     span_bound = max(8, int(280.0 / max(1e-12, -math.log10(beta))))
@@ -1011,5 +1008,169 @@ def sessionize_two_pass(
     ).cast("bigint")
     keep = [c for c in df.columns if c != out]
     res = big.withColumn(out, session).select(*keep, out)
+    res.two_pass_stats = stats
+    return res
+
+
+def _ewma_affine_two_pass(
+    df: DataFrame,
+    by: tuple,
+    value: str,
+    idx_col: str,
+    alpha: float,
+    out: str,
+    rows_per_chunk: int,
+) -> DataFrame:
+    """pandas ``adjust=False, ignore_na=False`` EWMA, two-pass.
+
+    This mode is a RENORMALIZING recursion — for each valid observation,
+    ``w = β^Δrows`` (Δ = row gap since the previous valid observation),
+    ``y = (w·y_prev + α·x)/(w + α)``, and the weight resets — i.e. an
+    AFFINE step ``y → A·y + B`` with ``A = w/(w+α)``, ``B = α·x/(w+α)``.
+    Affine maps compose associatively, so the segmentation is: within a
+    chunk the INTERIOR steps (valid rows with an in-chunk predecessor)
+    compose via running products ``P_t = ΠA`` and offsets
+    ``O_t = P_t·Σ B_i/P_i`` (``1/P`` bounded by the same exponent-safe
+    chunk-span clamp as the geometric path — ``-log10 ΠA ≤ span·(-log10
+    β)``); each chunk's FIRST valid step crosses the boundary and resolves
+    in the Arrow recurrence over the tiny state table, which carries
+    ``(y, last-valid global row ordinal)``.  Boundary decays ``β^Δ`` use
+    POSITIVE powers only — a huge gap underflows to the mathematically
+    correct limit ``y → x``.
+    """
+    import math
+
+    import pandas as pd
+
+    beta = 1.0 - alpha
+    span_bound = max(8, int(280.0 / max(1e-12, -math.log10(max(beta, 1e-300)))))
+    rpc = min(rows_per_chunk, span_bound)
+
+    keys = list(by)
+    v = F.col(value).cast("double")
+    valid = v.isNotNull() & ~F.isnan(v)
+    idxn = _idx_numeric(df, idx_col)
+
+    stats = df.groupBy(*keys).agg(
+        F.min(idxn).alias("__tp_a"),
+        F.max(idxn).alias("__tp_b"),
+        F.count(F.lit(1)).alias("__tp_n"),
+    )
+    nchunks = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rpc)))
+    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
+    joined = df.join(F.broadcast(stats), on=keys, how="left")
+    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
+    chunk = F.when(
+        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.col("__tp_c") - 1,
+            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
+        )
+    )
+    chunk = F.when(F.col(idx_col).isNull(), F.lit(-1).cast("long")).otherwise(chunk)
+    big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
+
+    base = Window.partitionBy(*keys, _CHUNK).orderBy(F.col(idx_col))
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = base.rowsBetween(Window.unboundedPreceding, -1)
+    big = big.withColumn("__tp_rl", F.row_number().over(base) - 1)
+    big = big.withColumn(
+        "__tp_pv", F.last(F.when(valid, F.col("__tp_rl")), ignorenulls=True).over(wprev)
+    )
+    interior = valid & F.col("__tp_pv").isNotNull()
+    delta = F.col("__tp_rl") - F.col("__tp_pv")
+    w_i = F.pow(F.lit(beta), delta)
+    A = F.when(interior, w_i / (w_i + F.lit(alpha)))
+    B = F.when(interior, F.lit(alpha) * v / (w_i + F.lit(alpha)))
+    big = big.withColumn("__tp_A", A).withColumn("__tp_B", B)
+    big = big.withColumn(
+        "__tp_P", F.coalesce(F.product("__tp_A").over(wb), F.lit(1.0))
+    )
+    big = big.withColumn(
+        "__tp_S",
+        F.coalesce(
+            F.sum(
+                F.when(interior, F.col("__tp_B") / F.col("__tp_P")).otherwise(F.lit(0.0))
+            ).over(wb),
+            F.lit(0.0),
+        ),
+    )
+    big = big.withColumn(
+        "__tp_xf", F.first(F.when(valid, v), ignorenulls=True).over(wb)
+    ).withColumn(
+        "__tp_rf", F.first(F.when(valid, F.col("__tp_rl")), ignorenulls=True).over(wb)
+    )
+
+    states = big.groupBy(*keys, _CHUNK).agg(
+        F.count(F.lit(1)).alias("__tp_L"),
+        F.count(F.when(valid, 1)).alias("__tp_nv"),
+        F.min(F.when(valid, F.struct(F.col("__tp_rl").alias("r"), v.alias("x")))).alias("__tp_first"),
+        F.max(F.when(valid, F.struct(
+            F.col("__tp_rl").alias("r"),
+            F.col("__tp_P").alias("p"),
+            F.col("__tp_S").alias("s"),
+        ))).alias("__tp_lastc"),
+    )
+
+    key_schema = ", ".join(f"`{k}` {dict(df.dtypes)[k]}" for k in keys)
+    out_schema = (
+        f"{key_schema}, `{_CHUNK}` long, `__tp_y0` double, "
+        "`__tp_plo` double, `__tp_prer` long, `__tp_prev` long"
+    )
+    a_, b_, sb_ = float(alpha), float(beta), span_bound
+
+    def recur(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_CHUNK, kind="mergesort").reset_index(drop=True)
+        y = None
+        last_ord = None
+        pre_rows = 0
+        pre_valid = 0
+        rows_out = []
+        for _, r in pdf.iterrows():
+            L = int(r["__tp_L"])
+            if L > sb_:
+                raise ValueError(
+                    f"ewma two_pass: chunk span {L} exceeds the exponent-safe "
+                    f"bound {sb_}; use the default applyInPandas path"
+                )
+            rec = {k: r[k] for k in pdf.columns if not k.startswith("__tp_")}
+            rec[_CHUNK] = int(r[_CHUNK])
+            rec["__tp_y0"] = y
+            rec["__tp_plo"] = float(last_ord) if last_ord is not None else None
+            rec["__tp_prer"] = pre_rows
+            rec["__tp_prev"] = pre_valid
+            rows_out.append(rec)
+            nv = int(r["__tp_nv"])
+            if nv > 0:
+                fr = r["__tp_first"]
+                lc = r["__tp_lastc"]
+                first_global = int(fr["r"]) + pre_rows
+                if pre_valid == 0:
+                    y1 = float(fr["x"])
+                else:
+                    w = b_ ** (first_global - last_ord)
+                    y1 = (w * y + a_ * float(fr["x"])) / (w + a_)
+                y = float(lc["p"]) * y1 + float(lc["p"]) * float(lc["s"])
+                last_ord = int(lc["r"]) + pre_rows
+            pre_rows += L
+            pre_valid += nv
+        return pd.DataFrame(rows_out)
+
+    offsets = states.groupBy(*keys).applyInPandas(recur, schema=out_schema)
+    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+
+    first_global = F.col("__tp_rf") + F.coalesce(F.col("__tp_prer"), F.lit(0).cast("long"))
+    w_b = F.pow(F.lit(beta), first_global - F.col("__tp_plo"))
+    y1 = F.when(
+        F.coalesce(F.col("__tp_prev"), F.lit(0).cast("long")) == 0, F.col("__tp_xf")
+    ).otherwise((w_b * F.col("__tp_y0") + F.lit(alpha) * F.col("__tp_xf")) / (w_b + F.lit(alpha)))
+    y_valid = F.when(valid, F.col("__tp_P") * y1 + F.col("__tp_P") * F.col("__tp_S"))
+    big = big.withColumn("__tp_y", y_valid)
+    y = F.coalesce(
+        F.last(F.col("__tp_y"), ignorenulls=True).over(wb), F.col("__tp_y0")
+    )
+    keep = [c for c in df.columns if c != out]
+    res = big.withColumn(out, y.cast("double")).select(*keep, out)
     res.two_pass_stats = stats
     return res

@@ -185,10 +185,11 @@ def ewma(
     pandas' C kernel per group, one shuffle on the keys.  That routes each
     group to ONE task; ``method="two_pass"`` is the r8 scalable execution
     — segmented geometric sums whose β-prefactors cancel in the final
-    ratio, with the cross-chunk carry recurrence evaluated over the TINY
-    chunk-state table (see
+    ratio (affine-step composition for the renormalizing
+    adjust=False+ignore_na=False mode), with the cross-chunk carry
+    recurrence evaluated over the TINY chunk-state table (see
     :func:`dask_groupby_spark.two_pass.ewma_two_pass`); identical pandas
-    semantics, max task = one chunk.
+    semantics in all four adjust×ignore_na modes, max task = one chunk.
     """
     if method == "two_pass":
         from .two_pass import ewma_two_pass

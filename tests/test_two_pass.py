@@ -461,7 +461,8 @@ def test_winsorize_join_matches_window(spark):
 # two-pass EWMA vs pandas (all four adjust x ignore_na combinations)
 
 
-@pytest.mark.parametrize("adjust,ignore_na", [(True, True), (True, False), (False, True)])
+@pytest.mark.parametrize("adjust,ignore_na",
+                         [(True, True), (True, False), (False, True), (False, False)])
 @pytest.mark.parametrize("alpha", [0.3, 0.05])
 def test_ewma_two_pass_matches_pandas(spark, adjust, ignore_na, alpha):
     import pandas as pd
@@ -511,7 +512,7 @@ def test_ewma_two_pass_matches_pandas_tier(spark):
         (7, 3, 9.0),                       # singleton group
     ]
     df = spark.createDataFrame(rows, "idx bigint, label bigint, v double")
-    for adjust, ignore_na in ((True, False), (True, True), (False, True)):
+    for adjust, ignore_na in ((True, False), (True, True), (False, True), (False, False)):
         p = {r["idx"]: r["ewma"] for r in
              ewma(df, "label", value="v", idx_col="idx", alpha=0.4, adjust=adjust,
                   ignore_na=ignore_na).collect()}
@@ -529,9 +530,6 @@ def test_ewma_two_pass_rejects_unsupported(spark):
     df = spark.createDataFrame([(0, 1, 1.0)], "idx bigint, label bigint, v double")
     with pytest.raises(ValueError, match="alpha"):
         ewma(df, "label", value="v", idx_col="idx", alpha=1.0, method="two_pass")
-    with pytest.raises(NotImplementedError, match="renormalizing"):
-        ewma(df, "label", value="v", idx_col="idx", alpha=0.3,
-             adjust=False, ignore_na=False, method="two_pass")
 
 
 # ---------------------------------------------------------------------------
