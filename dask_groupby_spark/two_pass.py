@@ -79,6 +79,18 @@ TWO_PASS_FUNCS = frozenset(
 )
 
 
+def _no_tp_collisions(df: DataFrame) -> None:
+    """The two-pass temporaries all live in the ``__tp_*`` namespace — fail
+    fast if the caller's frame already uses it (the same guard style as
+    groupby_interpolate's clash check)."""
+    clash = [c for c in df.columns if c.startswith("__tp_")]
+    if clash:
+        raise ValueError(
+            f"df columns {clash} collide with the two-pass temporaries "
+            "(__tp_* namespace) — rename them first"
+        )
+
+
 def _idx_numeric(df: DataFrame, idx_col: str) -> Column:
     """idx as an orderable numeric for arithmetic bucketing (timestamps ->
     epoch seconds; dates -> day number).  Monotone in the idx ordering."""
@@ -116,6 +128,7 @@ def scan_two_pass(
     the missing-group-label gate (None when no keys can be missing);
     ``na_value`` the NA literal of the result dtype.
     """
+    _no_tp_collisions(work)
     if func_name not in TWO_PASS_FUNCS:
         raise ValueError(
             f"func={func_name!r} has no associative combine; two_pass supports "
@@ -246,6 +259,7 @@ def rolling_two_pass(
     output columns (the caller's existing two-stage builder — semantics
     stay in rolling.py, only the partitioning here).
     """
+    _no_tp_collisions(df)
     keys = list(by)
     idxn = _idx_numeric(df, idx_col)
     margin = float(max(-lo, hi, 0.0))
@@ -359,6 +373,7 @@ def interpolate_two_pass(
     NULL/NaN-axis rows are non-anchors (same gate as the window path) and
     bucket to chunk −1 with NULL results for their missing values.
     """
+    _no_tp_collisions(df)
     keys = list(by)
     v = F.col(value)
     anchor = ~missing & x.isNotNull() & ~F.isnan(x.cast("double"))
@@ -623,6 +638,7 @@ def rank_two_pass(
     sentinel chunk.  Numeric/timestamp/date values only — the window path
     handles arbitrary orderable types.
     """
+    _no_tp_collisions(df)
     keys = list(by)
     v = F.col(value)
     valid = v.isNotNull()
@@ -771,6 +787,7 @@ def ewma_two_pass(
     span_bound = max(8, int(280.0 / max(1e-12, -math.log10(beta))))
     rpc = min(rows_per_chunk, span_bound)
 
+    _no_tp_collisions(df)
     keys = list(by)
     v = F.col(value).cast("double")
     valid = v.isNotNull() & ~F.isnan(v)
@@ -934,6 +951,7 @@ def sessionize_two_pass(
     all SQL, no Arrow step.  NULL timestamps ride the sentinel chunk with
     the window path's exact (per-row new-session) semantics.
     """
+    _no_tp_collisions(df)
     keys = list(by)
     ts = ts_expr
     stats = df.groupBy(*keys).agg(
@@ -1046,6 +1064,7 @@ def _ewma_affine_two_pass(
     span_bound = max(8, int(280.0 / max(1e-12, -math.log10(max(beta, 1e-300)))))
     rpc = min(rows_per_chunk, span_bound)
 
+    _no_tp_collisions(df)
     keys = list(by)
     v = F.col(value).cast("double")
     valid = v.isNotNull() & ~F.isnan(v)

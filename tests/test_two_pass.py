@@ -569,3 +569,10 @@ def test_sessionize_two_pass_null_ts(spark):
                     method="two_pass", rows_per_chunk=2).collect()}
     assert w == t
     assert t[0] == 0 and t[1] == 1 and t[2] == 2 and t[3] == 2 and t[4] == 3
+
+
+def test_tp_namespace_collision_guard(spark):
+    df = spark.createDataFrame([(0, 1, 1.0)], "idx bigint, label bigint, __tp_x double")
+    with pytest.raises(ValueError, match="__tp_"):
+        groupby_scan(df, "label", func="nancumsum", value="__tp_x",
+                     idx_col="idx", method="two_pass")
