@@ -784,8 +784,11 @@ def ewma_two_pass(
             df, by, value, idx_col, alpha, out, rows_per_chunk
         )
     beta = 1.0 - alpha
-    span_bound = max(8, int(280.0 / max(1e-12, -math.log10(beta))))
-    rpc = min(rows_per_chunk, span_bound)
+    # raise-bound = 280 decimal digits of double headroom; chunks TARGET
+    # half of it, because value-bucketed chunk sizes track idx density and
+    # drift a few percent around the target
+    span_bound = max(16, int(280.0 / max(1e-12, -math.log10(beta))))
+    rpc = min(rows_per_chunk, max(8, span_bound // 2))
 
     _no_tp_collisions(df)
     keys = list(by)
@@ -1061,8 +1064,9 @@ def _ewma_affine_two_pass(
     import pandas as pd
 
     beta = 1.0 - alpha
-    span_bound = max(8, int(280.0 / max(1e-12, -math.log10(max(beta, 1e-300)))))
-    rpc = min(rows_per_chunk, span_bound)
+    # raise-bound vs half-target: see ewma_two_pass
+    span_bound = max(16, int(280.0 / max(1e-12, -math.log10(max(beta, 1e-300)))))
+    rpc = min(rows_per_chunk, max(8, span_bound // 2))
 
     _no_tp_collisions(df)
     keys = list(by)
