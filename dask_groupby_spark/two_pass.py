@@ -861,6 +861,16 @@ def ewma_two_pass(
     a_, b_ = float(alpha), float(beta)
     sb_ = span_bound
 
+    def _num(x) -> float:
+        # SQL NULL arrives as None OR NaN depending on the Arrow/pandas
+        # boundary; both mean "no valid rows contributed" here — and
+        # `NaN or 0.0` is NaN (NaN is truthy), which silently poisoned the
+        # carry after an all-NaN chunk (r8 soak counterexample)
+        if x is None:
+            return 0.0
+        x = float(x)
+        return 0.0 if x != x else x
+
     def recur(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(_CHUNK, kind="mergesort").reset_index(drop=True)
         R = Q = 0.0
@@ -883,15 +893,15 @@ def ewma_two_pass(
             out_rows.append(rec)
             # advance the carry past this chunk
             if adj:
-                sn = r["__tp_sn"] or 0.0
-                sw = r["__tp_sw"] or 0.0
+                sn = _num(r["__tp_sn"])
+                sw = _num(r["__tp_sw"])
             else:
                 # adjust=False: every valid term weights alpha EXCEPT the
                 # group's first valid observation (weight 1).  If that first
                 # observation lives in THIS chunk, add back (1-alpha)·its
                 # term (we summed it with alpha).
-                sn = r["__tp_sna"] or 0.0
-                sw = r["__tp_swa"] or 0.0
+                sn = _num(r["__tp_sna"])
+                sw = _num(r["__tp_swa"])
                 if pre_valid == 0 and int(r["__tp_nv"]) > 0:
                     xf = r["__tp_x_first"]
                     ef = r["__tp_e_first"]

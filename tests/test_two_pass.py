@@ -576,3 +576,28 @@ def test_tp_namespace_collision_guard(spark):
     with pytest.raises(ValueError, match="__tp_"):
         groupby_scan(df, "label", func="nancumsum", value="__tp_x",
                      idx_col="idx", method="two_pass")
+
+
+def test_ewma_two_pass_all_nan_chunk_carry(spark):
+    """r8 soak counterexample: an ALL-NaN chunk between valid chunks must
+    not poison the carry (SQL NULL chunk sums arrive as NaN at the Arrow
+    boundary, and `NaN or 0.0` is NaN).  rows_per_chunk=2 with a 4-NaN run
+    guarantees a fully-NaN interior chunk."""
+    import pandas as pd
+    from dask_groupby_spark.udaf import ewma
+
+    vals = [2.0, 7.0, None, None, None, None, -8.0, 4.0]
+    rows = [(i, 1, vals[i]) for i in range(len(vals))]
+    df = spark.createDataFrame(rows, "idx bigint, label bigint, v double")
+    for adjust, ignore_na in ((True, True), (True, False), (False, True), (False, False)):
+        t = {r["idx"]: r["ewma"] for r in
+             ewma(df, "label", value="v", idx_col="idx", alpha=0.4,
+                  adjust=adjust, ignore_na=ignore_na,
+                  method="two_pass", rows_per_chunk=2).collect()}
+        exp = pd.Series([v if v is not None else float("nan") for v in vals]).ewm(
+            alpha=0.4, adjust=adjust, ignore_na=ignore_na).mean()
+        for i in range(len(vals)):
+            e, g = exp.iloc[i], t[i]
+            assert _cmp(float(e), g, "ewma") or (
+                g is not None and math.isclose(e, g, rel_tol=1e-9)
+            ), (adjust, ignore_na, i, e, g)
