@@ -660,6 +660,8 @@ def quantile_normalize(
     col: str,
     resolution: int = 1000,
     out: str | None = None,
+    method: str = "window",
+    rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Map each group's distribution of ``col`` onto the POOLED
     distribution — quantile normalization, the score-harmonization step
@@ -692,6 +694,13 @@ def quantile_normalize(
     ``lo+(hi-lo)*d`` differs in the last ulp for 228/1001 points.
     Fully parallel at any scale: the only single-task work is a
     P-row offset window (P = shuffle partitions) and the anchor collect.
+
+    ``method="two_pass"`` (r8): the within-group percentile rank itself
+    decomposes as ``(min_rank − 1)/(n − 1)`` — min_rank rides the chunked
+    :func:`~dask_groupby_spark.two_pass.rank_two_pass` tier and ``n``
+    broadcast-joins from a tiny count, so a huge group's rank no longer
+    serializes onto one task (the window path's remaining single-task
+    stage).  Numeric ``col`` only.
     """
     keys = [by] if isinstance(by, str) else list(by)
     out = out or f"{col}_qnorm"
@@ -703,11 +712,27 @@ def quantile_normalize(
         return df.withColumn(out, F.lit(None).cast("double"))
     nn = df.where(c.isNotNull()).withColumn("__cc", c)
     nulls = df.where(c.isNull()).withColumn(out, F.lit(None).cast("double"))
-    w = Window.partitionBy(*keys).orderBy("__cc")
-    # materialize the rank ONCE: each occurrence of a window Column in the
-    # interpolation tree becomes its own window expression after analysis
-    # (the inline form instantiated ~6 percent_rank passes; r8)
-    nn = nn.withColumn("__pos", F.percent_rank().over(w) * resolution)
+    if method == "two_pass":
+        from ..core import _group_stat_join, groupby_rank
+
+        ranked = groupby_rank(
+            nn, *keys, value="__cc", method="min", alias="__rk",
+            execution="two_pass", rows_per_chunk=rows_per_chunk,
+        )
+        nn = _group_stat_join(ranked, keys, [F.count(F.lit(1)).alias("__gs")])
+        pr = F.when(
+            F.col("__gs") > 1,
+            (F.col("__rk") - 1).cast("double") / (F.col("__gs") - 1),
+        ).otherwise(F.lit(0.0))
+        nn = nn.withColumn("__pos", pr * resolution).drop("__rk", "__gs")
+    elif method == "window":
+        w = Window.partitionBy(*keys).orderBy("__cc")
+        # materialize the rank ONCE: each occurrence of a window Column in
+        # the interpolation tree becomes its own window expression after
+        # analysis (the inline form instantiated ~6 percent_rank passes; r8)
+        nn = nn.withColumn("__pos", F.percent_rank().over(w) * resolution)
+    else:
+        raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
     pos = F.col("__pos")
     lo = F.least(F.floor(pos), F.lit(resolution - 1)).cast("int")
     frac = pos - lo

@@ -601,3 +601,23 @@ def test_ewma_two_pass_all_nan_chunk_carry(spark):
             assert _cmp(float(e), g, "ewma") or (
                 g is not None and math.isclose(e, g, rel_tol=1e-9)
             ), (adjust, ignore_na, i, e, g)
+
+
+def test_qnorm_two_pass_matches_window(spark):
+    from dask_groupby_spark.operators import quantile_normalize
+
+    rng = np.random.default_rng(31)
+    n = 400
+    labels = rng.integers(0, 3, n)
+    vals = rng.normal(50, 20, n)
+    vals[rng.random(n) < 0.1] = np.nan
+    rows = [(i, int(labels[i]), float(vals[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "idx bigint, g bigint, v double").repartition(4)
+    w = {r["idx"]: r["v_qnorm"] for r in
+         quantile_normalize(df, "g", "v", resolution=100).collect()}
+    t = {r["idx"]: r["v_qnorm"] for r in
+         quantile_normalize(df, "g", "v", resolution=100,
+                            method="two_pass", rows_per_chunk=37).collect()}
+    assert set(w) == set(t)
+    bad = [i for i in w if not _cmp(w[i], t[i], "qnorm")]
+    assert not bad, [(i, w[i], t[i]) for i in bad[:5]]
