@@ -113,6 +113,8 @@ def grouped_spearman(
     by: str | Sequence[str],
     x: str,
     y: str,
+    method: str = "window",
+    rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Per-group Spearman rank correlation of ``(x, y)`` — the
     robust-to-outliers / monotonic-association companion to
@@ -136,13 +138,26 @@ def grouped_spearman(
     ranked = df.select(*keys, cx.alias("__x"), cy.alias("__y")).where(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     )
-    for c in ("__x", "__y"):
-        wr = Window.partitionBy(*keys).orderBy(c)
-        wt = Window.partitionBy(*keys, c)
-        ranked = ranked.withColumn(
-            f"{c}r",
-            F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0,
-        )
+    if method == "two_pass":
+        # average ranks via the chunked rank tier (r8) — a huge group's
+        # two rank passes no longer serialize onto one task each
+        from ..core import groupby_rank
+
+        for c in ("__x", "__y"):
+            ranked = groupby_rank(
+                ranked, *keys, value=c, method="average", alias=f"{c}r",
+                execution="two_pass", rows_per_chunk=rows_per_chunk,
+            )
+    elif method == "window":
+        for c in ("__x", "__y"):
+            wr = Window.partitionBy(*keys).orderBy(c)
+            wt = Window.partitionBy(*keys, c)
+            ranked = ranked.withColumn(
+                f"{c}r",
+                F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0,
+            )
+    else:
+        raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
     return ranked.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         _safe_corr(F.col("__xr"), F.col("__yr")).alias("spearman"),

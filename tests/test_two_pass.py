@@ -621,3 +621,24 @@ def test_qnorm_two_pass_matches_window(spark):
     assert set(w) == set(t)
     bad = [i for i in w if not _cmp(w[i], t[i], "qnorm")]
     assert not bad, [(i, w[i], t[i]) for i in bad[:5]]
+
+
+def test_spearman_two_pass_matches_window(spark):
+    from dask_groupby_spark.operators import grouped_spearman
+
+    rng = np.random.default_rng(77)
+    n = 300
+    labels = rng.integers(0, 3, n)
+    xs = rng.normal(0, 5, n)
+    ys = xs * 2 + rng.normal(0, 3, n)
+    xs[rng.random(n) < 0.1] = np.nan
+    ys[rng.random(n) < 0.1] = np.nan
+    rows = [(int(labels[i]), float(xs[i]), float(ys[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "g bigint, x double, y double").repartition(4)
+    w = {r["g"]: (r["n"], r["spearman"]) for r in grouped_spearman(df, "g", "x", "y").collect()}
+    t = {r["g"]: (r["n"], r["spearman"]) for r in
+         grouped_spearman(df, "g", "x", "y", method="two_pass", rows_per_chunk=29).collect()}
+    assert set(w) == set(t)
+    for g in w:
+        assert w[g][0] == t[g][0]
+        assert _cmp(w[g][1], t[g][1], "spearman"), (g, w[g], t[g])
