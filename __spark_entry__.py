@@ -2864,6 +2864,30 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_funnel(spark, sf):
+    """Strict-order conversion funnel view→click→purchase over events
+    (operators/funnel.py funnel_conversion, r8 first registration —
+    beyond-reference event-pipeline op): per step, the number of users
+    that reached it, each step's event STRICTLY after the user's
+    previous-step time.  Executed as chained min-after-t aggregates
+    joined on user_id — the event_type filter prunes each stage's
+    shuffle at the scan; no per-entity window carries the firehose.
+    conversion = n_k / n_1 is a bigint/bigint double division, bitwise
+    identical across engines — no rounding needed.  Oracle: the same
+    chain as ANSI CTEs."""
+    from dask_groupby_spark.operators.funnel import funnel_conversion
+
+    ev = load_table(spark, sf, "events")
+    out = funnel_conversion(
+        ev,
+        ["view", "click", "purchase"],
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+    )
+    return out.select("step_idx", "step", "n_entities", "conversion").orderBy("step_idx")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -2940,6 +2964,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle — see q_pca_embed) ---
     "pca_embed": q_pca_embed,
     # --- r8 first registrations ---
+    "funnel": q_funnel,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

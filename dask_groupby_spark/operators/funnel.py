@@ -1,0 +1,145 @@
+"""Ordered funnel analysis over an event stream.
+
+The classic product-analytics primitive the reference has no analog for but
+every event pipeline needs: given an ordered list of steps (event types),
+count how many entities (users) completed step 1, then step 2 strictly
+after their step-1 time, then step 3 strictly after their step-2 time, …
+
+Spark-first design (100 TB shape): a chain of per-step filtered aggregates
+joined on the entity key — NOT a window over all events.
+
+* step 1: ``filter(type == s1).groupBy(entity).agg(min(ts))`` — the type
+  filter is pushed to the scan, so each stage shuffles only that step's
+  events (a funnel step is typically a small fraction of the firehose).
+* step k: ``filter(type == sk) ⋈ reached_{k-1} on entity``, keep events
+  with ``ts > t_{k-1}``, then ``groupBy(entity).agg(min(ts))``.  Every
+  join and aggregate keys on the same entity column, so AQE plans
+  sort-merge joins over co-partitioned exchanges; the per-step frames
+  shrink monotonically (funnel property), and later stages are
+  broadcast-joinable once the survivor set is small.
+* no per-entity window: a window over ``partitionBy(entity)`` would carry
+  EVERY event of every entity through one sort; the join chain carries
+  only matching step events.
+
+Entity-level state is one timestamp per reached step — bounded, mergeable,
+and the whole funnel is K-1 self-joins on a reused key, never a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..dtypes import time_to_seconds
+
+__all__ = ["funnel", "funnel_conversion"]
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    segment_col: str | None = None,
+) -> DataFrame:
+    """Per-entity funnel reach: one row per entity that completed step 1,
+    with the completion time of every step it reached (NULL once it drops
+    out).  ``steps`` is the ordered list of ``type_col`` values; step k
+    counts only events STRICTLY after the entity's step-(k-1) time (the
+    standard strict-order funnel).
+
+    ``segment_col``: carried from the entity's step-1 event (the event that
+    entered it into the funnel), via ``min_by`` on the step-1 time.
+
+    Output: ``entity_col`` [, ``segment``], ``t1..tK`` (epoch-seconds
+    DOUBLE, NULL = step not reached).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ts = time_to_seconds(df, ts_col)
+    ev = df.select(
+        F.col(entity_col),
+        F.col(type_col).alias("__ft"),
+        ts.alias("__ts"),
+        *([F.col(segment_col).alias("__seg")] if segment_col else []),
+    ).filter(F.col("__ft").isin(list(steps)) & F.col("__ts").isNotNull())
+
+    first = ev.filter(F.col("__ft") == steps[0]).groupBy(entity_col)
+    aggs = [F.min("__ts").alias("t1")]
+    if segment_col:
+        aggs.append(F.min_by("__seg", F.col("__ts")).alias("segment"))
+    reached = first.agg(*aggs)
+
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("__ft") == step)
+            .join(reached.select(entity_col, f"t{k - 1}"), on=entity_col, how="inner")
+            .filter(F.col("__ts") > F.col(f"t{k - 1}"))
+            .groupBy(entity_col)
+            .agg(F.min("__ts").alias(f"t{k}"))
+        )
+        reached = reached.join(nxt, on=entity_col, how="left")
+
+    cols = [entity_col] + (["segment"] if segment_col else []) + [
+        f"t{k}" for k in range(1, len(steps) + 1)
+    ]
+    return reached.select(*cols)
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    segment_col: str | None = None,
+) -> DataFrame:
+    """Aggregated funnel: one row per step [per segment] with the number of
+    entities that reached it and the conversion rate relative to step 1.
+
+    Output: [``segment``,] ``step_idx`` (1-based), ``step``, ``n_entities``,
+    ``conversion`` (DOUBLE in [0, 1], = n_k / n_1 within the segment).
+    """
+    per_entity = funnel(
+        df,
+        steps,
+        entity_col=entity_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        segment_col=segment_col,
+    )
+    seg = ["segment"] if segment_col else []
+    counts = per_entity.groupBy(*seg).agg(
+        *[
+            F.count(f"t{k}").alias(f"n{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    # one explode, not a K-way self-union: AQE never reuses an Exchange
+    # across consumers, so a union would re-run the whole join chain per
+    # step (repo-wide rule, see docs/cookbook)
+    step_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"n{k}").cast("bigint").alias("n_entities"),
+            )
+            for k, step in enumerate(steps, start=1)
+        ]
+    )
+    return (
+        counts.select(*seg, F.col("n1"), F.explode(step_structs).alias("s"))
+        .select(
+            *seg,
+            "s.step_idx",
+            "s.step",
+            "s.n_entities",
+            F.when(F.col("n1") > 0, F.col("s.n_entities") / F.col("n1"))
+            .otherwise(F.lit(None))
+            .cast("double")
+            .alias("conversion"),
+        )
+    )

@@ -2341,3 +2341,37 @@ SELECT event_id, event_type,
                   ELSE vp + (vn - vp) * ((x - xp) / (xn - xp)) END,
              6) AS interp
 FROM c ORDER BY event_id"""
+
+# funnel (r8 first registration): strict-order view->click->purchase
+# conversion funnel over events — mirrors operators/funnel.py
+# funnel_conversion: step k's time is the EARLIEST step-k event STRICTLY
+# after the entity's step-(k-1) time; conversion = n_k / n_1 (bigint/bigint
+# double division, bitwise identical across engines — no rounding).
+ORACLE_SQL["funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+),
+n AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3
+)
+SELECT step_idx, step, n_entities,
+       CASE WHEN n1 > 0 THEN CAST(n_entities AS DOUBLE) / n1 END AS conversion
+FROM n, (
+  SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step, n1 AS n_entities FROM n
+  UNION ALL
+  SELECT CAST(2 AS INTEGER), 'click', n2 FROM n
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'purchase', n3 FROM n
+) steps
+ORDER BY step_idx"""
