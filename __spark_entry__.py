@@ -2888,6 +2888,42 @@ def q_funnel(spark, sf):
     return out.select("step_idx", "step", "n_entities", "conversion").orderBy("step_idx")
 
 
+def q_kmv_distinct(spark, sf):
+    """KMV (k-minimum-values) distinct sketch (operators/sketches.py
+    kmv_distinct, r8 first registration): per-event_type distinct-user
+    estimate with k=65536 — larger than any group's distinct count at
+    the contract SFs, so the sketch retains every distinct hash and the
+    estimate is EXACT by construction (the documented exactness regime;
+    the <k tests cover the estimating regime).  Oracle: plain
+    COUNT(DISTINCT) cast to the estimator's double."""
+    from dask_groupby_spark.operators import kmv_distinct
+
+    ev = load_table(spark, sf, "events")
+    out = kmv_distinct(ev, "event_type", value="user_id", k=1 << 16,
+                       out="distinct_users")
+    return out.orderBy("event_type")
+
+
+def q_kmv_overlap(spark, sf):
+    """KMV set algebra (operators/sketches.py kmv_overlap, r8 first
+    registration): estimated union / intersection / Jaccard of the USER
+    SETS behind every unordered pair of event types, from k=65536
+    sketches (exact regime at contract SFs — union fits the sketch).
+    jaccard = |I|/|U| is an int/int double division, bitwise identical
+    across engines.  Oracle: inclusion-exclusion over COUNT(DISTINCT)
+    joins."""
+    from dask_groupby_spark.operators import kmv_overlap, kmv_sketch_table
+
+    ev = load_table(spark, sf, "events")
+    sk = kmv_sketch_table(ev, "event_type", value="user_id", k=1 << 16)
+    out = kmv_overlap(sk, group_col="event_type", k=1 << 16)
+    return out.select(
+        F.col("group_a").alias("type_a"),
+        F.col("group_b").alias("type_b"),
+        "union_est", "inter_est", "jaccard",
+    ).orderBy("type_a", "type_b")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -2965,6 +3001,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_embed": q_pca_embed,
     # --- r8 first registrations ---
     "funnel": q_funnel,
+    "kmv_distinct": q_kmv_distinct,
+    "kmv_overlap": q_kmv_overlap,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

@@ -360,3 +360,150 @@ def ks_from_histograms(
         F.first("n_cur").alias("n_cur"),
         F.max("__d").alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketches and set operations.
+#
+# The HLL tier above answers "how many distinct"; KMV additionally answers
+# SET questions — union / intersection / Jaccard between groups or corpora —
+# because the k smallest hash values of a set are a uniform bottom-k sample
+# of its distinct elements (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07).
+# State is exactly k bigints per group, mergeable by "union then keep the k
+# smallest", so sketches of daily batches compose like the HLL table does.
+# When a group has fewer than k distinct values the sketch IS the distinct
+# hash set and every estimate below is exact — the property the contract
+# keys pin against COUNT(DISTINCT) oracles.
+# ---------------------------------------------------------------------------
+
+_KMV_DOMAIN = {"fast": float(1 << 63), "portable": float(1 << 60)}
+
+
+def kmv_sketch_table(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    k: int = 1024,
+    hasher: str = "fast",
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct hash values of
+    ``value``, as a sorted ``array<bigint>`` column ``kmv``.
+
+    Three bounded stages (no per-group unbounded state, no one-group-one-
+    task hotspot):
+
+    1. distinct ``(by, h)`` — the shuffle key INCLUDES the hash, so a hot
+       group spreads over the whole cluster and map-side combine dedupes
+       before the wire;
+    2. per-shuffle-partition partial: k smallest per ``(by, partition)`` —
+       each partial's state is capped by the partition, output by k;
+    3. merge the ≤ ``P`` partials per group (each ≤ k values) — the only
+       per-group single-task step, sized P·k, not |group|.
+    """
+    from .dedup import _hasher
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = _hasher(hasher)(F.col(value).cast("string"), seed="kmv")
+    pairs = (
+        df.filter(F.col(value).isNotNull())
+        .select(*by, h.alias("__h"))
+        .groupBy(*by, "__h")
+        .agg(F.lit(1))
+        .select(*by, "__h", F.spark_partition_id().alias("__pid"))
+    )
+    partial = pairs.groupBy(*by, "__pid").agg(
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__hs")
+    )
+    merged = partial.groupBy(*by).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("__hs")))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+    return merged.withColumn("kmv_k", F.lit(k).cast("int"))
+
+
+def _kmv_estimate(kmv: F.Column, k: int, domain: float) -> F.Column:
+    """(k-1)/u_(k) when the sketch is full, exact retained count otherwise."""
+    n = F.size(kmv)
+    u_k = F.element_at(kmv, k).cast("double") / F.lit(domain)
+    return F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / u_k)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    *by: str,
+    value: str,
+    k: int = 1024,
+    hasher: str = "fast",
+    out: str = "distinct_est",
+) -> DataFrame:
+    """Per-group distinct-count estimate from a KMV sketch (exact while the
+    group has < k distinct values; relative error ~1/sqrt(k-2) once
+    estimating).  Use :func:`hll_sketch_table` when only cardinality is
+    needed — HLL state is smaller; KMV buys the set operations."""
+    sk = kmv_sketch_table(df, *by, value=value, k=k, hasher=hasher)
+    return sk.select(
+        *by, _kmv_estimate(F.col("kmv"), k, _KMV_DOMAIN[hasher]).alias(out)
+    )
+
+
+def kmv_merge(df: DataFrame, *by: str, k: int, sketch_col: str = "kmv") -> DataFrame:
+    """Re-aggregate KMV sketch rows (e.g. per-day sketches → all-time):
+    union the retained hash sets, keep the k smallest — associative and
+    idempotent, so any slicing of the sketch table composes."""
+    return df.groupBy(*by).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+            1,
+            k,
+        ).alias(sketch_col)
+    )
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    *,
+    group_col: str,
+    k: int,
+    hasher: str = "fast",
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every unordered pair of groups
+    in a KMV sketch table (``group_col``, ``kmv``): estimated union size,
+    intersection size and Jaccard similarity.
+
+    The standard KMV set algebra: with U = the k smallest of A ∪ B (itself
+    a valid sketch of the union), Jaccard ≈ \\|U ∩ A ∩ B\\| / \\|U\\| and
+    \\|A ∩ B\\| ≈ Jaccard · \\|A ∪ B\\|.  While both groups hold < k distinct
+    values all three are exact.  The join operates on sketch ROWS (one per
+    group, k bigints each) — never on the raw data; with G groups this is
+    a G²/2 broadcast join of KB-sized rows.
+    """
+    domain = _KMV_DOMAIN[hasher]
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("kmv").alias("__kmv_a")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("kmv").alias("__kmv_b")
+    )
+    j = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    u = F.slice(F.array_sort(F.array_union("__kmv_a", "__kmv_b")), 1, k)
+    j = j.select("group_a", "group_b", "__kmv_a", "__kmv_b", u.alias("__u"))
+    nu = F.size("__u")
+    matches = F.size(
+        F.array_intersect(F.array_intersect("__kmv_a", "__kmv_b"), "__u")
+    )
+    union_est = _kmv_estimate(F.col("__u"), k, domain)
+    jaccard = matches.cast("double") / nu.cast("double")
+    inter_est = F.when(nu < k, matches.cast("double")).otherwise(
+        jaccard * union_est
+    )
+    return j.select(
+        "group_a",
+        "group_b",
+        union_est.alias("union_est"),
+        inter_est.alias("inter_est"),
+        jaccard.alias("jaccard"),
+    )

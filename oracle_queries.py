@@ -2375,3 +2375,41 @@ FROM n, (
   SELECT CAST(3 AS INTEGER), 'purchase', n3 FROM n
 ) steps
 ORDER BY step_idx"""
+
+# kmv_distinct (r8): at k=65536 the KMV sketch retains every distinct user
+# hash at the contract SFs, so the estimator returns the exact distinct
+# count as a double — mirror with COUNT(DISTINCT) cast to DOUBLE.
+ORACLE_SQL["kmv_distinct"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS DOUBLE) AS distinct_users
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type"""
+
+# kmv_overlap (r8): exact-regime KMV set algebra — union via
+# inclusion-exclusion, jaccard = intersection/union (int/int double
+# division, bitwise identical to Spark's).
+ORACLE_SQL["kmv_overlap"] = """
+WITH p AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+sizes AS (
+  SELECT event_type, count(*) AS n FROM p GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS ni
+  FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+         sa.n AS na, sb.n AS nb, coalesce(i.ni, 0) AS ni
+  FROM sizes sa
+  JOIN sizes sb ON sa.event_type < sb.event_type
+  LEFT JOIN inter i
+    ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+)
+SELECT type_a, type_b,
+       CAST(na + nb - ni AS DOUBLE) AS union_est,
+       CAST(ni AS DOUBLE) AS inter_est,
+       CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
+FROM pairs ORDER BY type_a, type_b"""
