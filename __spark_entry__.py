@@ -2924,6 +2924,64 @@ def q_kmv_overlap(spark, sf):
     ).orderBy("type_a", "type_b")
 
 
+def q_linreg(spark, sf):
+    """Multi-feature exact OLS (operators/linear.py linreg_fit, r8 first
+    registration): l_extendedprice ~ l_quantity + l_discount + bias over
+    lineitem — ONE fused normal-equation aggregate (XᵀX, Xᵀy sufficient
+    statistics, map-side combined), d×d driver solve.  Oracle: the same
+    3×3 system solved in closed form via Cramer's rule in SQL.  Weights
+    rounded to 3 decimals on both sides (weights are O(10³); float-sum
+    order and solve-path differences sit at ~1e-7 — the pagerank
+    round-coarsening precedent)."""
+    from dask_groupby_spark.operators import linreg_fit
+
+    li = load_table(spark, sf, "lineitem")
+    model = linreg_fit(
+        li, features=["l_quantity", "l_discount"], label="l_extendedprice"
+    )
+    rows = [(name, round(w, 3)) for name, w in model]
+    return spark.createDataFrame(rows, "feature string, weight double").orderBy(
+        "feature"
+    )
+
+
+def q_logreg_quality(spark, sf):
+    """Distributed full-batch GD logistic regression (operators/linear.py
+    logreg_train, r8 first registration): train an is-English quality
+    classifier on two deterministic text features (scaled n_chars,
+    scaled arithmetic token count) for 5 steps at lr=0.5 — one fused
+    gradient aggregate per step with the weights literal-inlined, d+1
+    doubles to the driver per iteration (the pagerank cost shape).
+    Oracle: the SAME 5 GD steps unrolled as chained one-row CTEs in
+    DuckDB, identical feature arithmetic; weights round-6 (weights are
+    O(1), cross-engine float-sum drift ~1e-13)."""
+    from dask_groupby_spark.operators import logreg_train
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    feat = docs.select(
+        (F.col("n_chars").cast("double") / F.lit(100.0) - F.lit(3.0)).alias("f1"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + F.lit(1.0)
+            )
+            / F.lit(50.0)
+            - F.lit(1.0)
+        ).alias("f2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    model = logreg_train(feat, features=["f1", "f2"], label="y", iters=5, lr=0.5)
+    rows = [(name, round(w, 6)) for name, w in model]
+    return spark.createDataFrame(rows, "feature string, weight double").orderBy(
+        "feature"
+    )
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3003,6 +3061,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,
+    "linreg": q_linreg,
+    "logreg_quality": q_logreg_quality,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

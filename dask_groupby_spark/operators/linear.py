@@ -1,0 +1,179 @@
+"""Distributed linear-model training over DataFrame columns.
+
+The training-data-pipeline use case: fit a small, interpretable model
+(quality regressor / quality classifier) over per-document features at
+corpus scale, without MLlib — every pass is a single fused Catalyst
+aggregate, so the 100 TB cost profile is "one map-combined scan per
+iteration, d² doubles to the driver", identical in shape to
+``graph.pagerank`` (O(1)-sized collect per step) and
+``similarity.kmeans_fit`` (literal-inlined model, re-collect per Lloyd
+step).
+
+* :func:`linreg_fit` — exact one-pass OLS: aggregate the normal-equation
+  sufficient statistics (upper triangle of XᵀX plus Xᵀy, d(d+3)/2 sums),
+  solve the d×d system on the driver.  ONE job regardless of d; no
+  iteration.
+* :func:`logreg_train` — full-batch gradient-descent logistic regression:
+  per iteration one fused aggregate computes the d+1 gradient sums with
+  the current weights inlined as literals (map-side combined, JVM-side
+  sigmoid), then the driver takes the O(d) step.  Deterministic: no
+  sampling, fixed iteration count, order-independent up to float sum
+  associativity.
+* :func:`linear_predict` — map-only scoring of either model.
+
+Row-at-a-time Python never touches the data; the only collects are the
+d²- and d-sized statistic rows (bounded, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["linreg_fit", "logreg_train", "linear_predict"]
+
+
+def _feature_cols(features: list[str], add_bias: bool) -> list[F.Column]:
+    cols = [F.col(f).cast("double") for f in features]
+    if add_bias:
+        cols.append(F.lit(1.0))
+    return cols
+
+
+def _names(features: list[str], add_bias: bool) -> list[str]:
+    return list(features) + (["bias"] if add_bias else [])
+
+
+def _clean_rows(df: DataFrame, features: list[str], label: str) -> DataFrame:
+    cond = F.col(label).isNotNull() & ~F.isnan(F.col(label).cast("double"))
+    for f in features:
+        c = F.col(f).cast("double")
+        cond = cond & F.col(f).isNotNull() & ~F.isnan(c)
+    return df.filter(cond)
+
+
+def linreg_fit(
+    df: DataFrame,
+    *,
+    features: list[str],
+    label: str,
+    add_bias: bool = True,
+    l2: float = 0.0,
+) -> list[tuple[str, float]]:
+    """Exact ordinary-least-squares fit of ``label`` on ``features`` via the
+    normal equations: one fused aggregate computes XᵀX and Xᵀy (map-side
+    combined sufficient statistics — the multi-feature generalization of
+    ``stats.grouped_bivariate``'s slope/intercept), then the driver solves
+    the d×d system with numpy (``l2`` adds ridge regularization λI, bias
+    unpenalized).  Rows with NULL/NaN in any used column are dropped.
+
+    Returns ``[(feature_name, weight), …]`` (bias last when present).
+    """
+    import numpy as np
+
+    xs = _feature_cols(features, add_bias)
+    names = _names(features, add_bias)
+    d = len(xs)
+    y = F.col(label).cast("double")
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"xx_{i}_{j}"))
+    aggs += [F.sum(xs[i] * y).alias(f"xy_{i}") for i in range(d)]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = _clean_rows(df, features, label).agg(*aggs).collect()[0]
+    if row["n"] == 0:
+        raise ValueError("linreg_fit: no complete rows to fit on")
+    A = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            A[i, j] = A[j, i] = row[f"xx_{i}_{j}"]
+    if l2:
+        for i in range(d):
+            if not (add_bias and i == d - 1):
+                A[i, i] += float(l2)
+    b = np.array([row[f"xy_{i}"] for i in range(d)])
+    w = np.linalg.solve(A, b)
+    return list(zip(names, (float(v) for v in w)))
+
+
+def logreg_train(
+    df: DataFrame,
+    *,
+    features: list[str],
+    label: str,
+    iters: int = 5,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    add_bias: bool = True,
+    init: list[float] | None = None,
+) -> list[tuple[str, float]]:
+    """Full-batch gradient-descent logistic regression of a 0/1 ``label``
+    on ``features``: per iteration, gradient_j = (1/n) Σ x_j·(σ(w·x) − y)
+    (+ λ·w_j) computed as ONE fused aggregate with the current weights
+    inlined as literals — the whole model round-trips d+1 doubles per
+    step, the data never moves.  Deterministic for fixed ``iters``/``lr``
+    (no sampling; float-sum order is the only nondeterminism, same as any
+    distributed sum).
+
+    Returns ``[(feature_name, weight), …]`` after ``iters`` steps from
+    ``init`` (zeros by default).  The caller chooses feature scaling;
+    roughly unit-scale, roughly centered features keep full-batch GD
+    stable at lr≈0.5.
+    """
+    xs = _feature_cols(features, add_bias)
+    names = _names(features, add_bias)
+    d = len(xs)
+    y = F.col(label).cast("double")
+    w = [0.0] * d if init is None else [float(v) for v in init]
+    if len(w) != d:
+        raise ValueError(f"init has {len(w)} weights, expected {d}")
+
+    clean = _clean_rows(df, features, label)
+    # each iteration re-scans `clean`; persist so the scan+filter runs once
+    clean = clean.persist()
+    try:
+        n = clean.count()
+        if n == 0:
+            raise ValueError("logreg_train: no complete rows to fit on")
+        for _ in range(iters):
+            z = sum((F.lit(w[i]) * xs[i] for i in range(d)), F.lit(0.0))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            g = clean.agg(
+                *[F.sum((p - y) * xs[i]).alias(f"g_{i}") for i in range(d)]
+            ).collect()[0]
+            w = [
+                w[i]
+                - lr
+                * (
+                    g[f"g_{i}"] / n
+                    + (l2 * w[i] if not (add_bias and i == d - 1) else 0.0)
+                )
+                for i in range(d)
+            ]
+    finally:
+        clean.unpersist()
+    return list(zip(names, w))
+
+
+def linear_predict(
+    df: DataFrame,
+    model: list[tuple[str, float]],
+    *,
+    out: str = "score",
+    kind: str = "linear",
+) -> DataFrame:
+    """Map-only scoring against a fitted model (``linreg_fit`` /
+    ``logreg_train`` output): ``kind="linear"`` emits w·x,
+    ``kind="logistic"`` emits σ(w·x).  The ``bias`` entry (if present)
+    is the intercept; every other name must be a column of ``df``."""
+    z = F.lit(0.0)
+    for name, weight in model:
+        if name == "bias":
+            z = z + F.lit(float(weight))
+        else:
+            z = z + F.lit(float(weight)) * F.col(name).cast("double")
+    if kind == "logistic":
+        z = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    elif kind != "linear":
+        raise ValueError(f"kind must be 'linear' or 'logistic', got {kind!r}")
+    return df.withColumn(out, z)

@@ -2413,3 +2413,84 @@ SELECT type_a, type_b,
        CAST(ni AS DOUBLE) AS inter_est,
        CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
 FROM pairs ORDER BY type_a, type_b"""
+
+# linreg (r8): the exact 3-unknown normal-equation system of
+# operators/linear.py linreg_fit (l_extendedprice ~ l_quantity +
+# l_discount + bias), solved in closed form via Cramer's rule.
+# round-3 on both sides: weights are O(1e3), cross-engine sum-order and
+# solve-path drift ~1e-7.
+ORACLE_SQL["linreg"] = """
+WITH s AS (
+  SELECT sum(l_quantity*l_quantity) AS sqq,
+         sum(l_quantity*l_discount) AS sqd,
+         sum(l_quantity)            AS sq,
+         sum(l_discount*l_discount) AS sdd,
+         sum(l_discount)            AS sd,
+         CAST(count(*) AS DOUBLE)   AS n,
+         sum(l_quantity*l_extendedprice) AS sqy,
+         sum(l_discount*l_extendedprice) AS sdy,
+         sum(l_extendedprice)           AS sy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+),
+det AS (
+  SELECT
+    sqq*(sdd*n - sd*sd) - sqd*(sqd*n - sd*sq) + sq*(sqd*sd - sdd*sq) AS d0,
+    sqy*(sdd*n - sd*sd) - sqd*(sdy*n - sd*sy) + sq*(sdy*sd - sdd*sy) AS d1,
+    sqq*(sdy*n - sd*sy) - sqy*(sqd*n - sd*sq) + sq*(sqd*sy - sdy*sq) AS d2,
+    sqq*(sdd*sy - sdy*sd) - sqd*(sqd*sy - sdy*sq) + sqy*(sqd*sd - sdd*sq) AS d3
+  FROM s
+)
+SELECT feature, weight FROM (
+  SELECT 'l_quantity' AS feature, round(d1/d0, 3) AS weight FROM det
+  UNION ALL
+  SELECT 'l_discount', round(d2/d0, 3) FROM det
+  UNION ALL
+  SELECT 'bias', round(d3/d0, 3) FROM det
+) w ORDER BY feature"""
+
+
+# logreg_quality (r8): operators/linear.py logreg_train unrolled — the
+# same 5 full-batch GD steps at lr=0.5 as chained one-row CTEs, identical
+# feature arithmetic (scaled n_chars, scaled arithmetic token count,
+# is-English label).  The pagerank unrolled-iteration oracle pattern.
+def _logreg_sql(iters: int = 5, lr: float = 0.5) -> str:
+    z = "(w1*f1 + w2*f2 + wb)"
+    p = f"(1.0/(1.0 + exp(-{z})))"
+    sql = """
+WITH d AS (
+  SELECT CAST(n_chars AS DOUBLE)/100.0 - 3.0 AS f1,
+         (length(text) - length(replace(text, ' ', '')) + 1.0)/50.0 - 1.0 AS f2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS wb)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+g{k} AS (
+  SELECT sum(({p} - y)*f1) AS g1,
+         sum(({p} - y)*f2) AS g2,
+         sum( {p} - y    ) AS gb
+  FROM d, w{k - 1}
+),
+w{k} AS (
+  SELECT w1 - {lr}*g1/n AS w1,
+         w2 - {lr}*g2/n AS w2,
+         wb - {lr}*gb/n AS wb
+  FROM g{k}, w{k - 1}, nn
+)"""
+    sql += f"""
+SELECT feature, weight FROM (
+  SELECT 'f1' AS feature, round(w1, 6) AS weight FROM w{iters}
+  UNION ALL
+  SELECT 'f2', round(w2, 6) FROM w{iters}
+  UNION ALL
+  SELECT 'bias', round(wb, 6) FROM w{iters}
+) w ORDER BY feature"""
+    return sql
+
+
+ORACLE_SQL["logreg_quality"] = _logreg_sql()

@@ -1,0 +1,138 @@
+"""linreg_fit / logreg_train: numpy differentials, recovery of known
+coefficients, NULL/NaN row handling, prediction round-trip."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_groupby_spark.operators import linear_predict, linreg_fit, logreg_train
+
+
+@pytest.fixture(scope="module")
+def xy_rows():
+    rng = random.Random(80803)
+    rows = []
+    for _ in range(800):
+        x1 = rng.uniform(-2, 2)
+        x2 = rng.uniform(0, 5)
+        noise = rng.gauss(0, 0.3)
+        y = 3.0 * x1 - 1.25 * x2 + 7.0 + noise
+        rows.append((x1, x2, y))
+    return rows
+
+
+def test_linreg_matches_numpy_lstsq(spark, xy_rows):
+    df = spark.createDataFrame(xy_rows, "x1 double, x2 double, y double")
+    got = dict(linreg_fit(df, features=["x1", "x2"], label="y"))
+    X = np.array([[r[0], r[1], 1.0] for r in xy_rows])
+    yv = np.array([r[2] for r in xy_rows])
+    exp = np.linalg.lstsq(X, yv, rcond=None)[0]
+    assert got["x1"] == pytest.approx(exp[0], abs=1e-9)
+    assert got["x2"] == pytest.approx(exp[1], abs=1e-9)
+    assert got["bias"] == pytest.approx(exp[2], abs=1e-9)
+    # and it recovered the generating coefficients
+    assert got["x1"] == pytest.approx(3.0, abs=0.1)
+    assert got["x2"] == pytest.approx(-1.25, abs=0.1)
+    assert got["bias"] == pytest.approx(7.0, abs=0.1)
+
+
+def test_linreg_ridge_shrinks_but_not_bias(spark, xy_rows):
+    df = spark.createDataFrame(xy_rows, "x1 double, x2 double, y double")
+    plain = dict(linreg_fit(df, features=["x1", "x2"], label="y"))
+    ridge = dict(linreg_fit(df, features=["x1", "x2"], label="y", l2=1e5))
+    assert abs(ridge["x1"]) < abs(plain["x1"])
+    assert abs(ridge["x2"]) < abs(plain["x2"])
+    # numpy cross-check of the penalized solve
+    X = np.array([[r[0], r[1], 1.0] for r in xy_rows])
+    yv = np.array([r[2] for r in xy_rows])
+    A = X.T @ X + np.diag([1e5, 1e5, 0.0])
+    exp = np.linalg.solve(A, X.T @ yv)
+    assert ridge["x1"] == pytest.approx(exp[0], abs=1e-9)
+    assert ridge["bias"] == pytest.approx(exp[2], abs=1e-9)
+
+
+def test_linreg_drops_null_nan_rows(spark):
+    rows = [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (None, 9.0),
+            (float("nan"), 9.0), (4.0, None), (5.0, float("nan"))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = dict(linreg_fit(df, features=["x"], label="y"))
+    assert got["x"] == pytest.approx(2.0, abs=1e-12)
+    assert got["bias"] == pytest.approx(0.0, abs=1e-12)
+
+
+def _np_logreg(X, y, iters, lr):
+    w = np.zeros(X.shape[1])
+    n = len(y)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - lr * (X.T @ (p - y)) / n
+    return w
+
+
+def test_logreg_matches_numpy_gd(spark):
+    rng = random.Random(80804)
+    rows = []
+    for _ in range(600):
+        x1 = rng.uniform(-2, 2)
+        x2 = rng.uniform(-2, 2)
+        logit = 1.5 * x1 - 2.0 * x2 + 0.25
+        p = 1.0 / (1.0 + math.exp(-logit))
+        rows.append((x1, x2, 1.0 if rng.random() < p else 0.0))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = dict(logreg_train(df, features=["x1", "x2"], label="y", iters=10, lr=0.5))
+    X = np.array([[r[0], r[1], 1.0] for r in rows])
+    yv = np.array([r[2] for r in rows])
+    exp = _np_logreg(X, yv, iters=10, lr=0.5)
+    assert got["x1"] == pytest.approx(exp[0], abs=1e-9)
+    assert got["x2"] == pytest.approx(exp[1], abs=1e-9)
+    assert got["bias"] == pytest.approx(exp[2], abs=1e-9)
+    # direction of the generating coefficients after only 10 GD steps
+    assert got["x1"] > 0 and got["x2"] < 0
+
+
+def test_logreg_l2_and_init(spark):
+    rows = [(float(i % 3 - 1), float(i % 2)) for i in range(30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    w0 = dict(logreg_train(df, features=["x"], label="y", iters=3, init=[0.5, -0.5]))
+    X = np.array([[r[0], 1.0] for r in rows])
+    yv = np.array([r[1] for r in rows])
+    w = np.array([0.5, -0.5])
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        g = (X.T @ (p - yv)) / len(yv)
+        w = w - 0.5 * g
+    assert w0["x"] == pytest.approx(w[0], abs=1e-9)
+    # l2 pulls the feature weight toward zero, bias unpenalized
+    wl2 = dict(logreg_train(df, features=["x"], label="y", iters=20, l2=5.0))
+    wno = dict(logreg_train(df, features=["x"], label="y", iters=20))
+    assert abs(wl2["x"]) < abs(wno["x"]) or wno["x"] == pytest.approx(0.0)
+
+
+def test_predict_round_trip(spark, xy_rows):
+    df = spark.createDataFrame(xy_rows, "x1 double, x2 double, y double")
+    model = linreg_fit(df, features=["x1", "x2"], label="y")
+    scored = linear_predict(df, model, out="yhat")
+    resid = scored.agg(
+        F.sqrt(F.avg((F.col("y") - F.col("yhat")) ** 2)).alias("rmse")
+    ).collect()[0]["rmse"]
+    assert resid < 0.45  # noise sigma was 0.3
+    lmodel = [("x1", 1.0), ("bias", 0.0)]
+    probs = linear_predict(df.limit(5), lmodel, out="p", kind="logistic")
+    for r in probs.collect():
+        assert r["p"] == pytest.approx(1.0 / (1.0 + math.exp(-r["x1"])), abs=1e-12)
+    with pytest.raises(ValueError):
+        linear_predict(df, model, kind="nope").collect()
+
+
+def test_empty_and_bad_init_raise(spark):
+    df = spark.createDataFrame([], "x double, y double")
+    with pytest.raises(ValueError):
+        linreg_fit(df, features=["x"], label="y")
+    with pytest.raises(ValueError):
+        logreg_train(df, features=["x"], label="y")
+    df2 = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    with pytest.raises(ValueError):
+        logreg_train(df2, features=["x"], label="y", init=[1.0])
