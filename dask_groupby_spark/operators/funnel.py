@@ -42,12 +42,18 @@ def funnel(
     type_col: str,
     ts_col: str,
     segment_col: str | None = None,
+    within: float | None = None,
 ) -> DataFrame:
     """Per-entity funnel reach: one row per entity that completed step 1,
     with the completion time of every step it reached (NULL once it drops
     out).  ``steps`` is the ordered list of ``type_col`` values; step k
     counts only events STRICTLY after the entity's step-(k-1) time (the
     standard strict-order funnel).
+
+    ``within``: conversion window in seconds measured from FUNNEL ENTRY
+    (the entity's step-1 time, Mixpanel-style) — step k ≥ 2 additionally
+    requires ``ts <= t1 + within``; an entity that converts later does
+    NOT count.
 
     ``segment_col``: carried from the entity's step-1 event (the event that
     entered it into the funnel), via ``min_by`` on the step-1 time.
@@ -57,6 +63,8 @@ def funnel(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if within is not None and within <= 0:
+        raise ValueError(f"within must be positive seconds, got {within}")
     ts = time_to_seconds(df, ts_col)
     ev = df.select(
         F.col(entity_col),
@@ -72,10 +80,14 @@ def funnel(
     reached = first.agg(*aggs)
 
     for k, step in enumerate(steps[1:], start=2):
+        carry = [entity_col, f"t{k - 1}"] + (["t1"] if within is not None and k > 2 else [])
+        qual = F.col("__ts") > F.col(f"t{k - 1}")
+        if within is not None:
+            qual = qual & (F.col("__ts") <= F.col("t1") + F.lit(float(within)))
         nxt = (
             ev.filter(F.col("__ft") == step)
-            .join(reached.select(entity_col, f"t{k - 1}"), on=entity_col, how="inner")
-            .filter(F.col("__ts") > F.col(f"t{k - 1}"))
+            .join(reached.select(*dict.fromkeys(carry)), on=entity_col, how="inner")
+            .filter(qual)
             .groupBy(entity_col)
             .agg(F.min("__ts").alias(f"t{k}"))
         )
@@ -95,6 +107,7 @@ def funnel_conversion(
     type_col: str,
     ts_col: str,
     segment_col: str | None = None,
+    within: float | None = None,
 ) -> DataFrame:
     """Aggregated funnel: one row per step [per segment] with the number of
     entities that reached it and the conversion rate relative to step 1.
@@ -109,6 +122,7 @@ def funnel_conversion(
         type_col=type_col,
         ts_col=ts_col,
         segment_col=segment_col,
+        within=within,
     )
     seg = ["segment"] if segment_col else []
     counts = per_entity.groupBy(*seg).agg(

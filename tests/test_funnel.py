@@ -11,7 +11,7 @@ STEPS = ["view", "click", "purchase"]
 TYPES = STEPS + ["error", "signup"]
 
 
-def _brute_funnel(rows, steps):
+def _brute_funnel(rows, steps, within=None):
     """rows: (user, type, ts). Returns {user: [t1..tK or None]}."""
     by_user = {}
     for u, ty, ts in rows:
@@ -24,7 +24,9 @@ def _brute_funnel(rows, steps):
             cand = [
                 ts
                 for ty, ts in evs
-                if ty == step and (prev is None if k == 0 else ts > prev)
+                if ty == step
+                and (prev is None if k == 0 else ts > prev)
+                and (k == 0 or within is None or ts <= times[0] + within)
             ]
             t = min(cand) if cand else None
             times.append(t)
@@ -83,6 +85,51 @@ def test_funnel_conversion_counts(spark, event_rows):
         assert step == STEPS[k]
         assert cnt == n[k]
         assert conv == pytest.approx(n[k] / n[0]) if n[0] else conv is None
+
+
+def test_conversion_window_matches_bruteforce(spark, event_rows):
+    df = spark.createDataFrame(
+        event_rows, "user_id bigint, event_type string, ts double"
+    )
+    got = {
+        r["user_id"]: [r["t1"], r["t2"], r["t3"]]
+        for r in funnel(
+            df,
+            STEPS,
+            entity_col="user_id",
+            type_col="event_type",
+            ts_col="ts",
+            within=1500.0,
+        ).collect()
+    }
+    exp = _brute_funnel(event_rows, STEPS, within=1500.0)
+    assert got == exp
+    # the window must actually bite on this data
+    unwindowed = _brute_funnel(event_rows, STEPS)
+    assert sum(t[2] is not None for t in exp.values()) < sum(
+        t[2] is not None for t in unwindowed.values()
+    )
+
+
+def test_conversion_window_boundary_inclusive(spark):
+    rows = [
+        (1, "view", 0.0),
+        (1, "click", 10.0),   # exactly t1 + within -> counts
+        (2, "view", 0.0),
+        (2, "click", 10.5),   # past the window -> does not count
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts double")
+    got = {
+        r["user_id"]: r["t2"]
+        for r in funnel(
+            df, ["view", "click"], entity_col="user_id", type_col="event_type",
+            ts_col="ts", within=10.0,
+        ).collect()
+    }
+    assert got == {1: 10.0, 2: None}
+    with pytest.raises(ValueError):
+        funnel(df, ["view"], entity_col="user_id", type_col="event_type",
+               ts_col="ts", within=0.0)
 
 
 def test_strict_order_same_timestamp_not_counted(spark):
