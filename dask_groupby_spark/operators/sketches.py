@@ -385,36 +385,52 @@ def kmv_sketch_table(
     value: str,
     k: int = 1024,
     hasher: str = "fast",
+    method: str = "distinct",
 ) -> DataFrame:
     """Per-group KMV sketch: the ``k`` smallest distinct hash values of
-    ``value``, as a sorted ``array<bigint>`` column ``kmv``.
+    ``value``, as a sorted ``array<bigint>`` column ``kmv``.  The sketch is
+    a deterministic function of the value SET, so both methods produce
+    bit-identical output — they differ only in cost profile:
 
-    Three bounded stages (no per-group unbounded state, no one-group-one-
-    task hotspot):
+    ``method="distinct"`` (default; pure JVM): distinct ``(by, h)`` — the
+    shuffle key INCLUDES the hash, so a hot group spreads over the whole
+    cluster and map-side combine dedupes before the wire — then
+    per-shuffle-partition k-smallest partials and a P·k-sized final merge.
+    Plan-audited caveat: the partial collect_list buffers ship UNsliced
+    (the slice evaluates post-shuffle), so both exchanges carry the full
+    distinct-pair stream — fine while distinct(value) per group is
+    shuffle-sized, which is exactly when you might as well COUNT(DISTINCT).
 
-    1. distinct ``(by, h)`` — the shuffle key INCLUDES the hash, so a hot
-       group spreads over the whole cluster and map-side combine dedupes
-       before the wire;
-    2. per-shuffle-partition partial: k smallest per ``(by, partition)`` —
-       each partial's state is capped by the partition, output by k;
-    3. merge the ≤ ``P`` partials per group (each ≤ k values) — the only
-       per-group single-task step, sized P·k, not |group|.
+    ``method="partial"`` (the 100 TB path): one ``mapInPandas`` pass keeps
+    a k-truncated sorted distinct buffer PER GROUP PER PARTITION (state
+    k·\\|groups in partition\\| bigints, accumulated across all Arrow
+    batches of the partition — the ``embedding_pca`` partial pattern) and
+    emits one k-array row per (group, partition); the only shuffle is the
+    P·k-sized partial merge.  The raw/distinct stream never crosses the
+    wire.  Arrow transfer of (by, h) rows is the price.
     """
     from .dedup import _hasher
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     h = _hasher(hasher)(F.col(value).cast("string"), seed="kmv")
-    pairs = (
-        df.filter(F.col(value).isNotNull())
-        .select(*by, h.alias("__h"))
-        .groupBy(*by, "__h")
-        .agg(F.lit(1))
-        .select(*by, "__h", F.spark_partition_id().alias("__pid"))
-    )
-    partial = pairs.groupBy(*by, "__pid").agg(
-        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__hs")
-    )
+    if method == "partial":
+        partial = _kmv_partials(df, by, h, k)
+    elif method == "distinct":
+        pairs = (
+            df.filter(F.col(value).isNotNull())
+            .select(*by, h.alias("__h"))
+            .groupBy(*by, "__h")
+            .agg(F.lit(1))
+            .select(*by, "__h", F.spark_partition_id().alias("__pid"))
+        )
+        partial = pairs.groupBy(*by, "__pid").agg(
+            F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__hs")
+        )
+    else:
+        raise ValueError(
+            f"method must be 'distinct' or 'partial', got {method!r}"
+        )
     merged = partial.groupBy(*by).agg(
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("__hs")))),
@@ -423,6 +439,45 @@ def kmv_sketch_table(
         ).alias("kmv")
     )
     return merged.withColumn("kmv_k", F.lit(k).cast("int"))
+
+
+def _kmv_partials(df: DataFrame, by: tuple, h, k: int) -> DataFrame:
+    """One k-truncated sorted distinct hash buffer per group per partition
+    (``method="partial"`` engine of :func:`kmv_sketch_table`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    src = df.select(*by, h.alias("__h")).filter(F.col("__h").isNotNull())
+    schema = T.StructType(
+        [src.schema[c] for c in by]
+        + [T.StructField("__hs", T.ArrayType(T.LongType()), False)]
+    )
+    by_list = list(by)
+
+    def partials(batches):
+        bufs: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for key, grp in pdf.groupby(by_list, dropna=False, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                hs = np.unique(grp["__h"].to_numpy(dtype="int64"))[:k]
+                prev = bufs.get(key)
+                if prev is None:
+                    bufs[key] = hs
+                else:
+                    bufs[key] = np.unique(np.concatenate([prev, hs]))[:k]
+        if bufs:
+            keys = list(bufs.keys())
+            out = {
+                c: [kk[i] for kk in keys] for i, c in enumerate(by_list)
+            }
+            out["__hs"] = [bufs[kk].tolist() for kk in keys]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(partials, schema=schema)
 
 
 def _kmv_estimate(kmv: F.Column, k: int, domain: float) -> F.Column:
@@ -439,12 +494,13 @@ def kmv_distinct(
     k: int = 1024,
     hasher: str = "fast",
     out: str = "distinct_est",
+    method: str = "distinct",
 ) -> DataFrame:
     """Per-group distinct-count estimate from a KMV sketch (exact while the
     group has < k distinct values; relative error ~1/sqrt(k-2) once
     estimating).  Use :func:`hll_sketch_table` when only cardinality is
     needed — HLL state is smaller; KMV buys the set operations."""
-    sk = kmv_sketch_table(df, *by, value=value, k=k, hasher=hasher)
+    sk = kmv_sketch_table(df, *by, value=value, k=k, hasher=hasher, method=method)
     return sk.select(
         *by, _kmv_estimate(F.col("kmv"), k, _KMV_DOMAIN[hasher]).alias(out)
     )

@@ -116,7 +116,37 @@ def test_many_partitions_same_result(spark, grouped_values):
     assert a == b
 
 
+def test_partial_method_bit_identical(spark, grouped_values):
+    # the mapInPandas bounded-buffer tier must produce the SAME sketch as
+    # the JVM distinct tier (the sketch is a function of the value set)
+    df, _ = grouped_values
+    df = df.filter(F.col("v").isNotNull())
+    for k in (16, 1024):
+        a = {
+            r["g"]: r["kmv"]
+            for r in kmv_sketch_table(
+                df.repartition(16), "g", value="v", k=k, method="partial"
+            ).collect()
+        }
+        b = {
+            r["g"]: r["kmv"]
+            for r in kmv_sketch_table(df, "g", value="v", k=k).collect()
+        }
+        assert a == b
+
+
+def test_partial_method_overlap_and_estimates(spark):
+    a = spark.range(0, 30_000).select(F.lit("A").alias("g"), F.col("id").alias("v"))
+    b = spark.range(15_000, 45_000).select(F.lit("B").alias("g"), F.col("id").alias("v"))
+    sk = kmv_sketch_table(a.unionAll(b), "g", value="v", k=512, method="partial")
+    r = kmv_overlap(sk, group_col="g", k=512).collect()[0]
+    assert r["union_est"] == pytest.approx(45_000, rel=0.2)
+    assert r["jaccard"] == pytest.approx(15_000 / 45_000, abs=0.08)
+
+
 def test_k_validation(spark, grouped_values):
     df, _ = grouped_values
     with pytest.raises(ValueError):
         kmv_sketch_table(df, "g", value="v", k=1)
+    with pytest.raises(ValueError):
+        kmv_sketch_table(df, "g", value="v", k=8, method="nope")
