@@ -2982,6 +2982,27 @@ def q_logreg_quality(spark, sf):
     )
 
 
+def q_grouped_linreg(spark, sf):
+    """Per-group exact OLS (operators/linear.py grouped_linreg, r8 first
+    registration): one price ~ quantity + discount model per
+    l_returnflag — sufficient statistics via ONE map-combined groupBy
+    aggregate, then vectorized numpy solves over the one-row-per-group
+    STATS table (mapInPandas — a million segments would run the same
+    plan, nothing collects).  Oracle: the same per-group 3×3 normal
+    equations via Cramer's rule under GROUP BY; weights round-3 (the
+    linreg precedent)."""
+    from dask_groupby_spark.operators import grouped_linreg
+
+    li = load_table(spark, sf, "lineitem")
+    out = grouped_linreg(
+        li, "l_returnflag", features=["l_quantity", "l_discount"],
+        label="l_extendedprice",
+    )
+    return out.select(
+        "l_returnflag", "feature", F.round("weight", 3).alias("weight"), "n"
+    ).orderBy("l_returnflag", "feature")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3062,6 +3083,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,
     "linreg": q_linreg,
+    "grouped_linreg": q_grouped_linreg,
     "logreg_quality": q_logreg_quality,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,

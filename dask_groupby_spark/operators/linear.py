@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["linreg_fit", "logreg_train", "linear_predict"]
+__all__ = ["linreg_fit", "grouped_linreg", "logreg_train", "linear_predict"]
 
 
 def _feature_cols(features: list[str], add_bias: bool) -> list[F.Column]:
@@ -94,6 +94,93 @@ def linreg_fit(
     b = np.array([row[f"xy_{i}"] for i in range(d)])
     w = np.linalg.solve(A, b)
     return list(zip(names, (float(v) for v in w)))
+
+
+def grouped_linreg(
+    df: DataFrame,
+    by: str | list[str],
+    *,
+    features: list[str],
+    label: str,
+    add_bias: bool = True,
+    l2: float = 0.0,
+) -> DataFrame:
+    """Per-group exact OLS — one model per ``by`` group (per-segment price
+    models, per-source quality regressors).  Same sufficient-statistics
+    design as :func:`linreg_fit`, distributed end-to-end:
+
+    * ONE ``groupBy(by)`` aggregate computes each group's XᵀX/Xᵀy sums
+      (d(d+3)/2+1 doubles per group, map-side combined) — the data is
+      touched once and never re-partitioned per model;
+    * the d×d solves run as a vectorized Arrow pass OVER THE STATS TABLE
+      (one row per group, ``mapInPandas`` + numpy) — never on the driver,
+      so a million segments fit the same plan.
+
+    Singular/underdetermined groups (n ≤ d or rank-deficient XᵀX) return
+    NULL weights rather than raising.  Output: ``by`` columns + one row
+    per (group, feature): ``feature`` (bias last), ``weight``, ``n``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    by_list = [by] if isinstance(by, str) else list(by)
+    xs = _feature_cols(features, add_bias)
+    names = _names(features, add_bias)
+    d = len(xs)
+    y = F.col(label).cast("double")
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"xx_{i}_{j}"))
+    aggs += [F.sum(xs[i] * y).alias(f"xy_{i}") for i in range(d)]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    stats = _clean_rows(df, features, label).groupBy(*by_list).agg(*aggs)
+
+    schema = T.StructType(
+        [stats.schema[c] for c in by_list]
+        + [
+            T.StructField("feature", T.StringType(), False),
+            T.StructField("weight", T.DoubleType(), True),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    pen = np.diag(
+        [0.0 if (add_bias and i == d - 1) else float(l2) for i in range(d)]
+    )
+
+    def solve(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_keys = {c: [] for c in by_list}
+            feats, weights, ns = [], [], []
+            for _, row in pdf.iterrows():
+                A = np.zeros((d, d))
+                for i in range(d):
+                    for j in range(i, d):
+                        A[i, j] = A[j, i] = row[f"xx_{i}_{j}"]
+                b = np.array([row[f"xy_{i}"] for i in range(d)])
+                try:
+                    w = np.linalg.solve(A + pen, b)
+                    if not np.all(np.isfinite(w)) or row["n"] <= d:
+                        raise np.linalg.LinAlgError
+                    wlist = [float(v) for v in w]
+                except np.linalg.LinAlgError:
+                    wlist = [None] * d
+                for name, wv in zip(names, wlist):
+                    for c in by_list:
+                        out_keys[c].append(row[c])
+                    feats.append(name)
+                    weights.append(wv)
+                    ns.append(int(row["n"]))
+            out = dict(out_keys)
+            out["feature"] = feats
+            out["weight"] = weights
+            out["n"] = ns
+            yield pd.DataFrame(out)
+
+    return stats.mapInPandas(solve, schema=schema)
 
 
 def logreg_train(

@@ -2494,3 +2494,42 @@ SELECT feature, weight FROM (
 
 
 ORACLE_SQL["logreg_quality"] = _logreg_sql()
+
+# grouped_linreg (r8): the linreg Cramer oracle under GROUP BY — one
+# 3-unknown normal-equation solve per l_returnflag.  round-3, the linreg
+# precedent.  Sizable groups only in this data, so no NULL-weight branch
+# is needed (the operator's singular-group NULLs are covered in tests).
+ORACLE_SQL["grouped_linreg"] = """
+WITH s AS (
+  SELECT l_returnflag,
+         sum(l_quantity*l_quantity) AS sqq,
+         sum(l_quantity*l_discount) AS sqd,
+         sum(l_quantity)            AS sq,
+         sum(l_discount*l_discount) AS sdd,
+         sum(l_discount)            AS sd,
+         CAST(count(*) AS DOUBLE)   AS n,
+         sum(l_quantity*l_extendedprice) AS sqy,
+         sum(l_discount*l_extendedprice) AS sdy,
+         sum(l_extendedprice)           AS sy,
+         count(*)                       AS n_rows
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag
+),
+det AS (
+  SELECT l_returnflag, n_rows,
+    sqq*(sdd*n - sd*sd) - sqd*(sqd*n - sd*sq) + sq*(sqd*sd - sdd*sq) AS d0,
+    sqy*(sdd*n - sd*sd) - sqd*(sdy*n - sd*sy) + sq*(sdy*sd - sdd*sy) AS d1,
+    sqq*(sdy*n - sd*sy) - sqy*(sqd*n - sd*sq) + sq*(sqd*sy - sdy*sq) AS d2,
+    sqq*(sdd*sy - sdy*sd) - sqd*(sqd*sy - sdy*sq) + sqy*(sqd*sd - sdd*sq) AS d3
+  FROM s
+)
+SELECT l_returnflag, feature, weight, n FROM (
+  SELECT l_returnflag, 'l_quantity' AS feature,
+         round(d1/d0, 3) AS weight, n_rows AS n FROM det
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', round(d2/d0, 3), n_rows FROM det
+  UNION ALL
+  SELECT l_returnflag, 'bias', round(d3/d0, 3), n_rows FROM det
+) w ORDER BY l_returnflag, feature"""

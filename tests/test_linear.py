@@ -127,6 +127,60 @@ def test_predict_round_trip(spark, xy_rows):
         linear_predict(df, model, kind="nope").collect()
 
 
+def test_grouped_linreg_matches_numpy_per_group(spark):
+    rng = random.Random(80805)
+    coefs = {"g0": (2.0, -1.0, 5.0), "g1": (-3.0, 0.5, 1.0), "g2": (0.0, 4.0, -2.0)}
+    rows = []
+    for g, (a, b, c) in coefs.items():
+        for _ in range(300):
+            x1, x2 = rng.uniform(-2, 2), rng.uniform(-2, 2)
+            rows.append((g, x1, x2, a * x1 + b * x2 + c + rng.gauss(0, 0.1)))
+    # degenerate groups: too few rows, and rank-deficient (constant feature)
+    rows += [("tiny", 1.0, 2.0, 3.0), ("tiny", 2.0, 1.0, 4.0)]
+    rows += [("flat", 1.0, 1.0, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    from dask_groupby_spark.operators import grouped_linreg
+
+    got = {}
+    for r in grouped_linreg(df, "g", features=["x1", "x2"], label="y").collect():
+        got.setdefault(r["g"], {})[r["feature"]] = (r["weight"], r["n"])
+    for g in coefs:
+        data = [r for r in rows if r[0] == g]
+        X = np.array([[r[1], r[2], 1.0] for r in data])
+        yv = np.array([r[3] for r in data])
+        exp = np.linalg.lstsq(X, yv, rcond=None)[0]
+        assert got[g]["x1"][0] == pytest.approx(exp[0], abs=1e-8)
+        assert got[g]["x2"][0] == pytest.approx(exp[1], abs=1e-8)
+        assert got[g]["bias"][0] == pytest.approx(exp[2], abs=1e-8)
+        assert got[g]["x1"][1] == 300
+    # n <= d -> NULL weights; rank-deficient XtX -> NULL weights
+    assert got["tiny"]["x1"] == (None, 2)
+    assert got["flat"]["x1"][0] is None
+    assert set(got) == set(coefs) | {"tiny", "flat"}
+
+
+def test_grouped_linreg_single_feature_matches_bivariate(spark):
+    rng = random.Random(80806)
+    rows = [
+        (g, rng.uniform(0, 10), rng.uniform(0, 10))
+        for g in ["a", "b"]
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    from dask_groupby_spark.operators import grouped_bivariate, grouped_linreg
+
+    lin = {}
+    for r in grouped_linreg(df, "g", features=["x"], label="y").collect():
+        lin.setdefault(r["g"], {})[r["feature"]] = r["weight"]
+    biv = {
+        r["g"]: (r["slope"], r["intercept"])
+        for r in grouped_bivariate(df, "g", "x", "y").collect()
+    }
+    for g in ("a", "b"):
+        assert lin[g]["x"] == pytest.approx(biv[g][0], abs=1e-9)
+        assert lin[g]["bias"] == pytest.approx(biv[g][1], abs=1e-9)
+
+
 def test_empty_and_bad_init_raise(spark):
     df = spark.createDataFrame([], "x double, y double")
     with pytest.raises(ValueError):
