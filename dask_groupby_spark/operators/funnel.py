@@ -27,11 +27,13 @@ and the whole funnel is K-1 self-joins on a reused key, never a cartesian.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..dtypes import time_to_seconds
 
-__all__ = ["funnel", "funnel_conversion"]
+__all__ = ["funnel", "funnel_conversion", "retention"]
+
+_PERIOD_SECONDS = {"day": 86_400, "week": 604_800, "month": 2_592_000}
 
 
 def funnel(
@@ -157,3 +159,81 @@ def funnel_conversion(
             .alias("conversion"),
         )
     )
+
+
+def retention(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    period: str | int = "week",
+    horizon: int = 12,
+) -> DataFrame:
+    """Cohort retention analysis — the standard activation companion to
+    :func:`funnel`: entities are cohorted by the period of their FIRST
+    event, and each later period measures what fraction of the cohort was
+    active again.
+
+    ``period``: "day" / "week" / "month" (fixed 30-day months), or an
+    explicit period length in seconds.  Periods are epoch-aligned integer
+    buckets (``floor(epoch_seconds / period)``) — deterministic,
+    calendar-free arithmetic that both engines compute bit-identically.
+    ``horizon``: keep offsets 0..horizon.
+
+    Plan shape (all stages key on the entity or on tiny aggregates —
+    nothing rides a low-cardinality partition): distinct
+    ``(entity, period)`` activity, map-side combined and PERSISTED (it
+    feeds both the cohort aggregate and the join, and AQE never reuses an
+    Exchange across consumers — the repo-wide rule; the unpersist handle
+    is exposed as ``.retention_activity`` on the result); per-entity
+    cohort = ``min(period)``; activity ⋈ cohort on the entity key; one
+    ``groupBy(cohort, offset)`` count — the result is
+    ``|cohorts|·horizon`` rows, and the cohort-size denominator comes
+    from a window over THAT tiny table (offset 0 is the cohort size by
+    construction: every entity is active in its first period).
+
+    Output: ``cohort`` (period index, BIGINT), ``offset`` (periods since
+    cohort, INT), ``n_active`` (BIGINT), ``retention`` (DOUBLE in (0, 1],
+    = n_active / cohort size).
+    """
+    if isinstance(period, str):
+        if period not in _PERIOD_SECONDS:
+            raise ValueError(
+                f"period must be one of {sorted(_PERIOD_SECONDS)} or seconds, "
+                f"got {period!r}"
+            )
+        period_s = _PERIOD_SECONDS[period]
+    else:
+        period_s = int(period)
+        if period_s <= 0:
+            raise ValueError(f"period seconds must be positive, got {period}")
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+
+    ts = time_to_seconds(df, ts_col)
+    p = F.floor(ts / F.lit(float(period_s))).cast("bigint")
+    activity = (
+        df.filter(F.col(entity_col).isNotNull() & ts.isNotNull())
+        .select(F.col(entity_col).alias("__e"), p.alias("__p"))
+        .distinct()
+        .persist()
+    )
+    cohorts = activity.groupBy("__e").agg(F.min("__p").alias("__c"))
+    counts = (
+        activity.join(cohorts, on="__e")
+        .select("__c", (F.col("__p") - F.col("__c")).cast("int").alias("__o"))
+        .filter(F.col("__o") <= horizon)
+        .groupBy("__c", "__o")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = F.max(F.when(F.col("__o") == 0, F.col("n_active"))).over(
+        Window.partitionBy("__c")
+    )
+    out = counts.select(
+        F.col("__c").alias("cohort"),
+        F.col("__o").alias("offset"),
+        "n_active",
+        (F.col("n_active") / size).cast("double").alias("retention"),
+    )
+    out.retention_activity = activity
+    return out

@@ -2533,3 +2533,25 @@ SELECT l_returnflag, feature, weight, n FROM (
   UNION ALL
   SELECT l_returnflag, 'bias', round(d3/d0, 3), n_rows FROM det
 ) w ORDER BY l_returnflag, feature"""
+
+# retention (r8): weekly cohort retention — epoch-aligned integer week
+# buckets via the IDENTICAL double arithmetic as Spark's
+# time_to_seconds/floor ((micros/1e6)/604800), distinct activity ->
+# min-period cohort -> offset counts; retention = n_active / cohort size
+# (bigint/bigint double division).
+ORACLE_SQL["retention"] = """
+WITH a AS (
+  SELECT DISTINCT user_id AS e,
+         CAST(floor((epoch_us(ts)::DOUBLE / 1000000.0) / 604800.0) AS BIGINT) AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+c AS (SELECT e, min(p) AS coh FROM a GROUP BY e),
+o AS (
+  SELECT c.coh AS cohort, CAST(a.p - c.coh AS INTEGER) AS off,
+         count(*) AS n_active
+  FROM a JOIN c USING (e) WHERE a.p - c.coh <= 12 GROUP BY 1, 2
+),
+s AS (SELECT cohort, n_active AS sz FROM o WHERE off = 0)
+SELECT o.cohort, o.off AS "offset", o.n_active,
+       CAST(o.n_active AS DOUBLE) / s.sz AS retention
+FROM o JOIN s USING (cohort) ORDER BY cohort, off"""

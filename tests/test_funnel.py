@@ -207,6 +207,81 @@ def test_timestamp_column_types(spark):
     assert r["t2"] - r["t1"] == pytest.approx(1.0)
 
 
+def _brute_retention(rows, period_s, horizon):
+    """rows: (user, ts). Returns {(cohort, offset): n_active}."""
+    periods = {}
+    for u, ts in rows:
+        periods.setdefault(u, set()).add(int(ts // period_s))
+    out = {}
+    for u, ps in periods.items():
+        c = min(ps)
+        for p in ps:
+            if p - c <= horizon:
+                out[(c, p - c)] = out.get((c, p - c), 0) + 1
+    return out
+
+
+def test_retention_matches_bruteforce(spark):
+    from dask_groupby_spark.operators import retention
+
+    rng = random.Random(80807)
+    rows = [
+        (rng.randrange(60), float(rng.randrange(0, 40 * 86_400)))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts double")
+    exp = _brute_retention(rows, 7 * 86_400, horizon=3)
+    got = {}
+    sizes = {}
+    for r in retention(
+        df, entity_col="user_id", ts_col="ts", period="week", horizon=3
+    ).collect():
+        got[(r["cohort"], r["offset"])] = r["n_active"]
+        sizes.setdefault(r["cohort"], {})[r["offset"]] = r["retention"]
+    assert got == exp
+    # retention = n_active / cohort size; offset 0 is always 1.0
+    for c, offs in sizes.items():
+        assert offs[0] == 1.0
+        for o, rate in offs.items():
+            assert rate == pytest.approx(exp[(c, o)] / exp[(c, 0)])
+
+
+def test_retention_period_forms_and_validation(spark):
+    from dask_groupby_spark.operators import retention
+
+    rows = [(1, 0.0), (1, 86_400.0 * 2), (2, 0.0)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts double")
+    by_day = {
+        (r["cohort"], r["offset"]): r["n_active"]
+        for r in retention(
+            df, entity_col="user_id", ts_col="ts", period="day", horizon=12
+        ).collect()
+    }
+    assert by_day == {(0, 0): 2, (0, 2): 1}
+    # explicit seconds == named period
+    by_sec = {
+        (r["cohort"], r["offset"]): r["n_active"]
+        for r in retention(
+            df, entity_col="user_id", ts_col="ts", period=86_400, horizon=12
+        ).collect()
+    }
+    assert by_sec == by_day
+    # horizon filter drops late offsets
+    h1 = {
+        (r["cohort"], r["offset"]): r["n_active"]
+        for r in retention(
+            df, entity_col="user_id", ts_col="ts", period="day", horizon=1
+        ).collect()
+    }
+    assert h1 == {(0, 0): 2}
+    with pytest.raises(ValueError):
+        retention(df, entity_col="user_id", ts_col="ts", period="fortnight")
+    with pytest.raises(ValueError):
+        retention(df, entity_col="user_id", ts_col="ts", period=0)
+    with pytest.raises(ValueError):
+        retention(df, entity_col="user_id", ts_col="ts", horizon=-1)
+
+
 def test_single_step_and_empty(spark):
     df = spark.createDataFrame(
         [(1, "view", 1.0)], "user_id bigint, event_type string, ts double"
