@@ -605,6 +605,39 @@ def stream_hll_update(
     )
 
 
+def stream_kmv_update(
+    stream_df: DataFrame,
+    *by: str,
+    value: str,
+    path: str,
+    checkpoint: str,
+    k: int = 1024,
+    hasher: str = "fast",
+    trigger: dict | None = None,
+):
+    """Streaming set sketches: per-batch KMV bottom-k rows
+    (:func:`~dask_groupby_spark.operators.sketches.kmv_sketch_table`)
+    under the same idempotent ``batch_id=``-partition contract.  The KMV
+    merge ("union the retained hashes, keep the k smallest",
+    :func:`~dask_groupby_spark.operators.sketches.kmv_merge`) is
+    idempotent AND commutative — replays rewrite, late merges commute —
+    so the merged table answers whole-history distinct counts AND set
+    overlap (:func:`~dask_groupby_spark.operators.sketches.kmv_overlap`
+    between groups/streams) at k bigints per (group, batch).
+
+    Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
+    """
+    from ..operators.sketches import kmv_sketch_table
+
+    return _stream_sketch_update(
+        stream_df,
+        lambda b: kmv_sketch_table(b, *by, value=value, k=k, hasher=hasher),
+        path,
+        checkpoint,
+        trigger,
+    )
+
+
 def stream_rules_update(
     stream_df: DataFrame,
     rules,

@@ -601,6 +601,69 @@ def test_stream_hll_update_matches_batch(spark, tmp_path_factory):
     assert got["a"] == 150 and got["b"] == 1  # exact at this cardinality
 
 
+def test_stream_kmv_update_matches_batch(spark, tmp_path_factory):
+    """Streaming KMV: kmv_merge over the per-batch sketch partitions must
+    equal the one-shot batch sketch (merge is idempotent+commutative),
+    and the merged sketches must answer set-overlap queries."""
+    import os
+    import time as _time
+
+    from dask_groupby_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_overlap,
+        kmv_sketch_table,
+    )
+    from dask_groupby_spark.streaming import stream_kmv_update
+
+    base = tmp_path_factory.mktemp("stream_kmv")
+    indir, skpath, ckpt = str(base / "in"), str(base / "sk"), str(base / "ckpt")
+    os.makedirs(indir)
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(50, 120)],
+        "k string, u bigint",
+    )
+    b2 = spark.createDataFrame(
+        [("a", i) for i in range(50, 150)] + [("b", 1)], "k string, u bigint"
+    )
+    b1.coalesce(1).write.parquet(f"{indir}/b1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(f"{indir}/b2")
+    now = _time.time()
+    for sub, age in (("b1", 20), ("b2", 10)):
+        for root, _, files in os.walk(f"{indir}/{sub}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("k string, u bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{indir}/*")
+    )
+    q = stream_kmv_update(stream, "k", value="u", path=skpath, checkpoint=ckpt, k=256)
+    q.awaitTermination(120)
+
+    merged = kmv_merge(spark.read.parquet(skpath), "k", k=256)
+    full = b1.unionByName(b2)
+    want = {
+        r["k"]: r["kmv"]
+        for r in kmv_sketch_table(full, "k", value="u", k=256).collect()
+    }
+    got = {r["k"]: r["kmv"] for r in merged.collect()}
+    assert got == want
+    # whole-history set questions from the merged table: exact regime here
+    est = {
+        r["k"]: r["distinct_est"]
+        for r in kmv_distinct(full, "k", value="u", k=256).collect()
+    }
+    assert est == {"a": 150.0, "b": 71.0}
+    ov = kmv_overlap(
+        merged.withColumn("kmv_k", F.lit(256)), group_col="k", k=256
+    ).collect()[0]
+    # B = {50..119, 1} is a subset of A = {0..149}
+    assert (ov["union_est"], ov["inter_est"]) == (150.0, 71.0)
+
+
 def test_streaming_drift_psi_ks_from_stream_histograms(spark, tmp_path_factory):
     """The streaming-drift composition: two stream_hist_update runs (a
     'reference' week and a 'current' week, each consumed as a file
