@@ -515,3 +515,90 @@ def test_zorder_improves_second_dimension_skipping(spark, tmp_path):
     assert hit_frac(str(tmp_path / "z"), "y", 50, 60) < 0.7
     # and still skips on x
     assert hit_frac(str(tmp_path / "z"), "x", 50, 60) < 0.7
+
+
+def test_funnel_no_window_over_events(spark):
+    """The funnel join chain must never route the event stream through a
+    per-entity Window (one entity = one sort partition is the design
+    funnel() exists to avoid); and every step filter must push to the
+    scan side of its stage."""
+    from dask_groupby_spark.operators.funnel import funnel
+    from dask_groupby_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    out = funnel(
+        ev, ["view", "click", "purchase"],
+        entity_col="user_id", type_col="event_type", ts_col="ts",
+    )
+    plan = physical_plan(out)
+    assert "Window" not in plan, plan
+    # one equality filter per funnel stage reaches a Filter (the isin +
+    # per-step equality on event_type)
+    assert plan.count("event_type") >= 3
+
+
+def test_kmv_partial_single_exchange(spark):
+    """method='partial' promises: the ONLY shuffle is the P*k-sized
+    partial merge — one Exchange, below the mapInPandas stage."""
+    from dask_groupby_spark.operators.sketches import kmv_sketch_table
+    from dask_groupby_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    out = kmv_sketch_table(ev, "event_type", value="user_id", k=64,
+                           method="partial")
+    assert count_exchanges(out) == 1, physical_plan(out)
+    plan = physical_plan(out)
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_grouped_linreg_single_exchange_then_arrow_solve(spark):
+    """grouped_linreg: ONE map-combined aggregate Exchange; the numpy
+    solves run over the stats table (MapInPandas ABOVE the aggregate),
+    never a second data shuffle."""
+    from dask_groupby_spark.operators import grouped_linreg
+    from dask_groupby_spark.sources import load_table
+
+    li2 = load_table(spark, SF, "lineitem")
+    out = grouped_linreg(
+        li2, "l_returnflag", features=["l_quantity", "l_discount"],
+        label="l_extendedprice",
+    )
+    assert count_exchanges(out) == 1, physical_plan(out)
+    plan = physical_plan(out)
+    assert "MapInPandas" in plan, plan
+    assert "partial" in plan.lower(), plan  # map-side combine of the sums
+
+
+def test_linreg_fit_single_job_partial_agg(spark):
+    """linreg_fit's sufficient-statistics aggregate is map-side combined
+    (one Exchange of d(d+3)/2+1 doubles per map partition)."""
+    from dask_groupby_spark.operators.linear import _clean_rows, _feature_cols
+    from dask_groupby_spark.sources import load_table
+
+    li2 = load_table(spark, SF, "lineitem")
+    xs = _feature_cols(["l_quantity", "l_discount"], True)
+    y = F.col("l_extendedprice").cast("double")
+    aggs = [F.sum(xs[i] * xs[j]).alias(f"xx_{i}_{j}")
+            for i in range(3) for j in range(i, 3)]
+    aggs += [F.sum(xs[i] * y).alias(f"xy_{i}") for i in range(3)]
+    stats = _clean_rows(li2, ["l_quantity", "l_discount"], "l_extendedprice").agg(*aggs)
+    plan = physical_plan(stats)
+    assert "partial" in plan.lower(), plan
+    assert count_exchanges(stats) == 1, plan
+
+
+def test_retention_persists_activity(spark):
+    """retention() must persist the distinct-activity intermediate (it
+    feeds two consumers — AQE never reuses an Exchange across them) and
+    expose the unpersist handle."""
+    from dask_groupby_spark.operators import retention
+    from dask_groupby_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    out = retention(ev, entity_col="user_id", ts_col="ts", period="week")
+    try:
+        assert out.retention_activity.storageLevel.useMemory
+        plan = physical_plan(out)
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        out.retention_activity.unpersist()
