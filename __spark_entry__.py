@@ -3019,6 +3019,45 @@ def q_retention(spark, sf):
     return out.orderBy("cohort", "offset")
 
 
+def q_grouped_logreg(spark, sf):
+    """Per-group GD logistic regression (operators/linear.py
+    grouped_logreg, r8 first registration): one is-English classifier
+    PER SOURCE over documents — the model is a TABLE (|groups|·d
+    doubles) broadcast onto the data each step; one fused groupBy
+    gradient aggregate trains every group's model simultaneously.  Same
+    features/steps as logreg_quality.  Oracle: the 5 GD steps unrolled
+    as chained per-group CTEs (GROUP BY + joins on the group key),
+    round-6."""
+    from dask_groupby_spark.operators import grouped_logreg
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    feat = docs.select(
+        F.col("source"),
+        (F.col("n_chars").cast("double") / F.lit(100.0) - F.lit(3.0)).alias("f1"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + F.lit(1.0)
+            )
+            / F.lit(50.0)
+            - F.lit(1.0)
+        ).alias("f2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    out = grouped_logreg(
+        feat, "source", features=["f1", "f2"], label="y", iters=5, lr=0.5
+    )
+    return out.select(
+        "source", "feature", F.round("weight", 6).alias("weight"), "n"
+    ).orderBy("source", "feature")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3102,6 +3141,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linreg": q_linreg,
     "grouped_linreg": q_grouped_linreg,
     "logreg_quality": q_logreg_quality,
+    "grouped_logreg": q_grouped_logreg,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

@@ -29,7 +29,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["linreg_fit", "grouped_linreg", "logreg_train", "linear_predict"]
+__all__ = [
+    "linreg_fit",
+    "grouped_linreg",
+    "logreg_train",
+    "grouped_logreg",
+    "linear_predict",
+]
 
 
 def _feature_cols(features: list[str], add_bias: bool) -> list[F.Column]:
@@ -240,6 +246,100 @@ def logreg_train(
     finally:
         clean.unpersist()
     return list(zip(names, w))
+
+
+def grouped_logreg(
+    df: DataFrame,
+    by: str | list[str],
+    *,
+    features: list[str],
+    label: str,
+    iters: int = 5,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    add_bias: bool = True,
+) -> DataFrame:
+    """Per-group full-batch GD logistic regression — one classifier per
+    ``by`` group (per-source quality models, per-language filters).
+
+    The grouped analog of :func:`logreg_train` with the model held as a
+    TABLE rather than literals: per iteration, the current (group →
+    weights) frame — |groups|·d doubles — BROADCAST-joins onto the data,
+    one fused ``groupBy(by)`` aggregate computes every group's gradient
+    sums simultaneously (map-side combined), and the weight step is a
+    narrow projection on the tiny aggregate.  Iteration count is fixed,
+    so the lineage is ``iters`` broadcast-join + aggregate stages over
+    the persisted feature frame; per-group n is computed once.  The
+    weights table is eagerly materialized each step (localCheckpoint,
+    the pagerank discipline) so plan depth stays O(1).
+
+    Groups with no complete rows simply don't appear.  Output: ``by``
+    columns + ``feature``, ``weight``, ``n`` — same shape as
+    :func:`grouped_linreg`.
+    """
+    by_list = [by] if isinstance(by, str) else list(by)
+    xs = _feature_cols(features, add_bias)
+    names = _names(features, add_bias)
+    d = len(xs)
+    y = F.col(label).cast("double")
+
+    clean = _clean_rows(df, features, label).select(
+        *by_list, *[xs[i].alias(f"__x{i}") for i in range(d)], y.alias("__y")
+    )
+    clean = clean.persist()
+    try:
+        counts = clean.groupBy(*by_list).agg(F.count(F.lit(1)).alias("__n"))
+        w = counts.select(
+            *by_list, "__n", *[F.lit(0.0).alias(f"__w{i}") for i in range(d)]
+        ).localCheckpoint()
+        for _ in range(iters):
+            joined = clean.join(F.broadcast(w), on=by_list)
+            z = sum(
+                (F.col(f"__w{i}") * F.col(f"__x{i}") for i in range(d)),
+                F.lit(0.0),
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            grads = joined.groupBy(*by_list).agg(
+                *[
+                    F.sum((p - F.col("__y")) * F.col(f"__x{i}")).alias(f"__g{i}")
+                    for i in range(d)
+                ]
+            )
+            w = (
+                w.join(grads, on=by_list)
+                .select(
+                    *by_list,
+                    "__n",
+                    *[
+                        (
+                            F.col(f"__w{i}")
+                            - F.lit(lr)
+                            * (
+                                F.col(f"__g{i}") / F.col("__n")
+                                + (
+                                    F.lit(l2) * F.col(f"__w{i}")
+                                    if not (add_bias and i == d - 1)
+                                    else F.lit(0.0)
+                                )
+                            )
+                        ).alias(f"__w{i}")
+                        for i in range(d)
+                    ],
+                )
+                .localCheckpoint()
+            )
+    finally:
+        clean.unpersist()
+    name_arr = F.array(*[F.lit(n) for n in names])
+    w_arr = F.array(*[F.col(f"__w{i}") for i in range(d)])
+    return (
+        w.select(
+            *by_list,
+            F.col("__n").alias("n"),
+            F.explode(F.arrays_zip(name_arr.alias("feature"), w_arr.alias("weight"))).alias("__fw"),
+        )
+        .select(*by_list, "__fw.feature", "__fw.weight", "n")
+    )
 
 
 def linear_predict(

@@ -2555,3 +2555,57 @@ s AS (SELECT cohort, n_active AS sz FROM o WHERE off = 0)
 SELECT o.cohort, o.off AS "offset", o.n_active,
        CAST(o.n_active AS DOUBLE) / s.sz AS retention
 FROM o JOIN s USING (cohort) ORDER BY cohort, off"""
+
+# grouped_logreg (r8): the logreg_quality unrolled-GD oracle under
+# GROUP BY — per-source weight rows join back on the group key each
+# step, so one CTE chain trains every group simultaneously (mirrors the
+# operator's broadcast-weights design).
+def _grouped_logreg_sql(iters: int = 5, lr: float = 0.5) -> str:
+    z = "(w.w1*d.f1 + w.w2*d.f2 + w.wb)"
+    p = f"(1.0/(1.0 + exp(-{z})))"
+    sql = """
+WITH d AS (
+  SELECT source AS g,
+         CAST(n_chars AS DOUBLE)/100.0 - 3.0 AS f1,
+         (length(text) - length(replace(text, ' ', '')) + 1.0)/50.0 - 1.0 AS f2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL
+    AND source IS NOT NULL
+),
+nn AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+              count(*) AS n_rows FROM d GROUP BY g),
+w0 AS (SELECT g, 0.0 AS w1, 0.0 AS w2, 0.0 AS wb FROM nn)"""
+    for k in range(1, iters + 1):
+        prev = f"w{k - 1}"
+        sql += f""",
+g{k} AS (
+  SELECT d.g,
+         sum(({p} - d.y)*d.f1) AS g1,
+         sum(({p} - d.y)*d.f2) AS g2,
+         sum( {p} - d.y      ) AS gb
+  FROM d JOIN {prev} w ON d.g = w.g
+  GROUP BY d.g
+),
+w{k} AS (
+  SELECT w.g,
+         w.w1 - {lr}*g.g1/nn.n AS w1,
+         w.w2 - {lr}*g.g2/nn.n AS w2,
+         w.wb - {lr}*g.gb/nn.n AS wb
+  FROM {prev} w JOIN g{k} g ON w.g = g.g JOIN nn ON w.g = nn.g
+)"""
+    sql += f"""
+SELECT source, feature, weight, n FROM (
+  SELECT w.g AS source, 'f1' AS feature, round(w.w1, 6) AS weight,
+         nn.n_rows AS n FROM w{iters} w JOIN nn ON w.g = nn.g
+  UNION ALL
+  SELECT w.g, 'f2', round(w.w2, 6), nn.n_rows
+  FROM w{iters} w JOIN nn ON w.g = nn.g
+  UNION ALL
+  SELECT w.g, 'bias', round(w.wb, 6), nn.n_rows
+  FROM w{iters} w JOIN nn ON w.g = nn.g
+) t ORDER BY source, feature"""
+    return sql
+
+
+ORACLE_SQL["grouped_logreg"] = _grouped_logreg_sql()

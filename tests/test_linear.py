@@ -181,6 +181,63 @@ def test_grouped_linreg_single_feature_matches_bivariate(spark):
         assert lin[g]["bias"] == pytest.approx(biv[g][1], abs=1e-9)
 
 
+def test_grouped_logreg_matches_per_group_numpy_gd(spark):
+    rng = random.Random(80808)
+    rows = []
+    gen = {"g0": (1.5, -2.0, 0.25), "g1": (-1.0, 1.0, -0.5)}
+    for g, (a, b, c) in gen.items():
+        for _ in range(400):
+            x1, x2 = rng.uniform(-2, 2), rng.uniform(-2, 2)
+            p = 1.0 / (1.0 + math.exp(-(a * x1 + b * x2 + c)))
+            rows.append((g, x1, x2, 1.0 if rng.random() < p else 0.0))
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    from dask_groupby_spark.operators import grouped_logreg, logreg_train
+
+    got = {}
+    for r in grouped_logreg(
+        df, "g", features=["x1", "x2"], label="y", iters=8, lr=0.5
+    ).collect():
+        got.setdefault(r["g"], {})[r["feature"]] = (r["weight"], r["n"])
+    for g in gen:
+        data = [r for r in rows if r[0] == g]
+        X = np.array([[r[1], r[2], 1.0] for r in data])
+        yv = np.array([r[3] for r in data])
+        exp = _np_logreg(X, yv, iters=8, lr=0.5)
+        assert got[g]["x1"][0] == pytest.approx(exp[0], abs=1e-9)
+        assert got[g]["x2"][0] == pytest.approx(exp[1], abs=1e-9)
+        assert got[g]["bias"][0] == pytest.approx(exp[2], abs=1e-9)
+        assert got[g]["x1"][1] == 400
+        # grouped result == ungrouped trainer on that group's slice
+        solo = dict(
+            logreg_train(
+                df.filter(F.col("g") == g),
+                features=["x1", "x2"], label="y", iters=8, lr=0.5,
+            )
+        )
+        assert got[g]["x1"][0] == pytest.approx(solo["x1"], abs=1e-9)
+
+
+def test_grouped_logreg_l2_and_missing_groups(spark):
+    rows = [("a", float(i % 3 - 1), float(i % 2)) for i in range(30)]
+    rows += [("nulls", None, 1.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    from dask_groupby_spark.operators import grouped_logreg, logreg_train
+
+    out = grouped_logreg(df, "g", features=["x"], label="y", iters=4, l2=2.0)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["g"], {})[r["feature"]] = r["weight"]
+    assert set(got) == {"a"}  # all-NULL group has no complete rows
+    solo = dict(
+        logreg_train(
+            df.filter(F.col("g") == "a"),
+            features=["x"], label="y", iters=4, l2=2.0,
+        )
+    )
+    assert got["a"]["x"] == pytest.approx(solo["x"], abs=1e-12)
+    assert got["a"]["bias"] == pytest.approx(solo["bias"], abs=1e-12)
+
+
 def test_empty_and_bad_init_raise(spark):
     df = spark.createDataFrame([], "x double, y double")
     with pytest.raises(ValueError):
