@@ -35,6 +35,7 @@ __all__ = [
     "logreg_train",
     "grouped_logreg",
     "linear_predict",
+    "grouped_linear_predict",
 ]
 
 
@@ -258,6 +259,7 @@ def grouped_logreg(
     lr: float = 0.5,
     l2: float = 0.0,
     add_bias: bool = True,
+    broadcast_weights: bool = True,
 ) -> DataFrame:
     """Per-group full-batch GD logistic regression — one classifier per
     ``by`` group (per-source quality models, per-language filters).
@@ -272,6 +274,14 @@ def grouped_logreg(
     the persisted feature frame; per-group n is computed once.  The
     weights table is eagerly materialized each step (localCheckpoint,
     the pagerank discipline) so plan depth stays O(1).
+
+    ``broadcast_weights=False`` drops the broadcast hint for the
+    weights-table join (use when \\|groups\\|·d no longer fits an
+    executor — e.g. 10⁸ segments): AQE plans a sort-merge join instead,
+    and both sides shuffle on the group key EACH step — that per-step
+    Exchange of the persisted feature frame is the honest price of a
+    model table too big to ship; pre-``repartition`` the input on ``by``
+    to keep the shuffles aligned.
 
     Groups with no complete rows simply don't appear.  Output: ``by``
     columns + ``feature``, ``weight``, ``n`` — same shape as
@@ -293,7 +303,9 @@ def grouped_logreg(
             *by_list, "__n", *[F.lit(0.0).alias(f"__w{i}") for i in range(d)]
         ).localCheckpoint()
         for _ in range(iters):
-            joined = clean.join(F.broadcast(w), on=by_list)
+            joined = clean.join(
+                F.broadcast(w) if broadcast_weights else w, on=by_list
+            )
             z = sum(
                 (F.col(f"__w{i}") * F.col(f"__x{i}") for i in range(d)),
                 F.lit(0.0),
@@ -339,6 +351,53 @@ def grouped_logreg(
             F.explode(F.arrays_zip(name_arr.alias("feature"), w_arr.alias("weight"))).alias("__fw"),
         )
         .select(*by_list, "__fw.feature", "__fw.weight", "n")
+    )
+
+
+def grouped_linear_predict(
+    df: DataFrame,
+    model_df: DataFrame,
+    by: str | list[str],
+    *,
+    out: str = "score",
+    kind: str = "linear",
+) -> DataFrame:
+    """Score every row against ITS group's model — the serving side of
+    :func:`grouped_linreg` / :func:`grouped_logreg` (``model_df`` is
+    their long output: ``by`` + ``feature``/``weight`` rows).
+
+    The model pivots wide (one row per group, d weight columns — a tiny
+    aggregate over the model table) and BROADCAST-joins onto the data;
+    the score itself is a map-side expression, so the data never
+    shuffles.  Rows whose group has no model (or NULL weights from a
+    singular :func:`grouped_linreg` fit) get a NULL score.  Non-``bias``
+    features must be columns of ``df``; ``kind`` as in
+    :func:`linear_predict`.
+    """
+    by_list = [by] if isinstance(by, str) else list(by)
+    feats = [
+        r["feature"]
+        for r in model_df.select("feature").distinct().collect()
+    ]
+    if not feats:
+        return df.withColumn(out, F.lit(None).cast("double"))
+    wide = model_df.groupBy(*by_list).pivot("feature", feats).agg(
+        F.first("weight")
+    )
+    renames = {f: f"__w_{f}" for f in feats}
+    for f, wf in renames.items():
+        wide = wide.withColumnRenamed(f, wf)
+    joined = df.join(F.broadcast(wide), on=by_list, how="left")
+    z = F.lit(0.0)
+    for f in feats:
+        wcol = F.col(renames[f])
+        z = z + (wcol if f == "bias" else wcol * F.col(f).cast("double"))
+    if kind == "logistic":
+        z = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    elif kind != "linear":
+        raise ValueError(f"kind must be 'linear' or 'logistic', got {kind!r}")
+    return joined.withColumn(out, z.cast("double")).drop(
+        *[renames[f] for f in feats]
     )
 
 

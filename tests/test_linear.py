@@ -238,6 +238,52 @@ def test_grouped_logreg_l2_and_missing_groups(spark):
     assert got["a"]["bias"] == pytest.approx(solo["bias"], abs=1e-12)
 
 
+def test_grouped_linear_predict_scores_with_own_group_model(spark):
+    # exact models per group (no noise) -> scoring recovers y exactly
+    rows = []
+    gen = {"a": (2.0, 1.0), "b": (-1.0, 3.0)}
+    rng = random.Random(80809)
+    for g, (slope, icpt) in gen.items():
+        for _ in range(50):
+            x = rng.uniform(-5, 5)
+            rows.append((g, x, slope * x + icpt))
+    rows.append(("orphan", 1.0, 99.0))  # group without a model
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    from dask_groupby_spark.operators import (
+        grouped_linear_predict,
+        grouped_linreg,
+        grouped_logreg,
+    )
+
+    model = grouped_linreg(
+        df.filter(F.col("g") != "orphan"), "g", features=["x"], label="y"
+    )
+    scored = grouped_linear_predict(df, model, "g", out="yhat").collect()
+    for r in scored:
+        if r["g"] == "orphan":
+            assert r["yhat"] is None
+        else:
+            assert r["yhat"] == pytest.approx(r["y"], abs=1e-9)
+    # logistic kind matches sigmoid of the grouped_logreg linear score
+    clf_rows = [("a", float(i % 5 - 2), float(i % 2)) for i in range(40)]
+    cdf = spark.createDataFrame(clf_rows, "g string, x double, y double")
+    clf = grouped_logreg(cdf, "g", features=["x"], label="y", iters=3)
+    lin = {
+        r["x"]: r["s"]
+        for r in grouped_linear_predict(cdf, clf, "g", out="s").collect()
+    }
+    logi = {
+        r["x"]: r["p"]
+        for r in grouped_linear_predict(
+            cdf, clf, "g", out="p", kind="logistic"
+        ).collect()
+    }
+    for x, s in lin.items():
+        assert logi[x] == pytest.approx(1.0 / (1.0 + math.exp(-s)), abs=1e-12)
+    with pytest.raises(ValueError):
+        grouped_linear_predict(cdf, clf, "g", kind="nope").collect()
+
+
 def test_empty_and_bad_init_raise(spark):
     df = spark.createDataFrame([], "x double, y double")
     with pytest.raises(ValueError):
