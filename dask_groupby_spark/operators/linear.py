@@ -36,6 +36,7 @@ __all__ = [
     "grouped_logreg",
     "linear_predict",
     "grouped_linear_predict",
+    "target_encode",
 ]
 
 
@@ -423,3 +424,60 @@ def linear_predict(
     elif kind != "linear":
         raise ValueError(f"kind must be 'linear' or 'logistic', got {kind!r}")
     return df.withColumn(out, z)
+
+
+def target_encode(
+    df: DataFrame,
+    by: str | list[str],
+    *,
+    label: str,
+    out: str = "te",
+    smoothing: float = 20.0,
+    leave_one_out: bool = True,
+    prior: float | None = None,
+) -> DataFrame:
+    """Smoothed target encoding of a categorical key — the standard
+    high-cardinality feature-engineering step (Micci-Barreca 2001):
+    replace the category with a shrunk estimate of the per-category label
+    mean, ``(sum_y + m·prior) / (n + m)`` with ``m = smoothing`` and
+    ``prior`` the global label mean (computed in the same pass unless
+    given).
+
+    ``leave_one_out=True`` (the train-time form) excludes the row's OWN
+    label — ``(sum_y − y_i + m·prior) / (n − 1 + m)`` — so the encoding
+    never leaks the row's target into its feature (rows with NULL/NaN
+    labels, i.e. serving rows, fall back to the inclusive estimate).
+
+    One map-combined ``groupBy`` over the key + a broadcast join back —
+    the ``groupby_fill_stat(method="join")`` zero-big-shuffle shape; the
+    global prior is a single scalar collect.  Category statistics are
+    (n, Σy): mergeable, so the encoder can also be persisted and applied
+    to unseen data (unseen categories encode to the prior: n = 0).
+    """
+    by_list = [by] if isinstance(by, str) else list(by)
+    y = F.col(label).cast("double")
+    y_valid = F.when(~F.isnan(y), y)
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    if leave_one_out and smoothing == 0:
+        # a singleton category would divide by n-1+m = 0
+        raise ValueError("leave_one_out needs smoothing > 0")
+    if prior is None:
+        prior = df.agg(F.avg(y_valid)).collect()[0][0]
+        if prior is None:
+            raise ValueError("target_encode: no non-NULL labels for the prior")
+    stats = df.groupBy(*by_list).agg(
+        F.count(y_valid).alias("__te_n"), F.sum(y_valid).alias("__te_s")
+    )
+    j = df.join(F.broadcast(stats), on=by_list, how="left")
+    n = F.coalesce(F.col("__te_n"), F.lit(0)).cast("double")
+    s = F.coalesce(F.col("__te_s"), F.lit(0.0))
+    m = F.lit(float(smoothing))
+    p = F.lit(float(prior))
+    inclusive = (s + m * p) / (n + m) if smoothing > 0 else F.try_divide(s, n)
+    if leave_one_out:
+        loo = (s - y_valid + m * p) / (n - 1 + m)
+        enc = F.when(y_valid.isNotNull(), loo).otherwise(inclusive)
+    else:
+        enc = inclusive
+    return j.withColumn(out, enc.cast("double")).drop("__te_n", "__te_s")

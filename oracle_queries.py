@@ -2609,3 +2609,21 @@ SELECT source, feature, weight, n FROM (
 
 
 ORACLE_SQL["grouped_logreg"] = _grouped_logreg_sql()
+
+# target_encode (r8): leave-one-out smoothed target encoding of
+# l_partkey against integer-valued l_quantity — every sum and division
+# is exact/bit-identical, association order mirrored term-for-term:
+# ((s - y) + m*prior) / ((n - 1) + m).
+ORACLE_SQL["target_encode"] = f"""
+WITH li AS (
+  SELECT {_LI_IDX} AS idx, l_partkey, l_quantity FROM lineitem
+),
+p AS (SELECT avg(l_quantity) AS prior FROM li),
+s AS (
+  SELECT l_partkey, count(l_quantity) AS n, sum(l_quantity) AS s
+  FROM li GROUP BY l_partkey
+)
+SELECT li.idx, li.l_partkey,
+       (s.s - li.l_quantity + 20.0*p.prior) / (s.n - 1 + 20.0) AS te
+FROM li JOIN s USING (l_partkey), p
+ORDER BY li.idx"""

@@ -284,6 +284,67 @@ def test_grouped_linear_predict_scores_with_own_group_model(spark):
         grouped_linear_predict(cdf, clf, "g", kind="nope").collect()
 
 
+def test_target_encode_leave_one_out_matches_bruteforce(spark):
+    from dask_groupby_spark.operators import target_encode
+
+    rng = random.Random(80810)
+    rows = [
+        (i, rng.choice(["a", "b", "c", "rare"]), float(rng.randrange(10)))
+        for i in range(300)
+    ]
+    rows.append((300, "rare", float("nan")))    # serving row: NaN label
+    rows.append((301, "unseen_cat", 5.0))       # singleton category
+    df = spark.createDataFrame(rows, "i bigint, cat string, y double")
+    m = 10.0
+    valid = [(c, y) for _, c, y in rows if not math.isnan(y)]
+    prior = sum(y for _, y in valid) / len(valid)
+    stats = {}
+    for c, y in valid:
+        n, s = stats.get(c, (0, 0.0))
+        stats[c] = (n + 1, s + y)
+    got = {
+        r["i"]: r["te"]
+        for r in target_encode(df, "cat", label="y", smoothing=m).collect()
+    }
+    for i, c, y in rows:
+        n, s = stats.get(c, (0, 0.0))
+        if math.isnan(y):
+            exp = (s + m * prior) / (n + m)   # serving fallback: inclusive
+        else:
+            exp = (s - y + m * prior) / (n - 1 + m)
+        assert got[i] == pytest.approx(exp, abs=1e-12), (i, c, y)
+
+
+def test_target_encode_inclusive_and_unseen(spark):
+    from dask_groupby_spark.operators import target_encode
+
+    train = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.0), ("b", 1.0)], "cat string, y double"
+    )
+    # inclusive form (serving-time estimate), explicit prior
+    enc = {
+        (r["cat"], r["y"]): r["te"]
+        for r in target_encode(
+            train, "cat", label="y", smoothing=2.0, leave_one_out=False,
+            prior=0.5,
+        ).collect()
+    }
+    assert enc[("a", 1.0)] == pytest.approx((1.0 + 2.0 * 0.5) / (2 + 2.0))
+    assert enc[("b", 1.0)] == pytest.approx((1.0 + 2.0 * 0.5) / (1 + 2.0))
+    # smoothing=0 inclusive = plain group mean; LOO forbidden at m=0
+    plain = {
+        r["cat"]: r["te"]
+        for r in target_encode(
+            train, "cat", label="y", smoothing=0.0, leave_one_out=False
+        ).collect()
+    }
+    assert plain["a"] == pytest.approx(0.5) and plain["b"] == 1.0
+    with pytest.raises(ValueError):
+        target_encode(train, "cat", label="y", smoothing=0.0)
+    with pytest.raises(ValueError):
+        target_encode(train, "cat", label="y", smoothing=-1.0)
+
+
 def test_empty_and_bad_init_raise(spark):
     df = spark.createDataFrame([], "x double, y double")
     with pytest.raises(ValueError):
