@@ -3073,6 +3073,51 @@ def q_target_encode(spark, sf):
     return out.select("idx", "l_partkey", "te").orderBy("idx")
 
 
+def q_funnel_window(spark, sf):
+    """The funnel's Mixpanel-style conversion window, value-checked
+    (operators/funnel.py funnel(within=86400), r8 first registration):
+    one-day window from funnel entry cuts sf0.01 conversions from
+    150/150/150 to 150/60/14 — the window provably bites.  The oracle
+    mirrors the boundary-inclusive double-seconds comparison
+    (epoch_us/1e6 arithmetic, identical on both engines)."""
+    from dask_groupby_spark.operators.funnel import funnel_conversion
+
+    ev = load_table(spark, sf, "events")
+    out = funnel_conversion(
+        ev,
+        ["view", "click", "purchase"],
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        within=86400.0,
+    )
+    return out.select("step_idx", "step", "n_entities", "conversion").orderBy("step_idx")
+
+
+def q_funnel_timing(spark, sf):
+    """Time-to-convert statistics (operators/funnel.py funnel_timing, r8
+    first registration): per funnel transition the survivor count, mean
+    and exact median of t_k − t_{k−1} seconds.  Gap values are exact
+    micros/1e6 doubles on both engines; the mean is a float sum (order-
+    dependent) so both sides round-6; the median interpolates two exact
+    doubles identically."""
+    from dask_groupby_spark.operators import funnel_timing
+
+    ev = load_table(spark, sf, "events")
+    out = funnel_timing(
+        ev,
+        ["view", "click", "purchase"],
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+    )
+    return out.select(
+        "step_idx", "step", "n",
+        F.round("mean_gap_s", 6).alias("mean_gap_s"),
+        F.round("median_gap_s", 6).alias("median_gap_s"),
+    ).orderBy("step_idx")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3150,6 +3195,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_embed": q_pca_embed,
     # --- r8 first registrations ---
     "funnel": q_funnel,
+    "funnel_window": q_funnel_window,
+    "funnel_timing": q_funnel_timing,
     "retention": q_retention,
     "kmv_distinct": q_kmv_distinct,
     "kmv_overlap": q_kmv_overlap,

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..dtypes import time_to_seconds
 
-__all__ = ["funnel", "funnel_conversion", "retention"]
+__all__ = ["funnel", "funnel_conversion", "funnel_timing", "retention"]
 
 _PERIOD_SECONDS = {"day": 86_400, "week": 604_800, "month": 2_592_000}
 
@@ -237,3 +237,66 @@ def retention(
     )
     out.retention_activity = activity
     return out
+
+
+def funnel_timing(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    within: float | None = None,
+) -> DataFrame:
+    """Time-to-convert statistics per funnel transition: for each step
+    k ≥ 2, over the entities that reached it, the count, mean, and exact
+    median of ``t_k − t_{k−1}`` seconds.  One aggregate over the
+    per-entity :func:`funnel` frame (conversion gaps are NULL for
+    dropped-out entities, so each transition aggregates its own survivor
+    set); the explode-not-union rule as in :func:`funnel_conversion`.
+
+    Output: ``step_idx`` (2-based), ``step``, ``n`` (BIGINT),
+    ``mean_gap_s``, ``median_gap_s`` (DOUBLE seconds).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_timing needs at least two steps")
+    per_entity = funnel(
+        df,
+        steps,
+        entity_col=entity_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        within=within,
+    )
+    gaps = per_entity.select(
+        *[
+            (F.col(f"t{k}") - F.col(f"t{k - 1}")).alias(f"g{k}")
+            for k in range(2, len(steps) + 1)
+        ]
+    )
+    agg = gaps.agg(
+        *[
+            a
+            for k in range(2, len(steps) + 1)
+            for a in (
+                F.count(f"g{k}").alias(f"n{k}"),
+                F.avg(f"g{k}").alias(f"m{k}"),
+                F.median(f"g{k}").alias(f"md{k}"),
+            )
+        ]
+    )
+    step_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"n{k}").cast("bigint").alias("n"),
+                F.col(f"m{k}").cast("double").alias("mean_gap_s"),
+                F.col(f"md{k}").cast("double").alias("median_gap_s"),
+            )
+            for k, step in enumerate(steps[1:], start=2)
+        ]
+    )
+    return agg.select(F.explode(step_structs).alias("s")).select(
+        "s.step_idx", "s.step", "s.n", "s.mean_gap_s", "s.median_gap_s"
+    )

@@ -2627,3 +2627,78 @@ SELECT li.idx, li.l_partkey,
        (s.s - li.l_quantity + 20.0*p.prior) / (s.n - 1 + 20.0) AS te
 FROM li JOIN s USING (l_partkey), p
 ORDER BY li.idx"""
+
+# funnel_window (r8): the funnel oracle with the boundary-inclusive
+# one-day conversion window from funnel entry — the ts comparisons use
+# the IDENTICAL epoch_us/1e6 double arithmetic as Spark's
+# time_to_seconds, so the <= boundary cannot diverge.
+ORACLE_SQL["funnel_window"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND (epoch_us(e.ts)::DOUBLE/1000000.0)
+        <= (epoch_us(s1.t1)::DOUBLE/1000000.0) + 86400.0
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND (epoch_us(e.ts)::DOUBLE/1000000.0)
+        <= (epoch_us(s1.t1)::DOUBLE/1000000.0) + 86400.0
+  GROUP BY e.user_id
+),
+n AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3
+)
+SELECT step_idx, step, n_entities,
+       CASE WHEN n1 > 0 THEN CAST(n_entities AS DOUBLE) / n1 END AS conversion
+FROM n, (
+  SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step, n1 AS n_entities FROM n
+  UNION ALL
+  SELECT CAST(2 AS INTEGER), 'click', n2 FROM n
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'purchase', n3 FROM n
+) steps
+ORDER BY step_idx"""
+
+# funnel_timing (r8): per-transition gap statistics over the unwindowed
+# funnel CTEs — gaps in exact epoch_us/1e6 double seconds, mean round-6
+# (float-sum order), median interpolates two exact doubles identically.
+ORACLE_SQL["funnel_timing"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+),
+g2 AS (
+  SELECT (epoch_us(s2.t2)::DOUBLE/1000000.0)
+       - (epoch_us(s1.t1)::DOUBLE/1000000.0) AS g
+  FROM s2 JOIN s1 USING (user_id)
+),
+g3 AS (
+  SELECT (epoch_us(s3.t3)::DOUBLE/1000000.0)
+       - (epoch_us(s2.t2)::DOUBLE/1000000.0) AS g
+  FROM s3 JOIN s2 USING (user_id)
+)
+SELECT step_idx, step, n, mean_gap_s, median_gap_s FROM (
+  SELECT CAST(2 AS INTEGER) AS step_idx, 'click' AS step,
+         count(*) AS n, round(avg(g), 6) AS mean_gap_s,
+         round(median(g), 6) AS median_gap_s FROM g2
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'purchase', count(*), round(avg(g), 6),
+         round(median(g), 6) FROM g3
+) t ORDER BY step_idx"""

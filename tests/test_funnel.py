@@ -282,6 +282,34 @@ def test_retention_period_forms_and_validation(spark):
         retention(df, entity_col="user_id", ts_col="ts", horizon=-1)
 
 
+def test_funnel_timing_matches_bruteforce(spark, event_rows):
+    import statistics
+
+    from dask_groupby_spark.operators import funnel_timing
+
+    df = spark.createDataFrame(
+        event_rows, "user_id bigint, event_type string, ts double"
+    )
+    exp = _brute_funnel(event_rows, STEPS)
+    rows = funnel_timing(
+        df, STEPS, entity_col="user_id", type_col="event_type", ts_col="ts"
+    ).collect()
+    got = {r["step_idx"]: r for r in rows}
+    assert set(got) == {2, 3}
+    for k in (2, 3):
+        gaps = [
+            t[k - 1] - t[k - 2] for t in exp.values() if t[k - 1] is not None
+        ]
+        r = got[k]
+        assert r["step"] == STEPS[k - 1]
+        assert r["n"] == len(gaps)
+        assert r["mean_gap_s"] == pytest.approx(sum(gaps) / len(gaps))
+        assert r["median_gap_s"] == pytest.approx(statistics.median(gaps))
+    with pytest.raises(ValueError):
+        funnel_timing(df, ["view"], entity_col="user_id",
+                      type_col="event_type", ts_col="ts")
+
+
 def test_single_step_and_empty(spark):
     df = spark.createDataFrame(
         [(1, "view", 1.0)], "user_id bigint, event_type string, ts double"
