@@ -865,3 +865,56 @@ def kmeans_assign(
     cent_arr = _centroid_literal(centroids)
     cv = F.col(vec_col).cast("array<double>")
     return df.withColumn(out, F.array_max(_cell_scores(cent_arr, cv))["cell"])
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality evaluation of an approximate top-k table against
+    the exact one — the in-engine gate for tuning ``ivf_topk``'s
+    nprobe/n_cells or ``lsh_bucketed_topk``'s planes: per query,
+    recall@k (= |approx ∩ exact| / |exact|) and the reciprocal rank of
+    the TRUE nearest neighbor (exact rank 1) inside the approximate list
+    (0.0 when missed).  Mean them downstream for corpus-level
+    recall/MRR.
+
+    Both inputs are k-rows-per-query rank tables (the shared
+    (query_id, neighbor_id, rank) contract of ``cosine_topk`` /
+    ``ivf_topk`` / ``lsh_bucketed_topk`` and the persisted-index
+    variants), so the joins here are k·|queries|-sized — evaluation
+    never touches the corpus.
+
+    Output: ``query_col``, ``n_exact``, ``n_hit`` (BIGINT), ``recall``,
+    ``rr`` (DOUBLE).
+    """
+    a = approx.select(
+        F.col(query_col).alias("__q"),
+        F.col(neighbor_col).alias("__n"),
+        F.col(rank_col).cast("bigint").alias("__ar"),
+    )
+    e = exact.select(
+        F.col(query_col).alias("__q"),
+        F.col(neighbor_col).alias("__n"),
+        F.col(rank_col).cast("bigint").alias("__er"),
+    )
+    j = e.join(a, on=["__q", "__n"], how="left")
+    per_q = j.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__ar").alias("n_hit"),
+        # reciprocal rank of the exact best neighbor in the approx list
+        F.max(
+            F.when(F.col("__er") == 1, F.coalesce(1.0 / F.col("__ar"), F.lit(0.0)))
+        ).alias("rr"),
+    )
+    return per_q.select(
+        F.col("__q").alias(query_col),
+        "n_exact",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_exact")).cast("double").alias("recall"),
+        F.coalesce(F.col("rr"), F.lit(0.0)).cast("double").alias("rr"),
+    )

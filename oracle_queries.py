@@ -2702,3 +2702,66 @@ SELECT step_idx, step, n, mean_gap_s, median_gap_s FROM (
   SELECT CAST(3 AS INTEGER), 'purchase', count(*), round(avg(g), 6),
          round(median(g), 6) FROM g3
 ) t ORDER BY step_idx"""
+
+# ann_recall (r8): the ann_topk (exact) and ann_ivf (approx) oracle CTE
+# bodies composed into one statement, then the recall algebra — per
+# query recall@3 (= hits/3) and the reciprocal rank of the exact-rank-1
+# neighbor in the approximate list (0.0 when missed); exact rationals.
+ORACLE_SQL["ann_recall"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+es AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+         (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+          sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cosine
+  FROM c, q WHERE query_id <> neighbor_id
+),
+exact AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM es) WHERE rank <= 3
+),
+cents AS (SELECT vec_id AS cell, embedding AS cv
+          FROM embeddings ORDER BY vec_id LIMIT 8),
+ca AS (SELECT vec_id, cell,
+              list_dot_product(embedding::DOUBLE[], cv::DOUBLE[]) /
+              (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+               sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cos
+       FROM embeddings, cents),
+corp AS (SELECT vec_id AS neighbor_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+  FROM ca) WHERE rn = 1),
+qa AS (SELECT vec_id AS query_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+  FROM ca WHERE vec_id < 10) WHERE rn <= 2),
+aps AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[]))) AS cosine
+  FROM qa JOIN corp USING (cell)
+  JOIN embeddings qe ON qe.vec_id = query_id
+  JOIN embeddings ne ON ne.vec_id = neighbor_id
+  WHERE query_id <> neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM aps) WHERE rank <= 3
+),
+j AS (
+  SELECT e.query_id, e.neighbor_id, e.rank AS er, a.rank AS ar
+  FROM exact e LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       count(ar) AS n_hit,
+       CAST(count(ar) AS DOUBLE) / count(*) AS recall,
+       coalesce(max(CASE WHEN er = 1 THEN coalesce(1.0/ar, 0.0) END), 0.0) AS rr
+FROM j GROUP BY query_id ORDER BY query_id"""

@@ -1355,3 +1355,53 @@ class TestBM25:
         # tokens — visible as a Filter on __term = <literal> feeding the
         # (id, dl, term) aggregate
         assert re.search(r"Condition : \(__term#\d+ = x\)", plan), plan
+
+
+def test_ann_recall_known_tables(spark):
+    """Hand-built rank tables with known overlap: recall and reciprocal
+    rank computed per query."""
+    from dask_groupby_spark.operators import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    approx = spark.createDataFrame(
+        # q1: all three found, true best at approx rank 2
+        [(1, 11, 1), (1, 10, 2), (1, 12, 3),
+         # q2: only one found, true best missed
+         (2, 21, 1), (2, 99, 2), (2, 98, 3)],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    got = {r["query_id"]: r for r in ann_recall(approx, exact).collect()}
+    assert got[1]["n_exact"] == 3 and got[1]["n_hit"] == 3
+    assert got[1]["recall"] == 1.0 and got[1]["rr"] == 0.5
+    assert got[2]["n_hit"] == 1
+    assert got[2]["recall"] == pytest.approx(1 / 3)
+    assert got[2]["rr"] == 0.0
+
+
+def test_ann_recall_ivf_against_exact(spark):
+    """Integration: evaluate ivf_topk against cosine_topk on the driver
+    embeddings — exact-vs-exact is a perfect score; IVF recall is in
+    (0, 1] and rr <= 1."""
+    from dask_groupby_spark.operators import ann_recall, cosine_topk
+    from dask_groupby_spark.operators.similarity import ivf_topk
+    from dask_groupby_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=3)
+    perfect = ann_recall(exact, exact).collect()
+    assert all(r["recall"] == 1.0 and r["rr"] == 1.0 for r in perfect)
+    approx = ivf_topk(emb, queries, k=3, n_cells=8, nprobe=2)
+    rows = ann_recall(approx, exact).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["rr"] <= 1.0
+    # nprobe = n_cells probes everything -> exact result, perfect recall
+    full = ivf_topk(emb, queries, k=3, n_cells=8, nprobe=8)
+    assert all(
+        r["recall"] == 1.0 for r in ann_recall(full, exact).collect()
+    )
