@@ -24,7 +24,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dask_groupby_spark import Bins, groupby_agg, groupby_reduce, groupby_scan
+from dask_groupby_spark import (
+    Bins,
+    groupby_agg,
+    groupby_reduce,
+    groupby_scan,
+    quantile_bins,
+)
 from dask_groupby_spark.operators.dedup import (
     duplicate_spans,
     lsh_candidate_pairs,
@@ -3136,6 +3142,29 @@ def q_ann_recall(spark, sf):
     return ann_recall(approx, exact).orderBy("query_id")
 
 
+def q_qcut(spark, sf):
+    """Global equal-frequency binning (binning.py quantile_bins, r8
+    first registration — pd.qcut parity): decile bins of
+    l_extendedprice.  Edges come from the distributed exact-rank grid
+    (`_pooled_exact_grid`, proven bitwise-equal to DuckDB quantile_cont
+    by the qnorm key), binning is a map-side fold against literals.
+    Oracle: quantile_cont interior edges + list_filter count."""
+    li = _li(spark, sf)
+    out = quantile_bins(li, "l_extendedprice", q=10, out="qbin")
+    return out.select("idx", "qbin").orderBy("idx")
+
+
+def q_qcut_grouped(spark, sf):
+    """Per-group equal-frequency binning (binning.py quantile_bins
+    by=l_returnflag, r8 first registration): per-flag deciles.  The
+    per-group edges are interpolated IN-ENGINE with DuckDB's own
+    lo·(1−d)+hi·d lerp over anchor ranks, so the oracle mirrors every
+    arithmetic step bit-for-bit — no rounding anywhere."""
+    li = _li(spark, sf)
+    out = quantile_bins(li, "l_extendedprice", q=10, by="l_returnflag", out="qbin")
+    return out.select("idx", "l_returnflag", "qbin").orderBy("idx")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3224,6 +3253,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logreg_quality": q_logreg_quality,
     "grouped_logreg": q_grouped_logreg,
     "target_encode": q_target_encode,
+    "qcut": q_qcut,
+    "qcut_grouped": q_qcut_grouped,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

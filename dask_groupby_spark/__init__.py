@@ -22,7 +22,7 @@ and shuffle planning natively (see SURVEY.md §4).
 """
 
 from .aggregations import AGGREGATIONS, SCANS, Aggregation, Scan
-from .binning import Bins
+from .binning import Bins, quantile_bins
 from .complex import complex_col, groupby_reduce_complex
 from .core import (
     groupby_agg,
@@ -47,6 +47,7 @@ __all__ = [
     "Aggregation",
     "Scan",
     "Bins",
+    "quantile_bins",
     "make_aggregation",
     "make_scan",
     "groupby_agg",

@@ -80,3 +80,115 @@ class Bins:
         for i in range(self.nbins - 1, -1, -1):
             expr = F.when(code == F.lit(i), F.lit(labels[i])).otherwise(expr)
         return expr
+
+
+def quantile_bins(
+    df,
+    col: str,
+    q: int = 10,
+    by: str | Sequence[str] | None = None,
+    out: str | None = None,
+    resolution_guard: int = 10_000,
+):
+    """Equal-frequency discretization — ``pd.qcut(x, q, labels=False)``
+    parity: bin edges at the exact linear-interpolation quantiles
+    ``i/q`` and each value assigned ``Σᵢ 1[x > eᵢ]`` (right-closed
+    intervals, so a value equal to an interior edge falls in the lower
+    bin, exactly pandas' convention).  With ``by``, edges are computed
+    PER GROUP (per-domain score deciles).  NULL/NaN values get a NULL
+    bin.  Tied data can collapse adjacent edges; bins keep their nominal
+    index (pandas' ``duplicates="drop"`` renumbers instead — on
+    edge-tie-free data the two agree exactly, asserted in tests).
+
+    Plan shape: the GLOBAL form computes its ``q−1`` interior edges with
+    the distributed exact-rank grid of ``quantile_normalize``
+    (:func:`~dask_groupby_spark.operators.stats._pooled_exact_grid` —
+    range-partitioned ranks, anchor-only collect, DuckDB-lerp) and bins
+    map-side against literals — fully parallel at any scale.  The
+    GROUPED form ranks within each group (one window — the documented
+    per-group-quantile serialization, same class as the ``quantile``
+    reduction), joins the ≤ 2(q−1) anchor rows per group, and
+    interpolates with the SAME ``lo·(1−d) + hi·d`` lerp IN-ENGINE, so
+    the DuckDB oracle mirrors it bit-for-bit; binning is a broadcast
+    join of |groups|·(q−1) edges + a map-side fold.
+    """
+    from pyspark.sql import Window
+
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    if q > resolution_guard:
+        raise ValueError(f"q={q} exceeds resolution_guard={resolution_guard}")
+    out = out or f"{col}_qbin"
+    v = F.col(col).cast("double")
+    v = F.when(~F.isnan(v), v)  # NaN -> NULL
+
+    if by is None:
+        from .operators.stats import _pooled_exact_grid
+
+        grid = _pooled_exact_grid(df, F.col(col), q)
+        if grid is None:
+            return df.withColumn(out, F.lit(None).cast("int"))
+        edges = grid[1:-1]  # interior edges only
+        b = F.lit(0)
+        for e in edges:
+            b = b + F.when(v > F.lit(float(e)), 1).otherwise(0)
+        return df.withColumn(out, F.when(v.isNotNull(), b).cast("int"))
+
+    by_list = [by] if isinstance(by, str) else list(by)
+    vals = df.select(*by_list, v.alias("__v")).filter(F.col("__v").isNotNull())
+    w = Window.partitionBy(*by_list).orderBy("__v")
+    ranked = vals.withColumn("__r", F.row_number().over(w))
+    n_tbl = ranked.groupBy(*by_list).agg(F.max("__r").alias("__n"))
+    # one row per (group, i): anchor ranks + interpolation fraction,
+    # exactly numpy/DuckDB linear interpolation arithmetic
+    i_col = F.explode(
+        F.array(*[F.lit(i) for i in range(1, q)])
+    ).alias("__i")
+    spec = n_tbl.select(*by_list, "__n", i_col).select(
+        *by_list,
+        "__i",
+        F.floor(
+            (F.col("__i").cast("double") / F.lit(float(q)))
+            * (F.col("__n") - 1).cast("double")
+        ).cast("bigint").alias("__k"),
+        (
+            (F.col("__i").cast("double") / F.lit(float(q)))
+            * (F.col("__n") - 1).cast("double")
+        ).alias("__pk"),
+        F.col("__n"),
+    )
+    spec = spec.select(
+        *by_list,
+        "__i",
+        (F.col("__k") + 1).alias("__rlo"),
+        F.least(F.col("__k") + 2, F.col("__n")).alias("__rhi"),
+        (F.col("__pk") - F.col("__k").cast("double")).alias("__d"),
+    )
+    lo = ranked.select(*by_list, F.col("__r").alias("__rlo"), F.col("__v").alias("__lo"))
+    hi = ranked.select(*by_list, F.col("__r").alias("__rhi"), F.col("__v").alias("__hi"))
+    edges = (
+        spec.join(lo, on=[*by_list, "__rlo"])
+        .join(hi, on=[*by_list, "__rhi"])
+        .select(
+            *by_list,
+            "__i",
+            # DuckDB quantile_cont lerp: lo*(1-d) + hi*d (bitwise-shared)
+            (
+                F.col("__lo") * (F.lit(1.0) - F.col("__d"))
+                + F.col("__hi") * F.col("__d")
+            ).alias("__edge"),
+        )
+    )
+    edge_arr = edges.groupBy(*by_list).agg(
+        F.array_sort(F.collect_list(F.struct("__i", "__edge"))).alias("__es")
+    ).select(*by_list, F.transform("__es", lambda s: s["__edge"]).alias("__edges"))
+    j = df.join(F.broadcast(edge_arr), on=by_list, how="left")
+    b = F.aggregate(
+        F.coalesce(F.col("__edges"), F.array().cast("array<double>")),
+        F.lit(0),
+        lambda acc, e: acc + F.when(v > e, 1).otherwise(0),
+    )
+    return j.withColumn(
+        out,
+        F.when(v.isNotNull() & F.col("__edges").isNotNull(), b).cast("int"),
+    ).drop("__edges")

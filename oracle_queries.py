@@ -2765,3 +2765,50 @@ SELECT query_id,
        CAST(count(ar) AS DOUBLE) / count(*) AS recall,
        coalesce(max(CASE WHEN er = 1 THEN coalesce(1.0/ar, 0.0) END), 0.0) AS rr
 FROM j GROUP BY query_id ORDER BY query_id"""
+
+# qcut (r8): global decile bins — edges via quantile_cont (bitwise-equal
+# to the engine's _pooled_exact_grid, proven by the qnorm key), bin =
+# number of interior edges strictly below the value.
+ORACLE_SQL["qcut"] = f"""
+WITH li AS (SELECT {_LI_IDX} AS idx, l_extendedprice AS x FROM lineitem),
+e AS (
+  SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS es
+  FROM li WHERE x IS NOT NULL
+)
+SELECT idx,
+       CAST(len(list_filter(e.es, t -> li.x > t)) AS INTEGER) AS qbin
+FROM li, e ORDER BY idx"""
+
+# qcut_grouped (r8): per-l_returnflag deciles — every arithmetic step of
+# binning.quantile_bins' grouped path mirrored exactly (row_number ranks,
+# k = floor((i/10)*(n-1)), d = pk - k, lerp lo*(1-d)+hi*d, right-closed
+# assignment).  No rounding anywhere: the expressions are bit-shared.
+ORACLE_SQL["qcut_grouped"] = f"""
+WITH li AS (SELECT {_LI_IDX} AS idx, l_returnflag AS g, l_extendedprice AS x
+            FROM lineitem),
+v AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS r
+      FROM li WHERE x IS NOT NULL),
+n AS (SELECT g, max(r) AS n FROM v GROUP BY g),
+spec AS (
+  SELECT g, i,
+         CAST(floor((CAST(i AS DOUBLE)/10.0) * CAST(n-1 AS DOUBLE)) AS BIGINT) AS k,
+         (CAST(i AS DOUBLE)/10.0) * CAST(n-1 AS DOUBLE) AS pk,
+         n
+  FROM n, generate_series(1, 9) AS t(i)
+),
+spec2 AS (
+  SELECT g, i, k+1 AS rlo, least(k+2, n) AS rhi,
+         pk - CAST(k AS DOUBLE) AS d
+  FROM spec
+),
+edges AS (
+  SELECT s.g, s.i, lo.x*(1.0 - s.d) + hi.x*s.d AS e
+  FROM spec2 s
+  JOIN v lo ON lo.g = s.g AND lo.r = s.rlo
+  JOIN v hi ON hi.g = s.g AND hi.r = s.rhi
+)
+SELECT li.idx, li.g AS l_returnflag,
+       CAST(sum(CASE WHEN li.x > e.e THEN 1 ELSE 0 END) AS INTEGER) AS qbin
+FROM li JOIN edges e ON li.g = e.g
+GROUP BY li.idx, li.g
+ORDER BY li.idx"""

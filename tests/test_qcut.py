@@ -1,0 +1,99 @@
+"""quantile_bins (pd.qcut parity): pandas differential global + per-group,
+edge-equality convention, NULL/NaN passthrough, tie behavior."""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_groupby_spark import quantile_bins
+
+
+@pytest.fixture(scope="module")
+def tie_free():
+    rng = random.Random(80811)
+    vals = rng.sample(range(10_000_000), 700)
+    return [float(x) + rng.random() * 0.5 for x in vals]
+
+
+@pytest.mark.parametrize("q", [2, 4, 10])
+def test_global_matches_pandas_qcut(spark, tie_free, q):
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(tie_free)], "i bigint, x double")
+    got = {
+        r["i"]: r["x_qbin"]
+        for r in quantile_bins(df, "x", q=q).collect()
+    }
+    exp = pd.qcut(pd.Series(tie_free), q, labels=False)
+    assert got == {i: int(b) for i, b in exp.items()}
+
+
+def test_grouped_matches_pandas_per_group(spark, tie_free):
+    rng = random.Random(80812)
+    rows = [(i, rng.choice(["a", "b", "c"]), x) for i, x in enumerate(tie_free)]
+    df = spark.createDataFrame(rows, "i bigint, g string, x double")
+    got = {
+        r["i"]: r["x_qbin"]
+        for r in quantile_bins(df, "x", q=5, by="g").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["i", "g", "x"])
+    for g, grp in pdf.groupby("g"):
+        exp = pd.qcut(grp["x"], 5, labels=False)
+        for i, b in zip(grp["i"], exp):
+            assert got[i] == int(b), (g, i)
+
+
+def test_value_equal_to_edge_goes_low(spark):
+    # n=5, q=2 -> median edge is the middle value exactly; x == edge -> bin 0
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5])], "i bigint, x double"
+    )
+    got = {r["i"]: r["x_qbin"] for r in quantile_bins(df, "x", q=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+    exp = pd.qcut(pd.Series([1.0, 2.0, 3.0, 4.0, 5.0]), 2, labels=False)
+    assert got == {i: int(b) for i, b in exp.items()}
+
+
+def test_null_nan_and_missing_group(spark):
+    rows = [(0, "a", 1.0), (1, "a", 2.0), (2, "a", 3.0),
+            (3, "a", None), (4, "a", float("nan")), (5, "b", None)]
+    df = spark.createDataFrame(rows, "i bigint, g string, x double")
+    got = {r["i"]: r["x_qbin"] for r in quantile_bins(df, "x", q=3, by="g").collect()}
+    assert got[3] is None and got[4] is None
+    # group b has NO valid values -> no edges -> NULL bin
+    assert got[5] is None
+    assert got[0] == 0 and got[2] == 2
+    gglob = {r["i"]: r["x_qbin"] for r in quantile_bins(df, "x", q=3).collect()}
+    assert gglob[3] is None and gglob[4] is None
+
+
+def test_all_null_frame_and_validation(spark):
+    df = spark.createDataFrame([(1, None)], "i bigint, x double")
+    assert quantile_bins(df, "x", q=4).collect()[0]["x_qbin"] is None
+    with pytest.raises(ValueError):
+        quantile_bins(df, "x", q=1)
+    with pytest.raises(ValueError):
+        quantile_bins(df, "x", q=20_001)
+
+
+def test_heavy_ties_monotone_and_complete(spark):
+    # massively tied data: bins must still be monotone in x and cover all rows
+    rows = [(i, float(i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "i bigint, x double")
+    out = quantile_bins(df, "x", q=4).collect()
+    by_x = {}
+    for r in out:
+        by_x.setdefault(r["x"], set()).add(r["x_qbin"])
+    assert all(len(s) == 1 for s in by_x.values())
+    xs = sorted(by_x)
+    bins = [next(iter(by_x[x])) for x in xs]
+    assert bins == sorted(bins)
+    assert all(b is not None for b in bins)
+
+
+def test_repartition_invariance(spark, tie_free):
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(tie_free)], "i bigint, x double")
+    a = {r["i"]: r["x_qbin"] for r in quantile_bins(df.repartition(13), "x", q=7).collect()}
+    b = {r["i"]: r["x_qbin"] for r in quantile_bins(df.repartition(1), "x", q=7).collect()}
+    assert a == b
