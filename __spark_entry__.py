@@ -3165,6 +3165,26 @@ def q_qcut_grouped(spark, sf):
     return out.select("idx", "l_returnflag", "qbin").orderBy("idx")
 
 
+def q_dsir(spark, sf):
+    """DSIR importance weights (operators/text.py dsir_log_weights, r8
+    first registration — Xie et al. 2023): every document scored by the
+    log-likelihood ratio of its hashed-bigram profile under the TARGET
+    (the English documents) vs the raw corpus, add-1 smoothed, dim=1024
+    buckets, portable hasher so DuckDB rebuilds both profiles
+    bit-for-bit.  Fold order and libm log differ at the last ulp →
+    round-6 both sides (the repo's float-sum convention)."""
+    from dask_groupby_spark.operators import dsir_log_weights
+
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_log_weights(
+        docs, target, n=2, dim=1024, alpha=1.0, hasher="portable"
+    )
+    return out.select(
+        "doc_id", F.round("dsir_logw", 6).alias("dsir_logw")
+    ).orderBy("doc_id")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3255,6 +3275,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "target_encode": q_target_encode,
     "qcut": q_qcut,
     "qcut_grouped": q_qcut_grouped,
+    "dsir": q_dsir,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

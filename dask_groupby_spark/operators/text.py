@@ -805,3 +805,89 @@ def bm25_scores(
     # releases the cached (id, dl) table instead of waiting for LRU
     out_df.bm25_doc_lengths = dl
     return out_df
+
+
+def _hashed_ngram_buckets(text_col: str, n: int, dim: int, hasher: str) -> Column:
+    """Map-side array of hashed n-gram bucket ids (0..dim-1) per row."""
+    from .dedup import _hasher
+
+    h = _hasher(hasher)
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.transform(grams, lambda g: F.pmod(h(g, seed="dsir"), F.lit(dim)))
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 2,
+    dim: int = 4096,
+    alpha: float = 1.0,
+    hasher: str = "fast",
+    out: str = "dsir_logw",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by how much more likely its hashed n-gram profile is under
+    the TARGET distribution than under the raw one —
+    ``log w(x) = Σ_grams (log p_target[h(g)] − log p_raw[h(g)])`` with
+    add-``alpha`` smoothed bucket unigram models.  Feed the weights to
+    ``selection.sample_per_group(weight_col=…)`` (Efraimidis–Spirakis)
+    for the resampling half of the method.
+
+    Plan: the two bucket profiles are ONE map-combined aggregate each,
+    bounded at ``dim`` counter rows regardless of corpus size (the CMS
+    cost shape); the dim-sized log-ratio table is collected once
+    (documented bounded collect, inlined as a literal array — keep
+    ``dim`` ≤ ~10⁴, the `hash_classifier_score` guidance) and scoring is
+    a pure map-side fold over each document's gram buckets: zero
+    shuffle, no UDF, embarrassingly parallel at 100 TB.
+
+    Output: ``corpus`` + ``out`` (DOUBLE; 0.0 for docs with no n-grams;
+    NULL text ⇒ NULL).
+    """
+    import math as _math
+
+    if dim < 2 or dim > 100_000:
+        raise ValueError(f"dim must be in [2, 100000], got {dim}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
+
+    def profile(df: DataFrame) -> dict[int, int]:
+        rows = (
+            df.select(
+                F.explode(
+                    _hashed_ngram_buckets(text_col, n, dim, hasher)
+                ).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r["b"]: r["c"] for r in rows}
+
+    tprof = profile(target)
+    rprof = profile(corpus)
+    t_tot = sum(tprof.values()) + alpha * dim
+    r_tot = sum(rprof.values()) + alpha * dim
+    ratio = [
+        _math.log((tprof.get(b, 0) + alpha) / t_tot)
+        - _math.log((rprof.get(b, 0) + alpha) / r_tot)
+        for b in range(dim)
+    ]
+    rarr = F.array(*[F.lit(v) for v in ratio])
+    buckets = _hashed_ngram_buckets(text_col, n, dim, hasher)
+    logw = F.aggregate(
+        buckets,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(rarr, (b + 1).cast("int")),
+    )
+    return corpus.withColumn(
+        out,
+        F.when(F.col(text_col).isNotNull(), logw).cast("double"),
+    )

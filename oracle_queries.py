@@ -2812,3 +2812,49 @@ SELECT li.idx, li.g AS l_returnflag,
 FROM li JOIN edges e ON li.g = e.g
 GROUP BY li.idx, li.g
 ORDER BY li.idx"""
+
+# dsir (r8): DSIR importance weights — hashed-bigram add-1-smoothed
+# log-likelihood ratio, target = the English documents.  Portable md5
+# bucket hash mirrored; per-doc score re-summed over a join (order
+# differs from Spark's array fold) and log is libm → round-6 both sides.
+ORACLE_SQL["dsir"] = """
+WITH tk AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1])
+              ELSE [] END AS grams
+  FROM tk WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('dsir:' || gr), 1, 15) AS BIGINT) % 1024 AS bk
+  FROM (SELECT doc_id, lang, unnest(grams) AS gr FROM g)
+),
+tprof AS (SELECT bk, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bk),
+rprof AS (SELECT bk, count(*) AS c FROM b GROUP BY bk),
+tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tprof) + 1.0*1024 AS t_tot,
+         (SELECT coalesce(sum(c), 0) FROM rprof) + 1.0*1024 AS r_tot
+),
+ratio AS (
+  SELECT s.bk,
+         ln((coalesce(t.c, 0) + 1.0) / tot.t_tot)
+       - ln((coalesce(r.c, 0) + 1.0) / tot.r_tot) AS lr
+  FROM (SELECT unnest(range(0, 1024)) AS bk) s
+  LEFT JOIN tprof t USING (bk) LEFT JOIN rprof r USING (bk), tot
+),
+scores AS (
+  SELECT b.doc_id, sum(ratio.lr) AS s
+  FROM b JOIN ratio USING (bk) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE round(coalesce(sc.s, 0.0), 6) END AS dsir_logw
+FROM documents d LEFT JOIN scores sc USING (doc_id)
+ORDER BY d.doc_id"""

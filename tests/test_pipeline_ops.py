@@ -985,3 +985,78 @@ def test_tokens_col_reuse_identical(spark):
         a = fn(df).drop("tk").orderBy("doc_id").collect()
         b = fn(pre, tokens_col="tk").drop("tk").orderBy("doc_id").collect()
         assert [r.asDict() for r in a] == [r.asDict() for r in b], fn.__name__
+
+
+def test_dsir_log_weights_matches_python_reference(spark):
+    """DSIR (Xie et al. 2023) importance weights: exact python mirror of
+    the hashed-bigram profile arithmetic with the portable hasher, plus
+    the semantic sanity check — target-like documents score higher."""
+    import hashlib
+    import math
+
+    from dask_groupby_spark.operators import dsir_log_weights
+
+    def phash(s, seed="dsir"):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    def grams(text, n=2):
+        t = [x for x in text.split(" ") if x]
+        return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+    dim, alpha = 64, 1.0
+    target_rows = ["spark sql spark sql engine", "sql engine plans"]
+    corpus_rows = [
+        (0, "spark sql engine"),          # target-like
+        (1, "cats purr and dogs bark"),   # off-target
+        (2, "sql engine plans spark"),    # target-like
+        (3, ""),                          # no bigrams -> 0.0
+        (4, None),                        # NULL text -> NULL
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    target = spark.createDataFrame([(t,) for t in target_rows], "text string")
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(
+            corpus, target, n=2, dim=dim, alpha=alpha, hasher="portable"
+        ).collect()
+    }
+    # python mirror
+    tprof, rprof = {}, {}
+    for t in target_rows:
+        for g in grams(t):
+            b = phash(g) % dim
+            tprof[b] = tprof.get(b, 0) + 1
+    for _, t in corpus_rows:
+        if t is None:
+            continue
+        for g in grams(t):
+            b = phash(g) % dim
+            rprof[b] = rprof.get(b, 0) + 1
+    t_tot = sum(tprof.values()) + alpha * dim
+    r_tot = sum(rprof.values()) + alpha * dim
+
+    def logw(text):
+        return sum(
+            math.log((tprof.get(phash(g) % dim, 0) + alpha) / t_tot)
+            - math.log((rprof.get(phash(g) % dim, 0) + alpha) / r_tot)
+            for g in grams(text)
+        )
+
+    for i, t in corpus_rows:
+        if t is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(logw(t), abs=1e-9), (i, t)
+    assert got[3] == 0.0
+    # semantics: target-like docs outweigh the off-target one
+    assert min(got[0], got[2]) > got[1]
+
+
+def test_dsir_validation(spark):
+    from dask_groupby_spark.operators import dsir_log_weights
+
+    df = spark.createDataFrame([("x y",)], "text string")
+    with pytest.raises(ValueError):
+        dsir_log_weights(df, df, dim=1)
+    with pytest.raises(ValueError):
+        dsir_log_weights(df, df, alpha=0.0)
