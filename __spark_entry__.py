@@ -3185,6 +3185,17 @@ def q_dsir(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_k_anonymity(spark, sf):
+    """k-anonymity privacy audit (operators/validate.py k_anonymity, r8
+    first registration): is any (mktsegment, nationkey) quasi-identifier
+    combination shared by fewer than k=25 customers?  One map-combined
+    count shuffle + a tiny rollup.  Oracle: the same GROUP BY rollup."""
+    from dask_groupby_spark.operators import k_anonymity
+
+    cust = load_table(spark, sf, "customer")
+    return k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=25)
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3276,6 +3287,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qcut": q_qcut,
     "qcut_grouped": q_qcut_grouped,
     "dsir": q_dsir,
+    "k_anonymity": q_k_anonymity,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

@@ -212,3 +212,48 @@ def table_diff(
         F.sum((F.col("diff_status") == "changed").cast("bigint")).alias("n_changed"),
         F.sum((F.col("diff_status") == "unchanged").cast("bigint")).alias("n_unchanged"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: "str | Sequence[str]",
+    k: int = 5,
+    sample_groups: int = 0,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set — the
+    pre-release privacy check next to ``curate.redact_pii``: a dataset is
+    k-anonymous iff every combination of the quasi-identifiers is shared
+    by at least ``k`` rows, so no combination singles out fewer than k
+    individuals.
+
+    One summary row: ``n_rows``, ``n_groups``, ``min_group_size``,
+    ``n_violating_groups`` (< k rows), ``n_violating_rows``, ``k_anon``
+    (boolean).  NULL-containing combinations group together (GROUP BY
+    semantics).  With ``sample_groups > 0`` returns instead the smallest
+    offending combinations (up to that many, size then key order) for
+    debugging — the ``check_unique(sample_keys=)`` convention.
+
+    Plan: one map-combined count shuffle on the quasi-identifier + a tiny
+    rollup; the sample view is a TakeOrdered over group-level rows.
+    """
+    cols = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sizes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("group_size"))
+    if sample_groups > 0:
+        return (
+            sizes.where(F.col("group_size") < k)
+            .orderBy("group_size", *cols)
+            .limit(sample_groups)
+        )
+    viol = F.col("group_size") < k
+    return sizes.agg(
+        F.sum("group_size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("group_size").cast("bigint").alias("min_group_size"),
+        F.sum(viol.cast("bigint")).cast("bigint").alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_rows"),
+        (F.min("group_size") >= k).alias("k_anon"),
+    )

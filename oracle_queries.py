@@ -2858,3 +2858,20 @@ SELECT d.doc_id,
             ELSE round(coalesce(sc.s, 0.0), 6) END AS dsir_logw
 FROM documents d LEFT JOIN scores sc USING (doc_id)
 ORDER BY d.doc_id"""
+
+# k_anonymity (r8): quasi-identifier group-size rollup — min size,
+# violating groups/rows at k=25, boolean verdict.
+ORACLE_SQL["k_anonymity"] = """
+WITH s AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS group_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(group_size) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(group_size) AS BIGINT) AS min_group_size,
+       CAST(sum(CASE WHEN group_size < 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN group_size < 25 THEN group_size ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       min(group_size) >= 25 AS k_anon
+FROM s"""

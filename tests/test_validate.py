@@ -196,3 +196,35 @@ def test_table_profile_rejects_unquotable_names(spark):
     df = spark.createDataFrame([(1,)], "v bigint").withColumnRenamed("v", "a`b")
     with pytest.raises(ValueError, match="not profilable"):
         table_profile(df)
+
+
+def test_k_anonymity_summary_and_sample(spark):
+    """k-anonymity audit: summary counts, NULL-combination grouping,
+    sample view of the smallest offending groups."""
+    from dask_groupby_spark.operators import k_anonymity
+
+    rows = (
+        [("US", 1990)] * 5      # size 5 -> fine at k=5
+        + [("US", 1991)] * 2    # violating
+        + [("DE", 1990)] * 1    # violating
+        + [(None, 1990)] * 6    # NULLs group together, size 6 -> fine
+    )
+    df = spark.createDataFrame(rows, "country string, birth_year bigint")
+    s = k_anonymity(df, ["country", "birth_year"], k=5).collect()[0]
+    assert (s["n_rows"], s["n_groups"]) == (14, 4)
+    assert s["min_group_size"] == 1
+    assert (s["n_violating_groups"], s["n_violating_rows"]) == (2, 3)
+    assert s["k_anon"] is False
+    ok = k_anonymity(df, ["country", "birth_year"], k=1).collect()[0]
+    assert ok["k_anon"] is True and ok["n_violating_groups"] == 0
+    sample = k_anonymity(
+        df, ["country", "birth_year"], k=5, sample_groups=10
+    ).collect()
+    assert [(r["country"], r["birth_year"], r["group_size"]) for r in sample] == [
+        ("DE", 1990, 1),
+        ("US", 1991, 2),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_anonymity(df, "country", k=0)
