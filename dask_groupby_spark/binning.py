@@ -118,6 +118,11 @@ def quantile_bins(
         raise ValueError(f"q must be >= 2, got {q}")
     if q > resolution_guard:
         raise ValueError(f"q={q} exceeds resolution_guard={resolution_guard}")
+    if "__edges" in df.columns:
+        raise ValueError(
+            "quantile_bins: input column '__edges' collides with the "
+            "internal namespace — rename it first"
+        )
     out = out or f"{col}_qbin"
     v = F.col(col).cast("double")
     v = F.when(~F.isnan(v), v)  # NaN -> NULL

@@ -67,6 +67,14 @@ def funnel(
         raise ValueError("funnel needs at least one step")
     if within is not None and within <= 0:
         raise ValueError(f"within must be positive seconds, got {within}")
+    reserved = {f"t{k}" for k in range(1, len(steps) + 1)} | (
+        {"segment"} if segment_col else set()
+    )
+    if entity_col in reserved:
+        raise ValueError(
+            f"funnel: entity_col {entity_col!r} collides with the output "
+            f"columns {sorted(reserved)} — rename it first"
+        )
     ts = time_to_seconds(df, ts_col)
     ev = df.select(
         F.col(entity_col),

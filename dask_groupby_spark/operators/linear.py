@@ -133,6 +133,12 @@ def grouped_linreg(
     from pyspark.sql import types as T
 
     by_list = [by] if isinstance(by, str) else list(by)
+    clash = set(by_list) & {"feature", "weight", "n"}
+    if clash:
+        raise ValueError(
+            f"grouped_linreg: group column(s) {sorted(clash)} collide with "
+            "the output columns (feature/weight/n) — rename them first"
+        )
     xs = _feature_cols(features, add_bias)
     names = _names(features, add_bias)
     d = len(xs)
@@ -289,6 +295,12 @@ def grouped_logreg(
     :func:`grouped_linreg`.
     """
     by_list = [by] if isinstance(by, str) else list(by)
+    clash = set(by_list) & {"feature", "weight", "n"}
+    if clash:
+        raise ValueError(
+            f"grouped_logreg: group column(s) {sorted(clash)} collide with "
+            "the output columns (feature/weight/n) — rename them first"
+        )
     xs = _feature_cols(features, add_bias)
     names = _names(features, add_bias)
     d = len(xs)
@@ -455,6 +467,12 @@ def target_encode(
     to unseen data (unseen categories encode to the prior: n = 0).
     """
     by_list = [by] if isinstance(by, str) else list(by)
+    clash = [c for c in df.columns if c in ("__te_n", "__te_s")]
+    if clash:
+        raise ValueError(
+            f"target_encode: input column(s) {clash} collide with the "
+            "internal __te_* namespace — rename them first"
+        )
     y = F.col(label).cast("double")
     y_valid = F.when(~F.isnan(y), y)
     if smoothing < 0:

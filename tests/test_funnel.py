@@ -329,3 +329,9 @@ def test_single_step_and_empty(spark):
     )
     with pytest.raises(ValueError):
         funnel(df, [], entity_col="user_id", type_col="event_type", ts_col="ts")
+
+
+def test_funnel_entity_col_collision_guard(spark):
+    df = spark.createDataFrame([(1, "view", 1.0)], "t1 bigint, ty string, ts double")
+    with pytest.raises(ValueError, match="collide"):
+        funnel(df, ["view", "click"], entity_col="t1", type_col="ty", ts_col="ts")

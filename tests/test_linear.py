@@ -354,3 +354,20 @@ def test_empty_and_bad_init_raise(spark):
     df2 = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
     with pytest.raises(ValueError):
         logreg_train(df2, features=["x"], label="y", init=[1.0])
+
+
+def test_collision_guards(spark):
+    from dask_groupby_spark.operators import (
+        grouped_linreg,
+        grouped_logreg,
+        target_encode,
+    )
+
+    df = spark.createDataFrame([("a", 1.0, 2.0)], "n string, x double, y double")
+    with pytest.raises(ValueError, match="collide"):
+        grouped_linreg(df, "n", features=["x"], label="y")
+    with pytest.raises(ValueError, match="collide"):
+        grouped_logreg(df, "n", features=["x"], label="y")
+    df2 = spark.createDataFrame([("a", 1.0, 2.0)], "c string, __te_n double, y double")
+    with pytest.raises(ValueError, match="__te_"):
+        target_encode(df2, "c", label="y")

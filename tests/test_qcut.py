@@ -97,3 +97,9 @@ def test_repartition_invariance(spark, tie_free):
     a = {r["i"]: r["x_qbin"] for r in quantile_bins(df.repartition(13), "x", q=7).collect()}
     b = {r["i"]: r["x_qbin"] for r in quantile_bins(df.repartition(1), "x", q=7).collect()}
     assert a == b
+
+
+def test_qcut_internal_collision_guard(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, __edges double")
+    with pytest.raises(ValueError, match="__edges"):
+        quantile_bins(df, "x", q=2)
