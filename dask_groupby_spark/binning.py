@@ -99,6 +99,12 @@ def quantile_bins(
     bin.  Tied data can collapse adjacent edges; bins keep their nominal
     index (pandas' ``duplicates="drop"`` renumbers instead — on
     edge-tie-free data the two agree exactly, asserted in tests).
+    Pandas-parity caveat (soak-caught): a value EXACTLY equal to an
+    interior edge can bin one lower than pandas when numpy's
+    ``(i/q)·(n−1)`` position rounding differs in the last ulp from the
+    exact position — this engine computes positions integer-first (see
+    the ``spec`` comment below) and shares every bit of edge arithmetic
+    with its SQL oracle instead of with numpy's float path.
 
     Plan shape: the GLOBAL form computes its ``q−1`` interior edges with
     the distributed exact-rank grid of ``quantile_normalize``
@@ -149,16 +155,23 @@ def quantile_bins(
     i_col = F.explode(
         F.array(*[F.lit(i) for i in range(1, q)])
     ).alias("__i")
+    # position arithmetic is INTEGER-FIRST: pos = (i·(n−1))/q with the
+    # int64 product exact, so anchors that are mathematically integral
+    # (i·(n−1) divisible by q) get d = 0 EXACTLY and the edge IS the data
+    # value — numpy/pandas compute (i/q)·(n−1) instead, whose float
+    # rounding can turn an exact anchor into d ≈ 1 and shift the edge one
+    # ulp BELOW the data value (the soak-caught counterexample: n=31,
+    # q=3, a value equal to the tercile edge binned up by pandas, down
+    # here).  Engine and oracle share this arithmetic bit-for-bit; pandas
+    # parity holds everywhere except values exactly on such an edge.
     spec = n_tbl.select(*by_list, "__n", i_col).select(
         *by_list,
         "__i",
         F.floor(
-            (F.col("__i").cast("double") / F.lit(float(q)))
-            * (F.col("__n") - 1).cast("double")
+            (F.col("__i") * (F.col("__n") - 1)).cast("double") / F.lit(float(q))
         ).cast("bigint").alias("__k"),
         (
-            (F.col("__i").cast("double") / F.lit(float(q)))
-            * (F.col("__n") - 1).cast("double")
+            (F.col("__i") * (F.col("__n") - 1)).cast("double") / F.lit(float(q))
         ).alias("__pk"),
         F.col("__n"),
     )

@@ -2790,9 +2790,11 @@ v AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS r
       FROM li WHERE x IS NOT NULL),
 n AS (SELECT g, max(r) AS n FROM v GROUP BY g),
 spec AS (
+  -- integer-first position arithmetic, mirroring binning.quantile_bins:
+  -- pos = CAST(i*(n-1) AS DOUBLE)/10.0 (exact anchors stay exact)
   SELECT g, i,
-         CAST(floor((CAST(i AS DOUBLE)/10.0) * CAST(n-1 AS DOUBLE)) AS BIGINT) AS k,
-         (CAST(i AS DOUBLE)/10.0) * CAST(n-1 AS DOUBLE) AS pk,
+         CAST(floor(CAST(i*(n-1) AS DOUBLE)/10.0) AS BIGINT) AS k,
+         CAST(i*(n-1) AS DOUBLE)/10.0 AS pk,
          n
   FROM n, generate_series(1, 9) AS t(i)
 ),

@@ -18,6 +18,19 @@ def tie_free():
     return [float(x) + rng.random() * 0.5 for x in vals]
 
 
+def _assert_pandas_parity(got, xs, exp, q):
+    """Exact parity except the documented class: a value EXACTLY equal to
+    a pandas edge may bin one lower here (numpy's (i/q)*(n-1) position
+    rounding vs the engine's integer-first positions — see
+    binning.quantile_bins).  Off-rows must sit on an edge and differ by
+    exactly one bin."""
+    edges = set(np.quantile(xs, [i / q for i in range(1, q)], method="linear"))
+    for i, x in enumerate(xs):
+        e = int(exp[i])
+        if got[i] != e:
+            assert x in edges and got[i] == e - 1, (i, x, got[i], e)
+
+
 @pytest.mark.parametrize("q", [2, 4, 10])
 def test_global_matches_pandas_qcut(spark, tie_free, q):
     df = spark.createDataFrame([(i, x) for i, x in enumerate(tie_free)], "i bigint, x double")
@@ -27,6 +40,31 @@ def test_global_matches_pandas_qcut(spark, tie_free, q):
     }
     exp = pd.qcut(pd.Series(tie_free), q, labels=False)
     assert got == {i: int(b) for i, b in exp.items()}
+
+
+def test_anchor_degenerate_edge_value(spark):
+    """The soak counterexample class: n-1 divisible by q puts edges ON
+    data values.  The engine bins such a value LOW (right-closed, edge ==
+    value exactly); pandas may bin it high when numpy's position rounding
+    lands the edge one ulp below.  Pin the engine behavior + the parity
+    envelope."""
+    rng = random.Random(513410080)
+    q = rng.choice([2, 3, 4, 5, 8, 16])
+    nrows = rng.randrange(30, 900)
+    assert (q, nrows) == (3, 31) and (nrows - 1) % q == 0
+    vals = rng.sample(range(10_000_000), nrows)
+    xs = [float(v) + rng.random() * 0.4 for v in vals]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i bigint, x double"
+    )
+    got = {r["i"]: r["x_qbin"] for r in quantile_bins(df, "x", q=q).collect()}
+    exp = pd.qcut(pd.Series(xs), q, labels=False)
+    _assert_pandas_parity(got, xs, exp, q)
+    # engine semantics: the exact tercile data values bin LOW
+    s = sorted(xs)
+    for k, edge_val in ((10, s[10]), (20, s[20])):
+        i = xs.index(edge_val)
+        assert got[i] == (0 if k == 10 else 1)
 
 
 def test_grouped_matches_pandas_per_group(spark, tie_free):
