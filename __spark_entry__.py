@@ -3196,6 +3196,22 @@ def q_k_anonymity(spark, sf):
     return k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=25)
 
 
+def q_ngram_containment(spark, sf):
+    """Broder containment pairs (dedup.py ngram_jaccard_pairs
+    metric='containment', r8 first registration): |A∩B|/min(|A|,|B|) —
+    the sub-document duplicate detector Jaccard misses.  Same shingle
+    pipeline, cap, and oracle shape as ngram_jaccard with the
+    containment denominator."""
+    docs = load_table(spark, sf, "documents")
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=2, threshold=0.5,
+        max_shingle_df=256, metric="containment",
+    )
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    ).orderBy("id_a", "id_b")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3288,6 +3304,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qcut_grouped": q_qcut_grouped,
     "dsir": q_dsir,
     "k_anonymity": q_k_anonymity,
+    "ngram_containment": q_ngram_containment,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

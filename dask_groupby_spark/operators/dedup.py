@@ -323,8 +323,16 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard similarity ≥ threshold.
+
+    ``metric="containment"`` scores Broder's containment instead —
+    ``|A∩B| / min(|A|, |B|)`` (the larger of the two directional
+    containments): the sub-document detector Jaccard misses, e.g. a
+    tweet pasted verbatim into a long article scores containment 1.0 but
+    near-zero Jaccard.  Same candidate pipeline and caps; the output
+    score column is named after the metric.
 
     Candidates come from a shingle inverted-index self-join (pairs must share
     ≥1 shingle), intersection sizes from one groupBy, union sizes from the
@@ -357,6 +365,10 @@ def ngram_jaccard_pairs(
     ``ngram_shingle_buckets.unpersist()``) — plus two AQE-strategy joins on
     the already-thresholded pair counts.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(
+            f"metric must be 'jaccard' or 'containment', got {metric!r}"
+        )
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("shs"),
@@ -403,14 +415,16 @@ def ngram_jaccard_pairs(
             .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
             .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         )
-    out = (
-        inter.withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    if metric == "jaccard":
+        score = F.col("n_common").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_common")
         )
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+    else:
+        score = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    out = (
+        inter.withColumn(metric, score)
+        .where(F.col(metric) >= F.lit(threshold))
+        .select("id_a", "id_b", metric)
     )
     if capped:
         # unpersist handle (same contract as bm25_scores.bm25_doc_lengths)

@@ -2877,3 +2877,29 @@ SELECT CAST(sum(group_size) AS BIGINT) AS n_rows,
          AS n_violating_rows,
        min(group_size) >= 25 AS k_anon
 FROM s"""
+
+# ngram_containment (r8): the ngram_jaccard oracle with Broder's
+# containment denominator |A∩B| / min(|A|, |B|) — same capped shingle
+# space (max_shingle_df=256), threshold 0.5.
+ORACLE_SQL["ngram_containment"] = f"""{_TOKS},
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+                               i -> array_to_string(tk[i:i+1], ' '))) AS sh
+  FROM toks
+),
+shdf AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 256),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN shdf USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(c::DOUBLE / least(sa.n, sb.n), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE c::DOUBLE / least(sa.n, sb.n) >= 0.5
+ORDER BY id_a, id_b"""

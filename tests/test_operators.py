@@ -1405,3 +1405,50 @@ def test_ann_recall_ivf_against_exact(spark):
     assert all(
         r["recall"] == 1.0 for r in ann_recall(full, exact).collect()
     )
+
+
+def test_ngram_containment_detects_subdocument(spark):
+    """metric='containment' (Broder): a short doc pasted verbatim into a
+    long one scores 1.0 containment while its Jaccard stays far below any
+    useful threshold; python set differential for the scores."""
+    from dask_groupby_spark.operators.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "one two three four five six seven eight nine ten "
+        + short
+        + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    other = "totally different words in this document entirely unrelated"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, other)], "doc_id bigint, text string"
+    )
+
+    def shingle_set(t, k=3):
+        toks = t.split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    s1, s2 = shingle_set(short), shingle_set(long_doc)
+    cont = len(s1 & s2) / min(len(s1), len(s2))
+    jac = len(s1 & s2) / len(s1 | s2)
+    assert cont == 1.0 and jac < 0.2
+
+    got_c = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_jaccard_pairs(
+            df, k=3, threshold=0.9, metric="containment"
+        ).collect()
+    }
+    assert got_c == {(1, 2): 1.0}
+    got_j = ngram_jaccard_pairs(df, k=3, threshold=0.9).collect()
+    assert got_j == []  # jaccard misses the sub-document duplicate
+    # exact score parity on the sub-threshold pair too
+    allpairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_jaccard_pairs(
+            df, k=3, threshold=0.0, metric="containment"
+        ).collect()
+    }
+    assert allpairs[(1, 2)] == pytest.approx(cont)
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, metric="dice")
