@@ -3212,6 +3212,19 @@ def q_ngram_containment(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_qcut_two_pass(spark, sf):
+    """quantile_bins method='two_pass' (r8): the grouped tier's window
+    replaced by the chunked two-pass rank — rows_per_chunk=2000 forces
+    multi-chunk groups at every contract SF; bins must equal the window
+    tier's to the last bit, so the oracle is qcut_grouped's text."""
+    li = _li(spark, sf)
+    out = quantile_bins(
+        li, "l_extendedprice", q=10, by="l_returnflag", out="qbin",
+        method="two_pass", rows_per_chunk=2000,
+    )
+    return out.select("idx", "l_returnflag", "qbin").orderBy("idx")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3305,6 +3318,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir": q_dsir,
     "k_anonymity": q_k_anonymity,
     "ngram_containment": q_ngram_containment,
+    "qcut_two_pass": q_qcut_two_pass,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

@@ -89,6 +89,8 @@ def quantile_bins(
     by: str | Sequence[str] | None = None,
     out: str | None = None,
     resolution_guard: int = 10_000,
+    method: str = "window",
+    rows_per_chunk: int = 2_000_000,
 ):
     """Equal-frequency discretization — ``pd.qcut(x, q, labels=False)``
     parity: bin edges at the exact linear-interpolation quantiles
@@ -117,6 +119,11 @@ def quantile_bins(
     interpolates with the SAME ``lo·(1−d) + hi·d`` lerp IN-ENGINE, so
     the DuckDB oracle mirrors it bit-for-bit; binning is a broadcast
     join of |groups|·(q−1) edges + a map-side fold.
+    ``method="two_pass"`` replaces the grouped tier's window with the
+    chunked two-pass rank (``groupby_rank(execution="two_pass")``), so
+    a huge group's rank pass spans many tasks — identical bins (the edge
+    math reads values at ranks, which any tie order preserves); the
+    global tier is already scalable and ignores ``method``.
     """
     from pyspark.sql import Window
 
@@ -124,6 +131,10 @@ def quantile_bins(
         raise ValueError(f"q must be >= 2, got {q}")
     if q > resolution_guard:
         raise ValueError(f"q={q} exceeds resolution_guard={resolution_guard}")
+    if method not in ("window", "two_pass"):
+        raise ValueError(
+            f"method must be 'window' or 'two_pass', got {method!r}"
+        )
     if "__edges" in df.columns:
         raise ValueError(
             "quantile_bins: input column '__edges' collides with the "
@@ -147,8 +158,28 @@ def quantile_bins(
 
     by_list = [by] if isinstance(by, str) else list(by)
     vals = df.select(*by_list, v.alias("__v")).filter(F.col("__v").isNotNull())
-    w = Window.partitionBy(*by_list).orderBy("__v")
-    ranked = vals.withColumn("__r", F.row_number().over(w))
+    if method == "two_pass":
+        # scale escape for the per-group window sort (one group = one
+        # task): chunked ranks via the two-pass rank tier — method
+        # "first" gives row_number semantics, and peers order by the
+        # value itself (idx_col=__v: tie order within equal values is
+        # arbitrary, but the VALUE at any rank — all the edge math
+        # needs — is order-invariant)
+        from .core import groupby_rank
+
+        ranked = groupby_rank(
+            vals,
+            *by_list,
+            value="__v",
+            method="first",
+            idx_col="__v",
+            alias="__r",
+            execution="two_pass",
+            rows_per_chunk=rows_per_chunk,
+        ).withColumn("__r", F.col("__r").cast("bigint"))
+    else:
+        w = Window.partitionBy(*by_list).orderBy("__v")
+        ranked = vals.withColumn("__r", F.row_number().over(w))
     n_tbl = ranked.groupBy(*by_list).agg(F.max("__r").alias("__n"))
     # one row per (group, i): anchor ranks + interpolation fraction,
     # exactly numpy/DuckDB linear interpolation arithmetic

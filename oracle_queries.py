@@ -2903,3 +2903,7 @@ JOIN sizes sa ON sa.doc_id = ia
 JOIN sizes sb ON sb.doc_id = ib
 WHERE c::DOUBLE / least(sa.n, sb.n) >= 0.5
 ORDER BY id_a, id_b"""
+
+# qcut_two_pass (r8): the two-pass grouped tier must equal the window
+# tier bit-for-bit — same oracle text as qcut_grouped.
+ORACLE_SQL["qcut_two_pass"] = ORACLE_SQL["qcut_grouped"]

@@ -141,3 +141,28 @@ def test_qcut_internal_collision_guard(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "x double, __edges double")
     with pytest.raises(ValueError, match="__edges"):
         quantile_bins(df, "x", q=2)
+
+
+def test_grouped_two_pass_bit_identical(spark, tie_free):
+    """method='two_pass' (chunked ranks) must produce the same bins as
+    the window tier — forced multi-chunk with a tiny rows_per_chunk,
+    and on heavily tied data where chunk boundaries cut tie runs."""
+    rng = random.Random(80813)
+    rows = [(i, rng.choice(["a", "b"]), x) for i, x in enumerate(tie_free)]
+    rows += [(10_000 + i, "c", float(i % 7)) for i in range(200)]  # ties
+    df = spark.createDataFrame(rows, "i bigint, g string, x double")
+    for q in (3, 10):
+        wbin = {
+            r["i"]: r["x_qbin"]
+            for r in quantile_bins(df, "x", q=q, by="g").collect()
+        }
+        tbin = {
+            r["i"]: r["x_qbin"]
+            for r in quantile_bins(
+                df.repartition(11), "x", q=q, by="g",
+                method="two_pass", rows_per_chunk=50,
+            ).collect()
+        }
+        assert wbin == tbin
+    with pytest.raises(ValueError):
+        quantile_bins(df, "x", q=4, by="g", method="nope")
