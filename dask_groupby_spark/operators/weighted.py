@@ -242,8 +242,13 @@ def weighted_quantile_sketch(
         F.min("__x").alias("__mn"), F.max("__x").alias("__mx")
     )
     width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    # guard on the WIDTH, not on mx > mn: a subnormal range (mx - mn ~
+    # 5e-324) underflows to width == 0.0 while mx > mn still holds, and
+    # the bucket division crashes under ANSI (hypothesis-found, r8).
+    # Zero-width groups collapse to bucket 0 — the half-width error bound
+    # is then (mx - mn)/2 ≤ bins·ulp/2, still honored.
     bucket = F.when(
-        F.col("__mx") > F.col("__mn"),
+        width > F.lit(0.0),
         F.least(
             F.floor((F.col("__x") - F.col("__mn")) / width), F.lit(bins - 1)
         ),

@@ -209,3 +209,25 @@ def test_weighted_quantile_sketch_degenerate_group(spark):
         df, "k", value="x", weight="w", q=0.5
     ).collect()}
     assert got[0] == 7.5 and got[1] == 3.0
+
+
+def test_sketch_subnormal_range_no_divide_by_zero(spark):
+    """Hypothesis-found (r8): a group whose value range is subnormal
+    (mx - mn = 5e-324) underflows width to 0.0 while mx > mn still holds
+    — the bucket division must not crash, and the answer stays within
+    the (degenerate) half-range bound."""
+    from dask_groupby_spark.operators.weighted import weighted_quantile_sketch
+
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0), (0, 5e-324, 1.0), (0, 0.0, 1.0)],
+        "g bigint, v double, w double",
+    )
+    row = weighted_quantile_sketch(df, "g", value="v", weight="w", q=0.0).collect()[0]
+    assert abs(row["wq_0_0"]) <= 5e-324
+    # plain zero-width group (all values equal) still answers the value
+    df2 = spark.createDataFrame(
+        [(0, 7.0, 1.0), (0, 7.0, 2.0)], "g bigint, v double, w double"
+    )
+    assert weighted_quantile_sketch(
+        df2, "g", value="v", weight="w", q=0.5
+    ).collect()[0]["wq_0_5"] == 7.0
