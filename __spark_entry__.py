@@ -3225,6 +3225,23 @@ def q_qcut_two_pass(spark, sf):
     return out.select("idx", "l_returnflag", "qbin").orderBy("idx")
 
 
+def q_fuzzy_match(spark, sf):
+    """Edit-distance record linkage (dedup.py edit_distance_pairs, r8
+    first registration): customer-name pairs within Levenshtein 2, found
+    by char-3-gram blocking with the df≤256 stop-gram cap (the
+    ngram_jaccard cap semantics: exact matching over pairs sharing a
+    SURVIVING gram — zero-padded id prefixes are stop-grams and block
+    nothing, documented) and verified with the built-in DP distance.
+    Oracle: identical blocking + DuckDB levenshtein."""
+    from dask_groupby_spark.operators import edit_distance_pairs
+
+    cust = load_table(spark, sf, "customer")
+    out = edit_distance_pairs(
+        cust, "c_custkey", "c_name", max_dist=2, gram_k=3, max_gram_df=256
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3319,6 +3336,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "ngram_containment": q_ngram_containment,
     "qcut_two_pass": q_qcut_two_pass,
+    "fuzzy_match": q_fuzzy_match,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

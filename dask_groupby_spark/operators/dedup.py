@@ -1090,3 +1090,83 @@ def dedup_paragraphs(
     if not count_cols:
         rebuilt = rebuilt.drop("seg_n_before", "seg_n_after")
     return rebuilt
+
+
+def char_grams(text_col: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of a string (positional windows via
+    substring).  Strings shorter than ``k`` yield an empty set — same
+    ``sequence`` guard as :func:`shingles`."""
+    n = F.length(text_col)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(text_col, i, k))
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    gram_k: int = 3,
+    max_gram_df: int | None = 256,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Fuzzy string matching — the record-linkage primitive: all pairs of
+    rows whose ``text_col`` values are within Levenshtein distance
+    ``max_dist``, found by character q-gram blocking (never a cross
+    join) and verified with the built-in DP distance.
+
+    Recall guarantee (q-gram pigeonhole): one edit destroys at most
+    ``gram_k`` grams, so two strings within ``max_dist`` edits share at
+    least ``min_len − gram_k + 1 − max_dist·gram_k`` grams — positive
+    whenever the shorter string has more than ``(max_dist+1)·gram_k − 1``
+    characters, and the pair is then guaranteed to co-occur in some
+    block.  ``max_gram_df`` drops stop-grams (a gram in every record
+    blocks nothing and costs O(n²) enumeration — the ``ngram_jaccard``
+    boilerplate cap, same trade: recall loss confined to pairs similar
+    ONLY in dropped grams).  Strings shorter than ``gram_k`` produce no
+    grams and never pair.
+
+    Plan: one groupBy(gram) builds sorted (id, text) member arrays;
+    candidate pairs enumerate map-side (``bucket_pairs_from``, optional
+    anchor cap for degenerate blocks); duplicates from multi-gram
+    co-occurrence collapse in ONE pair-keyed aggregate BEFORE the
+    distance runs, so Levenshtein — O(len²) per pair — evaluates once
+    per candidate.  Output: (id_a, id_b, dist), dist ≤ max_dist.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if gram_k < 1:
+        raise ValueError(f"gram_k must be >= 1, got {gram_k}")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    ).where(F.col(text_col).isNotNull())
+    grams = base.select(
+        "id", "txt", F.explode(char_grams(F.col("txt"), gram_k)).alias("g")
+    )
+    member = F.struct(F.col("id"), F.col("txt"))
+    buckets = grams.groupBy("g").agg(F.array_sort(F.collect_list(member)).alias("mem"))
+    if max_gram_df is not None:
+        buckets = buckets.where(F.size("mem") <= max_gram_df)
+    buckets = buckets.where(F.size("mem") >= 2)
+    pairs = bucket_pairs_from(
+        buckets,
+        "mem",
+        lambda a, b: F.struct(
+            a["id"].alias("id_a"), b["id"].alias("id_b"),
+            a["txt"].alias("t_a"), b["txt"].alias("t_b"),
+        ),
+        max_bucket_size=max_bucket_size,
+    )
+    cand = pairs.groupBy(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    ).agg(F.first("p.t_a").alias("t_a"), F.first("p.t_b").alias("t_b"))
+    dist = F.levenshtein("t_a", "t_b")
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -2907,3 +2907,23 @@ ORDER BY id_a, id_b"""
 # qcut_two_pass (r8): the two-pass grouped tier must equal the window
 # tier bit-for-bit — same oracle text as qcut_grouped.
 ORACLE_SQL["qcut_two_pass"] = ORACLE_SQL["qcut_grouped"]
+
+# fuzzy_match (r8): edit-distance record linkage over customer names —
+# identical char-3-gram blocking (distinct grams, df <= 256 stop-gram
+# cap, pairs share >= 1 surviving gram) + levenshtein <= 2 verify.
+ORACLE_SQL["fuzzy_match"] = """
+WITH g0 AS (
+  SELECT DISTINCT c_custkey AS id, c_name AS txt,
+         unnest(list_transform(range(1, greatest(length(c_name) - 2, 0) + 1),
+                               i -> substr(c_name, i, 3))) AS g
+  FROM customer WHERE c_name IS NOT NULL
+),
+keep AS (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 256),
+gb AS (SELECT g0.id, g0.txt, g0.g FROM g0 JOIN keep USING (g)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.txt AS t_a, b.txt AS t_b
+  FROM gb a JOIN gb b ON a.g = b.g AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(t_a, t_b) <= 2
+ORDER BY id_a, id_b"""

@@ -1452,3 +1452,80 @@ def test_ngram_containment_detects_subdocument(spark):
     assert allpairs[(1, 2)] == pytest.approx(cont)
     with pytest.raises(ValueError):
         ngram_jaccard_pairs(df, metric="dice")
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """Fuzzy matcher: python Levenshtein differential over a corpus where
+    every within-distance pair satisfies the q-gram pigeonhole bound (so
+    blocking recall is total and the result must equal brute force)."""
+    import random as _random
+
+    from dask_groupby_spark.operators import edit_distance_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    rng = _random.Random(80814)
+    base_words = ["marmalade", "telescope", "juniper", "basilisk", "overture"]
+    rows = []
+    for i in range(120):
+        w = list(rng.choice(base_words))
+        for _ in range(rng.randrange(0, 3)):
+            p = rng.randrange(len(w))
+            w[p] = rng.choice("abcdefghijklmnopqrstuvwxyz")
+        rows.append((i, "".join(w)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(
+            df, max_dist=2, gram_k=3, max_gram_df=None
+        ).collect()
+    }
+    exp = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            # pigeonhole holds: len >= 9 > (2+1)*3 - 1, but only same-root
+            # perturbations can be within distance 2 here
+            d = lev(rows[i][1], rows[j][1])
+            if d <= 2 and set(
+                rows[i][1][k : k + 3] for k in range(len(rows[i][1]) - 2)
+            ) & set(rows[j][1][k : k + 3] for k in range(len(rows[j][1]) - 2)):
+                exp[(rows[i][0], rows[j][0])] = d
+    assert got == exp
+    assert len(exp) > 10  # the corpus genuinely exercises the matcher
+
+
+def test_edit_distance_pairs_edges(spark):
+    from dask_groupby_spark.operators import edit_distance_pairs
+
+    rows = [(1, "ab"), (2, "ab"), (3, None), (4, "abcdef"), (5, "abcdxf")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # strings shorter than gram_k never pair; NULL text dropped
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, max_dist=2, gram_k=3).collect()
+    }
+    assert got == {(4, 5): 1}
+    # max_dist=0 finds exact duplicates only (of gram-length strings)
+    df2 = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdef"), (3, "abcdxf")], "doc_id bigint, text string"
+    )
+    got0 = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df2, max_dist=0).collect()
+    }
+    assert got0 == {(1, 2): 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        edit_distance_pairs(df, max_dist=-1)
+    with _pytest.raises(ValueError):
+        edit_distance_pairs(df, gram_k=0)
