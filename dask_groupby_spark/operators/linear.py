@@ -487,7 +487,23 @@ def target_encode(
     stats = df.groupBy(*by_list).agg(
         F.count(y_valid).alias("__te_n"), F.sum(y_valid).alias("__te_s")
     )
-    j = df.join(F.broadcast(stats), on=by_list, how="left")
+    # NULL-SAFE join back (the fill_stat(method="join") convention): a
+    # NULL category is its own group — GROUP BY keeps its stats row, and
+    # a plain equi-join would strand those rows at n=0 and feed the LOO
+    # formula garbage ((0 − y + m·p)/(m − 1)) instead of their group's
+    # estimate
+    stats_j = stats.select(
+        *[F.col(c).alias(f"__te_by_{i}") for i, c in enumerate(by_list)],
+        "__te_n",
+        "__te_s",
+    )
+    cond = None
+    for i, c in enumerate(by_list):
+        e = F.col(c).eqNullSafe(F.col(f"__te_by_{i}"))
+        cond = e if cond is None else cond & e
+    j = df.join(F.broadcast(stats_j), on=cond, how="left").drop(
+        *[f"__te_by_{i}" for i in range(len(by_list))]
+    )
     n = F.coalesce(F.col("__te_n"), F.lit(0)).cast("double")
     s = F.coalesce(F.col("__te_s"), F.lit(0.0))
     m = F.lit(float(smoothing))

@@ -356,6 +356,26 @@ def test_empty_and_bad_init_raise(spark):
         logreg_train(df2, features=["x"], label="y", init=[1.0])
 
 
+def test_target_encode_null_category_is_its_own_group(spark):
+    """NULL categories must join back to THEIR group's stats (null-safe
+    join, GROUP BY semantics) — a plain equi-join would strand them at
+    n=0 and the LOO formula would emit garbage."""
+    from dask_groupby_spark.operators import target_encode
+
+    rows = [(0, None, 10.0), (1, None, 20.0), (2, "a", 4.0), (3, "a", 6.0)]
+    df = spark.createDataFrame(rows, "i bigint, c string, y double")
+    m = 2.0
+    prior = 10.0  # (10+20+4+6)/4
+    got = {
+        r["i"]: r["te"]
+        for r in target_encode(df, "c", label="y", smoothing=m).collect()
+    }
+    # NULL group: n=2, s=30 — LOO for row 0 = (30-10+2*10)/(2-1+2)
+    assert got[0] == pytest.approx((30 - 10 + m * prior) / (2 - 1 + m))
+    assert got[1] == pytest.approx((30 - 20 + m * prior) / (2 - 1 + m))
+    assert got[2] == pytest.approx((10 - 4 + m * prior) / (2 - 1 + m))
+
+
 def test_collision_guards(spark):
     from dask_groupby_spark.operators import (
         grouped_linreg,
