@@ -213,11 +213,28 @@ def quantile_bins(
         F.least(F.col("__k") + 2, F.col("__n")).alias("__rhi"),
         (F.col("__pk") - F.col("__k").cast("double")).alias("__d"),
     )
-    lo = ranked.select(*by_list, F.col("__r").alias("__rlo"), F.col("__v").alias("__lo"))
-    hi = ranked.select(*by_list, F.col("__r").alias("__rhi"), F.col("__v").alias("__hi"))
+    # anchor/edge joins are NULL-SAFE on the group columns: a NULL group
+    # is a group (GROUP BY semantics), and plain equi-joins would strand
+    # its rows at NULL bins while its ranks and spec rows exist
+    def _nullsafe(left, right, extra: tuple[str, str] | None = None):
+        rj = right.select(
+            *[F.col(c).alias(f"__qb_by_{i}") for i, c in enumerate(by_list)],
+            *[c for c in right.columns if c not in by_list],
+        )
+        cond = None
+        for i, c in enumerate(by_list):
+            e = F.col(c).eqNullSafe(F.col(f"__qb_by_{i}"))
+            cond = e if cond is None else cond & e
+        if extra is not None:
+            cond = cond & (F.col(extra[0]) == F.col(extra[1]))
+        return left.join(rj, on=cond).drop(
+            *[f"__qb_by_{i}" for i in range(len(by_list))]
+        )
+
+    lo = ranked.select(*by_list, F.col("__r").alias("__rl"), F.col("__v").alias("__lo"))
+    hi = ranked.select(*by_list, F.col("__r").alias("__rh"), F.col("__v").alias("__hi"))
     edges = (
-        spec.join(lo, on=[*by_list, "__rlo"])
-        .join(hi, on=[*by_list, "__rhi"])
+        _nullsafe(_nullsafe(spec, lo, ("__rlo", "__rl")), hi, ("__rhi", "__rh"))
         .select(
             *by_list,
             "__i",
@@ -231,7 +248,17 @@ def quantile_bins(
     edge_arr = edges.groupBy(*by_list).agg(
         F.array_sort(F.collect_list(F.struct("__i", "__edge"))).alias("__es")
     ).select(*by_list, F.transform("__es", lambda s: s["__edge"]).alias("__edges"))
-    j = df.join(F.broadcast(edge_arr), on=by_list, how="left")
+    earr = edge_arr.select(
+        *[F.col(c).alias(f"__qb_by_{i}") for i, c in enumerate(by_list)],
+        "__edges",
+    )
+    jcond = None
+    for i, c in enumerate(by_list):
+        e = F.col(c).eqNullSafe(F.col(f"__qb_by_{i}"))
+        jcond = e if jcond is None else jcond & e
+    j = df.join(F.broadcast(earr), on=jcond, how="left").drop(
+        *[f"__qb_by_{i}" for i in range(len(by_list))]
+    )
     b = F.aggregate(
         F.coalesce(F.col("__edges"), F.array().cast("array<double>")),
         F.lit(0),

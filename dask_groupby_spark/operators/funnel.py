@@ -81,7 +81,13 @@ def funnel(
         F.col(type_col).alias("__ft"),
         ts.alias("__ts"),
         *([F.col(segment_col).alias("__seg")] if segment_col else []),
-    ).filter(F.col("__ft").isin(list(steps)) & F.col("__ts").isNotNull())
+    ).filter(
+        F.col("__ft").isin(list(steps))
+        & F.col("__ts").isNotNull()
+        # a NULL entity is not an entity: it would count at step 1 (GROUP
+        # BY keeps the NULL group) yet never advance (equi-joins drop it)
+        & F.col(entity_col).isNotNull()
+    )
 
     first = ev.filter(F.col("__ft") == steps[0]).groupBy(entity_col)
     aggs = [F.min("__ts").alias("t1")]

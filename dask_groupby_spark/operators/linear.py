@@ -316,8 +316,19 @@ def grouped_logreg(
             *by_list, "__n", *[F.lit(0.0).alias(f"__w{i}") for i in range(d)]
         ).localCheckpoint()
         for _ in range(iters):
+            # null-safe equality per key column: NULL groups train like any
+            # other (GROUP BY kept their counts row; a plain equi-join
+            # would silently drop them after the first step)
+            wj = w.select(
+                *[F.col(c).alias(f"__lw_by_{i}") for i, c in enumerate(by_list)],
+                *[c for c in w.columns if c not in by_list],
+            )
+            jcond = None
+            for i, c in enumerate(by_list):
+                e = F.col(c).eqNullSafe(F.col(f"__lw_by_{i}"))
+                jcond = e if jcond is None else jcond & e
             joined = clean.join(
-                F.broadcast(w) if broadcast_weights else w, on=by_list
+                F.broadcast(wj) if broadcast_weights else wj, on=jcond
             )
             z = sum(
                 (F.col(f"__w{i}") * F.col(f"__x{i}") for i in range(d)),
@@ -330,8 +341,16 @@ def grouped_logreg(
                     for i in range(d)
                 ]
             )
+            gj = grads.select(
+                *[F.col(c).alias(f"__lg_by_{i}") for i, c in enumerate(by_list)],
+                *[c for c in grads.columns if c not in by_list],
+            )
+            gcond = None
+            for i, c in enumerate(by_list):
+                e = F.col(c).eqNullSafe(F.col(f"__lg_by_{i}"))
+                gcond = e if gcond is None else gcond & e
             w = (
-                w.join(grads, on=by_list)
+                w.join(gj, on=gcond)
                 .select(
                     *by_list,
                     "__n",
@@ -400,7 +419,19 @@ def grouped_linear_predict(
     renames = {f: f"__w_{f}" for f in feats}
     for f, wf in renames.items():
         wide = wide.withColumnRenamed(f, wf)
-    joined = df.join(F.broadcast(wide), on=by_list, how="left")
+    # null-safe join: a NULL group's model (grouped_linreg/grouped_logreg
+    # emit one under GROUP BY semantics) must score its own rows
+    wide = wide.select(
+        *[F.col(c).alias(f"__m_by_{i}") for i, c in enumerate(by_list)],
+        *[renames[f] for f in feats],
+    )
+    mcond = None
+    for i, c in enumerate(by_list):
+        e = F.col(c).eqNullSafe(F.col(f"__m_by_{i}"))
+        mcond = e if mcond is None else mcond & e
+    joined = df.join(F.broadcast(wide), on=mcond, how="left").drop(
+        *[f"__m_by_{i}" for i in range(len(by_list))]
+    )
     z = F.lit(0.0)
     for f in feats:
         wcol = F.col(renames[f])

@@ -2350,7 +2350,8 @@ FROM c ORDER BY event_id"""
 ORACLE_SQL["funnel"] = """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
 ),
 s2 AS (
   SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
@@ -2635,7 +2636,8 @@ ORDER BY li.idx"""
 ORACLE_SQL["funnel_window"] = """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
 ),
 s2 AS (
   SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
@@ -2674,7 +2676,8 @@ ORDER BY step_idx"""
 ORACLE_SQL["funnel_timing"] = """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id
 ),
 s2 AS (
   SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)

@@ -391,3 +391,31 @@ def test_collision_guards(spark):
     df2 = spark.createDataFrame([("a", 1.0, 2.0)], "c string, __te_n double, y double")
     with pytest.raises(ValueError, match="__te_"):
         target_encode(df2, "c", label="y")
+
+
+def test_grouped_logreg_and_predict_null_group(spark):
+    """NULL group keys train and score like any other group (null-safe
+    joins throughout — equi-joins would drop them after step 1)."""
+    from dask_groupby_spark.operators import (
+        grouped_linear_predict,
+        grouped_logreg,
+        logreg_train,
+    )
+
+    rows = [(None, float(i % 5 - 2), float(i % 2)) for i in range(40)]
+    rows += [("a", float(i % 3 - 1), float((i + 1) % 2)) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    model = grouped_logreg(df, "g", features=["x"], label="y", iters=4)
+    got = {}
+    for r in model.collect():
+        got.setdefault(r["g"], {})[r["feature"]] = r["weight"]
+    assert set(got) == {None, "a"}
+    solo = dict(
+        logreg_train(
+            df.filter(F.col("g").isNull()), features=["x"], label="y", iters=4
+        )
+    )
+    assert got[None]["x"] == pytest.approx(solo["x"], abs=1e-12)
+    scored = grouped_linear_predict(df, model, "g", out="s").collect()
+    for r in scored:
+        assert r["s"] is not None

@@ -166,3 +166,22 @@ def test_grouped_two_pass_bit_identical(spark, tie_free):
         assert wbin == tbin
     with pytest.raises(ValueError):
         quantile_bins(df, "x", q=4, by="g", method="nope")
+
+
+def test_null_group_is_its_own_group(spark):
+    """A NULL group key is a group (GROUP BY semantics): its rows must
+    get edges from THEIR distribution, for both execution tiers."""
+    rows = [(i, None, float(i)) for i in range(10)] + [
+        (100 + i, "a", float(1000 + i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "i bigint, g string, x double")
+    for kw in ({}, {"method": "two_pass", "rows_per_chunk": 3}):
+        got = {
+            r["i"]: r["x_qbin"]
+            for r in quantile_bins(df, "x", q=2, by="g", **kw).collect()
+        }
+        # NULL group: values 0..9, median edge 4.5 -> 0..4 bin 0, 5..9 bin 1
+        for i in range(10):
+            assert got[i] == (0 if i <= 4 else 1), (kw, i)
+        for i in range(10):
+            assert got[100 + i] == (0 if i <= 4 else 1), (kw, i)
