@@ -3242,6 +3242,29 @@ def q_fuzzy_match(spark, sf):
     return out.orderBy("id_a", "id_b")
 
 
+def q_json_extract(spark, sf):
+    """Schema-on-read JSON payload extraction (sources.
+    extract_json_fields, r8 first registration): pull the typed $.k
+    field out of events.props (the until-now-unused semi-structured
+    column) and aggregate it per event_type — map-side path extraction,
+    then one map-combined shuffle.  Oracle: DuckDB json_extract with the
+    identical path and cast; integer sums are exact."""
+    from dask_groupby_spark.sources import extract_json_fields
+
+    ev = load_table(spark, sf, "events")
+    out = extract_json_fields(ev, "props", {"pk": ("$.k", "bigint")})
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("pk").alias("n"),
+            F.sum("pk").alias("sum_k"),
+            F.min("pk").alias("min_k"),
+            F.max("pk").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # NOTE on ordering: the round driver verifies the FIRST 50 entries of this
 # dict (insertion order) against the DuckDB oracle.  r7 ROTATION (VERDICT r6
 # item 1, executed for real this time — the r6 edit was a comment-only no-op):
@@ -3337,6 +3360,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "qcut_two_pass": q_qcut_two_pass,
     "fuzzy_match": q_fuzzy_match,
+    "json_extract": q_json_extract,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
     "audio_neardup": q_audio_neardup,

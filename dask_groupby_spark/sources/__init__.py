@@ -379,3 +379,42 @@ def upsert_table(
         fs.rename(jold, jpath)
         raise IOError(f"rename {tmp} -> {path} failed; original restored")
     fs.delete(jold, True)
+
+
+def extract_json_fields(
+    df: DataFrame,
+    col: str,
+    fields: dict,
+    drop: bool = False,
+) -> DataFrame:
+    """Schema-on-read for a semi-structured JSON string column (event
+    payloads, crawler metadata — the `events.props` shape): pull typed
+    fields out with JVM-side path extraction, no Python in the loop.
+
+    ``fields`` maps output column name → ``"$.path"`` or
+    ``("$.path", "cast_type")`` (e.g. ``{"k": ("$.k", "bigint"),
+    "tag": "$.meta.tag"}``).  Untyped fields stay STRING
+    (``get_json_object`` semantics); missing paths / malformed JSON /
+    NULL input give NULL — the standard lenient schema-on-read contract,
+    so a bad payload never fails the pipeline (pair with
+    ``validate.check_rules`` to COUNT them).  ``drop=True`` removes the
+    raw column after extraction.
+
+    Plan: pure map-side projection (one codegen'd JSON parse per
+    referenced path) — zero shuffle at any scale; at 100 TB prefer
+    extracting once into materialized columns (this function + a
+    ``save_table``) over re-parsing JSON in every downstream query.
+    """
+    out = df
+    for name, spec in fields.items():
+        if isinstance(spec, str):
+            path, cast = spec, None
+        else:
+            path, cast = spec
+        c = F.get_json_object(F.col(col), path)
+        if cast is not None:
+            c = c.cast(cast)
+        out = out.withColumn(name, c)
+    if drop:
+        out = out.drop(col)
+    return out

@@ -2930,3 +2930,18 @@ cand AS (
 SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS INTEGER) AS dist
 FROM cand WHERE levenshtein(t_a, t_b) <= 2
 ORDER BY id_a, id_b"""
+
+# json_extract (r8): typed schema-on-read over events.props — the same
+# $.k path + bigint cast; integer count/sum/min/max are exact.
+ORACLE_SQL["json_extract"] = """
+SELECT event_type,
+       count(pk) AS n,
+       sum(pk)::BIGINT AS sum_k,
+       min(pk)::BIGINT AS min_k,
+       max(pk)::BIGINT AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS pk
+  FROM events
+) t
+GROUP BY event_type ORDER BY event_type"""

@@ -407,3 +407,39 @@ class TestUpsertTable:
         got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
         assert got == {1: "a", 2: "b", 3: "c"}  # original healed, not dropped
         assert not os.path.exists(p + "__compact_old")
+
+
+def test_extract_json_fields(spark):
+    """Schema-on-read JSON extraction: typed paths, nested paths, lenient
+    NULL semantics for missing/malformed payloads."""
+    from dask_groupby_spark.sources import extract_json_fields
+
+    rows = [
+        (1, '{"k": 69, "meta": {"tag": "a"}}'),
+        (2, '{"k": "7"}'),          # string number still casts
+        (3, '{"other": 1}'),        # missing path -> NULL
+        (4, "not json at all"),     # malformed -> NULL
+        (5, None),                  # NULL input -> NULL
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, props string")
+    out = extract_json_fields(
+        df, "props",
+        {"k": ("$.k", "bigint"), "tag": "$.meta.tag"},
+        drop=True,
+    )
+    assert "props" not in out.columns
+    got = {r["event_id"]: (r["k"], r["tag"]) for r in out.collect()}
+    assert got == {
+        1: (69, "a"),
+        2: (7, None),
+        3: (None, None),
+        4: (None, None),
+        5: (None, None),
+    }
+    # real driver data round-trip: events.props carries {"k": N}
+    from dask_groupby_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got2 = extract_json_fields(ev, "props", {"pk": ("$.k", "bigint")})
+    n_null = got2.where(F.col("pk").isNull()).count()
+    assert n_null == 0 and got2.count() > 0
