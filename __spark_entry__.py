@@ -3516,14 +3516,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (rollup..wmean, displaced in r7), then the alphabetical head of the r4
 # block (24 of its 48; the remaining 24 r4 keys plus the r6 block are the
 # natural R9 WINDOW, freshness-ordered the same way).
-# R9 WINDOW PLAN (r8 continuation addendum): the 16 keys first-registered
+# R9 WINDOW PLAN (r8 continuation addendum): the 20 keys first-registered
 # AFTER the window below — funnel, funnel_window, funnel_timing,
 # retention, kmv_distinct, kmv_overlap, linreg, grouped_linreg,
 # logreg_quality, grouped_logreg, target_encode, qcut, qcut_grouped,
-# dsir, ann_recall, k_anonymity — have no official driver row yet (each
-# IS gate-green at BOTH sf0.01 and sf0.1, see BASELINE r8 continuation);
+# qcut_two_pass, dsir, ann_recall, k_anonymity, ngram_containment,
+# fuzzy_match, json_extract — have no official driver row yet (each IS
+# gate-green at BOTH sf0.01 and sf0.1, see BASELINE r8 continuation);
 # put them at the FRONT of the r9 first-50 (after any red keys), then
-# fill with the freshness balance (the 24 remaining r4-era keys:
+# fill with the freshness balance (the remaining r4-era keys:
 # nansum..wsample alphabetical tail, then the oldest r6 block).
 _R8_WINDOW = [
     "sql_entry",
