@@ -3516,34 +3516,49 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (rollup..wmean, displaced in r7), then the alphabetical head of the r4
 # block (24 of its 48; the remaining 24 r4 keys plus the r6 block are the
 # natural R9 WINDOW, freshness-ordered the same way).
-# R9 WINDOW PLAN (r8 continuation addendum): the 20 keys first-registered
-# AFTER the window below — funnel, funnel_window, funnel_timing,
-# retention, kmv_distinct, kmv_overlap, linreg, grouped_linreg,
-# logreg_quality, grouped_logreg, target_encode, qcut, qcut_grouped,
-# qcut_two_pass, dsir, ann_recall, k_anonymity, ngram_containment,
-# fuzzy_match, json_extract — have no official driver row yet (each IS
-# gate-green at BOTH sf0.01 and sf0.1, see BASELINE r8 continuation);
-# put them at the FRONT of the r9 first-50 (after any red keys), then
-# fill with the freshness balance (the remaining r4-era keys:
-# nansum..wsample alphabetical tail, then the oldest r6 block).
-_R8_WINDOW = [
-    "sql_entry",
-    "pca_embed", "keep_by_dedup", "audio_neardup",
-    "scan_two_pass", "scan_two_pass_ffill", "rank_two_pass",
-    # latest official row = r3 (20 keys)
-    "rollup", "ewma_scan", "text_stats", "langid", "ann_ivf", "ann_lsh",
-    "ann_topk", "asof_join", "centroids", "curate", "decontaminate",
-    "fingerprint", "group_topk", "repetition", "rolling",
-    "sample_per_group", "split", "tfidf", "top_terms", "wmean",
-    # latest official row = r4 (alphabetical head, 24 keys)
-    "all", "any", "argmax", "argmin", "count", "fill_stat", "first",
-    "last", "max", "mean", "mean_ts", "median", "min", "mixture",
-    "nanargmax", "nanargmin", "nanfirst", "nanlast", "nanmax", "nanmean",
-    "nanmedian", "nanmin", "nanprod",
+# R9 WINDOW (executes the r8 continuation plan + VERDICT r8 item #1):
+# r8 was 50/50 green so there are no red keys; front-load the 20 keys
+# first-registered late in r8 that have NO official driver row yet (each
+# is gate-green at BOTH sf0.01 and sf0.1, see BASELINE r8 continuation),
+# then fill the 50-slot balance freshness-ordered: all 25 keys whose
+# latest official row is r4 (nanquantile_vec..xdim_dataset), then the
+# alphabetical head of the r6 block (5 of its 49).
+# R10 WINDOW PLAN (pre-written per VERDICT r8 item #7, rotation
+# discipline): after R9 every registered key has an official row; the
+# r10 first-50 is a pure freshness window, oldest-row-first — any red
+# keys from CORRECTNESS_r09.json first, then the 44 remaining r6-row
+# keys (clf_score, cms_heavy, complex_argmax, complex_nanmean,
+# complex_nanmedian, complex_nanvar, dayofyear, dup_clusters,
+# emb_neardup, encode_ids, first_ts, gopher, grid_fill, hist_quantile,
+# lm_score, lsh_pairs, mh_index_probe, min_count, minhash, mode,
+# month_hour, nanmode, ngram_jaccard, pii_redact, pivot, reindex_fill,
+# resample_5d, salted_join, scan_bfill, scan_cumcount, scan_cummax,
+# scan_cummin, scan_cumprod, scan_cumsum, scan_diff, scan_ffill,
+# scan_nancummax, scan_nancummin, scan_nancumprod, scan_nancumsum,
+# scan_shift, semdedup, stream_late, vocab), balance from the r7-row
+# block's alphabetical head (accessor_climatology, approx_quantile,
+# auc, bivar, bloom_decontam, bloom_join — drop from the tail to make
+# room for any red keys).
+_R9_WINDOW = [
+    # no official driver row yet (first-registered r8, 20 keys)
+    "funnel", "funnel_window", "funnel_timing", "retention",
+    "kmv_distinct", "kmv_overlap", "linreg", "grouped_linreg",
+    "logreg_quality", "grouped_logreg", "target_encode", "qcut",
+    "qcut_grouped", "qcut_two_pass", "dsir", "ann_recall",
+    "k_anonymity", "ngram_containment", "fuzzy_match", "json_extract",
+    # latest official row = r4 (25 keys)
+    "nanquantile_vec", "nanstd", "nansum", "nanvar", "nunique", "pack",
+    "prod", "quantile", "range_join", "resample_time", "sessionize",
+    "std", "stream_agg", "stream_enrich", "stream_join",
+    "stream_session", "stream_sliding", "stream_window", "sum", "twa",
+    "var", "winsorize", "wquantile_sketch", "xdim_bins", "xdim_dataset",
+    # latest official row = r6 (alphabetical head, 5 keys)
+    "bins_left", "bins_right", "bpe_tokens", "calendar_mean",
+    "chunk_docs",
 ]
-assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
-_QUERIES = {k: _QUERIES[k] for k in _R8_WINDOW} | {
-    k: v for k, v in _QUERIES.items() if k not in set(_R8_WINDOW)
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+_QUERIES = {k: _QUERIES[k] for k in _R9_WINDOW} | {
+    k: v for k, v in _QUERIES.items() if k not in set(_R9_WINDOW)
 }
 
 

@@ -35,6 +35,19 @@ def _chars(word):
     )
 
 
+def _adjacent_pairs(syms):
+    """``(a, b)`` struct array of the adjacent symbol pairs of ``syms``.
+    Callers must guard ``size(syms) >= 2``: ``sequence(1, 0)`` DESCENDS,
+    and index 0 is illegal for ``element_at``."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("a"),
+            F.element_at(syms, i + 1).alias("b"),
+        ),
+    )
+
+
 def _merge_adjacent(syms, a: str, b: str):
     """Greedy left-to-right merge of adjacent (a, b) into a+b — one
     aggregate fold, same greedy semantics as reference BPE."""
@@ -72,12 +85,19 @@ def bpe_train(
     too (aggregate once, iterate in memory).
 
     Above the threshold (or with ``collect_threshold=0``) the loop runs
-    fully distributed: each merge is a map-side pair explode + aggregate
-    + single-row collect + map-side greedy rewrite, with an eager
-    ``localCheckpoint`` per round cutting the iterative lineage (the
-    ``duplicate_clusters`` discipline).  Both paths pick the best pair
-    by (count DESC, pair ASC) and stop early when no pair reaches
-    ``min_pair_count`` — identical merges, asserted in tests.
+    fully distributed with INCREMENTAL pair-count maintenance: the pair
+    table is built by ONE corpus-vocabulary explode+aggregate, then each
+    merge applies a before/after DELTA computed from only the words that
+    contain the merged pair — the per-merge shuffle is O(pairs of
+    affected words) + O(|pair table|), never a vocabulary-wide
+    re-explode (this is how reference tokenizer trainers maintain pair
+    counts too).  Per merge: one best-pair collect over the KB-class
+    pair table, one delta aggregate, one map-only guarded rewrite of the
+    word table — 3 small jobs, with eager ``localCheckpoint`` cutting
+    the iterative lineage (the ``duplicate_clusters`` discipline).
+    Both paths pick the best pair by (count DESC, pair ASC) and stop
+    early when no pair reaches ``min_pair_count`` — identical merges,
+    asserted in tests.
 
     Returns the merge list in order — the model artifact for
     :func:`bpe_encode` (persist it yourself; it is a plain python list).

@@ -415,7 +415,12 @@ def kmv_sketch_table(
         raise ValueError(f"k must be >= 2, got {k}")
     h = _hasher(hasher)(F.col(value).cast("string"), seed="kmv")
     if method == "partial":
-        partial = _kmv_partials(df, by, h, k)
+        # filter NULL values BEFORE hashing: xxhash64(NULL) returns the
+        # (non-null) seed, so a post-hash isNotNull filter would count NULL
+        # as a distinct element and inject a near-minimum hash into every
+        # sketch containing one — diverging from method='distinct' and
+        # breaking the bit-identical contract above (ADVICE r8)
+        partial = _kmv_partials(df.filter(F.col(value).isNotNull()), by, h, k)
     elif method == "distinct":
         pairs = (
             df.filter(F.col(value).isNotNull())

@@ -91,6 +91,23 @@ def _no_tp_collisions(df: DataFrame) -> None:
         )
 
 
+def _select_with_out(big: DataFrame, caller_cols: list, out: str, col: Column) -> DataFrame:
+    """Project ``caller_cols`` plus the result ``col`` as ``out``, with
+    in-place substitution when ``out`` overwrites an existing column — the
+    window path's ``withColumn`` keeps the original position, and the
+    two-pass tier must render identically (ADVICE r8: the old
+    ``[cols except out] + out`` rebuild moved an overwritten column to the
+    last position)."""
+    big = big.withColumn("__tp_out", col)
+    sel = [
+        F.col("__tp_out").alias(out) if c == out else F.col(c)
+        for c in caller_cols
+    ]
+    if out not in caller_cols:
+        sel.append(F.col("__tp_out").alias(out))
+    return big.select(*sel)
+
+
 def _idx_numeric(df: DataFrame, idx_col: str) -> Column:
     """idx as an orderable numeric for arithmetic bucketing (timestamps ->
     epoch seconds; dates -> day number).  Monotone in the idx ordering."""
@@ -223,9 +240,9 @@ def scan_two_pass(
             col = F.coalesce(col, F.lit(float("nan")).cast(result_dt))
     if label_ok is not None:
         col = F.when(label_ok, col).otherwise(na_value)
-    # restore the caller's column order (join(on=keys) fronts the keys)
-    keep = [c for c in work.columns if c != out_name]
-    res = out.withColumn(out_name, col).select(*keep, out_name)
+    # restore the caller's column order (join(on=keys) fronts the keys),
+    # substituting in place when out_name overwrites an existing column
+    res = _select_with_out(out, work.columns, out_name, col)
     res.two_pass_stats = stats  # persist-handle convention (bm25 precedent)
     return res
 
@@ -314,7 +331,7 @@ def rolling_two_pass(
         members = F.when(
             (F.col("__tp_c0") >= 0)
             & (F.col("__tp_c0") < F.col("__tp_c") - 1)
-            & (idxn > upper - F.lit(-lo)),
+            & (idxn >= upper - F.lit(-lo)),
             F.concat(
                 members,
                 F.array(F.struct((F.col("__tp_c0") + 1).alias("c"), F.lit(1).alias("ctx"))),
@@ -503,14 +520,7 @@ def interpolate_two_pass(
         ).otherwise(filled)
     # restore the caller's column order with in-place substitution when
     # out == value (the window path's withColumn semantics)
-    big = big.withColumn("__tp_out", filled)
-    sel = [
-        F.col("__tp_out").alias(out) if c == out else F.col(c)
-        for c in df.columns
-    ]
-    if out not in df.columns:
-        sel.append(F.col("__tp_out").alias(out))
-    res = big.select(*sel)
+    res = _select_with_out(big, df.columns, out, filled)
     res.two_pass_stats = stats  # persist-handle convention
     return res
 
@@ -727,8 +737,7 @@ def rank_two_pass(
         rank = rank.cast("double") / denom
     result_t = "double" if (pct or method == "average") else "long"
     col = F.when(valid, rank.cast(result_t)).otherwise(F.lit(None).cast(result_t))
-    keep = [c for c in df.columns if c != out_name]
-    res = big.withColumn(out_name, col).select(*keep, out_name)
+    res = _select_with_out(big, df.columns, out_name, col)
     res.two_pass_stats = stats
     return res
 
@@ -936,8 +945,7 @@ def ewma_two_pass(
         F.last(y_valid, ignorenulls=True).over(wb),
         F.col("__tp_y_prev"),
     )
-    keep = [c for c in df.columns if c != out]
-    res = big.withColumn(out, y.cast("double")).select(*keep, out)
+    res = _select_with_out(big, df.columns, out, y.cast("double"))
     res.two_pass_stats = stats
     return res
 
@@ -1037,8 +1045,7 @@ def sessionize_two_pass(
         + F.coalesce(F.col("__tp_pre"), F.lit(0).cast("long"))
         - 1
     ).cast("bigint")
-    keep = [c for c in df.columns if c != out]
-    res = big.withColumn(out, session).select(*keep, out)
+    res = _select_with_out(big, df.columns, out, session)
     res.two_pass_stats = stats
     return res
 
@@ -1203,7 +1210,6 @@ def _ewma_affine_two_pass(
     y = F.coalesce(
         F.last(F.col("__tp_y"), ignorenulls=True).over(wb), F.col("__tp_y0")
     )
-    keep = [c for c in df.columns if c != out]
-    res = big.withColumn(out, y.cast("double")).select(*keep, out)
+    res = _select_with_out(big, df.columns, out, y.cast("double"))
     res.two_pass_stats = stats
     return res

@@ -118,9 +118,14 @@ def test_many_partitions_same_result(spark, grouped_values):
 
 def test_partial_method_bit_identical(spark, grouped_values):
     # the mapInPandas bounded-buffer tier must produce the SAME sketch as
-    # the JVM distinct tier (the sketch is a function of the value set)
+    # the JVM distinct tier (the sketch is a function of the value SET —
+    # which excludes NULL).  NULLs are deliberately mixed into a real
+    # group: xxhash64(NULL) is the non-null seed, so an unfiltered partial
+    # tier would count NULL as a distinct element and inject a
+    # near-minimum hash into group "a"'s sketch (ADVICE r8 regression).
     df, _ = grouped_values
-    df = df.filter(F.col("v").isNotNull())
+    nulls = spark.createDataFrame([("a", None)] * 5, "g string, v bigint")
+    df = df.unionByName(nulls)
     for k in (16, 1024):
         a = {
             r["g"]: r["kmv"]

@@ -159,6 +159,38 @@ def test_two_pass_column_order_preserved(spark, sdf):
     assert w.columns == t.columns
 
 
+def test_two_pass_overwrite_keeps_column_position(spark, sdf):
+    """When out overwrites an existing column it must stay at the ORIGINAL
+    position (window path = withColumn in place), not move to the end
+    (ADVICE r8 regression: scan/rank rebuilt as [cols - out] + out)."""
+    from dask_groupby_spark import groupby_rank
+
+    w = groupby_scan(sdf, "label", func="cumsum", value="val", idx_col="idx", alias="val")
+    t = groupby_scan(
+        sdf, "label", func="cumsum", value="val", idx_col="idx", alias="val",
+        method="two_pass", rows_per_chunk=37,
+    )
+    assert t.columns == w.columns == sdf.columns
+    # values must also agree at the overwritten position
+    wm = {r["idx"]: r["val"] for r in w.collect()}
+    tm = {r["idx"]: r["val"] for r in t.collect()}
+    assert set(wm) == set(tm)
+    for i in wm:
+        a, b = wm[i], tm[i]
+        assert a == b or (
+            a is not None and b is not None and math.isnan(a) and math.isnan(b)
+        ) or (
+            a is not None and b is not None
+            and math.isclose(a, b, rel_tol=1e-9)
+        ), (i, a, b)
+    wr = groupby_rank(sdf, "label", value="val", alias="val")
+    tr = groupby_rank(
+        sdf, "label", value="val", alias="val",
+        execution="two_pass", rows_per_chunk=37,
+    )
+    assert tr.columns == wr.columns == sdf.columns
+
+
 # ---------------------------------------------------------------------------
 # two-pass RANGE-frame rolling
 
@@ -198,6 +230,31 @@ def test_rolling_two_pass_matches_window(spark, roll_sdf, lo, hi):
                 a is not None and b is not None
                 and math.isclose(a, b, rel_tol=1e-7, abs_tol=1e-9)
             ), (i, c, a, b)
+
+
+def test_rolling_two_pass_exact_boundary_fringe(spark):
+    """Chunk width divides the idx span exactly: a row at distance exactly
+    |lo| below a chunk boundary must still be replicated into the next
+    chunk (rangeBetween frames are inclusive).  Regression for the strict
+    `>` tail condition (ADVICE r8): idx 0..100, 5 chunks of width 20.0,
+    frame (-5, 0) — row 15 serves row 20's frame, row 35 serves 40's, ...
+    """
+    from dask_groupby_spark.rolling import groupby_rolling
+
+    rows = [(i, 0, 1.0) for i in range(101)]
+    df = spark.createDataFrame(rows, "idx bigint, label bigint, val double")
+    kw = dict(
+        funcs=["sum", "count"], value="val", idx_col="idx", window=1,
+        range_between=(-5, 0),
+    )
+    w = groupby_rolling(df, "label", **kw)
+    t = groupby_rolling(df, "label", **kw, method="two_pass", rows_per_chunk=25)
+    wm = {r["idx"]: (r["rolling_sum"], r["rolling_count"]) for r in w.collect()}
+    tm = {r["idx"]: (r["rolling_sum"], r["rolling_count"]) for r in t.collect()}
+    assert tm == wm
+    # the boundary rows specifically: full 6-row frame
+    for b in (20, 40, 60, 80):
+        assert tm[b] == (6.0, 6)
 
 
 def test_rolling_two_pass_rejects_row_frames(spark, roll_sdf):
