@@ -72,6 +72,7 @@ def bpe_train(
     num_merges: int = 100,
     min_pair_count: int = 2,
     collect_threshold: int = 1_000_000,
+    pair_collect_threshold: int = 2_000_000,
 ) -> "list[tuple[str, str]]":
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -79,25 +80,27 @@ def bpe_train(
     ≤ ``collect_threshold`` distinct words it is COLLECTED and the merge
     loop runs driver-local — the corpus-scale pass is the distributed
     part; the table it produces is distinct-WORD-sized (millions, not the
-    corpus's trillions of tokens), and a 32k-merge production vocabulary
-    needs 32k rounds, which as Spark jobs cost ~0.1 s of scheduling
-    each.  This is how reference tokenizer trainers structure the work
-    too (aggregate once, iterate in memory).
+    corpus's trillions of tokens).  This is how reference tokenizer
+    trainers structure the work too (aggregate once, iterate in memory).
 
-    Above the threshold (or with ``collect_threshold=0``) the loop runs
-    fully distributed with INCREMENTAL pair-count maintenance: the pair
-    table is built by ONE corpus-vocabulary explode+aggregate, then each
-    merge applies a before/after DELTA computed from only the words that
-    contain the merged pair — the per-merge shuffle is O(pairs of
-    affected words) + O(|pair table|), never a vocabulary-wide
-    re-explode (this is how reference tokenizer trainers maintain pair
-    counts too).  Per merge: one best-pair collect over the KB-class
-    pair table, one delta aggregate, one map-only guarded rewrite of the
-    word table — 3 small jobs, with eager ``localCheckpoint`` cutting
-    the iterative lineage (the ``duplicate_clusters`` discipline).
-    Both paths pick the best pair by (count DESC, pair ASC) and stop
-    early when no pair reaches ``min_pair_count`` — identical merges,
-    asserted in tests.
+    Above the threshold (or with ``collect_threshold=0``) the word table
+    stays distributed and pair counts are maintained INCREMENTALLY: each
+    merge computes a before/after count DELTA from only the words that
+    CONTAIN the merged pair (a map-side filter on the checkpointed word
+    table + an affected-pairs-sized aggregate), never a vocabulary-wide
+    re-explode — the structure reference tokenizer trainers use.  The
+    pair-count table itself is symbol-BIGRAM-sized (≈alphabet² initially
+    + O(merges) new types — orders of magnitude smaller than the
+    vocabulary), so it lives in a driver dict with a lazy max-heap:
+    best-pair selection costs ZERO jobs, and a merge is one delta
+    collect + one map-only guarded rewrite (+ eager ``localCheckpoint``
+    cutting the iterative lineage — the ``duplicate_clusters``
+    discipline).  Should the pair table outgrow
+    ``pair_collect_threshold`` entries, it spills to a DataFrame and the
+    loop continues with distributed delta maintenance (best-pair then
+    costs one KB-class collect per merge).  Both paths pick the best
+    pair by (count DESC, pair ASC) and stop early when no pair reaches
+    ``min_pair_count`` — identical merges, asserted in tests.
 
     Returns the merge list in order — the model artifact for
     :func:`bpe_encode` (persist it yourself; it is a plain python list).
@@ -116,33 +119,102 @@ def bpe_train(
             return _train_local(wc, num_merges, min_pair_count)
     words = counts.select(_chars(F.col("w")).alias("syms"), "cnt")
     words = words.localCheckpoint(eager=True)
+
+    def _pair_counts(frame: DataFrame, sign: int = 1) -> DataFrame:
+        return (
+            frame.where(F.size("syms") >= 2)
+            .select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg((F.sum("cnt") * F.lit(sign)).alias("n"))
+        )
+
+    # pair-count table: built ONCE by a vocabulary-wide explode, then
+    # maintained by per-merge deltas over only the affected words.  It is
+    # symbol-bigram-sized, so it starts in a driver dict + lazy max-heap
+    # (zero-job best-pair picks) and spills to a DataFrame only if it
+    # outgrows pair_collect_threshold.
+    import heapq
+
+    initial = _pair_counts(words)
+    pairs: "dict[tuple[str, str], int] | None" = None
+    heap: list = []
+    pc: "DataFrame | None" = None
+    if pair_collect_threshold:
+        rows = initial.limit(pair_collect_threshold + 1).collect()
+        if len(rows) <= pair_collect_threshold:
+            pairs = {(r["a"], r["b"]): r["n"] for r in rows}
+            heap = [(-n, a, b) for (a, b), n in pairs.items()]
+            heapq.heapify(heap)
+    if pairs is None:
+        pc = initial.localCheckpoint(eager=True)
+
+    def _spill_to_df():
+        nonlocal pc, pairs, heap
+        pc = df.sparkSession.createDataFrame(
+            [(a, b, n) for (a, b), n in pairs.items()],
+            "a string, b string, n bigint",
+        ).localCheckpoint(eager=True)
+        pairs, heap = None, []
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs = words.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("syms") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("syms"), i).alias("a"),
-                        F.element_at(F.col("syms"), i + 1).alias("b"),
-                    ),
-                )
-            ).alias("p"),
-            "cnt",
-        ).where(F.size("syms") >= 2)
-        best = (
-            pairs.groupBy("p")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["n"] < min_pair_count:
-            break
-        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        if pairs is not None:
+            # lazy heap: stale entries (count changed since push) skipped
+            while heap and pairs.get((heap[0][1], heap[0][2]), 0) != -heap[0][0]:
+                heapq.heappop(heap)
+            if not heap or -heap[0][0] < min_pair_count:
+                break
+            a, b = heap[0][1], heap[0][2]
+        else:
+            best = pc.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+            if not best or best[0]["n"] < min_pair_count:
+                break
+            a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        words = words.select(
+        # guarded adjacency test (when() keeps sequence() off 1-symbol rows)
+        has = F.when(
+            F.size("syms") >= 2,
+            F.exists(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: (F.element_at(F.col("syms"), i) == F.lit(a))
+                & (F.element_at(F.col("syms"), i + 1) == F.lit(b)),
+            ),
+        ).otherwise(F.lit(False))
+        affected = words.where(has)
+        rewritten = affected.select(
             _merge_adjacent(F.col("syms"), a, b).alias("syms"), "cnt"
+        )
+        delta = (
+            _pair_counts(affected, sign=-1)
+            .unionByName(_pair_counts(rewritten))
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("n"))
+        )
+        if pairs is not None:
+            for r in delta.collect():
+                k = (r["a"], r["b"])
+                v = pairs.get(k, 0) + r["n"]
+                if v > 0:
+                    pairs[k] = v
+                    heapq.heappush(heap, (-v, k[0], k[1]))
+                else:
+                    pairs.pop(k, None)
+            if len(pairs) > pair_collect_threshold:
+                _spill_to_df()
+        else:
+            pc = (
+                pc.unionByName(delta)
+                .groupBy("a", "b")
+                .agg(F.sum("n").alias("n"))
+                .where(F.col("n") > 0)
+                .localCheckpoint(eager=True)
+            )
+        # map-only guarded rewrite: unaffected rows pass through untouched
+        words = words.withColumn(
+            "syms",
+            F.when(has, _merge_adjacent(F.col("syms"), a, b)).otherwise(
+                F.col("syms")
+            ),
         ).localCheckpoint(eager=True)
     return merges
 
@@ -201,23 +273,47 @@ def _train_local(
 ) -> "list[tuple[str, str]]":
     """Driver-local merge loop over the collected (word, count) table —
     bit-identical semantics to the distributed loop (same greedy rewrite,
-    same (count DESC, pair ASC) ties, same early stop)."""
+    same (count DESC, pair ASC) ties, same early stop).
+
+    Pair counts are maintained INCREMENTALLY with a pair→words inverted
+    index: a merge rewrites only the words containing the merged pair and
+    applies their before/after pair-count delta, so a round costs
+    O(symbols in affected words), not O(vocabulary) — the structure
+    reference tokenizer trainers use for 32k-merge runs.  Best-pair
+    selection is a lazy max-heap (stale entries skipped on pop), so it
+    costs O(log) amortized, not an O(\\|pairs\\|) scan per merge."""
+    import heapq
+
     syms = {w: list(w) + [EOW] for w in word_counts}
+    pairs: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set] = {}
+    for w, cnt in word_counts.items():
+        s = syms[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pairs[p] = pairs.get(p, 0) + cnt
+            where.setdefault(p, set()).add(w)
+    heap = [(-n, a, b) for (a, b), n in pairs.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for w, cnt in word_counts.items():
+        while heap and pairs.get((heap[0][1], heap[0][2]), 0) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap or -heap[0][0] < min_pair_count:
+            break
+        a, b = heap[0][1], heap[0][2]
+        merges.append((a, b))
+        touched: set = set()
+        for w in list(where.get((a, b), ())):
+            cnt = word_counts[w]
             s = syms[w]
             for i in range(len(s) - 1):
                 p = (s[i], s[i + 1])
-                pairs[p] = pairs.get(p, 0) + cnt
-        if not pairs:
-            break
-        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if n < min_pair_count:
-            break
-        merges.append((a, b))
-        for w, s in syms.items():
+                pairs[p] -= cnt
+                touched.add(p)
+                ws = where.get(p)
+                if ws is not None:
+                    ws.discard(w)
             out: list[str] = []
             for x in s:
                 if out and out[-1] == a and x == b:
@@ -225,4 +321,15 @@ def _train_local(
                 else:
                     out.append(x)
             syms[w] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+                where.setdefault(p, set()).add(w)
+                touched.add(p)
+        for p in touched:
+            if pairs.get(p, 0) <= 0:
+                pairs.pop(p, None)
+                where.pop(p, None)
+            else:
+                heapq.heappush(heap, (-pairs[p], p[0], p[1]))
     return merges

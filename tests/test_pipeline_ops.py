@@ -868,6 +868,55 @@ def test_bpe_local_and_distributed_paths_identical(spark):
     assert local == distributed and len(local) == 10
 
 
+def test_bpe_incremental_matches_scratch_reference(spark):
+    """The incremental pair-count trainers (inverted-index local tier,
+    delta-table distributed tier) must produce the SAME merge list as the
+    recompute-from-scratch reference at a scale where stale index entries
+    and zero-count purges would show: 60 random words, merges run to
+    exhaustion (min_pair_count floor)."""
+    import random
+
+    from dask_groupby_spark.operators.bpe import _train_local, bpe_train
+
+    rng = random.Random(99)
+    vocab = [
+        "".join(rng.choice("abcde") for _ in range(rng.randrange(2, 9)))
+        for _ in range(60)
+    ]
+    wc = Counter(rng.choice(vocab) for _ in range(800))
+    want, _ = py_bpe_train(wc, num_merges=200, min_pair_count=2)
+    assert 20 < len(want) < 200  # exhaustion actually hit
+    assert _train_local(dict(wc), 200, 2) == want
+
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(wc.items())]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = bpe_train(df, num_merges=40, collect_threshold=0)
+    assert got == want[:40]
+    # pure DataFrame pair-table tier (driver dict disabled) — identical
+    got_df_tier = bpe_train(
+        df, num_merges=15, collect_threshold=0, pair_collect_threshold=0
+    )
+    assert got_df_tier == want[:15]
+
+
+def test_bpe_pair_table_spill_mid_run(spark):
+    """Driver pair dict outgrows pair_collect_threshold mid-run and spills
+    to the DataFrame tier: 'aaaa'+'ba' has 3 pair types, merging (a,a)
+    grows it to 4 — the merge list must be unaffected."""
+    from dask_groupby_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa ba ba")], "doc_id bigint, text string"
+    )
+    wc = Counter("aaaa aaaa aaaa ba ba".split())
+    want, _ = py_bpe_train(wc, num_merges=10, min_pair_count=1)
+    got = bpe_train(
+        df, num_merges=10, min_pair_count=1, collect_threshold=0,
+        pair_collect_threshold=3,
+    )
+    assert got == want
+
+
 # ----------------------------------------------- r7 deep-review regressions
 
 
