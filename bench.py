@@ -214,10 +214,70 @@ def bench_queries(spark, sf):
     }
 
 
-def main():
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    qs = bench_queries(spark, SF_DIR)
+def bench_queries_ext(spark, sf):
+    """SECOND stable series (r9+): the r8-family operators, so a perf
+    regression there is visible round-over-round.  Kept separate from the
+    18-query headline — `value` stays comparable to the fixed r1 baseline;
+    this series reports under `queries_ext`/`value_ext`."""
+    from dask_groupby_spark.operators import (
+        edit_distance_pairs,
+        kmv_distinct,
+        retention,
+        target_encode,
+    )
+    from dask_groupby_spark.operators.funnel import funnel_conversion
+    from dask_groupby_spark.binning import quantile_bins
+
+    li = load_table(spark, sf, "lineitem")
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer")
+    li.cache().count()
+    ev.cache().count()
+    cust.cache().count()
+
+    def funnel():
+        _materialize(
+            funnel_conversion(
+                ev, ["view", "click", "purchase"],
+                entity_col="user_id", type_col="event_type", ts_col="ts",
+            )
+        )
+
+    def retention_q():
+        _materialize(
+            retention(ev, entity_col="user_id", ts_col="ts", period="week",
+                      horizon=12)
+        )
+
+    def kmv():
+        _materialize(kmv_distinct(ev, "event_type", value="user_id",
+                                  k=1 << 16, out="distinct_users"))
+
+    def target_enc():
+        _materialize(target_encode(li, "l_partkey", label="l_quantity",
+                                   smoothing=20.0))
+
+    def qcut_grouped():
+        _materialize(quantile_bins(li, "l_extendedprice", q=10,
+                                   by="l_returnflag", out="qbin"))
+
+    def fuzzy():
+        _materialize(
+            edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2,
+                                gram_k=3, max_gram_df=256)
+        )
+
+    return {
+        "funnel": funnel,
+        "retention": retention_q,
+        "kmv_distinct": kmv,
+        "target_encode": target_enc,
+        "qcut_grouped": qcut_grouped,
+        "fuzzy_match": fuzzy,
+    }
+
+
+def _run_series(qs):
     times = {}
     for name, fn in qs.items():
         fn()  # warm-up run (JIT/codegen/cache)
@@ -227,6 +287,14 @@ def main():
             fn()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+    return times
+
+
+def main():
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    times = _run_series(bench_queries(spark, SF_DIR))
+    times_ext = _run_series(bench_queries_ext(spark, SF_DIR))
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -236,6 +304,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_ext": times_ext,
+                "value_ext": round(sum(times_ext.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

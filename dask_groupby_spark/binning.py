@@ -180,7 +180,11 @@ def quantile_bins(
     else:
         w = Window.partitionBy(*by_list).orderBy("__v")
         ranked = vals.withColumn("__r", F.row_number().over(w))
-    n_tbl = ranked.groupBy(*by_list).agg(F.max("__r").alias("__n"))
+    # group sizes from a plain map-combined count — NOT max(__r) over the
+    # ranked frame: ranked has several consumers below and Spark/AQE never
+    # reuses an Exchange across consumers, so every reader re-runs the
+    # per-group sort (r9 plan audit)
+    n_tbl = vals.groupBy(*by_list).agg(F.count(F.lit(1)).alias("__n"))
     # one row per (group, i): anchor ranks + interpolation fraction,
     # exactly numpy/DuckDB linear interpolation arithmetic
     i_col = F.explode(
@@ -231,8 +235,24 @@ def quantile_bins(
             *[f"__qb_by_{i}" for i in range(len(by_list))]
         )
 
-    lo = ranked.select(*by_list, F.col("__r").alias("__rl"), F.col("__v").alias("__lo"))
-    hi = ranked.select(*by_list, F.col("__r").alias("__rh"), F.col("__v").alias("__hi"))
+    # ONE pass over the ranked frame: semi-join it down to the ≤ 2(q−1)
+    # anchor ranks per group (broadcast — the spec table is |groups|·(q−1)
+    # rows), then persist the KB-class anchor table and assemble lo/hi
+    # from it.  The per-group sort executes exactly once; the old shape
+    # joined spec against the FULL ranked frame twice, re-running the
+    # window per consumer.
+    needed = (
+        spec.select(*by_list, F.col("__rlo").alias("__ar"))
+        .unionByName(spec.select(*by_list, F.col("__rhi").alias("__ar")))
+        .distinct()
+    )
+    anchors = _nullsafe(
+        ranked.select(*by_list, "__r", "__v"),
+        F.broadcast(needed),
+        ("__r", "__ar"),
+    ).select(*by_list, "__r", "__v").persist()
+    lo = anchors.select(*by_list, F.col("__r").alias("__rl"), F.col("__v").alias("__lo"))
+    hi = anchors.select(*by_list, F.col("__r").alias("__rh"), F.col("__v").alias("__hi"))
     edges = (
         _nullsafe(_nullsafe(spec, lo, ("__rlo", "__rl")), hi, ("__rhi", "__rh"))
         .select(
@@ -264,7 +284,9 @@ def quantile_bins(
         F.lit(0),
         lambda acc, e: acc + F.when(v > e, 1).otherwise(0),
     )
-    return j.withColumn(
+    res = j.withColumn(
         out,
         F.when(v.isNotNull() & F.col("__edges").isNotNull(), b).cast("int"),
     ).drop("__edges")
+    res.qcut_anchors = anchors  # persist-handle convention (bm25 precedent)
+    return res

@@ -1113,6 +1113,7 @@ def edit_distance_pairs(
     gram_k: int = 3,
     max_gram_df: int | None = 256,
     max_bucket_size: int | None = None,
+    prefix_blocking: bool = False,
 ) -> DataFrame:
     """Fuzzy string matching — the record-linkage primitive: all pairs of
     rows whose ``text_col`` values are within Levenshtein distance
@@ -1132,10 +1133,25 @@ def edit_distance_pairs(
 
     Plan: one groupBy(gram) builds sorted (id, text) member arrays;
     candidate pairs enumerate map-side (``bucket_pairs_from``, optional
-    anchor cap for degenerate blocks); duplicates from multi-gram
-    co-occurrence collapse in ONE pair-keyed aggregate BEFORE the
-    distance runs, so Levenshtein — O(len²) per pair — evaluates once
-    per candidate.  Output: (id_a, id_b, dist), dist ≤ max_dist.
+    anchor cap for degenerate blocks); multi-gram duplicates collapse in
+    ONE pair-keyed aggregate BEFORE the distance, and the verify is the
+    BANDED DP (``levenshtein(threshold=)``, O(len·max_dist) per pair
+    instead of O(len²)).
+
+    ``prefix_blocking=True`` is the 100 TB path (PPJoin-family prefix
+    filter — Xiao et al., WWW'08): each record blocks only on its
+    ``max_dist·gram_k + 1`` globally-RAREST surviving grams (global
+    order = (gram df ASC, gram ASC)).  Prefix-filter theorem: a
+    qualifying pair shares ≥ max(|G(a)|,|G(b)|) − max_dist·gram_k
+    grams, so its two rarest-gram prefixes of that length must
+    intersect — NO true match is lost relative to blocking on every
+    gram (asserted against brute force in tests), while Σ\\|bucket\\|²
+    (the enumerated-pair stream) shrinks quadratically with the prefix
+    ratio.  It costs two extra KB-to-gram-table-sized shuffles (global
+    df + per-record prefix pick), which at bench scale outweigh the
+    pruning when ``max_gram_df`` has already slashed per-record gram
+    counts below the prefix length — hence opt-in, the
+    window/two_pass tier convention.
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -1148,9 +1164,36 @@ def edit_distance_pairs(
         "id", "txt", F.explode(char_grams(F.col("txt"), gram_k)).alias("g")
     )
     member = F.struct(F.col("id"), F.col("txt"))
-    buckets = grams.groupBy("g").agg(F.array_sort(F.collect_list(member)).alias("mem"))
-    if max_gram_df is not None:
-        buckets = buckets.where(F.size("mem") <= max_gram_df)
+    if prefix_blocking:
+        # global gram frequencies drive both the stop-gram cap and the
+        # prefix order (AQE broadcasts the df table when it is small)
+        dftbl = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+        grams = grams.join(dftbl, on="g")
+        if max_gram_df is not None:
+            grams = grams.where(F.col("__df") <= max_gram_df)
+        pfx = max_dist * gram_k + 1
+        pref = (
+            grams.groupBy("id")
+            .agg(
+                F.first("txt").alias("txt"),
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("__df", "g"))), 1, pfx
+                ).alias("__pg"),
+            )
+            .select(
+                "id", "txt",
+                F.explode(F.transform("__pg", lambda s: s["g"])).alias("g"),
+            )
+        )
+        buckets = pref.groupBy("g").agg(
+            F.array_sort(F.collect_list(member)).alias("mem")
+        )
+    else:
+        buckets = grams.groupBy("g").agg(
+            F.array_sort(F.collect_list(member)).alias("mem")
+        )
+        if max_gram_df is not None:
+            buckets = buckets.where(F.size("mem") <= max_gram_df)
     buckets = buckets.where(F.size("mem") >= 2)
     pairs = bucket_pairs_from(
         buckets,
@@ -1164,9 +1207,12 @@ def edit_distance_pairs(
     cand = pairs.groupBy(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     ).agg(F.first("p.t_a").alias("t_a"), F.first("p.t_b").alias("t_b"))
-    dist = F.levenshtein("t_a", "t_b")
+    # banded DP: threshold makes the engine stop at max_dist (-1 beyond);
+    # threshold must be >= 1, so max_dist=0 runs with band 1 and the
+    # dist <= max_dist filter below restores exactness
+    dist = F.levenshtein("t_a", "t_b", threshold=max(max_dist, 1))
     return (
         cand.withColumn("dist", dist.cast("int"))
-        .where(F.col("dist") <= max_dist)
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "dist")
     )

@@ -48,12 +48,14 @@ def main(out_dir: str = "/tmp/sf1", copies: int = 10) -> None:
     ev = load_table(spark, SRC, "events")
     docs = load_table(spark, SRC, "documents")
     emb = load_table(spark, SRC, "embeddings")
+    cust = load_table(spark, SRC, "customer")
 
     okey_span = li.agg(F.max("l_orderkey")).first()[0] + 1
     eid_span = ev.agg(F.max("event_id")).first()[0] + 1
     uid_span = ev.agg(F.max("user_id")).first()[0] + 1
     did_span = docs.agg(F.max("doc_id")).first()[0] + 1
     vid_span = emb.agg(F.max("vec_id")).first()[0] + 1
+    ckey_span = cust.agg(F.max("c_custkey")).first()[0] + 1
 
     def replicate(df, build):
         parts = [build(df, i) for i in range(copies)]
@@ -87,6 +89,21 @@ def main(out_dir: str = "/tmp/sf1", copies: int = 10) -> None:
             docs,
             lambda d, i: d.withColumn("doc_id", F.col("doc_id") + F.lit(i * did_span))
             .withColumn("text", F.translate(F.col("text"), VOWELS, _rot(i))),
+        ),
+        # customer: c_custkey shifted and c_name REBUILT from the new key in
+        # the TPC-H "Customer#%09d" shape, so fuzzy_match's 3-gram blocking
+        # sees a 10x-denser zero-padded-prefix stop-gram field at sf1
+        "customer": replicate(
+            cust,
+            lambda d, i: d.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(i * ckey_span)
+            ).withColumn(
+                "c_name",
+                F.concat(
+                    F.lit("Customer#"),
+                    F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+                ),
+            ),
         ),
         "embeddings": replicate(
             emb,

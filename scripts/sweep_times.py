@@ -3,9 +3,9 @@ that exposed the O(n²) unboundedFollowing frames and the uncapped
 ngram_jaccard (the sf0.01 driver gate is too small to surface
 scale-class bugs; run this at sf0.1+ each round).
 
-Usage: python scripts/sweep_times.py [sf_dir] [out_json]
-Defaults: /root/testdata/sf0.1, /tmp/sweep_times.json.  Prints one line
-per key as it completes; slowest-first summary at the end.
+Usage: python scripts/sweep_times.py [sf_dir] [out_json] [key ...]
+Defaults: /root/testdata/sf0.1, /tmp/sweep_times.json, all keys.  Prints
+one line per key as it completes; slowest-first summary at the end.
 """
 
 import json
@@ -22,9 +22,12 @@ import __spark_entry__ as em  # noqa: E402
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sweep_times.json"
+    only = set(sys.argv[3:])
     spark = get_spark("sweep", cpus=32, shuffle_partitions=32)
     times = {}
     for name, fn in em.queries().items():
+        if only and name not in only:
+            continue
         s = time.time()
         try:
             fn(spark, sf).count()

@@ -1501,6 +1501,27 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
                 exp[(rows[i][0], rows[j][0])] = d
     assert got == exp
     assert len(exp) > 10  # the corpus genuinely exercises the matcher
+    # the PPJoin-style prefix tier must find the SAME matches: the
+    # prefix-filter theorem guarantees a qualifying pair's rarest-gram
+    # prefixes intersect, so only spurious candidates are pruned.  This
+    # corpus has 7-9 grams/record vs prefix length 7, so pruning is live
+    # for the longer words.
+    got_pfx = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(
+            df, max_dist=2, gram_k=3, max_gram_df=None, prefix_blocking=True
+        ).collect()
+    }
+    assert got_pfx == exp
+    # tighter band: max_dist=1 -> prefix length 4, heavier pruning
+    exp1 = {p: d for p, d in exp.items() if d <= 1}
+    got_pfx1 = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(
+            df, max_dist=1, gram_k=3, max_gram_df=None, prefix_blocking=True
+        ).collect()
+    }
+    assert got_pfx1 == exp1
 
 
 def test_edit_distance_pairs_edges(spark):
