@@ -514,7 +514,11 @@ def target_encode(
     if prior is None:
         prior = df.agg(F.avg(y_valid)).collect()[0][0]
         if prior is None:
-            raise ValueError("target_encode: no non-NULL labels for the prior")
+            # empty frame / all-NULL labels: the prior — and with it every
+            # encoding — is undefined.  Emit NULL te with the stable schema
+            # (an upstream filter matching nothing must flow through, r9
+            # empty-relation audit) instead of raising.
+            return df.withColumn(out, F.lit(None).cast("double"))
     stats = df.groupBy(*by_list).agg(
         F.count(y_valid).alias("__te_n"), F.sum(y_valid).alias("__te_s")
     )

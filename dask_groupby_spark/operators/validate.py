@@ -248,12 +248,19 @@ def k_anonymity(
         )
     viol = F.col("group_size") < k
     return sizes.agg(
-        F.sum("group_size").cast("bigint").alias("n_rows"),
+        # coalesce the sums/flags: over an EMPTY frame the summary row
+        # still renders (0 rows, 0 groups, vacuously k-anonymous), not a
+        # row of NULLs (r9 empty-relation audit); min_group_size stays
+        # NULL — there is no smallest group
+        F.coalesce(F.sum("group_size").cast("bigint"), F.lit(0)).alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
         F.min("group_size").cast("bigint").alias("min_group_size"),
-        F.sum(viol.cast("bigint")).cast("bigint").alias("n_violating_groups"),
-        F.sum(F.when(viol, F.col("group_size")).otherwise(0))
-        .cast("bigint")
-        .alias("n_violating_rows"),
-        (F.min("group_size") >= k).alias("k_anon"),
+        F.coalesce(
+            F.sum(viol.cast("bigint")).cast("bigint"), F.lit(0)
+        ).alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(viol, F.col("group_size")).otherwise(0)).cast("bigint"),
+            F.lit(0),
+        ).alias("n_violating_rows"),
+        F.coalesce(F.min("group_size") >= k, F.lit(True)).alias("k_anon"),
     )

@@ -208,34 +208,39 @@ class TestParaDedupOracleAgreement:
 
 
 class TestWindowRotation:
-    def test_r8_window_front_and_freshness(self):
-        """VERDICT r7 item 3: the r8 first-50 window = the red-fixed key
-        FIRST (sql_entry), this round's promotions/first-registrations,
-        then a pure freshness re-check of the oldest official rows (all
-        20 r3-era keys + the alphabetical head of the r4 block) — this
-        test makes the rotation un-revertable.  (The r7 window — the
-        parked 26 + media/bm25/leak_split — earned its official rows in
-        CORRECTNESS_r07.json and rotated out.)"""
+    def test_r9_window_front_and_freshness(self):
+        """VERDICT r8 item 1: the r9 first-50 window = the 20 keys with
+        no official driver row yet (first-registered late in r8) at the
+        FRONT, then a pure freshness re-check of the oldest official
+        rows (all 25 r4-row keys + the alphabetical head of the r6
+        block) — this test makes the rotation un-revertable.  (The r8
+        window — sql_entry + promotions + r3-era/r4-head freshness —
+        earned its official rows in CORRECTNESS_r08.json, 50/50 green,
+        and rotated out.)"""
         import sys
 
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import __spark_entry__ as entrymod
 
         window = list(entrymod._QUERIES)[:50]
-        assert window[0] == "sql_entry"  # red keys first, fixed first
-        new_r8 = {
-            "pca_embed", "keep_by_dedup", "audio_neardup",
-            "scan_two_pass", "scan_two_pass_ffill", "rank_two_pass",
+        no_row_yet = {
+            "funnel", "funnel_window", "funnel_timing", "retention",
+            "kmv_distinct", "kmv_overlap", "linreg", "grouped_linreg",
+            "logreg_quality", "grouped_logreg", "target_encode", "qcut",
+            "qcut_grouped", "qcut_two_pass", "dsir", "ann_recall",
+            "k_anonymity", "ngram_containment", "fuzzy_match",
+            "json_extract",
         }
-        assert new_r8 <= set(window[:7])
-        r3_era = {
-            "rollup", "ewma_scan", "text_stats", "langid", "ann_ivf",
-            "ann_lsh", "ann_topk", "asof_join", "centroids", "curate",
-            "decontaminate", "fingerprint", "group_topk", "repetition",
-            "rolling", "sample_per_group", "split", "tfidf", "top_terms",
-            "wmean",
+        assert set(window[:20]) == no_row_yet  # driver-unverified first
+        r4_era = {
+            "nanquantile_vec", "nanstd", "nansum", "nanvar", "nunique",
+            "pack", "prod", "quantile", "range_join", "resample_time",
+            "sessionize", "std", "stream_agg", "stream_enrich",
+            "stream_join", "stream_session", "stream_sliding",
+            "stream_window", "sum", "twa", "var", "winsorize",
+            "wquantile_sketch", "xdim_bins", "xdim_dataset",
         }
-        assert r3_era <= set(window)
+        assert r4_era <= set(window)
         assert len(window) == len(set(window)) == 50
 
 
