@@ -135,18 +135,19 @@ def bpe_train(
     # outgrows pair_collect_threshold.
     import heapq
 
-    initial = _pair_counts(words)
+    # Materialize the vocabulary-wide aggregate ONCE; the tier probe below
+    # reads the checkpointed result, so the overflow path never re-runs the
+    # explode+groupBy it already paid for.
+    pc: "DataFrame | None" = _pair_counts(words).localCheckpoint(eager=True)
     pairs: "dict[tuple[str, str], int] | None" = None
     heap: list = []
-    pc: "DataFrame | None" = None
     if pair_collect_threshold:
-        rows = initial.limit(pair_collect_threshold + 1).collect()
+        rows = pc.limit(pair_collect_threshold + 1).collect()
         if len(rows) <= pair_collect_threshold:
             pairs = {(r["a"], r["b"]): r["n"] for r in rows}
             heap = [(-n, a, b) for (a, b), n in pairs.items()]
             heapq.heapify(heap)
-    if pairs is None:
-        pc = initial.localCheckpoint(eager=True)
+            pc = None
 
     def _spill_to_df():
         nonlocal pc, pairs, heap

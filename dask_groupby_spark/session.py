@@ -18,6 +18,7 @@ def get_spark(
     app_name: str = "dask-groupby-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: "dict[str, str] | None" = None,
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     shuffle_partitions = shuffle_partitions or cpus
@@ -53,4 +54,6 @@ def get_spark(
         # maxPartitionBytes governs scan granularity instead
         .config("spark.sql.files.maxPartitionBytes", "128MB")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

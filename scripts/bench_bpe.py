@@ -19,7 +19,11 @@ from dask_groupby_spark.sources import load_table
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    spark = get_spark("bench-bpe")
+    # getJobIdsForGroup reads the AppStatusStore, which evicts jobs past
+    # spark.ui.retainedJobs (default 1000) — a 256-merge delta run exceeds
+    # that and would silently undercount.  Raise the retention well above
+    # any merge count this probe runs at.
+    spark = get_spark("bench-bpe", extra_conf={"spark.ui.retainedJobs": "100000"})
     if sf.startswith("synth:"):
         # big-vocabulary mode: N distinct 12-hex-char words (the testdata
         # documents table has a tiny fixed dictionary that exhausts in

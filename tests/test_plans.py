@@ -602,3 +602,24 @@ def test_retention_persists_activity(spark):
         assert "InMemoryTableScan" in plan, plan
     finally:
         out.retention_activity.unpersist()
+
+
+def test_target_encode_broadcast_join_back(spark):
+    """target_encode: the category-stats table joins back BROADCAST — the
+    fact table is never shuffled on the category key (a hot category is
+    absorbed by the map-combined stats aggregate), and the stats aggregate
+    itself is partial->final with one Exchange."""
+    from dask_groupby_spark.operators import target_encode
+    from dask_groupby_spark.sources import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    out = target_encode(li, "l_returnflag", label="l_quantity", prior=25.0)
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    # one Exchange for the stats aggregate + the broadcast exchange only
+    import re as _re
+
+    shuffles = _re.findall(r"^\(\d+\) Exchange", plan, _re.M)
+    assert len(shuffles) <= 1, plan
