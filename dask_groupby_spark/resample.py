@@ -85,6 +85,8 @@ def resample(
     ``expected_groups`` = (grid, observed keys).
     """
     width, calendar = _parse_every(every)
+    if width is not None and width <= 0:
+        raise ValueError(f"every must be a positive width, got {every!r}")
     # canonicalize NTZ → TIMESTAMP so both the date_trunc label dtype and the
     # seconds arithmetic below are well-defined (and match the DuckDB oracle)
     df = dt_rules.normalize_time(df, ts_col)
@@ -112,11 +114,20 @@ def resample(
         if calendar:
             step = f"interval 1 {calendar}"
         else:
-            step = f"interval {int(width)} seconds"
-        # lazy grid: aggregate the bucket bounds and explode the sequence —
-        # no driver action at construction time (the reference builds its
-        # graph lazily likewise); |grid| rows from a 1-row aggregate
-        grid = work.select(F.min(label).alias("__lo"), F.max(label).alias("__hi")).select(
+            # make_dt_interval keeps fractional-second widths exact — an
+            # int() truncation here would build a grid the real buckets
+            # don't land on, and the grid-preserving join would then drop
+            # every aggregated bucket (r9 review)
+            step = f"make_dt_interval(0, 0, 0, {float(width)!r})"
+        # the aggregate feeds THREE consumers below (grid bounds, the key
+        # domain, the outer join) and AQE never reuses an Exchange across
+        # consumers — persist it (lazy: no driver action at construction
+        # time; the unpersist handle is exposed as ``.resample_agg``)
+        out = out.persist()
+        # lazy grid: bounds from the AGGREGATED table — it has one row per
+        # observed bucket, so min/max(label) match the fact table's and the
+        # grid costs a 1-row aggregate over the cache, not a third fact scan
+        grid = out.select(F.min(label).alias("__lo"), F.max(label).alias("__hi")).select(
             F.explode(
                 F.sequence(F.col("__lo"), F.col("__hi"), F.expr(step))
             ).alias(label)
@@ -141,6 +152,8 @@ def resample(
             if fill_value is not None
             else dt_rules.na_lit(res_dt)  # empty cell → dtype NA
         )
+        agg = out
         out = joined.withColumn(out_name, F.coalesce(F.col(out_name), fill))
         out = out.orderBy(label, *extra_by)
+        out.resample_agg = agg
     return out

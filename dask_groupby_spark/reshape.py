@@ -101,6 +101,16 @@ def groupby_pivot(
             a = F.coalesce(a, F.lit(fill_value))
         name = f"{prefix}{v}".replace(".", "_").replace("-", "_")
         aggs.append(a.alias(name))
+    names = [
+        f"{prefix}{v}".replace(".", "_").replace("-", "_") for v in col_values
+    ]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"groupby_pivot: distinct col_by labels sanitize to the same "
+            f"output column(s) {sorted(dupes)} — disambiguate the labels or "
+            f"set prefix="
+        )
     out = df.groupBy(row_by).agg(*aggs)
     return out.orderBy(row_by) if sort else out
 

@@ -68,6 +68,15 @@ def groupby_rolling(
         raise ValueError(f"unsupported rolling funcs {bad}; one of {ROLLING_FUNCS}")
     if window < 1:
         raise ValueError("window must be >= 1")
+    clash = [c for c in df.columns if c.startswith("__ro_")]
+    if clash:
+        # the fixed helper names below would overwrite and then drop a
+        # same-named input column silently (r9 review; same guard class as
+        # redact_pii / groupby_rank)
+        raise ValueError(
+            f"groupby_rolling: input column(s) {clash} collide with the "
+            "internal __ro_* namespace — rename them first"
+        )
 
     v = F.col(value)
     dt = df.schema[value].dataType.simpleString()

@@ -32,6 +32,45 @@ from ..aggregations import AGGREGATIONS
 from ..core import _make_ctx
 from ..dtypes import normalize_time
 
+# Registry functions whose Catalyst aggregate cannot run under a streaming
+# state store even though they pass the grouped_build/needs_idx gate:
+# median/quantile buffer EVERY value of the group (Percentile is a
+# TypedImperativeAggregate with O(rows) state — the watermark prunes
+# windows, not within-window buffers), and nunique lowers to a distinct
+# aggregation, which streaming rejects at analysis.  The approx_* sketch
+# forms (HLL / ApproximatePercentile) are the supported alternatives.
+_STREAMING_UNSUPPORTED = frozenset(
+    {"median", "nanmedian", "quantile", "nanquantile", "nunique"}
+)
+
+
+def _stream_spec(stream: DataFrame, func: str, value: str):
+    """Gate + input prep shared by the streaming reducers: reject
+    order-sensitive / holistic-buffer / distinct reductions, drop
+    missing-label rows is the CALLER's job (keys vary), and apply the same
+    bool→int cast batch ``groupby_reduce`` applies (core.py step 0) so the
+    'same aggregation registry' contract holds for boolean columns."""
+    spec = AGGREGATIONS[func]
+    if spec.grouped_build or spec.needs_idx or spec.name in _STREAMING_UNSUPPORTED:
+        raise ValueError(f"{func} is not supported in streaming mode")
+    if spec.bool_to_int and isinstance(
+        stream.schema[value].dataType, T.BooleanType
+    ):
+        stream = stream.withColumn(value, F.col(value).cast("long"))
+    return spec, stream
+
+
+def _drop_missing_keys(stream: DataFrame, by: tuple) -> DataFrame:
+    """flox NaN-label exclusion, streaming edition: batch groupby_reduce
+    drops rows whose group label is NULL/NaN (core.py step 1) — the
+    streaming analogs must agree on feeds containing missing keys."""
+    for b in by:
+        cond = F.col(b).isNotNull()
+        if isinstance(stream.schema[b].dataType, (T.FloatType, T.DoubleType)):
+            cond = cond & ~F.isnan(F.col(b))
+        stream = stream.filter(cond)
+    return stream
+
 
 def windowed_reduce(
     stream: DataFrame,
@@ -50,13 +89,12 @@ def windowed_reduce(
     window's rows; rows later than ``watermark`` behind the max seen event
     time are dropped and their window state reclaimed.
     """
-    spec = AGGREGATIONS[func]
-    if spec.grouped_build or spec.needs_idx:
-        raise ValueError(f"{func} is not supported in streaming mode")
+    spec, stream = _stream_spec(stream, func, value)
     out = alias or func
     # watermarks require TIMESTAMP — NTZ event time throws
     # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE (plain projection, streaming-safe)
     stream = normalize_time(stream, ts_col)
+    stream = _drop_missing_keys(stream, by)
     ctx = _make_ctx(stream, value, None, {})
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
@@ -94,13 +132,12 @@ def windowed_agg(
     :func:`windowed_reduce`.
     """
     stream = normalize_time(stream, ts_col)
+    stream = _drop_missing_keys(stream, by)
     aggs = []
     for item in funcs:
         name, vcol, out = item[0], item[1], item[2]
         kw = dict(item[3]) if len(item) > 3 else {}
-        spec = AGGREGATIONS[name]
-        if spec.grouped_build or spec.needs_idx:
-            raise ValueError(f"{name} is not supported in streaming mode")
+        spec, stream = _stream_spec(stream, name, vcol)
         ctx = _make_ctx(stream, vcol, None, kw)
         aggs.append(spec.build(ctx).alias(out))
     win = (
@@ -235,11 +272,10 @@ def session_reduce(
     goes quiet for ``gap`` closes its session and frees its state, so state
     size is O(active keys), not O(stream length).
     """
-    spec = AGGREGATIONS[func]
-    if spec.grouped_build or spec.needs_idx:
-        raise ValueError(f"{func} is not supported in streaming mode")
+    spec, stream = _stream_spec(stream, func, value)
     out = alias or func
     stream = normalize_time(stream, ts_col)
+    stream = _drop_missing_keys(stream, by)
     ctx = _make_ctx(stream, value, None, {})
     return (
         stream.withWatermark(ts_col, watermark)
@@ -305,8 +341,15 @@ def streaming_ffill(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         last = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        # Arrow delivers a key's batch rows as MULTIPLE chunks (maxRecordsPerBatch)
+        # with no global ts order — sorting per chunk would fill earlier-ts rows
+        # from a later-ts chunk and persist the wrong `last`.  Concat the key's
+        # chunks (bounded by its rows in THIS micro-batch) and sort once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ts_col, kind="stable"
+            )
             vals = pdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
             filled = vals.copy()
             for i in range(len(filled)):
@@ -439,38 +482,44 @@ def stream_ingest_dedup(
             spark, index_path, batch, id_col, text_col,
             threshold=threshold, max_pushdown_buckets=max_pushdown_buckets,
         )
-        dup_vs_index = nd.select(F.col("new_id").alias(id_col)).distinct()
-        remaining = batch.join(dup_vs_index, on=id_col, how="left_anti")
-        sig = minhash_signatures(
-            remaining, id_col, text_col,
-            meta["num_hashes"], meta["shingle_k"], meta["hasher"],
-        )
-        h = meta["num_hashes"]
-        agree = sum(
-            F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
-            for i in range(h)
-        )
-        intra_losers = (
-            lsh_candidate_pairs(sig, h, meta["bands"], meta["hasher"])
-            .join(sig.alias("a"), F.col("id_a") == F.col("a.id"))
-            .join(sig.alias("b"), F.col("id_b") == F.col("b.id"))
-            .where(agree / F.lit(float(h)) >= threshold)
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
-        )
-        survivors = remaining.join(intra_losers, on=id_col, how="left_anti")
-        survivors = survivors.localCheckpoint(eager=True)  # written twice
-        survivors.write.mode("append").parquet(out_path)
-        if append_survivors:
-            minhash_index_write(
-                survivors, index_path, id_col, text_col,
-                meta["num_hashes"], meta["bands"], meta["shingle_k"],
-                meta["hasher"], mode="append",
+        # finally-guarded: a transient sink failure must not leak the
+        # batch's persisted signature table into the next trigger (r7:
+        # the batch is sketched once per trigger; without the unpersist,
+        # state accumulates across micro-batches until LRU eviction)
+        try:
+            dup_vs_index = nd.select(F.col("new_id").alias(id_col)).distinct()
+            remaining = batch.join(dup_vs_index, on=id_col, how="left_anti")
+            # the intra-batch signature table feeds THREE consumers
+            # (bucketing + both verify sides) — materialize it once, same
+            # rule as nd.batch_signatures for the cross-batch path
+            sig = minhash_signatures(
+                remaining, id_col, text_col,
+                meta["num_hashes"], meta["shingle_k"], meta["hasher"],
+            ).localCheckpoint(eager=True)
+            h = meta["num_hashes"]
+            agree = sum(
+                F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+                for i in range(h)
             )
-        # release the batch's persisted signature table (r7: the batch is
-        # sketched once per trigger; without this, state accumulates
-        # across micro-batches until LRU eviction)
-        nd.batch_signatures.unpersist()
+            intra_losers = (
+                lsh_candidate_pairs(sig, h, meta["bands"], meta["hasher"])
+                .join(sig.alias("a"), F.col("id_a") == F.col("a.id"))
+                .join(sig.alias("b"), F.col("id_b") == F.col("b.id"))
+                .where(agree / F.lit(float(h)) >= threshold)
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+            )
+            survivors = remaining.join(intra_losers, on=id_col, how="left_anti")
+            survivors = survivors.localCheckpoint(eager=True)  # written twice
+            survivors.write.mode("append").parquet(out_path)
+            if append_survivors:
+                minhash_index_write(
+                    survivors, index_path, id_col, text_col,
+                    meta["num_hashes"], meta["bands"], meta["shingle_k"],
+                    meta["hasher"], mode="append",
+                )
+        finally:
+            nd.batch_signatures.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(process)

@@ -100,3 +100,41 @@ def test_resample_dense_extra_key_full_grid(spark):
     }
     # no NULL-key rows (the pre-fix degraded behavior)
     assert all(r["k"] is not None for r in out)
+
+
+def test_resample_dense_fractional_second_width(spark):
+    """A fractional-second width must build its dense grid on the REAL
+    bucket positions (r9 review: int() truncation made the grid-preserving
+    join drop every aggregated bucket past the first)."""
+    import datetime
+
+    from dask_groupby_spark.resample import resample
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(seconds=s), float(i))
+        for i, s in enumerate([0.0, 0.6, 1.2, 3.1])
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = resample(df, "ts", 0.5, "nansum", "v", dense=True)
+    got = {r["bucket"].isoformat(): r["nansum"] for r in out.collect()}
+    # buckets at 0.0, 0.5, 1.0, 3.0 observed; dense adds the empty steps
+    assert got["2024-01-01T00:00:00"] == 0.0
+    assert got["2024-01-01T00:00:00.500000"] == 1.0
+    assert got["2024-01-01T00:00:01"] == 2.0
+    assert got["2024-01-01T00:00:03"] == 3.0
+    assert math.isnan(got["2024-01-01T00:00:01.500000"])  # empty grid cell
+    assert len(got) == 7  # 0.0 .. 3.0 every 0.5s
+    out.resample_agg.unpersist()
+
+
+def test_resample_rejects_nonpositive_width(spark):
+    import pytest as _pytest
+
+    from dask_groupby_spark.resample import resample
+
+    df = spark.createDataFrame([(None, 1.0)], "ts timestamp, v double")
+    with _pytest.raises(ValueError, match="positive"):
+        resample(df, "ts", 0, "nansum", "v")
+    with _pytest.raises(ValueError, match="positive"):
+        resample(df, "ts", -3.5, "nansum", "v")

@@ -91,3 +91,20 @@ def test_pivot_discovery_guard(spark):
         "id % 3 as g", "concat('s', id % 4) as c", "cast(id as double) as value"
     )
     assert len(groupby_pivot(small, "g", "c").columns) == 1 + 4
+
+
+def test_pivot_sanitized_name_collision_raises(spark):
+    """'a.b' and 'a-b' both sanitize to 'a_b' — emitting two identically
+    named columns breaks every downstream select (r9 review)."""
+    import pytest as _pytest
+
+    from dask_groupby_spark.reshape import groupby_pivot
+
+    df = spark.createDataFrame(
+        [(1, "a.b", 1.0), (1, "a-b", 2.0)], "k bigint, c string, v double"
+    )
+    with _pytest.raises(ValueError, match="sanitize to the same"):
+        groupby_pivot(
+            df, "k", col_by="c", value="v", func="nansum",
+            col_values=["a.b", "a-b"],
+        )

@@ -68,3 +68,15 @@ def test_rolling_range_frame(spark):
     )
     got = {r["idx"]: r["rolling_sum"] for r in out.collect()}
     assert got == {0: 1.0, 3: 3.0, 10: 4.0, 12: 12.0}
+
+
+def test_rolling_internal_collision_guard(spark):
+    import pytest as _pytest
+
+    from dask_groupby_spark.rolling import groupby_rolling
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0, 0.0)], "k bigint, i bigint, v double, __ro_n double"
+    )
+    with _pytest.raises(ValueError, match="__ro_"):
+        groupby_rolling(df, "k", funcs="mean", value="v", idx_col="i", window=2)

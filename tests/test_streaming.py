@@ -939,3 +939,111 @@ def test_streaming_cumsum_string_keys(spark, tmpdir):
         for r in spark.sql("select * from strsum").collect()
     }
     assert got == {"a": (2, 4.0), "b": (1, 2.0)}
+
+
+def test_streaming_rejects_holistic_funcs(spark, tmpdir):
+    """median/quantile buffer O(rows) per group in a state store and
+    nunique lowers to a streaming-unsupported distinct aggregate — the
+    gate must reject them up front (r9 review), not let the state grow
+    unbounded / fail at analysis."""
+    import pytest as _pytest
+
+    from dask_groupby_spark.streaming import (
+        session_reduce,
+        windowed_agg,
+        windowed_reduce,
+    )
+
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1.0)],
+        "key bigint, ts timestamp, v double",
+    ).write.mode("overwrite").parquet(f"{tmpdir}/in/h1")
+    stream = (
+        spark.readStream.schema("key bigint, ts timestamp, v double")
+        .parquet(f"{tmpdir}/in/*")
+    )
+    for bad in ("median", "nanmedian", "quantile", "nanquantile", "nunique"):
+        with _pytest.raises(ValueError, match="not supported in streaming"):
+            windowed_reduce(stream, "key", func=bad, value="v")
+        with _pytest.raises(ValueError, match="not supported in streaming"):
+            session_reduce(stream, "key", func=bad, value="v")
+        with _pytest.raises(ValueError, match="not supported in streaming"):
+            windowed_agg(stream, "key", funcs=[(bad, "v", "x")])
+    # the sketch alternatives stay available
+    windowed_reduce(stream, "key", func="approx_nunique", value="v")
+    windowed_reduce(stream, "key", func="approx_median", value="v")
+
+
+def test_windowed_reduce_bool_values_and_null_keys_match_batch(spark, tmpdir):
+    """Batch-parity (r9 review): boolean values get the registry's
+    bool->int cast (nansum of flags = flag count) and NULL-keyed rows are
+    dropped exactly like batch groupby_reduce's missing-label exclusion."""
+    from dask_groupby_spark.streaming import windowed_reduce
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (1, base, True),
+        (1, base + datetime.timedelta(minutes=1), False),
+        (1, base + datetime.timedelta(minutes=2), True),
+        (None, base + datetime.timedelta(minutes=3), True),
+    ]
+    spark.createDataFrame(
+        rows, "key bigint, ts timestamp, flag boolean"
+    ).coalesce(1).write.parquet(f"{tmpdir}/in/b1")
+    stream = (
+        spark.readStream.schema("key bigint, ts timestamp, flag boolean")
+        .parquet(f"{tmpdir}/in/*")
+    )
+    out = windowed_reduce(
+        stream, "key", func="nansum", value="flag", window="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("boolsum")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select key, nansum from boolsum").collect()
+    assert {(r["key"], r["nansum"]) for r in got} == {(1, 2)}
+
+
+def test_streaming_ffill_multichunk_event_order(spark, tmpdir):
+    """A key whose micro-batch rows span several Arrow chunks must be
+    forward-filled in GLOBAL event-time order (r9 review: per-chunk
+    sorting filled earlier rows from a later-ts chunk and persisted the
+    wrong last-value)."""
+    from dask_groupby_spark.streaming import streaming_ffill
+
+    base = datetime.datetime(2024, 6, 1)
+    t = lambda m: base + datetime.timedelta(minutes=m)
+    # written in DESCENDING ts order so chunk 1 holds the latest rows
+    rows = [(1, t(5), 50.0), (1, t(4), None), (1, t(1), 10.0), (1, t(0), None)]
+    spark.createDataFrame(
+        rows, "key bigint, ts timestamp, v double"
+    ).coalesce(1).write.parquet(f"{tmpdir}/in/m1")
+    stream = (
+        spark.readStream.schema("key bigint, ts timestamp, v double")
+        .parquet(f"{tmpdir}/in/*")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = streaming_ffill(stream, "key", "v", ts_col="ts")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ffillchunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r["ts"].minute: r["ffill"]
+           for r in spark.sql("select * from ffillchunks").collect()}
+    assert got[0] is None          # nothing before t0 — never fill from t5
+    assert got[1] == 10.0
+    assert got[4] == 10.0          # filled from t1, not from the later t5
+    assert got[5] == 50.0
