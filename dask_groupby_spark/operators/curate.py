@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _hasher, _shingle_rows
+from .dedup import _hash_domain, _hasher, _shingle_rows
 from .text import add_text_features
 
 
@@ -78,10 +78,13 @@ def train_test_split(
     """
     if not (0.0 <= test_frac <= 1.0):
         raise ValueError("test_frac must be in [0, 1]")
+    if out_col in df.columns:
+        raise ValueError(
+            f"out_col={out_col!r} collides with an existing column — "
+            "rename it first"
+        )
     h = _hasher(hasher)(F.col(id_col).cast("string"), seed)
-    cut = int(test_frac * float(1 << 60))
-    # portable hash is 60-bit; fast hash 63-bit → rescale to the same domain
-    dom = F.lit(cut if hasher == "portable" else int(test_frac * float(1 << 63)))
+    dom = F.lit(int(test_frac * _hash_domain(hasher)))
     return df.withColumn(
         out_col, F.when(h < dom, F.lit("test")).otherwise(F.lit("train"))
     )
@@ -195,7 +198,14 @@ def decontaminate(
 
 def _bloom_probe(col, i: int, m_bits: int, hasher: str):
     """i-th probe position via double hashing h1 + i*h2 (classic Kirsch-
-    Mitzenmacher construction: 2 base hashes serve any k)."""
+    Mitzenmacher construction: 2 base hashes serve any k).
+
+    Deliberately NOT shared with ``joins.bloom_bits_table``: that filter
+    pays k independent seeded hashes for a lower adversarial-correlation
+    FP profile on join keys, while this one serves high-volume shingle
+    decontamination where the 2-hash KM construction costs 2 hashes per
+    element at any k.  Both bit layouts are pinned by their own contract
+    oracles — keep the math with its oracle."""
     from .dedup import _hasher
 
     h = _hasher(hasher)
@@ -345,7 +355,12 @@ def mixture_sample(
     for v in rates.values():
         if v < 0:
             raise ValueError("rates must be >= 0")
-    dom = float(1 << 60) if hasher == "portable" else float(1 << 63)
+    if copy_col in df.columns:
+        raise ValueError(
+            f"copy_col={copy_col!r} collides with an existing column — "
+            "rename it first (e.g. a prior mixture_sample pass)"
+        )
+    dom = _hash_domain(hasher)
     h = _hasher(hasher)(F.col(id_col).cast("string"), seed)
     rate = F.lit(float(default_rate))
     for k, v in rates.items():
@@ -366,6 +381,7 @@ def pack_sequences(
     order_col: str,
     capacity: int,
     bin_col: str = "bin_id",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Greedy sequential bin packing: within each group, walk rows in
     ``order_col`` order and start a new bin whenever adding the row would
@@ -373,6 +389,12 @@ def pack_sequences(
     that assembles documents into fixed-token-budget training examples.
     A row larger than ``capacity`` gets a bin of its own.  Bins are
     numbered 0.. per group.
+
+    If ``order_col`` can contain DUPLICATES within a group, pass
+    ``tiebreak=`` (a unique column): tied rows otherwise keep their
+    shuffle-arrival order, so which of two tied docs overflows into the
+    next bin flips between runs/retries (same convention as
+    ``time_weighted_mean``).
 
     The running-total-with-reset is a linear recurrence — same class as
     EWMA (udaf.py): not expressible as a Spark window, so each group runs
@@ -390,8 +412,10 @@ def pack_sequences(
     # copy — StructType.add would mutate df's own schema object in place
     out_schema = T.StructType(df.schema.fields + [T.StructField(bin_col, T.LongType())])
 
+    sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
+
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         sizes = pdf[size_col].to_numpy()
         bins = [0] * len(sizes)
         b, acc = 0, 0
@@ -447,6 +471,13 @@ def redact_pii(
             f"out={out!r} collides with an existing column — the result "
             "would carry two columns of that name"
         )
+    if counts:
+        n_clash = [f"{k}_n" for k in pats if f"{k}_n" in df.columns]
+        if n_clash:
+            raise ValueError(
+                f"counts column(s) {n_clash} collide with existing columns "
+                "— rename them first (e.g. a prior redact_pii pass)"
+            )
     red = F.col(text_col)
     for kind, pat in pats.items():
         red = F.regexp_replace(red, F.lit(pat), F.lit(f"<{kind.upper()}>"))

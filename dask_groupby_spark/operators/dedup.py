@@ -58,6 +58,15 @@ def _hasher(name: str):
     raise ValueError(f"unknown hasher {name!r} (expected 'fast' or 'portable')")
 
 
+def _hash_domain(name: str) -> float:
+    """Output-domain size of :func:`_hasher`'s hashes — 2^60 (portable) /
+    2^63 (fast).  Lives HERE, next to the masking it mirrors, so rate /
+    threshold call sites (train_test_split, mixture_sample, KMV) can't
+    silently skew if the masking ever changes."""
+    _hasher(name)  # validate the name with the canonical error
+    return float(1 << 60) if name == "portable" else float(1 << 63)
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content digest: one row per distinct content with its
     occurrence count and canonical (minimum) id."""

@@ -148,6 +148,12 @@ def pagerank(
         base = base.select("id", "__deg", F.lit(1.0 / n).alias("__t"))
 
     d = float(damping)
+    # dangling-mass jobs are per-ITERATION — skip them all when the graph
+    # has no dangling node at all (one cheap existence probe on the
+    # checkpointed node table; common after edge cleanup)
+    has_dangling = (
+        base.where(F.col("__deg") == 0).limit(1).count() > 0
+    )
     ranks = base.select("id", "__deg", "__t", F.col("__t").alias("rank"))
     for _ in range(iters):
         # mass parked on dangling nodes, redistributed over the teleport
@@ -155,7 +161,7 @@ def pagerank(
         dangling = (
             ranks.where(F.col("__deg") == 0).agg(F.sum("rank")).collect()[0][0]
             or 0.0
-        )
+        ) if has_dangling else 0.0
         contribs = (
             ranks.where(F.col("__deg") > 0)
             .join(e, ranks["id"] == e["src"])

@@ -123,6 +123,13 @@ def asof_join(
     ]
     ltypes = dict(left.dtypes)
     lcols = list(left.columns)
+    # same guard as range_join/salted_join/interval_overlap_join: a suffixed
+    # output name colliding with a left column (or rcols containing `on`,
+    # which would duplicate f"{on}{suffix}") silently emits duplicate columns
+    out_names = [f"{c}{suffix}" for c in rcols] + [f"{on}{suffix}"]
+    for n in out_names:
+        if n in lcols or out_names.count(n) > 1:
+            raise ValueError(f"suffixed column {n!r} still collides")
 
     # the whole candidate right row as one nullable struct (__rts = its ts);
     # NULL on left rows and on right rows with NULL ts (never matchable).

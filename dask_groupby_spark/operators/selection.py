@@ -44,6 +44,11 @@ def grouped_topk(
     ``skew_salt``: without a total order, which tied row survives the k
     boundary would depend on the (retry-variant) physical row placement.
     """
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank_col={rank_col!r} collides with an existing column — "
+            "rename it first (e.g. a prior grouped_topk pass)"
+        )
     order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
@@ -93,6 +98,10 @@ def sessionize(
     """
     from ..dtypes import time_to_seconds
 
+    if out in df.columns:
+        raise ValueError(
+            f"out={out!r} collides with an existing column — rename it first"
+        )
     ts = time_to_seconds(df, ts_col)
     if method == "two_pass":
         from ..two_pass import sessionize_two_pass

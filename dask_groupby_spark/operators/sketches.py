@@ -376,7 +376,12 @@ def ks_from_histograms(
 # keys pin against COUNT(DISTINCT) oracles.
 # ---------------------------------------------------------------------------
 
-_KMV_DOMAIN = {"fast": float(1 << 63), "portable": float(1 << 60)}
+def _KMV_DOMAIN(hasher: str) -> float:
+    # single source of truth for the hashers' output domains (r9 review:
+    # the 2^60/2^63 constants were duplicated across three modules)
+    from .dedup import _hash_domain
+
+    return _hash_domain(hasher)
 
 
 def kmv_sketch_table(
@@ -507,7 +512,7 @@ def kmv_distinct(
     needed — HLL state is smaller; KMV buys the set operations."""
     sk = kmv_sketch_table(df, *by, value=value, k=k, hasher=hasher, method=method)
     return sk.select(
-        *by, _kmv_estimate(F.col("kmv"), k, _KMV_DOMAIN[hasher]).alias(out)
+        *by, _kmv_estimate(F.col("kmv"), k, _KMV_DOMAIN(hasher)).alias(out)
     )
 
 
@@ -542,7 +547,7 @@ def kmv_overlap(
     group, k bigints each) — never on the raw data; with G groups this is
     a G²/2 broadcast join of KB-sized rows.
     """
-    domain = _KMV_DOMAIN[hasher]
+    domain = _KMV_DOMAIN(hasher)
     a = sketches.select(
         F.col(group_col).alias("group_a"), F.col("kmv").alias("__kmv_a")
     )

@@ -317,6 +317,11 @@ def time_weighted_mean(
     from ..dtypes import time_to_seconds
 
     ok = _valid(df, value) & F.col(ts_col).isNotNull()
+    # a NaN timestamp sorts LAST, so letting it through poisons the whole
+    # group: the previous row's lead-duration becomes NaN and the duration
+    # sum with it (r9 review) — exclude it like every other missing value
+    if isinstance(df.schema[ts_col].dataType, (T.FloatType, T.DoubleType)):
+        ok = ok & ~F.isnan(F.col(ts_col))
     base = df.where(ok).select(
         *by,
         time_to_seconds(df, ts_col).alias("__t"),

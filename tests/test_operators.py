@@ -1550,3 +1550,101 @@ def test_edit_distance_pairs_edges(spark):
         edit_distance_pairs(df, max_dist=-1)
     with _pytest.raises(ValueError):
         edit_distance_pairs(df, gram_k=0)
+
+
+# --- r9 module-audit regressions (joins/curate/selection/weighted/graph) ---
+
+
+def test_asof_join_suffix_collision_raises(spark):
+    import pytest as _pytest
+
+    from dask_groupby_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1.0, 1.0, 2.0)], "ts double, v double, price_right double"
+    )
+    right = spark.createDataFrame([(0.5, 3.0)], "ts double, price double")
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, on="ts", right_cols=["price"])
+    # rcols including `on` would emit f"{on}{suffix}" twice
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(
+            left.select("ts", "v"), right, on="ts", right_cols=["ts", "price"]
+        )
+
+
+def test_time_weighted_mean_nan_ts_excluded(spark):
+    """A NaN timestamp must be excluded like a NULL one — it sorts last and
+    used to poison the whole group's duration sum (r9 review)."""
+    from dask_groupby_spark.operators.weighted import time_weighted_mean
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("a", 10.0, 20.0), ("a", float("nan"), 99.0)],
+        "k string, t double, v double",
+    )
+    got = {r["k"]: r["twa"] for r in
+           time_weighted_mean(df, "k", value="v", ts_col="t").collect()}
+    # 10.0 held for 10s, 20.0 for 0s (last) -> twa = 10.0
+    assert got["a"] == 10.0
+
+
+def test_pack_sequences_tiebreak_deterministic(spark):
+    from dask_groupby_spark.operators.curate import pack_sequences
+
+    rows = [("g", i, 5, 60.0) for i in range(8)]  # all order ties
+    df = spark.createDataFrame(rows, "g string, id bigint, sz bigint, o double")
+    a = pack_sequences(
+        df, "g", size_col="sz", order_col="o", capacity=10, tiebreak="id"
+    ).orderBy("id").collect()
+    b = pack_sequences(
+        df.repartition(7), "g", size_col="sz", order_col="o", capacity=10,
+        tiebreak="id",
+    ).orderBy("id").collect()
+    assert [r["bin_id"] for r in a] == [r["bin_id"] for r in b]
+    assert [r["bin_id"] for r in a] == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_curation_collision_guards(spark):
+    import pytest as _pytest
+
+    from dask_groupby_spark.operators.curate import (
+        mixture_sample,
+        redact_pii,
+        train_test_split,
+    )
+    from dask_groupby_spark.operators.selection import grouped_topk, sessionize
+
+    df = spark.createDataFrame(
+        [(1, "s", "x", 1.0, 0, "t", 2, 3.0)],
+        "doc_id bigint, strata string, text string, q double, "
+        "email_n bigint, split string, rank bigint, session_id double",
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        train_test_split(df, 0.1)
+    with _pytest.raises(ValueError, match="collide"):
+        mixture_sample(df.withColumnRenamed("split", "copy_id"),
+                       rates={"s": 1.0}, strata_col="strata")
+    with _pytest.raises(ValueError, match="collide"):
+        redact_pii(df, text_col="text", out="redacted", counts=True)
+    with _pytest.raises(ValueError, match="collide"):
+        grouped_topk(df, "strata", order_col="q", k=1)
+    with _pytest.raises(ValueError, match="collide"):
+        sessionize(df, "strata", ts_col="q", gap=1.0)
+
+
+def test_pagerank_no_dangling_unchanged(spark):
+    """The dangling pre-check must not change results on graphs WITH and
+    WITHOUT dangling nodes."""
+    from dask_groupby_spark.operators.graph import pagerank
+
+    # cycle: no dangling nodes
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    r1 = {r["id"]: r["rank"] for r in pagerank(e1, iters=5).collect()}
+    assert all(abs(v - 1 / 3) < 1e-9 for v in r1.values())
+    # node 3 dangling
+    e2 = spark.createDataFrame([(1, 3), (2, 3)], "src bigint, dst bigint")
+    r2 = {r["id"]: r["rank"] for r in pagerank(e2, iters=10).collect()}
+    assert abs(sum(r2.values()) - 1.0) < 1e-6
+    assert r2[3] > r2[1] == r2[2]
