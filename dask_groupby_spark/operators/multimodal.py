@@ -120,6 +120,13 @@ def sniff_image_dims(payload: bytes) -> Optional[tuple[str, int, int]]:
             if payload[i] != 0xFF:
                 break
             marker = payload[i + 1]
+            if marker == 0xFF:
+                # 0xFF fill/padding bytes are legal between segments — treat
+                # them as alignment, not as a marker with a length field
+                # (r9 review: reading a fill byte's "length" jumped the walk
+                # to a garbage offset and missed the real SOFn)
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -149,6 +156,9 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
 def _decode_image(payload: bytes) -> tuple[str, int, int, float]:
     """(format, width, height, mean_luma) — PIL when installed (tier 1),
     header sniffing for dims with stub luma (tier 2), full stub (tier 3)."""
+    if payload is None:
+        # surface the stub tier's intended error, not a PIL/len TypeError
+        raise NotImplementedError("image decode of NULL payload")
     if _PIL_Image is not None:
         try:
             img = _PIL_Image.open(io.BytesIO(payload))
@@ -317,6 +327,9 @@ def _decode_audio(payload: bytes) -> tuple[int, float, int]:
     otherwise (tier 3)."""
     import numpy as np
 
+    if payload is None:
+        # surface the stub tier's intended error, not a slicing TypeError
+        raise NotImplementedError("audio decode of NULL payload")
     if _soundfile is not None:
         try:
             data, sr = _soundfile.read(io.BytesIO(payload))
@@ -484,14 +497,18 @@ def _dct_matrix(n: int):
 
 def phash_one(payload: bytes) -> int:
     """64-bit perceptual hash: 32×32 grayscale → 2-D DCT-II → top-left 8×8
-    low-frequency block → bit i = coeff_i > median.  Signed int64 (bit 63
-    is the sign) so the value round-trips a Spark LongType exactly."""
+    low-frequency block, DC coefficient EXCLUDED (r9 review: DC — overall
+    brightness — is essentially always above the AC median, so hashing it
+    burned a constant always-1 bit; the row/col-0 AC frequencies stay, they
+    carry real horizontal/vertical structure) → bit i = AC coeff_i > median
+    of the 63 ACs.  63 informative bits, bit 63 constant 0.  Signed int64
+    so the value round-trips a Spark LongType exactly."""
     import numpy as np
 
     g = _gray_32(payload)
     C = _dct_matrix(32)
-    d = (C @ g @ C.T)[:8, :8].ravel()
-    med = np.median(d[1:])  # DC excluded from the threshold (standard pHash)
+    d = (C @ g @ C.T)[:8, :8].ravel()[1:]
+    med = np.median(d)
     bits = 0
     for i, v in enumerate(d):
         if v > med:

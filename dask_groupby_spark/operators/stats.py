@@ -55,7 +55,12 @@ def uniform_bin(col: Column, lo: float, hi: float, bins: int) -> Column:
     the edge bins — one definition, so sketch-table bins and
     calibration bins can never drift out of alignment."""
     b = F.floor((col - F.lit(float(lo))) / F.lit((hi - lo) / bins))
-    return F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+    # explicit NULL -> NULL: greatest/least SKIP null arguments, so without
+    # the guard a NULL value would clamp into the TOP bin (r9 review)
+    return F.when(
+        col.isNotNull(),
+        F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)),
+    ).cast("int")
 
 
 def _clean(c: str) -> Column:

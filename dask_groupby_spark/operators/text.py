@@ -22,8 +22,15 @@ STOPWORDS = {
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization: split on runs of spaces, drop empties."""
-    return F.filter(F.split(col, " +"), lambda x: x != "")
+    """Whitespace tokenization: split on runs of whitespace, drop empties.
+
+    The class is spelled explicitly ([ \\t\\n\\r\\f]) rather than \\s so the
+    Java-regex engine side and the RE2 DuckDB oracle agree exactly (Java \\s
+    also matches \\x0B; RE2 \\s does not).  Splitting on SPACES ONLY was the
+    r9 review's top finding: every newline/tab glued adjacent words into one
+    pseudo-token, corrupting token counts, gopher flags, vocab and BM25 on
+    any multi-line document."""
+    return F.filter(F.split(col, "[ \\t\\n\\r\\f]+"), lambda x: x != "")
 
 
 def token_count(col: Column) -> Column:
@@ -145,7 +152,10 @@ def repetition_features(
     (current, best) accumulator — is the max frequency.  Everything stays
     in whole-stage codegen; zero shuffles.
     """
-    toks = tokens(F.col(text_col))
+    # materialize once — the same no-CSE-across-lambdas rule as
+    # add_text_features (r9 review)
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    toks = F.col("__toks")
     n = F.size(toks)
     dup_frac = F.when(
         n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
@@ -177,8 +187,10 @@ def repetition_features(
     top_bigram_frac = F.when(
         F.size(srt) > 0, run.cast("double") / F.size(srt)
     ).otherwise(0.0)
-    return df.withColumn(f"{prefix}dup_token_frac", dup_frac).withColumn(
-        f"{prefix}top_bigram_frac", top_bigram_frac
+    return (
+        df.withColumn(f"{prefix}dup_token_frac", dup_frac)
+        .withColumn(f"{prefix}top_bigram_frac", top_bigram_frac)
+        .drop("__toks")
     )
 
 
@@ -569,7 +581,12 @@ def hash_classifier_score(
     from .dedup import _hasher
 
     h = _hasher(hasher)
-    tk = tokens(F.col(text_col))
+    # materialize the token array ONCE (the add_text_features rule:
+    # codegen does not CSE the regex split across the filter, the size
+    # aliases and the fold — binding the bare expression paid up to three
+    # splits per row, r9 review)
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    tk = F.col("__toks")
 
     def bucket(t: Column) -> Column:
         return F.pmod(h(t, seed="cb"), F.lit(dim))
@@ -602,12 +619,13 @@ def hash_classifier_score(
     )
 
 
+
 def remove_repeated_segments(
     df: DataFrame,
     text_col: str = "text",
     sep: str = "\n",
     out: str | None = None,
-    min_len: int = 0,
+    min_len: int = 1,
     count_cols: bool = False,
 ) -> DataFrame:
     """Within-document repeated-segment removal — the "repeated line
@@ -615,7 +633,10 @@ def remove_repeated_segments(
     cookie banners, boilerplate repeated down a page): split on ``sep``,
     keep each segment's FIRST occurrence, drop later exact repeats,
     rejoin.  Segments shorter than ``min_len`` characters are always kept
-    (blank lines / structural separators are not content repeats).
+    (blank lines / structural separators are not content repeats) — the
+    default ``min_len=1`` protects exactly the empty segment, so paragraph
+    breaks survive (r9 review: the former default 0 made the guard
+    vacuous and collapsed every blank line after the first).
 
     Cross-document repetition is the dedup family's job
     (:func:`~dask_groupby_spark.operators.dedup.remove_duplicate_spans`);

@@ -53,7 +53,10 @@ def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
         ok = F.coalesce(pred.cast("boolean"), F.lit(False))
         aggs += [
             F.count(F.lit(1)).alias(f"{name}__n"),
-            F.sum((~ok).cast("bigint")).alias(f"{name}__v"),
+            # coalesce: SUM over an empty relation is NULL, and a gate
+            # asserting n_violations == 0 on an empty snapshot must pass
+            # vacuously, not evaluate NULL (r9 empty-relation audit)
+            F.coalesce(F.sum((~ok).cast("bigint")), F.lit(0)).alias(f"{name}__v"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(f"'{n}', `{n}__n`, `{n}__v`" for n in rules)
@@ -90,11 +93,15 @@ def check_unique(
         return per_key.where(F.col("cnt") > 1).orderBy(
             F.col("cnt").desc(), *keys
         ).limit(sample_keys)
+    # coalesce: SUMs over an empty relation are NULL — an empty input
+    # must report zeros so uniqueness gates pass vacuously (r9 audit)
     return per_key.agg(
-        F.sum("cnt").alias("n_rows"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum((F.col("cnt") > 1).cast("bigint")).alias("n_dup_keys"),
-        F.sum(F.col("cnt") - 1).alias("n_dup_rows"),
+        F.coalesce(F.sum((F.col("cnt") > 1).cast("bigint")), F.lit(0)).alias(
+            "n_dup_keys"
+        ),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_dup_rows"),
     )
 
 
@@ -131,7 +138,10 @@ def check_referential(
     )
     return marked.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum((F.col("__hit").isNull()).cast("bigint")).alias("n_orphans"),
+        # coalesce: empty child must report 0 orphans, not NULL (r9 audit)
+        F.coalesce(
+            F.sum((F.col("__hit").isNull()).cast("bigint")), F.lit(0)
+        ).alias("n_orphans"),
     ).withColumn(
         "orphan_frac",
         F.coalesce(F.try_divide("n_orphans", "n_rows"), F.lit(0.0)),

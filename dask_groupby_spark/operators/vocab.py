@@ -59,16 +59,23 @@ def encode_tokens_flat(
     id_col: str = "doc_id",
     text_col: str = "text",
     oov_id: int = -1,
+    keep_empty: bool = False,
 ) -> DataFrame:
     """Token-id encoding in flat ``(id_col, pos, token_id)`` form —
     the zero-extra-shuffle path: posexplode is map-side and the vocab
     (bounded by ``build_vocab``'s ``max_size``) broadcasts, so the plan
     is scan -> explode -> BroadcastHashJoin with no Exchange on the
     corpus.  Out-of-vocabulary terms encode as ``oov_id``.
+
+    ``keep_empty=True`` emits one ``(pos=NULL, token_id=NULL)`` marker
+    row per empty/NULL-text document (posexplode_outer) so corpora
+    reconcile row-for-row; the default flat form has no positions for a
+    tokenless document and drops it.
     """
+    explode = F.posexplode_outer if keep_empty else F.posexplode
     tk = df.select(
         F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        explode(tokens(F.col(text_col))).alias("pos", "term"),
     )
     joined = tk.join(
         F.broadcast(vocab.select("term", "term_id")), on="term", how="left"
@@ -76,9 +83,11 @@ def encode_tokens_flat(
     return joined.select(
         id_col,
         "pos",
-        F.coalesce(F.col("term_id"), F.lit(oov_id).cast("long")).alias(
-            "token_id"
-        ),
+        # the empty-doc marker row must stay NULL, not encode as OOV
+        F.when(
+            F.col("pos").isNotNull(),
+            F.coalesce(F.col("term_id"), F.lit(oov_id).cast("long")),
+        ).alias("token_id"),
     )
 
 
@@ -96,11 +105,21 @@ def encode_tokens(
     (``array_sort`` over collected ``(pos, id)`` structs; collect_list
     alone has no ordering guarantee after a shuffle).
     """
-    flat = encode_tokens_flat(df, vocab, id_col, text_col, oov_id)
+    flat = encode_tokens_flat(
+        df, vocab, id_col, text_col, oov_id, keep_empty=True
+    )
+    # keep_empty + the NULL-skipping collect_list: an empty/NULL-text doc
+    # survives as (id, []) instead of vanishing from the output and
+    # breaking doc-count reconciliation downstream (r9 review)
     return flat.groupBy(id_col).agg(
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("token_id")))
+                F.collect_list(
+                    F.when(
+                        F.col("pos").isNotNull(),
+                        F.struct(F.col("pos"), F.col("token_id")),
+                    )
+                )
             ),
             lambda s: s["token_id"],
         ).alias(out)

@@ -62,7 +62,7 @@ _CLEANV = "CASE WHEN NOT isnan(v) THEN v END"
 _TOKS = """
 WITH toks AS (
   SELECT doc_id, lang, source,
-         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS tk
+         list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tk
   FROM documents
 )
 """
@@ -845,7 +845,7 @@ FROM documents GROUP BY source""",
     "gopher": """
 WITH g AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS tk
+         list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tk
   FROM documents
 ),
 m AS (
@@ -1154,7 +1154,7 @@ SELECT lang, round(avg(dupf), 6) AS avg_dup,
 FROM perdoc GROUP BY lang""",
     "bpe_tokens": """
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))::BIGINT
+       len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> ''))::BIGINT
          AS ws_tokens,
        coalesce(list_sum(list_transform(
          regexp_extract_all(text,
@@ -1296,7 +1296,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
     "curate": """
 WITH feats AS (
   SELECT doc_id, lang, text,
-         len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS n_tokens,
+         len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')) AS n_tokens,
          CASE WHEN length(text) > 0
               THEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
                    / length(text)
@@ -1380,7 +1380,7 @@ SELECT doc_id,
 FROM documents""",
     "chunk_docs": """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x <> '') AS tk
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tk
   FROM documents
 ),
 c AS (
@@ -1639,7 +1639,7 @@ WITH s AS (
 seg AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM s),
 k AS (
   SELECT doc_id, l,
-         list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+         list_filter(l, (x, i) -> len(x) < 1 OR list_position(l, x) = i) AS kept
   FROM seg
 )
 SELECT doc_id, len(l)::INT AS seg_n_before, len(kept)::INT AS seg_n_after,
@@ -2280,7 +2280,7 @@ ORACLE_SQL["media_video"] = _pinned_values_sql(
 ORACLE_SQL["bm25"] = """
 WITH tk AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS tk
+         list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tk
   FROM documents
 ),
 dl AS (SELECT doc_id, len(tk)::INTEGER AS dl FROM tk),
@@ -2825,7 +2825,7 @@ ORDER BY li.idx"""
 ORACLE_SQL["dsir"] = """
 WITH tk AS (
   SELECT doc_id, lang, text,
-         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS t
   FROM documents
 ),
 g AS (

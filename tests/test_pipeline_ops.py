@@ -175,7 +175,9 @@ def test_encode_tokens_array_order(spark, tiny_docs):
     assert enc[0] == [1, 0, 0, 2, 1, 0]
     assert enc[1] == [0, 1, 3]
     assert enc[2] == [0]
-    assert 3 not in enc  # empty doc contributes no tokens
+    # r9: an empty doc survives as an EMPTY array so corpora reconcile
+    # row-for-row (it used to vanish from the output entirely)
+    assert enc[3] == []
 
 
 # ------------------------------------------------------------ hash classifier
@@ -449,8 +451,14 @@ def test_remove_repeated_segments(spark):
         for r in remove_repeated_segments(df, count_cols=True).collect()
     }
     assert got[0] == ("intro\ncookie banner\nbody one\nbody two", 5, 4)
-    assert got[1] == ("a\n\nb", 5, 3)  # second blank + second 'a' dropped
+    # r9: default min_len=1 KEEPS blank segments (paragraph structure is
+    # not a content repeat); only the second 'a' is dropped
+    assert got[1] == ("a\n\nb\n", 5, 4)
     assert got[2] == ("unique only", 1, 1)
+    # min_len=0 restores blank-dedup for callers that want it
+    legacy = {r["doc_id"]: r["text"]
+              for r in remove_repeated_segments(df, min_len=0).collect()}
+    assert legacy[1] == "a\n\nb"
     # min_len keeps short segments even when repeated
     kept = remove_repeated_segments(df, min_len=2).collect()
     by_id = {r["doc_id"]: r["text"] for r in kept}
