@@ -44,7 +44,14 @@ _YEAR_DAYS = {
 _CUM_365 = (0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
 _CUM_366 = (0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335)
 
-_TS_RE = r"^(\d{1,4})-(\d{1,2})-(\d{1,2})([ T](\d{1,2}):(\d{1,2}):(\d{1,2}))?"
+# anchored at BOTH ends (r9 review: an unanchored tail let
+# '2000-01-01junk' through to the ANSI bigint casts, killing the job
+# instead of yielding NULL); optional fraction + Z tolerated like the
+# split pattern always did
+_TS_RE = (
+    r"^(\d{1,4})-(\d{1,2})-(\d{1,2})"
+    r"([ Tt](\d{1,2}):(\d{1,2}):(\d{1,2})(\.\d+)?[Zz]?)?$"
+)
 
 
 def _check_calendar(calendar: str) -> str:
@@ -91,6 +98,11 @@ def encode_calendar_datetime(
         cum = list(_CUM_365 if cal in ("noleap", "365_day") else _CUM_366)
     cum_arr = F.array(*[F.lit(c) for c in cum])
 
+    mlen = [cum[m] - cum[m - 1] for m in range(1, 12)] + [
+        _YEAR_DAYS[cal] - cum[11]
+    ]
+    mlen_arr = F.array(*[F.lit(n) for n in mlen])
+
     def _build(p: Column) -> Column:
         year = F.get(p, 0).cast("bigint")
         month = F.get(p, 1).cast("bigint")
@@ -99,17 +111,27 @@ def encode_calendar_datetime(
         mm = F.coalesce(F.get(p, 4), F.lit("0")).cast("bigint")
         ss = F.coalesce(F.get(p, 5), F.lit("0")).cast("bigint")
         midx = F.greatest(F.least(month, F.lit(12)), F.lit(1)) - 1
+        # field-RANGE validity (r9 review: '2000-13-05' used to clamp into
+        # December and encode garbage instead of NULL)
+        ok = (
+            month.between(1, 12)
+            & day.between(1, F.get(mlen_arr, midx.cast("int")))
+            & hh.between(0, 23)
+            & mm.between(0, 59)
+            & ss.between(0, 59)
+        )
         days = (
             (year - 1) * F.lit(_YEAR_DAYS[cal])
             + F.get(cum_arr, midx.cast("int"))
             + (day - 1)
         )
-        if unit == "day":
-            return days
-        return days * F.lit(86400) + hh * F.lit(3600) + mm * F.lit(60) + ss
+        val = days if unit == "day" else (
+            days * F.lit(86400) + hh * F.lit(3600) + mm * F.lit(60) + ss
+        )
+        return F.struct(ok.alias("ok"), val.alias("val"))
 
-    out = F.get(F.transform(F.array(parts), _build), 0)
-    return F.when(valid, out)
+    built = F.get(F.transform(F.array(parts), _build), 0)
+    return F.when(valid & built["ok"], built["val"])
 
 
 def decode_calendar_datetime(
@@ -156,4 +178,7 @@ def decode_calendar_datetime(
         F.lpad(mm.cast("string"), 2, "0"), F.lit(":"),
         F.lpad(ss.cast("string"), 2, "0"),
     )
-    return F.when(secs >= 0, formatted)
+    # year > 9999: lpad TRUNCATES overlong strings, so a 5-digit year would
+    # silently decode 9000 years off (r9 review) — outside the 4-digit
+    # formatting domain, decode to NULL like the negative side
+    return F.when((secs >= 0) & (year <= 9999), formatted)

@@ -29,6 +29,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 NAN = float("nan")
 
@@ -109,11 +110,17 @@ def groupby_reduce_complex(
     skipna = func.startswith("nan") or func == "count"
     base = func[3:] if func.startswith("nan") else func
 
-    keyed = df.where(
-        F.lit(True)
-        if not by
-        else F.expr(" AND ".join(f"`{b}` IS NOT NULL" for b in by))
-    )
+    # missing-label exclusion matching core.groupby_reduce step 1: NULL
+    # keys AND NaN float keys are dropped (r9 review: the NOT NULL filter
+    # alone let NaN keys form an extra group the scalar path drops)
+    key_cond = F.lit(True)
+    for b in by:
+        c = F.col(b)
+        cond = c.isNotNull()
+        if isinstance(df.schema[b].dataType, (T.FloatType, T.DoubleType)):
+            cond = cond & ~F.isnan(c)
+        key_cond = key_cond & cond
+    keyed = df.where(key_cond)
 
     if base == "median":
         return _complex_median(
@@ -205,9 +212,12 @@ def groupby_reduce_complex(
         )
         agg = (-F.max(pair)["ni"]).alias(out)
     elif base in ("any", "all"):
-        # numpy truthiness: z truthy iff z != 0; NaN parts are truthy
-        truthy = v.isNotNull() & (
-            F.isnan(re) | F.isnan(im) | (re != 0) | (im != 0)
+        # numpy truthiness: z truthy iff z != 0; NaN parts are truthy.
+        # NULL rows stay NULL so bool_or/bool_and SKIP them (the scalar
+        # _truthy convention, r9 review: mapping NULL to False poisoned
+        # `all` and broke the all-NULL identity)
+        truthy = F.when(
+            v.isNotNull(), F.isnan(re) | F.isnan(im) | (re != 0) | (im != 0)
         )
         agg = (
             F.coalesce(F.bool_or(truthy), F.lit(False))

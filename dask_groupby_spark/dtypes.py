@@ -140,8 +140,17 @@ def fill_lit(fill_value, dt: T.DataType) -> F.Column:
 def needs_na_promotion(fill_value, dt: T.DataType) -> bool:
     """True when filling this dtype with ``fill_value`` (or dtype-NA) cannot be
     represented → result must be promoted to DOUBLE (ref: core.py:707-711)."""
-    if is_float(dt) or is_string(dt) or is_timestamp(dt) or is_bool(dt):
+    if is_float(dt) or is_string(dt) or is_timestamp(dt):
         return False
+    if is_bool(dt):
+        # dtype-NA is a NULL boolean (representable), but an explicit
+        # NaN/fractional float fill cannot live in a boolean column —
+        # without promotion fill_lit emits a DOUBLE literal into a boolean
+        # CASE branch and the plan fails analysis (r9 review); flox
+        # promotes bool-filled-with-NaN likewise
+        return isinstance(fill_value, float) and (
+            math.isnan(fill_value) or not float(fill_value).is_integer()
+        )
     if fill_value is None:
         return True  # NA into integral → NaN → double
     if isinstance(fill_value, float):

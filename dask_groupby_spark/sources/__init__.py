@@ -52,13 +52,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
-            # integer division — `/ 1000` would round-trip through a double
-            # and lose precision (epoch nanos exceed 2^53)
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
-    for col in ntz_cols:
-        df = df.withColumn(col, F.col(col).cast("timestamp"))
-    return df
+            # integer FLOOR division, all in int64: `/ 1000` would round-trip
+            # through a double and lose precision (epoch nanos exceed 2^53),
+            # and a bare `div` truncates toward ZERO, putting pre-epoch
+            # nanos 1us late (r9 review) — subtracting pmod (always >= 0)
+            # first makes the div exact and floor-consistent
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")
+                ),
+            )
+    # NTZ -> TIMESTAMP via the shared canonicalizer (dtypes.normalize_time)
+    # so the cast logic and its UTC-pinning rationale live in ONE place
+    from ..dtypes import normalize_time
+
+    return normalize_time(df, *df.columns)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
@@ -415,6 +424,8 @@ def extract_json_fields(
         if cast is not None:
             c = c.cast(cast)
         out = out.withColumn(name, c)
-    if drop:
+    if drop and col not in fields:
+        # an output field named like the raw column has REPLACED it via
+        # withColumn — dropping would delete the extracted value (r9 review)
         out = out.drop(col)
     return out

@@ -107,7 +107,8 @@ def groupby_apply_reduce(
     key_schema = ", ".join(
         f"`{b}` {dict(df.dtypes)[b]}" for b in by
     )
-    full_schema = f"{key_schema}, {output_schema}"
+    # no keys = one global group: the schema must not lead with a comma
+    full_schema = f"{key_schema}, {output_schema}" if by else output_schema
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = {b: pdf[b].iloc[0] for b in by}
@@ -115,7 +116,7 @@ def groupby_apply_reduce(
         return pd.DataFrame([{**keys, **out}])
 
     out = df.groupBy(*by).applyInPandas(apply, schema=full_schema)
-    if sort:
+    if sort and by:
         out = out.orderBy(*by)
     return out
 
@@ -141,7 +142,13 @@ def groupby_apply_transform(
     executor memory.
     """
     dt = dict(df.dtypes)
-    carried = list(by) + [idx_col] + [c for c in value_cols if c not in by]
+    # dict.fromkeys dedupes (idx_col may itself be a value column) so the
+    # schema cannot carry a duplicate field (r9 review)
+    carried = list(
+        dict.fromkeys(
+            list(by) + [idx_col] + [c for c in value_cols if c not in by]
+        )
+    )
     carry_schema = ", ".join(f"`{c}` {dt[c]}" for c in carried)
     full_schema = f"{carry_schema}, {output_schema}"
 

@@ -147,3 +147,40 @@ def test_decode_negative_offset_is_null(spark):
     assert got[0] is None and got[1] is None
     assert got[2] == "0001-01-01 00:00:00"
     assert got[3] == "0001-01-02 00:00:00"
+
+
+def test_encode_rejects_malformed_and_out_of_range(spark):
+    """Anchored validity + field-range checks (r9 review): trailing garbage
+    and out-of-range fields yield NULL instead of ANSI cast errors or
+    silently clamped encodings."""
+    from dask_groupby_spark.calendar import (
+        decode_calendar_datetime,
+        encode_calendar_datetime,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("2000-01-01junk",),
+            ("2000-13-05",),
+            ("2000-02-29",),          # noleap: February has 28 days
+            ("2000-01-01 23:59:60",), # ss out of range
+            ("2000-01-02",),
+            ("2000-01-02T03:04:05Z",),
+        ],
+        "s string",
+    )
+    got = [
+        r["e"]
+        for r in df.select(
+            encode_calendar_datetime(F.col("s"), "noleap").alias("e")
+        ).collect()
+    ]
+    assert got[0] is None and got[1] is None and got[2] is None and got[3] is None
+    assert got[4] == 1999 * 365 * 86400 + 86400
+    assert got[5] == got[4] + 3 * 3600 + 4 * 60 + 5
+    # decode: year > 9999 is outside the 4-digit format domain -> NULL
+    big = spark.createDataFrame(
+        [(10000 * 365 * 86400,), (0,)], "o bigint"
+    ).select(decode_calendar_datetime(F.col("o"), "noleap").alias("d"))
+    vals = [r["d"] for r in big.collect()]
+    assert vals[0] is None and vals[1] == "0001-01-01 00:00:00"

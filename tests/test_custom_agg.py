@@ -163,3 +163,37 @@ def test_make_scan_registry_constructor(spark, df=None):
     spec2 = make_scan("runmax", lambda ctx, w: F.max(ctx.clean).over(w))
     out2 = groupby_scan(data, "k", func=spec2, value="x", idx_col="idx")
     assert dict(out2.dtypes)["runmax"] == "double"
+
+
+def test_apply_reduce_global_no_keys(spark):
+    """Empty *by = one global group; the output schema must not lead with a
+    comma and sort must not orderBy() on nothing (r9 review)."""
+    from dask_groupby_spark.udaf import groupby_apply_reduce
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    out = groupby_apply_reduce(
+        df,
+        reduce_fn=lambda pdf: {"m": float(pdf["x"].mean())},
+        value_cols=["x"],
+        output_schema="`m` double",
+    ).collect()
+    assert len(out) == 1 and out[0]["m"] == 2.0
+
+
+def test_apply_transform_idx_in_value_cols(spark):
+    """idx_col doubling as a value column must not duplicate the carried
+    schema field (r9 review)."""
+    from dask_groupby_spark.udaf import groupby_apply_transform
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], "k bigint, ts double"
+    )
+    out = groupby_apply_transform(
+        df,
+        "k",
+        transform_fn=lambda pdf: {"c": pdf["ts"].cumsum()},
+        value_cols=["ts"],
+        idx_col="ts",
+        output_schema="`c` double",
+    ).orderBy("k", "ts").collect()
+    assert [r["c"] for r in out] == [1.0, 3.0, 5.0]

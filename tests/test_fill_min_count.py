@@ -113,3 +113,24 @@ def test_count_absent_group_default_zero(f5):
 def test_identity_fills_for_all_missing_groups(f5, func, expect2):
     m = get(groupby_reduce(f5, "label", func=func, value="val"), func)
     assert m[2] == expect2
+
+
+def test_bool_result_nan_fill_promotes(spark):
+    """min_count + NaN fill on a boolean reduction must promote to double
+    (r9 review: the unpromoted plan failed analysis mixing bool/double)."""
+    import math
+
+    from dask_groupby_spark import groupby_reduce
+
+    df = spark.createDataFrame(
+        [("a", True), ("a", False), ("b", True)], "k string, v boolean"
+    )
+    out = {
+        r["k"]: r["any"]
+        for r in groupby_reduce(
+            df, "k", func="any", value="v", min_count=2,
+            fill_value=float("nan"),
+        ).collect()
+    }
+    assert out["a"] == 1.0
+    assert math.isnan(out["b"])
