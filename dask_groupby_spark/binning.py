@@ -37,6 +37,10 @@ class Bins:
             raise ValueError("closed must be 'right' or 'left'")
         if len(edges) < 2:
             raise ValueError("need at least 2 bin edges")
+        if any(a >= b for a, b in zip(edges, edges[1:])):
+            # pd.IntervalIndex.from_breaks parity: misordered edges would
+            # silently misbin (r9 review)
+            raise ValueError(f"bin edges must be strictly increasing: {edges}")
         object.__setattr__(self, "edges", tuple(edges))
         object.__setattr__(self, "closed", closed)
 

@@ -272,6 +272,14 @@ def _band_rows(
 ) -> DataFrame:
     """(id, band, bh) rows: one band-hash per (document, band) — the LSH
     inverted-index entries.  Map-only (a 4-element explode per doc)."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes would make every band hash the constant
+        # hash("") — the whole corpus lands in ONE bucket per band and the
+        # candidate join goes all-pairs O(n^2); a non-divisor silently
+        # drops the trailing signature rows (r9 review)
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -594,6 +602,10 @@ def duplicate_clusters(
         )
         return pairs.sparkSession.createDataFrame(out_pdf, schema)
     p = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+    # keep the handle to the PERSISTED frame: rebinding `edges` to the
+    # repartitioned child made the tail unpersist a no-op and leaked the
+    # cached symmetrized edge list for the session (r9 review)
+    edges_cached = edges
     edges = edges.repartition(p, "dst")
     labels = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
@@ -631,7 +643,7 @@ def duplicate_clusters(
         labels = new
         if changed == 0:
             break
-    edges.unpersist()
+    edges_cached.unpersist()
     return labels.select(F.col("v").alias(out_id), F.col("lbl").alias(out_cluster))
 
 
@@ -692,7 +704,11 @@ def near_deduplicate(
             F.col(id_col).alias("id"), F.col(keep_by).alias("__q")
         )
         w = Window.partitionBy("cluster_id").orderBy(
-            F.col("__q").desc_nulls_last(), F.col("id").asc()
+            # NaN sorts ABOVE every double in Spark: without the NaN->NULL
+            # guard a NaN-quality member would outrank every real score and
+            # become the cluster keeper (r9 review)
+            F.when(~F.isnan(F.col("__q")), F.col("__q")).desc_nulls_last(),
+            F.col("id").asc(),
         )
         losers = (
             clusters.join(qual, on="id")

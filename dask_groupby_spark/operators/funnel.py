@@ -96,6 +96,14 @@ def funnel(
     reached = first.agg(*aggs)
 
     for k, step in enumerate(steps[1:], start=2):
+        # `reached` feeds TWO consumers per step (the step-k candidate join
+        # and the left join back) and AQE never reuses an Exchange across
+        # consumers — without a lineage cut the step-(k-1) subplan would
+        # re-execute 2x per step, i.e. 2^(K-1) executions of the step-1
+        # scan for a K-step funnel (r9 review).  The LAZY local checkpoint
+        # materializes each step's per-entity table exactly once, on first
+        # use, and keeps construction action-free.
+        reached = reached.localCheckpoint(eager=False)
         carry = [entity_col, f"t{k - 1}"] + (["t1"] if within is not None and k > 2 else [])
         qual = F.col("__ts") > F.col(f"t{k - 1}")
         if within is not None:

@@ -51,6 +51,52 @@ def _names(features: list[str], add_bias: bool) -> list[str]:
     return list(features) + (["bias"] if add_bias else [])
 
 
+def _ols_aggs(xs, y, d: int) -> list:
+    """Normal-equation sufficient statistics (upper-triangle X'X, X'y, n) —
+    ONE definition shared by the global and grouped fits so the two paths
+    cannot drift (r9 review: the agg loop was duplicated verbatim)."""
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"xx_{i}_{j}"))
+    aggs += [F.sum(xs[i] * y).alias(f"xy_{i}") for i in range(d)]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    return aggs
+
+
+def _unpack_normal_eq(row, d: int):
+    """(A, b) from one stats row — the inverse of :func:`_ols_aggs`."""
+    import numpy as np
+
+    A = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            A[i, j] = A[j, i] = row[f"xx_{i}_{j}"]
+    b = np.array([row[f"xy_{i}"] for i in range(d)])
+    return A, b
+
+
+def _nullsafe_join(left, right, by_list, how="inner", broadcast=False,
+                   prefix="__ns_by"):
+    """NULL-group-preserving equi-join (the groupby_fill_stat(method='join')
+    convention): GROUP BY keeps a NULL-key stats row, but a plain equi-join
+    would strand those rows — rename the right side's keys into a private
+    namespace, join on eqNullSafe, drop the namespace.  ONE definition for
+    the four formerly hand-copied blocks in this module (r9 review)."""
+    rj = right.select(
+        *[F.col(c).alias(f"{prefix}_{i}") for i, c in enumerate(by_list)],
+        *[c for c in right.columns if c not in by_list],
+    )
+    cond = None
+    for i, c in enumerate(by_list):
+        e = F.col(c).eqNullSafe(F.col(f"{prefix}_{i}"))
+        cond = e if cond is None else cond & e
+    r = F.broadcast(rj) if broadcast else rj
+    return left.join(r, on=cond, how=how).drop(
+        *[f"{prefix}_{i}" for i in range(len(by_list))]
+    )
+
+
 def _clean_rows(df: DataFrame, features: list[str], label: str) -> DataFrame:
     cond = F.col(label).isNotNull() & ~F.isnan(F.col(label).cast("double"))
     for f in features:
@@ -82,24 +128,16 @@ def linreg_fit(
     names = _names(features, add_bias)
     d = len(xs)
     y = F.col(label).cast("double")
-    aggs = []
-    for i in range(d):
-        for j in range(i, d):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"xx_{i}_{j}"))
-    aggs += [F.sum(xs[i] * y).alias(f"xy_{i}") for i in range(d)]
-    aggs.append(F.count(F.lit(1)).alias("n"))
-    row = _clean_rows(df, features, label).agg(*aggs).collect()[0]
+    row = _clean_rows(df, features, label).agg(
+        *_ols_aggs(xs, y, d)
+    ).collect()[0]
     if row["n"] == 0:
         raise ValueError("linreg_fit: no complete rows to fit on")
-    A = np.zeros((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            A[i, j] = A[j, i] = row[f"xx_{i}_{j}"]
+    A, b = _unpack_normal_eq(row, d)
     if l2:
         for i in range(d):
             if not (add_bias and i == d - 1):
                 A[i, i] += float(l2)
-    b = np.array([row[f"xy_{i}"] for i in range(d)])
     w = np.linalg.solve(A, b)
     return list(zip(names, (float(v) for v in w)))
 
@@ -143,13 +181,9 @@ def grouped_linreg(
     names = _names(features, add_bias)
     d = len(xs)
     y = F.col(label).cast("double")
-    aggs = []
-    for i in range(d):
-        for j in range(i, d):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"xx_{i}_{j}"))
-    aggs += [F.sum(xs[i] * y).alias(f"xy_{i}") for i in range(d)]
-    aggs.append(F.count(F.lit(1)).alias("n"))
-    stats = _clean_rows(df, features, label).groupBy(*by_list).agg(*aggs)
+    stats = _clean_rows(df, features, label).groupBy(*by_list).agg(
+        *_ols_aggs(xs, y, d)
+    )
 
     schema = T.StructType(
         [stats.schema[c] for c in by_list]
@@ -170,11 +204,7 @@ def grouped_linreg(
             out_keys = {c: [] for c in by_list}
             feats, weights, ns = [], [], []
             for _, row in pdf.iterrows():
-                A = np.zeros((d, d))
-                for i in range(d):
-                    for j in range(i, d):
-                        A[i, j] = A[j, i] = row[f"xx_{i}_{j}"]
-                b = np.array([row[f"xy_{i}"] for i in range(d)])
+                A, b = _unpack_normal_eq(row, d)
                 try:
                     w = np.linalg.solve(A + pen, b)
                     if not np.all(np.isfinite(w)) or row["n"] <= d:
@@ -319,16 +349,9 @@ def grouped_logreg(
             # null-safe equality per key column: NULL groups train like any
             # other (GROUP BY kept their counts row; a plain equi-join
             # would silently drop them after the first step)
-            wj = w.select(
-                *[F.col(c).alias(f"__lw_by_{i}") for i, c in enumerate(by_list)],
-                *[c for c in w.columns if c not in by_list],
-            )
-            jcond = None
-            for i, c in enumerate(by_list):
-                e = F.col(c).eqNullSafe(F.col(f"__lw_by_{i}"))
-                jcond = e if jcond is None else jcond & e
-            joined = clean.join(
-                F.broadcast(wj) if broadcast_weights else wj, on=jcond
+            joined = _nullsafe_join(
+                clean, w, by_list, broadcast=broadcast_weights,
+                prefix="__lw_by",
             )
             z = sum(
                 (F.col(f"__w{i}") * F.col(f"__x{i}") for i in range(d)),
@@ -341,16 +364,8 @@ def grouped_logreg(
                     for i in range(d)
                 ]
             )
-            gj = grads.select(
-                *[F.col(c).alias(f"__lg_by_{i}") for i, c in enumerate(by_list)],
-                *[c for c in grads.columns if c not in by_list],
-            )
-            gcond = None
-            for i, c in enumerate(by_list):
-                e = F.col(c).eqNullSafe(F.col(f"__lg_by_{i}"))
-                gcond = e if gcond is None else gcond & e
             w = (
-                w.join(gj, on=gcond)
+                _nullsafe_join(w, grads, by_list, prefix="__lg_by")
                 .select(
                     *by_list,
                     "__n",
@@ -421,16 +436,9 @@ def grouped_linear_predict(
         wide = wide.withColumnRenamed(f, wf)
     # null-safe join: a NULL group's model (grouped_linreg/grouped_logreg
     # emit one under GROUP BY semantics) must score its own rows
-    wide = wide.select(
-        *[F.col(c).alias(f"__m_by_{i}") for i, c in enumerate(by_list)],
-        *[renames[f] for f in feats],
-    )
-    mcond = None
-    for i, c in enumerate(by_list):
-        e = F.col(c).eqNullSafe(F.col(f"__m_by_{i}"))
-        mcond = e if mcond is None else mcond & e
-    joined = df.join(F.broadcast(wide), on=mcond, how="left").drop(
-        *[f"__m_by_{i}" for i in range(len(by_list))]
+    joined = _nullsafe_join(
+        df, wide.select(*by_list, *[renames[f] for f in feats]),
+        by_list, how="left", broadcast=True, prefix="__m_by",
     )
     z = F.lit(0.0)
     for f in feats:
@@ -527,17 +535,8 @@ def target_encode(
     # a plain equi-join would strand those rows at n=0 and feed the LOO
     # formula garbage ((0 − y + m·p)/(m − 1)) instead of their group's
     # estimate
-    stats_j = stats.select(
-        *[F.col(c).alias(f"__te_by_{i}") for i, c in enumerate(by_list)],
-        "__te_n",
-        "__te_s",
-    )
-    cond = None
-    for i, c in enumerate(by_list):
-        e = F.col(c).eqNullSafe(F.col(f"__te_by_{i}"))
-        cond = e if cond is None else cond & e
-    j = df.join(F.broadcast(stats_j), on=cond, how="left").drop(
-        *[f"__te_by_{i}" for i in range(len(by_list))]
+    j = _nullsafe_join(
+        df, stats, by_list, how="left", broadcast=True, prefix="__te_by"
     )
     n = F.coalesce(F.col("__te_n"), F.lit(0)).cast("double")
     s = F.coalesce(F.col("__te_s"), F.lit(0.0))

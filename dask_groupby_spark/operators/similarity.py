@@ -126,7 +126,18 @@ def cosine_topk_blas(
     id_type = dict(queries.dtypes)[id_col]
     nbr_type = dict(corpus.dtypes)[id_col]
     integral = id_type in ("tinyint", "smallint", "int", "bigint")
-    qrows = queries.select(id_col, vec_col).collect()
+    # NULL vectors are unscorable, like zero-norm ones (list(None) would
+    # TypeError below); an EMPTY query set must return an empty frame, not
+    # crash numpy's axis-1 norm on a 0-d array (r9 review)
+    qrows = queries.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull()
+    ).collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {nbr_type}, "
+            "cosine double, rank int",
+        )
     q_ids = np.array(
         [r[0] for r in qrows], dtype="int64" if integral else object
     )

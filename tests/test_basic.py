@@ -292,3 +292,14 @@ def test_groupby_fill_stat_and_winsorize_vs_pandas(spark):
     ):
         plan = fn()._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+def test_bins_rejects_misordered_edges():
+    import pytest as _pytest
+
+    from dask_groupby_spark import Bins
+
+    with _pytest.raises(ValueError, match="strictly increasing"):
+        Bins((0, 10, 5))
+    with _pytest.raises(ValueError, match="strictly increasing"):
+        Bins((0, 0, 5))

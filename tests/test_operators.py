@@ -1648,3 +1648,50 @@ def test_pagerank_no_dangling_unchanged(spark):
     r2 = {r["id"]: r["rank"] for r in pagerank(e2, iters=10).collect()}
     assert abs(sum(r2.values()) - 1.0) < 1e-6
     assert r2[3] > r2[1] == r2[2]
+
+
+def test_lsh_bands_validation(spark):
+    """bands > num_hashes would hash every band to the constant hash('')
+    (whole corpus in one bucket -> all-pairs); non-divisors silently drop
+    signature rows (r9 review)."""
+    import pytest as _pytest
+
+    from dask_groupby_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id bigint, text string"
+    )
+    sig = minhash_signatures(df, num_hashes=8)
+    with _pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sig, num_hashes=8, bands=16)
+    with _pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sig, num_hashes=8, bands=3)
+
+
+def test_near_dedup_keep_by_nan_quality_loses(spark):
+    """A NaN quality score must not outrank real scores when choosing the
+    cluster keeper (NaN sorts above every double in Spark, r9 review)."""
+    from dask_groupby_spark.operators.dedup import near_deduplicate
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, t, float("nan")), (2, t, 0.9), (3, "totally different words here now", 0.5)],
+        "doc_id bigint, text string, q double",
+    )
+    kept = {r["doc_id"] for r in near_deduplicate(df, keep_by="q").collect()}
+    assert kept == {2, 3}  # the NaN-scored duplicate loses to the 0.9 one
+
+
+def test_cosine_topk_blas_empty_and_null_queries(spark):
+    from dask_groupby_spark.operators.similarity import cosine_topk_blas
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    empty = corpus.where(F.col("vec_id") < 0)
+    assert cosine_topk_blas(corpus, empty, k=1).count() == 0
+    withnull = spark.createDataFrame(
+        [(9, None), (1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = cosine_topk_blas(corpus, withnull, k=1, exclude_self=False).collect()
+    assert {r["query_id"] for r in got} == {1}  # NULL query unscorable
