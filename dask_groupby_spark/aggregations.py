@@ -246,14 +246,21 @@ def _argextreme(ctx: Ctx, name: str, largest: bool, skipna: bool) -> Column:
     """arg-reductions (ref: aggregations.py:411-494, chunk_argreduce
     core.py:881-935): index of the first (smallest idx) extreme value.
 
-    Implemented with ``max(struct(value_key, -idx))`` so Catalyst's struct
-    ordering gives us the extreme value with smallest-index tie-break —
-    numpy argmin/argmax return the FIRST occurrence.
+    Implemented with native struct ordering so Catalyst gives us the
+    extreme value with smallest-index tie-break (numpy argmin/argmax
+    return the FIRST occurrence): ``max(struct(v, -idx))`` for argmax,
+    ``min(struct(v, idx))`` for argmin.  The argmin side must NOT negate
+    the value (r9 review): ``-v.cast("double")`` threw on string /
+    TIMESTAMP_NTZ values argmax handled natively, and collided int64
+    values beyond 2^53, tie-breaking to the wrong index.
     """
     idx = _require_idx(ctx, name)
-    val = ctx.clean if largest else -ctx.clean.cast("double")
-    pair = F.when(ctx.valid, F.struct(val.alias("v"), (-idx).alias("ni")))
-    best = -F.max(pair)["ni"]
+    if largest:
+        pair = F.when(ctx.valid, F.struct(ctx.clean.alias("v"), (-idx).alias("ni")))
+        best = -F.max(pair)["ni"]
+    else:
+        pair = F.when(ctx.valid, F.struct(ctx.clean.alias("v"), idx.alias("i")))
+        best = F.min(pair)["i"]
     if skipna or not ctx.is_float:
         return best
     # bare variant, numpy semantics: any NaN → index of the FIRST NaN

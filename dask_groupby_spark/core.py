@@ -43,10 +43,21 @@ _PRESENT = "__present"
 _NVALID = "__nvalid"
 
 
-def _make_ctx(df: DataFrame, value: str, idx_col: Optional[str], kw: dict) -> Ctx:
+def _make_ctx(
+    df: DataFrame,
+    value: str,
+    idx_col: Optional[str],
+    kw: dict,
+    bool_to_long: bool = False,
+) -> Ctx:
     dt = df.schema[value].dataType
-    is_float = dt_rules.is_float(dt)
     v = F.col(value)
+    if bool_to_long and isinstance(dt, T.BooleanType):
+        # expression-level bool->int (the registry's arithmetic-reduction
+        # rule) for callers that cannot rewrite the input frame
+        v = v.cast("long")
+        dt = T.LongType()
+    is_float = dt_rules.is_float(dt)
     if is_float:
         missing = v.isNull() | F.isnan(v)
     else:
@@ -105,7 +116,11 @@ def _key_exprs(df, by, expected):
     out = []
     for b, exp in zip(by, expected):
         if isinstance(exp, Bins):
+            # fall back on collision, like the dt-accessor branch below —
+            # a pre-existing '<b>_bin' column would otherwise duplicate
             name = f"{b}_bin"
+            while name in df.columns:
+                name = f"__{name}"
             expr = exp.bucket(F.col(b)).alias(name)
             out.append((name, expr, "int", exp.expected_codes()))
         elif b not in df.columns and "." in b:
@@ -379,6 +394,9 @@ def groupby_scan(
     Rows with missing group labels pass through with a NULL/NaN result
     (the reference excludes code −1 elements from scans likewise).
     """
+    if not by:
+        raise ValueError("need at least one by column")
+
     spec = SCANS[func] if isinstance(func, str) else func
     if idx_col is None:
         raise ValueError("groupby_scan requires idx_col= (explicit element order)")
@@ -884,10 +902,9 @@ def groupby_agg(
         spec = AGGREGATIONS[name]
         if spec.grouped_build:
             raise ValueError(f"{name} cannot be fused; call groupby_reduce separately")
-        work = keyed
-        if spec.bool_to_int and isinstance(keyed.schema[vcol].dataType, T.BooleanType):
-            work = keyed.withColumn(vcol, F.col(vcol).cast("long"))
-        ctx = _make_ctx(work, vcol, idx_col, kw)
+        # the cast rides the ctx EXPRESSIONS (r9 review: casting a
+        # throwaway frame never reached the plan and boolean nansum threw)
+        ctx = _make_ctx(keyed, vcol, idx_col, kw, bool_to_long=spec.bool_to_int)
         agg_cols.append(spec.build(ctx).alias(out))
         casts[out] = spec.result_type(ctx.dt, kw)
         fills[out] = spec.final_fill

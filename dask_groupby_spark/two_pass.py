@@ -79,6 +79,56 @@ TWO_PASS_FUNCS = frozenset(
 )
 
 
+def _ns_join(left: DataFrame, right: DataFrame, keys: list) -> DataFrame:
+    """Broadcast LEFT join on the group keys (+ chunk) with NULL-SAFE key
+    equality.  Window partitioning treats a NULL key as a real group, so
+    the per-group stats/offsets joins must too — a plain ``on=keys`` join
+    never matched NULL keys and the two-pass tier emitted NULL results
+    for the whole NULL-key group where the window tier answered (r9
+    review).  Right-side key columns are renamed into a private namespace
+    and dropped, so the output keeps exactly the left frame's columns
+    plus the right's payload, in that order."""
+    rj = right.select(
+        *[F.col(k).alias(f"__tp_nsby_{i}") for i, k in enumerate(keys)],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = None
+    for i, k in enumerate(keys):
+        e = F.col(k).eqNullSafe(F.col(f"__tp_nsby_{i}"))
+        cond = e if cond is None else cond & e
+    return left.join(F.broadcast(rj), on=cond, how="left").drop(
+        *[f"__tp_nsby_{i}" for i in range(len(keys))]
+    )
+
+
+def _chunk_of(idxn, idx_col: str | None = None, sentinel_when=None):
+    """Value-bucketed chunk index from the joined __tp_a/__tp_b/__tp_c
+    per-group stats: floor((idx - a) / width) clamped into [0, c), with the
+    degenerate-span (single idx value / empty group) collapse to chunk 0.
+    Rows matching the sentinel predicate (``sentinel_when``, defaulting
+    to ``idx_col IS NULL``) go to chunk -1 — they sort first under the
+    window path's orderBy, or carry no rank/position at all (rank's
+    ``~valid``).  ONE definition for the seven formerly hand-copied
+    blocks in this module (r9 review)."""
+    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
+    c = F.when(
+        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.col("__tp_c") - 1,
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((idxn - F.col("__tp_a")) / width),
+            ),
+        )
+    )
+    if sentinel_when is None and idx_col is not None:
+        sentinel_when = F.col(idx_col).isNull()
+    if sentinel_when is not None:
+        c = F.when(sentinel_when, F.lit(-1).cast("long")).otherwise(c)
+    return c
+
+
 def _no_tp_collisions(df: DataFrame) -> None:
     """The two-pass temporaries all live in the ``__tp_*`` namespace — fail
     fast if the caller's frame already uses it (the same guard style as
@@ -174,19 +224,8 @@ def scan_two_pass(
     # returned frame exposes it via the two_pass_stats handle)
     stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
 
-    joined = work.join(F.broadcast(stats), on=keys, how="left")
-    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
-    raw_chunk = F.when(
-        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
-    ).otherwise(
-        F.least(
-            F.col("__tp_c") - 1,
-            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
-        )
-    )
-    # NULL idx rows sort first under the window path's orderBy — give them
-    # chunk -1 so they stay ahead of every real chunk here too.
-    chunk = F.when(F.col(idx_col_name).isNull(), F.lit(-1).cast("long")).otherwise(raw_chunk)
+    joined = _ns_join(work, stats, keys)
+    chunk = _chunk_of(idxn, idx_col_name)
     big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
 
     # ---- pass 1: per-(group, chunk) states (tiny output) ------------------
@@ -215,7 +254,7 @@ def scan_two_pass(
     )
 
     # ---- pass 2: local scan + recombine (the ONE big-data shuffle) --------
-    out = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    out = _ns_join(big, offsets, keys + [_CHUNK])
     if func_name == "bfill":
         # ffill on the DESC-reversed order — NOT first() over a
         # currentRow..unboundedFollowing frame, which Spark evaluates by
@@ -306,18 +345,12 @@ def rolling_two_pass(
     # returned frame exposes it via the two_pass_stats handle)
     stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
 
-    joined = df.join(F.broadcast(stats), on=keys, how="left")
-    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
-    c0 = F.when(
-        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
-    ).otherwise(
-        F.least(
-            F.col("__tp_c") - 1,
-            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
-        )
-    )
-    c0 = F.when(F.col(idx_col).isNull(), F.lit(-1).cast("long")).otherwise(c0)
+    joined = _ns_join(df, stats, keys)
+    c0 = _chunk_of(idxn, idx_col)
     joined = joined.withColumn("__tp_c0", c0)
+    # chunk width, re-derived for the fringe bounds below (the chunk index
+    # itself comes from the shared _chunk_of)
+    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
 
     # fringe replication: (chunk, is_ctx) membership array, exploded.
     # tail rows (within |lo| of the chunk's upper edge) also serve chunk+1;
@@ -410,17 +443,8 @@ def interpolate_two_pass(
     # scan under it single-execution (LRU reclaims the KB entry; the
     # returned frame exposes it via the two_pass_stats handle)
     stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
-    joined = df.join(F.broadcast(stats), on=keys, how="left")
-    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
-    chunk = F.when(
-        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
-    ).otherwise(
-        F.least(
-            F.col("__tp_c") - 1,
-            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
-        )
-    )
-    chunk = F.when(idxn.isNull() | F.isnan(idxn), F.lit(-1).cast("long")).otherwise(chunk)
+    joined = _ns_join(df, stats, keys)
+    chunk = _chunk_of(idxn, sentinel_when=idxn.isNull() | F.isnan(idxn))
     big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
 
     base = (
@@ -481,7 +505,7 @@ def interpolate_two_pass(
     )
 
     # ---- recombine --------------------------------------------------------
-    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    big = _ns_join(big, offsets, keys + [_CHUNK])
     valid_x = F.when(anchor, idxn)
     valid_v = F.when(anchor, v.cast("double"))
     valid_rn = F.when(anchor, F.col("__tp_rnl"))
@@ -531,10 +555,12 @@ def _chunk_state_aggs(skip_name: str, ctx, propagating: bool) -> list:
     last-valid, bfill's first-valid) use struct-max/min over (idx, value) —
     NULL structs (invalid rows) are skipped by max/min."""
     aggs = []
-    if skip_name in ("nancumsum", "cumcount"):
+    if skip_name == "nancumsum":
         aggs.append(F.sum(ctx.clean).alias("__tp_sum"))
-        if skip_name == "cumcount":
-            aggs.append(F.count(ctx.clean).alias("__tp_cnt"))
+    elif skip_name == "cumcount":
+        # count only — the value sum was dead work lumped in with nancumsum
+        # (r9 review: _combine's cumcount branch never read __tp_o_sum)
+        aggs.append(F.count(ctx.clean).alias("__tp_cnt"))
     elif skip_name == "nancumprod":
         aggs.append(F.product(ctx.clean).alias("__tp_prod"))
     elif skip_name == "nancummax":
@@ -562,10 +588,10 @@ def _offset_exprs(skip_name: str, propagating: bool, w_prec, w_follow) -> list:
     """Running combine of chunk states over PRECEDING chunks (following, for
     bfill) — the exclusive prefix each chunk's local scan gets added to."""
     out = []
-    if skip_name in ("nancumsum", "cumcount"):
+    if skip_name == "nancumsum":
         out.append(F.sum("__tp_sum").over(w_prec).alias("__tp_o_sum"))
-        if skip_name == "cumcount":
-            out.append(F.sum("__tp_cnt").over(w_prec).alias("__tp_o_cnt"))
+    elif skip_name == "cumcount":
+        out.append(F.sum("__tp_cnt").over(w_prec).alias("__tp_o_cnt"))
     elif skip_name == "nancumprod":
         out.append(F.product("__tp_prod").over(w_prec).alias("__tp_o_prod"))
     elif skip_name == "nancummax":
@@ -669,18 +695,9 @@ def rank_two_pass(
     )
     stats = stats.withColumn("__tp_c", nchunks).persist()
 
-    joined = df.join(F.broadcast(stats), on=keys, how="left")
-    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
-    raw_chunk = F.when(
-        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
-    ).otherwise(
-        F.least(
-            F.col("__tp_c") - 1,
-            F.greatest(F.lit(0).cast("long"), F.floor((ord_num - F.col("__tp_a")) / width)),
-        )
-    )
+    joined = _ns_join(df, stats, keys)
     # missing values never consume a rank: sentinel chunk, NULL rank below
-    chunk = F.when(~valid, F.lit(-1).cast("long")).otherwise(raw_chunk)
+    chunk = _chunk_of(ord_num, sentinel_when=~valid)
     big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
 
     # ---- tiny per-(group, chunk) states ----------------------------------
@@ -707,7 +724,7 @@ def rank_two_pass(
     )
 
     # ---- local rank + recombine ------------------------------------------
-    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    big = _ns_join(big, offsets, keys + [_CHUNK])
     order = clean.asc_nulls_last() if ascending else clean.desc_nulls_last()
     wp = Window.partitionBy(*keys, _CHUNK)
     pre = F.coalesce(F.col("__tp_pre"), F.lit(0).cast("long"))
@@ -815,17 +832,8 @@ def ewma_two_pass(
     nchunks = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rpc)))
     stats = stats.withColumn("__tp_c", nchunks).persist()
 
-    joined = df.join(F.broadcast(stats), on=keys, how="left")
-    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
-    chunk = F.when(
-        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
-    ).otherwise(
-        F.least(
-            F.col("__tp_c") - 1,
-            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
-        )
-    )
-    chunk = F.when(F.col(idx_col).isNull(), F.lit(-1).cast("long")).otherwise(chunk)
+    joined = _ns_join(df, stats, keys)
+    chunk = _chunk_of(idxn, idx_col)
     big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c", "__tp_n")
 
     base = Window.partitionBy(*keys, _CHUNK).orderBy(F.col(idx_col))
@@ -927,7 +935,7 @@ def ewma_two_pass(
     offsets = chunk_states.groupBy(*keys).applyInPandas(recur, schema=out_schema)
 
     # ---- recombine ---------------------------------------------------------
-    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    big = _ns_join(big, offsets, keys + [_CHUNK])
     gv = F.col("__tp_vl") + F.coalesce(F.col("__tp_pre_valid"), F.lit(0).cast("long"))
     if adjust:
         c_i = F.lit(1.0)
@@ -985,17 +993,8 @@ def sessionize_two_pass(
         F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
     )
     stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
-    joined = df.join(F.broadcast(stats), on=keys, how="left")
-    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
-    chunk = F.when(
-        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
-    ).otherwise(
-        F.least(
-            F.col("__tp_c") - 1,
-            F.greatest(F.lit(0).cast("long"), F.floor((ts - F.col("__tp_a")) / width)),
-        )
-    )
-    chunk = F.when(ts.isNull(), F.lit(-1).cast("long")).otherwise(chunk)
+    joined = _ns_join(df, stats, keys)
+    chunk = _chunk_of(ts, sentinel_when=ts.isNull())
     big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
 
     base = Window.partitionBy(*keys, _CHUNK).orderBy(F.col(ts_col).asc())
@@ -1037,7 +1036,7 @@ def sessionize_two_pass(
         F.coalesce(F.sum("__tp_total").over(w_prec), F.lit(0).cast("long")).alias("__tp_pre"),
     )
 
-    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    big = _ns_join(big, offsets, keys + [_CHUNK])
     eff_prev = F.coalesce(local_prev, F.col("__tp_prev_last"))
     boundary = F.when(eff_prev.isNull() | ((ts - eff_prev) > gap), 1).otherwise(0)
     session = (
@@ -1098,17 +1097,8 @@ def _ewma_affine_two_pass(
     )
     nchunks = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rpc)))
     stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
-    joined = df.join(F.broadcast(stats), on=keys, how="left")
-    width = (F.col("__tp_b") - F.col("__tp_a")) / F.col("__tp_c").cast("double")
-    chunk = F.when(
-        F.col("__tp_a").isNull() | (width <= F.lit(0.0)), F.lit(0).cast("long")
-    ).otherwise(
-        F.least(
-            F.col("__tp_c") - 1,
-            F.greatest(F.lit(0).cast("long"), F.floor((idxn - F.col("__tp_a")) / width)),
-        )
-    )
-    chunk = F.when(F.col(idx_col).isNull(), F.lit(-1).cast("long")).otherwise(chunk)
+    joined = _ns_join(df, stats, keys)
+    chunk = _chunk_of(idxn, idx_col)
     big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
 
     base = Window.partitionBy(*keys, _CHUNK).orderBy(F.col(idx_col))
@@ -1198,7 +1188,7 @@ def _ewma_affine_two_pass(
         return pd.DataFrame(rows_out)
 
     offsets = states.groupBy(*keys).applyInPandas(recur, schema=out_schema)
-    big = big.join(F.broadcast(offsets), on=keys + [_CHUNK], how="left")
+    big = _ns_join(big, offsets, keys + [_CHUNK])
 
     first_global = F.col("__tp_rf") + F.coalesce(F.col("__tp_prer"), F.lit(0).cast("long"))
     w_b = F.pow(F.lit(beta), first_global - F.col("__tp_plo"))

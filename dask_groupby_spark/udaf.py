@@ -198,15 +198,28 @@ def ewma(
     :func:`dask_groupby_spark.two_pass.ewma_two_pass`); identical pandas
     semantics in all four adjust×ignore_na modes, max task = one chunk.
     """
+    if method not in ("pandas", "two_pass"):
+        raise ValueError(f"method must be 'pandas' or 'two_pass', got {method!r}")
+    # A NULL idx has no position in an order-dependent recurrence: exclude
+    # the row from the series and give it a NULL result, UNIFORMLY —
+    # enforced here, before tier dispatch, because the tiers used to
+    # disagree (pandas sorted NULL idx last; the geometric two-pass
+    # dropped it from carries; the affine two-pass seeded the recurrence
+    # with it — three answers for one input, r9 review).
+    from pyspark.sql import functions as F
+
+    null_idx = df.where(F.col(idx_col).isNull()).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    work = df.where(F.col(idx_col).isNotNull())
     if method == "two_pass":
         from .two_pass import ewma_two_pass
 
-        return ewma_two_pass(
-            df, by, value, idx_col, alpha, adjust, ignore_na, out,
+        res = ewma_two_pass(
+            work, by, value, idx_col, alpha, adjust, ignore_na, out,
             rows_per_chunk=rows_per_chunk,
         )
-    if method != "pandas":
-        raise ValueError(f"method must be 'pandas' or 'two_pass', got {method!r}")
+        return res.unionByName(null_idx)
 
     def _t(vals: pd.DataFrame) -> dict:
         return {
@@ -215,7 +228,8 @@ def ewma(
             .mean()
         }
 
-    return groupby_apply_transform(
-        df, *by, transform_fn=_t, value_cols=[value], idx_col=idx_col,
+    res = groupby_apply_transform(
+        work, *by, transform_fn=_t, value_cols=[value], idx_col=idx_col,
         output_schema=f"`{out}` double",
     )
+    return res.unionByName(null_idx.select(*res.columns))

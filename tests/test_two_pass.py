@@ -699,3 +699,62 @@ def test_spearman_two_pass_matches_window(spark):
     for g in w:
         assert w[g][0] == t[g][0]
         assert _cmp(w[g][1], t[g][1], "spearman"), (g, w[g], t[g])
+
+
+def test_two_pass_null_key_group_matches_window(spark):
+    """Window partitioning treats NULL keys as a real group; the two-pass
+    stats/offsets joins must too (r9 review: plain on=keys joins stranded
+    the NULL-key group and rank pct came back NULL)."""
+    from dask_groupby_spark import groupby_rank, groupby_scan
+
+    rows = [(None, 1, 10.0), (None, 2, 30.0), (None, 3, 20.0),
+            ("a", 1, 5.0), ("a", 2, 1.0)]
+    df = spark.createDataFrame(rows, "k string, i bigint, v double")
+
+    for fn, kw in (
+        (groupby_rank, dict(value="v", idx_col="i", pct=True)),
+        (groupby_scan, dict(func="nancumsum", value="v", idx_col="i")),
+    ):
+        win = fn(df, "k", **kw).orderBy("k", "i").collect()
+        twp = fn(
+            df, "k", **kw, execution="two_pass", rows_per_chunk=2
+        ).orderBy("k", "i").collect() if fn is groupby_rank else fn(
+            df, "k", **kw, method="two_pass", rows_per_chunk=2
+        ).orderBy("k", "i").collect()
+        def norm(rows):
+            import math
+            return [
+                {k: ("NaN" if isinstance(v, float) and math.isnan(v) else v)
+                 for k, v in r.asDict().items()}
+                for r in rows
+            ]
+
+        assert norm(win) == norm(twp)
+
+
+def test_ewma_null_idx_uniform_across_tiers(spark):
+    """A NULL idx has no position in the recurrence: excluded with NULL
+    output, identically in the pandas and two_pass tiers (r9 review: the
+    three execution paths used to give three different answers)."""
+    import math
+
+    from dask_groupby_spark.udaf import ewma
+
+    rows = [("a", 1.0, 10.0), ("a", None, 99.0), ("a", 2.0, 20.0),
+            ("a", 3.0, 30.0)]
+    df = spark.createDataFrame(rows, "k string, i double, v double")
+    for kw in (dict(method="pandas"),
+               dict(method="two_pass", rows_per_chunk=2),
+               dict(method="two_pass", rows_per_chunk=2, adjust=False)):
+        got = ewma(df, "k", value="v", idx_col="i", alpha=0.5, **kw)
+        vals = {(r["i"]): r["ewma"] for r in got.collect()}
+        assert vals[None] is None          # NULL idx -> NULL result
+        assert vals[1.0] == 10.0           # series seeded by idx=1, not NULL
+        assert not math.isnan(vals[3.0])
+    # the two tiers agree on the surviving series
+    p = ewma(df, "k", value="v", idx_col="i", alpha=0.5).collect()
+    t = ewma(df, "k", value="v", idx_col="i", alpha=0.5,
+             method="two_pass", rows_per_chunk=2).collect()
+    pv = sorted((r["i"] is None, r["i"], r["ewma"]) for r in p)
+    tv = sorted((r["i"] is None, r["i"], r["ewma"]) for r in t)
+    assert pv == tv
