@@ -113,16 +113,6 @@ def _ev(spark, sf):
     ).withColumn("vnull", F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("value")))
 
 
-_EV_CTE = """
-WITH t AS (
-  SELECT event_id, event_type, user_id, ts, value,
-         CASE WHEN value<5 THEN 'NaN'::DOUBLE ELSE value END AS vnan,
-         CASE WHEN value<50 THEN NULL ELSE value END AS vnull
-  FROM events
-)
-"""
-
-
 def _flagged(df: DataFrame, col: str, ndigits: int | None) -> DataFrame:
     """Split a possibly-NaN float column into (<col>_isnan, <col> clean)."""
     clean = F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col))
@@ -434,8 +424,11 @@ def q_bins_left(spark, sf):
         expected_groups=Bins([1.0, 10.0, 20.0, 30.0, 40.0, 51.0], closed="left"),
         fill_value=0.0,
     )
+    # round-1: these 5 bins each sum ~5e9 of doubles, where cross-engine
+    # summation-order noise (~1e-4) sits AT the round-4 half-grid — the
+    # 3-decades-above-noise rule wants a 0.1 grid (r9 entry-layer review)
     return out.withColumn("l_quantity_bin", F.col("l_quantity_bin").cast("bigint")).withColumn(
-        "nansum", F.round("nansum", 4)
+        "nansum", F.round("nansum", 1)
     )
 
 
@@ -560,9 +553,10 @@ def q_xdim_bins(spark, sf):
         expected_groups=Bins([0.0, 10.0, 20.0, 30.0, 40.0, 50.0], closed="right"),
         interval_labels=True,
     )
+    # round-1 for the same ~5e9-per-bin float-sum reason as q_bins_left
     return out.select(
         F.col("l_quantity_bin").alias("quantity_interval"),
-        F.round("nansum", 4).alias("nansum"),
+        F.round("nansum", 1).alias("nansum"),
     )
 
 
@@ -616,6 +610,33 @@ def q_calendar_mean(spark, sf):
     )
 
 
+def _event_stream(spark, sf, convert_ts=True, drop_null_ts=True):
+    """The events table as a file STREAM — one definition for the eight
+    formerly copy-pasted setup blocks (r9 entry-layer review).  Streaming
+    file sources scan a directory (single-file paths break the
+    partition-inference file index), so the schema is read batch-side and
+    the glob selects just events.parquet.  ``convert_ts`` normalizes the
+    rounds-1/2 bigint-nanos encoding with the SAME floor division as
+    sources.load_table; ``drop_null_ts`` mirrors the event-time queries'
+    NULL-ts exclusion (watermarks need a timestamp).  The dedup/cumsum
+    keys consume raw rows and pass False for both."""
+    import os
+
+    from dask_groupby_spark.sources import read_stream
+
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    stream = read_stream(
+        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
+    )
+    if convert_ts and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    if drop_null_ts:
+        stream = stream.where(F.col("ts").isNotNull())
+    return stream
+
+
 def q_stream_window(spark, sf):
     """Structured Streaming, oracle-checked: events consumed as a FILE
     STREAM (explicit schema, Trigger.AvailableNow) through
@@ -628,15 +649,7 @@ def q_stream_window(spark, sf):
     from dask_groupby_spark.sources import read_stream
     from dask_groupby_spark.streaming import windowed_reduce
 
-    # streaming file sources scan a directory (single-file paths break the
-    # partition-inference file index) — glob just the events table
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
-    stream = read_stream(
-        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.where(F.col("ts").isNotNull())
+    stream = _event_stream(spark, sf)
 
     out = windowed_reduce(
         stream, "event_type", func="nansum", value="value",
@@ -667,13 +680,7 @@ def q_stream_sliding(spark, sf):
     from dask_groupby_spark.sources import read_stream
     from dask_groupby_spark.streaming import windowed_reduce
 
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
-    stream = read_stream(
-        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.where(F.col("ts").isNotNull())
+    stream = _event_stream(spark, sf)
 
     out = windowed_reduce(
         stream, "event_type", func="nansum", value="value",
@@ -731,7 +738,12 @@ def q_stream_late(spark, sf):
     ev = _ev(spark, sf).where(F.col("ts").isNotNull()).select(
         "event_type", "ts", "value"
     )
-    base = tempfile.mkdtemp(prefix="stream_late_")
+    # deterministic staging dir, cleared on entry: the returned DataFrame
+    # reads it lazily, so in-function cleanup would break the driver's
+    # later collect — reuse bounds the /tmp footprint to ONE copy per key
+    # instead of one per run (r9 entry-layer review)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_stream_late")
+    shutil.rmtree(base, ignore_errors=True)
     stage = os.path.join(base, "in")
     os.makedirs(stage)
     batches = [
@@ -783,13 +795,7 @@ def q_stream_session(spark, sf):
     from dask_groupby_spark.sources import read_stream
     from dask_groupby_spark.streaming import session_reduce
 
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
-    stream = read_stream(
-        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.where(F.col("ts").isNotNull())
+    stream = _event_stream(spark, sf)
 
     out = session_reduce(
         stream, "user_id", func="nansum", value="value",
@@ -821,13 +827,7 @@ def q_stream_agg(spark, sf):
     from dask_groupby_spark.sources import read_stream
     from dask_groupby_spark.streaming import windowed_agg
 
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
-    stream = read_stream(
-        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.where(F.col("ts").isNotNull())
+    stream = _event_stream(spark, sf)
 
     out = windowed_agg(
         stream, "event_type",
@@ -861,17 +861,10 @@ def q_stream_join(spark, sf):
     click pairs with the same user's views in the 2 hours before it
     (both sides watermarked so buffered state is evictable); finite
     stream == batch self-join."""
-    import os
-
-    from dask_groupby_spark.sources import read_stream
     from dask_groupby_spark.streaming import stream_stream_join
 
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
-
     def side(etype, ts_alias, id_alias):
-        s = read_stream(spark, sf, schema=raw_schema, pathGlobFilter="events.parquet")
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = _event_stream(spark, sf, drop_null_ts=False)
         return s.where(F.col("event_type") == etype).select(
             F.col("event_id").alias(id_alias),
             F.col("ts").alias(ts_alias),
@@ -906,13 +899,7 @@ def q_stream_enrich(spark, sf):
     from dask_groupby_spark.sources import load_table, read_stream
     from dask_groupby_spark.streaming import stream_enrich, windowed_reduce
 
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
-    stream = read_stream(
-        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.where(F.col("ts").isNotNull())
+    stream = _event_stream(spark, sf)
 
     dim = load_table(spark, sf, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
@@ -945,10 +932,7 @@ def q_stream_dedup(spark, sf):
     from dask_groupby_spark.sources import read_stream
     from dask_groupby_spark.streaming import streaming_dedup
 
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
-    stream = read_stream(
-        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
-    )
+    stream = _event_stream(spark, sf, convert_ts=False, drop_null_ts=False)
     deduped = streaming_dedup(stream, "user_id", "event_type")
     out = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
     name = "stream_dedup_tbl"
@@ -973,10 +957,7 @@ def q_stream_cumsum(spark, sf):
     from dask_groupby_spark.sources import read_stream
     from dask_groupby_spark.streaming import streaming_cumsum
 
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
-    stream = read_stream(
-        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
-    )
+    stream = _event_stream(spark, sf, convert_ts=False, drop_null_ts=False)
     out = streaming_cumsum(stream, "user_id", "value")
     name = "stream_cumsum_tbl"
     q = (
@@ -1522,7 +1503,13 @@ def q_mh_index_probe(spark, sf):
     docs = load_table(spark, sf, "documents")
     corpus = docs.where(F.col("doc_id") < 250)
     batch = docs.where(F.col("doc_id") >= 250)
-    path = tempfile.mkdtemp(prefix="mh_index_contract_")
+    # deterministic index dir, cleared on entry (see q_stream_late note)
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_mh_index_contract")
+    shutil.rmtree(path, ignore_errors=True)
     minhash_index_write(
         corpus, path, num_hashes=4, bands=4, shingle_k=3, hasher="portable"
     )
@@ -2155,8 +2142,14 @@ def q_salted_join(spark, sf):
         joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # l_quantity values are dyadic (.0/.5) so their sum is exact;
+            # o_totalprice sums reach ~3e10 where cross-engine summation
+            # order exceeds any fixed rounding (the q_wmean rule) — exact
+            # integer cents instead (r9 entry-layer review)
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
         )
         .orderBy("o_orderpriority")
     )
@@ -2262,7 +2255,11 @@ def q_stream_cms(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    base = tempfile.mkdtemp(prefix="stream_cms_")
+    # deterministic staging dir, cleared on entry (see q_stream_late note)
+    import shutil
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_stream_cms")
+    shutil.rmtree(base, ignore_errors=True)
     stage = os.path.join(base, "in")
     os.makedirs(stage)
     half = [tk.where(F.col("doc_id") % 2 == i).select("term") for i in (0, 1)]

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from dask_groupby_spark import Bins, groupby_agg, groupby_reduce, groupby_scan
 from dask_groupby_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
-from dask_groupby_spark.operators.similarity import cosine_topk
 from dask_groupby_spark.session import get_spark
 from dask_groupby_spark.sources import load_table
 
@@ -310,8 +309,12 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "queries_ext": times_ext,
-                "value_ext": round(
-                    sum(v for v in times_ext.values() if isinstance(v, float)), 3
+                # None (not 0.0) when the ext series errored — a zero would
+                # read as an extreme speedup in round-over-round comparisons
+                "value_ext": (
+                    round(sum(times_ext.values()), 3)
+                    if all(isinstance(v, float) for v in times_ext.values())
+                    else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -116,6 +116,26 @@ sig AS (
   FROM hashed GROUP BY doc_id
 )"""
 
+def _bands_cte(bands: int = 4, alias: str = "bands") -> str:
+    """LSH band-hash CTE over the `sig` table of :func:`_minhash_cte` —
+    one generated definition for the five formerly hand-copied UNION
+    blocks (r9 entry-layer review: a missed copy on a seed/band change
+    would silently alter one oracle's pair set)."""
+    parts = []
+    for b in range(bands):
+        sel = "SELECT id, {b}{alias}, CAST('0x'||substr(md5('band:'||CAST(mh_{b} AS VARCHAR)),1,15) AS BIGINT){bh} FROM sig".format(
+            b=b,
+            alias=" AS band" if b == 0 else "",
+            bh=" AS bh" if b == 0 else "",
+        )
+        parts.append(sel)
+    return (
+        ",\n" + alias + " AS (\n  "
+        + "\n  UNION ALL\n  ".join(parts)
+        + "\n)"
+    )
+
+
 
 _SIMHASH_BITS = 16
 _simhash_votes = ",\n       ".join(
@@ -339,7 +359,7 @@ FROM (
   FROM lineitem
 ) WHERE b IS NOT NULL GROUP BY 1""",
     "bins_left": """
-SELECT CAST(b AS BIGINT) AS l_quantity_bin, round(sum(l_extendedprice), 4) AS nansum
+SELECT CAST(b AS BIGINT) AS l_quantity_bin, round(sum(l_extendedprice), 1) AS nansum
 FROM (
   SELECT CASE WHEN l_quantity >=  1 AND l_quantity < 10 THEN 0
               WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1
@@ -448,7 +468,7 @@ FROM events GROUP BY 1""",
 SELECT CASE b WHEN 0 THEN '(0.0, 10.0]' WHEN 1 THEN '(10.0, 20.0]'
               WHEN 2 THEN '(20.0, 30.0]' WHEN 3 THEN '(30.0, 40.0]'
               WHEN 4 THEN '(40.0, 50.0]' END AS quantity_interval,
-       round(sum(l_extendedprice), 4) AS nansum
+       round(sum(l_extendedprice), 1) AS nansum
 FROM (
   SELECT CASE WHEN l_quantity >  0 AND l_quantity <= 10 THEN 0
               WHEN l_quantity > 10 AND l_quantity <= 20 THEN 1
@@ -876,32 +896,16 @@ SELECT doc_id, g_n_words, round(g_mean_word_len, 6) AS g_mean_word_len,
                 AND g_symbol_ratio <= 0.1, FALSE) AS gopher_pass
 FROM m ORDER BY doc_id""",
     "mh_index_probe": _minhash_cte(4, 3)
-    + """,
-bands AS (
-  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
-  UNION ALL
-  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-)
+    + _bands_cte()
+    + """
 SELECT b.id AS new_id, a.id AS index_id, count(*)::BIGINT AS n_shared_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
 WHERE a.id < 250 AND b.id >= 250
 GROUP BY 1, 2
 ORDER BY 1, 2""",
     "lsh_pairs": _minhash_cte(4, 3)
-    + """,
-bands AS (
-  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
-  UNION ALL
-  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-)
+    + _bands_cte()
+    + """
 SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 GROUP BY 1, 2""",
@@ -911,16 +915,8 @@ GROUP BY 1, 2""",
     # cluster keeps its highest-quality member (quality = text length,
     # ties → smallest id); survivors = everything minus the rank>1 rows.
     "keep_by_dedup": _minhash_cte(4, 3)
+    + _bands_cte(alias="kbands")
     + """,
-kbands AS (
-  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
-  UNION ALL
-  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-),
 kpairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM kbands a JOIN kbands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
@@ -948,16 +944,8 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT id FROM kranked WHERE rn > 1)
 ORDER BY doc_id""",
     "dup_clusters": _minhash_cte(4, 3)
+    + _bands_cte()
     + """,
-bands AS (
-  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
-  UNION ALL
-  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
@@ -979,16 +967,8 @@ SELECT v AS id, min(l)::BIGINT AS cluster_id FROM reach GROUP BY v""",
     # threshold, keyed on coalesce(cluster_id, doc_id) — near-dup
     # clusters are atomic across the split (curate.py leakage_safe_split)
     "leak_split": _minhash_cte(4, 3)
+    + _bands_cte()
     + """,
-bands AS (
-  SELECT id, 0 AS band, CAST('0x'||substr(md5('band:'||CAST(mh_0 AS VARCHAR)),1,15) AS BIGINT) AS bh FROM sig
-  UNION ALL
-  SELECT id, 1, CAST('0x'||substr(md5('band:'||CAST(mh_1 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 2, CAST('0x'||substr(md5('band:'||CAST(mh_2 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-  UNION ALL
-  SELECT id, 3, CAST('0x'||substr(md5('band:'||CAST(mh_3 AS VARCHAR)),1,15) AS BIGINT) FROM sig
-),
 lpairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
@@ -1499,7 +1479,7 @@ ORACLE_SQL["salted_join"] = """
 SELECT o_orderpriority,
        count(*)::BIGINT AS n,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(o_totalprice), 2) AS sum_price
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS price_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 

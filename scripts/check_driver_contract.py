@@ -14,7 +14,10 @@ import math
 import sys
 import time
 
-sys.path.insert(0, ".")
+import os
+
+# run from anywhere: the repo root is this script's parent directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
@@ -115,6 +118,15 @@ def main():
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
     spark.stop()
+    if only and checked == 0:
+        # a filter that matches nothing must not read as a green gate
+        # (r9 review: a typo'd key name exited 0 with zero comparisons run)
+        print(f"ERROR: filter matched no queries: {sorted(only)}")
+        sys.exit(2)
+    unknown = set(only) - set(qs) if only else set()
+    if unknown:
+        print(f"ERROR: unknown query key(s) in filter: {sorted(unknown)}")
+        sys.exit(2)
     sys.exit(1 if failures else 0)
 
 
