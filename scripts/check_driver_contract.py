@@ -56,7 +56,19 @@ def main():
     spark = get_spark("contract-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # tolerate partial SF dirs (e.g. the /tmp/sf1 soak set ships only
+        # the big tables) — a query actually needing a missing view still
+        # fails loudly at its own oracle
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.isdir(p):
+            # Spark-written table = a directory of part files
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        else:
+            print(f"note: {t}.parquet absent in {sf} — view skipped")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
