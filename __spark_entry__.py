@@ -742,7 +742,7 @@ def q_stream_late(spark, sf):
     # reads it lazily, so in-function cleanup would break the driver's
     # later collect — reuse bounds the /tmp footprint to ONE copy per key
     # instead of one per run (r9 entry-layer review)
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_stream_late")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_late_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     stage = os.path.join(base, "in")
     os.makedirs(stage)
@@ -1508,7 +1508,7 @@ def q_mh_index_probe(spark, sf):
     import shutil
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_mh_index_contract")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mh_index_contract_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     minhash_index_write(
         corpus, path, num_hashes=4, bands=4, shingle_k=3, hasher="portable"
@@ -2258,7 +2258,7 @@ def q_stream_cms(spark, sf):
     # deterministic staging dir, cleared on entry (see q_stream_late note)
     import shutil
 
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_stream_cms")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_cms_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     stage = os.path.join(base, "in")
     os.makedirs(stage)

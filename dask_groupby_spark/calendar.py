@@ -48,9 +48,15 @@ _CUM_366 = (0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335)
 # '2000-01-01junk' through to the ANSI bigint casts, killing the job
 # instead of yielding NULL); optional fraction + Z tolerated like the
 # split pattern always did
+# a trailing UTC-offset annotation (+HH:MM / -HH:MM / Z) is ACCEPTED and
+# IGNORED — cftime-style calendar datetimes are naive, and the split
+# pattern below has always tokenized past the offset (r9 meta-review:
+# the first anchored form NULLed offset-suffixed rows the unanchored
+# original encoded)
 _TS_RE = (
     r"^(\d{1,4})-(\d{1,2})-(\d{1,2})"
-    r"([ Tt](\d{1,2}):(\d{1,2}):(\d{1,2})(\.\d+)?[Zz]?)?$"
+    r"([ Tt](\d{1,2}):(\d{1,2}):(\d{1,2})(\.\d+)?"
+    r"(Z|z| ?[+-]\d{1,2}:?\d{2})?)?$"
 )
 
 

@@ -75,6 +75,35 @@ def _make_ctx(
     )
 
 
+def nullsafe_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys,
+    how: str = "inner",
+    broadcast: bool = False,
+    prefix: str = "__ns_by",
+) -> DataFrame:
+    """NULL-group-preserving equi-join — THE shared definition (r9
+    meta-review: linear.py and two_pass.py had grown twin copies).
+    GROUP BY keeps a NULL-key stats row, but a plain equi-join would
+    strand those rows: rename the right side's keys into a private
+    namespace, join on eqNullSafe, drop the namespace.  Output = left's
+    columns + right's payload columns, in that order."""
+    keys = list(keys)
+    rj = right.select(
+        *[F.col(c).alias(f"{prefix}_{i}") for i, c in enumerate(keys)],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = None
+    for i, c in enumerate(keys):
+        e = F.col(c).eqNullSafe(F.col(f"{prefix}_{i}"))
+        cond = e if cond is None else cond & e
+    r = F.broadcast(rj) if broadcast else rj
+    return left.join(r, on=cond, how=how).drop(
+        *[f"{prefix}_{i}" for i in range(len(keys))]
+    )
+
+
 def _normalize_expected(by, expected_groups):
     """Normalize expected_groups to a tuple aligned with ``by``; Bins objects
     may arrive via expected_groups (flox isbin style) and define both the key

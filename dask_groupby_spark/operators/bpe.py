@@ -147,6 +147,11 @@ def bpe_train(
             pairs = {(r["a"], r["b"]): r["n"] for r in rows}
             heap = [(-n, a, b) for (a, b), n in pairs.items()]
             heapq.heapify(heap)
+            # dropping the only reference lets the ContextCleaner reclaim
+            # the checkpointed blocks on GC — the small (driver-dict) path
+            # does not hold the table for the run (r9 meta-review note);
+            # the alternative (probe-then-checkpoint) re-ran the whole
+            # vocabulary aggregate on the spill path, which is worse
             pc = None
 
     def _spill_to_df():

@@ -78,22 +78,13 @@ def _unpack_normal_eq(row, d: int):
 
 def _nullsafe_join(left, right, by_list, how="inner", broadcast=False,
                    prefix="__ns_by"):
-    """NULL-group-preserving equi-join (the groupby_fill_stat(method='join')
-    convention): GROUP BY keeps a NULL-key stats row, but a plain equi-join
-    would strand those rows — rename the right side's keys into a private
-    namespace, join on eqNullSafe, drop the namespace.  ONE definition for
-    the four formerly hand-copied blocks in this module (r9 review)."""
-    rj = right.select(
-        *[F.col(c).alias(f"{prefix}_{i}") for i, c in enumerate(by_list)],
-        *[c for c in right.columns if c not in by_list],
-    )
-    cond = None
-    for i, c in enumerate(by_list):
-        e = F.col(c).eqNullSafe(F.col(f"{prefix}_{i}"))
-        cond = e if cond is None else cond & e
-    r = F.broadcast(rj) if broadcast else rj
-    return left.join(r, on=cond, how=how).drop(
-        *[f"{prefix}_{i}" for i in range(len(by_list))]
+    """Delegates to :func:`dask_groupby_spark.core.nullsafe_join` — the
+    ONE shared NULL-group-preserving join (r9 meta-review consolidated
+    this module's copy and two_pass's into core)."""
+    from ..core import nullsafe_join
+
+    return nullsafe_join(
+        left, right, by_list, how=how, broadcast=broadcast, prefix=prefix
     )
 
 

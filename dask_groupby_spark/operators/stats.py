@@ -55,10 +55,11 @@ def uniform_bin(col: Column, lo: float, hi: float, bins: int) -> Column:
     the edge bins — one definition, so sketch-table bins and
     calibration bins can never drift out of alignment."""
     b = F.floor((col - F.lit(float(lo))) / F.lit((hi - lo) / bins))
-    # explicit NULL -> NULL: greatest/least SKIP null arguments, so without
-    # the guard a NULL value would clamp into the TOP bin (r9 review)
+    # explicit NULL/NaN -> NULL: greatest/least SKIP null arguments and
+    # least() treats NaN as the LARGEST double, so either missing form
+    # would otherwise clamp into the TOP bin (r9 review + meta-review)
     return F.when(
-        col.isNotNull(),
+        col.isNotNull() & ~F.isnan(col.cast("double")),
         F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)),
     ).cast("int")
 

@@ -44,20 +44,19 @@ _STREAMING_UNSUPPORTED = frozenset(
 )
 
 
-def _stream_spec(stream: DataFrame, func: str, value: str):
-    """Gate + input prep shared by the streaming reducers: reject
-    order-sensitive / holistic-buffer / distinct reductions, drop
-    missing-label rows is the CALLER's job (keys vary), and apply the same
-    bool→int cast batch ``groupby_reduce`` applies (core.py step 0) so the
-    'same aggregation registry' contract holds for boolean columns."""
+def _stream_spec(stream: DataFrame, func: str, value: str, kw=None):
+    """Gate + ctx builder shared by the streaming reducers: reject
+    order-sensitive / holistic-buffer / distinct reductions; the bool→int
+    cast rides the ctx EXPRESSIONS (``_make_ctx(bool_to_long=)``), scoped
+    to THIS func — a frame-level withColumn would leak the cast into
+    sibling aggregations of the same boolean column in ``windowed_agg``,
+    flipping their result type on item order (r9 meta-review; same fix as
+    batch ``groupby_agg``)."""
     spec = AGGREGATIONS[func]
     if spec.grouped_build or spec.needs_idx or spec.name in _STREAMING_UNSUPPORTED:
         raise ValueError(f"{func} is not supported in streaming mode")
-    if spec.bool_to_int and isinstance(
-        stream.schema[value].dataType, T.BooleanType
-    ):
-        stream = stream.withColumn(value, F.col(value).cast("long"))
-    return spec, stream
+    ctx = _make_ctx(stream, value, None, kw or {}, bool_to_long=spec.bool_to_int)
+    return spec, ctx
 
 
 def _drop_missing_keys(stream: DataFrame, by: tuple) -> DataFrame:
@@ -89,13 +88,12 @@ def windowed_reduce(
     window's rows; rows later than ``watermark`` behind the max seen event
     time are dropped and their window state reclaimed.
     """
-    spec, stream = _stream_spec(stream, func, value)
     out = alias or func
     # watermarks require TIMESTAMP — NTZ event time throws
     # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE (plain projection, streaming-safe)
     stream = normalize_time(stream, ts_col)
     stream = _drop_missing_keys(stream, by)
-    ctx = _make_ctx(stream, value, None, {})
+    spec, ctx = _stream_spec(stream, func, value)
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
         stream.withWatermark(ts_col, watermark)
@@ -137,8 +135,7 @@ def windowed_agg(
     for item in funcs:
         name, vcol, out = item[0], item[1], item[2]
         kw = dict(item[3]) if len(item) > 3 else {}
-        spec, stream = _stream_spec(stream, name, vcol)
-        ctx = _make_ctx(stream, vcol, None, kw)
+        spec, ctx = _stream_spec(stream, name, vcol, kw)
         aggs.append(spec.build(ctx).alias(out))
     win = (
         F.window(F.col(ts_col), window, slide)
@@ -272,11 +269,10 @@ def session_reduce(
     goes quiet for ``gap`` closes its session and frees its state, so state
     size is O(active keys), not O(stream length).
     """
-    spec, stream = _stream_spec(stream, func, value)
     out = alias or func
     stream = normalize_time(stream, ts_col)
     stream = _drop_missing_keys(stream, by)
-    ctx = _make_ctx(stream, value, None, {})
+    spec, ctx = _stream_spec(stream, func, value)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *by)

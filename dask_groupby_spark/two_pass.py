@@ -81,23 +81,14 @@ TWO_PASS_FUNCS = frozenset(
 
 def _ns_join(left: DataFrame, right: DataFrame, keys: list) -> DataFrame:
     """Broadcast LEFT join on the group keys (+ chunk) with NULL-SAFE key
-    equality.  Window partitioning treats a NULL key as a real group, so
-    the per-group stats/offsets joins must too — a plain ``on=keys`` join
-    never matched NULL keys and the two-pass tier emitted NULL results
-    for the whole NULL-key group where the window tier answered (r9
-    review).  Right-side key columns are renamed into a private namespace
-    and dropped, so the output keeps exactly the left frame's columns
-    plus the right's payload, in that order."""
-    rj = right.select(
-        *[F.col(k).alias(f"__tp_nsby_{i}") for i, k in enumerate(keys)],
-        *[c for c in right.columns if c not in keys],
-    )
-    cond = None
-    for i, k in enumerate(keys):
-        e = F.col(k).eqNullSafe(F.col(f"__tp_nsby_{i}"))
-        cond = e if cond is None else cond & e
-    return left.join(F.broadcast(rj), on=cond, how="left").drop(
-        *[f"__tp_nsby_{i}" for i in range(len(keys))]
+    equality — window partitioning treats a NULL key as a real group, so
+    the per-group stats/offsets joins must too (r9 review).  Delegates to
+    :func:`dask_groupby_spark.core.nullsafe_join` (the one shared
+    definition; r9 meta-review)."""
+    from .core import nullsafe_join
+
+    return nullsafe_join(
+        left, right, keys, how="left", broadcast=True, prefix="__tp_nsby"
     )
 
 

@@ -219,7 +219,11 @@ def ewma(
             work, by, value, idx_col, alpha, adjust, ignore_na, out,
             rows_per_chunk=rows_per_chunk,
         )
-        return res.unionByName(null_idx)
+        final = res.unionByName(null_idx)
+        # re-attach the persist handle the union wrapper would otherwise
+        # discard (two_pass.py handle convention; r9 meta-review)
+        final.two_pass_stats = res.two_pass_stats
+        return final
 
     def _t(vals: pd.DataFrame) -> dict:
         return {
