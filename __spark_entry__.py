@@ -3554,8 +3554,31 @@ _R9_WINDOW = [
     "chunk_docs",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
-_QUERIES = {k: _QUERIES[k] for k in _R9_WINDOW} | {
-    k: v for k, v in _QUERIES.items() if k not in set(_R9_WINDOW)
+# R10 WINDOW (executes the pre-written plan above; CORRECTNESS_r09 was
+# 50/50 green so there are no red keys to front-load): pure freshness,
+# oldest-row-first — the 44 keys whose latest official row is r6, then
+# the alphabetical head of the r7-row block (6 keys). The remaining
+# r7-row keys are the natural R11 window, same ordering.
+_R10_WINDOW = [
+    # latest official row = r6 (44 keys)
+    "clf_score", "cms_heavy", "complex_argmax", "complex_nanmean",
+    "complex_nanmedian", "complex_nanvar", "dayofyear", "dup_clusters",
+    "emb_neardup", "encode_ids", "first_ts", "gopher", "grid_fill",
+    "hist_quantile", "lm_score", "lsh_pairs", "mh_index_probe",
+    "min_count", "minhash", "mode", "month_hour", "nanmode",
+    "ngram_jaccard", "pii_redact", "pivot", "reindex_fill",
+    "resample_5d", "salted_join", "scan_bfill", "scan_cumcount",
+    "scan_cummax", "scan_cummin", "scan_cumprod", "scan_cumsum",
+    "scan_diff", "scan_ffill", "scan_nancummax", "scan_nancummin",
+    "scan_nancumprod", "scan_nancumsum", "scan_shift", "semdedup",
+    "stream_late", "vocab",
+    # latest official row = r7 (alphabetical head, 6 keys)
+    "accessor_climatology", "approx_quantile", "auc", "bivar",
+    "bloom_decontam", "bloom_join",
+]
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+_QUERIES = {k: _QUERIES[k] for k in _R10_WINDOW} | {
+    k: v for k, v in _QUERIES.items() if k not in set(_R10_WINDOW)
 }
 
 
