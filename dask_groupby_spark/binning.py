@@ -93,7 +93,7 @@ def quantile_bins(
     by: str | Sequence[str] | None = None,
     out: str | None = None,
     resolution_guard: int = 10_000,
-    method: str = "window",
+    method: str = "auto",
     rows_per_chunk: int = 2_000_000,
 ):
     """Equal-frequency discretization — ``pd.qcut(x, q, labels=False)``
@@ -128,6 +128,10 @@ def quantile_bins(
     a huge group's rank pass spans many tasks — identical bins (the edge
     math reads values at ranks, which any tie order preserves); the
     global tier is already scalable and ignores ``method``.
+    ``method="auto"`` (DEFAULT): delegates the tier choice to
+    ``groupby_rank(execution="auto")`` — a per-group valid-count probe
+    that picks two_pass when some group exceeds ``rows_per_chunk`` rows,
+    free on the scale path.
     """
     from pyspark.sql import Window
 
@@ -135,9 +139,9 @@ def quantile_bins(
         raise ValueError(f"q must be >= 2, got {q}")
     if q > resolution_guard:
         raise ValueError(f"q={q} exceeds resolution_guard={resolution_guard}")
-    if method not in ("window", "two_pass"):
+    if method not in ("window", "two_pass", "auto"):
         raise ValueError(
-            f"method must be 'window' or 'two_pass', got {method!r}"
+            f"method must be 'window', 'two_pass', or 'auto', got {method!r}"
         )
     if "__edges" in df.columns:
         raise ValueError(
@@ -162,13 +166,15 @@ def quantile_bins(
 
     by_list = [by] if isinstance(by, str) else list(by)
     vals = df.select(*by_list, v.alias("__v")).filter(F.col("__v").isNotNull())
-    if method == "two_pass":
+    if method in ("two_pass", "auto"):
         # scale escape for the per-group window sort (one group = one
         # task): chunked ranks via the two-pass rank tier — method
         # "first" gives row_number semantics, and peers order by the
         # value itself (idx_col=__v: tie order within equal values is
         # arbitrary, but the VALUE at any rank — all the edge math
-        # needs — is order-invariant)
+        # needs — is order-invariant).  "auto" delegates the probe to
+        # groupby_rank (its window tier orders identically to the plain
+        # row_number branch below, so either choice is bit-identical)
         from .core import groupby_rank
 
         ranked = groupby_rank(
@@ -178,7 +184,7 @@ def quantile_bins(
             method="first",
             idx_col="__v",
             alias="__r",
-            execution="two_pass",
+            execution=method,
             rows_per_chunk=rows_per_chunk,
         ).withColumn("__r", F.col("__r").cast("bigint"))
     else:

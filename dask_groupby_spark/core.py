@@ -388,14 +388,14 @@ def groupby_scan(
     alias: Optional[str] = None,
     dtype: Optional[str] = None,
     finalize_kwargs: Optional[dict] = None,
-    method: str = "window",
+    method: str = "auto",
     rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Grouped scan: same row count as the input, plus one result column
     (ref: flox.groupby_scan, flox/core.py:2718-2727 — 'result has the same
     shape as array').
 
-    ``method="window"`` (default): a single window expression over
+    ``method="window"``: a single window expression over
     ``partitionBy(by).orderBy(idx_col)`` — Catalyst's WindowExec gives one
     shuffle on the group keys and a linear scan within partitions.  Optimal
     for many/small groups, but a window routes EACH GROUP TO ONE TASK, so
@@ -413,12 +413,15 @@ def groupby_scan(
     ffill, bfill) and numeric/timestamp/date idx.  See
     :mod:`dask_groupby_spark.two_pass`.
 
-    ``method="auto"``: runs the (map-combined, column-pruned) per-group
-    count aggregate first — one cheap scalar job — and picks two_pass
-    exactly when some group exceeds ``rows_per_chunk`` rows AND the func/
-    idx dtype support it; otherwise the plain window.  The probe is the
-    same aggregate two_pass's chunking needs anyway, so the overhead is
-    one small job, not a second pass over the data.
+    ``method="auto"`` (DEFAULT — a user who never reads the scale docs
+    still gets the plan that survives few/huge groups): materializes the
+    per-group ``(min(idx), max(idx), count)`` chunking stats — the exact
+    pass-0 aggregate two_pass needs — and picks two_pass when some group
+    exceeds ``rows_per_chunk`` rows AND the func/idx dtype support it;
+    otherwise the plain window.  On the scale path the probe's persisted
+    stats frame is passed straight into two_pass, so dispatch is FREE
+    there; on the window path it costs one map-combined aggregate over
+    the key+idx columns only.
 
     Rows with missing group labels pass through with a NULL/NaN result
     (the reference excludes code −1 elements from scans likewise).
@@ -478,18 +481,21 @@ def groupby_scan(
             ok = ok & ~F.isnan(k)
         label_ok = ok if label_ok is None else (label_ok & ok)
 
+    pre_stats = None
     if method == "auto":
-        from .two_pass import TWO_PASS_FUNCS, _idx_numeric
+        from .two_pass import TWO_PASS_FUNCS, _idx_numeric, dispatch_auto
 
         eligible = spec.name in TWO_PASS_FUNCS
+        idxn = None
         if eligible:
             try:
-                _idx_numeric(work, idx_col)
+                idxn = _idx_numeric(work, idx_col)
             except ValueError:
                 eligible = False
         if eligible:
-            mx = work.groupBy(*by).count().agg(F.max("count")).collect()[0][0]
-            method = "two_pass" if (mx or 0) > rows_per_chunk else "window"
+            method, pre_stats = dispatch_auto(
+                work, list(by), idxn, rows_per_chunk
+            )
         else:
             method = "window"
     if method == "two_pass":
@@ -506,6 +512,7 @@ def groupby_scan(
             label_ok,
             dt_rules.na_lit(result_dt),
             rows_per_chunk=rows_per_chunk,
+            stats=pre_stats,
         )
     if method != "window":
         raise ValueError(
@@ -556,7 +563,7 @@ def groupby_rank(
     pct: bool = False,
     idx_col: Optional[str] = None,
     alias: Optional[str] = None,
-    execution: str = "window",
+    execution: str = "auto",
     rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Grouped rank transform (pandas ``GroupBy.rank`` parity — a transform
@@ -568,7 +575,7 @@ def groupby_rank(
     and never consume a rank.  ``pct=True`` divides by the group's valid
     count.
 
-    ``execution="window"`` (default): ONE window pass over
+    ``execution="window"``: ONE window pass over
     ``partitionBy(by)`` — a single Exchange + sort, the same scale class
     as ``groupby_scan``; giant groups serialize in one task, ordered
     ranks cannot salt.  ``execution="two_pass"``: the chunked scalable
@@ -578,22 +585,50 @@ def groupby_rank(
     timestamp/date values only.  (Named ``execution`` because ``method``
     is pandas' tie-rule kwarg here.)  See
     :func:`dask_groupby_spark.two_pass.rank_two_pass`.
+
+    ``execution="auto"`` (DEFAULT): probes per-group VALID-row counts
+    (the probe is rank_two_pass's own pass-0 aggregate, passed through —
+    free on the scale path) and picks two_pass when some group exceeds
+    ``rows_per_chunk`` valid rows and the value dtype is bucketable;
+    otherwise the window.  Identical ranks either way (asserted in
+    tests/test_two_pass.py).
     """
     if method not in ("average", "min", "max", "dense", "first"):
         raise ValueError(f"unknown method {method!r}")
     if method == "first" and idx_col is None:
         raise ValueError('method="first" requires idx_col= (appearance order)')
     out_name = alias or "rank"
+    pre_stats = None
+    if execution == "auto":
+        from .two_pass import _idx_numeric, dispatch_auto
+
+        try:
+            vnum = _idx_numeric(df, value)
+        except ValueError:
+            vnum = None
+        if vnum is not None:
+            va = F.col(value).isNotNull()
+            if isinstance(df.schema[value].dataType, (T.FloatType, T.DoubleType)):
+                va = va & ~F.isnan(F.col(value))
+            execution, pre_stats = dispatch_auto(
+                df.where(va),
+                list(by),
+                vnum if ascending else -vnum,
+                rows_per_chunk,
+                "__tp_nv",
+            )
+        else:
+            execution = "window"
     if execution == "two_pass":
         from .two_pass import rank_two_pass
 
         return rank_two_pass(
             df, by, value, method, ascending, pct, idx_col, out_name,
-            rows_per_chunk=rows_per_chunk,
+            rows_per_chunk=rows_per_chunk, stats=pre_stats,
         )
     if execution != "window":
         raise ValueError(
-            f"execution must be 'window' or 'two_pass', got {execution!r}"
+            f"execution must be 'window', 'two_pass', or 'auto', got {execution!r}"
         )
 
     v = F.col(value)
@@ -783,7 +818,7 @@ def groupby_interpolate(
     order_by: "str | list[str]",
     out: str = None,
     limit: int = None,
-    method: str = "window",
+    method: str = "auto",
     rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Per-group LINEAR interpolation of missing values along an ordering
@@ -814,7 +849,10 @@ def groupby_interpolate(
     so one huge series spans many tasks instead of one
     (:func:`dask_groupby_spark.two_pass.interpolate_two_pass`); same
     output, same ``limit`` semantics (the global row number is rebuilt
-    from chunk-count prefixes).
+    from chunk-count prefixes).  ``method="auto"`` (DEFAULT): per-group
+    row-count probe (= two_pass's pass-0 aggregate, passed through — free
+    on the scale path) picks two_pass when some group exceeds
+    ``rows_per_chunk`` rows, else the window.
     """
     from .dtypes import time_to_seconds
 
@@ -835,15 +873,26 @@ def groupby_interpolate(
     x = time_to_seconds(df, order_cols[0])
     if limit is not None and limit < 1:
         raise ValueError("limit must be >= 1")
+    pre_stats = None
+    if method == "auto":
+        from .two_pass import dispatch_auto
+
+        # the lerp axis is numeric by construction (time_to_seconds /
+        # cast), so the only auto gate is group size
+        method, pre_stats = dispatch_auto(
+            df, list(by), x.cast("double"), rows_per_chunk
+        )
     if method == "two_pass":
         from .two_pass import interpolate_two_pass
 
         return interpolate_two_pass(
             df, by, value, order_cols, out, limit, missing, x,
-            rows_per_chunk=rows_per_chunk,
+            rows_per_chunk=rows_per_chunk, stats=pre_stats,
         )
     if method != "window":
-        raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
+        raise ValueError(
+            f"method must be 'window', 'two_pass', or 'auto', got {method!r}"
+        )
     base = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
     # forward-looking carries run over the DESC-reversed sort with the
     # ACCUMULATING unboundedPreceding frame — Spark evaluates unbounded-

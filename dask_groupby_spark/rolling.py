@@ -43,7 +43,7 @@ def groupby_rolling(
     min_periods: int = 1,
     range_between: tuple | None = None,
     prefix: str = "rolling_",
-    method: str = "window",
+    method: str = "auto",
     rows_per_chunk: int = 2_000_000,
 ) -> DataFrame:
     """Append one ``<prefix><func>`` column per requested func: the rolling
@@ -60,6 +60,13 @@ def groupby_rolling(
     frames keep the window path: "the last W rows of a chunk" is not a
     function of idx values, so their context cannot be chunked
     arithmetically — convert to a range frame on a dense axis to scale.
+
+    ``method="auto"`` (DEFAULT): when the frame is a two-pass-able range
+    frame (``lo <= 0 <= hi``, finite, numeric/timestamp/date idx), a
+    per-group row-count probe (= two_pass's pass-0 aggregate, passed
+    through — free on the scale path) picks two_pass when some group
+    exceeds ``rows_per_chunk`` rows; row-count frames and small-group
+    inputs keep the window.
     """
     if isinstance(funcs, str):
         funcs = (funcs,)
@@ -163,6 +170,30 @@ def groupby_rolling(
         )
         return frame_df, list(exprs.keys())
 
+    pre_stats = None
+    if method == "auto":
+        import math
+
+        from .two_pass import _idx_numeric, dispatch_auto
+
+        eligible = (
+            range_between is not None
+            and math.isfinite(range_between[0])
+            and math.isfinite(range_between[1])
+            and range_between[0] <= 0 <= range_between[1]
+        )
+        idxn = None
+        if eligible:
+            try:
+                idxn = _idx_numeric(df, idx_col)
+            except ValueError:
+                eligible = False
+        if eligible:
+            method, pre_stats = dispatch_auto(
+                df, list(by), idxn, rows_per_chunk
+            )
+        else:
+            method = "window"
     if method == "two_pass":
         if range_between is None:
             raise ValueError(
@@ -182,9 +213,12 @@ def groupby_rolling(
             hi,
             lambda fdf, w: apply_frames(fdf, w, Window.partitionBy(*by, _CHUNK)),
             rows_per_chunk=rows_per_chunk,
+            stats=pre_stats,
         )
     if method != "window":
-        raise ValueError(f"method must be 'window' or 'two_pass', got {method!r}")
+        raise ValueError(
+            f"method must be 'window', 'two_pass', or 'auto', got {method!r}"
+        )
 
     w = Window.partitionBy(*by).orderBy(F.col(idx_col))
     if range_between is not None:

@@ -166,6 +166,53 @@ def _idx_numeric(df: DataFrame, idx_col: str) -> Column:
     )
 
 
+def _chunk_stats(df: DataFrame, keys: list, idxn, count_col: str = "__tp_n") -> DataFrame:
+    """Pass 0 of every two-pass plan: the per-group chunking stats —
+    min/max of the bucketing axis plus the row count.  Map-side combined,
+    column-pruned to keys+axis, KB-class output.  One definition for the
+    seven formerly hand-copied aggregates in this module AND the auto-tier
+    probe (the probe IS this aggregate, so dispatch costs nothing extra
+    when the scale tier is chosen)."""
+    return df.groupBy(*keys).agg(
+        F.min(idxn).alias("__tp_a"),
+        F.max(idxn).alias("__tp_b"),
+        F.count(F.lit(1)).alias(count_col),
+    )
+
+
+def dispatch_auto(
+    df: DataFrame,
+    keys: list,
+    idxn,
+    rows_per_chunk: int,
+    count_col: str = "__tp_n",
+):
+    """Auto-tier dispatch for the window-shaped ops (VERDICT r9 #2: the
+    scale tier must be the DEFAULT, and the probe must be free on the
+    scale path).  Materializes the per-group chunking stats
+    (:func:`_chunk_stats`, persisted) and reads ``max(count)`` off the
+    cached KB-class table — ONE small job whose work is exactly the
+    two-pass plan's pass 0.  Returns ``("two_pass", stats)`` when some
+    group exceeds ``rows_per_chunk`` rows (pass ``stats`` through so the
+    scale tier skips its own pass 0 — auto is then free), else
+    ``("window", None)`` with the probe's cache already released (the
+    window path's cost for auto is this one aggregate over the key+axis
+    columns only).
+
+    A frame already using the ``__tp_*`` namespace routes to the window
+    path without probing: the explicit ``method="two_pass"`` raises on
+    the collision, but auto must never turn a previously-working call
+    into an error."""
+    if any(c.startswith("__tp_") for c in df.columns):
+        return "window", None
+    stats = _chunk_stats(df, keys, idxn, count_col).persist()
+    mx = stats.agg(F.max(count_col)).collect()[0][0]
+    if (mx or 0) > rows_per_chunk:
+        return "two_pass", stats
+    stats.unpersist()
+    return "window", None
+
+
 def scan_two_pass(
     work: DataFrame,
     by: tuple,
@@ -177,6 +224,7 @@ def scan_two_pass(
     na_value: Column,
     rows_per_chunk: int = 2_000_000,
     max_chunks: int = 4096,
+    stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Execute one scan func via the two-pass plan.  Returns ``work`` plus
     the result column ``out_name`` — same contract as the window path in
@@ -184,7 +232,9 @@ def scan_two_pass(
 
     ``ctx`` is the shared scan Ctx (v/clean/missing/valid/idx); ``label_ok``
     the missing-group-label gate (None when no keys can be missing);
-    ``na_value`` the NA literal of the result dtype.
+    ``na_value`` the NA literal of the result dtype.  ``stats``: the
+    already-persisted :func:`_chunk_stats` frame from the auto probe —
+    when given, pass 0 is skipped (dispatch was free).
     """
     _no_tp_collisions(work)
     if func_name not in TWO_PASS_FUNCS:
@@ -200,20 +250,18 @@ def scan_two_pass(
     idxn = _idx_numeric(work, idx_col_name)
 
     # ---- pass 0: per-group chunking stats (tiny; map-side combined) -------
-    stats = work.groupBy(*keys).agg(
-        F.min(idxn).alias("__tp_a"),
-        F.max(idxn).alias("__tp_b"),
-        F.count(F.lit(1)).alias("__tp_n"),
-    )
+    # KB-class per-group table consumed by several plan branches; AQE never
+    # reuses an Exchange across consumers, so persist to keep the source
+    # scan under it single-execution (LRU reclaims the KB entry; the
+    # returned frame exposes it via the two_pass_stats handle).  The
+    # persist sits on the RAW aggregate so the auto probe's frame slots in
+    # directly; the __tp_c projection on top reads cached rows.
+    raw = stats if stats is not None else _chunk_stats(work, keys, idxn).persist()
     nchunks = F.least(
         F.lit(max_chunks).cast("long"),
         F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
     )
-    # KB-class per-group table consumed by several plan branches; AQE never
-    # reuses an Exchange across consumers, so persist to keep the source
-    # scan under it single-execution (LRU reclaims the KB entry; the
-    # returned frame exposes it via the two_pass_stats handle)
-    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
+    stats = raw.withColumn("__tp_c", nchunks).drop("__tp_n")
 
     joined = _ns_join(work, stats, keys)
     chunk = _chunk_of(idxn, idx_col_name)
@@ -273,7 +321,7 @@ def scan_two_pass(
     # restore the caller's column order (join(on=keys) fronts the keys),
     # substituting in place when out_name overwrites an existing column
     res = _select_with_out(out, work.columns, out_name, col)
-    res.two_pass_stats = stats  # persist-handle convention (bm25 precedent)
+    res.two_pass_stats = raw  # persist-handle convention (bm25 precedent)
     return res
 
 
@@ -286,6 +334,7 @@ def rolling_two_pass(
     build_exprs,
     rows_per_chunk: int = 2_000_000,
     max_chunks: int = 4096,
+    stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Two-pass execution for RANGE-frame rolling aggregates
     (``rangeBetween(lo, hi)``, lo <= 0 <= hi, both finite).
@@ -311,11 +360,7 @@ def rolling_two_pass(
     idxn = _idx_numeric(df, idx_col)
     margin = float(max(-lo, hi, 0.0))
 
-    stats = df.groupBy(*keys).agg(
-        F.min(idxn).alias("__tp_a"),
-        F.max(idxn).alias("__tp_b"),
-        F.count(F.lit(1)).alias("__tp_n"),
-    )
+    raw = stats if stats is not None else _chunk_stats(df, keys, idxn).persist()
     nchunks = F.least(
         F.lit(max_chunks).cast("long"),
         F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
@@ -330,11 +375,9 @@ def rolling_two_pass(
                 F.lit(1).cast("long"), F.floor(span / F.lit(margin)).cast("long")
             ),
         )
-    # KB-class per-group table consumed by several plan branches; AQE never
-    # reuses an Exchange across consumers, so persist to keep the source
-    # scan under it single-execution (LRU reclaims the KB entry; the
-    # returned frame exposes it via the two_pass_stats handle)
-    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
+    # persist sits on the raw aggregate (KB-class; AQE never reuses an
+    # Exchange across consumers) — see scan_two_pass; auto probe slots in
+    stats = raw.withColumn("__tp_c", nchunks).drop("__tp_n")
 
     joined = _ns_join(df, stats, keys)
     c0 = _chunk_of(idxn, idx_col)
@@ -384,7 +427,7 @@ def rolling_two_pass(
     out, names = build_exprs(big, w_local)
     out = out.where(F.col("__tp_ctx") == 0)
     res = out.select(*df.columns, *names)
-    res.two_pass_stats = stats  # persist-handle convention
+    res.two_pass_stats = raw  # persist-handle convention
     return res
 
 
@@ -399,6 +442,7 @@ def interpolate_two_pass(
     x: Column,
     rows_per_chunk: int = 2_000_000,
     max_chunks: int = 4096,
+    stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Two-pass execution of :func:`~dask_groupby_spark.core.
     groupby_interpolate` — same linear-interpolation semantics, but the
@@ -420,20 +464,14 @@ def interpolate_two_pass(
     anchor = ~missing & x.isNotNull() & ~F.isnan(x.cast("double"))
     idxn = x.cast("double")
 
-    stats = df.groupBy(*keys).agg(
-        F.min(idxn).alias("__tp_a"),
-        F.max(idxn).alias("__tp_b"),
-        F.count(F.lit(1)).alias("__tp_n"),
-    )
+    raw = stats if stats is not None else _chunk_stats(df, keys, idxn).persist()
     nchunks = F.least(
         F.lit(max_chunks).cast("long"),
         F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
     )
-    # KB-class per-group table consumed by several plan branches; AQE never
-    # reuses an Exchange across consumers, so persist to keep the source
-    # scan under it single-execution (LRU reclaims the KB entry; the
-    # returned frame exposes it via the two_pass_stats handle)
-    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
+    # persist sits on the raw aggregate (KB-class; AQE never reuses an
+    # Exchange across consumers) — see scan_two_pass; auto probe slots in
+    stats = raw.withColumn("__tp_c", nchunks).drop("__tp_n")
     joined = _ns_join(df, stats, keys)
     chunk = _chunk_of(idxn, sentinel_when=idxn.isNull() | F.isnan(idxn))
     big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
@@ -536,7 +574,7 @@ def interpolate_two_pass(
     # restore the caller's column order with in-place substitution when
     # out == value (the window path's withColumn semantics)
     res = _select_with_out(big, df.columns, out, filled)
-    res.two_pass_stats = stats  # persist-handle convention
+    res.two_pass_stats = raw  # persist-handle convention
     return res
 
 
@@ -651,6 +689,7 @@ def rank_two_pass(
     out_name: str,
     rows_per_chunk: int = 2_000_000,
     max_chunks: int = 4096,
+    stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Two-pass execution of :func:`~dask_groupby_spark.core.groupby_rank`
     — identical pandas-parity semantics, chunked so one huge group spans
@@ -675,16 +714,18 @@ def rank_two_pass(
     vnum = _idx_numeric(df, value)  # raises for non-bucketable value types
     ord_num = vnum if ascending else -vnum
 
-    stats = df.where(valid).groupBy(*keys).agg(
-        F.min(ord_num).alias("__tp_a"),
-        F.max(ord_num).alias("__tp_b"),
-        F.count(F.lit(1)).alias("__tp_nv"),
+    # valid-filtered stats (NULL/NaN values never consume a rank); the
+    # auto probe passes the SAME aggregate through (count_col="__tp_nv")
+    raw = (
+        stats
+        if stats is not None
+        else _chunk_stats(df.where(valid), keys, ord_num, "__tp_nv").persist()
     )
     nchunks = F.least(
         F.lit(max_chunks).cast("long"),
         F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_nv") / F.lit(rows_per_chunk))),
     )
-    stats = stats.withColumn("__tp_c", nchunks).persist()
+    stats = raw.withColumn("__tp_c", nchunks)
 
     joined = _ns_join(df, stats, keys)
     # missing values never consume a rank: sentinel chunk, NULL rank below
@@ -746,7 +787,7 @@ def rank_two_pass(
     result_t = "double" if (pct or method == "average") else "long"
     col = F.when(valid, rank.cast(result_t)).otherwise(F.lit(None).cast(result_t))
     res = _select_with_out(big, df.columns, out_name, col)
-    res.two_pass_stats = stats
+    res.two_pass_stats = raw
     return res
 
 
@@ -760,6 +801,7 @@ def ewma_two_pass(
     ignore_na: bool,
     out: str,
     rows_per_chunk: int = 100_000,
+    stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Two-pass grouped EWMA — pandas ``ewm(alpha).mean()`` parity without
     routing each group to one task (the applyInPandas tier's bound).
@@ -798,7 +840,7 @@ def ewma_two_pass(
         # AFFINE, not geometric, recurrence across gaps; it has its own
         # two-pass formulation via affine-step composition.
         return _ewma_affine_two_pass(
-            df, by, value, idx_col, alpha, out, rows_per_chunk
+            df, by, value, idx_col, alpha, out, rows_per_chunk, stats=stats
         )
     beta = 1.0 - alpha
     # raise-bound = 280 decimal digits of double headroom; chunks TARGET
@@ -813,15 +855,11 @@ def ewma_two_pass(
     valid = v.isNotNull() & ~F.isnan(v)
     idxn = _idx_numeric(df, idx_col)
 
-    stats = df.groupBy(*keys).agg(
-        F.min(idxn).alias("__tp_a"),
-        F.max(idxn).alias("__tp_b"),
-        F.count(F.lit(1)).alias("__tp_n"),
-    )
+    raw = stats if stats is not None else _chunk_stats(df, keys, idxn).persist()
     # NO max_chunks clamp: the exponent-safety span takes precedence; the
     # state table grows to n/rpc rows per group, still KB/MB class
     nchunks = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rpc)))
-    stats = stats.withColumn("__tp_c", nchunks).persist()
+    stats = raw.withColumn("__tp_c", nchunks)
 
     joined = _ns_join(df, stats, keys)
     chunk = _chunk_of(idxn, idx_col)
@@ -945,7 +983,7 @@ def ewma_two_pass(
         F.col("__tp_y_prev"),
     )
     res = _select_with_out(big, df.columns, out, y.cast("double"))
-    res.two_pass_stats = stats
+    res.two_pass_stats = raw
     return res
 
 
@@ -958,6 +996,7 @@ def sessionize_two_pass(
     ts_expr,
     rows_per_chunk: int = 2_000_000,
     max_chunks: int = 4096,
+    stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Two-pass sessionization — same lag → boundary → running-sum
     semantics as :func:`~dask_groupby_spark.operators.selection.sessionize`,
@@ -974,16 +1013,12 @@ def sessionize_two_pass(
     _no_tp_collisions(df)
     keys = list(by)
     ts = ts_expr
-    stats = df.groupBy(*keys).agg(
-        F.min(ts).alias("__tp_a"),
-        F.max(ts).alias("__tp_b"),
-        F.count(F.lit(1)).alias("__tp_n"),
-    )
+    raw = stats if stats is not None else _chunk_stats(df, keys, ts).persist()
     nchunks = F.least(
         F.lit(max_chunks).cast("long"),
         F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rows_per_chunk))),
     )
-    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
+    stats = raw.withColumn("__tp_c", nchunks).drop("__tp_n")
     joined = _ns_join(df, stats, keys)
     chunk = _chunk_of(ts, sentinel_when=ts.isNull())
     big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
@@ -1036,7 +1071,7 @@ def sessionize_two_pass(
         - 1
     ).cast("bigint")
     res = _select_with_out(big, df.columns, out, session)
-    res.two_pass_stats = stats
+    res.two_pass_stats = raw
     return res
 
 
@@ -1048,6 +1083,7 @@ def _ewma_affine_two_pass(
     alpha: float,
     out: str,
     rows_per_chunk: int,
+    stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """pandas ``adjust=False, ignore_na=False`` EWMA, two-pass.
 
@@ -1081,13 +1117,9 @@ def _ewma_affine_two_pass(
     valid = v.isNotNull() & ~F.isnan(v)
     idxn = _idx_numeric(df, idx_col)
 
-    stats = df.groupBy(*keys).agg(
-        F.min(idxn).alias("__tp_a"),
-        F.max(idxn).alias("__tp_b"),
-        F.count(F.lit(1)).alias("__tp_n"),
-    )
+    raw = stats if stats is not None else _chunk_stats(df, keys, idxn).persist()
     nchunks = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("__tp_n") / F.lit(rpc)))
-    stats = stats.withColumn("__tp_c", nchunks).drop("__tp_n").persist()
+    stats = raw.withColumn("__tp_c", nchunks).drop("__tp_n")
     joined = _ns_join(df, stats, keys)
     chunk = _chunk_of(idxn, idx_col)
     big = joined.withColumn(_CHUNK, chunk).drop("__tp_a", "__tp_b", "__tp_c")
@@ -1192,5 +1224,5 @@ def _ewma_affine_two_pass(
         F.last(F.col("__tp_y"), ignorenulls=True).over(wb), F.col("__tp_y0")
     )
     res = _select_with_out(big, df.columns, out, y.cast("double"))
-    res.two_pass_stats = stats
+    res.two_pass_stats = raw
     return res

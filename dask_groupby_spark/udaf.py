@@ -174,7 +174,7 @@ def ewma(
     adjust: bool = True,
     ignore_na: bool = False,
     out: str = "ewma",
-    method: str = "pandas",
+    method: str = "auto",
     rows_per_chunk: int = 100_000,
 ) -> DataFrame:
     """Grouped exponentially-weighted moving average — pandas
@@ -197,9 +197,16 @@ def ewma(
     recurrence evaluated over the TINY chunk-state table (see
     :func:`dask_groupby_spark.two_pass.ewma_two_pass`); identical pandas
     semantics in all four adjust×ignore_na modes, max task = one chunk.
+    ``method="auto"`` (DEFAULT): per-group row-count probe (= two_pass's
+    pass-0 aggregate, passed through — free on the scale path) picks
+    two_pass when some group exceeds ``rows_per_chunk`` rows and the
+    recurrence is two-pass-able (0 < alpha < 1, numeric/time idx);
+    otherwise the pandas tier.
     """
-    if method not in ("pandas", "two_pass"):
-        raise ValueError(f"method must be 'pandas' or 'two_pass', got {method!r}")
+    if method not in ("pandas", "two_pass", "auto"):
+        raise ValueError(
+            f"method must be 'pandas', 'two_pass', or 'auto', got {method!r}"
+        )
     # A NULL idx has no position in an order-dependent recurrence: exclude
     # the row from the series and give it a NULL result, UNIFORMLY —
     # enforced here, before tier dispatch, because the tiers used to
@@ -212,12 +219,30 @@ def ewma(
         out, F.lit(None).cast("double")
     )
     work = df.where(F.col(idx_col).isNotNull())
+    pre_stats = None
+    if method == "auto":
+        from .two_pass import _idx_numeric, dispatch_auto
+
+        eligible = 0.0 < alpha < 1.0
+        idxn = None
+        if eligible:
+            try:
+                idxn = _idx_numeric(work, idx_col)
+            except ValueError:
+                eligible = False
+        if eligible:
+            tier, pre_stats = dispatch_auto(
+                work, list(by), idxn, rows_per_chunk
+            )
+            method = "two_pass" if tier == "two_pass" else "pandas"
+        else:
+            method = "pandas"
     if method == "two_pass":
         from .two_pass import ewma_two_pass
 
         res = ewma_two_pass(
             work, by, value, idx_col, alpha, adjust, ignore_na, out,
-            rows_per_chunk=rows_per_chunk,
+            rows_per_chunk=rows_per_chunk, stats=pre_stats,
         )
         final = res.unionByName(null_idx)
         # re-attach the persist handle the union wrapper would otherwise

@@ -758,3 +758,104 @@ def test_ewma_null_idx_uniform_across_tiers(spark):
     pv = sorted((r["i"] is None, r["i"], r["ewma"]) for r in p)
     tv = sorted((r["i"] is None, r["i"], r["ewma"]) for r in t)
     assert pv == tv
+
+
+# ---------------------------------------------------------------------------
+# auto is the DEFAULT tier on every window-shaped op (r10; VERDICT r9 #2)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_auto_default_everywhere(spark):
+    """Every window-shaped op defaults to method/execution='auto': with the
+    default (huge) rows_per_chunk threshold the plan is the plain window
+    (no __tp_chunk); with a tiny threshold the same call routes to the
+    chunked two-pass plan — and both tiers return identical rows.  This is
+    the 100x-scale contract: a user who never reads SCALE.md gets the plan
+    that survives few/huge groups."""
+    from dask_groupby_spark import groupby_interpolate, groupby_rank
+    from dask_groupby_spark.binning import quantile_bins
+    from dask_groupby_spark.operators.selection import sessionize
+    from dask_groupby_spark.rolling import groupby_rolling
+    from dask_groupby_spark.udaf import ewma
+
+    rng = np.random.default_rng(SEED + 9)
+    rows = []
+    for i in range(400):
+        v = float(rng.random() * 10)
+        rows.append((i, int(i % 2), v if rng.random() > 0.2 else float("nan")))
+    df = spark.createDataFrame(rows, "idx bigint, k bigint, v double").repartition(5)
+
+    cases = [
+        (
+            "rank",
+            lambda kw: groupby_rank(df, "k", value="v", method="average", **kw),
+            "rank",
+        ),
+        (
+            "rolling",
+            lambda kw: groupby_rolling(
+                df, "k", funcs="mean", value="v", idx_col="idx", window=5,
+                range_between=(-4, 0), **{("rows_per_chunk" if a == "rows_per_chunk" else a): b for a, b in kw.items()},
+            ),
+            "rolling_mean",
+        ),
+        (
+            "interpolate",
+            lambda kw: groupby_interpolate(
+                df, "k", value="v", order_by="idx", out="fv", **kw
+            ),
+            "fv",
+        ),
+        (
+            "sessionize",
+            lambda kw: sessionize(df, "k", ts_col="idx", gap=3.0, **kw),
+            "session_id",
+        ),
+        (
+            "ewma",
+            lambda kw: ewma(df, "k", value="v", idx_col="idx", alpha=0.5, **kw),
+            "ewma",
+        ),
+    ]
+    for name, build, out_col in cases:
+        small = build({})  # default threshold: window/pandas tier
+        assert "__tp_chunk" not in _plan(small), name
+        big = build({"rows_per_chunk": 20})  # tiny threshold: two-pass tier
+        assert "__tp_chunk" in _plan(big), name
+        sm = {r["idx"]: r[out_col] for r in small.collect()}
+        bm = {r["idx"]: r[out_col] for r in big.collect()}
+        assert set(sm) == set(bm), name
+        for i in sm:
+            assert _cmp(sm[i], bm[i], name), (name, i, sm[i], bm[i])
+
+    # execution= spelling on rank; quantile_bins delegates to rank's auto
+    r_small = groupby_rank(df, "k", value="v", execution="auto")
+    assert "__tp_chunk" not in _plan(r_small)
+    q_small = quantile_bins(df, "v", q=4, by="k")
+    assert "__tp_chunk" not in _plan(q_small)
+    q_big = quantile_bins(df, "v", q=4, by="k", rows_per_chunk=20)
+    assert "__tp_chunk" in _plan(q_big)
+    qs = {r["idx"]: r["v_qbin"] for r in q_small.collect()}
+    qb = {r["idx"]: r["v_qbin"] for r in q_big.collect()}
+    assert qs == qb
+
+
+def test_auto_probe_free_on_scale_path(spark):
+    """When auto picks two_pass, the probe's persisted stats frame is the
+    plan's pass-0 table — scan_two_pass must not re-aggregate it (the
+    returned handle IS the probe frame, already materialized)."""
+    rows = [(i, i % 2, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "idx bigint, k bigint, v double")
+    out = groupby_scan(
+        df, "k", func="cumsum", value="v", idx_col="idx",
+        method="auto", rows_per_chunk=10,
+    )
+    assert "__tp_chunk" in _plan(out)
+    stats = out.two_pass_stats
+    # probe already materialized the cache: 100% cached immediately
+    info = stats._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in info
+    stats.unpersist()
