@@ -66,6 +66,113 @@ def _merge_adjacent(syms, a: str, b: str):
     )
 
 
+def _merge_pair_py(syms: "list[str]", a: str, b: str) -> "list[str] | None":
+    """Python twin of :func:`_merge_adjacent` — the same greedy
+    left-to-right fold (append; merge when the last emitted symbol is
+    ``a`` and the next is ``b``), so the batched Arrow passes and the
+    per-merge Column rewrites produce bit-identical words.  Returns
+    ``None`` when the word does not contain the pair (caller skips the
+    delta bookkeeping)."""
+    out: "list[str]" = []
+    changed = False
+    ab = a + b
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = ab
+            changed = True
+        else:
+            out.append(s)
+    return out if changed else None
+
+
+def _batch_step_deltas(words: DataFrame, batch, pending=None) -> "list[dict]":
+    """ONE Arrow job for a whole candidate batch: apply the merges
+    SEQUENTIALLY to every word (exact sequential semantics — no
+    disjointness assumption needed for correctness) and emit the exact
+    per-step pair-count deltas, partial-aggregated per partition (a
+    Counter per PARTITION, not per Arrow batch) and reduced by a
+    KB-class groupBy.  The driver then replays the deltas step by step
+    to verify each candidate is still the sequential argmax — this is
+    what lets a 32k-merge training run schedule ~1 job per BATCH
+    instead of ~3 per merge.
+
+    ``pending``: previously ACCEPTED merges not yet materialized into the
+    ``words`` table — applied first (no delta tracking; their deltas are
+    already in the driver dict), so the word-table rewrite job is deferred
+    until ``pending`` grows past the materialization cap instead of paid
+    every round."""
+    bl = [tuple(p) for p in batch]
+    pl = [tuple(p) for p in (pending or [])]
+
+    def run(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        acc: Counter = Counter()
+        for pdf in it:
+            for syms, cnt in zip(pdf["syms"], pdf["cnt"]):
+                cur = list(syms)
+                c = int(cnt)
+                for a, b in pl:
+                    m = _merge_pair_py(cur, a, b)
+                    if m is not None:
+                        cur = m
+                for i, (a, b) in enumerate(bl):
+                    merged = _merge_pair_py(cur, a, b)
+                    if merged is None:
+                        continue
+                    before = Counter(zip(cur, cur[1:]))
+                    after = Counter(zip(merged, merged[1:]))
+                    for p, n in after.items():
+                        d = n - before.pop(p, 0)
+                        if d:
+                            acc[(i, p)] += d * c
+                    for p, n in before.items():
+                        acc[(i, p)] -= n * c
+                    cur = merged
+        rows = [
+            (i, p[0], p[1], int(n)) for (i, p), n in acc.items() if n
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["step", "a", "b", "n"])
+
+    agg = (
+        words.mapInPandas(run, schema="step int, a string, b string, n long")
+        .groupBy("step", "a", "b")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    out: "list[dict]" = [dict() for _ in bl]
+    for r in agg:
+        if r["n"]:
+            out[r["step"]][(r["a"], r["b"])] = r["n"]
+    return out
+
+
+def _apply_merges_batch(words: DataFrame, batch) -> DataFrame:
+    """Map-only Arrow rewrite applying the ACCEPTED merges in order —
+    one job for the whole batch (the per-merge Column-fold rewrite stays
+    in use on the spilled-DataFrame path)."""
+    bl = [tuple(p) for p in batch]
+
+    def run(it):
+        for pdf in it:
+            out = []
+            for syms in pdf["syms"]:
+                cur = list(syms)
+                for a, b in bl:
+                    m = _merge_pair_py(cur, a, b)
+                    if m is not None:
+                        cur = m
+                out.append(cur)
+            pdf = pdf[["syms", "cnt"]].copy()
+            pdf["syms"] = out
+            yield pdf
+
+    return words.mapInPandas(run, schema="syms array<string>, cnt bigint")
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -73,6 +180,7 @@ def bpe_train(
     min_pair_count: int = 2,
     collect_threshold: int = 1_000_000,
     pair_collect_threshold: int = 2_000_000,
+    merge_batch: int = 16,
 ) -> "list[tuple[str, str]]":
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -92,15 +200,30 @@ def bpe_train(
     pair-count table itself is symbol-BIGRAM-sized (≈alphabet² initially
     + O(merges) new types — orders of magnitude smaller than the
     vocabulary), so it lives in a driver dict with a lazy max-heap:
-    best-pair selection costs ZERO jobs, and a merge is one delta
-    collect + one map-only guarded rewrite (+ eager ``localCheckpoint``
-    cutting the iterative lineage — the ``duplicate_clusters``
-    discipline).  Should the pair table outgrow
-    ``pair_collect_threshold`` entries, it spills to a DataFrame and the
-    loop continues with distributed delta maintenance (best-pair then
-    costs one KB-class collect per merge).  Both paths pick the best
-    pair by (count DESC, pair ASC) and stop early when no pair reaches
-    ``min_pair_count`` — identical merges, asserted in tests.
+    best-pair selection costs ZERO jobs.
+
+    Merges are scheduled in SPECULATIVE BATCHES of up to ``merge_batch``
+    (r10; VERDICT r9 #3 — the per-merge driver round-trip made a 32k-merge
+    tokenizer ≈ 10⁵ Spark jobs of pure scheduling): the driver picks the
+    top candidates whose symbols are pairwise disjoint, ONE Arrow job
+    applies them sequentially to every word and returns the exact
+    PER-STEP pair-count deltas, and the driver replays the deltas
+    verifying each candidate is still the (count DESC, pair ASC) argmax
+    at its step.  The accepted merges join a PENDING list that the next
+    rounds' jobs replay on the fly; the word table is rewritten and
+    ``localCheckpoint``-ed only every ~64 accepted merges (or before a
+    spill), so a round is ONE job.  Interference (a merge creating/
+    boosting a pair above a later candidate) just shortens the accepted
+    prefix; the merge list is BIT-IDENTICAL to the sequential algorithm,
+    asserted in tests.  Amortized cost ≈ ``1/accepted-prefix`` jobs per
+    merge (measured 0.44 at 256 merges on a 300k-word adversarial
+    16-symbol vocabulary — see ``scripts/bench_bpe.py``).
+    Should the pair table outgrow ``pair_collect_threshold`` entries, it
+    spills to a DataFrame and the loop continues with per-merge
+    distributed delta maintenance (best-pair then costs one KB-class
+    collect per merge).  All paths pick the best pair by (count DESC,
+    pair ASC) and stop early when no pair reaches ``min_pair_count`` —
+    identical merges, asserted in tests.
 
     Returns the merge list in order — the model artifact for
     :func:`bpe_encode` (persist it yourself; it is a plain python list).
@@ -162,20 +285,94 @@ def bpe_train(
         ).localCheckpoint(eager=True)
         pairs, heap = None, []
 
+    def _select_batch(k: int) -> "list[tuple[str, str]]":
+        """Peek the top-k candidates off the lazy heap in plain
+        (count DESC, pair ASC) order — the sequential algorithm's own
+        ordering, which maximizes the expected accepted prefix (an
+        earlier symbol-disjoint filter GUARANTEED rejection whenever the
+        true next argmax shared a symbol, which on small alphabets is
+        most of the time).  Stale entries are dropped permanently; valid
+        ones are pushed back — the verify loop re-pops them as the true
+        sequential argmaxes."""
+        popped: list = []
+        chosen: "list[tuple[str, str]]" = []
+        seen: set = set()
+        while heap and len(chosen) < k:
+            e = heapq.heappop(heap)
+            if pairs.get((e[1], e[2]), 0) != -e[0]:
+                continue  # stale — discard
+            popped.append(e)
+            if -e[0] < min_pair_count:
+                break
+            p = (e[1], e[2])
+            if p in seen:
+                continue  # duplicate live entry (count revisited a value)
+            chosen.append(p)
+            seen.add(p)
+        for e in popped:
+            heapq.heappush(heap, e)
+        return chosen
+
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
+    #: accepted merges not yet materialized into `words` — applied inside
+    #: the next rounds' Arrow jobs; rewritten+checkpointed only when the
+    #: replay cost would start to dominate (or before spilling)
+    pending: "list[tuple[str, str]]" = []
+    pending_cap = 64
+
+    def _materialize_pending():
+        nonlocal words, pending
+        if pending:
+            words = _apply_merges_batch(words, pending).localCheckpoint(
+                eager=True
+            )
+            pending = []
+
+    stop = False
+    while not stop and len(merges) < num_merges:
         if pairs is not None:
-            # lazy heap: stale entries (count changed since push) skipped
-            while heap and pairs.get((heap[0][1], heap[0][2]), 0) != -heap[0][0]:
-                heapq.heappop(heap)
-            if not heap or -heap[0][0] < min_pair_count:
+            # ---- driver-dict path: speculative batched round ----------
+            batch = _select_batch(min(merge_batch, num_merges - len(merges)))
+            if not batch:
                 break
-            a, b = heap[0][1], heap[0][2]
-        else:
-            best = pc.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
-            if not best or best[0]["n"] < min_pair_count:
-                break
-            a, b = best[0]["a"], best[0]["b"]
+            # ONE Arrow job: replay pending, then per-step deltas
+            deltas = _batch_step_deltas(words, batch, pending)
+            accepted = 0
+            spill = False
+            for i, (a, b) in enumerate(batch):
+                # sequential argmax at this step (lazy heap)
+                while heap and pairs.get((heap[0][1], heap[0][2]), 0) != -heap[0][0]:
+                    heapq.heappop(heap)
+                if not heap or -heap[0][0] < min_pair_count:
+                    stop = True
+                    break
+                if (heap[0][1], heap[0][2]) != (a, b):
+                    break  # interference: next round re-picks from here
+                merges.append((a, b))
+                pending.append((a, b))
+                accepted += 1
+                for p, dv in deltas[i].items():
+                    v = pairs.get(p, 0) + dv
+                    if v > 0:
+                        pairs[p] = v
+                        heapq.heappush(heap, (-v, p[0], p[1]))
+                    else:
+                        pairs.pop(p, None)
+                if len(pairs) > pair_collect_threshold:
+                    spill = True
+                    break
+            if len(pending) >= pending_cap or spill:
+                _materialize_pending()
+            if spill:
+                _spill_to_df()
+            elif accepted == 0 and not stop:
+                break  # defensive: batch[0] is the argmax by construction
+            continue
+        # ---- spilled-DataFrame path: one merge per iteration ----------
+        best = pc.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
         # guarded adjacency test (when() keeps sequence() off 1-symbol rows)
         has = F.when(
@@ -196,25 +393,13 @@ def bpe_train(
             .groupBy("a", "b")
             .agg(F.sum("n").alias("n"))
         )
-        if pairs is not None:
-            for r in delta.collect():
-                k = (r["a"], r["b"])
-                v = pairs.get(k, 0) + r["n"]
-                if v > 0:
-                    pairs[k] = v
-                    heapq.heappush(heap, (-v, k[0], k[1]))
-                else:
-                    pairs.pop(k, None)
-            if len(pairs) > pair_collect_threshold:
-                _spill_to_df()
-        else:
-            pc = (
-                pc.unionByName(delta)
-                .groupBy("a", "b")
-                .agg(F.sum("n").alias("n"))
-                .where(F.col("n") > 0)
-                .localCheckpoint(eager=True)
-            )
+        pc = (
+            pc.unionByName(delta)
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("n"))
+            .where(F.col("n") > 0)
+            .localCheckpoint(eager=True)
+        )
         # map-only guarded rewrite: unaffected rows pass through untouched
         words = words.withColumn(
             "syms",
