@@ -278,6 +278,12 @@ def quantile_bins(
     edge_arr = edges.groupBy(*by_list).agg(
         F.array_sort(F.collect_list(F.struct("__i", "__edge"))).alias("__es")
     ).select(*by_list, F.transform("__es", lambda s: s["__edge"]).alias("__edges"))
+    # materialize the |groups|-row edge table eagerly, then drop the anchor
+    # cache in-scope: the persist never outlives this call, so chained
+    # transformations cannot strand it (r9 advice — the old dynamic
+    # ``.qcut_anchors`` handle leaked whenever callers transformed first)
+    edge_arr = edge_arr.localCheckpoint(eager=True)
+    anchors.unpersist()
     earr = edge_arr.select(
         *[F.col(c).alias(f"__qb_by_{i}") for i, c in enumerate(by_list)],
         "__edges",
@@ -298,5 +304,4 @@ def quantile_bins(
         out,
         F.when(v.isNotNull() & F.col("__edges").isNotNull(), b).cast("int"),
     ).drop("__edges")
-    res.qcut_anchors = anchors  # persist-handle convention (bm25 precedent)
     return res

@@ -469,10 +469,30 @@ def _gray_32(payload: bytes):
             pass
     arr = decode_png_pixels(payload)
     if arr is None:
+        # tier-3 stub: tile the payload bytes to 1024 cells, then mix each
+        # cell with its POSITION (splitmix64 finalizer).  Raw tiling made a
+        # short payload's matrix rank-deficient (every row identical when
+        # len % 32 divides), collapsing the DCT spectrum to a handful of
+        # informative bits — small stub frames then all collided once the
+        # hash went integer-exact (the float version's BLAS rounding noise
+        # had been papering over it).  The mix keeps the contract that
+        # matters for a placeholder: identical payloads → identical
+        # matrices, different payloads → uncorrelated dense spectra.
         n = max(1, len(payload or b""))
         reps = -(-1024 // n)
-        flat = np.frombuffer((payload or b"\x00") * reps, dtype=np.uint8)[:1024]
-        return flat.reshape(32, 32).astype(np.float64)
+        flat = (
+            np.frombuffer((payload or b"\x00") * reps, dtype=np.uint8)[:1024]
+            .astype(np.uint64)
+        )
+        x = flat * np.uint64(0x9E3779B97F4A7C15) + np.arange(
+            1024, dtype=np.uint64
+        ) * np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return (x & np.uint64(0xFF)).astype(np.float64).reshape(32, 32)
     h, w = arr.shape
     ys = np.linspace(0, h, 33).astype(int)
     xs = np.linspace(0, w, 33).astype(int)
@@ -495,6 +515,23 @@ def _dct_matrix(n: int):
     return C
 
 
+# fixed-point scales for the integer-exact hash pipeline (see phash_one)
+_PHASH_DCT_SCALE = 1 << 14  # DCT basis quantization
+_PHASH_GRAY_SCALE = 8  # grayscale block-mean quantization
+
+
+def _dct_matrix_q(n: int):
+    """DCT-II basis quantized to int64 fixed point (× 2^14).  Integer
+    matmul never dispatches to BLAS, so the transform is bit-identical
+    on every platform/BLAS build — a float `C @ g @ C.T` is not, and a
+    drifted low bit flips any coefficient sitting near the AC median
+    (observed r10: a container rebuild changed 4 of 7 pinned fixture
+    hashes with zero code change)."""
+    import numpy as np
+
+    return np.rint(_dct_matrix(n) * _PHASH_DCT_SCALE).astype(np.int64)
+
+
 def phash_one(payload: bytes) -> int:
     """64-bit perceptual hash: 32×32 grayscale → 2-D DCT-II → top-left 8×8
     low-frequency block, DC coefficient EXCLUDED (r9 review: DC — overall
@@ -502,13 +539,30 @@ def phash_one(payload: bytes) -> int:
     burned a constant always-1 bit; the row/col-0 AC frequencies stay, they
     carry real horizontal/vertical structure) → bit i = AC coeff_i > median
     of the 63 ACs.  63 informative bits, bit 63 constant 0.  Signed int64
-    so the value round-trips a Spark LongType exactly."""
+    so the value round-trips a Spark LongType exactly.
+
+    HASH VERSION 3 (r10, integer-exact): the grayscale block means are
+    quantized to 1/8-gray-level fixed point and the DCT is an int64
+    matmul against a quantized basis (``_dct_matrix_q``), with an integer
+    median — no BLAS anywhere, so the hash is reproducible across
+    platforms and numpy/BLAS builds.  v2 (r9) computed the same layout in
+    float64 via BLAS matmul, whose rounding varies by build: v3 values
+    differ from v2 on coefficients near the median.  LAYOUT note from v2
+    stands: v1 hashed the DC coefficient as bit 0.  Hashes from different
+    versions are NOT comparable — a persisted perceptual-hash index built
+    under an older version must be rebuilt (cross-version Hamming
+    distances silently stop matching rather than erroring).  In-repo
+    fixtures/pins are regenerated by scripts/make_media_fixture.py and
+    make_video_fixture.py."""
     import numpy as np
 
     g = _gray_32(payload)
-    C = _dct_matrix(32)
-    d = (C @ g @ C.T)[:8, :8].ravel()[1:]
-    med = np.median(d)
+    gi = np.rint(g * float(_PHASH_GRAY_SCALE)).astype(np.int64)
+    C = _dct_matrix_q(32)
+    d = (C @ gi @ C.T)[:8, :8].ravel()[1:]
+    # 63 values (odd count): the median IS the middle element — integer,
+    # so the strict > below never compares against a synthetic midpoint
+    med = int(np.partition(d, 31)[31])
     bits = 0
     for i, v in enumerate(d):
         if v > med:
