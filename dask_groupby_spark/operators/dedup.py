@@ -220,6 +220,8 @@ def sorted_bucket_pairs(
     member,
     pair,
     max_bucket_size: int | None = None,
+    spill_threshold: int | None = None,
+    salt_partitions: int = 64,
 ) -> DataFrame:
     """The shared bucket-array pair-enumeration plan (LSH bands, shingle
     buckets, frame/perceptual-hash buckets all use it): ONE groupBy on the
@@ -234,14 +236,129 @@ def sorted_bucket_pairs(
     no bucket exceeds the cap, O(|bucket|·cap) on a degenerate one, every
     member still connected to anchor 0 for transitive clustering.
 
+    ``spill_threshold`` bounds the other half of the degenerate-bucket
+    risk: the cap bounds ENUMERATION but the bucket member array itself
+    was still collected whole into one row (linear — ~8 MB at 10⁶
+    members, but a 10⁸-member pathology would concentrate gigabytes in
+    one task).  With the threshold set, collection is salted two-level
+    (no row ever holds more than ~|bucket|/salt_partitions members or
+    salt_partitions·cap anchor candidates) and buckets larger than the
+    threshold never re-assemble: their anchor star enumerates through a
+    join against the bounded anchor array instead (see
+    :func:`_spilled_bucket_pairs`).  Output is identical to the un-spilled
+    capped plan whenever bucket members are distinct — true for every
+    in-repo caller (one row per (id, bucket)).  Requires
+    ``max_bucket_size`` ≤ ``spill_threshold``.
+
     Returns one exploded column ``p`` per pair; callers project/aggregate.
     """
+    if spill_threshold is not None:
+        return _spilled_bucket_pairs(
+            rows, bucket_cols, member, pair,
+            max_bucket_size, spill_threshold, salt_partitions,
+        )
     buckets = (
         rows.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(member)).alias("mem"))
         .where(F.size("mem") >= 2)
     )
     return bucket_pairs_from(buckets, "mem", pair, max_bucket_size)
+
+
+def _spilled_bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    member,
+    pair,
+    max_bucket_size: int | None,
+    spill_threshold: int,
+    salt_partitions: int,
+) -> DataFrame:
+    """Giant-bucket-safe tier of :func:`sorted_bucket_pairs`.
+
+    Level 1 groups by (bucket, salt(member)) so each partial row holds
+    ~|bucket|/P members; the partial table (the inverted index, array
+    form) is lazily localCheckpoint-ed — it feeds the stats aggregate and
+    the pair paths, and the checkpoint makes the upstream pipeline (the
+    one corpus scan) run exactly once with no session-lifetime cache.
+    Level 2 computes per-bucket totals and the bottom-``cap`` anchors by
+    merging per-partial bottom-``cap`` slices (pool ≤ P·cap — bounded
+    regardless of bucket size).  Buckets with n ≤ ``spill_threshold``
+    re-assemble their (bounded) full array and reuse the ordinary
+    enumeration; bigger buckets stream members against the broadcast-able
+    anchor array — pairs (a, b) with a an anchor and a < b, exactly the
+    sorted-array anchor star when members are distinct.  A 10⁸-member
+    bucket therefore costs O(n/P) memory per task, never O(n).
+    """
+    if max_bucket_size is None:
+        raise ValueError(
+            "spill_threshold requires max_bucket_size: a bucket beyond the "
+            "threshold cannot materialize, so its enumeration must be the "
+            "bounded anchor star"
+        )
+    if max_bucket_size > spill_threshold:
+        raise ValueError(
+            f"max_bucket_size={max_bucket_size} must be <= "
+            f"spill_threshold={spill_threshold} (buckets under the threshold "
+            "re-assemble whole and apply the cap there)"
+        )
+    cap = max_bucket_size
+    base = rows.select(*bucket_cols, member.alias("__m"))
+    part = (
+        base.groupBy(
+            *bucket_cols,
+            F.pmod(F.xxhash64("__m"), F.lit(salt_partitions)).alias("__salt"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.array_sort(F.collect_list("__m")).alias("__mp"),
+        )
+        .drop("__salt")
+        .localCheckpoint(eager=False)
+    )
+    # spilling buckets are near-empty by definition (each holds more rows
+    # than the threshold), so everything below keys off the TINY over-
+    # threshold set: the size aggregate is narrow (counts only — no arrays
+    # through the shuffle) and the anti/semi joins against it are AQE
+    # broadcasts at runtime.  Joining the full |buckets|-row stats table
+    # instead cost a sort-merge join of the whole index (+13% on the
+    # near_dedup e2e at sf0.1; see BASELINE r10 for this shape's numbers).
+    over = (
+        part.groupBy(*bucket_cols)
+        .agg(F.sum("__c").alias("__n"))
+        .where(F.col("__n") > spill_threshold)
+        .select(*bucket_cols)
+    )
+    small = (
+        part.join(over, on=bucket_cols, how="left_anti")
+        .groupBy(*bucket_cols)
+        .agg(F.array_sort(F.flatten(F.collect_list("__mp"))).alias("mem"))
+        .where(F.size("mem") >= 2)
+    )
+    small_pairs = bucket_pairs_from(small, "mem", pair, cap)
+    # anchors (bottom-cap members) for spilling buckets only: merge the
+    # per-partial bottom-cap slices — pool ≤ salt_partitions·cap, bounded
+    # no matter how big the bucket is
+    big_part = part.join(over, on=bucket_cols, how="left_semi")
+    anchors = (
+        big_part.select(*bucket_cols, F.slice("__mp", 1, cap).alias("__pa"))
+        .groupBy(*bucket_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__pa"))), 1, cap
+            ).alias("__anchors")
+        )
+    )
+    big = big_part.join(anchors, on=bucket_cols).select(
+        "__anchors", F.explode("__mp").alias("__b")
+    )
+    big_pairs = big.select(
+        F.explode(
+            F.filter("__anchors", lambda a: a < F.col("__b"))
+        ).alias("__a"),
+        "__b",
+    ).select(pair(F.col("__a"), F.col("__b")).alias("p"))
+    return small_pairs.unionByName(big_pairs)
 
 
 def bucket_pairs_from(
@@ -302,6 +419,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     hasher: str = "fast",
     max_bucket_size: int | None = None,
+    spill_threshold: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; documents sharing any band hash are candidate
@@ -312,9 +430,12 @@ def lsh_candidate_pairs(
     the per-bucket work: buckets larger than the cap emit anchor-star pairs
     instead of the full clique (see :func:`capped_bucket_pairs`) — identical
     output whenever no bucket exceeds the cap, bounded O(|bucket| · cap)
-    enumeration when one does.  The 100 TB composition default
-    (``near_deduplicate``) sets this; the primitive defaults to None so the
-    uncapped plan stays exactly oracle-checkable.
+    enumeration when one does.  ``spill_threshold`` bounds per-TASK memory
+    as well: buckets beyond it never materialize as one array row — their
+    anchor star enumerates through a join (see :func:`sorted_bucket_pairs`),
+    so even a 10⁸-member pathological bucket cannot OOM a task.  The 100 TB
+    composition default (``near_deduplicate``) sets both; the primitive
+    defaults to None so the uncapped plan stays exactly oracle-checkable.
     """
     exploded = _band_rows(signatures, num_hashes, bands, hasher)
     # Bucket-array plan instead of an in-bucket self-join (see
@@ -326,6 +447,7 @@ def lsh_candidate_pairs(
         exploded, ["band", "bh"], F.col("id"),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         max_bucket_size,
+        spill_threshold=spill_threshold,
     )
     return (
         pairs.groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
@@ -393,15 +515,51 @@ def ngram_jaccard_pairs(
     sh = base.select("id", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
     capped = max_shingle_df is not None
     member = F.struct(F.col("id"), F.lit(0).alias("n")) if capped else F.struct("id", "n")
-    surviving = sh.groupBy("sh").agg(F.array_sort(F.collect_list(member)).alias("mem"))
     if capped:
-        # the capped plan reads `surviving` from THREE places (pair
-        # enumeration + the sizes table joined per pair side), and Spark
-        # does not reuse the groupBy(sh) Exchange across them (measured 13
-        # parquet scans and 1.7× the uncapped wall at sf0.1) — persist the
-        # already-reduced bucket table so the shingle pipeline runs once;
-        # result.ngram_shingle_buckets.unpersist() releases it eagerly
-        surviving = surviving.where(F.size("mem") <= max_shingle_df).persist()
+        # Giant-bucket-safe collection (r10): the old shape collected the
+        # hot shingle's FULL member array into one row and only then
+        # dropped it (`where(size(mem) <= cap)`) — the same task-memory
+        # hazard the LSH spill tier closes.  Salted two-level collection
+        # bounds every row to ~|bucket|/64 members; over-cap shingles are
+        # found by a narrow count and anti-joined away (tiny set by
+        # definition — AQE broadcasts it) BEFORE the survivors re-assemble,
+        # so their arrays never exist at any level.  The lazy
+        # localCheckpoint keeps the corpus scan single (the partials feed
+        # the count and the re-assembly).  Downstream is unchanged: the
+        # `surviving` bucket table (every array ≤ cap now by construction)
+        # is persisted across its THREE consumers (pair enumeration + the
+        # sizes recount joined per pair side — Spark does not reuse the
+        # Exchange across them; measured 13 parquet scans and 1.7× the
+        # uncapped wall at sf0.1 before the persist);
+        # result.ngram_shingle_buckets.unpersist() releases it eagerly.
+        part = (
+            sh.select("sh", member.alias("__m"))
+            .groupBy(
+                "sh", F.pmod(F.xxhash64("__m"), F.lit(64)).alias("__salt")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.array_sort(F.collect_list("__m")).alias("__mp"),
+            )
+            .drop("__salt")
+            .localCheckpoint(eager=False)
+        )
+        over = (
+            part.groupBy("sh")
+            .agg(F.sum("__c").alias("__n"))
+            .where(F.col("__n") > max_shingle_df)
+            .select("sh")
+        )
+        surviving = (
+            part.join(over, on="sh", how="left_anti")
+            .groupBy("sh")
+            .agg(F.array_sort(F.flatten(F.collect_list("__mp"))).alias("mem"))
+            .persist()
+        )
+    else:
+        surviving = sh.groupBy("sh").agg(
+            F.array_sort(F.collect_list(member)).alias("mem")
+        )
     # singleton buckets produce no pairs but DO count toward each document's
     # surviving-set size, so the ≥2 filter applies to enumeration only
     buckets = surviving.where(F.size("mem") >= 2)
@@ -657,6 +815,7 @@ def near_deduplicate(
     hasher: str = "fast",
     max_iter: int = 20,
     max_bucket_size: int | None = 10_000,
+    spill_threshold: int | None = 1_000_000,
     keep_by: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash signatures → LSH band
@@ -675,6 +834,13 @@ def near_deduplicate(
     contribute an anchor star instead of a clique, which clusters to the
     same single keeper.  Set None to force the uncapped plan.
 
+    ``spill_threshold`` (default 1 000 000) guards task MEMORY on the same
+    degenerate buckets: a bucket beyond it enumerates its anchor star
+    through a join instead of re-assembling the member array in one row
+    (identical pairs, see :func:`sorted_bucket_pairs`) — the point where a
+    single array row reaches ~10 MB.  Ignored when ``max_bucket_size`` is
+    None (the uncapped plan has no bounded star to spill to).
+
     ``keep_by`` names a numeric quality column of ``df`` (a
     ``hash_classifier_score`` / ``lm_quality_score`` output, a length…):
     each cluster then keeps its HIGHEST-quality member (ties → smallest
@@ -691,6 +857,7 @@ def near_deduplicate(
         bands=bands,
         hasher=hasher,
         max_bucket_size=max_bucket_size,
+        spill_threshold=spill_threshold if max_bucket_size is not None else None,
     )
     clusters = duplicate_clusters(pairs, max_iter=max_iter)
     if keep_by is None:
@@ -1214,11 +1381,28 @@ def edit_distance_pairs(
             F.array_sort(F.collect_list(member)).alias("mem")
         )
     else:
+        if max_gram_df is not None:
+            # stop-gram drop BEFORE collection (r10): the old post-filter
+            # (`where(size(mem) <= cap)`) still collected the hot gram's
+            # full (id, txt) member array into ONE row first — the
+            # giant-bucket task-memory hazard the LSH spill tier closes,
+            # made worse here by members carrying whole texts.  Counts
+            # have map-side partial aggregation (no skew hazard), so a
+            # narrow df count finds the over-cap grams — a tiny set by
+            # definition, each holds > cap rows — and an anti-join (AQE
+            # broadcasts the tiny side) drops their rows before any array
+            # forms.  Identical output; costs a second pass over the gram
+            # stream (too wide to checkpoint: grams × texts).
+            over = (
+                grams.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") > max_gram_df)
+                .select("g")
+            )
+            grams = grams.join(over, on="g", how="left_anti")
         buckets = grams.groupBy("g").agg(
             F.array_sort(F.collect_list(member)).alias("mem")
         )
-        if max_gram_df is not None:
-            buckets = buckets.where(F.size("mem") <= max_gram_df)
     buckets = buckets.where(F.size("mem") >= 2)
     pairs = bucket_pairs_from(
         buckets,

@@ -327,3 +327,139 @@ def test_interval_overlap_join_hot_key_exact(spark):
     )
     assert got == want
     assert len(got) > 3000     # the hot key really is quadratic-sized output
+
+
+# ---------------------------------------------------------------------------
+# LSH giant-bucket SPILL tier (r10): beyond max_bucket_size bounding the
+# enumeration, spill_threshold bounds per-TASK memory — oversized buckets
+# never re-assemble as one array row; their anchor star enumerates through
+# a join against the bounded bottom-cap anchor array.
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_spill_tier_identical_mixed_buckets(hot_corpus):
+    """Spill tier == array tier, bit-for-bit, on a corpus whose buckets
+    straddle the threshold (the 200-clone bucket spills, the small shared-
+    tail buckets take the ordinary array path)."""
+    from dask_groupby_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(hot_corpus).persist()
+    sig.count()
+    plain = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in lsh_candidate_pairs(sig, max_bucket_size=CAP).collect()
+    }
+    spilled = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in lsh_candidate_pairs(
+            sig, max_bucket_size=CAP, spill_threshold=16
+        ).collect()
+    }
+    sig.unpersist()
+    assert plain == spilled
+    assert len(plain) > 0
+
+
+def test_lsh_spill_tier_identical_no_bucket_over_threshold(spark):
+    """When nothing spills, the small path alone must reproduce the plain
+    plan exactly (full cliques under the cap included)."""
+    from dask_groupby_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 9 == 0, F.lit("shared niner body of words here"))
+        .otherwise(
+            F.concat(F.lit("doc body "), (F.col("id") * 13).cast("string"))
+        )
+        .alias("text"),
+    )
+    sig = minhash_signatures(docs)
+    plain = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in lsh_candidate_pairs(sig, max_bucket_size=50).collect()
+    }
+    spilled = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in lsh_candidate_pairs(
+            sig, max_bucket_size=50, spill_threshold=1_000_000
+        ).collect()
+    }
+    assert plain == spilled
+
+
+def test_lsh_spill_requires_cap(spark):
+    import pytest as _pytest
+
+    from dask_groupby_spark.operators.dedup import lsh_candidate_pairs
+
+    sig = spark.range(4).select(
+        F.col("id"), *[F.lit(1).alias(f"mh_{i}") for i in range(8)]
+    )
+    with _pytest.raises(ValueError, match="requires max_bucket_size"):
+        lsh_candidate_pairs(sig, spill_threshold=100).collect()
+    with _pytest.raises(ValueError, match="must be <="):
+        lsh_candidate_pairs(
+            sig, max_bucket_size=1000, spill_threshold=10
+        ).collect()
+
+
+def test_lsh_spill_hot_bucket_stress_1m(spark):
+    """The r9 SCALE.md known bound, closed: a 10⁶-member band bucket (every
+    signature identical) streams through the join path — no task ever holds
+    the whole bucket (salted partials hold ~n/64 members each) — and the
+    anchor-star output is exactly the sorted-array semantics: pairs (a, b)
+    for every anchor a in the bottom-cap ids and every b > a."""
+    from dask_groupby_spark.operators.dedup import lsh_candidate_pairs
+
+    n, cap = 1_000_000, 4
+    sig = spark.range(n).select(
+        F.col("id"), *[F.lit(1).alias(f"mh_{i}") for i in range(8)]
+    )
+    pairs = lsh_candidate_pairs(
+        sig, num_hashes=8, bands=4, max_bucket_size=cap,
+        spill_threshold=100_000,
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("id_a").alias("min_a"),
+        F.max("id_a").alias("max_a"),
+        F.max("id_b").alias("max_b"),
+        F.min("n_shared_bands").alias("min_sb"),
+        F.max("n_shared_bands").alias("max_sb"),
+    ).collect()[0]
+    # anchors are ids 0..3; each pairs with every larger id
+    assert agg["n_pairs"] == (n - 1) + (n - 2) + (n - 3) + (n - 4)
+    assert agg["min_a"] == 0 and agg["max_a"] == cap - 1
+    assert agg["max_b"] == n - 1
+    # all 4 bands share the one bucket
+    assert agg["min_sb"] == 4 and agg["max_sb"] == 4
+
+
+def test_lsh_spill_plan_single_corpus_scan(spark):
+    """Structural: the spill tier's downstream plan reads ONLY the
+    checkpointed partials (no parquet re-scan anywhere) — the one corpus
+    scan lives inside the checkpointed lineage, executed exactly once."""
+    import os
+    import re
+
+    from dask_groupby_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dask_groupby_spark.plans import physical_plan
+    from dask_groupby_spark.sources import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(docs), max_bucket_size=100, spill_threshold=10_000
+    )
+    plan = physical_plan(pairs)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert "ExistingRDD" in plan, plan
