@@ -3577,6 +3577,22 @@ _R10_WINDOW = [
     "bloom_decontam", "bloom_join",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+# R11 WINDOW PLAN (pre-written, rotation discipline): assuming
+# CORRECTNESS_r10.json comes back green, the freshness order is — any
+# red r10 keys first, then the 42 remaining r7-row keys (bm25,
+# calibration, chisq, corr, dedup_exact, describe, dup_spans, entropy,
+# interp_time, ks, leak_split, mad, media_phash, media_video,
+# multimodal_meta, ngram_counts, outliers, overlap_join, pagerank,
+# para_dedup, profile, psi, psi_hist, qnorm, quantize, rank,
+# resample_dense_keys, seg_dedup, simhash, skew_stats, span_dedup,
+# spearman, stream_cms, stream_cumsum, stream_dedup, table_diff, ttest,
+# validate, wquantile, wsample, xdim_reduce, zorder), balance from the
+# r8-row block's alphabetical head (all, ann_ivf, ann_lsh, ann_topk,
+# any, argmax, argmin, asof_join — drop from this tail to make room for
+# any red keys).  NOTE for r11: media_phash/media_video pins were
+# regenerated in r10 after the integer-exact pHash v3 (container
+# BLAS drift made the float v2 values environment-dependent) — their
+# r11 rows will be the first OFFICIAL verification of v3.
 _QUERIES = {k: _QUERIES[k] for k in _R10_WINDOW} | {
     k: v for k, v in _QUERIES.items() if k not in set(_R10_WINDOW)
 }

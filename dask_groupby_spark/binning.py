@@ -247,10 +247,13 @@ def quantile_bins(
 
     # ONE pass over the ranked frame: semi-join it down to the ≤ 2(q−1)
     # anchor ranks per group (broadcast — the spec table is |groups|·(q−1)
-    # rows), then persist the KB-class anchor table and assemble lo/hi
-    # from it.  The per-group sort executes exactly once; the old shape
-    # joined spec against the FULL ranked frame twice, re-running the
-    # window per consumer.
+    # rows).  The spec is MELTED to one (role, rank) row per needed edge
+    # endpoint, so the anchor table has exactly ONE consumer (a single
+    # equi-join, lo/hi pivoted back per (group, i)) — no persist, no
+    # cache to leak, and the expensive per-group rank pass appears once
+    # in the lineage (r9 advice follow-up: the earlier shape joined the
+    # anchors twice and parked a persist behind a dynamic
+    # ``.qcut_anchors`` handle that chained transformations dropped).
     needed = (
         spec.select(*by_list, F.col("__rlo").alias("__ar"))
         .unionByName(spec.select(*by_list, F.col("__rhi").alias("__ar")))
@@ -260,30 +263,50 @@ def quantile_bins(
         ranked.select(*by_list, "__r", "__v"),
         F.broadcast(needed),
         ("__r", "__ar"),
-    ).select(*by_list, "__r", "__v").persist()
-    lo = anchors.select(*by_list, F.col("__r").alias("__rl"), F.col("__v").alias("__lo"))
-    hi = anchors.select(*by_list, F.col("__r").alias("__rh"), F.col("__v").alias("__hi"))
+    ).select(*by_list, "__r", "__v")
+    spec_m = spec.select(
+        *by_list,
+        "__i",
+        "__d",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("role"), F.col("__rlo").alias("ar")
+                ),
+                F.struct(
+                    F.lit("hi").alias("role"), F.col("__rhi").alias("ar")
+                ),
+            )
+        ).alias("__rr"),
+    ).select(
+        *by_list,
+        "__i",
+        "__d",
+        F.col("__rr.role").alias("__role"),
+        F.col("__rr.ar").alias("__ar"),
+    )
     edges = (
-        _nullsafe(_nullsafe(spec, lo, ("__rlo", "__rl")), hi, ("__rhi", "__rh"))
+        _nullsafe(spec_m, anchors, ("__ar", "__r"))
+        .groupBy(*by_list, "__i")
+        .agg(
+            F.max(F.when(F.col("__role") == "lo", F.col("__v"))).alias("__lo"),
+            F.max(F.when(F.col("__role") == "hi", F.col("__v"))).alias("__hi"),
+            # __d is constant within (group, i) — first() is order-safe
+            F.first("__d").alias("__dd"),
+        )
         .select(
             *by_list,
             "__i",
             # DuckDB quantile_cont lerp: lo*(1-d) + hi*d (bitwise-shared)
             (
-                F.col("__lo") * (F.lit(1.0) - F.col("__d"))
-                + F.col("__hi") * F.col("__d")
+                F.col("__lo") * (F.lit(1.0) - F.col("__dd"))
+                + F.col("__hi") * F.col("__dd")
             ).alias("__edge"),
         )
     )
     edge_arr = edges.groupBy(*by_list).agg(
         F.array_sort(F.collect_list(F.struct("__i", "__edge"))).alias("__es")
     ).select(*by_list, F.transform("__es", lambda s: s["__edge"]).alias("__edges"))
-    # materialize the |groups|-row edge table eagerly, then drop the anchor
-    # cache in-scope: the persist never outlives this call, so chained
-    # transformations cannot strand it (r9 advice — the old dynamic
-    # ``.qcut_anchors`` handle leaked whenever callers transformed first)
-    edge_arr = edge_arr.localCheckpoint(eager=True)
-    anchors.unpersist()
     earr = edge_arr.select(
         *[F.col(c).alias(f"__qb_by_{i}") for i, c in enumerate(by_list)],
         "__edges",

@@ -84,9 +84,13 @@ def resample(
     combination), missing cells filled — matching reindexing onto
     ``expected_groups`` = (grid, observed keys).
 
-    Note: ``dense=True`` materializes the aggregated table eagerly (one
-    Spark job at call time) so the grid bounds, key domain, and outer join
-    share a single computation without a session-lifetime cache.
+    Note: ``dense=True`` lazily PERSISTS the aggregated table (it feeds
+    the grid bounds, the key domain, and the outer join — three consumers
+    AQE will not share an Exchange across; construction runs no job).
+    The returned frame exposes the cache as ``.resample_agg`` — call
+    ``out.resample_agg.unpersist()`` when done, and read the attribute
+    BEFORE transforming the result (a transformed DataFrame is a new
+    object; the attribute does not propagate).
     """
     width, calendar = _parse_every(every)
     if width is not None and width <= 0:
@@ -125,13 +129,13 @@ def resample(
             step = f"make_dt_interval(0, 0, 0, {float(width)!r})"
         # the aggregate feeds THREE consumers below (grid bounds, the key
         # domain, the outer join) and AQE never reuses an Exchange across
-        # consumers — materialize it ONCE with an eager localCheckpoint.
-        # The checkpoint blocks are GC-cleaned with the frame, so there is
-        # no unpersist handle that a chained transformation could drop
-        # (r9 advice: the old lazy persist + ``.resample_agg`` attribute
-        # leaked the cache whenever callers transformed the result first).
-        # Cost: dense=True runs the aggregation job at construction time.
-        out = out.localCheckpoint(eager=True)
+        # consumers — persist it (lazy: construction runs no job, a tested
+        # property; an eager localCheckpoint was tried for r9's leak
+        # advice and reverted — it broke laziness and hid the lineage).
+        # The unpersist handle is exposed AND documented as
+        # ``.resample_agg``; reading it before transforming the result is
+        # the caller's contract.
+        out = out.persist()
         # lazy grid: bounds from the AGGREGATED table — it has one row per
         # observed bucket, so min/max(label) match the fact table's and the
         # grid costs a 1-row aggregate over the cache, not a third fact scan
@@ -160,6 +164,8 @@ def resample(
             if fill_value is not None
             else dt_rules.na_lit(res_dt)  # empty cell → dtype NA
         )
+        agg = out
         out = joined.withColumn(out_name, F.coalesce(F.col(out_name), fill))
         out = out.orderBy(label, *extra_by)
+        out.resample_agg = agg
     return out

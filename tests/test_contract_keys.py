@@ -208,39 +208,41 @@ class TestParaDedupOracleAgreement:
 
 
 class TestWindowRotation:
-    def test_r9_window_front_and_freshness(self):
-        """VERDICT r8 item 1: the r9 first-50 window = the 20 keys with
-        no official driver row yet (first-registered late in r8) at the
-        FRONT, then a pure freshness re-check of the oldest official
-        rows (all 25 r4-row keys + the alphabetical head of the r6
-        block) — this test makes the rotation un-revertable.  (The r8
-        window — sql_entry + promotions + r3-era/r4-head freshness —
-        earned its official rows in CORRECTNESS_r08.json, 50/50 green,
-        and rotated out.)"""
+    def test_r10_window_freshness(self):
+        """VERDICT r9 item 1 / the pre-written R10 plan: CORRECTNESS_r09
+        was 50/50 green (no red keys to front-load), so the r10 first-50
+        is a PURE freshness window, oldest-official-row-first — all 44
+        keys whose latest driver row is r6, then the alphabetical head of
+        the r7-row block — this test makes the rotation un-revertable.
+        (The r9 window — 20 r8-first-registrations + r4-era freshness —
+        earned its official rows in CORRECTNESS_r09.json and rotated
+        out.)"""
         import sys
 
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import __spark_entry__ as entrymod
 
         window = list(entrymod._QUERIES)[:50]
-        no_row_yet = {
-            "funnel", "funnel_window", "funnel_timing", "retention",
-            "kmv_distinct", "kmv_overlap", "linreg", "grouped_linreg",
-            "logreg_quality", "grouped_logreg", "target_encode", "qcut",
-            "qcut_grouped", "qcut_two_pass", "dsir", "ann_recall",
-            "k_anonymity", "ngram_containment", "fuzzy_match",
-            "json_extract",
+        r6_era = {
+            "clf_score", "cms_heavy", "complex_argmax", "complex_nanmean",
+            "complex_nanmedian", "complex_nanvar", "dayofyear",
+            "dup_clusters", "emb_neardup", "encode_ids", "first_ts",
+            "gopher", "grid_fill", "hist_quantile", "lm_score",
+            "lsh_pairs", "mh_index_probe", "min_count", "minhash",
+            "mode", "month_hour", "nanmode", "ngram_jaccard",
+            "pii_redact", "pivot", "reindex_fill", "resample_5d",
+            "salted_join", "scan_bfill", "scan_cumcount", "scan_cummax",
+            "scan_cummin", "scan_cumprod", "scan_cumsum", "scan_diff",
+            "scan_ffill", "scan_nancummax", "scan_nancummin",
+            "scan_nancumprod", "scan_nancumsum", "scan_shift",
+            "semdedup", "stream_late", "vocab",
         }
-        assert set(window[:20]) == no_row_yet  # driver-unverified first
-        r4_era = {
-            "nanquantile_vec", "nanstd", "nansum", "nanvar", "nunique",
-            "pack", "prod", "quantile", "range_join", "resample_time",
-            "sessionize", "std", "stream_agg", "stream_enrich",
-            "stream_join", "stream_session", "stream_sliding",
-            "stream_window", "sum", "twa", "var", "winsorize",
-            "wquantile_sketch", "xdim_bins", "xdim_dataset",
+        r7_head = {
+            "accessor_climatology", "approx_quantile", "auc", "bivar",
+            "bloom_decontam", "bloom_join",
         }
-        assert r4_era <= set(window)
+        assert set(window[:44]) == r6_era  # oldest official rows first
+        assert set(window[44:]) == r7_head
         assert len(window) == len(set(window)) == 50
 
 
