@@ -49,6 +49,51 @@ def normalize(cols, rows):
     return [cols[i] for i in order], out
 
 
+# Outputs beyond this many rows are compared as a STREAMING order-
+# insensitive digest (count + 96-bit sum of per-row md5 over the same
+# canonical cell forms) instead of materializing both sides as Python
+# tuple lists — the exact compare of a 6M-row × many-column output costs
+# tens of GB of driver memory (observed: the r10 sf1 battery OOM-killed
+# the gate on `rolling`).  Equality of (count, digest) is multiset
+# equality up to md5 collisions; the canonicalization (norm_cell + repr,
+# -0.0 folded to 0.0) is exactly as strict as the small-output compare.
+DIGEST_OVER = int(os.environ.get("CONTRACT_DIGEST_OVER", "2000000"))
+
+
+def _canon(row, order):
+    vals = []
+    for i in order:
+        v = norm_cell(row[i])
+        if isinstance(v, float) and v == 0.0:
+            v = 0.0  # fold -0.0 (exact == treats them equal; repr does not)
+        vals.append(v)
+    return tuple(vals)
+
+
+def _fold(acc, canon):
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(repr(canon).encode()).digest()[:12], "big")
+    return (acc + h) % (1 << 96)
+
+
+def digest_iter(row_iter, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    n, d = 0, 0
+    for r in row_iter:
+        d = _fold(d, _canon(tuple(r), order))
+        n += 1
+    return n, d
+
+
+def duck_iter(cur, batch=65536):
+    while True:
+        chunk = cur.fetchmany(batch)
+        if not chunk:
+            return
+        yield from chunk
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -90,17 +135,35 @@ def main():
             sdf = fn(spark, sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            sdig = None
+            if len(srows) > DIGEST_OVER:
+                sdig = digest_iter(srows, scols)
+                srows = None  # free before the oracle side materializes
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {str(e)[:300]}"))
             print(f"FAIL {name}: spark error {str(e)[:200]}")
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
+            n = sdig[0] if sdig else len(srows)
+            print(f"ok?  {name}: rows-only ({n} rows, {time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
             ores = con.execute(oracles[name])
             ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            if sdig is not None:
+                on, od = digest_iter(duck_iter(ores), ocols)
+                orows = None
+            else:
+                # cap the fetch: an oracle FAR bigger than the (small)
+                # spark side is a row-count mismatch, not a reason to
+                # materialize an unbounded list
+                orows = ores.fetchmany(len(srows) + 1)
+                if len(orows) > len(srows):
+                    failures.append(
+                        (name, f"ROWS: spark={len(srows)} duckdb>{len(srows)}")
+                    )
+                    print(f"FAIL {name}: oracle returns more rows than spark ({len(srows)})")
+                    continue
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {str(e)[:300]}"))
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
@@ -108,6 +171,18 @@ def main():
         if sorted(scols) != sorted(ocols):
             failures.append((name, f"COLUMNS: spark={sorted(scols)} duckdb={sorted(ocols)}"))
             print(f"FAIL {name}: column mismatch {sorted(scols)} vs {sorted(ocols)}")
+            continue
+        if sdig is not None:
+            sn, sd = sdig
+            if sn != on:
+                failures.append((name, f"ROWS: spark={sn} duckdb={on}"))
+                print(f"FAIL {name}: row count {sn} vs {on}")
+                continue
+            if sd != od:
+                failures.append((name, f"VALUES(digest): {sn}-row digests differ"))
+                print(f"FAIL {name}: streaming digests differ over {sn} rows")
+                continue
+            print(f"PASS {name} ({sn} rows, digest, {time.time()-t0:.1f}s)")
             continue
         _, snorm = normalize(scols, srows)
         _, onorm = normalize(ocols, orows)
