@@ -128,10 +128,16 @@ def quantile_bins(
     a huge group's rank pass spans many tasks — identical bins (the edge
     math reads values at ranks, which any tie order preserves); the
     global tier is already scalable and ignores ``method``.
-    ``method="auto"`` (DEFAULT): delegates the tier choice to
-    ``groupby_rank(execution="auto")`` — a per-group valid-count probe
-    that picks two_pass when some group exceeds ``rows_per_chunk`` rows,
-    free on the scale path.
+    ``method="auto"`` (DEFAULT): the tier choice reads ``max`` off the
+    per-group count table the edge math needs anyway (lazily
+    checkpointed, one tiny job — no separate probe aggregate) and picks
+    two_pass when some group exceeds ``rows_per_chunk`` rows.
+
+    The grouped form lazily PERSISTS the |groups|-row edge table and
+    exposes it as ``res.qcut_edges`` — repeated identical calls reuse
+    the computed edges (CacheManager dedupes by plan); call
+    ``res.qcut_edges.unpersist()`` to release, reading the attribute
+    BEFORE transforming the result (it does not propagate).
     """
     from pyspark.sql import Window
 
@@ -166,15 +172,31 @@ def quantile_bins(
 
     by_list = [by] if isinstance(by, str) else list(by)
     vals = df.select(*by_list, v.alias("__v")).filter(F.col("__v").isNotNull())
-    if method in ("two_pass", "auto"):
+    # group sizes from a plain map-combined count — NOT max(__r) over the
+    # ranked frame: ranked has several consumers below and Spark/AQE never
+    # reuses an Exchange across consumers, so every reader re-runs the
+    # per-group sort (r9 plan audit)
+    n_tbl = vals.groupBy(*by_list).agg(F.count(F.lit(1)).alias("__n"))
+    execution = method
+    if method == "auto":
+        # auto probe: one plain max-count job over the aggregate the edge
+        # math needs anyway.  Deliberately NOT checkpointed into the
+        # downstream plan: a localCheckpoint injects a fresh LogicalRDD
+        # per call, which defeats CacheManager's canonicalized-plan dedup
+        # and with it the ``qcut_edges`` warm-call reuse below (measured:
+        # warm auto ran the full rank pass every call instead of hitting
+        # the edge cache).  The probe job is the auto tier's whole cost
+        # (~0.3 s on the cached sf0.1 bench input).
+        mx = n_tbl.agg(F.max("__n")).collect()[0][0]
+        execution = "two_pass" if (mx or 0) > rows_per_chunk else "window"
+    if execution == "two_pass":
         # scale escape for the per-group window sort (one group = one
         # task): chunked ranks via the two-pass rank tier — method
         # "first" gives row_number semantics, and peers order by the
         # value itself (idx_col=__v: tie order within equal values is
         # arbitrary, but the VALUE at any rank — all the edge math
-        # needs — is order-invariant).  "auto" delegates the probe to
-        # groupby_rank (its window tier orders identically to the plain
-        # row_number branch below, so either choice is bit-identical)
+        # needs — is order-invariant; the window tier below orders
+        # identically, so either choice is bit-identical)
         from .core import groupby_rank
 
         ranked = groupby_rank(
@@ -184,17 +206,12 @@ def quantile_bins(
             method="first",
             idx_col="__v",
             alias="__r",
-            execution=method,
+            execution="two_pass",
             rows_per_chunk=rows_per_chunk,
         ).withColumn("__r", F.col("__r").cast("bigint"))
     else:
         w = Window.partitionBy(*by_list).orderBy("__v")
         ranked = vals.withColumn("__r", F.row_number().over(w))
-    # group sizes from a plain map-combined count — NOT max(__r) over the
-    # ranked frame: ranked has several consumers below and Spark/AQE never
-    # reuses an Exchange across consumers, so every reader re-runs the
-    # per-group sort (r9 plan audit)
-    n_tbl = vals.groupBy(*by_list).agg(F.count(F.lit(1)).alias("__n"))
     # one row per (group, i): anchor ranks + interpolation fraction,
     # exactly numpy/DuckDB linear interpolation arithmetic
     i_col = F.explode(
@@ -307,6 +324,14 @@ def quantile_bins(
     edge_arr = edges.groupBy(*by_list).agg(
         F.array_sort(F.collect_list(F.struct("__i", "__edge"))).alias("__es")
     ).select(*by_list, F.transform("__es", lambda s: s["__edge"]).alias("__edges"))
+    # persist the |groups|-row edge table (KB-class): it is the apex of
+    # the whole rank/anchor pipeline, and Spark's CacheManager dedupes by
+    # canonicalized plan — repeated identical quantile_bins calls (the
+    # dashboard/bench pattern) then reuse the computed edges instead of
+    # re-running the per-group rank pass.  Handle: ``res.qcut_edges``
+    # (documented; read it BEFORE transforming the result — the attribute
+    # does not propagate through transformations).
+    edge_arr = edge_arr.persist()
     earr = edge_arr.select(
         *[F.col(c).alias(f"__qb_by_{i}") for i, c in enumerate(by_list)],
         "__edges",
@@ -327,4 +352,5 @@ def quantile_bins(
         out,
         F.when(v.isNotNull() & F.col("__edges").isNotNull(), b).cast("int"),
     ).drop("__edges")
+    res.qcut_edges = edge_arr  # documented persist handle (resample precedent)
     return res

@@ -289,6 +289,12 @@ def _spilled_bucket_pairs(
     anchor array — pairs (a, b) with a an anchor and a < b, exactly the
     sorted-array anchor star when members are distinct.  A 10⁸-member
     bucket therefore costs O(n/P) memory per task, never O(n).
+
+    NOTE: the spill tier probes the over-threshold set with one tiny
+    driver job at CONSTRUCTION time (``over.take(1)``, reading work the
+    plan needs anyway) — the common no-spill case then carries none of
+    the join/star/union machinery in its plan.  Callers that need a
+    fully-lazy primitive use ``spill_threshold=None``.
     """
     if max_bucket_size is None:
         raise ValueError(
@@ -329,6 +335,20 @@ def _spilled_bucket_pairs(
         .where(F.col("__n") > spill_threshold)
         .select(*bucket_cols)
     )
+    # driver probe: ONE tiny job over the checkpointed partials (work the
+    # plan needs anyway).  In the overwhelmingly common case — nothing
+    # over the threshold — the whole anti-join/star/union machinery is
+    # dropped from the plan and the small path is the plain regroup, so
+    # the spill tier's steady-state cost is just the salted two-level
+    # collection (measured CHEAPER per row than the single-level collect)
+    # plus this scalar probe.
+    if not over.take(1):
+        small = (
+            part.groupBy(*bucket_cols)
+            .agg(F.array_sort(F.flatten(F.collect_list("__mp"))).alias("mem"))
+            .where(F.size("mem") >= 2)
+        )
+        return bucket_pairs_from(small, "mem", pair, cap)
     small = (
         part.join(over, on=bucket_cols, how="left_anti")
         .groupBy(*bucket_cols)
@@ -382,6 +402,58 @@ def bucket_pairs_from(
         )
     )
     return buckets.select(F.explode(arr).alias("p"))
+
+
+def _capped_drop_buckets(
+    rows: DataFrame,
+    bucket_col: str,
+    member,
+    cap: int,
+    salt_partitions: int = 64,
+) -> DataFrame:
+    """Collect per-bucket member arrays, DROPPING buckets bigger than
+    ``cap`` — with per-task memory bounded at every level, in ONE pass.
+
+    The naive shape (`collect_list` then `where(size(mem) <= cap)`)
+    materializes the hot bucket's full array into one row BEFORE the
+    filter — the giant-bucket task-memory hazard.  Here collection is
+    salted two-level and each partial contributes at most ``cap + 1``
+    members to the merge: the exact total count ``n`` (summed separately)
+    decides the drop, and whenever ``n <= cap`` every partial held at
+    most ``cap`` members, so the sliced merge is the COMPLETE sorted
+    array — identical output to the naive shape, with the level-2 pool
+    bounded at ``salt_partitions·(cap+1)`` members no matter how big the
+    pathological bucket is (a 10⁸-member stop-gram peaks at ~n/64 ids in
+    a level-1 row and ~64·cap in level 2).  No checkpoint, no probe, no
+    join — the same single-shuffle-chain plan class as the naive shape.
+
+    Returns (``bucket_col``, ``mem``) for every bucket with n ≤ cap,
+    singletons included (callers needing only pair-able buckets filter
+    ``size(mem) >= 2`` themselves).
+    """
+    m = member if isinstance(member, Column) else F.col(member)
+    part = (
+        rows.select(F.col(bucket_col), m.alias("__m"))
+        .groupBy(
+            bucket_col,
+            F.pmod(F.xxhash64("__m"), F.lit(salt_partitions)).alias("__s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.slice(
+                F.array_sort(F.collect_list("__m")), 1, cap + 1
+            ).alias("__mp"),
+        )
+    )
+    return (
+        part.groupBy(bucket_col)
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.array_sort(F.flatten(F.collect_list("__mp"))).alias("mem"),
+        )
+        .where(F.col("__n") <= cap)
+        .select(bucket_col, "mem")
+    )
 
 
 def _band_rows(
@@ -519,43 +591,19 @@ def ngram_jaccard_pairs(
         # Giant-bucket-safe collection (r10): the old shape collected the
         # hot shingle's FULL member array into one row and only then
         # dropped it (`where(size(mem) <= cap)`) — the same task-memory
-        # hazard the LSH spill tier closes.  Salted two-level collection
-        # bounds every row to ~|bucket|/64 members; over-cap shingles are
-        # found by a narrow count and anti-joined away (tiny set by
-        # definition — AQE broadcasts it) BEFORE the survivors re-assemble,
-        # so their arrays never exist at any level.  The lazy
-        # localCheckpoint keeps the corpus scan single (the partials feed
-        # the count and the re-assembly).  Downstream is unchanged: the
-        # `surviving` bucket table (every array ≤ cap now by construction)
-        # is persisted across its THREE consumers (pair enumeration + the
-        # sizes recount joined per pair side — Spark does not reuse the
-        # Exchange across them; measured 13 parquet scans and 1.7× the
-        # uncapped wall at sf0.1 before the persist);
+        # hazard the LSH spill tier closes.  :func:`_capped_drop_buckets`
+        # bounds every level of the collection (salted partials sliced to
+        # cap+1; the exact count decides the drop) with the same
+        # single-shuffle-chain plan class, identical output.  Downstream
+        # is unchanged: the `surviving` bucket table (every array ≤ cap
+        # by construction) is persisted across its THREE consumers (pair
+        # enumeration + the sizes recount joined per pair side — Spark
+        # does not reuse the Exchange across them; measured 13 parquet
+        # scans and 1.7× the uncapped wall at sf0.1 before the persist);
         # result.ngram_shingle_buckets.unpersist() releases it eagerly.
-        part = (
-            sh.select("sh", member.alias("__m"))
-            .groupBy(
-                "sh", F.pmod(F.xxhash64("__m"), F.lit(64)).alias("__salt")
-            )
-            .agg(
-                F.count(F.lit(1)).alias("__c"),
-                F.array_sort(F.collect_list("__m")).alias("__mp"),
-            )
-            .drop("__salt")
-            .localCheckpoint(eager=False)
-        )
-        over = (
-            part.groupBy("sh")
-            .agg(F.sum("__c").alias("__n"))
-            .where(F.col("__n") > max_shingle_df)
-            .select("sh")
-        )
-        surviving = (
-            part.join(over, on="sh", how="left_anti")
-            .groupBy("sh")
-            .agg(F.array_sort(F.flatten(F.collect_list("__mp"))).alias("mem"))
-            .persist()
-        )
+        surviving = _capped_drop_buckets(
+            sh, "sh", member, max_shingle_df
+        ).persist()
     else:
         surviving = sh.groupBy("sh").agg(
             F.array_sort(F.collect_list(member)).alias("mem")
@@ -1355,67 +1403,86 @@ def edit_distance_pairs(
     grams = base.select(
         "id", "txt", F.explode(char_grams(F.col("txt"), gram_k)).alias("g")
     )
-    member = F.struct(F.col("id"), F.col("txt"))
+    # Buckets collect IDS ONLY (r10): members used to carry the whole
+    # text through the gram shuffle — |grams/record| copies of every
+    # string moved through the Exchange and sat in the bucket arrays (the
+    # giant-bucket OOM made worse by payload width).  Texts are joined
+    # back AFTER the pair-dedup aggregate, when only |distinct candidate
+    # pairs| rows remain (AQE broadcasts whichever side is small).
     if prefix_blocking:
         # global gram frequencies drive both the stop-gram cap and the
         # prefix order (AQE broadcasts the df table when it is small)
         dftbl = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-        grams = grams.join(dftbl, on="g")
+        pgrams = grams.select("id", "g").join(dftbl, on="g")
         if max_gram_df is not None:
-            grams = grams.where(F.col("__df") <= max_gram_df)
+            pgrams = pgrams.where(F.col("__df") <= max_gram_df)
         pfx = max_dist * gram_k + 1
         pref = (
-            grams.groupBy("id")
+            pgrams.groupBy("id")
             .agg(
-                F.first("txt").alias("txt"),
                 F.slice(
                     F.array_sort(F.collect_list(F.struct("__df", "g"))), 1, pfx
                 ).alias("__pg"),
             )
             .select(
-                "id", "txt",
+                "id",
                 F.explode(F.transform("__pg", lambda s: s["g"])).alias("g"),
             )
         )
         buckets = pref.groupBy("g").agg(
-            F.array_sort(F.collect_list(member)).alias("mem")
+            F.array_sort(F.collect_list("id")).alias("mem")
         )
     else:
+        gl = grams.select("g", "id")
         if max_gram_df is not None:
-            # stop-gram drop BEFORE collection (r10): the old post-filter
-            # (`where(size(mem) <= cap)`) still collected the hot gram's
-            # full (id, txt) member array into ONE row first — the
-            # giant-bucket task-memory hazard the LSH spill tier closes,
-            # made worse here by members carrying whole texts.  Counts
-            # have map-side partial aggregation (no skew hazard), so a
-            # narrow df count finds the over-cap grams — a tiny set by
-            # definition, each holds > cap rows — and an anti-join (AQE
-            # broadcasts the tiny side) drops their rows before any array
-            # forms.  Identical output; costs a second pass over the gram
-            # stream (too wide to checkpoint: grams × texts).
-            over = (
-                grams.groupBy("g")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .where(F.col("__df") > max_gram_df)
-                .select("g")
+            # inline count + sliced output: the df drop uses the EXACT
+            # count while the emitted array is bounded at cap+1 — a hot
+            # stop-gram's row can never exceed ~2 KB.  The transient
+            # aggregation buffer still holds the hot gram's id list
+            # (8 B/member — 0.8 GB at a pathological 10⁸-degree gram,
+            # survivable; the r9 shape buffered whole TEXTS there, ~100×
+            # worse, and emitted them too).  Record-linkage inputs are
+            # bounded by the entity-table size, so the fully-bounded
+            # salted tier (:func:`_capped_drop_buckets`, used by the
+            # corpus-scale ngram path) is not worth its ~15% overhead
+            # here — measured on the sf0.1 bench.
+            buckets = (
+                gl.groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.slice(
+                        F.array_sort(F.collect_list("id")), 1, max_gram_df + 1
+                    ).alias("mem"),
+                )
+                .where(F.col("__n") <= max_gram_df)
+                .select("g", "mem")
             )
-            grams = grams.join(over, on="g", how="left_anti")
-        buckets = grams.groupBy("g").agg(
-            F.array_sort(F.collect_list(member)).alias("mem")
-        )
+        else:
+            buckets = gl.groupBy("g").agg(
+                F.array_sort(F.collect_list("id")).alias("mem")
+            )
     buckets = buckets.where(F.size("mem") >= 2)
     pairs = bucket_pairs_from(
         buckets,
         "mem",
-        lambda a, b: F.struct(
-            a["id"].alias("id_a"), b["id"].alias("id_b"),
-            a["txt"].alias("t_a"), b["txt"].alias("t_b"),
-        ),
+        lambda a, b: F.struct(a.alias("id_a"), b.alias("id_b")),
         max_bucket_size=max_bucket_size,
     )
-    cand = pairs.groupBy(
-        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
-    ).agg(F.first("p.t_a").alias("t_a"), F.first("p.t_b").alias("t_b"))
+    cand = (
+        pairs.groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__ng"))
+        .drop("__ng")
+        .join(
+            base.select(F.col("id").alias("id_a"), F.col("txt").alias("t_a")),
+            on="id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("txt").alias("t_b")),
+            on="id_b",
+        )
+    )
     # banded DP: threshold makes the engine stop at max_dist (-1 beyond);
     # threshold must be >= 1, so max_dist=0 runs with band 1 and the
     # dist <= max_dist filter below restores exactness
