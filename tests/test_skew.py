@@ -463,3 +463,42 @@ def test_lsh_spill_plan_single_corpus_scan(spark):
     plan = physical_plan(pairs)
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_capped_drop_buckets_parity_randomized(spark):
+    """The bounded collector (salted two-level, per-partial slice, exact
+    summed count) must equal the naive collect-then-filter shape on
+    random bucket-size mixes straddling the cap — including buckets at
+    exactly cap and cap+1, singletons, and one hot bucket."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.dedup import _capped_drop_buckets
+
+    rng = np.random.default_rng(1009)
+    rows = []
+    # bucket sizes: many tiny, several at the cap boundary, one hot
+    sizes = {f"b{i}": int(s) for i, s in enumerate(rng.integers(1, 9, 40))}
+    sizes["edge_at_cap"] = 16
+    sizes["edge_over_cap"] = 17
+    sizes["hot"] = 900
+    mid = 0
+    for b, n in sizes.items():
+        for _ in range(n):
+            rows.append((b, mid))
+            mid += 1
+    df = spark.createDataFrame(rows, "bk string, m bigint").repartition(16)
+
+    got = {
+        r["bk"]: tuple(r["mem"])
+        for r in _capped_drop_buckets(df, "bk", "m", cap=16).collect()
+    }
+    naive = (
+        df.groupBy("bk").agg(F.array_sort(F.collect_list("m")).alias("mem"))
+        .where(F.size("mem") <= 16)
+    )
+    want = {r["bk"]: tuple(r["mem"]) for r in naive.collect()}
+    assert got == want
+    assert "edge_at_cap" in got and "edge_over_cap" not in got
+    assert "hot" not in got
+    # every surviving array is complete and sorted
+    assert all(list(v) == sorted(v) for v in got.values())
