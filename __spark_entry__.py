@@ -624,10 +624,18 @@ def _event_stream(spark, sf, convert_ts=True, drop_null_ts=True):
 
     from dask_groupby_spark.sources import read_stream
 
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
-    stream = read_stream(
-        spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
-    )
+    p = os.path.join(sf, "events.parquet")
+    raw_schema = spark.read.parquet(p).schema
+    if os.path.isdir(p):
+        # Spark-written table = a DIRECTORY of part files; a
+        # pathGlobFilter on the parent dir would match no leaf (the
+        # leaves are part-*.parquet) and silently stream 0 rows — found
+        # by the r10 sf1 battery, where make_sf1 tables are directories.
+        stream = read_stream(spark, p, schema=raw_schema)
+    else:
+        stream = read_stream(
+            spark, sf, schema=raw_schema, pathGlobFilter="events.parquet"
+        )
     if convert_ts and dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
