@@ -1,0 +1,51 @@
+#!/bin/bash
+# sf1 exact-value oracle battery: every contract key whose DuckDB oracle
+# is practical at 10x driver scale (183/192 as of r10; see BASELINE).
+#
+# Usage:  scripts/make_sf1.py /tmp/sf1   # once per container
+#         scripts/sf1_battery.sh [sf_dir] [batch...]
+#
+# Runs the gate per BATCH (a stuck oracle then costs one batch, not the
+# battery) and prints a PASS/FAIL tally.  ewma is checked by its pandas
+# differential inside the gate script (its DuckDB list-form oracle is
+# O(n^2) memory at 1M rows).
+#
+# EXCLUDED (9), each for a stated structural reason — do NOT re-add
+# without solving the underlying bound:
+#   dup_clusters keep_by_dedup leak_split semdedup
+#       oracle embeds the recursive-CTE closure over ~866k sf1 pairs
+#       (DuckDB-impractical; clustering holds the sf1 tier-vs-tier
+#       certificate instead — scripts/soak_cluster_tiers.py)
+#   reindex_fill   expected-groups table `nation` not shipped at sf1
+#   pca_embed media_phash media_video audio_neardup
+#       pinned-fixture oracles; payloads are scale-independent
+set -u
+SF="${1:-/tmp/sf1}"
+cd "$(dirname "$0")/.."
+
+BATCHES=(
+  "sum mean var std min max argmin nanargmin first last nanfirst any all median nanquantile_vec"
+  "count nansum nanmean nanvar quantile min_count bins_left bins_right grid_fill mode nanmedian argmax first_ts nunique nanstd nanmin nanmax nanargmax nanlast approx_quantile nanmode prod nanprod mean_ts"
+  "scan_cumsum scan_ffill scan_bfill scan_cummax scan_cumcount scan_shift scan_diff scan_nancumsum scan_cummin scan_nancummin scan_nancummax scan_cumprod scan_nancumprod scan_two_pass scan_two_pass_ffill"
+  "complex_nanmean complex_nanvar complex_argmax complex_nanmedian month_hour dayofyear resample_5d resample_time resample_dense_keys accessor_climatology calendar_mean xdim_reduce xdim_bins xdim_dataset rollup pivot"
+  "rank rank_two_pass rolling interp_time qcut qcut_grouped qcut_two_pass winsorize fill_stat ewma sessionize twa corr wquantile wquantile_sketch"
+  "minhash simhash fingerprint entropy repetition lm_score clf_score dsir ngram_counts top_terms para_dedup seg_dedup dup_spans span_dedup dedup_exact lsh_pairs ngram_jaccard ngram_containment fuzzy_match"
+  "ann_topk ann_lsh ann_ivf ann_recall emb_neardup centroids mh_index_probe bpe_tokens vocab encode_ids"
+  "ttest mad qnorm outliers calibration bivar psi psi_hist auc ks chisq spearman skew_stats describe"
+  "cms_heavy kmv_distinct kmv_overlap hist_quantile quantize profile"
+  "stream_window stream_sliding stream_late stream_session stream_agg stream_join stream_enrich stream_dedup stream_cumsum stream_cms"
+  "asof_join salted_join range_join overlap_join bloom_join group_topk sample_per_group wmean wsample table_diff validate zorder"
+  "split chunk_docs pack decontaminate bloom_decontam pii_redact k_anonymity mixture curate multimodal_meta sql_entry"
+  "linreg grouped_linreg logreg_quality grouped_logreg target_encode funnel funnel_window funnel_timing retention pagerank text_stats langid tfidf gopher bm25 json_extract"
+)
+
+pass=0; fail=0; failed=""
+for b in "${BATCHES[@]}"; do
+  # strip keys that don't exist (placeholder guard)
+  out=$(timeout 1800 python scripts/check_driver_contract.py "$SF" $b 2>/dev/null | grep -aE "^(PASS|FAIL|ok\?)")
+  echo "$out"
+  p=$(grep -ac '^PASS' <<<"$out"); f=$(grep -ac '^FAIL' <<<"$out")
+  pass=$((pass+p)); fail=$((fail+f))
+  [ "$f" -gt 0 ] && failed="$failed $(grep -a '^FAIL' <<<"$out" | awk '{print $2}' | tr -d ':')"
+done
+echo "== sf1 battery: $pass PASS, $fail FAIL${failed:+ (failed:$failed)}"
