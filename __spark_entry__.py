@@ -3247,6 +3247,22 @@ def q_fuzzy_match(spark, sf):
     return out.orderBy("id_a", "id_b")
 
 
+def q_fuzzy_coverage(spark, sf):
+    """Blocking-coverage audit (dedup.py gram_blocking_stats, r10): the
+    one-row diagnostic for the fuzzy_match config — records with zero
+    SURVIVING grams cannot appear in any candidate pair, which is how
+    the absolute df cap silently returns an empty result on dense
+    corpora (observed at sf1: every customer-name gram exceeded df 256
+    and the default found 0 of ~10M true pairs).  Oracle: the identical
+    distinct-gram / df-cap arithmetic in SQL."""
+    from dask_groupby_spark.operators import gram_blocking_stats
+
+    cust = load_table(spark, sf, "customer")
+    return gram_blocking_stats(
+        cust, "c_custkey", "c_name", gram_k=3, max_gram_df=256
+    )
+
+
 def q_json_extract(spark, sf):
     """Schema-on-read JSON payload extraction (sources.
     extract_json_fields, r8 first registration): pull the typed $.k
@@ -3365,6 +3381,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "qcut_two_pass": q_qcut_two_pass,
     "fuzzy_match": q_fuzzy_match,
+    "fuzzy_coverage": q_fuzzy_coverage,
     "json_extract": q_json_extract,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,

@@ -1368,7 +1368,13 @@ def edit_distance_pairs(
     block.  ``max_gram_df`` drops stop-grams (a gram in every record
     blocks nothing and costs O(n²) enumeration — the ``ngram_jaccard``
     boilerplate cap, same trade: recall loss confined to pairs similar
-    ONLY in dropped grams).  Strings shorter than ``gram_k`` produce no
+    ONLY in dropped grams).  The cap is ABSOLUTE, so its recall loss
+    scales with corpus density: on a template-dominated corpus at high
+    enough density every gram exceeds it and the result is silently
+    EMPTY (observed at 10× bench density — 0 of ~10M true pairs).  Run
+    :func:`gram_blocking_stats` with the same config first; its
+    ``unblocked_records`` column is exactly the set of records the cap
+    has made unpairable.  Strings shorter than ``gram_k`` produce no
     grams and never pair.
 
     Plan: one groupBy(gram) builds sorted (id, text) member arrays;
@@ -1491,4 +1497,88 @@ def edit_distance_pairs(
         cand.withColumn("dist", dist.cast("int"))
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "dist")
+    )
+
+
+def gram_blocking_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_k: int = 3,
+    max_gram_df: int | None = 256,
+) -> DataFrame:
+    """Blocking-coverage audit for :func:`edit_distance_pairs` — run it
+    BEFORE a fuzzy-match job to see whether the stop-gram cap leaves the
+    corpus blockable at all.
+
+    The absolute ``max_gram_df`` cap is a fixed-work guarantee, but its
+    recall loss scales with corpus density: on a template-dominated
+    corpus (e.g. generated names differing only in digits) at 10× the
+    tuned density, EVERY gram's document frequency can exceed the cap —
+    observed on the sf1 battery, where the sf0.1-tuned default silently
+    returned 0 of ~10M true customer-name pairs.  ``unblocked_records``
+    makes that failure visible as data: a record with zero SURVIVING
+    grams cannot appear in any candidate pair (under either the plain or
+    the ``prefix_blocking`` scheme — prefixes are chosen among
+    survivors), so ``unblocked_records ≈ records`` means "raise the cap,
+    shrink ``gram_k``, or accept an empty result", BEFORE paying for the
+    join.
+
+    One row: ``records`` (non-NULL ``text_col``), ``short_records``
+    (shorter than ``gram_k`` — no grams, never pair), ``blocked_records``
+    (≥ 1 surviving gram), ``unblocked_records`` (every gram dropped by
+    the cap), ``distinct_grams``, ``dropped_grams`` (df > cap),
+    ``dropped_gram_frac``.  Gram/cap semantics are shared with
+    :func:`edit_distance_pairs` bit-for-bit (per-record DISTINCT grams;
+    df = record count per gram).  Cost: the gram stream twice (df
+    aggregate + surviving semi-join, the fuzzy path's own shape) and an
+    id-sized distinct — no arrays, no texts through any shuffle.
+    """
+    if gram_k < 1:
+        raise ValueError(f"gram_k must be >= 1, got {gram_k}")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    ).where(F.col(text_col).isNotNull())
+    grams = base.select(
+        "id", F.explode(char_grams(F.col("txt"), gram_k)).alias("g")
+    )
+    dftbl = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    surviving = (
+        dftbl.where(F.col("__df") <= max_gram_df)
+        if max_gram_df is not None
+        else dftbl
+    )
+    blocked = grams.join(
+        surviving.select("g"), on="g", how="left_semi"
+    ).select("id").distinct()
+    r = base.agg(F.count(F.lit(1)).alias("records"))
+    gr = grams.agg(
+        F.count_distinct(F.col("id")).alias("__gram_recs"),
+        F.count_distinct(F.col("g")).alias("distinct_grams"),
+    )
+    dr = (
+        dftbl.where(F.col("__df") > max_gram_df).agg(
+            F.count(F.lit(1)).alias("dropped_grams")
+        )
+        if max_gram_df is not None
+        else dftbl.agg(F.lit(0).cast("long").alias("dropped_grams"))
+    )
+    bl = blocked.agg(F.count(F.lit(1)).alias("blocked_records"))
+    return (
+        r.crossJoin(gr).crossJoin(dr).crossJoin(bl).select(
+            "records",
+            (F.col("records") - F.col("__gram_recs")).alias("short_records"),
+            "blocked_records",
+            (F.col("__gram_recs") - F.col("blocked_records")).alias(
+                "unblocked_records"
+            ),
+            "distinct_grams",
+            "dropped_grams",
+            F.when(F.col("distinct_grams") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("dropped_grams").cast("double")
+                / F.col("distinct_grams").cast("double")
+            )
+            .alias("dropped_gram_frac"),
+        )
     )

@@ -2911,6 +2911,36 @@ SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS INTEGER) AS dist
 FROM cand WHERE levenshtein(t_a, t_b) <= 2
 ORDER BY id_a, id_b"""
 
+# fuzzy_coverage (r10): blocking-coverage audit for the fuzzy_match
+# config — identical distinct-gram construction and df<=256 cap; a
+# record is "blocked" iff it has >= 1 surviving gram.
+ORACLE_SQL["fuzzy_coverage"] = """
+WITH b AS (
+  SELECT c_custkey AS id, c_name AS txt FROM customer WHERE c_name IS NOT NULL
+),
+g0 AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(range(1, greatest(length(txt) - 2, 0) + 1),
+                               i -> substr(txt, i, 3))) AS g
+  FROM b
+),
+dft AS (SELECT g, count(*) AS d FROM g0 GROUP BY g),
+blocked AS (
+  SELECT DISTINCT g0.id FROM g0 JOIN dft USING (g) WHERE dft.d <= 256
+)
+SELECT (SELECT count(*) FROM b) AS records,
+       (SELECT count(*) FROM b) - (SELECT count(DISTINCT id) FROM g0)
+           AS short_records,
+       (SELECT count(*) FROM blocked) AS blocked_records,
+       (SELECT count(DISTINCT id) FROM g0) - (SELECT count(*) FROM blocked)
+           AS unblocked_records,
+       (SELECT count(*) FROM dft) AS distinct_grams,
+       (SELECT count(*) FROM dft WHERE d > 256) AS dropped_grams,
+       CASE WHEN (SELECT count(*) FROM dft) = 0 THEN 0.0
+            ELSE (SELECT count(*) FROM dft WHERE d > 256)::DOUBLE
+                 / (SELECT count(*) FROM dft)::DOUBLE END
+           AS dropped_gram_frac"""
+
 # json_extract (r8): typed schema-on-read over events.props — the same
 # $.k path + bigint cast; integer count/sum/min/max are exact.
 ORACLE_SQL["json_extract"] = """

@@ -1552,6 +1552,47 @@ def test_edit_distance_pairs_edges(spark):
         edit_distance_pairs(df, gram_k=0)
 
 
+def test_gram_blocking_stats(spark):
+    """The blocking-coverage audit (r10: the sf1 battery found the
+    absolute df cap silently zeroing fuzzy recall on a dense corpus —
+    this diagnostic is how a user sees that coming).  Hand-counted
+    corpus: 'abc' df=3 > cap=2 dropped but each record keeps a rare
+    bcd/bce/bcf gram; 'yyy' df=3 dropped leaving its 3 records with NO
+    surviving gram (unblocked); one short record, one NULL text."""
+    from dask_groupby_spark.operators import gram_blocking_stats
+
+    rows = [
+        (1, "abcd"), (2, "abce"), (3, "abcf"),     # share dropped 'abc'
+        (4, "xxxx"),                                # rare gram, blocked
+        (5, "yyyy"), (6, "yyyy"), (7, "yyyy"),      # all grams dropped
+        (8, "ab"),                                  # too short for grams
+        (9, None),                                  # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = gram_blocking_stats(df, gram_k=3, max_gram_df=2).collect()[0].asDict()
+    assert got == {
+        "records": 8,
+        "short_records": 1,
+        "blocked_records": 4,
+        "unblocked_records": 3,
+        "distinct_grams": 6,   # abc bcd bce bcf xxx yyy
+        "dropped_grams": 2,    # abc (df 3), yyy (df 3)
+        "dropped_gram_frac": 2 / 6,
+    }
+    # uncapped: nothing dropped, every gram-bearing record blocked
+    got_n = gram_blocking_stats(df, gram_k=3, max_gram_df=None).collect()[0]
+    assert got_n["dropped_grams"] == 0 and got_n["unblocked_records"] == 0
+    assert got_n["blocked_records"] == 7
+    # empty relation: zero counts, frac 0.0 (not NULL/NaN)
+    empty = df.where(F.lit(False))
+    ge = gram_blocking_stats(empty, gram_k=3, max_gram_df=2).collect()[0]
+    assert tuple(ge) == (0, 0, 0, 0, 0, 0, 0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gram_blocking_stats(df, gram_k=0)
+
+
 # --- r9 module-audit regressions (joins/curate/selection/weighted/graph) ---
 
 
