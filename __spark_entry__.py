@@ -3617,7 +3617,9 @@ assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 # any red keys).  NOTE for r11: media_phash/media_video pins were
 # regenerated in r10 after the integer-exact pHash v3 (container
 # BLAS drift made the float v2 values environment-dependent) — their
-# r11 rows will be the first OFFICIAL verification of v3.
+# r11 rows will be the first OFFICIAL verification of v3.  Also slot
+# the r10-continuation NEW key `fuzzy_coverage` (no official row yet —
+# new keys outrank freshness, the r8/r9 precedent) at the window head.
 _QUERIES = {k: _QUERIES[k] for k in _R10_WINDOW} | {
     k: v for k, v in _QUERIES.items() if k not in set(_R10_WINDOW)
 }
