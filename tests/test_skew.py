@@ -393,6 +393,70 @@ def test_lsh_spill_tier_identical_no_bucket_over_threshold(spark):
     assert plain == spilled
 
 
+def test_spilled_bucket_pairs_parity_randomized(spark):
+    """Randomized differential for the spill tier at the primitive level
+    (the twin of test_capped_drop_buckets_parity_randomized): on random
+    bucket-size mixes sitting ON the cap and threshold boundaries (cap,
+    cap+1, threshold, threshold+1, singletons, one hot bucket), the
+    salted two-level + anchor-star-join plan must equal the plain
+    array plan pair-for-pair — anchor-anchor pairs, boundary buckets,
+    and salt-collision merges included."""
+    import numpy as np
+
+    from dask_groupby_spark.operators.dedup import sorted_bucket_pairs
+
+    CAP_, THR = 8, 24
+    rng = np.random.default_rng(20260816)
+    sizes = {f"b{i}": int(s) for i, s in enumerate(rng.integers(1, 14, 30))}
+    sizes["at_cap"] = CAP_
+    sizes["over_cap"] = CAP_ + 1
+    sizes["at_threshold"] = THR
+    sizes["over_threshold"] = THR + 1
+    sizes["hot"] = 400
+    rows = []
+    mid = 0
+    for b, n in sizes.items():
+        for _ in range(n):
+            rows.append((b, mid))
+            mid += 1
+    df = spark.createDataFrame(rows, "bk string, m bigint").repartition(16)
+
+    def pairs(spill):
+        out = sorted_bucket_pairs(
+            df, ["bk"], F.col("m"),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            max_bucket_size=CAP_,
+            spill_threshold=spill,
+            salt_partitions=4,  # force real multi-partial merges at this scale
+        )
+        return {(r["p"]["a"], r["p"]["b"]) for r in out.collect()}
+
+    # plain tier = no spill machinery at all
+    from dask_groupby_spark.operators.dedup import bucket_pairs_from
+
+    buckets = (
+        df.groupBy("bk")
+        .agg(F.array_sort(F.collect_list("m")).alias("mem"))
+        .where(F.size("mem") >= 2)
+    )
+    plain = {
+        (r["p"]["a"], r["p"]["b"])
+        for r in bucket_pairs_from(
+            buckets, "mem",
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")), CAP_,
+        ).collect()
+    }
+    spilled = pairs(THR)
+    assert spilled == plain
+    # the hot bucket really exercised the star-join path: its pair count
+    # is the exact anchor-star size cap*(n-cap) + C(cap,2)
+    n = sizes["hot"]
+    star = CAP_ * (n - CAP_) + CAP_ * (CAP_ - 1) // 2
+    hot_ids = {m for b, m in rows if b == "hot"}
+    got_hot = sum(1 for a, b in spilled if a in hot_ids)
+    assert got_hot == star
+
+
 def test_lsh_spill_requires_cap(spark):
     import pytest as _pytest
 
