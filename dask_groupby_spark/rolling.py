@@ -33,6 +33,54 @@ from .dtypes import NAN
 ROLLING_FUNCS = ("count", "sum", "mean", "min", "max", "var", "std")
 
 
+def _norm_bounds(range_between: tuple) -> tuple:
+    """Normalize range-frame bounds to (lo, hi, fractional).
+
+    PySpark's ``WindowSpec.rangeBetween`` binding is INTEGER-only (a
+    Python float — even an integral one like ``-15.0`` — dies in py4j
+    method lookup with an opaque ``Method rangeBetween([Double, Double])
+    does not exist``), but Spark SQL itself accepts fractional range
+    offsets (``RANGE BETWEEN 2.5 PRECEDING AND CURRENT ROW``).  So:
+    integral values (int, bool excluded, or float with ``.is_integer()``)
+    coerce to int and keep the WindowSpec path; genuinely fractional
+    bounds flag the SQL-text frame (see ``_expr_over``)."""
+    lo, hi = float(range_between[0]), float(range_between[1])
+    if not (lo == lo and hi == hi) or lo in (float("inf"), float("-inf")) or hi in (
+        float("inf"),
+        float("-inf"),
+    ):
+        raise ValueError(f"range_between bounds must be finite, got {range_between}")
+    if lo > hi:
+        raise ValueError(f"range_between needs lo <= hi, got {range_between}")
+    if lo.is_integer() and hi.is_integer():
+        return int(lo), int(hi), False
+    return lo, hi, True
+
+
+def _frame_bound(b, side: str) -> str:
+    """One SQL frame bound: ``side`` is "PRECEDING" (lower) or "FOLLOWING"
+    (upper); the sign of ``b`` picks the actual direction."""
+    if b == 0:
+        return "CURRENT ROW"
+    if side == "PRECEDING":
+        return f"{-b!r} PRECEDING" if b < 0 else f"{b!r} FOLLOWING"
+    return f"{b!r} FOLLOWING" if b > 0 else f"{-b!r} PRECEDING"
+
+
+def _expr_over(partition_cols, order_col: str, lo, hi):
+    """SQL-text window for FRACTIONAL range frames — the representation
+    ``apply_frames`` consumes when the WindowSpec API can't express the
+    frame.  Returns ``ov(agg_sql) -> Column``; ``agg_sql`` aggregates
+    plain (backquoted) column names only."""
+    over = " OVER (PARTITION BY {p} ORDER BY `{o}` RANGE BETWEEN {a} AND {b})".format(
+        p=", ".join(f"`{c}`" for c in partition_cols),
+        o=order_col,
+        a=_frame_bound(lo, "PRECEDING"),
+        b=_frame_bound(hi, "FOLLOWING"),
+    )
+    return lambda agg_sql: F.expr(agg_sql + over)
+
+
 def groupby_rolling(
     df: DataFrame,
     *by: str,
@@ -50,7 +98,13 @@ def groupby_rolling(
     aggregate over the trailing ``window`` rows (or, with
     ``range_between=(lo, hi)``, the rows whose ``idx_col`` lies within
     ``[idx+lo, idx+hi]`` — an interval frame on the *values* of the order
-    column, e.g. seconds for an epoch column).
+    column, e.g. seconds for an epoch column).  Bounds may be FRACTIONAL
+    (``(-2.5, 0)`` = a 2.5-second trailing window on a seconds axis):
+    integral values go through ``WindowSpec.rangeBetween``; fractional
+    ones through the SQL-text frame (``RANGE BETWEEN 2.5 PRECEDING …``),
+    which the PySpark binding can't carry but Spark itself evaluates
+    identically (r10 audit: float bounds — even integral ones like
+    ``-15.0`` — used to die in py4j method lookup).
 
     ``method="two_pass"`` (RANGE frames only): the chunked scalable path —
     groups split into idx-contiguous chunks with the frame's context width
@@ -102,6 +156,13 @@ def groupby_rolling(
         two-pass path — any per-frame constant is a valid variance shift,
         and every frame lies inside one chunk).
 
+        ``w`` is either a ``WindowSpec`` (integer/row frames) or a
+        ``("expr", partition_cols, order_col, lo, hi)`` tuple for
+        FRACTIONAL range frames, aggregated through SQL text
+        (:func:`_expr_over`) because the WindowSpec binding can't carry
+        fractional offsets.  Both representations evaluate in one
+        WindowExec traversal — the expr form parses to the same plan.
+
         Returns (frame_df_with_result_columns, result_names); helper
         columns are dropped before returning.
         """
@@ -119,20 +180,48 @@ def groupby_rolling(
             # the same class as pandas' own online rolling var (a window-
             # local two-pass is not expressible as window aggregates).
             frame_df = frame_df.withColumn("__ro_sh", F.avg(clean).over(w_shift))
-        raw: dict[str, Column] = {
-            "__ro_n": F.count(clean).over(w),
-            "__ro_nr": F.count(F.lit(1)).over(w),
-        }
-        if any(f in ("sum", "mean") for f in funcs):
-            raw["__ro_s"] = F.sum(clean).over(w)
-        if "min" in funcs:
-            raw["__ro_min"] = F.min(clean).over(w)
-        if "max" in funcs:
-            raw["__ro_max"] = F.max(clean).over(w)
+        # aggregate INPUTS as plain columns, so the expr form (which can
+        # only reference names) and the WindowSpec form share one shape
+        ins: dict[str, Column] = {"__ro_cc": clean}
         if needs_var:
             c = clean - F.col("__ro_sh")
-            raw["__ro_s2"] = F.sum(c * c).over(w)
-            raw["__ro_sc"] = F.sum(c).over(w)
+            ins["__ro_ct"] = c
+            ins["__ro_ct2"] = c * c
+        frame_df = frame_df.withColumns(ins)
+        if isinstance(w, tuple):
+            ov = _expr_over(w[1], w[2], w[3], w[4])
+            mk = {
+                "__ro_n": lambda: ov("count(`__ro_cc`)"),
+                "__ro_nr": lambda: ov("count(1)"),
+                "__ro_s": lambda: ov("sum(`__ro_cc`)"),
+                "__ro_min": lambda: ov("min(`__ro_cc`)"),
+                "__ro_max": lambda: ov("max(`__ro_cc`)"),
+                "__ro_s2": lambda: ov("sum(`__ro_ct2`)"),
+                "__ro_sc": lambda: ov("sum(`__ro_ct`)"),
+            }
+        else:
+            mk = {
+                "__ro_n": lambda: F.count("__ro_cc").over(w),
+                "__ro_nr": lambda: F.count(F.lit(1)).over(w),
+                "__ro_s": lambda: F.sum("__ro_cc").over(w),
+                "__ro_min": lambda: F.min("__ro_cc").over(w),
+                "__ro_max": lambda: F.max("__ro_cc").over(w),
+                "__ro_s2": lambda: F.sum("__ro_ct2").over(w),
+                "__ro_sc": lambda: F.sum("__ro_ct").over(w),
+            }
+        raw: dict[str, Column] = {
+            "__ro_n": mk["__ro_n"](),
+            "__ro_nr": mk["__ro_nr"](),
+        }
+        if any(f in ("sum", "mean") for f in funcs):
+            raw["__ro_s"] = mk["__ro_s"]()
+        if "min" in funcs:
+            raw["__ro_min"] = mk["__ro_min"]()
+        if "max" in funcs:
+            raw["__ro_max"] = mk["__ro_max"]()
+        if needs_var:
+            raw["__ro_s2"] = mk["__ro_s2"]()
+            raw["__ro_sc"] = mk["__ro_sc"]()
         frame_df = frame_df.withColumns(raw)
 
         n, nrows = F.col("__ro_n"), F.col("__ro_nr")
@@ -165,21 +254,23 @@ def groupby_rolling(
             col = F.coalesce(col, F.lit(NAN))
             exprs[f"{prefix}{f}"] = col
         frame_df = frame_df.withColumns(exprs).drop(
-            "__ro_sh", "__ro_n", "__ro_nr", "__ro_s", "__ro_min", "__ro_max",
+            "__ro_sh", "__ro_cc", "__ro_ct", "__ro_ct2",
+            "__ro_n", "__ro_nr", "__ro_s", "__ro_min", "__ro_max",
             "__ro_s2", "__ro_sc",
         )
         return frame_df, list(exprs.keys())
 
+    if range_between is not None:
+        lo_n, hi_n, frac = _norm_bounds(range_between)
+        range_between = (lo_n, hi_n)
+    else:
+        frac = False
     pre_stats = None
     if method == "auto":
-        import math
-
         from .two_pass import _idx_numeric, dispatch_auto
 
         eligible = (
             range_between is not None
-            and math.isfinite(range_between[0])
-            and math.isfinite(range_between[1])
             and range_between[0] <= 0 <= range_between[1]
         )
         idxn = None
@@ -220,10 +311,13 @@ def groupby_rolling(
             f"method must be 'window', 'two_pass', or 'auto', got {method!r}"
         )
 
-    w = Window.partitionBy(*by).orderBy(F.col(idx_col))
-    if range_between is not None:
-        w = w.rangeBetween(range_between[0], range_between[1])
+    if range_between is not None and frac:
+        w = ("expr", list(by), idx_col, range_between[0], range_between[1])
     else:
-        w = w.rowsBetween(-(window - 1), Window.currentRow)
+        w = Window.partitionBy(*by).orderBy(F.col(idx_col))
+        if range_between is not None:
+            w = w.rangeBetween(range_between[0], range_between[1])
+        else:
+            w = w.rowsBetween(-(window - 1), Window.currentRow)
     out_df, _ = apply_frames(df, w, Window.partitionBy(*by))
     return out_df

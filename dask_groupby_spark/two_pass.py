@@ -92,6 +92,32 @@ def _ns_join(left: DataFrame, right: DataFrame, keys: list) -> DataFrame:
     )
 
 
+def _nan_safe_offsets(
+    states: DataFrame, keys: list, dtypes: dict, recur, out_schema: str
+) -> DataFrame:
+    """``groupBy(keys).applyInPandas(recur)`` with NaN-key round-trip
+    protection.  The Arrow/pandas boundary renders a float NaN group key
+    as pandas' missing sentinel and hands it back as SQL NULL — the
+    null-safe offsets join then misses every NaN-keyed group and the
+    inter-chunk carry silently restarts (r10 audit).  Float keys travel
+    with a boolean ``isnan`` marker (named ``__tpnan{i}`` — outside the
+    ``__tp_`` prefix so the recur functions' passthrough dict carries
+    them automatically) and are restored after the UDF."""
+    nan_keys = [k for k in keys if dtypes[k] in ("float", "double")]
+    if not nan_keys:
+        return states.groupBy(*keys).applyInPandas(recur, schema=out_schema)
+    marks = {k: f"__tpnan{i}" for i, k in enumerate(nan_keys)}
+    src = states.withColumns({m: F.isnan(F.col(k)) for k, m in marks.items()})
+    schema = out_schema + "".join(f", `{m}` boolean" for m in marks.values())
+    out = src.groupBy(*keys).applyInPandas(recur, schema=schema)
+    for k, m in marks.items():
+        out = out.withColumn(
+            k,
+            F.when(F.col(m), F.lit(float("nan"))).otherwise(F.col(k)).cast(dtypes[k]),
+        )
+    return out.drop(*marks.values())
+
+
 def _chunk_of(idxn, idx_col: str | None = None, sentinel_when=None):
     """Value-bucketed chunk index from the joined __tp_a/__tp_b/__tp_c
     per-group stats: floor((idx - a) / width) clamped into [0, c), with the
@@ -419,11 +445,18 @@ def rolling_two_pass(
         .drop("__tp_m", "__tp_a", "__tp_b", "__tp_c", "__tp_c0")
     )
 
-    w_local = (
-        Window.partitionBy(*keys, _CHUNK)
-        .orderBy(F.col(idx_col))
-        .rangeBetween(lo, hi)
-    )
+    if float(lo).is_integer() and float(hi).is_integer():
+        w_local = (
+            Window.partitionBy(*keys, _CHUNK)
+            .orderBy(F.col(idx_col))
+            .rangeBetween(int(lo), int(hi))
+        )
+    else:
+        # fractional range offsets: the WindowSpec binding is integer-only,
+        # so hand the caller the SQL-text frame representation its
+        # apply_frames consumes (see rolling._expr_over) — same plan, the
+        # offsets just travel as SQL literals
+        w_local = ("expr", keys + [_CHUNK], idx_col, lo, hi)
     out, names = build_exprs(big, w_local)
     out = out.where(F.col("__tp_ctx") == 0)
     res = out.select(*df.columns, *names)
@@ -961,7 +994,9 @@ def ewma_two_pass(
             pre_valid += int(r["__tp_nv"])
         return pd.DataFrame(out_rows)
 
-    offsets = chunk_states.groupBy(*keys).applyInPandas(recur, schema=out_schema)
+    offsets = _nan_safe_offsets(
+        chunk_states, keys, dict(df.dtypes), recur, out_schema
+    )
 
     # ---- recombine ---------------------------------------------------------
     big = _ns_join(big, offsets, keys + [_CHUNK])
@@ -1210,7 +1245,7 @@ def _ewma_affine_two_pass(
             pre_valid += nv
         return pd.DataFrame(rows_out)
 
-    offsets = states.groupBy(*keys).applyInPandas(recur, schema=out_schema)
+    offsets = _nan_safe_offsets(states, keys, dict(df.dtypes), recur, out_schema)
     big = _ns_join(big, offsets, keys + [_CHUNK])
 
     first_global = F.col("__tp_rf") + F.coalesce(F.col("__tp_prer"), F.lit(0).cast("long"))

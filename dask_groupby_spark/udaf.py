@@ -104,18 +104,33 @@ def groupby_apply_reduce(
     whole group is materialized in one task; cardinality of ``by`` must be
     large relative to group size, or executors will spill.
     """
-    key_schema = ", ".join(
-        f"`{b}` {dict(df.dtypes)[b]}" for b in by
-    )
+    dt = dict(df.dtypes)
+    key_schema = ", ".join(f"`{b}` {dt[b]}" for b in by)
+    # NaN keys: the Arrow boundary would hand a NaN group key back as SQL
+    # NULL (see groupby_apply_transform) — float keys travel with a
+    # boolean isnan marker and are restored after the UDF
+    nan_keys = [b for b in by if dt[b] in ("float", "double")]
+    marks = {b: f"__agr_nan_{i}" for i, b in enumerate(nan_keys)}
+    mark_schema = "".join(f", `{m}` boolean" for m in marks.values())
     # no keys = one global group: the schema must not lead with a comma
-    full_schema = f"{key_schema}, {output_schema}" if by else output_schema
+    full_schema = f"{key_schema}{mark_schema}, {output_schema}" if by else output_schema
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = {b: pdf[b].iloc[0] for b in by}
+        for b, m in marks.items():
+            keys[m] = bool(pdf[m].iloc[0])
         out = reduce_fn(pdf[list(value_cols)])
         return pd.DataFrame([{**keys, **out}])
 
-    out = df.groupBy(*by).applyInPandas(apply, schema=full_schema)
+    src = df
+    if marks:
+        src = df.withColumns({m: F.isnan(F.col(b)) for b, m in marks.items()})
+    out = src.groupBy(*by).applyInPandas(apply, schema=full_schema)
+    for b, m in marks.items():
+        out = out.withColumn(
+            b, F.when(F.col(m), F.lit(float("nan"))).otherwise(F.col(b)).cast(dt[b])
+        )
+    out = out.drop(*marks.values())
     if sort and by:
         out = out.orderBy(*by)
     return out
@@ -140,6 +155,15 @@ def groupby_apply_transform(
     order-dependent recursive transforms — the reason these are not plain
     window expressions); range-partition upstream if single groups exceed
     executor memory.
+
+    NaN round-trip: the Arrow/pandas boundary renders a float NaN as
+    pandas' missing sentinel and hands it BACK to Spark as SQL NULL — a
+    NaN group key or passthrough value would silently come out NULL (r10
+    audit: an ewma over a NaN-keyed group returned the key column as
+    NULL).  Carried float/double columns therefore travel with a boolean
+    ``isnan`` marker and are restored after the UDF; inside
+    ``transform_fn`` NULL and NaN are indistinguishable either way
+    (pandas semantics — the documented behavior of this tier).
     """
     dt = dict(df.dtypes)
     # dict.fromkeys dedupes (idx_col may itself be a value column) so the
@@ -149,20 +173,39 @@ def groupby_apply_transform(
             list(by) + [idx_col] + [c for c in value_cols if c not in by]
         )
     )
+    nan_cols = [c for c in carried if dt[c] in ("float", "double")]
+    marks = {c: f"__agt_nan_{i}" for i, c in enumerate(nan_cols)}
+    clash = [c for c in df.columns if c.startswith("__agt_")]
+    if clash:
+        raise ValueError(
+            f"input column(s) {clash} collide with the internal __agt_* "
+            "namespace — rename them first"
+        )
     carry_schema = ", ".join(f"`{c}` {dt[c]}" for c in carried)
-    full_schema = f"{carry_schema}, {output_schema}"
+    mark_schema = "".join(f", `{m}` boolean" for m in marks.values())
+    full_schema = f"{carry_schema}{mark_schema}, {output_schema}"
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(idx_col, kind="mergesort")
         out = transform_fn(pdf[list(value_cols)])
-        res = pdf[carried].reset_index(drop=True)
+        res = pdf[carried + list(marks.values())].reset_index(drop=True)
         for name, col in out.items():
             res[name] = col.reset_index(drop=True) if hasattr(col, "reset_index") else col
         return res
 
-    return df.select(*dict.fromkeys(carried)).groupBy(*by).applyInPandas(
-        apply, schema=full_schema
+    src = df.select(
+        *dict.fromkeys(carried),
+        *[
+            F.isnan(F.col(c)).alias(m) for c, m in marks.items()
+        ],  # IsNaN is false on NULL, so only true NaNs restore below
     )
+    res = src.groupBy(*by).applyInPandas(apply, schema=full_schema)
+    for c, m in marks.items():
+        res = res.withColumn(
+            c,
+            F.when(F.col(m), F.lit(float("nan"))).otherwise(F.col(c)).cast(dt[c]),
+        )
+    return res.drop(*marks.values())
 
 
 def ewma(

@@ -122,6 +122,16 @@ def main(out_dir: str = "/tmp/sf1", copies: int = 10) -> None:
         df.repartition(32).write.mode("overwrite").parquet(path)
         print(f"wrote {path}: {spark.read.parquet(path).count()} rows")
 
+    # fixed-size dims, shipped VERBATIM: nation/region are scale-invariant
+    # in TPC-H (25/5 rows at every SF) and the replicated tables keep
+    # their foreign keys unshifted (c_nationkey stays 0..24), so the
+    # copies stay referentially intact.  nation unblocks the
+    # reindex_fill battery row (its oracle reads the nation domain).
+    for name in ("nation", "region"):
+        path = os.path.join(out_dir, f"{name}.parquet")
+        load_table(spark, SRC, name).write.mode("overwrite").parquet(path)
+        print(f"wrote {path}: {spark.read.parquet(path).count()} rows (verbatim dim)")
+
 
 if __name__ == "__main__":
     main(*(sys.argv[1:2] or ["/tmp/sf1"]))

@@ -1,6 +1,7 @@
 #!/bin/bash
 # sf1 exact-value oracle battery: every contract key whose DuckDB oracle
-# is practical at 10x driver scale (184/193 as of r10 — incl. fuzzy_coverage; see BASELINE).
+# is practical at 10x driver scale (185/193 as of r10 — incl. fuzzy_coverage
+# and reindex_fill, unblocked by make_sf1's verbatim nation dim; see BASELINE).
 #
 # Usage:  scripts/make_sf1.py /tmp/sf1   # once per container
 #         scripts/sf1_battery.sh [sf_dir] [batch...]
@@ -10,13 +11,12 @@
 # differential inside the gate script (its DuckDB list-form oracle is
 # O(n^2) memory at 1M rows).
 #
-# EXCLUDED (9), each for a stated structural reason — do NOT re-add
+# EXCLUDED (8), each for a stated structural reason — do NOT re-add
 # without solving the underlying bound:
 #   dup_clusters keep_by_dedup leak_split semdedup
 #       oracle embeds the recursive-CTE closure over ~866k sf1 pairs
 #       (DuckDB-impractical; clustering holds the sf1 tier-vs-tier
 #       certificate instead — scripts/soak_cluster_tiers.py)
-#   reindex_fill   expected-groups table `nation` not shipped at sf1
 #   pca_embed media_phash media_video audio_neardup
 #       pinned-fixture oracles; payloads are scale-independent
 set -u
@@ -25,7 +25,7 @@ cd "$(dirname "$0")/.."
 
 BATCHES=(
   "sum mean var std min max argmin nanargmin first last nanfirst any all median nanquantile_vec"
-  "count nansum nanmean nanvar quantile min_count bins_left bins_right grid_fill mode nanmedian argmax first_ts nunique nanstd nanmin nanmax nanargmax nanlast approx_quantile nanmode prod nanprod mean_ts"
+  "count nansum nanmean nanvar quantile min_count bins_left bins_right grid_fill mode nanmedian argmax first_ts nunique nanstd nanmin nanmax nanargmax nanlast approx_quantile nanmode prod nanprod mean_ts reindex_fill"
   "scan_cumsum scan_ffill scan_bfill scan_cummax scan_cumcount scan_shift scan_diff scan_nancumsum scan_cummin scan_nancummin scan_nancummax scan_cumprod scan_nancumprod scan_two_pass scan_two_pass_ffill"
   "complex_nanmean complex_nanvar complex_argmax complex_nanmedian month_hour dayofyear resample_5d resample_time resample_dense_keys accessor_climatology calendar_mean xdim_reduce xdim_bins xdim_dataset rollup pivot"
   "rank rank_two_pass rolling interp_time qcut qcut_grouped qcut_two_pass winsorize fill_stat ewma sessionize twa corr wquantile wquantile_sketch"

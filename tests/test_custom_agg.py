@@ -197,3 +197,29 @@ def test_apply_transform_idx_in_value_cols(spark):
         output_schema="`c` double",
     ).orderBy("k", "ts").collect()
     assert [r["c"] for r in out] == [1.0, 3.0, 5.0]
+
+
+def test_apply_reduce_nan_keys_round_trip(spark):
+    """r10 audit: a NaN float group key came back from the Arrow boundary
+    as SQL NULL — groupby_apply_reduce must return the key AS NaN, and
+    keep it distinct from the NULL-key group."""
+    import math
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(nan, 1.0), (nan, 3.0), (None, 10.0), (1.0, 5.0)],
+        "k double, x double",
+    )
+    out = groupby_apply_reduce(
+        df,
+        "k",
+        reduce_fn=lambda pdf: {"s": float(pdf["x"].sum())},
+        value_cols=["x"],
+        output_schema="`s` double",
+        sort=False,
+    ).collect()
+    got = {
+        ("NaN" if (r["k"] is not None and math.isnan(r["k"])) else r["k"]): r["s"]
+        for r in out
+    }
+    assert got == {"NaN": 4.0, None: 10.0, 1.0: 5.0}

@@ -859,3 +859,108 @@ def test_auto_probe_free_on_scale_path(spark):
     info = stats._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in info
     stats.unpersist()
+
+
+def test_rolling_float_and_fractional_range_bounds(spark):
+    """r10 audit: float range bounds — even integral ones like -15.0 —
+    died in py4j method lookup (WindowSpec.rangeBetween is int-only), and
+    genuinely fractional bounds (a 2.5-unit window on a double axis) were
+    inexpressible.  Integral floats now coerce; fractional bounds travel
+    as SQL-text frames — identical in both tiers."""
+    from dask_groupby_spark.rolling import groupby_rolling
+
+    # hand-checked fractional frame: sum over idx in [i-1.5, i]
+    rows = [(1, 0.0, 1.0), (1, 1.0, 2.0), (1, 2.4, 4.0), (1, 5.0, 8.0)]
+    df = spark.createDataFrame(rows, "k int, idx double, val double")
+    exp = {0.0: 1.0, 1.0: 3.0, 2.4: 6.0, 5.0: 8.0}
+    for m, rpc in (("window", 2_000_000), ("two_pass", 2)):
+        out = groupby_rolling(
+            df, "k", funcs="sum", value="val", idx_col="idx", window=1,
+            range_between=(-1.5, 0.0), method=m, rows_per_chunk=rpc,
+        )
+        got = {r["idx"]: r["rolling_sum"] for r in out.collect()}
+        assert got == exp, (m, got)
+
+    # integral-float bounds coerce instead of dying in py4j
+    rng = np.random.default_rng(SEED)
+    rows = [
+        (int(i % 3), float(i), float(v))
+        for i, v in enumerate(rng.normal(0, 2, 200))
+    ]
+    big = spark.createDataFrame(rows, "k int, idx double, val double")
+    kw = dict(
+        funcs=["sum", "mean", "var", "count"], value="val", idx_col="idx",
+        window=1, range_between=(-7.5, 2.5),
+    )
+    w = groupby_rolling(big, "k", **kw, method="window")
+    t = groupby_rolling(big, "k", **kw, method="two_pass", rows_per_chunk=17)
+    fw = groupby_rolling(big, "k", **kw, method="window")
+    assert fw.columns == w.columns
+    cols = [c for c in w.columns if c.startswith("rolling_")]
+    wm = {r["idx"]: tuple(r[c] for c in cols) for r in w.collect()}
+    tm = {r["idx"]: tuple(r[c] for c in cols) for r in t.collect()}
+    assert set(wm) == set(tm)
+    for i in wm:
+        for c, a, b in zip(cols, wm[i], tm[i]):
+            assert _cmp(a, b, c) or (
+                a is not None and b is not None
+                and math.isclose(a, b, rel_tol=1e-7, abs_tol=1e-9)
+            ), (i, c, a, b)
+    # float-typed integral bounds: same answer as the int form
+    wi = groupby_rolling(
+        big, "k", funcs="sum", value="val", idx_col="idx", window=1,
+        range_between=(-7.0, 0.0), method="window",
+    )
+    wf = groupby_rolling(
+        big, "k", funcs="sum", value="val", idx_col="idx", window=1,
+        range_between=(-7, 0), method="window",
+    )
+    a = {r["idx"]: r["rolling_sum"] for r in wi.collect()}
+    b = {r["idx"]: r["rolling_sum"] for r in wf.collect()}
+    assert a == b
+
+
+def test_ewma_nan_group_keys_round_trip(spark):
+    """r10 audit: a NaN FLOAT group key went through the Arrow boundary as
+    pandas' missing sentinel and came back SQL NULL — the pandas tier
+    corrupted the key column itself, and the two-pass tier's offsets join
+    missed the group so the inter-chunk carry silently restarted.  Both
+    tiers must keep NaN keys AS NaN and agree on every value."""
+    import pandas as pd
+    from dask_groupby_spark.udaf import ewma
+
+    nan = float("nan")
+    rows = (
+        [(nan, float(i), float(v)) for i, v in enumerate([1.0, 3.0, 2.0, 5.0, 4.0])]
+        + [(1.0, float(i), float(i + 1)) for i in range(5)]
+        + [(None, float(i), float(2 * i)) for i in range(3)]
+        + [(2.0, 0.0, nan), (2.0, 1.0, 6.0)]  # NaN passthrough VALUE
+    )
+    df = spark.createDataFrame(rows, "k double, idx double, v double")
+
+    def canon(res):
+        out = []
+        for r in sorted(res.collect(), key=lambda r: (str(r["k"]), r["idx"])):
+            key = "NaN" if (r["k"] is not None and math.isnan(r["k"])) else r["k"]
+            val = "NaN" if (r["v"] is not None and math.isnan(r["v"])) else r["v"]
+            e = r["ewma"]
+            if isinstance(e, float):
+                e = "NaN" if math.isnan(e) else round(e, 9)
+            out.append((key, r["idx"], val, e))
+        return out
+
+    # rows_per_chunk=2 forces the NaN group across chunks: the carry must
+    # survive the offsets join
+    p = canon(ewma(df, "k", value="v", idx_col="idx", alpha=0.4, method="pandas"))
+    t = canon(
+        ewma(df, "k", value="v", idx_col="idx", alpha=0.4,
+             method="two_pass", rows_per_chunk=2)
+    )
+    assert p == t
+    # NaN keys present and distinct from the NULL-key group
+    keys = {row[0] for row in p}
+    assert "NaN" in keys and None in keys
+    # carry check vs pandas itself for the NaN-keyed series
+    exp = pd.Series([1.0, 3.0, 2.0, 5.0, 4.0]).ewm(alpha=0.4).mean()
+    got = [row[3] for row in p if row[0] == "NaN"]
+    assert got == [round(x, 9) for x in exp]
