@@ -1270,6 +1270,30 @@ def q_rolling(spark, sf):
     return out.select("event_id", "event_type", clean.alias("rolling_mean"))
 
 
+def q_rolling_frac(spark, sf):
+    """FRACTIONAL range frame (r10): trailing 2.5-SECOND sum/count per
+    user over the event-time axis.  Inexpressible through PySpark's
+    ``WindowSpec.rangeBetween`` (integer-only binding) — runs via the
+    SQL-text frame tier of ``groupby_rolling``; DuckDB evaluates the
+    identical ``RANGE BETWEEN 2.5 PRECEDING`` frame."""
+    from dask_groupby_spark import groupby_rolling
+
+    ev = _ev(spark, sf).withColumn("sec", F.unix_micros("ts") / F.lit(1e6))
+    out = groupby_rolling(
+        ev, "user_id", funcs=("sum", "count"), value="vnan", idx_col="sec",
+        window=1, range_between=(-2.5, 0.0),
+    )
+    s = F.when(F.isnan("rolling_sum"), F.lit(None)).otherwise(
+        F.round("rolling_sum", 6)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        s.alias("roll_sum"),
+        F.col("rolling_count").cast("bigint").alias("roll_n"),
+    )
+
+
 def q_scan_cumprod(spark, sf):
     ev = _ev(spark, sf).withColumn("x", 1.0 + F.col("value") / 10000.0)
     out = groupby_scan(ev, "user_id", func="cumprod", value="x", idx_col="event_id")
@@ -3526,6 +3550,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "top_terms": q_top_terms,
     "rolling": q_rolling,
+    "rolling_frac": q_rolling_frac,
 }
 
 
@@ -3618,8 +3643,9 @@ assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 # regenerated in r10 after the integer-exact pHash v3 (container
 # BLAS drift made the float v2 values environment-dependent) — their
 # r11 rows will be the first OFFICIAL verification of v3.  Also slot
-# the r10-continuation NEW key `fuzzy_coverage` (no official row yet —
-# new keys outrank freshness, the r8/r9 precedent) at the window head.
+# the r10-continuation NEW keys `fuzzy_coverage` and `rolling_frac`
+# (fractional range frames; no official rows yet — new keys outrank
+# freshness, the r8/r9 precedent) at the window head.
 _QUERIES = {k: _QUERIES[k] for k in _R10_WINDOW} | {
     k: v for k, v in _QUERIES.items() if k not in set(_R10_WINDOW)
 }

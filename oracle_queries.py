@@ -840,6 +840,15 @@ SELECT event_id, event_type,
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
        END AS rolling_mean
 FROM t""",
+    "rolling_frac": f"""{_EV}
+SELECT event_id, user_id,
+       CASE WHEN count(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w >= 1
+            THEN round(sum(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w, 6)
+       END AS roll_sum,
+       count(CASE WHEN NOT isnan(vnan) THEN vnan END) OVER w AS roll_n
+FROM (SELECT *, epoch_us(ts) / 1e6 AS sec FROM t)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 2.5 PRECEDING AND CURRENT ROW)""",
     "scan_cumprod": """
 SELECT event_id, user_id,
        round(product(1.0 + value / 10000.0)

@@ -1,7 +1,8 @@
 #!/bin/bash
 # sf1 exact-value oracle battery: every contract key whose DuckDB oracle
-# is practical at 10x driver scale (185/193 as of r10 — incl. fuzzy_coverage
-# and reindex_fill, unblocked by make_sf1's verbatim nation dim; see BASELINE).
+# is practical at 10x driver scale (186/194 as of r10 — incl. fuzzy_coverage,
+# rolling_frac, and reindex_fill (unblocked by make_sf1's verbatim nation
+# dim); see BASELINE).
 #
 # Usage:  scripts/make_sf1.py /tmp/sf1   # once per container
 #         scripts/sf1_battery.sh [sf_dir] [batch...]
@@ -28,7 +29,7 @@ BATCHES=(
   "count nansum nanmean nanvar quantile min_count bins_left bins_right grid_fill mode nanmedian argmax first_ts nunique nanstd nanmin nanmax nanargmax nanlast approx_quantile nanmode prod nanprod mean_ts reindex_fill"
   "scan_cumsum scan_ffill scan_bfill scan_cummax scan_cumcount scan_shift scan_diff scan_nancumsum scan_cummin scan_nancummin scan_nancummax scan_cumprod scan_nancumprod scan_two_pass scan_two_pass_ffill"
   "complex_nanmean complex_nanvar complex_argmax complex_nanmedian month_hour dayofyear resample_5d resample_time resample_dense_keys accessor_climatology calendar_mean xdim_reduce xdim_bins xdim_dataset rollup pivot"
-  "rank rank_two_pass rolling interp_time qcut qcut_grouped qcut_two_pass winsorize fill_stat ewma sessionize twa corr wquantile wquantile_sketch"
+  "rank rank_two_pass rolling rolling_frac interp_time qcut qcut_grouped qcut_two_pass winsorize fill_stat ewma sessionize twa corr wquantile wquantile_sketch"
   "minhash simhash fingerprint entropy repetition lm_score clf_score dsir ngram_counts top_terms para_dedup seg_dedup dup_spans span_dedup dedup_exact lsh_pairs ngram_jaccard ngram_containment fuzzy_match fuzzy_coverage"
   "ann_topk ann_lsh ann_ivf ann_recall emb_neardup centroids mh_index_probe bpe_tokens vocab encode_ids"
   "ttest mad qnorm outliers calibration bivar psi psi_hist auc ks chisq spearman skew_stats describe"
