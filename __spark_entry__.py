@@ -3271,6 +3271,27 @@ def q_fuzzy_match(spark, sf):
     return out.orderBy("id_a", "id_b")
 
 
+def q_fuzzy_scaled(spark, sf):
+    """Density-relative fuzzy matching (r10): the fix for the absolute
+    df-cap's silent sf1 emptiness — the stop-gram cap scales with the
+    corpus (``rel_gram_df=0.05`` → cap = ceil(0.05·|records|)), so the
+    blocking stays meaningful at ANY density (sf0.01: 6.6k pairs; sf1:
+    3.2M pairs where the absolute default found 0).  Runs the PPJoin
+    prefix tier (provably lossless vs full blocking for qualifying
+    pairs — Xiao et al., WWW'08 prefix-filter theorem, asserted against
+    brute force in tests), which the oracle mirrors with the SIMPLER
+    full-blocking SQL: identical output by the theorem, so the oracle
+    also end-to-end-checks the prefix filter itself."""
+    from dask_groupby_spark.operators import edit_distance_pairs
+
+    cust = load_table(spark, sf, "customer")
+    out = edit_distance_pairs(
+        cust, "c_custkey", "c_name", max_dist=1, gram_k=3,
+        max_gram_df=None, rel_gram_df=0.05, prefix_blocking=True,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def q_fuzzy_coverage(spark, sf):
     """Blocking-coverage audit (dedup.py gram_blocking_stats, r10): the
     one-row diagnostic for the fuzzy_match config — records with zero
@@ -3405,6 +3426,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "qcut_two_pass": q_qcut_two_pass,
     "fuzzy_match": q_fuzzy_match,
+    "fuzzy_scaled": q_fuzzy_scaled,
     "fuzzy_coverage": q_fuzzy_coverage,
     "json_extract": q_json_extract,
     "rank_two_pass": q_rank_two_pass,
@@ -3643,9 +3665,11 @@ assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 # regenerated in r10 after the integer-exact pHash v3 (container
 # BLAS drift made the float v2 values environment-dependent) — their
 # r11 rows will be the first OFFICIAL verification of v3.  Also slot
-# the r10-continuation NEW keys `fuzzy_coverage` and `rolling_frac`
-# (fractional range frames; no official rows yet — new keys outrank
-# freshness, the r8/r9 precedent) at the window head.
+# the r10-continuation NEW keys `fuzzy_coverage`, `rolling_frac`
+# (fractional range frames), and `fuzzy_scaled` (density-relative
+# stop-gram cap — the fix for fuzzy_match's silent sf1 emptiness; no
+# official rows yet — new keys outrank freshness, the r8/r9 precedent)
+# at the window head.
 _QUERIES = {k: _QUERIES[k] for k in _R10_WINDOW} | {
     k: v for k, v in _QUERIES.items() if k not in set(_R10_WINDOW)
 }

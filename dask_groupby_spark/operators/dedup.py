@@ -1354,6 +1354,7 @@ def edit_distance_pairs(
     max_gram_df: int | None = 256,
     max_bucket_size: int | None = None,
     prefix_blocking: bool = False,
+    rel_gram_df: float | None = None,
 ) -> DataFrame:
     """Fuzzy string matching — the record-linkage primitive: all pairs of
     rows whose ``text_col`` values are within Levenshtein distance
@@ -1406,6 +1407,25 @@ def edit_distance_pairs(
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     ).where(F.col(text_col).isNotNull())
+    if rel_gram_df is not None:
+        # DENSITY-RELATIVE stop-gram cap (r10): the absolute cap's recall
+        # loss scales with corpus density — at 10× the tuned density every
+        # gram can exceed it and the result silently empties (the sf1
+        # battery finding gram_blocking_stats documents).  A gram shared
+        # by a fixed FRACTION of records is a stop-gram at every scale, so
+        # the cap becomes ceil(rel_gram_df · |records|): one scalar count
+        # job at construction (the ann_ivf/spill-probe precedent), exactly
+        # mirrorable in SQL.  Mutually exclusive with the absolute form.
+        if max_gram_df is not None:
+            raise ValueError(
+                "pass max_gram_df OR rel_gram_df, not both (the relative "
+                "cap computes an absolute one from the record count)"
+            )
+        if not (0.0 < rel_gram_df <= 1.0):
+            raise ValueError(f"rel_gram_df must be in (0, 1], got {rel_gram_df}")
+        import math as _math
+
+        max_gram_df = max(1, _math.ceil(rel_gram_df * base.count()))
     grams = base.select(
         "id", "txt", F.explode(char_grams(F.col("txt"), gram_k)).alias("g")
     )
@@ -1506,6 +1526,7 @@ def gram_blocking_stats(
     text_col: str = "text",
     gram_k: int = 3,
     max_gram_df: int | None = 256,
+    rel_gram_df: float | None = None,
 ) -> DataFrame:
     """Blocking-coverage audit for :func:`edit_distance_pairs` — run it
     BEFORE a fuzzy-match job to see whether the stop-gram cap leaves the
@@ -1539,6 +1560,19 @@ def gram_blocking_stats(
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     ).where(F.col(text_col).isNotNull())
+    if rel_gram_df is not None:
+        # same density-relative cap arithmetic as edit_distance_pairs —
+        # the audit must mirror the config it audits bit-for-bit
+        if max_gram_df is not None:
+            raise ValueError(
+                "pass max_gram_df OR rel_gram_df, not both (the relative "
+                "cap computes an absolute one from the record count)"
+            )
+        if not (0.0 < rel_gram_df <= 1.0):
+            raise ValueError(f"rel_gram_df must be in (0, 1], got {rel_gram_df}")
+        import math as _math
+
+        max_gram_df = max(1, _math.ceil(rel_gram_df * base.count()))
     grams = base.select(
         "id", F.explode(char_grams(F.col("txt"), gram_k)).alias("g")
     )

@@ -2923,6 +2923,32 @@ ORDER BY id_a, id_b"""
 # fuzzy_coverage (r10): blocking-coverage audit for the fuzzy_match
 # config — identical distinct-gram construction and df<=256 cap; a
 # record is "blocked" iff it has >= 1 surviving gram.
+# fuzzy_scaled (r10): the density-relative stop-gram cap — ceil(0.05·n)
+# instead of an absolute 256, so blocking survives any corpus density.
+# The engine runs the PPJoin prefix tier; the oracle is the plain
+# full-blocking form, identical output by the prefix-filter theorem
+# (a qualifying pair's rarest-gram prefixes must intersect), so this
+# row also end-to-end-verifies the prefix filter.
+ORACLE_SQL["fuzzy_scaled"] = """
+WITH b AS (SELECT c_custkey AS id, c_name AS txt FROM customer WHERE c_name IS NOT NULL),
+nrec AS (SELECT count(*) AS n FROM b),
+g0 AS (
+  SELECT DISTINCT id, txt,
+         unnest(list_transform(range(1, greatest(length(txt) - 2, 0) + 1),
+                               i -> substr(txt, i, 3))) AS g
+  FROM b
+),
+keep AS (SELECT g FROM g0 GROUP BY g
+         HAVING count(*) <= greatest(1, CAST(ceil(0.05 * (SELECT n FROM nrec)) AS BIGINT))),
+gb AS (SELECT g0.id, g0.txt, g0.g FROM g0 JOIN keep USING (g)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.txt AS t_a, b.txt AS t_b
+  FROM gb a JOIN gb b ON a.g = b.g AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(t_a, t_b) <= 1
+ORDER BY id_a, id_b"""
+
 ORACLE_SQL["fuzzy_coverage"] = """
 WITH b AS (
   SELECT c_custkey AS id, c_name AS txt FROM customer WHERE c_name IS NOT NULL

@@ -1,8 +1,9 @@
 #!/bin/bash
 # sf1 exact-value oracle battery: every contract key whose DuckDB oracle
-# is practical at 10x driver scale (186/194 as of r10 — incl. fuzzy_coverage,
-# rolling_frac, and reindex_fill (unblocked by make_sf1's verbatim nation
-# dim); see BASELINE).
+# is practical at 10x driver scale (187/195 as of r10 — incl. fuzzy_coverage,
+# fuzzy_scaled (3.2M exact pairs at sf1, where fuzzy_match's absolute cap
+# blocks everything), rolling_frac, and reindex_fill (unblocked by
+# make_sf1's verbatim nation dim); see BASELINE).
 #
 # Usage:  scripts/make_sf1.py /tmp/sf1   # once per container
 #         scripts/sf1_battery.sh [sf_dir] [batch...]
@@ -30,7 +31,7 @@ BATCHES=(
   "scan_cumsum scan_ffill scan_bfill scan_cummax scan_cumcount scan_shift scan_diff scan_nancumsum scan_cummin scan_nancummin scan_nancummax scan_cumprod scan_nancumprod scan_two_pass scan_two_pass_ffill"
   "complex_nanmean complex_nanvar complex_argmax complex_nanmedian month_hour dayofyear resample_5d resample_time resample_dense_keys accessor_climatology calendar_mean xdim_reduce xdim_bins xdim_dataset rollup pivot"
   "rank rank_two_pass rolling rolling_frac interp_time qcut qcut_grouped qcut_two_pass winsorize fill_stat ewma sessionize twa corr wquantile wquantile_sketch"
-  "minhash simhash fingerprint entropy repetition lm_score clf_score dsir ngram_counts top_terms para_dedup seg_dedup dup_spans span_dedup dedup_exact lsh_pairs ngram_jaccard ngram_containment fuzzy_match fuzzy_coverage"
+  "minhash simhash fingerprint entropy repetition lm_score clf_score dsir ngram_counts top_terms para_dedup seg_dedup dup_spans span_dedup dedup_exact lsh_pairs ngram_jaccard ngram_containment fuzzy_match fuzzy_scaled fuzzy_coverage"
   "ann_topk ann_lsh ann_ivf ann_recall emb_neardup centroids mh_index_probe bpe_tokens vocab encode_ids"
   "ttest mad qnorm outliers calibration bivar psi psi_hist auc ks chisq spearman skew_stats describe"
   "cms_heavy kmv_distinct kmv_overlap hist_quantile quantize profile"

@@ -1736,3 +1736,46 @@ def test_cosine_topk_blas_empty_and_null_queries(spark):
     )
     got = cosine_topk_blas(corpus, withnull, k=1, exclude_self=False).collect()
     assert {r["query_id"] for r in got} == {1}  # NULL query unscorable
+
+
+def test_edit_distance_rel_gram_df(spark):
+    """r10: the density-relative stop-gram cap must equal the absolute cap
+    computed from the same record count (cap = ceil(rel * n)), validate
+    its domain, and refuse to combine with the absolute form."""
+    import math as _math
+
+    import pytest as _pytest
+
+    from dask_groupby_spark.operators import edit_distance_pairs, gram_blocking_stats
+
+    rows = [(i, f"record-{i:03d}") for i in range(40)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    n = 40  # non-NULL texts
+    rel = 0.3
+    cap = max(1, _math.ceil(rel * n))
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_pairs(
+                df, max_dist=1, gram_k=3, **kw
+            ).collect()
+        }
+
+    assert pairs(max_gram_df=None, rel_gram_df=rel) == pairs(max_gram_df=cap)
+    # prefix tier under the relative cap: same output (lossless theorem)
+    assert pairs(
+        max_gram_df=None, rel_gram_df=rel, prefix_blocking=True
+    ) == pairs(max_gram_df=cap)
+
+    with _pytest.raises(ValueError, match="not both"):
+        edit_distance_pairs(df, max_gram_df=256, rel_gram_df=0.1)
+    with _pytest.raises(ValueError, match="rel_gram_df"):
+        edit_distance_pairs(df, max_gram_df=None, rel_gram_df=1.5)
+
+    # the audit op mirrors the same arithmetic
+    a = gram_blocking_stats(df, max_gram_df=None, rel_gram_df=rel).collect()[0]
+    b = gram_blocking_stats(df, max_gram_df=cap).collect()[0]
+    assert a.asDict() == b.asDict()
+    with _pytest.raises(ValueError, match="not both"):
+        gram_blocking_stats(df, max_gram_df=256, rel_gram_df=0.1)
