@@ -176,8 +176,22 @@ def grouped_linreg(
         *_ols_aggs(xs, y, d)
     )
 
+    # NaN float group keys would come back from the Arrow boundary as SQL
+    # NULL (colliding with a real NULL-key group) — same round-trip class
+    # the ewma tiers fix; float keys travel with an isnan marker (r10)
+    nan_keys = [
+        c for c in by_list
+        if isinstance(stats.schema[c].dataType, (T.FloatType, T.DoubleType))
+    ]
+    marks = {c: f"__lr_nan_{i}" for i, c in enumerate(nan_keys)}
+    if marks:
+        stats = stats.withColumns(
+            {m: F.isnan(F.col(c)) for c, m in marks.items()}
+        )
+
     schema = T.StructType(
         [stats.schema[c] for c in by_list]
+        + [T.StructField(m, T.BooleanType(), False) for m in marks.values()]
         + [
             T.StructField("feature", T.StringType(), False),
             T.StructField("weight", T.DoubleType(), True),
@@ -188,11 +202,13 @@ def grouped_linreg(
         [0.0 if (add_bias and i == d - 1) else float(l2) for i in range(d)]
     )
 
+    mark_cols = list(marks.values())
+
     def solve(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            out_keys = {c: [] for c in by_list}
+            out_keys = {c: [] for c in by_list + mark_cols}
             feats, weights, ns = [], [], []
             for _, row in pdf.iterrows():
                 A, b = _unpack_normal_eq(row, d)
@@ -206,6 +222,8 @@ def grouped_linreg(
                 for name, wv in zip(names, wlist):
                     for c in by_list:
                         out_keys[c].append(row[c])
+                    for m in mark_cols:
+                        out_keys[m].append(bool(row[m]))
                     feats.append(name)
                     weights.append(wv)
                     ns.append(int(row["n"]))
@@ -215,7 +233,15 @@ def grouped_linreg(
             out["n"] = ns
             yield pd.DataFrame(out)
 
-    return stats.mapInPandas(solve, schema=schema)
+    res = stats.mapInPandas(solve, schema=schema)
+    for c, m in marks.items():
+        res = res.withColumn(
+            c,
+            F.when(F.col(m), F.lit(float("nan")))
+            .otherwise(F.col(c))
+            .cast(stats.schema[c].dataType),
+        )
+    return res.drop(*marks.values())
 
 
 def logreg_train(

@@ -419,3 +419,28 @@ def test_grouped_logreg_and_predict_null_group(spark):
     scored = grouped_linear_predict(df, model, "g", out="s").collect()
     for r in scored:
         assert r["s"] is not None
+
+
+def test_grouped_linreg_nan_segment_key(spark):
+    """r10 audit: a NaN float segment key round-tripped the Arrow solve
+    pass as SQL NULL, colliding with a genuine NULL-key segment — float
+    keys now carry isnan markers and come back AS NaN."""
+    from dask_groupby_spark.operators import grouped_linreg
+
+    nan = float("nan")
+    rows = (
+        [(nan, float(i), 2.0 * i + 1) for i in range(10)]
+        + [(None, float(i), 3.0 * i) for i in range(10)]
+        + [(1.0, float(i), -1.0 * i + 4) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "seg double, x double, y double")
+    out = grouped_linreg(df, "seg", features=["x"], label="y").collect()
+    got = {}
+    for r in out:
+        k = "NaN" if (r["seg"] is not None and math.isnan(r["seg"])) else r["seg"]
+        got[(k, r["feature"])] = round(r["weight"], 9)
+    assert got == {
+        ("NaN", "x"): 2.0, ("NaN", "bias"): 1.0,
+        (None, "x"): 3.0, (None, "bias"): 0.0,
+        (1.0, "x"): -1.0, (1.0, "bias"): 4.0,
+    }
