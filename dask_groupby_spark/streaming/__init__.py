@@ -14,6 +14,15 @@ state) — this module is part of our Spark-native surface extension:
 
 Scale notes: windowed aggregation state is partitioned by (window, keys) and
 pruned by the watermark; the stateful scan keeps O(1) state per key.
+
+Known boundary (r10 audit): the stateful ops emit the group key through the
+Arrow/pandas boundary, which renders a float NaN as pandas' missing sentinel
+and hands it back as SQL NULL — a NaN FLOAT stream key therefore arrives
+NULL in the OUTPUT key column (the state itself is keyed correctly).  The
+batch tiers carry isnan markers to restore such keys
+(``two_pass._nan_safe_offsets``); the stateful streaming path does not —
+key streams on float columns that can be NaN should cast the key to
+string/long first.  All in-repo stream keys are ids/strings.
 """
 
 from __future__ import annotations

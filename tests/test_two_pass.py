@@ -918,6 +918,17 @@ def test_rolling_float_and_fractional_range_bounds(spark):
     a = {r["idx"]: r["rolling_sum"] for r in wi.collect()}
     b = {r["idx"]: r["rolling_sum"] for r in wf.collect()}
     assert a == b
+    # the SQL-text frame parses to the SAME plan shape as the WindowSpec
+    # form: one Exchange, same number of Window operators
+    def shape(rb):
+        out = groupby_rolling(
+            big, "k", funcs=("sum", "var"), value="val", idx_col="idx",
+            window=1, range_between=rb, method="window",
+        )
+        p = out._jdf.queryExecution().executedPlan().toString()
+        return p.count("Window "), p.count("Exchange")
+
+    assert shape((-2.5, 0.0)) == shape((-2, 0))
 
 
 def test_ewma_nan_group_keys_round_trip(spark):
