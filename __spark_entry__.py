@@ -3650,26 +3650,32 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 # R11 WINDOW PLAN (pre-written, rotation discipline): assuming
-# CORRECTNESS_r10.json comes back green, the freshness order is — any
-# red r10 keys first, then the 42 remaining r7-row keys (bm25,
-# calibration, chisq, corr, dedup_exact, describe, dup_spans, entropy,
-# interp_time, ks, leak_split, mad, media_phash, media_video,
-# multimodal_meta, ngram_counts, outliers, overlap_join, pagerank,
-# para_dedup, profile, psi, psi_hist, qnorm, quantize, rank,
-# resample_dense_keys, seg_dedup, simhash, skew_stats, span_dedup,
-# spearman, stream_cms, stream_cumsum, stream_dedup, table_diff, ttest,
-# validate, wquantile, wsample, xdim_reduce, zorder), balance from the
-# r8-row block's alphabetical head (all, ann_ivf, ann_lsh, ann_topk,
-# any, argmax, argmin, asof_join — drop from this tail to make room for
-# any red keys).  NOTE for r11: media_phash/media_video pins were
-# regenerated in r10 after the integer-exact pHash v3 (container
-# BLAS drift made the float v2 values environment-dependent) — their
-# r11 rows will be the first OFFICIAL verification of v3.  Also slot
-# the r10-continuation NEW keys `fuzzy_coverage`, `rolling_frac`
-# (fractional range frames), and `fuzzy_scaled` (density-relative
-# stop-gram cap — the fix for fuzzy_match's silent sf1 emptiness; no
-# official rows yet — new keys outrank freshness, the r8/r9 precedent)
-# at the window head.
+# CORRECTNESS_r10.json comes back green, the exact list is — any red
+# r10 keys first (displacing from the tail), then:
+#
+# _R11_WINDOW = [
+#     # r10-continuation NEW keys, no official rows yet (new keys
+#     # outrank freshness — the r8/r9 precedent)
+#     "fuzzy_scaled", "rolling_frac", "fuzzy_coverage",
+#     # latest official row = r7 (42 keys).  media_phash/media_video
+#     # pins were regenerated in r10 after the integer-exact pHash v3
+#     # (container BLAS drift made the float v2 values environment-
+#     # dependent) — their r11 rows are the first OFFICIAL check of v3.
+#     "bm25", "calibration", "chisq", "corr", "dedup_exact", "describe",
+#     "dup_spans", "entropy", "interp_time", "ks", "leak_split", "mad",
+#     "media_phash", "media_video", "multimodal_meta", "ngram_counts",
+#     "outliers", "overlap_join", "pagerank", "para_dedup", "profile",
+#     "psi", "psi_hist", "qnorm", "quantize", "rank",
+#     "resample_dense_keys", "seg_dedup", "simhash", "skew_stats",
+#     "span_dedup", "spearman", "stream_cms", "stream_cumsum",
+#     "stream_dedup", "table_diff", "ttest", "validate", "wquantile",
+#     "wsample", "xdim_reduce", "zorder",
+#     # balance: the r8-row block's alphabetical head (5 keys)
+#     "all", "ann_ivf", "ann_lsh", "ann_topk", "any",
+# ]
+#
+# The remaining r8-row keys (argmax, argmin, asof_join, …) are the
+# natural R12 window, same ordering.
 _QUERIES = {k: _QUERIES[k] for k in _R10_WINDOW} | {
     k: v for k, v in _QUERIES.items() if k not in set(_R10_WINDOW)
 }
