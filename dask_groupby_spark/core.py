@@ -741,17 +741,19 @@ def _group_stat_join(df: DataFrame, by, aggs: list) -> DataFrame:
     back, so the big side never shuffles and no group serializes onto one
     task.  NULL (and NaN) keys match themselves, exactly like window
     partitioning.  Returns the joined frame carrying ``df``'s columns plus
-    the aggregate aliases."""
+    the aggregate aliases.
+
+    Delegates to :func:`nullsafe_join` (r10 audit): the former inline
+    ``df[k].eqNullSafe(stats[k])`` + ``drop(stats[k])`` shape is a
+    SELF-join (``stats`` derives from ``df``), and Spark's ambiguous-
+    attribute resolution kept the AGGREGATED key column — whose value
+    groupBy had float-normalized, so a ``-0.0`` group key came back
+    ``0.0`` from the join tier while the window tier preserved the
+    row's original bits.  The rename-into-a-private-namespace join
+    keeps the left side's key columns verbatim."""
     keys = list(by)
     stats = df.groupBy(*keys).agg(*aggs)
-    cond = None
-    for k in keys:
-        c = df[k].eqNullSafe(stats[k])
-        cond = c if cond is None else (cond & c)
-    joined = df.join(F.broadcast(stats), cond, "left")
-    for k in keys:
-        joined = joined.drop(stats[k])
-    return joined
+    return nullsafe_join(df, stats, keys, how="left", broadcast=True)
 
 
 def _stat_join_select(joined: DataFrame, df: DataFrame, result: Column, out: str) -> DataFrame:

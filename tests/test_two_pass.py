@@ -975,3 +975,38 @@ def test_ewma_nan_group_keys_round_trip(spark):
     exp = pd.Series([1.0, 3.0, 2.0, 5.0, 4.0]).ewm(alpha=0.4).mean()
     got = [row[3] for row in p if row[0] == "NaN"]
     assert got == [round(x, 9) for x in exp]
+
+
+def test_stat_join_preserves_negative_zero_keys(spark):
+    """r10 audit: the transform ops' method="join" tier used an inline
+    self-join (stats derives from df) whose ambiguous-attribute drop kept
+    the AGGREGATED key column — groupBy float-normalizes it, so a -0.0
+    group key came back 0.0 while the window tier preserved the row's
+    bits.  The shared nullsafe_join rename keeps the left keys verbatim;
+    both tiers must agree bit-for-bit, ±0.0 still ONE group."""
+    import math
+
+    from dask_groupby_spark.core import groupby_fill_stat, groupby_winsorize
+
+    rows = [(-0.0, None), (-0.0, 7.0), (0.0, 1.0), (0.0, None)]
+    df = spark.createDataFrame(rows, "fk double, val double")
+
+    def canon(res):
+        out = []
+        for r in res.collect():
+            k = r["fk"]
+            ks = "-0.0" if (k == 0 and math.copysign(1, k) < 0) else repr(k)
+            out.append((ks, r[res.columns[-1]]))
+        return sorted(out, key=str)
+
+    for fn in (groupby_fill_stat, groupby_winsorize):
+        w = canon(fn(df, "fk", value="val", method="window"))
+        j = canon(fn(df, "fk", value="val", method="join"))
+        assert w == j, (fn.__name__, w, j)
+        # ±0.0 is ONE group (Spark grouping semantics): fill/clip stats
+        # pool both bit patterns, and both patterns survive in the output
+        keys = {k for k, _ in w}
+        assert keys == {"-0.0", "0.0"}
+    # fill value check: mean(7, 1) = 4 fills every missing row
+    f = canon(groupby_fill_stat(df, "fk", value="val", method="join"))
+    assert [v for _, v in f if v is not None].count(4.0) == 2
