@@ -9,9 +9,13 @@
 #         scripts/sf1_battery.sh [sf_dir] [batch...]
 #
 # Runs the gate per BATCH (a stuck oracle then costs one batch, not the
-# battery) and prints a PASS/FAIL tally.  ewma is checked by its pandas
-# differential inside the gate script (its DuckDB list-form oracle is
-# O(n^2) memory at 1M rows).
+# battery) and prints a PASS/FAIL tally.  ewma_scan is checked by
+# scripts/sf1_ewma_check.py — a full-table pandas differential at the
+# key's own rounding grid — because its DuckDB list-form oracle is
+# O(n^2) memory/time at 1M rows.  (r10 audit: this header used to claim
+# a gate-internal ewma differential that did not exist, and the batch
+# listed a stale key name `ewma` that silently no-opped — ewma_scan had
+# never actually run at sf1 before the dedicated check below.)
 #
 # EXCLUDED (8), each for a stated structural reason — do NOT re-add
 # without solving the underlying bound:
@@ -30,7 +34,7 @@ BATCHES=(
   "count nansum nanmean nanvar quantile min_count bins_left bins_right grid_fill mode nanmedian argmax first_ts nunique nanstd nanmin nanmax nanargmax nanlast approx_quantile nanmode prod nanprod mean_ts reindex_fill"
   "scan_cumsum scan_ffill scan_bfill scan_cummax scan_cumcount scan_shift scan_diff scan_nancumsum scan_cummin scan_nancummin scan_nancummax scan_cumprod scan_nancumprod scan_two_pass scan_two_pass_ffill"
   "complex_nanmean complex_nanvar complex_argmax complex_nanmedian month_hour dayofyear resample_5d resample_time resample_dense_keys accessor_climatology calendar_mean xdim_reduce xdim_bins xdim_dataset rollup pivot"
-  "rank rank_two_pass rolling rolling_frac interp_time qcut qcut_grouped qcut_two_pass winsorize fill_stat ewma sessionize twa corr wquantile wquantile_sketch"
+  "rank rank_two_pass rolling rolling_frac interp_time qcut qcut_grouped qcut_two_pass winsorize fill_stat sessionize twa corr wquantile wquantile_sketch"
   "minhash simhash fingerprint entropy repetition lm_score clf_score dsir ngram_counts top_terms para_dedup seg_dedup dup_spans span_dedup dedup_exact lsh_pairs ngram_jaccard ngram_containment fuzzy_match fuzzy_scaled fuzzy_coverage"
   "ann_topk ann_lsh ann_ivf ann_recall emb_neardup centroids mh_index_probe bpe_tokens vocab encode_ids"
   "ttest mad qnorm outliers calibration bivar psi psi_hist auc ks chisq spearman skew_stats describe"
@@ -42,6 +46,12 @@ BATCHES=(
 )
 
 pass=0; fail=0; failed=""
+# ewma_scan: pandas differential (see header)
+out=$(timeout 1800 python scripts/sf1_ewma_check.py "$SF" 2>/dev/null | grep -aE "^(PASS|FAIL)")
+echo "$out"
+p=$(grep -ac '^PASS' <<<"$out"); f=$(grep -ac '^FAIL' <<<"$out")
+pass=$((pass+p)); fail=$((fail+f))
+[ "$f" -gt 0 ] && failed="$failed ewma_scan"
 for b in "${BATCHES[@]}"; do
   # strip keys that don't exist (placeholder guard)
   out=$(timeout 1800 python scripts/check_driver_contract.py "$SF" $b 2>/dev/null | grep -aE "^(PASS|FAIL|ok\?)")
