@@ -1010,3 +1010,50 @@ def test_stat_join_preserves_negative_zero_keys(spark):
     # fill value check: mean(7, 1) = 4 fills every missing row
     f = canon(groupby_fill_stat(df, "fk", value="val", method="join"))
     assert [v for _, v in f if v is not None].count(4.0) == 2
+
+
+def test_two_pass_inf_idx_and_float_keys(spark):
+    """r10 fuzz scenarios promoted to the suite: ±inf idx values (the
+    chunk-width arithmetic degenerates to NaN and must collapse to a
+    single chunk, not drop/misplace rows) and NaN / -0.0 / NULL FLOAT
+    group keys (grouping normalizes ±0.0 into one group and NaN into a
+    real group; both tiers must agree bit-for-bit)."""
+    from dask_groupby_spark import groupby_rank
+
+    inf, nan = float("inf"), float("nan")
+    rows = (
+        [(9.0, -inf, 1.0), (9.0, 0.0, 2.0), (9.0, inf, 3.0)]
+        + [(nan, float(i), float(i % 3)) for i in range(7)]
+        + [(-0.0, 10.0, 5.0), (0.0, 11.0, 6.0), (None, 0.0, 4.0)]
+    )
+    df = spark.createDataFrame(rows, "fk double, idx double, val double")
+
+    def canon(res, out):
+        rows_out = []
+        for r in res.collect():
+            k = r["fk"]
+            if k is not None and math.isnan(k):
+                k = "NaN"
+            elif k is not None and k == 0:
+                k = "-0.0" if math.copysign(1, k) < 0 else "0.0"
+            v = r[out]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            rows_out.append((k, r["idx"], v))
+        return sorted(rows_out, key=str)
+
+    w = groupby_scan(df, "fk", func="cumsum", value="val", idx_col="idx")
+    t = groupby_scan(df, "fk", func="cumsum", value="val", idx_col="idx",
+                     method="two_pass", rows_per_chunk=2)
+    assert canon(w, "cumsum") == canon(t, "cumsum")
+    # the inf-idx group accumulated in idx order across all three rows
+    got = {r["idx"]: r["cumsum"] for r in t.collect() if r["fk"] == 9.0}
+    assert got == {-inf: 1.0, 0.0: 3.0, inf: 6.0}
+    # ±0.0 keys: ONE group under both tiers (original bits preserved)
+    z = [row for row in canon(t, "cumsum") if row[0] in ("-0.0", "0.0")]
+    assert [r[2] for r in sorted(z, key=lambda r: r[1])] == [5.0, 11.0]
+
+    wr = groupby_rank(df, "fk", value="val", execution="window")
+    tr = groupby_rank(df, "fk", value="val", execution="two_pass",
+                      rows_per_chunk=2)
+    assert canon(wr, "rank") == canon(tr, "rank")
