@@ -3649,35 +3649,62 @@ _R10_WINDOW = [
     "bloom_decontam", "bloom_join",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
-# R11 WINDOW PLAN (pre-written, rotation discipline): assuming
-# CORRECTNESS_r10.json comes back green, the exact list is — any red
-# r10 keys first (displacing from the tail), then:
+# R11 WINDOW (executes the pre-written plan above; CORRECTNESS_r10 was
+# 50/50 green so there are no red keys to front-load): the 3 r10-new
+# keys first (no official rows yet — new keys outrank freshness, the
+# r8/r9 precedent), then the 42 keys whose latest official row is r7,
+# then the alphabetical head of the r8-row block (5 keys).
+# media_phash/media_video pins were regenerated in r10 after the
+# integer-exact pHash v3 (container BLAS drift made the float v2
+# values environment-dependent) — their r11 rows are the first
+# OFFICIAL check of v3.  NOTE: fuzzy_match is NOT in this window (its
+# latest row is r9); its contract config migrated to the density-
+# relative cap default this round (rel_gram_df=0.05 — VERDICT r10
+# item #3), verified by the local gate at sf0.01 and the sf1 battery,
+# with its next official row due in R13 rotation.
+_R11_WINDOW = [
+    # r10-continuation NEW keys, no official rows yet
+    "fuzzy_scaled", "rolling_frac", "fuzzy_coverage",
+    # latest official row = r7 (42 keys)
+    "bm25", "calibration", "chisq", "corr", "dedup_exact", "describe",
+    "dup_spans", "entropy", "interp_time", "ks", "leak_split", "mad",
+    "media_phash", "media_video", "multimodal_meta", "ngram_counts",
+    "outliers", "overlap_join", "pagerank", "para_dedup", "profile",
+    "psi", "psi_hist", "qnorm", "quantize", "rank",
+    "resample_dense_keys", "seg_dedup", "simhash", "skew_stats",
+    "span_dedup", "spearman", "stream_cms", "stream_cumsum",
+    "stream_dedup", "table_diff", "ttest", "validate", "wquantile",
+    "wsample", "xdim_reduce", "zorder",
+    # balance: the r8-row block's alphabetical head (5 keys)
+    "all", "ann_ivf", "ann_lsh", "ann_topk", "any",
+]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+# R12 WINDOW PLAN (pre-written, rotation discipline): assuming
+# CORRECTNESS_r11.json comes back green, the exact list is — any red
+# r11 keys first (displacing from the tail), then any r11/r12-new keys
+# (new keys outrank freshness), then:
 #
-# _R11_WINDOW = [
-#     # r10-continuation NEW keys, no official rows yet (new keys
-#     # outrank freshness — the r8/r9 precedent)
-#     "fuzzy_scaled", "rolling_frac", "fuzzy_coverage",
-#     # latest official row = r7 (42 keys).  media_phash/media_video
-#     # pins were regenerated in r10 after the integer-exact pHash v3
-#     # (container BLAS drift made the float v2 values environment-
-#     # dependent) — their r11 rows are the first OFFICIAL check of v3.
-#     "bm25", "calibration", "chisq", "corr", "dedup_exact", "describe",
-#     "dup_spans", "entropy", "interp_time", "ks", "leak_split", "mad",
-#     "media_phash", "media_video", "multimodal_meta", "ngram_counts",
-#     "outliers", "overlap_join", "pagerank", "para_dedup", "profile",
-#     "psi", "psi_hist", "qnorm", "quantize", "rank",
-#     "resample_dense_keys", "seg_dedup", "simhash", "skew_stats",
-#     "span_dedup", "spearman", "stream_cms", "stream_cumsum",
-#     "stream_dedup", "table_diff", "ttest", "validate", "wquantile",
-#     "wsample", "xdim_reduce", "zorder",
-#     # balance: the r8-row block's alphabetical head (5 keys)
-#     "all", "ann_ivf", "ann_lsh", "ann_topk", "any",
+# _R12_WINDOW = [
+#     # latest official row = r8 (45 keys)
+#     "argmax", "argmin", "asof_join", "audio_neardup", "centroids",
+#     "count", "curate", "decontaminate", "ewma_scan", "fill_stat",
+#     "fingerprint", "first", "group_topk", "keep_by_dedup", "langid",
+#     "last", "max", "mean", "mean_ts", "median", "min", "mixture",
+#     "nanargmax", "nanargmin", "nanfirst", "nanlast", "nanmax",
+#     "nanmean", "nanmedian", "nanmin", "nanprod", "pca_embed",
+#     "rank_two_pass", "repetition", "rolling", "rollup",
+#     "sample_per_group", "scan_two_pass", "scan_two_pass_ffill",
+#     "split", "sql_entry", "text_stats", "tfidf", "top_terms", "wmean",
+#     # balance: the r9-row block's alphabetical head (5 keys)
+#     "ann_recall", "bins_left", "bins_right", "bpe_tokens",
+#     "calendar_mean",
 # ]
 #
-# The remaining r8-row keys (argmax, argmin, asof_join, …) are the
-# natural R12 window, same ordering.
-_QUERIES = {k: _QUERIES[k] for k in _R10_WINDOW} | {
-    k: v for k, v in _QUERIES.items() if k not in set(_R10_WINDOW)
+# The remaining r9-row keys (chunk_docs, dsir, funnel, …) are the
+# natural R13 window, same ordering — fuzzy_match (config migrated in
+# r11) sits in that block.
+_QUERIES = {k: _QUERIES[k] for k in _R11_WINDOW} | {
+    k: v for k, v in _QUERIES.items() if k not in set(_R11_WINDOW)
 }
 
 
