@@ -3256,18 +3256,21 @@ def q_qcut_two_pass(spark, sf):
 
 def q_fuzzy_match(spark, sf):
     """Edit-distance record linkage (dedup.py edit_distance_pairs, r8
-    first registration): customer-name pairs within Levenshtein 2, found
-    by char-3-gram blocking with the df≤256 stop-gram cap (the
-    ngram_jaccard cap semantics: exact matching over pairs sharing a
-    SURVIVING gram — zero-padded id prefixes are stop-grams and block
-    nothing, documented) and verified with the built-in DP distance.
-    Oracle: identical blocking + DuckDB levenshtein."""
+    first registration; config MIGRATED r11 — VERDICT r10 item #3):
+    customer-name pairs within Levenshtein 2, found by char-3-gram
+    blocking under the new DENSITY-ROBUST default stop-gram cap
+    ``max(256, ceil(0.05·|records|))`` — this key now pins the library
+    DEFAULT (no cap args), so the contract gate checks exactly what a
+    default caller gets.  At sf0.01/sf0.1 the floor binds (cap=256,
+    bit-identical to the r8-r10 rows); at sf1 density the relative term
+    takes over and the result is non-degenerate where the old absolute
+    default silently returned 0 of ~10M true pairs (the r10 sf1-battery
+    finding).  Verified with the built-in banded DP distance.  Oracle:
+    identical blocking arithmetic + DuckDB levenshtein."""
     from dask_groupby_spark.operators import edit_distance_pairs
 
     cust = load_table(spark, sf, "customer")
-    out = edit_distance_pairs(
-        cust, "c_custkey", "c_name", max_dist=2, gram_k=3, max_gram_df=256
-    )
+    out = edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2, gram_k=3)
     return out.orderBy("id_a", "id_b")
 
 
@@ -3294,12 +3297,15 @@ def q_fuzzy_scaled(spark, sf):
 
 def q_fuzzy_coverage(spark, sf):
     """Blocking-coverage audit (dedup.py gram_blocking_stats, r10): the
-    one-row diagnostic for the fuzzy_match config — records with zero
-    SURVIVING grams cannot appear in any candidate pair, which is how
-    the absolute df cap silently returns an empty result on dense
-    corpora (observed at sf1: every customer-name gram exceeded df 256
-    and the default found 0 of ~10M true pairs).  Oracle: the identical
-    distinct-gram / df-cap arithmetic in SQL."""
+    one-row diagnostic, pinned to the ABSOLUTE df<=256 cap (the
+    pre-r11 library default) — records with zero SURVIVING grams cannot
+    appear in any candidate pair, which is how an absolute cap silently
+    returns an empty result on dense corpora (observed at sf1: every
+    customer-name gram exceeded df 256 and that default found 0 of ~10M
+    true pairs — the finding that drove r11's density-robust default,
+    which fuzzy_match now pins).  This key deliberately keeps the
+    absolute config: it is the audit PROVING that failure mode as data.
+    Oracle: the identical distinct-gram / df-cap arithmetic in SQL."""
     from dask_groupby_spark.operators import gram_blocking_stats
 
     cust = load_table(spark, sf, "customer")

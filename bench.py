@@ -261,6 +261,12 @@ def bench_queries_ext(spark, sf):
                                    by="l_returnflag", out="qbin"))
 
     def fuzzy():
+        # max_gram_df=256 PINNED (not the r11 density-robust default):
+        # this series is compared round-over-round against its r9/r10
+        # records, which ran the absolute cap — at sf0.1 the new
+        # default resolves to the same 256 anyway (floor binds below
+        # 5120 records), but the pin keeps the measured plan
+        # construction identical (no count job) across rounds
         _materialize(
             edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2,
                                 gram_k=3, max_gram_df=256)
@@ -276,12 +282,15 @@ def bench_queries_ext(spark, sf):
     }
 
 
+_RUNS = 3  # min over repeats: drops GC/scheduler/host noise
+
+
 def _run_series(qs):
     times = {}
     for name, fn in qs.items():
         fn()  # warm-up run (JIT/codegen/cache)
         best = float("inf")
-        for _ in range(3):  # min over repeats: drops GC/scheduler/host noise
+        for _ in range(_RUNS):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
@@ -290,6 +299,12 @@ def _run_series(qs):
 
 
 def main():
+    # host-load bookkeeping (r11, VERDICT r10 item #5): this is a shared
+    # VM — round-over-round comparisons were repeatedly confounded by a
+    # noisy duty cycle (20-40% inflation on untouched queries in r10).
+    # Recording the 1/5/15-min load averages before and after makes "was
+    # the host quiet?" a fact IN the artifact instead of a narrative.
+    load_before = os.getloadavg()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     times = _run_series(bench_queries(spark, SF_DIR))
@@ -317,6 +332,13 @@ def main():
                     else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # min-of-N per query (after one warm-up); load averages
+                # bracket the measurement — own-load inflates the trailing
+                # numbers, so the leading triple is the "was the host
+                # already busy?" signal
+                "runs": _RUNS,
+                "load_avg_before": [round(x, 2) for x in load_before],
+                "load_avg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

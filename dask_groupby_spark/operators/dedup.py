@@ -251,7 +251,23 @@ def sorted_bucket_pairs(
     ``max_bucket_size`` ≤ ``spill_threshold``.
 
     Returns one exploded column ``p`` per pair; callers project/aggregate.
+
+    Spill-tier economics (r11, VERDICT r10 item #7): before engaging the
+    spill machinery, a driver-only metadata row bound on ``rows``
+    (parquet footers / cached-relation stats — the
+    :func:`~dask_groupby_spark.two_pass._metadata_row_bound` ladder) is
+    tried: a bucket can never hold more members than ``rows`` has rows,
+    so ``bound <= spill_threshold`` proves no bucket can spill and the
+    plain single-level plan runs with ZERO extra jobs or shuffles —
+    bit-identical output, r9 plan shape.  Only unboundable frames (e.g.
+    an explode in the lineage) pay the pre-count probe.
     """
+    if spill_threshold is not None:
+        from ..two_pass import _metadata_row_bound
+
+        bound = _metadata_row_bound(rows)
+        if bound is not None and bound <= spill_threshold:
+            spill_threshold = None
     if spill_threshold is not None:
         return _spilled_bucket_pairs(
             rows, bucket_cols, member, pair,
@@ -276,25 +292,32 @@ def _spilled_bucket_pairs(
 ) -> DataFrame:
     """Giant-bucket-safe tier of :func:`sorted_bucket_pairs`.
 
-    Level 1 groups by (bucket, salt(member)) so each partial row holds
-    ~|bucket|/P members; the partial table (the inverted index, array
-    form) is lazily localCheckpoint-ed — it feeds the stats aggregate and
-    the pair paths, and the checkpoint makes the upstream pipeline (the
-    one corpus scan) run exactly once with no session-lifetime cache.
-    Level 2 computes per-bucket totals and the bottom-``cap`` anchors by
-    merging per-partial bottom-``cap`` slices (pool ≤ P·cap — bounded
-    regardless of bucket size).  Buckets with n ≤ ``spill_threshold``
-    re-assemble their (bounded) full array and reuse the ordinary
-    enumeration; bigger buckets stream members against the broadcast-able
-    anchor array — pairs (a, b) with a an anchor and a < b, exactly the
-    sorted-array anchor star when members are distinct.  A 10⁸-member
-    bucket therefore costs O(n/P) memory per task, never O(n).
+    The over-threshold decision comes FIRST, from a narrow counts-only
+    aggregate over the (lazily localCheckpoint-ed) member rows — keys and
+    longs through the shuffle, no arrays, map-side combined.  In the
+    overwhelmingly common case — no bucket over the threshold — the
+    collection is then the PLAIN single-level ``collect_list`` (per-task
+    memory provably ≤ ``spill_threshold`` members because the pre-count
+    just proved no bucket exceeds it), and none of the salt/regroup/
+    anti-join/star machinery enters the plan.  r10 shipped the salted
+    two-level collection unconditionally; its regroup pass re-shuffled
+    every member array even on healthy corpora — the documented +0.36s
+    near_dedup price that r11 removes (VERDICT r10 item #7).
 
-    NOTE: the spill tier probes the over-threshold set with one tiny
-    driver job at CONSTRUCTION time (``over.take(1)``, reading work the
-    plan needs anyway) — the common no-spill case then carries none of
-    the join/star/union machinery in its plan.  Callers that need a
-    fully-lazy primitive use ``spill_threshold=None``.
+    Only when the pre-count finds a pathological bucket does the salted
+    tier engage: level 1 groups by (bucket, salt(member)) so each partial
+    row holds ~|bucket|/P members; level 2 re-assembles sub-threshold
+    buckets whole (bounded) and, for spilling buckets, merges per-partial
+    bottom-``cap`` slices into the anchor array (pool ≤ P·cap — bounded
+    regardless of bucket size) and streams members against it — pairs
+    (a, b) with a an anchor and a < b, exactly the sorted-array anchor
+    star when members are distinct.  A 10⁸-member bucket therefore costs
+    O(n/P) memory per task, never O(n).
+
+    NOTE: the tier choice costs one tiny driver job at CONSTRUCTION time
+    (``over.take(1)`` on the counts aggregate over the checkpointed rows
+    — work both tiers need anyway).  Callers that need a fully-lazy
+    primitive use ``spill_threshold=None``.
     """
     if max_bucket_size is None:
         raise ValueError(
@@ -309,46 +332,46 @@ def _spilled_bucket_pairs(
             "re-assemble whole and apply the cap there)"
         )
     cap = max_bucket_size
-    base = rows.select(*bucket_cols, member.alias("__m"))
+    # lazy checkpoint: the upstream pipeline (signature hashing, band
+    # explode — the one corpus scan) runs exactly once, feeding both the
+    # pre-count and whichever collection tier wins, with no
+    # session-lifetime cache to leak
+    base = rows.select(*bucket_cols, member.alias("__m")).localCheckpoint(
+        eager=False
+    )
+    # spilling buckets are near-empty by definition (each holds more rows
+    # than the threshold), so the decision keys off the TINY over-
+    # threshold set: the size aggregate is narrow (counts only — no arrays
+    # through the shuffle) and, on the pathological path, the anti/semi
+    # joins against it are AQE broadcasts at runtime.
+    over = (
+        base.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > spill_threshold)
+        .select(*bucket_cols)
+    )
+    if not over.take(1):
+        # healthy corpus: plain single-level collection — the pre-count
+        # proved every bucket ≤ spill_threshold members, so the collected
+        # array is bounded by construction
+        buckets = (
+            base.groupBy(*bucket_cols)
+            .agg(F.array_sort(F.collect_list("__m")).alias("mem"))
+            .where(F.size("mem") >= 2)
+        )
+        return bucket_pairs_from(buckets, "mem", pair, cap)
     part = (
         base.groupBy(
             *bucket_cols,
             F.pmod(F.xxhash64("__m"), F.lit(salt_partitions)).alias("__salt"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.array_sort(F.collect_list("__m")).alias("__mp"),
-        )
+        .agg(F.array_sort(F.collect_list("__m")).alias("__mp"))
         .drop("__salt")
+        # the partial index feeds three consumers below (sub-threshold
+        # regroup, the spilling semi-join, the anchor merge) — checkpoint
+        # so the salted collection itself runs once
         .localCheckpoint(eager=False)
     )
-    # spilling buckets are near-empty by definition (each holds more rows
-    # than the threshold), so everything below keys off the TINY over-
-    # threshold set: the size aggregate is narrow (counts only — no arrays
-    # through the shuffle) and the anti/semi joins against it are AQE
-    # broadcasts at runtime.  Joining the full |buckets|-row stats table
-    # instead cost a sort-merge join of the whole index (+13% on the
-    # near_dedup e2e at sf0.1; see BASELINE r10 for this shape's numbers).
-    over = (
-        part.groupBy(*bucket_cols)
-        .agg(F.sum("__c").alias("__n"))
-        .where(F.col("__n") > spill_threshold)
-        .select(*bucket_cols)
-    )
-    # driver probe: ONE tiny job over the checkpointed partials (work the
-    # plan needs anyway).  In the overwhelmingly common case — nothing
-    # over the threshold — the whole anti-join/star/union machinery is
-    # dropped from the plan and the small path is the plain regroup, so
-    # the spill tier's steady-state cost is just the salted two-level
-    # collection (measured CHEAPER per row than the single-level collect)
-    # plus this scalar probe.
-    if not over.take(1):
-        small = (
-            part.groupBy(*bucket_cols)
-            .agg(F.array_sort(F.flatten(F.collect_list("__mp"))).alias("mem"))
-            .where(F.size("mem") >= 2)
-        )
-        return bucket_pairs_from(small, "mem", pair, cap)
     small = (
         part.join(over, on=bucket_cols, how="left_anti")
         .groupBy(*bucket_cols)
@@ -896,6 +919,21 @@ def near_deduplicate(
     want, since the arbitrary min-id member may be the truncated copy.
     Costs one extra join + window over the (tiny) cluster table only.
     """
+    if spill_threshold is not None and max_bucket_size is not None:
+        # r11 (VERDICT r10 item #7): a band bucket holds at most one row
+        # per document, so a driver-only metadata bound on the CORPUS
+        # frame (parquet footers / cached-relation stats; the band-explode
+        # hides the generic per-rows bound inside sorted_bucket_pairs)
+        # proving |docs| <= spill_threshold proves no bucket can spill —
+        # drop the spill machinery entirely and run the plain r9-shaped
+        # plan, zero extra jobs or shuffles, bit-identical output.
+        # Corpora too large to bound this way (or non-file frames) keep
+        # the default-ON guard.
+        from ..two_pass import _metadata_row_bound
+
+        corpus_bound = _metadata_row_bound(df)
+        if corpus_bound is not None and corpus_bound <= spill_threshold:
+            spill_threshold = None
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k, hasher=hasher
     )
@@ -1345,16 +1383,61 @@ def char_grams(text_col: Column, k: int = 3) -> Column:
     )
 
 
+# Stop-gram cap defaults (r11, VERDICT r10 #3).  The old absolute default
+# (df <= 256) provably zeroes recall at 10x bench density — on the sf1
+# corpus EVERY customer-name gram exceeds 256 and the result silently
+# empties (0 of ~10M true pairs, found by the sf1 battery).  A pure
+# relative cap breaks the other end: ceil(0.05 * n) < 2 on corpora under
+# 40 records drops every SHARED gram and nothing ever pairs.  The default
+# is therefore max(256, ceil(0.05 * n)) — the old absolute as a FLOOR
+# (small corpora behave exactly as before), density-relative growth above
+# it (dense corpora stay blockable at any scale).  Costs one scalar count
+# job at construction (the spill-probe precedent).  Passing EITHER
+# parameter explicitly (including max_gram_df=None for "uncapped") opts
+# out of the default entirely.
+_GRAM_DF_REL_DEFAULT = 0.05
+_GRAM_DF_FLOOR_DEFAULT = 256
+_CAP_UNSET = object()
+
+
+def _resolve_gram_cap(base: DataFrame, max_gram_df, rel_gram_df) -> int | None:
+    """Resolve the (max_gram_df, rel_gram_df) pair to ONE absolute cap —
+    shared bit-for-bit by :func:`edit_distance_pairs` and its audit
+    :func:`gram_blocking_stats` so the audit always audits exactly the
+    config the matcher runs."""
+    import math as _math
+
+    if max_gram_df is _CAP_UNSET and rel_gram_df is _CAP_UNSET:
+        return max(
+            _GRAM_DF_FLOOR_DEFAULT,
+            _math.ceil(_GRAM_DF_REL_DEFAULT * base.count()),
+        )
+    if max_gram_df is _CAP_UNSET:
+        max_gram_df = None
+    if rel_gram_df is _CAP_UNSET:
+        rel_gram_df = None
+    if rel_gram_df is not None:
+        if max_gram_df is not None:
+            raise ValueError(
+                "pass max_gram_df OR rel_gram_df, not both (the relative "
+                "cap computes an absolute one from the record count)"
+            )
+        if not (0.0 < rel_gram_df <= 1.0):
+            raise ValueError(f"rel_gram_df must be in (0, 1], got {rel_gram_df}")
+        return max(1, _math.ceil(rel_gram_df * base.count()))
+    return max_gram_df
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_dist: int = 2,
     gram_k: int = 3,
-    max_gram_df: int | None = 256,
+    max_gram_df: int | None = _CAP_UNSET,
     max_bucket_size: int | None = None,
     prefix_blocking: bool = False,
-    rel_gram_df: float | None = None,
+    rel_gram_df: float | None = _CAP_UNSET,
 ) -> DataFrame:
     """Fuzzy string matching — the record-linkage primitive: all pairs of
     rows whose ``text_col`` values are within Levenshtein distance
@@ -1369,14 +1452,19 @@ def edit_distance_pairs(
     block.  ``max_gram_df`` drops stop-grams (a gram in every record
     blocks nothing and costs O(n²) enumeration — the ``ngram_jaccard``
     boilerplate cap, same trade: recall loss confined to pairs similar
-    ONLY in dropped grams).  The cap is ABSOLUTE, so its recall loss
-    scales with corpus density: on a template-dominated corpus at high
-    enough density every gram exceeds it and the result is silently
-    EMPTY (observed at 10× bench density — 0 of ~10M true pairs).  Run
-    :func:`gram_blocking_stats` with the same config first; its
-    ``unblocked_records`` column is exactly the set of records the cap
-    has made unpairable.  Strings shorter than ``gram_k`` produce no
-    grams and never pair.
+    ONLY in dropped grams).  DEFAULT cap (r11): density-robust
+    ``max(256, ceil(0.05 · |records|))`` — an ABSOLUTE cap's recall
+    loss scales with corpus density (at 10× bench density every gram
+    exceeded the old ``256`` default and the result was silently EMPTY,
+    0 of ~10M true pairs — the r10 sf1-battery finding), while a pure
+    RELATIVE cap under-blocks tiny corpora; the floor keeps small-corpus
+    behavior identical to the historical default.  Pass ``max_gram_df``
+    (absolute, ``None`` = uncapped) or ``rel_gram_df`` (pure
+    ``ceil(frac · |records|)``) to override — mutually exclusive.  Run
+    :func:`gram_blocking_stats` with the same config first on an
+    unfamiliar corpus; its ``unblocked_records`` column is exactly the
+    set of records the cap has made unpairable.  Strings shorter than
+    ``gram_k`` produce no grams and never pair.
 
     Plan: one groupBy(gram) builds sorted (id, text) member arrays;
     candidate pairs enumerate map-side (``bucket_pairs_from``, optional
@@ -1407,25 +1495,7 @@ def edit_distance_pairs(
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     ).where(F.col(text_col).isNotNull())
-    if rel_gram_df is not None:
-        # DENSITY-RELATIVE stop-gram cap (r10): the absolute cap's recall
-        # loss scales with corpus density — at 10× the tuned density every
-        # gram can exceed it and the result silently empties (the sf1
-        # battery finding gram_blocking_stats documents).  A gram shared
-        # by a fixed FRACTION of records is a stop-gram at every scale, so
-        # the cap becomes ceil(rel_gram_df · |records|): one scalar count
-        # job at construction (the ann_ivf/spill-probe precedent), exactly
-        # mirrorable in SQL.  Mutually exclusive with the absolute form.
-        if max_gram_df is not None:
-            raise ValueError(
-                "pass max_gram_df OR rel_gram_df, not both (the relative "
-                "cap computes an absolute one from the record count)"
-            )
-        if not (0.0 < rel_gram_df <= 1.0):
-            raise ValueError(f"rel_gram_df must be in (0, 1], got {rel_gram_df}")
-        import math as _math
-
-        max_gram_df = max(1, _math.ceil(rel_gram_df * base.count()))
+    max_gram_df = _resolve_gram_cap(base, max_gram_df, rel_gram_df)
     grams = base.select(
         "id", "txt", F.explode(char_grams(F.col("txt"), gram_k)).alias("g")
     )
@@ -1525,12 +1595,15 @@ def gram_blocking_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     gram_k: int = 3,
-    max_gram_df: int | None = 256,
-    rel_gram_df: float | None = None,
+    max_gram_df: int | None = _CAP_UNSET,
+    rel_gram_df: float | None = _CAP_UNSET,
 ) -> DataFrame:
     """Blocking-coverage audit for :func:`edit_distance_pairs` — run it
     BEFORE a fuzzy-match job to see whether the stop-gram cap leaves the
-    corpus blockable at all.
+    corpus blockable at all.  Cap defaults/overrides are shared with
+    :func:`edit_distance_pairs` via :func:`_resolve_gram_cap` (default
+    ``max(256, ceil(0.05 · |records|))``) — the audit always audits
+    exactly the config the matcher would run.
 
     The absolute ``max_gram_df`` cap is a fixed-work guarantee, but its
     recall loss scales with corpus density: on a template-dominated
@@ -1560,19 +1633,7 @@ def gram_blocking_stats(
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     ).where(F.col(text_col).isNotNull())
-    if rel_gram_df is not None:
-        # same density-relative cap arithmetic as edit_distance_pairs —
-        # the audit must mirror the config it audits bit-for-bit
-        if max_gram_df is not None:
-            raise ValueError(
-                "pass max_gram_df OR rel_gram_df, not both (the relative "
-                "cap computes an absolute one from the record count)"
-            )
-        if not (0.0 < rel_gram_df <= 1.0):
-            raise ValueError(f"rel_gram_df must be in (0, 1], got {rel_gram_df}")
-        import math as _math
-
-        max_gram_df = max(1, _math.ceil(rel_gram_df * base.count()))
+    max_gram_df = _resolve_gram_cap(base, max_gram_df, rel_gram_df)
     grams = base.select(
         "id", F.explode(char_grams(F.col("txt"), gram_k)).alias("g")
     )

@@ -110,6 +110,12 @@ def groupby_apply_reduce(
     # NULL (see groupby_apply_transform) — float keys travel with a
     # boolean isnan marker and are restored after the UDF
     nan_keys = [b for b in by if dt[b] in ("float", "double")]
+    clash = [c for c in df.columns if c.startswith("__agr_")]
+    if clash:
+        raise ValueError(
+            f"input column(s) {clash} collide with the internal __agr_* "
+            "namespace; rename them before groupby_apply_reduce"
+        )
     marks = {b: f"__agr_nan_{i}" for i, b in enumerate(nan_keys)}
     mark_schema = "".join(f", `{m}` boolean" for m in marks.values())
     # no keys = one global group: the schema must not lead with a comma

@@ -2900,17 +2900,23 @@ ORDER BY id_a, id_b"""
 # tier bit-for-bit — same oracle text as qcut_grouped.
 ORACLE_SQL["qcut_two_pass"] = ORACLE_SQL["qcut_grouped"]
 
-# fuzzy_match (r8): edit-distance record linkage over customer names —
-# identical char-3-gram blocking (distinct grams, df <= 256 stop-gram
-# cap, pairs share >= 1 surviving gram) + levenshtein <= 2 verify.
+# fuzzy_match (r8; config migrated r11 to the density-robust DEFAULT
+# cap): edit-distance record linkage over customer names — identical
+# char-3-gram blocking (distinct grams, stop-gram cap
+# max(256, ceil(0.05*n)) — the library default: absolute floor for
+# small corpora, density-relative growth at scale), pairs share >= 1
+# surviving gram, levenshtein <= 2 verify.
 ORACLE_SQL["fuzzy_match"] = """
-WITH g0 AS (
-  SELECT DISTINCT c_custkey AS id, c_name AS txt,
-         unnest(list_transform(range(1, greatest(length(c_name) - 2, 0) + 1),
-                               i -> substr(c_name, i, 3))) AS g
-  FROM customer WHERE c_name IS NOT NULL
+WITH b AS (SELECT c_custkey AS id, c_name AS txt FROM customer WHERE c_name IS NOT NULL),
+nrec AS (SELECT count(*) AS n FROM b),
+g0 AS (
+  SELECT DISTINCT id, txt,
+         unnest(list_transform(range(1, greatest(length(txt) - 2, 0) + 1),
+                               i -> substr(txt, i, 3))) AS g
+  FROM b
 ),
-keep AS (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 256),
+keep AS (SELECT g FROM g0 GROUP BY g
+         HAVING count(*) <= greatest(256, CAST(ceil(0.05 * (SELECT n FROM nrec)) AS BIGINT))),
 gb AS (SELECT g0.id, g0.txt, g0.g FROM g0 JOIN keep USING (g)),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.txt AS t_a, b.txt AS t_b

@@ -17,12 +17,17 @@
 # listed a stale key name `ewma` that silently no-opped — ewma_scan had
 # never actually run at sf1 before the dedicated check below.)
 #
-# EXCLUDED (8), each for a stated structural reason — do NOT re-add
-# without solving the underlying bound:
+# EXCLUDED from the DuckDB battery (8), each for a stated structural
+# reason — do NOT re-add without solving the underlying bound:
 #   dup_clusters keep_by_dedup leak_split semdedup
 #       oracle embeds the recursive-CTE closure over ~866k sf1 pairs
-#       (DuckDB-impractical; clustering holds the sf1 tier-vs-tier
-#       certificate instead — scripts/soak_cluster_tiers.py)
+#       (DuckDB-impractical).  ALL FOUR hold sf1 tier-vs-tier
+#       certificates instead: the clustering primitive via
+#       scripts/soak_cluster_tiers.py (driver union-find ≡ distributed
+#       min-label, exact label map), and the three composed pipelines
+#       END-TO-END via scripts/soak_pipeline_tiers.py (r11: final
+#       keeper/survivor/split decisions exact-multiset-equal across
+#       forced tiers, + the no-cluster-straddles-split invariant)
 #   pca_embed media_phash media_video audio_neardup
 #       pinned-fixture oracles; payloads are scale-independent
 set -u
@@ -50,6 +55,9 @@ pass=0; fail=0; failed=""
 out=$(timeout 1800 python scripts/sf1_ewma_check.py "$SF" 2>/dev/null | grep -aE "^(PASS|FAIL)")
 echo "$out"
 p=$(grep -ac '^PASS' <<<"$out"); f=$(grep -ac '^FAIL' <<<"$out")
+# no PASS line at all (crash / timeout / empty output) counts as a FAIL —
+# a silently absent check must not tally as neither (r11 ADVICE)
+if [ "$p" -eq 0 ]; then f=$((f>0 ? f : 1)); fi
 pass=$((pass+p)); fail=$((fail+f))
 [ "$f" -gt 0 ] && failed="$failed ewma_scan"
 for b in "${BATCHES[@]}"; do

@@ -56,6 +56,11 @@ def main():
     bad = []
     for eid, e in zip(pdf["event_id"], pdf["exp"]):
         g = got.get(eid)
+        # normalize engine-side float NaN the same way as pandas-side
+        # (e6): NaN == NaN must compare equal, not FAIL through
+        # math.isclose(nan, ...) (r11 ADVICE)
+        if isinstance(g, float) and math.isnan(g):
+            g = None
         e6 = None if (e is None or (isinstance(e, float) and math.isnan(e))) else round(float(e), 6)
         if g is None and e6 is None:
             continue

@@ -11,6 +11,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from dask_groupby_spark import groupby_scan
 
@@ -1057,3 +1058,82 @@ def test_two_pass_inf_idx_and_float_keys(spark):
     tr = groupby_rank(df, "fk", value="val", execution="two_pass",
                       rows_per_chunk=2)
     assert canon(wr, "rank") == canon(tr, "rank")
+
+
+def test_dispatch_auto_probe_economics(spark, tmp_path):
+    """VERDICT r10 #1: the auto-tier probe must not cost a job on the
+    window path when a cheaper bound proves no group can exceed
+    rows_per_chunk.  The decision ladder: parquet footers -> cached-
+    relation stats -> memoized probe -> probe job."""
+    from dask_groupby_spark import two_pass as tp
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v"
+    ).write.parquet(p)
+    df = spark.read.parquet(p).withColumn("v2", F.col("v") + 1)
+
+    # footer bound: exact, no job
+    assert tp._metadata_row_bound(df) == 1000
+    # row-growing plans have no safe bound
+    assert tp._metadata_row_bound(df.join(df.select("id"), on="id")) is None
+    assert tp._metadata_row_bound(
+        df.select(F.explode(F.array("v", "v2")).alias("x"))
+    ) is None
+    assert tp._metadata_row_bound(df.unionByName(df)) is None
+    # filters/aggregates only reduce rows: the bound stays valid
+    assert tp._metadata_row_bound(df.where("v > 100")) == 1000
+    # materialized cache: InMemoryRelation stats carry the exact count
+    c = df.cache()
+    c.count()
+    try:
+        assert tp._metadata_row_bound(c) == 1000
+    finally:
+        c.unpersist()
+
+    idxn = tp._idx_numeric(df, "id")
+    calls = []
+    orig = tp._chunk_stats
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    tp._chunk_stats = spy
+    try:
+        # footer short-circuit: window tier, zero probe jobs
+        tier, stats = tp.dispatch_auto(df, ["k"], idxn, 2_000_000)
+        assert (tier, stats) == ("window", None) and not calls
+        # un-boundable frame: probe runs once, memo absorbs the repeat
+        j = df.join(df.select("id"), on="id")
+        jidx = tp._idx_numeric(j, "id")
+        tier, stats = tp.dispatch_auto(j, ["k"], jidx, 2_000_000)
+        assert (tier, stats) == ("window", None) and len(calls) == 1
+        tier, stats = tp.dispatch_auto(j, ["k"], jidx, 2_000_000)
+        assert (tier, stats) == ("window", None) and len(calls) == 1
+        # memo stores the observed max group size: a tighter
+        # rows_per_chunk on the same frame must NOT reuse the window
+        # decision blindly — it re-probes and flips to two_pass
+        tier, stats = tp.dispatch_auto(j, ["k"], jidx, 10)
+        assert tier == "two_pass" and stats is not None
+        stats.unpersist()
+        # small rows_per_chunk on the boundable frame: bound exceeds the
+        # chunk size, so the probe runs and picks the scale tier
+        tier, stats = tp.dispatch_auto(df, ["k"], idxn, 10)
+        assert tier == "two_pass" and stats is not None
+        stats.unpersist()
+    finally:
+        tp._chunk_stats = orig
+
+
+def test_dispatch_auto_bound_conservative_on_empty_relation(spark, tmp_path):
+    """An empty parquet frame bounds to 0 rows -> window tier, no probe."""
+    from dask_groupby_spark import two_pass as tp
+
+    p = str(tmp_path / "e.parquet")
+    spark.range(0).selectExpr("id", "id AS k").write.parquet(p)
+    df = spark.read.parquet(p)
+    b = tp._metadata_row_bound(df)
+    assert b == 0
+    tier, stats = tp.dispatch_auto(df, ["k"], tp._idx_numeric(df, "id"), 100)
+    assert (tier, stats) == ("window", None)
