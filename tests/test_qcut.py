@@ -185,3 +185,42 @@ def test_null_group_is_its_own_group(spark):
             assert got[i] == (0 if i <= 4 else 1), (kw, i)
         for i in range(10):
             assert got[100 + i] == (0 if i <= 4 else 1), (kw, i)
+
+
+def test_qcut_auto_skips_probe_on_boundable_frame(spark, tmp_path):
+    """r11: quantile_bins(method='auto') must not pay the max-count probe
+    job when a metadata row bound already proves no group can exceed
+    rows_per_chunk — and the tiers stay bit-identical either way."""
+    import pyspark.sql.functions as F
+
+    from dask_groupby_spark.binning import quantile_bins
+
+    p = str(tmp_path / "q.parquet")
+    spark.range(500).selectExpr(
+        "id", "id % 4 AS g", "CAST(pmod(id * 37, 101) AS DOUBLE) AS v"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    # binning resolves _metadata_row_bound from two_pass at call time —
+    # spy there; a bound of 500 <= rows_per_chunk is the zero-job
+    # short-circuit condition
+    from dask_groupby_spark import two_pass as tp
+
+    calls = []
+    orig = tp._metadata_row_bound
+
+    def spy(frame, *a, **k):
+        r = orig(frame, *a, **k)
+        calls.append(r)
+        return r
+
+    tp._metadata_row_bound = spy
+    try:
+        auto = quantile_bins(df, "v", q=4, by="g", out="qb")
+        rows_auto = sorted((r["id"], r["qb"]) for r in auto.collect())
+        assert calls and calls[-1] == 500  # bound found -> no probe job
+    finally:
+        tp._metadata_row_bound = orig
+    forced = quantile_bins(df, "v", q=4, by="g", out="qb", method="two_pass")
+    rows_forced = sorted((r["id"], r["qb"]) for r in forced.collect())
+    assert rows_auto == rows_forced
