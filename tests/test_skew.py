@@ -566,3 +566,61 @@ def test_capped_drop_buckets_parity_randomized(spark):
     assert "hot" not in got
     # every surviving array is complete and sorted
     assert all(list(v) == sorted(v) for v in got.values())
+
+
+def test_spill_machinery_gated_by_metadata_bound(spark, tmp_path):
+    """r11 (VERDICT r10 #7): when a metadata row bound proves no bucket
+    can exceed spill_threshold, the spill machinery must not enter the
+    plan at all — sorted_bucket_pairs takes the plain path (gated via
+    the rows frame), and near_deduplicate gates on the CORPUS frame even
+    though its band-exploded rows are unboundable."""
+    import dask_groupby_spark.operators.dedup as dd
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(60).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 7 = 0 THEN 'shared seven body of words here' "
+        "ELSE concat('doc body ', CAST(id * 17 AS STRING)) END AS text",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    orig = dd._spilled_bucket_pairs
+
+    def boom(*a, **k):
+        raise AssertionError("spill machinery engaged on a bounded corpus")
+
+    dd._spilled_bucket_pairs = boom
+    try:
+        kept = dd.near_deduplicate(docs, num_hashes=8, bands=4).count()
+        assert kept > 0
+        # direct sorted_bucket_pairs on a boundable rows frame
+        rows = docs.selectExpr("pmod(doc_id, 5) AS b", "doc_id AS m")
+        pairs = dd.sorted_bucket_pairs(
+            rows,
+            ["b"],
+            F.col("m"),
+            lambda a, c: F.struct(a.alias("x"), c.alias("y")),
+            max_bucket_size=50,
+            spill_threshold=1_000_000,
+        ).count()
+        assert pairs > 0
+    finally:
+        dd._spilled_bucket_pairs = orig
+    # a threshold SMALLER than the bound must still engage the machinery
+    got = dd.sorted_bucket_pairs(
+        docs.selectExpr("pmod(doc_id, 2) AS b", "doc_id AS m"),
+        ["b"],
+        F.col("m"),
+        lambda a, c: F.struct(a.alias("x"), c.alias("y")),
+        max_bucket_size=10,
+        spill_threshold=20,
+    )
+    plain = dd.sorted_bucket_pairs(
+        docs.selectExpr("pmod(doc_id, 2) AS b", "doc_id AS m"),
+        ["b"],
+        F.col("m"),
+        lambda a, c: F.struct(a.alias("x"), c.alias("y")),
+        max_bucket_size=10,
+        spill_threshold=None,
+    )
+    assert sorted(map(str, got.collect())) == sorted(map(str, plain.collect()))
