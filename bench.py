@@ -282,20 +282,26 @@ def bench_queries_ext(spark, sf):
     }
 
 
-_RUNS = 3  # min over repeats: drops GC/scheduler/host noise
+_RUNS = 3  # min over back-to-back repeats: drops GC/scheduler jitter
+_PASSES = 2  # min over full-series passes: a multi-minute host-load WAVE
+# (the shared VM's duty cycle) poisons every back-to-back repeat of the
+# queries it overlaps; a second, temporally-separated pass de-correlates
+# it (r11 — observed a wave turn ann_ivf 1.7s into 10.3s mid-run)
 
 
-def _run_series(qs):
+def _run_series(qs, passes=_PASSES):
     times = {}
-    for name, fn in qs.items():
-        fn()  # warm-up run (JIT/codegen/cache)
-        best = float("inf")
-        for _ in range(_RUNS):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-    return times
+    for p in range(passes):
+        for name, fn in qs.items():
+            if p == 0:
+                fn()  # warm-up run (JIT/codegen/cache)
+            best = times.get(name, float("inf"))
+            for _ in range(_RUNS):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = best
+    return {k: round(v, 3) for k, v in times.items()}
 
 
 def main():
@@ -337,6 +343,7 @@ def main():
                 # numbers, so the leading triple is the "was the host
                 # already busy?" signal
                 "runs": _RUNS,
+                "passes": _PASSES,
                 "load_avg_before": [round(x, 2) for x in load_before],
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
             }
