@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from dask_groupby_spark.session import get_spark
 from dask_groupby_spark.sources import load_table
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
 VOWELS = "aeiou"
 
 
@@ -134,4 +134,9 @@ def main(out_dir: str = "/tmp/sf1", copies: int = 10) -> None:
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or ["/tmp/sf1"]))
+    # make_sf1.py OUT [COPIES] — with SPARK_GRAFT_SF_SRC to replicate from
+    # a different base (e.g. SRC=/tmp/sf1 COPIES=10 -> an sf10 directory,
+    # 100x driver scale; the per-copy perturbations compose safely)
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    main(out, copies)
