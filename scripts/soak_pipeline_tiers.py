@@ -28,10 +28,14 @@ module (`dask_groupby_spark.operators.dedup`) — every pipeline resolves
 it from there at call time, so the REAL pipeline code runs unmodified;
 nothing is re-implemented here that could drift from the library.
 
-Usage: python scripts/soak_pipeline_tiers.py [sf_dir]   (default
-/tmp/sf1, built by scripts/make_sf1.py).  Prints one JSON line per
+Usage: python scripts/soak_pipeline_tiers.py [sf_dir] [pipeline ...]
+(default /tmp/sf1, all three pipelines).  Prints one JSON line per
 pipeline {pipeline, rows_driver, rows_distributed, mismatches,
 driver_sec, distributed_sec} and exits non-zero on any mismatch.
+A pipeline filter matters at sf10+: keep_by_dedup's contract config is
+bucket-capped + spill-guarded so it scales to any SF, while leak_split
+and the semdedup scorer pin UNCAPPED pair configs whose candidate
+stream grows ~quadratically with bucket occupancy — run those at sf1.
 """
 
 from __future__ import annotations
@@ -98,11 +102,15 @@ def _certify(spark, name, build, check=None):
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    only = set(sys.argv[2:])
     spark = get_spark("soak-pipeline-tiers")
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf, "documents")
     emb = load_table(spark, sf, "embeddings")
+
+    def wanted(name):
+        return not only or name in only
 
     bad = 0
 
@@ -120,14 +128,16 @@ def main():
         )
         return kept.select("doc_id", F.col("q").alias("quality"))
 
-    bad += _certify(spark, "keep_by_dedup", build_keep)
+    if wanted("keep_by_dedup"):
+        bad += _certify(spark, "keep_by_dedup", build_keep)
 
     # --- semdedup (contract config: q_semdedup) --------------------------
     def build_sem():
         kept = semantic_deduplicate(emb, threshold=0.25, dim=64, n_planes=4)
         return kept.select("vec_id", "label")
 
-    bad += _certify(spark, "semdedup", build_sem)
+    if wanted("semdedup"):
+        bad += _certify(spark, "semdedup", build_sem)
 
     # --- leak_split (contract config: q_leak_split) ----------------------
     def build_split():
@@ -150,7 +160,8 @@ def main():
         )
         assert straddle == 0, f"{straddle} clusters straddle the split"
 
-    bad += _certify(spark, "leak_split", build_split, check=check_no_straddle)
+    if wanted("leak_split"):
+        bad += _certify(spark, "leak_split", build_split, check=check_no_straddle)
 
     spark.stop()
     if bad:
