@@ -283,7 +283,10 @@ def bench_queries_ext(spark, sf):
 
 
 _RUNS = 3  # min over back-to-back repeats: drops GC/scheduler jitter
-_PASSES = 2  # min over full-series passes: a multi-minute host-load WAVE
+# min over full-series passes: a multi-minute host-load WAVE
+_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+# (env knob: big-SF readings where one pass already runs tens of minutes
+# can set SPARK_GRAFT_BENCH_PASSES=1)
 # (the shared VM's duty cycle) poisons every back-to-back repeat of the
 # queries it overlaps; a second, temporally-separated pass de-correlates
 # it (r11 — observed a wave turn ann_ivf 1.7s into 10.3s mid-run)

@@ -103,7 +103,16 @@ def _certify(spark, name, build, check=None):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     only = set(sys.argv[2:])
-    spark = get_spark("soak-pipeline-tiers")
+    # The FORCED driver union-find tier collects the whole pair table —
+    # above ~1 GiB of pairs (sf10) that trips the default
+    # spark.driver.maxResultSize, which is precisely the bound the
+    # library's 2M-edge default tier switch protects against.  The soak's
+    # whole point is running BOTH exact tiers side by side, so its own
+    # session raises the limit (soak-only; library defaults unchanged).
+    spark = get_spark(
+        "soak-pipeline-tiers",
+        extra_conf={"spark.driver.maxResultSize": "16g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf, "documents")
