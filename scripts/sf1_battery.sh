@@ -1,9 +1,11 @@
 #!/bin/bash
-# sf1 exact-value oracle battery: every contract key whose DuckDB oracle
-# is practical at 10x driver scale (187/195 as of r10 — incl. fuzzy_coverage,
-# fuzzy_scaled (3.2M exact pairs at sf1, where fuzzy_match's absolute cap
-# blocks everything), rolling_frac, and reindex_fill (unblocked by
-# make_sf1's verbatim nation dim); see BASELINE).
+# sf1 battery — every verifiable contract key at 10x driver scale, ONE
+# artifact (r11): 186 DuckDB exact-value keys + the ewma_scan pandas
+# differential + the 4 closure-class tier-vs-tier certificates
+# = 191/195 keys.  The 4 keys outside (pca_embed media_phash
+# media_video audio_neardup) are pinned-fixture oracles whose payloads
+# are scale-independent by construction (see the exclusion note
+# below).  See BASELINE for per-round tallies.
 #
 # Usage:  scripts/make_sf1.py /tmp/sf1   # once per container
 #         scripts/sf1_battery.sh [sf_dir] [batch...]
@@ -27,7 +29,9 @@
 #       min-label, exact label map), and the three composed pipelines
 #       END-TO-END via scripts/soak_pipeline_tiers.py (r11: final
 #       keeper/survivor/split decisions exact-multiset-equal across
-#       forced tiers, + the no-cluster-straddles-split invariant)
+#       forced tiers, + the no-cluster-straddles-split invariant).
+#       Both certificate scripts run at the END of this battery and
+#       count into its tally.
 #   pca_embed media_phash media_video audio_neardup
 #       pinned-fixture oracles; payloads are scale-independent
 set -u
@@ -68,4 +72,16 @@ for b in "${BATCHES[@]}"; do
   pass=$((pass+p)); fail=$((fail+f))
   [ "$f" -gt 0 ] && failed="$failed $(grep -a '^FAIL' <<<"$out" | awk '{print $2}' | tr -d ':')"
 done
+# closure-class keys (dup_clusters keep_by_dedup semdedup leak_split):
+# DuckDB-impractical oracles, verified instead by tier-vs-tier
+# certificates at the same SF — counted into the tally so the battery
+# is one complete artifact (r11).  Absence of output counts as FAIL.
+out=$(timeout 3600 python scripts/soak_cluster_tiers.py "$SF" 2>/dev/null | grep -ao '"mismatches": [0-9]*')
+echo "cluster certificate: ${out:-NO OUTPUT}"
+if [ "$out" = '"mismatches": 0' ]; then pass=$((pass+1)); else fail=$((fail+1)); failed="$failed dup_clusters(cert)"; fi
+out=$(timeout 3600 python scripts/soak_pipeline_tiers.py "$SF" 2>/dev/null | grep -aoE '"pipeline": "[a-z_]*", .*"mismatches": [0-9]*')
+echo "pipeline certificates:"; echo "$out"
+p=$(grep -ac '"mismatches": 0' <<<"$out"); f=$((3-p))
+pass=$((pass+p)); fail=$((fail+f))
+[ "$f" -gt 0 ] && failed="$failed pipeline-certs($f)"
 echo "== sf1 battery: $pass PASS, $fail FAIL${failed:+ (failed:$failed)}"
