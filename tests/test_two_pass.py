@@ -1126,6 +1126,71 @@ def test_dispatch_auto_probe_economics(spark, tmp_path):
         tp._chunk_stats = orig
 
 
+def test_metadata_row_bound_mixed_leaves(spark, tmp_path):
+    """ADVICE r11 #1: a plan mixing a cached (no-files) leaf with a
+    parquet leaf must bound by EVERY leaf, not just the file leaves —
+    cachedDF.exceptAll(smallParquetDF) used to bound to the small side's
+    5 footer rows while the frame held ~995."""
+    from dask_groupby_spark import two_pass as tp
+
+    big_p = str(tmp_path / "big.parquet")
+    small_p = str(tmp_path / "small.parquet")
+    spark.range(1000).write.parquet(big_p)
+    spark.range(5).write.parquet(small_p)
+    big = spark.read.parquet(big_p).cache()
+    big.count()
+    try:
+        ex = big.exceptAll(spark.read.parquet(small_p))
+        b = tp._metadata_row_bound(ex)
+        assert b is not None and b >= ex.count()  # 1005 >= 995
+    finally:
+        big.unpersist()
+
+
+def test_metadata_row_bound_sample_and_unpivot(spark, tmp_path):
+    """ADVICE r11 #2: Sample WITH replacement can grow rows (fraction > 1
+    re-draws rows) — no bound; without replacement stays row-reducing and
+    keeps the footer bound.  Unpivot multiplies rows x value-columns."""
+    from dask_groupby_spark import two_pass as tp
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).write.parquet(p)
+    df = spark.read.parquet(p)
+    repl = df.sample(withReplacement=True, fraction=5.0, seed=1)
+    assert tp._metadata_row_bound(repl) is None
+    assert tp._metadata_row_bound(df.sample(0.5, seed=1)) == 100
+    assert (
+        tp._metadata_row_bound(
+            df.sample(withReplacement=False, fraction=0.5, seed=1)
+        )
+        == 100
+    )
+    up = df.withColumn("v2", F.col("id") + 1).unpivot(
+        "id", ["id", "v2"], "var", "val"
+    )
+    assert tp._metadata_row_bound(up) is None
+
+
+def test_auto_memo_file_rewrite_invalidates(spark, tmp_path):
+    """ADVICE r11 #3: rewriting the underlying parquet mid-session must
+    not replay a memoized window decision — the file signature in the
+    memo key misses and the probe re-runs on the fresh data."""
+    from dask_groupby_spark import two_pass as tp
+
+    p = str(tmp_path / "m.parquet")
+    spark.range(100).selectExpr("id", "id % 3 AS k").write.parquet(p)
+    df1 = spark.read.parquet(p)
+    k1 = tp._memo_key(df1, ["k"], "idx")
+    spark.range(500).selectExpr("id", "id % 3 AS k").write.mode(
+        "overwrite"
+    ).parquet(p)
+    k2 = tp._memo_key(spark.read.parquet(p), ["k"], "idx")
+    assert k1 is not None and k2 is not None and k1 != k2
+    tp._AUTO_MEMO[("sentinel",)] = 1
+    tp.clear_auto_memo()
+    assert not tp._AUTO_MEMO
+
+
 def test_dispatch_auto_bound_conservative_on_empty_relation(spark, tmp_path):
     """An empty parquet frame bounds to 0 rows -> window tier, no probe."""
     from dask_groupby_spark import two_pass as tp
