@@ -3314,6 +3314,28 @@ def q_fuzzy_coverage(spark, sf):
     )
 
 
+def q_lsh_coverage(spark, sf):
+    """Bucket-occupancy audit for the embedding-LSH family (similarity.py
+    lsh_bucket_stats, r12 — VERDICT r11 #2): the embedding analog of
+    fuzzy_coverage's gram_blocking_stats.  At FIXED n_planes, bucket
+    occupancy grows linearly with the corpus and members past
+    max_bucket_size are scored against the anchor set only (SCALE.md) —
+    the same silent-recall-cap shape as the r10 fuzzy-cap cliff, made
+    visible as data (truncated_member_frac / scored_pair_frac) plus an
+    integer-exact recommended_n_planes.  Pinned to cap 16 so the
+    anchor-star truncation arithmetic is EXERCISED at sf0.01 (max bucket
+    45 > 16), not just zeros.  Oracle: identical bucket assignment
+    (shared md5 planes, left-to-right sign fold) and identical pair/cap
+    arithmetic in SQL."""
+    from dask_groupby_spark.operators import lsh_bucket_stats
+
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_bucket_stats(
+        emb, vec_col="embedding", dim=64, n_planes=4,
+        max_bucket_size=16, target_occupancy=16,
+    )
+
+
 def q_json_extract(spark, sf):
     """Schema-on-read JSON payload extraction (sources.
     extract_json_fields, r8 first registration): pull the typed $.k
@@ -3434,6 +3456,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match": q_fuzzy_match,
     "fuzzy_scaled": q_fuzzy_scaled,
     "fuzzy_coverage": q_fuzzy_coverage,
+    "lsh_coverage": q_lsh_coverage,
     "json_extract": q_json_extract,
     "rank_two_pass": q_rank_two_pass,
     "keep_by_dedup": q_keep_by_dedup,
@@ -3685,32 +3708,58 @@ _R11_WINDOW = [
     "all", "ann_ivf", "ann_lsh", "ann_topk", "any",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
-# R12 WINDOW PLAN (pre-written, rotation discipline): assuming
-# CORRECTNESS_r11.json comes back green, the exact list is — any red
-# r11 keys first (displacing from the tail), then any r11/r12-new keys
+# R12 WINDOW (executes the pre-written plan above; CORRECTNESS_r11 was
+# 50/50 green so there are no red keys to front-load): the r12-new
+# lsh_coverage key first (no official row yet — new keys outrank
+# freshness), then the 45 keys whose latest official row is r8 (the
+# stalest block), then the alphabetical head of the r9-row block (4
+# keys — the new key displaced calendar_mean to R13).
+_R12_WINDOW = [
+    # r12-NEW key: the embedding-LSH occupancy audit (VERDICT r11 #2)
+    "lsh_coverage",
+    # latest official row = r8 (45 keys)
+    "argmax", "argmin", "asof_join", "audio_neardup", "centroids",
+    "count", "curate", "decontaminate", "ewma_scan", "fill_stat",
+    "fingerprint", "first", "group_topk", "keep_by_dedup", "langid",
+    "last", "max", "mean", "mean_ts", "median", "min", "mixture",
+    "nanargmax", "nanargmin", "nanfirst", "nanlast", "nanmax",
+    "nanmean", "nanmedian", "nanmin", "nanprod", "pca_embed",
+    "rank_two_pass", "repetition", "rolling", "rollup",
+    "sample_per_group", "scan_two_pass", "scan_two_pass_ffill",
+    "split", "sql_entry", "text_stats", "tfidf", "top_terms", "wmean",
+    # balance: the r9-row block's alphabetical head (4 keys — the new
+    # key displaced calendar_mean to R13)
+    "ann_recall", "bins_left", "bins_right", "bpe_tokens",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+# R13 WINDOW PLAN (pre-written, rotation discipline): assuming
+# CORRECTNESS_r12.json comes back green, the exact list is — any red
+# r12 keys first (displacing from the tail), then any r12/r13-new keys
 # (new keys outrank freshness), then:
 #
-# _R12_WINDOW = [
-#     # latest official row = r8 (45 keys)
-#     "argmax", "argmin", "asof_join", "audio_neardup", "centroids",
-#     "count", "curate", "decontaminate", "ewma_scan", "fill_stat",
-#     "fingerprint", "first", "group_topk", "keep_by_dedup", "langid",
-#     "last", "max", "mean", "mean_ts", "median", "min", "mixture",
-#     "nanargmax", "nanargmin", "nanfirst", "nanlast", "nanmax",
-#     "nanmean", "nanmedian", "nanmin", "nanprod", "pca_embed",
-#     "rank_two_pass", "repetition", "rolling", "rollup",
-#     "sample_per_group", "scan_two_pass", "scan_two_pass_ffill",
-#     "split", "sql_entry", "text_stats", "tfidf", "top_terms", "wmean",
-#     # balance: the r9-row block's alphabetical head (5 keys)
-#     "ann_recall", "bins_left", "bins_right", "bpe_tokens",
-#     "calendar_mean",
+# _R13_WINDOW = [
+#     # latest official row = r9 (the 46 keys left after R12 took the
+#     # alphabetical head; fuzzy_match sits here with its migrated
+#     # density-relative config, r11)
+#     "calendar_mean", "chunk_docs", "dsir", "funnel", "funnel_timing",
+#     "funnel_window", "fuzzy_match", "grouped_linreg",
+#     "grouped_logreg", "json_extract", "k_anonymity", "kmv_distinct",
+#     "kmv_overlap", "linreg", "logreg_quality", "nanquantile_vec",
+#     "nanstd", "nansum", "nanvar", "ngram_containment", "nunique",
+#     "pack", "prod", "qcut", "qcut_grouped", "qcut_two_pass",
+#     "quantile", "range_join", "resample_time", "retention",
+#     "sessionize", "std", "stream_agg", "stream_enrich",
+#     "stream_join", "stream_session", "stream_sliding",
+#     "stream_window", "sum", "target_encode", "twa", "var",
+#     "winsorize", "wquantile_sketch", "xdim_bins", "xdim_dataset",
+#     # balance: the r10-row block's alphabetical head (4 keys)
+#     "accessor_climatology", "approx_quantile", "auc", "bivar",
 # ]
 #
-# The remaining r9-row keys (chunk_docs, dsir, funnel, …) are the
-# natural R13 window, same ordering — fuzzy_match (config migrated in
-# r11) sits in that block.
-_QUERIES = {k: _QUERIES[k] for k in _R11_WINDOW} | {
-    k: v for k, v in _QUERIES.items() if k not in set(_R11_WINDOW)
+# The remaining r10-row keys (bloom_decontam, bloom_join, …) are the
+# natural R14 window, same ordering.
+_QUERIES = {k: _QUERIES[k] for k in _R12_WINDOW} | {
+    k: v for k, v in _QUERIES.items() if k not in set(_R12_WINDOW)
 }
 
 

@@ -307,12 +307,35 @@ def _run_series(qs, passes=_PASSES):
     return {k: round(v, 3) for k, v in times.items()}
 
 
+# Artifact-integrity guard (r12, VERDICT r11 #5): BENCH_r11.json shipped a
+# 17.39s headline measured at load 6.5 that read as a 17% regression to
+# anyone not cross-referencing BASELINE.md's quiet-window 12.7s.  Before
+# measuring, wait (bounded) for the shared VM's load wave to pass; if it
+# never does, measure anyway but SELF-FLAG the artifact.
+_LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+_LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
+
+
+def _wait_for_quiet_host():
+    """Poll the 1-min load average until it drops under the threshold or
+    the wait budget runs out.  Returns (final_load, seconds_waited)."""
+    waited = 0
+    load = os.getloadavg()[0]
+    while load > _LOAD_THRESHOLD and waited < _LOAD_WAIT_SEC:
+        time.sleep(30)
+        waited += 30
+        load = os.getloadavg()[0]
+    return load, waited
+
+
 def main():
     # host-load bookkeeping (r11, VERDICT r10 item #5): this is a shared
     # VM — round-over-round comparisons were repeatedly confounded by a
     # noisy duty cycle (20-40% inflation on untouched queries in r10).
     # Recording the 1/5/15-min load averages before and after makes "was
     # the host quiet?" a fact IN the artifact instead of a narrative.
+    load_1min, load_waited = _wait_for_quiet_host()
+    load_inflated = load_1min > _LOAD_THRESHOLD
     load_before = os.getloadavg()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -349,6 +372,24 @@ def main():
                 "passes": _PASSES,
                 "load_avg_before": [round(x, 2) for x in load_before],
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+                # self-flagging (VERDICT r11 #5): when the pre-measurement
+                # 1-min load still exceeded the threshold after the bounded
+                # wait, `value` is an UPPER BOUND, not a regression signal —
+                # compare against BASELINE.md's quiet-window records instead
+                "load_threshold": _LOAD_THRESHOLD,
+                "load_wait_sec": load_waited,
+                "load_inflated": load_inflated,
+                **(
+                    {
+                        "note": (
+                            "host 1-min load exceeded threshold for the whole "
+                            "wait budget; treat value as an upper bound and "
+                            "compare to BASELINE.md quiet-window records"
+                        )
+                    }
+                    if load_inflated
+                    else {}
+                ),
             }
         )
     )

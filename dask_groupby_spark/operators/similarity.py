@@ -582,6 +582,121 @@ def embedding_near_duplicates(
     return pairs
 
 
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    max_bucket_size: int | None = 10_000,
+    target_occupancy: int | None = None,
+) -> DataFrame:
+    """Bucket-occupancy audit for the hyperplane-LSH family
+    (:func:`embedding_near_duplicates` / :func:`semantic_deduplicate` /
+    :func:`lsh_bucketed_topk`) — run it BEFORE a scoring job to see
+    whether the current ``n_planes`` still holds bucket sizes at scale
+    (SCALE.md: at FIXED ``n_planes`` occupancy grows linearly with the
+    corpus and in-bucket scoring quadratically; members past
+    ``max_bucket_size`` are scored against the anchor set only).  The
+    embedding analog of :func:`~.dedup.gram_blocking_stats`, closing the
+    same silent-recall-cap class the r10 fuzzy-cap cliff exposed: the
+    truncation the cap applies becomes VISIBLE as data instead of a prose
+    warning.
+
+    Bucket assignment is bit-identical to the scorers (same
+    :func:`_hyperplane` planes, same sign fold); truncation arithmetic is
+    bit-identical to :func:`~.dedup.capped_bucket_pairs`' anchor-star
+    scheme (a bucket of ``n`` members at cap ``c`` scores ``C(n,2)`` pairs
+    when ``n <= c``, else ``c*n - c*(c+1)/2``; the ``n - c`` members
+    ranked past the cap pair with anchors only).
+
+    One row: ``records`` (non-NULL vectors), ``buckets`` (non-empty),
+    ``max_bucket``, ``avg_bucket``, ``n_planes`` (echoed),
+    ``over_cap_buckets``, ``truncated_members`` / ``truncated_member_frac``
+    (members scored against anchors only), ``scored_pairs`` /
+    ``total_pairs`` / ``scored_pair_frac`` (1.0 = the cap is currently
+    free), and ``recommended_n_planes`` — the smallest p with
+    ``2^p * target_occupancy >= records`` (integer-exact via bit length,
+    no float log2), i.e. ``~log2(records / target_occupancy)`` planes to
+    hold EXPECTED occupancy at the target under a uniform split.
+    ``target_occupancy`` defaults to ``max_bucket_size`` (hold buckets at
+    the cap so nothing truncates), else 1024.  Raising ``n_planes`` costs
+    recall per plane (a USER decision — see SCALE.md), which is exactly
+    why this audit reports instead of auto-tuning.
+
+    Cost: one map-only bucket assignment + one map-combined count shuffle
+    to a <= 2^n_planes-row table + a scalar fold — no pairs, no vectors
+    through any shuffle.
+    """
+    if target_occupancy is None:
+        target_occupancy = max_bucket_size if max_bucket_size else 1024
+    if target_occupancy < 1:
+        raise ValueError(f"target_occupancy must be >= 1, got {target_occupancy}")
+    planes = [_hyperplane(dim, i) for i in range(n_planes)]
+    v = F.col(vec_col).cast("array<double>")
+    counts = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(lsh_bucket(v, planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.col("n")
+    total_p = F.expr("(n * (n - 1)) DIV 2")
+    if max_bucket_size is None:
+        over = F.lit(0).cast("long")
+        trunc = F.lit(0).cast("long")
+        scored_p = total_p
+    else:
+        cap = F.lit(max_bucket_size).cast("long")
+        over = F.when(n > cap, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        trunc = F.when(n > cap, n - cap).otherwise(F.lit(0)).cast("long")
+        scored_p = F.when(n <= cap, total_p).otherwise(
+            cap * n - F.lit(max_bucket_size * (max_bucket_size + 1) // 2)
+        )
+    agg = counts.agg(
+        F.coalesce(F.sum(n), F.lit(0)).cast("long").alias("records"),
+        F.count(F.lit(1)).cast("long").alias("buckets"),
+        F.coalesce(F.max(n), F.lit(0)).cast("long").alias("max_bucket"),
+        F.coalesce(F.sum(over), F.lit(0)).cast("long").alias("over_cap_buckets"),
+        F.coalesce(F.sum(trunc), F.lit(0)).cast("long").alias("truncated_members"),
+        F.coalesce(F.sum(scored_p), F.lit(0)).cast("long").alias("scored_pairs"),
+        F.coalesce(F.sum(total_p), F.lit(0)).cast("long").alias("total_pairs"),
+    )
+    # smallest p with 2^p * target >= records, as bit_length(m - 1) of the
+    # integer m = ceil(records / target) — exact in BOTH engines (Spark
+    # bin() / DuckDB bin()), unlike ceil(log2(...)) whose float rounding
+    # could flip at power-of-two boundaries.
+    m = F.expr(f"(records + {target_occupancy - 1}) DIV {target_occupancy}")
+    return agg.select(
+        "records",
+        "buckets",
+        "max_bucket",
+        F.when(F.col("buckets") == 0, F.lit(0.0))
+        .otherwise(F.col("records").cast("double") / F.col("buckets").cast("double"))
+        .alias("avg_bucket"),
+        F.lit(n_planes).cast("int").alias("n_planes"),
+        "over_cap_buckets",
+        "truncated_members",
+        F.when(F.col("records") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("truncated_members").cast("double")
+            / F.col("records").cast("double")
+        )
+        .alias("truncated_member_frac"),
+        "scored_pairs",
+        "total_pairs",
+        F.when(F.col("total_pairs") == 0, F.lit(1.0))
+        .otherwise(
+            F.col("scored_pairs").cast("double") / F.col("total_pairs").cast("double")
+        )
+        .alias("scored_pair_frac"),
+        F.when(m <= 1, F.lit(0))
+        .otherwise(F.length(F.bin(m - 1)))
+        .cast("int")
+        .alias("recommended_n_planes"),
+    )
+
+
 def semantic_deduplicate(
     df: DataFrame,
     threshold: float = 0.95,

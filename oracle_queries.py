@@ -2982,6 +2982,50 @@ SELECT (SELECT count(*) FROM b) AS records,
                  / (SELECT count(*) FROM dft)::DOUBLE END
            AS dropped_gram_frac"""
 
+# lsh_coverage (r12): bucket-occupancy audit for the embedding-LSH
+# family — identical md5-plane bucket assignment (shared _lsh_bucket_sql,
+# left-to-right sign fold) and identical anchor-star cap arithmetic
+# (capped_bucket_pairs: n<=c -> C(n,2) pairs, else c*n - c*(c+1)/2;
+# n - c members truncated to anchors-only scoring).  recommended_n_planes
+# is integer-exact on both sides: smallest p with 2^p * target >= records
+# via bit length (bin()), never float log2.  Config pinned: n_planes=4,
+# cap = target = 16 (16*17/2 = 136).
+ORACLE_SQL["lsh_coverage"] = f"""
+WITH b AS (
+  SELECT {_lsh_bucket_sql('embedding', n_planes=4)} AS bucket
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY bucket),
+s AS (
+  SELECT coalesce(sum(n), 0)::BIGINT AS records,
+         count(*)::BIGINT AS buckets,
+         coalesce(max(n), 0)::BIGINT AS max_bucket,
+         coalesce(sum(CASE WHEN n > 16 THEN 1 ELSE 0 END), 0)::BIGINT
+             AS over_cap_buckets,
+         coalesce(sum(CASE WHEN n > 16 THEN n - 16 ELSE 0 END), 0)::BIGINT
+             AS truncated_members,
+         coalesce(sum(CASE WHEN n <= 16 THEN (n * (n - 1)) // 2
+                           ELSE 16 * n - 136 END), 0)::BIGINT AS scored_pairs,
+         coalesce(sum((n * (n - 1)) // 2), 0)::BIGINT AS total_pairs
+  FROM c
+)
+SELECT records, buckets, max_bucket,
+       CASE WHEN buckets = 0 THEN 0.0
+            ELSE records::DOUBLE / buckets::DOUBLE END AS avg_bucket,
+       4::INTEGER AS n_planes,
+       over_cap_buckets, truncated_members,
+       CASE WHEN records = 0 THEN 0.0
+            ELSE truncated_members::DOUBLE / records::DOUBLE END
+           AS truncated_member_frac,
+       scored_pairs, total_pairs,
+       CASE WHEN total_pairs = 0 THEN 1.0
+            ELSE scored_pairs::DOUBLE / total_pairs::DOUBLE END
+           AS scored_pair_frac,
+       (CASE WHEN (records + 15) // 16 <= 1 THEN 0
+             ELSE length(bin((records + 15) // 16 - 1)) END)::INTEGER
+           AS recommended_n_planes
+FROM s"""
+
 # json_extract (r8): typed schema-on-read over events.props — the same
 # $.k path + bigint cast; integer count/sum/min/max are exact.
 ORACLE_SQL["json_extract"] = """

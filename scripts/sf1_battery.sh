@@ -1,8 +1,8 @@
 #!/bin/bash
 # sf1 battery — every verifiable contract key at 10x driver scale, ONE
-# artifact (r11): 186 DuckDB exact-value keys + the ewma_scan pandas
-# differential + the 4 closure-class tier-vs-tier certificates
-# = 191/195 keys.  The 4 keys outside (pca_embed media_phash
+# artifact (r11, +lsh_coverage r12): 187 DuckDB exact-value keys + the
+# ewma_scan pandas differential + the 4 closure-class tier-vs-tier
+# certificates = 192/196 keys.  The 4 keys outside (pca_embed media_phash
 # media_video audio_neardup) are pinned-fixture oracles whose payloads
 # are scale-independent by construction (see the exclusion note
 # below).  See BASELINE for per-round tallies.
@@ -45,7 +45,7 @@ BATCHES=(
   "complex_nanmean complex_nanvar complex_argmax complex_nanmedian month_hour dayofyear resample_5d resample_time resample_dense_keys accessor_climatology calendar_mean xdim_reduce xdim_bins xdim_dataset rollup pivot"
   "rank rank_two_pass rolling rolling_frac interp_time qcut qcut_grouped qcut_two_pass winsorize fill_stat sessionize twa corr wquantile wquantile_sketch"
   "minhash simhash fingerprint entropy repetition lm_score clf_score dsir ngram_counts top_terms para_dedup seg_dedup dup_spans span_dedup dedup_exact lsh_pairs ngram_jaccard ngram_containment fuzzy_match fuzzy_scaled fuzzy_coverage"
-  "ann_topk ann_lsh ann_ivf ann_recall emb_neardup centroids mh_index_probe bpe_tokens vocab encode_ids"
+  "ann_topk ann_lsh ann_ivf ann_recall emb_neardup lsh_coverage centroids mh_index_probe bpe_tokens vocab encode_ids"
   "ttest mad qnorm outliers calibration bivar psi psi_hist auc ks chisq spearman skew_stats describe"
   "cms_heavy kmv_distinct kmv_overlap hist_quantile quantize profile"
   "stream_window stream_sliding stream_late stream_session stream_agg stream_join stream_enrich stream_dedup stream_cumsum stream_cms"

@@ -208,38 +208,40 @@ class TestParaDedupOracleAgreement:
 
 
 class TestWindowRotation:
-    def test_r11_window_freshness(self):
-        """VERDICT r10 item 2 / the pre-written R11 plan: CORRECTNESS_r10
-        was 50/50 green (no red keys to front-load), so the r11 first-50
-        is the staged rotation — the 3 r10-new keys (no official rows
-        yet; new keys outrank freshness), then all 42 keys whose latest
-        driver row is r7, then the alphabetical head of the r8-row block
-        — this test makes the rotation un-revertable.  (The r10 window —
-        44 r6-era keys + the r7 head — earned its official rows in
-        CORRECTNESS_r10.json and rotated out.)"""
+    def test_r12_window_freshness(self):
+        """The pre-written R12 plan, executed: CORRECTNESS_r11 was 50/50
+        green (no red keys to front-load), so the r12 first-50 is the
+        staged rotation — the r12-new lsh_coverage key first (no official
+        row yet; new keys outrank freshness), then all 45 keys whose
+        latest driver row is r8 (the stalest block), then the
+        alphabetical head of the r9-row block (4 keys; the new key
+        displaced calendar_mean to R13) — this test makes the rotation
+        un-revertable.  (The r11 window — 3 r10-new keys + 42 r7-era
+        keys + the r8 head — earned its official rows in
+        CORRECTNESS_r11.json and rotated out.)"""
         import sys
 
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         import __spark_entry__ as entrymod
 
         window = list(entrymod._QUERIES)[:50]
-        new_keys = ["fuzzy_scaled", "rolling_frac", "fuzzy_coverage"]
-        r7_era = {
-            "bm25", "calibration", "chisq", "corr", "dedup_exact",
-            "describe", "dup_spans", "entropy", "interp_time", "ks",
-            "leak_split", "mad", "media_phash", "media_video",
-            "multimodal_meta", "ngram_counts", "outliers", "overlap_join",
-            "pagerank", "para_dedup", "profile", "psi", "psi_hist",
-            "qnorm", "quantize", "rank", "resample_dense_keys",
-            "seg_dedup", "simhash", "skew_stats", "span_dedup",
-            "spearman", "stream_cms", "stream_cumsum", "stream_dedup",
-            "table_diff", "ttest", "validate", "wquantile", "wsample",
-            "xdim_reduce", "zorder",
+        new_keys = ["lsh_coverage"]
+        r8_era = {
+            "argmax", "argmin", "asof_join", "audio_neardup", "centroids",
+            "count", "curate", "decontaminate", "ewma_scan", "fill_stat",
+            "fingerprint", "first", "group_topk", "keep_by_dedup",
+            "langid", "last", "max", "mean", "mean_ts", "median", "min",
+            "mixture", "nanargmax", "nanargmin", "nanfirst", "nanlast",
+            "nanmax", "nanmean", "nanmedian", "nanmin", "nanprod",
+            "pca_embed", "rank_two_pass", "repetition", "rolling",
+            "rollup", "sample_per_group", "scan_two_pass",
+            "scan_two_pass_ffill", "split", "sql_entry", "text_stats",
+            "tfidf", "top_terms", "wmean",
         }
-        r8_head = {"all", "ann_ivf", "ann_lsh", "ann_topk", "any"}
-        assert window[:3] == new_keys  # new keys outrank freshness
-        assert set(window[3:45]) == r7_era  # oldest official rows next
-        assert set(window[45:]) == r8_head
+        r9_head = {"ann_recall", "bins_left", "bins_right", "bpe_tokens"}
+        assert window[:1] == new_keys  # new keys outrank freshness
+        assert set(window[1:46]) == r8_era  # oldest official rows next
+        assert set(window[46:]) == r9_head
         assert len(window) == len(set(window)) == 50
 
 
