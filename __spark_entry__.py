@@ -1006,26 +1006,62 @@ def q_mean_ts(spark, sf):
 
 
 def q_scan_nancumsum(spark, sf):
+    """method='window' PINNED (r12 reassociation audit, VERDICT r11 #3):
+    the window tier folds in the same sequential order as the oracle's
+    window SQL — bit-identical at ANY scale, so the round-6 grid can
+    never flip.  Unpinned, auto-dispatch flips to the chunked two-pass
+    tier once a group exceeds rows_per_chunk (event_type groups = n/5
+    rows, flips at ~10M events), whose reassociated partial sums drift
+    ~1e-13 relative — off this absolute grid at 1e8-scale sums (proven
+    at sf10).  The auto path itself stays covered by
+    scripts/tier_reassoc_check.py (window-vs-two_pass differential) and
+    the dispatch tests; the chunked tier's own contract key is
+    scan_two_pass."""
     ev = _ev(spark, sf)
-    out = groupby_scan(ev, "event_type", func="nancumsum", value="vnan", idx_col="event_id")
+    out = groupby_scan(
+        ev, "event_type", func="nancumsum", value="vnan", idx_col="event_id",
+        method="window",
+    )
     return out.select("event_id", "event_type", F.round("nancumsum", 6).alias("nancumsum"))
 
 
 def q_scan_two_pass(spark, sf):
     """The Blelloch-style two-pass scan path (r8, VERDICT r7 item #2 —
     core.py groupby_scan(method='two_pass'), dask_groupby_spark/
-    two_pass.py): same nancumsum semantics as scan_nancumsum, but
-    executed as chunked partial scans + prefix-combined chunk states +
-    broadcast recombine, so a huge group spans MANY tasks instead of
-    one.  rows_per_chunk=2000 forces multi-chunk groups at every test
-    SF; the oracle is the plain window SQL — the two plans must agree
-    to the last rounded digit."""
-    ev = _ev(spark, sf)
+    two_pass.py): nancumsum executed as chunked partial scans +
+    prefix-combined chunk states + broadcast recombine, so a huge group
+    spans MANY tasks instead of one.  rows_per_chunk=2000 forces
+    multi-chunk groups at every test SF; the oracle is the plain window
+    SQL.
+
+    r12 (reassociation audit, VERDICT r11 #3): the scanned value is
+    INTEGER-QUANTIZED — round(vnan·100), cents — so every partial and
+    prefix sum is an integer-valued double, and integer addition below
+    2^53 is EXACT under ANY association: the chunked tier, the window
+    tier, and DuckDB's sequential window agree BIT-FOR-BIT at any scale
+    (exact through ~2e12 rows on this value range).  The raw-float form
+    of this key was proven off-grid at sf10 (chunked drift ~1e-13
+    relative = 9.2e-6 absolute on 1e8-scale sums, vs the 1e-6 round-6
+    grid) — the key's purpose is to verify the CHUNKING MACHINERY
+    (offsets, NaN skipping, recombine), which the integer grid checks
+    losslessly; raw-float tier drift is bounded separately by
+    scripts/tier_reassoc_check.py.  The /100 at the end is one IEEE
+    division of identical doubles on both engines — still exact
+    comparison."""
+    ev = _ev(spark, sf).withColumn(
+        "vcents",
+        F.when(F.isnan(F.col("vnan")), F.lit(NAN)).otherwise(
+            F.round(F.col("vnan") * 100)
+        ),
+    )
     out = groupby_scan(
-        ev, "event_type", func="nancumsum", value="vnan", idx_col="event_id",
+        ev, "event_type", func="nancumsum", value="vcents", idx_col="event_id",
         method="two_pass", rows_per_chunk=2000,
     )
-    return out.select("event_id", "event_type", F.round("nancumsum", 6).alias("nancumsum"))
+    return out.select(
+        "event_id", "event_type",
+        (F.col("nancumsum") / 100.0).alias("nancumsum"),
+    )
 
 
 def q_scan_two_pass_ffill(spark, sf):

@@ -812,11 +812,18 @@ SELECT event_id, event_type,
 FROM t""",
     # scan_two_pass / scan_two_pass_ffill (r8): the chunked Blelloch path
     # must equal the plain windowed scan — the oracle IS the window SQL.
+    # r12: integer-quantized input (round(vnan*100), cents) — every
+    # prefix sum is an integer-valued double, exact under ANY
+    # association below 2^53, so the chunked tier matches this
+    # sequential window BIT-FOR-BIT at any scale (the raw-float form
+    # was off the round-6 grid at sf10 — see the reassociation audit,
+    # FIXTURES.md).
     "scan_two_pass": f"""{_EV}
 SELECT event_id, event_type,
-       round(coalesce(sum(CASE WHEN NOT isnan(vnan) THEN vnan END)
+       coalesce(sum(CASE WHEN NOT isnan(vnan) THEN round(vnan * 100) END)
          OVER (PARTITION BY event_type ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 6) AS nancumsum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) / 100.0
+           AS nancumsum
 FROM t""",
     "scan_two_pass_ffill": f"""{_EV}
 SELECT event_id, event_type,

@@ -24,25 +24,27 @@ cd "$(dirname "$0")/.."
 
 BATCHES=(
   "sum nansum mean nanmean var nanvar std nanstd min max nanmin nanmax argmax argmin nanargmin nanargmax first last nanfirst nanlast any all count prod nanprod min_count nunique mode median quantile"
-  "scan_cumsum scan_ffill scan_bfill scan_two_pass rank"
+  "scan_cumsum scan_ffill scan_bfill scan_two_pass scan_nancumsum rank"
   "month_hour dayofyear resample_5d calendar_mean"
   "asof_join salted_join group_topk dedup_exact sessionize twa"
 )
 
 pass=0; fail=0; failed=""
-# scan_nancumsum: tier differential with a scale-aware tolerance (see
-# scripts/sf10_nancumsum_check.py) — at 10M rows auto correctly picks
-# the two-pass tier, whose chunked float summation reassociates; drift
-# is ~1e-13 RELATIVE (double ULP) but exceeds the contract key's 1e-6
-# absolute rounding grid on ~1e8-scale sums, so the digest compare is
-# unsatisfiable by ANY chunked execution (the reference's dask
-# blockwise scan reassociates identically).
-out=$(timeout 1800 python scripts/sf10_nancumsum_check.py "$SF" 2>/dev/null | grep -aoE "(PASS|FAIL) scan_nancumsum.*")
+# Tier-reassociation differential (r12, generalizing the r11 one-off
+# scan_nancumsum check): every two-pass-capable func window-vs-chunked
+# at 10M rows — order-insensitive funcs bit-exact, order-sensitive
+# folds placement-exact within relative 1e-9, drift/grid headroom
+# recorded.  The r11 finding stands in its output: chunked float
+# summation drifts ~1e-13 relative (double ULP, same property as the
+# reference's blockwise dask scan), which is why the scan_nancumsum
+# contract key now PINS the window tier (exact batch above) and
+# scan_two_pass runs on an integer-quantized grid.
+out=$(timeout 1800 python scripts/tier_reassoc_check.py "$SF" 2>/dev/null | grep -aoE "(PASS|FAIL) tier_reassoc.*")
 echo "$out"
 p=$(grep -ac 'PASS' <<<"$out"); f=$(grep -ac 'FAIL' <<<"$out")
 if [ "$p" -eq 0 ]; then f=$((f>0 ? f : 1)); fi
 pass=$((pass+p)); fail=$((fail+f))
-[ "$f" -gt 0 ] && failed="$failed scan_nancumsum"
+[ "$f" -gt 0 ] && failed="$failed tier_reassoc"
 for b in "${BATCHES[@]}"; do
   out=$(timeout 3600 python scripts/check_driver_contract.py "$SF" $b 2>/dev/null | grep -aE "^(PASS|FAIL|ok\?)")
   echo "$out"
