@@ -84,4 +84,14 @@ echo "pipeline certificates:"; echo "$out"
 p=$(grep -ac '"mismatches": 0' <<<"$out"); f=$((3-p))
 pass=$((pass+p)); fail=$((fail+f))
 [ "$f" -gt 0 ] && failed="$failed pipeline-certs($f)"
+# tier-reassociation differential (r12): every two-pass-capable func,
+# window vs chunked — 11 extra certificate lines on top of the per-key
+# tally (order-insensitive funcs bit-exact; order-sensitive folds
+# placement-exact within rel 1e-9, drift/grid headroom recorded).
+out=$(timeout 3600 python scripts/tier_reassoc_check.py "$SF" 2>/dev/null | grep -aoE "(PASS|FAIL) tier_reassoc[^,]*")
+echo "$out"
+p=$(grep -ac '^PASS' <<<"$out"); f=$(grep -ac '^FAIL' <<<"$out")
+if [ "$p" -eq 0 ]; then f=$((f>0 ? f : 1)); fi
+pass=$((pass+p)); fail=$((fail+f))
+[ "$f" -gt 0 ] && failed="$failed tier_reassoc"
 echo "== sf1 battery: $pass PASS, $fail FAIL${failed:+ (failed:$failed)}"
