@@ -134,11 +134,19 @@ def main():
         try:
             sdf = fn(spark, sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # big outputs: STREAM the digest partition-by-partition
+            # (toLocalIterator) — a single collect() of a 60M-row result
+            # trips spark.driver.maxResultSize and holds the whole list
+            # in driver memory (r12: target_encode at sf10).  The count
+            # job is an acceptable second pass for a correctness tool.
             sdig = None
-            if len(srows) > DIGEST_OVER:
-                sdig = digest_iter(srows, scols)
-                srows = None  # free before the oracle side materializes
+            if sdf.count() > DIGEST_OVER:
+                sdig = digest_iter(
+                    (tuple(r) for r in sdf.toLocalIterator()), scols
+                )
+                srows = None
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {str(e)[:300]}"))
             print(f"FAIL {name}: spark error {str(e)[:200]}")

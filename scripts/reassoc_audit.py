@@ -112,8 +112,8 @@ FLOAT_CLASS: dict[str, tuple[str, str]] = {
     "multimodal_meta": ("exact-arith", "per-row metadata arithmetic"),
     "ngram_jaccard": ("exact-arith", "ratio of int set sizes"),
     "ngram_containment": ("exact-arith", "ratio of int set sizes"),
-    "kmv_distinct": ("exact-arith", "exact regime (k > distinct)"),
-    "kmv_overlap": ("exact-arith", "exact regime (k > distinct)"),
+    "kmv_distinct": ("exact-arith", "exact regime (k=2^16 > distinct); REGIME bound: estimating beyond 65k distinct (sf10 crosses it — excluded there, test_kmv covers the error bound)"),
+    "kmv_overlap": ("exact-arith", "exact regime (k=2^16 > distinct); same regime bound as kmv_distinct"),
     "fuzzy_coverage": ("exact-arith", "ratio of int counts"),
     "lsh_coverage": ("exact-arith", "int counts/pairs + int-exact bit-length"),
     "ann_topk": ("exact-arith", "fixed-order 64-dim fold == oracle's left-to-right sum"),

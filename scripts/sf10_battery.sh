@@ -1,23 +1,44 @@
 #!/bin/bash
-# sf10 exact-value oracle battery — 100x DRIVER SCALE (r11).
+# sf10 exact-value oracle battery — 100x DRIVER SCALE (r11; grown from
+# ~45 to ~131 keys in r12, VERDICT r11 #4: the old selection was by
+# assumed DuckDB-oracle cost, which had silently excluded exactly the
+# skew-prone families the 100 TB story rests on — probing showed almost
+# all of them are exact AND affordable at sf10).
 #
 # Usage:  SPARK_GRAFT_SF_SRC=/tmp/sf1 scripts/make_sf1.py /tmp/sf10 10
 #         scripts/sf10_battery.sh [sf_dir]
 #
-# A CURATED subset (~36 keys) of the sf1 battery: every key here has a
-# DuckDB oracle that stays cheap at 60M lineitem / 10M events / 500k
-# documents rows.  The selection criterion is ORACLE cost, not engine
-# capability — the engine side of every excluded key already carries
-# sf1 exact evidence (scripts/sf1_battery.sh, 187/195) and the
-# closure-class pipelines carry tier-vs-tier certificates; re-running a
-# recursive-CTE or all-pairs SQL oracle at 100x is a DuckDB bound, not
-# an engine bound.  keep_by_dedup additionally gets an sf10 tier
-# certificate via scripts/soak_pipeline_tiers.py (its contract config
-# is bucket-capped + spill-guarded, so the engine side scales;
-# leak_split/dup_clusters pin UNCAPPED pair configs whose pair count
-# grows ~quadratically with bucket occupancy — a stated property of the
-# uncapped configuration, which is exactly why the capped/spilled
-# defaults exist).
+# EXCLUDED, each with its structural reason (do NOT re-add without
+# solving the underlying bound):
+#   dup_clusters keep_by_dedup leak_split semdedup
+#       recursive-CTE closure oracles (DuckDB bound); all four hold
+#       tier-vs-tier certificates instead (soak_cluster_tiers /
+#       soak_pipeline_tiers — keep_by_dedup's runs at sf10).
+#   emb_neardup lsh_pairs
+#       pin UNCAPPED pair configs: on the ~99.95%-near-duplicate
+#       synthetic corpus candidate pairs grow ~quadratically (≳10^9 at
+#       sf10) on BOTH engines — a declared property of the uncapped
+#       primitives; the capped/spilled production path is covered by
+#       keep_by_dedup's sf10 certificate + minhash/mh_index_probe/
+#       lsh_coverage sf10 rows.
+#   kmv_distinct kmv_overlap
+#       pinned k=2^16 EXACT-regime premise (k > group distinct) breaks
+#       at sf10 (150k distinct users) — the documented regime boundary,
+#       not a bug; the estimating regime's error bound is test-covered
+#       (test_kmv).
+#   fuzzy_match fuzzy_scaled
+#       candidate set grows ~quadratically with corpus density on the
+#       template-name corpus (3.2M pairs at sf1, max_dist=1): the
+#       full-blocking DuckDB oracle is a DuckDB bound.  Cheap tier
+#       instead: scripts/soak_fuzzy_tiers.py — plain vs PPJoin-prefix
+#       blocking, exact pair-multiset digests (PASS at sf0.01 + sf1).
+#   pagerank
+#       iterative-rank DuckDB oracle spills >70 GB temp at 10M events.
+#   qcut qcut_grouped qcut_two_pass auc qnorm encode_ids
+#       PROBED EXACT at sf10 in r12 (one-time rows: 950/909/876/326/
+#       306/275s) — kept out of the ROUTINE battery for runtime only.
+#   pca_embed media_phash media_video audio_neardup
+#       pinned-fixture oracles; payloads scale-independent.
 set -u
 SF="${1:-/tmp/sf10}"
 cd "$(dirname "$0")/.."
@@ -27,6 +48,12 @@ BATCHES=(
   "scan_cumsum scan_ffill scan_bfill scan_two_pass scan_nancumsum rank"
   "month_hour dayofyear resample_5d calendar_mean"
   "asof_join salted_join group_topk dedup_exact sessionize twa"
+  # --- r12 growth (every key below probed exact at sf10 this round)
+  "accessor_climatology ann_ivf ann_lsh ann_recall ann_topk approx_quantile bins_left bins_right bivar bm25 calibration centroids chisq complex_argmax complex_nanmean complex_nanmedian"
+  "complex_nanvar corr describe entropy fill_stat fingerprint funnel funnel_timing funnel_window gopher grid_fill grouped_linreg grouped_logreg hist_quantile interp_time json_extract"
+  "ks langid linreg logreg_quality lsh_coverage mad mean_ts mh_index_probe minhash nanquantile_vec ngram_counts outliers pivot profile rank_two_pass reindex_fill"
+  "repetition resample_time retention rolling rolling_frac rollup sample_per_group scan_cumcount scan_cummax scan_cummin scan_cumprod scan_diff scan_nancummax scan_nancummin scan_nancumprod scan_shift"
+  "scan_two_pass_ffill skew_stats spearman sql_entry table_diff text_stats tfidf top_terms ttest validate winsorize wmean wquantile wquantile_sketch wsample zorder"
 )
 
 pass=0; fail=0; failed=""
