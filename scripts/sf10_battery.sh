@@ -54,7 +54,14 @@ BATCHES=(
   "ks langid linreg logreg_quality lsh_coverage mad mean_ts mh_index_probe minhash nanquantile_vec ngram_counts outliers pivot profile rank_two_pass reindex_fill"
   "repetition resample_time retention rolling rolling_frac rollup sample_per_group scan_cumcount scan_cummax scan_cummin scan_cumprod scan_diff scan_nancummax scan_nancummin scan_nancumprod scan_shift"
   "scan_two_pass_ffill skew_stats spearman sql_entry table_diff text_stats tfidf top_terms ttest validate winsorize wmean wquantile wquantile_sketch wsample zorder"
+  "bloom_decontam bpe_tokens curate decontaminate dsir dup_spans fuzzy_coverage k_anonymity mixture multimodal_meta para_dedup quantize seg_dedup simhash span_dedup split"
 )
+# NOT YET PROBED at sf10 (r12 probe window closed mid-tranche): lm_score
+# clf_score chunk_docs pack pii_redact vocab (one of these holds a
+# >30-min Spark stage at 500k docs — identify before re-adding), the
+# stream_* family, overlap/range/bloom joins, cms_heavy, target_encode
+# (harness fixed, needs a rerun), pagerank (DuckDB temp-spill retry).
+# All hold sf1 exact rows; probe and fold in next round.
 
 pass=0; fail=0; failed=""
 # Tier-reassociation differential (r12, generalizing the r11 one-off
