@@ -132,37 +132,45 @@ def minhash_signatures(
     ``hasher="portable"`` uses the md5-derived hash reproducible in the
     DuckDB oracle (slower; only for cross-engine verification).
 
-    Plan shape: ZERO shuffle.  The shingle set stays an array column; the
-    base hash is computed once per shingle into ``hs`` (Catalyst keeps the
-    multiply-referenced array expression un-collapsed, so it is evaluated
-    once per row), and each permutation min is an ``array_min(transform(…))``
-    fold over it — all map-side projection.  The earlier formulation
-    (explode → groupBy(id) with H min aggregates) shuffled |corpus tokens|
-    rows through an Exchange; at sf1 that made minhash the steepest-scaling
-    bench stage (4.4× wall for 10× data).  The fold is 13× faster at sf0.1
-    and its cost is pure map compute, which parallelizes embarrassingly.
+    Plan shape: explode(shingles) → hash → H ``partial_min`` aggregates.
+    All H permutation mins are computed in the map-side PARTIAL hash
+    aggregation (every shingle of a document lives in one input row, hence
+    one partition), so the Exchange moves exactly ONE compact row per
+    document — ``(id, H longs)``, ~8H bytes — not shingle rows.  The whole
+    path (Generate → Project → HashAggregate) is whole-stage-codegen'd.
+
+    History (r12): the previous formulation kept the shingle set as an
+    array column and folded each permutation with
+    ``array_min(transform(…))``.  That plan is zero-shuffle, but Spark's
+    higher-order functions are CodegenFallback — each lambda application
+    is interpreted per element — and a sub-stage profile showed the H
+    interpreted folds were ~60% of the signature map's wall.  The
+    explode+agg plan is codegen end-to-end and measured 1.9× faster at
+    sf10 (15.3s vs 29.7s, 500k docs) with bit-identical output at sf0.1,
+    sf1 and sf10; the compact per-document exchange it adds is noise next
+    to the band-bucket shuffle every caller performs right after.  (The
+    old docstring claimed the explode plan shuffles |corpus tokens| rows —
+    wrong: map-side partial aggregation collapses to |docs| rows before
+    the Exchange, verified in the physical plan.)
+
     min() is insensitive to duplicate shingles, so set semantics come free.
     Documents with fewer than ``shingle_k`` tokens have an empty shingle set
-    and are omitted, exactly like rows that explode to nothing.  ``id`` is
-    taken per input row (one signature per row; ids assumed unique).
+    and are omitted, exactly like rows that explode to nothing.  Ids are
+    assumed unique per input row; two rows sharing an id now merge into ONE
+    signature (min over the union of their shingles) rather than two rows.
     """
     hash_fn = _hasher(hasher)
-    base = df.select(
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        F.transform(
-            shingles(F.col(text_col), shingle_k),
-            lambda s: hash_fn(s) % F.lit(MINHASH_P),
-        ).alias("hs"),
-    ).where(F.size("hs") > 0)
-    cols = [F.col("id")]
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    ).select("id", (hash_fn(F.col("__sh")) % F.lit(MINHASH_P)).alias("__h"))
+    aggs = []
     for i in range(num_hashes):
         a, b = minhash_params(i)
-        cols.append(
-            F.array_min(
-                F.transform(F.col("hs"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P))
-            ).alias(f"mh_{i}")
+        aggs.append(
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
         )
-    return base.select(*cols)
+    return exploded.groupBy("id").agg(*aggs)
 
 
 def capped_bucket_pairs(

@@ -281,18 +281,34 @@ def test_reindex_join_unhinted_right_outer(spark, li):
     assert "ResolvedHint" not in qe.analyzed().toString()
 
 
-def test_minhash_signatures_zero_exchange(spark):
+def test_minhash_signatures_partial_agg_exchange(spark):
+    """r12 plan: explode(shingles) → hash → H partial_min aggregates, so the
+    single Exchange carries ONE compact (id, H longs) row per document — the
+    map-side partial aggregation MUST sit below it (that property is what
+    keeps the shuffle |docs|-sized rather than |shingles|-sized).  The whole
+    path is codegen'd; the old zero-shuffle HOF fold was 1.9× slower at sf10
+    because higher-order functions are CodegenFallback (interpreted per
+    element)."""
     from dask_groupby_spark.operators.dedup import minhash_signatures
 
     docs = load_table(spark, SF, "documents")
     sig = minhash_signatures(docs)
-    assert count_exchanges(sig) == 0, physical_plan(sig)
+    plan = physical_plan(sig)
+    assert count_exchanges(sig) == 1, plan
+    assert "partial_min" in plan, plan
+    # partial agg below the (first) Exchange: its section number is higher
+    import re
+
+    ex_no = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
+    part_no = int(re.search(r"\((\d+)\) HashAggregate\b[\s\S]*?partial_min", plan).group(1))
+    assert part_no < ex_no, plan  # formatted plans number leaves first
 
 
-def test_lsh_pairs_single_scan_two_exchanges(spark):
+def test_lsh_pairs_single_scan_three_exchanges(spark):
     """Bucket-array LSH: ONE FileScan (signatures computed once — the old
-    self-join read the corpus twice), one Exchange for the bucket groupBy +
-    one for the pair-count groupBy."""
+    self-join read the corpus twice); the signature groupBy(id) exchange
+    (compact, one row/doc — see test above) + one Exchange for the bucket
+    groupBy + one for the pair-count groupBy."""
     from dask_groupby_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -304,7 +320,7 @@ def test_lsh_pairs_single_scan_two_exchanges(spark):
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     plan = physical_plan(pairs)
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
-    assert count_exchanges(pairs) == 2, plan
+    assert count_exchanges(pairs) == 3, plan
 
 
 def test_ngram_jaccard_default_single_scan(spark):
