@@ -132,38 +132,57 @@ def minhash_signatures(
     ``hasher="portable"`` uses the md5-derived hash reproducible in the
     DuckDB oracle (slower; only for cross-engine verification).
 
-    Plan shape: explode(shingles) → hash → H ``partial_min`` aggregates.
-    All H permutation mins are computed in the map-side PARTIAL hash
-    aggregation (every shingle of a document lives in one input row, hence
-    one partition), so the Exchange moves exactly ONE compact row per
-    document — ``(id, H longs)``, ~8H bytes — not shingle rows.  The whole
-    path (Generate → Project → HashAggregate) is whole-stage-codegen'd.
+    Plan shape: explode(position index) → native shingle string → hash →
+    H ``partial_min`` aggregates.  The token array is computed once per
+    document, the POSITIONS ``0..n−k`` are exploded (the array column is
+    retained through the Generate), and each shingle string is built
+    post-explode with ``concat_ws(' ', toks[i], …, toks[i+k−1])`` — plain
+    codegen'd GetArrayItem/concat, no higher-order functions anywhere on
+    the per-shingle path.  All H permutation mins are computed in the
+    map-side PARTIAL hash aggregation (every shingle of a document lives
+    in one input row, hence one partition), so the Exchange moves exactly
+    ONE compact row per document — ``(id, H longs)``, ~8H bytes — not
+    shingle rows.
 
     History (r12): the previous formulation kept the shingle set as an
-    array column and folded each permutation with
-    ``array_min(transform(…))``.  That plan is zero-shuffle, but Spark's
-    higher-order functions are CodegenFallback — each lambda application
-    is interpreted per element — and a sub-stage profile showed the H
-    interpreted folds were ~60% of the signature map's wall.  The
-    explode+agg plan is codegen end-to-end and measured 1.9× faster at
-    sf10 (15.3s vs 29.7s, 500k docs) with bit-identical output at sf0.1,
-    sf1 and sf10; the compact per-document exchange it adds is noise next
-    to the band-bucket shuffle every caller performs right after.  (The
-    old docstring claimed the explode plan shuffles |corpus tokens| rows —
-    wrong: map-side partial aggregation collapses to |docs| rows before
-    the Exchange, verified in the physical plan.)
+    array column (`shingles`: transform+slice+array_join) and folded each
+    permutation with ``array_min(transform(…))``.  That plan is
+    zero-shuffle, but Spark's higher-order functions are CodegenFallback —
+    each lambda application is interpreted per element — and a sub-stage
+    profile showed the H interpreted folds were ~60% of the signature
+    map's wall and the HOF shingle build most of the rest.  Replacing the
+    folds with explode+partial-agg measured 1.9× at sf10 (15.3s vs 29.7s,
+    500k docs); replacing the HOF shingle build with the position-explode
+    measured a further 3.2× at sf1 — both bit-identical to the old output
+    (same strings, same hashes, left-to-right equivalence checked by
+    exceptAll in both directions at sf0.1/sf1/sf10).  The compact
+    per-document exchange this adds is noise next to the band-bucket
+    shuffle every caller performs right after.  (The old docstring claimed
+    the explode plan shuffles |corpus tokens| rows — wrong: map-side
+    partial aggregation collapses to |docs| rows before the Exchange,
+    verified in the physical plan.)
 
     min() is insensitive to duplicate shingles, so set semantics come free.
     Documents with fewer than ``shingle_k`` tokens have an empty shingle set
     and are omitted, exactly like rows that explode to nothing.  Ids are
-    assumed unique per input row; two rows sharing an id now merge into ONE
+    assumed unique per input row; two rows sharing an id merge into ONE
     signature (min over the union of their shingles) rather than two rows.
     """
     hash_fn = _hasher(hasher)
-    exploded = df.select(
+    toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh"),
-    ).select("id", (hash_fn(F.col("__sh")) % F.lit(MINHASH_P)).alias("__h"))
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    n = F.size(F.col("__toks"))
+    idx = F.when(n >= shingle_k, F.sequence(F.lit(0), n - shingle_k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.concat_ws(
+        " ", *[F.col("__toks")[F.col("__i") + j] for j in range(shingle_k)]
+    )
+    exploded = toks.select("id", "__toks", F.explode(idx).alias("__i")).select(
+        "id", (hash_fn(sh) % F.lit(MINHASH_P)).alias("__h")
+    )
     aggs = []
     for i in range(num_hashes):
         a, b = minhash_params(i)

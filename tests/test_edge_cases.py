@@ -88,3 +88,37 @@ def test_two_binned_groupers(spark):
     for i in range(5):
         for j in range(5):
             assert got[(i, j)] == (1 if i == j else 0), (i, j)
+
+
+def test_minhash_signatures_edge_semantics(spark):
+    """Pins the r12 explode+agg plan's documented edge behavior: documents
+    with fewer than shingle_k tokens (or empty / NULL text) are OMITTED,
+    and two input rows sharing an id merge into ONE signature equal to the
+    min over the union of their shingles (ids are documented as unique per
+    row; this pins what happens when the contract is violated so a future
+    plan change can't silently alter it)."""
+    from dask_groupby_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "too short"),          # 2 tokens < k=3 -> omitted
+            (3, ""),                   # empty -> omitted
+            (4, None),                 # NULL -> omitted
+            (5, "alpha beta gamma"),
+            (5, "beta gamma delta"),   # duplicate id -> merged signature
+        ],
+        "doc_id bigint, text string",
+    )
+    sig = {r["id"]: [r[f"mh_{i}"] for i in range(8)]
+           for r in minhash_signatures(df).collect()}
+    assert set(sig) == {1, 5}
+
+    union_doc = spark.createDataFrame(
+        [(5, "alpha beta gamma"), (6, "beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    per_row = {r["id"]: [r[f"mh_{i}"] for i in range(8)]
+               for r in minhash_signatures(union_doc).collect()}
+    expect = [min(a, b) for a, b in zip(per_row[5], per_row[6])]
+    assert sig[5] == expect
