@@ -574,18 +574,22 @@ def hash_classifier_score(
     bucket's own hash (uniform in [-1, 1]) — the full scoring path with a
     placeholder model, cross-engine checkable with ``hasher='portable'``.
 
-    Plan: pure map-side fold over the token array — zero shuffle, no UDF;
-    scoring 100 TB is embarrassingly parallel.
+    Plan (r12): explode(tokens) → native per-token weight → ONE
+    groupBy(id) with map-side partial (sum, count) — the Exchange moves
+    one compact row per document, and the whole per-token path is
+    codegen'd.  The previous formulation folded the token array with
+    ``F.aggregate`` (zero-shuffle but interpreted per element — HOFs are
+    CodegenFallback, the minhash-signature lesson); the partial sum
+    accumulates the SAME left-to-right token order inside the single
+    partition that holds the document's rows, so the float score is
+    bit-identical.  Docs with zero tokens (or NULL text) emit no rows,
+    exactly as the old ``where(n > 0)``; rows sharing an id merge into
+    one score over their concatenated tokens (ids are assumed unique).
+    Scoring 100 TB is embarrassingly parallel.
     """
     from .dedup import _hasher
 
     h = _hasher(hasher)
-    # materialize the token array ONCE (the add_text_features rule:
-    # codegen does not CSE the regex split across the filter, the size
-    # aliases and the fold — binding the bare expression paid up to three
-    # splits per row, r9 review)
-    df = df.withColumn("__toks", tokens(F.col(text_col)))
-    tk = F.col("__toks")
 
     def bucket(t: Column) -> Column:
         return F.pmod(h(t, seed="cb"), F.lit(dim))
@@ -606,14 +610,19 @@ def hash_classifier_score(
                 - F.lit(1000)
             ) / F.lit(1000.0)
 
-    n = F.size(tk)
-    total = F.aggregate(
-        tk, F.lit(0.0), lambda acc, t: acc + weight(t)
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
     )
-    score = F.lit(bias) + total / n
-    return df.where(n > 0).select(
-        id_col,
-        n.alias("n_tokens"),
+    agg = ex.groupBy("__id").agg(
+        F.sum(weight(F.col("__t"))).alias("__total"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    score = F.lit(bias) + F.col("__total") / F.col("__n")
+    return agg.select(
+        F.col("__id").alias(id_col),
+        # size() returned INT; count() is BIGINT — keep the historical type
+        F.col("__n").cast("int").alias("n_tokens"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias(out),
     )
 
@@ -689,25 +698,32 @@ def ngram_counts(
     :func:`lm_quality_score`'s external-LM mode when fit on a reference
     corpus).
 
-    N-grams are generated MAP-SIDE from each row's token array (a
-    ``transform`` over start positions + ``slice`` — no explode-then-join,
-    no pair shuffle); the single groupBy is map-side combined, so the
-    Exchange carries (ngram, partial-count) rows, not corpus tokens.
-    ``min_count`` prunes the long tail AFTER aggregation (the standard
-    count-cutoff; it cannot be pushed below the shuffle without changing
-    semantics).
+    N-grams are generated MAP-SIDE from each row's token array: the start
+    POSITIONS are exploded (the token array rides through the Generate)
+    and each gram string is built post-explode with codegen'd
+    ``concat_ws(' ', toks[i], …, toks[i+n−1])`` — no higher-order
+    functions on the per-gram path (r12, the minhash-signature lesson:
+    HOF lambdas are CodegenFallback, interpreted per element), no
+    explode-then-join, no pair shuffle.  The single groupBy is map-side
+    combined, so the Exchange carries (ngram, partial-count) rows, not
+    corpus tokens.  ``min_count`` prunes the long tail AFTER aggregation
+    (the standard count-cutoff; it cannot be pushed below the shuffle
+    without changing semantics).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1 (got {n})")
     toks = tokens(F.col(text_col))
     starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        F.size(F.col("__toks")) >= n,
+        F.sequence(F.lit(0), F.size(F.col("__toks")) - n),
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    gram = F.concat_ws(
+        " ", *[F.col("__toks")[F.col("__i") + j] for j in range(n)]
     )
     out = (
-        df.select(F.explode(grams).alias("ngram"))
+        df.select(toks.alias("__toks"))
+        .select("__toks", F.explode(starts).alias("__i"))
+        .select(gram.alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -828,7 +844,12 @@ def bm25_scores(
 
 
 def _hashed_ngram_buckets(text_col: str, n: int, dim: int, hasher: str) -> Column:
-    """Map-side array of hashed n-gram bucket ids (0..dim-1) per row."""
+    """Map-side array of hashed n-gram bucket ids (0..dim-1) per row —
+    the PROJECTION form (keeps the array so a caller can fold over it in
+    place, e.g. dsir scoring, which adds a column to existing rows).
+    Aggregating consumers should use :func:`_hashed_ngram_bucket_rows`
+    (codegen'd, no HOFs) instead; both build byte-identical gram strings
+    so their hashes agree."""
     from .dedup import _hasher
 
     h = _hasher(hasher)
@@ -838,6 +859,30 @@ def _hashed_ngram_buckets(text_col: str, n: int, dim: int, hasher: str) -> Colum
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.transform(grams, lambda g: F.pmod(h(g, seed="dsir"), F.lit(dim)))
+
+
+def _hashed_ngram_bucket_rows(
+    df: DataFrame, text_col: str, n: int, dim: int, hasher: str
+) -> DataFrame:
+    """One row per hashed n-gram bucket occurrence, column ``b`` — the
+    EXPLODED form of :func:`_hashed_ngram_buckets` for aggregating
+    consumers (dsir profiles): explode the start positions with the token
+    array retained, build each gram with codegen'd concat_ws/GetArrayItem
+    (r12, the minhash-signature lesson — no interpreted HOF lambdas on
+    the per-gram path)."""
+    from .dedup import _hasher
+
+    h = _hasher(hasher)
+    starts = F.when(
+        F.size(F.col("__toks")) >= n,
+        F.sequence(F.lit(0), F.size(F.col("__toks")) - n),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(" ", *[F.col("__toks")[F.col("__i") + j] for j in range(n)])
+    return (
+        df.select(tokens(F.col(text_col)).alias("__toks"))
+        .select("__toks", F.explode(starts).alias("__i"))
+        .select(F.pmod(h(gram, seed="dsir"), F.lit(dim)).alias("b"))
+    )
 
 
 def dsir_log_weights(
@@ -880,11 +925,7 @@ def dsir_log_weights(
 
     def profile(df: DataFrame) -> dict[int, int]:
         rows = (
-            df.select(
-                F.explode(
-                    _hashed_ngram_buckets(text_col, n, dim, hasher)
-                ).alias("b")
-            )
+            _hashed_ngram_bucket_rows(df, text_col, n, dim, hasher)
             .groupBy("b")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()

@@ -347,20 +347,30 @@ def test_redact_pii_zero_exchange(spark):
     assert count_exchanges(redact_pii(docs)) == 0
 
 
-def test_hash_classifier_zero_exchange(spark):
-    """Classifier scoring is a map-side fold over the token array — the
-    100 TB path may not shuffle, with or without an explicit weight
-    vector."""
+def test_hash_classifier_partial_agg_exchange(spark):
+    """r12 plan (same shape as minhash signatures): explode(tokens) →
+    native weight → groupBy(id) whose map-side partial (sum, count)
+    collapses to ONE compact row per document before the single Exchange —
+    with or without an explicit weight vector.  The partial agg must sit
+    below the Exchange; that property is what keeps the shuffle
+    |docs|-sized rather than |tokens|-sized."""
     from dask_groupby_spark.operators.text import hash_classifier_score
 
     docs = load_table(spark, SF, "documents")
-    assert count_exchanges(hash_classifier_score(docs, dim=64)) == 0
-    assert (
-        count_exchanges(
-            hash_classifier_score(docs, weights=[0.1] * 32, dim=32)
+    for scored in (
+        hash_classifier_score(docs, dim=64),
+        hash_classifier_score(docs, weights=[0.1] * 32, dim=32),
+    ):
+        plan = physical_plan(scored)
+        assert count_exchanges(scored) == 1, plan
+        assert "partial_sum" in plan, plan
+        import re
+
+        ex_no = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
+        part_no = int(
+            re.search(r"\((\d+)\) HashAggregate\b[\s\S]*?partial_sum", plan).group(1)
         )
-        == 0
-    )
+        assert part_no < ex_no, plan
 
 
 def test_encode_tokens_flat_broadcasts_vocab(spark):
