@@ -55,15 +55,32 @@ BATCHES=(
   "repetition resample_time retention rolling rolling_frac rollup sample_per_group scan_cumcount scan_cummax scan_cummin scan_cumprod scan_diff scan_nancummax scan_nancummin scan_nancumprod scan_shift"
   "scan_two_pass_ffill skew_stats spearman sql_entry table_diff text_stats tfidf top_terms ttest validate winsorize wmean wquantile wquantile_sketch wsample zorder"
   "bloom_decontam bpe_tokens curate decontaminate dsir dup_spans fuzzy_coverage k_anonymity mixture multimodal_meta para_dedup quantize seg_dedup simhash span_dedup split"
+  # --- r12 final tranche (probed exact at sf10 after the mid-tranche
+  # stall was identified: it was `pack`, whose DuckDB oracle is a
+  # row-at-a-time RECURSIVE CTE — >25 min of all cores at 500k docs, a
+  # DuckDB bound now covered by the local-walk tier below; probe rows:
+  # lm_score 30s clf_score 25s vocab 4s chunk_docs 130s pii_redact 20s
+  # cms_heavy 13s overlap_join 8s)
+  "lm_score clf_score vocab chunk_docs pii_redact cms_heavy overlap_join"
 )
-# NOT YET PROBED at sf10 (r12 probe window closed mid-tranche): lm_score
-# clf_score chunk_docs pack pii_redact vocab (one of these holds a
-# >30-min Spark stage at 500k docs — identify before re-adding), the
-# stream_* family, overlap/range/bloom joins, cms_heavy, target_encode
-# (harness fixed, needs a rerun), pagerank (DuckDB temp-spill retry).
-# All hold sf1 exact rows; probe and fold in next round.
+# STILL EXCLUDED beyond the header list: target_encode PROBED EXACT in
+# r12 (60M-row streamed digest, 868s one-time row — the qcut runtime
+# class, out of the ROUTINE battery); pack excluded (DuckDB
+# recursive-CTE oracle bound — exact local-walk tier runs below);
+# stream_* family (rows-only keys, no DuckDB oracle at any scale —
+# sf10 standing is the streaming suite + watermark-drop proofs);
+# range/bloom joins sf1-exact, unprobed; pagerank (DuckDB temp-spill).
 
 pass=0; fail=0; failed=""
+# pack: exact local-walk tier (see scripts/sf10_pack_check.py header —
+# greedy packing is O(n)-replayable on the collected 4-column table, so
+# every row is value-checked without SQL recursion; 14.6s at sf10)
+out=$(timeout 1800 python scripts/sf10_pack_check.py "$SF" 2>/dev/null | grep -aE "^(PASS|FAIL) pack")
+echo "$out"
+p=$(grep -ac '^PASS' <<<"$out"); f=$(grep -ac '^FAIL' <<<"$out")
+if [ "$p" -eq 0 ]; then f=$((f>0 ? f : 1)); fi
+pass=$((pass+p)); fail=$((fail+f))
+[ "$f" -gt 0 ] && failed="$failed pack"
 # Tier-reassociation differential (r12, generalizing the r11 one-off
 # scan_nancumsum check): every two-pass-capable func window-vs-chunked
 # at 10M rows — order-insensitive funcs bit-exact, order-sensitive
