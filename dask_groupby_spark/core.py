@@ -286,9 +286,22 @@ def groupby_reduce(
     # 3. reindex onto expected_groups (ref reindex_, core.py:667-712);
     #    multi-by without full expected → dense observed grid
     #    (ref _factorize_multiple, core.py:2115-2166)
-    result = grouped
     exp_df = None
     domain_size = _literal_domain_size([k[3] for k in keys])
+    expected_list = [k[3] for k in keys]
+    # Grid dims discovered from data are distinct-selects over the
+    # aggregate — which Catalyst collapses into extra key-column scans of
+    # the BASE table (one per grouper: a 2-key reduce scanned its input 3×,
+    # plan-verified r12).  A lazy localCheckpoint pins the |groups|-row
+    # aggregate so the dims, the reindex join's left side, and the output
+    # sort's range-sampling pass all read the KB-class materialized rows:
+    # exactly ONE input scan at any scale (guide §2.4).
+    needs_observed_dims = (
+        any(e is None for e in expected_list) if any_expected else len(key_names) > 1
+    )
+    if needs_observed_dims and not grouped.isStreaming:
+        grouped = grouped.localCheckpoint(eager=False)
+    result = grouped
     if any_expected:
         # per-grouper: given expected domain, or observed labels when None
         # (mixed case honored — ref core.py:2087-2107)
@@ -1001,6 +1014,11 @@ def groupby_agg(
     domain_size = _literal_domain_size([k[3] for k in keys])
     if any(e is not None for e in expected):
         result = result.withColumn(_PRESENT, F.lit(True))
+        # mixed literal/observed domains: same base-rescan collapse as the
+        # groupby_reduce grid (see step 3 there) — pin the aggregate so
+        # observed dims read it, not the input
+        if any(e is None for e in expected) and not result.isStreaming:
+            result = result.localCheckpoint(eager=False)
         exp_df = expected_groups_df(
             df.sparkSession,
             key_names,

@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -254,7 +256,11 @@ def lsh_bucketed_topk(
         _norm(F.col(vec_col).cast("array<double>")).alias("qn"),
         lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
     )
-    joined = c.join(F.broadcast(q), on="bucket")
+    # null-safe join key for the same reason as _score_candidates: the
+    # inferred IsNotNull(bucket) filter would re-evaluate the n_planes
+    # interpreted projection folds per corpus row; lsh_bucket() never
+    # returns null (the when/otherwise chain folds nulls to bit 0)
+    joined = c.join(F.broadcast(q), c["bucket"].eqNullSafe(q["bucket"]))
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
@@ -303,22 +309,37 @@ def ivf_topk(
     )
     cent_arr = _centroid_literal(cents)
 
-    def _scored(v: Column) -> Column:
-        return _cell_scores(cent_arr, v)
-
+    # two-step projection: the norm column materializes once, then the cell
+    # scores REFERENCE it (CollapseProject keeps non-cheap aliases used in
+    # the upper projection un-inlined, plan-verified — the group_centroids
+    # normalize path relies on the same property)
     cv = F.col(vec_col).cast("array<double>")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         cv.alias("nv"),
         _norm(cv).alias("nn"),
-        F.array_max(_scored(cv))["cell"].alias("cell"),
+    ).withColumn(
+        "cell",
+        F.array_max(_cell_scores(cent_arr, F.col("nv"), F.col("nn")))["cell"],
     )
-    probed = F.slice(F.sort_array(_scored(cv), asc=False), 1, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         cv.alias("qv"),
         _norm(cv).alias("qn"),
-        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        _cell_scores(cent_arr, F.col("qv"), F.col("qn")), asc=False
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cell"],
+            )
+        ),
     )
     return _score_candidates(c, q, k, exclude_self)
 
@@ -344,26 +365,17 @@ def _ivf_centroids(
         .collect()
     )
     for _ in range(refine_iters):
-        cent_arr0 = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["cell"])).alias("cell"),
-                    F.lit([float(x) for x in r["cv"]]).alias("cv"),
-                )
-                for r in cents
-            ]
-        )
+        cent_arr0 = _centroid_literal(cents)
         cv0 = F.col(vec_col).cast("array<double>")
-        scored0 = F.transform(
-            cent_arr0,
-            lambda c: F.struct(
-                cosine_similarity(cv0, c["cv"]).alias("cos"),
-                (-c["cell"]).alias("negcell"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        assigned = corpus.select(
-            cv0.alias("embedding"), F.array_max(scored0)["cell"].alias("cell")
+        assigned = (
+            corpus.select(cv0.alias("embedding"), _norm(cv0).alias("__vn"))
+            .withColumn(
+                "cell",
+                F.array_max(
+                    _cell_scores(cent_arr0, F.col("embedding"), F.col("__vn"))
+                )["cell"],
+            )
+            .select("embedding", "cell")
         )
         new = group_centroids(
             assigned, "cell", vec_col="embedding", out_col="cv", normalize=True
@@ -377,25 +389,40 @@ def _ivf_centroids(
 
 def _centroid_literal(cents) -> Column:
     # F.lit on the whole python list → one array literal per centroid (a
-    # single JVM call), not dim× nested lit() calls
-    return F.array(
-        *[
+    # single JVM call), not dim× nested lit() calls.  Each centroid carries
+    # its norm as a PRECOMPUTED literal (r12): the Python fold below runs
+    # acc + x*x left-to-right over doubles — the exact association of the
+    # JVM `_norm` HOF fold — so downstream cosines are bit-identical while
+    # the per-row scoring no longer re-folds a constant array per cell.
+    out = []
+    for r in cents:
+        vals = [float(x) for x in r["cv"]]
+        acc = 0.0
+        for x in vals:
+            acc = acc + x * x
+        out.append(
             F.struct(
                 F.lit(int(r["cell"])).alias("cell"),
-                F.lit([float(x) for x in r["cv"]]).alias("cv"),
+                F.lit(vals).alias("cv"),
+                F.lit(math.sqrt(acc)).alias("cnorm"),
             )
-            for r in cents
-        ]
-    )
+        )
+    return F.array(*out)
 
 
-def _cell_scores(cent_arr: Column, v: Column) -> Column:
+def _cell_scores(cent_arr: Column, v: Column, vnorm: Column) -> Column:
     # struct field order (cos, negcell, cell): array_max / sort_array
-    # compare cos first, then negcell — ties break to the SMALLEST cell
+    # compare cos first, then negcell — ties break to the SMALLEST cell.
+    # cos = dot/(vnorm·cnorm) with both norms HOISTED (r12): Spark does not
+    # pull invariant subtrees out of HOF lambdas, so the old
+    # cosine_similarity(v, c.cv) form re-folded _norm(v) once PER CELL per
+    # row — n_cells interpreted dim-element passes that a single
+    # already-computed column serves.  Same division association as
+    # cosine_similarity → bit-identical scores (verified vs the oracle).
     return F.transform(
         cent_arr,
         lambda c: F.struct(
-            cosine_similarity(v, c["cv"]).alias("cos"),
+            (_dot(v, c["cv"]) / (vnorm * c["cnorm"])).alias("cos"),
             (-c["cell"]).alias("negcell"),
             c["cell"].alias("cell"),
         ),
@@ -406,8 +433,19 @@ def _score_candidates(
     c: DataFrame, q: DataFrame, k: int, exclude_self: bool = True
 ) -> DataFrame:
     """Shared IVF tail: candidate join on cell (queries broadcast), exact
-    cosine, per-query top-k."""
-    joined = c.join(F.broadcast(q), on="cell")
+    cosine, per-query top-k.
+
+    The join key is NULL-SAFE equality, deliberately (r12): a plain
+    equi-join makes Catalyst infer ``IsNotNull(cell)`` onto both sides
+    (InferFiltersFromConstraints), and on the corpus side that Filter
+    re-evaluates the full interpreted cell-assignment transform once per
+    row ON TOP of the projection's evaluation — HOFs are CodegenFallback,
+    so no cross-operator subexpression elimination saves it.  ``cell`` is
+    never null by construction (array_max over a non-empty literal array
+    of non-null cell ids — even a NULL vector scores to a real cell), so
+    ``<=>`` is result-identical and halves the assignment work
+    (plan-verified: the Filter above the corpus scan is gone)."""
+    joined = c.join(F.broadcast(q), c["cell"].eqNullSafe(q["cell"]))
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
@@ -450,7 +488,9 @@ def ivf_index_write(
         F.col(id_col).alias("neighbor_id"),
         cv.alias("nv"),
         _norm(cv).alias("nn"),
-        F.array_max(_cell_scores(cent_arr, cv))["cell"].alias("cell"),
+    ).withColumn(
+        "cell",
+        F.array_max(_cell_scores(cent_arr, F.col("nv"), F.col("nn")))["cell"],
     )
     assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/vectors")
     spark = corpus.sparkSession
@@ -484,12 +524,24 @@ def ivf_index_topk(
     cents.sort(key=lambda r: r["cell"])
     cent_arr = _centroid_literal(cents)
     cv = F.col(vec_col).cast("array<double>")
-    probed = F.slice(F.sort_array(_cell_scores(cent_arr, cv), asc=False), 1, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         cv.alias("qv"),
         _norm(cv).alias("qn"),
-        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        _cell_scores(cent_arr, F.col("qv"), F.col("qn")), asc=False
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cell"],
+            )
+        ),
     )
     # the probed-cell set is bounded by n_cells — a planner-side collect
     cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
@@ -990,7 +1042,11 @@ def kmeans_assign(
     with zero shuffle."""
     cent_arr = _centroid_literal(centroids)
     cv = F.col(vec_col).cast("array<double>")
-    return df.withColumn(out, F.array_max(_cell_scores(cent_arr, cv))["cell"])
+    return (
+        df.withColumn("__vn", _norm(cv))
+        .withColumn(out, F.array_max(_cell_scores(cent_arr, cv, F.col("__vn")))["cell"])
+        .drop("__vn")
+    )
 
 
 def ann_recall(
