@@ -340,6 +340,11 @@ def main():
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     times = _run_series(bench_queries(spark, SF_DIR))
+    # load sampled BETWEEN the two series (r12): a load wave arriving
+    # mid-run poisons only the trailing series, and the before/after pair
+    # cannot localize it (r12 observed: headline clean, ext 1.5× — the
+    # mid sample makes that a recorded fact instead of forensics)
+    load_mid = os.getloadavg()
     # The ext series must never cost us the headline measurement: it needs
     # tables (e.g. customer) that older ad-hoc SF dirs may lack.
     try:
@@ -371,6 +376,7 @@ def main():
                 "runs": _RUNS,
                 "passes": _PASSES,
                 "load_avg_before": [round(x, 2) for x in load_before],
+                "load_avg_mid": [round(x, 2) for x in load_mid],
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
                 # self-flagging (VERDICT r11 #5): when the pre-measurement
                 # 1-min load still exceeded the threshold after the bounded
