@@ -282,6 +282,63 @@ def bench_queries_ext(spark, sf):
     }
 
 
+def bench_queries_uncached(spark, sf):
+    """THIRD series (r13, VERDICT r12 #3 — ADDITIVE): the scan-sensitive
+    grid queries with NO base-table caching, so §6 I/O work (e.g. the r12
+    3-scans→1 observed-grid fix) is measurable in the artifact instead of
+    hiding behind the warm series' cache.  The caller clears the session
+    cache first; every run here re-reads parquet.  Reported under
+    `queries_uncached`/`value_uncached`; the warm headline series above is
+    UNCHANGED for round-over-round continuity."""
+    li = load_table(spark, sf, "lineitem")
+    ev = load_table(spark, sf, "events")
+
+    def quantile_uc():
+        _materialize(
+            groupby_reduce(
+                li, "l_returnflag", "l_linestatus", func="nanquantile",
+                value="l_extendedprice", finalize_kwargs={"q": 0.9},
+            )
+        )
+
+    def climatology_uc():
+        ev2 = ev.withColumn("doy", F.dayofyear("ts").cast("bigint")).withColumn(
+            "h", F.hour("ts").cast("bigint")
+        )
+        _materialize(groupby_reduce(ev2, "doy", "h", func="nanmean", value="value"))
+
+    def reduce_high_card_uc():
+        _materialize(
+            groupby_reduce(li, "l_orderkey", func="nansum", value="l_extendedprice")
+        )
+
+    def q1_fused_uc():
+        _materialize(
+            groupby_agg(
+                li,
+                "l_returnflag",
+                "l_linestatus",
+                funcs=[
+                    ("count", "l_quantity", "count_qty"),
+                    ("nansum", "l_quantity", "sum_qty"),
+                    ("nansum", "l_extendedprice", "sum_price"),
+                    ("nanmean", "l_quantity", "avg_qty"),
+                    ("nanmean", "l_discount", "avg_disc"),
+                    ("nanmin", "l_extendedprice", "min_price"),
+                    ("nanmax", "l_extendedprice", "max_price"),
+                    ("nanvar", "l_quantity", "var_qty", {"ddof": 1}),
+                ],
+            )
+        )
+
+    return {
+        "quantile_uncached": quantile_uc,
+        "climatology_uncached": climatology_uc,
+        "reduce_high_card_uncached": reduce_high_card_uc,
+        "q1_fused_uncached": q1_fused_uc,
+    }
+
+
 _RUNS = 3  # min over back-to-back repeats: drops GC/scheduler jitter
 # min over full-series passes: a multi-minute host-load WAVE
 _PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
@@ -351,6 +408,17 @@ def main():
         times_ext = _run_series(bench_queries_ext(spark, SF_DIR))
     except Exception as exc:  # pragma: no cover - environment-dependent
         times_ext = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    # UNCACHED series last (r13, VERDICT r12 #3): clear every cached base
+    # table first — Spark's CacheManager substitutes cached plans by
+    # logical-plan match, so a fresh load_table would silently hit the warm
+    # series' cache otherwise.  Running last means clearing cannot perturb
+    # the two comparable series above.
+    load_pre_uncached = os.getloadavg()
+    try:
+        spark.catalog.clearCache()
+        times_uncached = _run_series(bench_queries_uncached(spark, SF_DIR))
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        times_uncached = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -368,6 +436,17 @@ def main():
                     if all(isinstance(v, float) for v in times_ext.values())
                     else None
                 ),
+                # ADDITIVE uncached series (r13): same noop-sink
+                # methodology, cache cleared, cold parquet reads each run
+                "queries_uncached": times_uncached,
+                "value_uncached": (
+                    round(sum(times_uncached.values()), 3)
+                    if all(isinstance(v, float) for v in times_uncached.values())
+                    else None
+                ),
+                "load_avg_pre_uncached": [
+                    round(x, 2) for x in load_pre_uncached
+                ],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # min-of-N per query (after one warm-up); load averages
                 # bracket the measurement — own-load inflates the trailing

@@ -772,14 +772,19 @@ def duplicate_clusters(
       dominates when the graph is small.  A bounded, documented collect
       (the KB/MB class); pass ``max_driver_edges=None/0`` to force the
       distributed path.
-    - **at scale**: the standard Spark min-label formulation — label(v)
-      = v; each round every vertex takes the min label in its closed
-      neighborhood (one join + one groupBy on the symmetrized edge
-      list); stop when no label changed.  Rounds = graph diameter ≤
-      O(log n) (dup clusters are dense, typically diameter ≤ 2), each
-      round a fixed 2-shuffle plan; labels persist + localCheckpoint per
-      round to cut the iterative lineage — the loop is on the *driver*,
-      the data never leaves executors.
+    - **at scale** (r13): ONE star-contraction pass first — m(v) =
+      min(v ∪ neighbors(v)) via a map-combined groupBy, every edge
+      mapped to (m(src), m(dst)), self-loops dropped.  Components are
+      preserved exactly and each component's minimum survives as its own
+      m-vertex, so labels computed on the contracted graph compose back
+      as final(v) = final'(m(v)).  Dup graphs are unions of band-bucket
+      cliques/stars, so contraction typically removes ~95%+ of the
+      edges; if the contracted set fits ``max_driver_edges`` the driver
+      union-find finishes with ZERO further shuffles, else the standard
+      min-label propagation loop (each round one join + one groupBy,
+      two hops per materialization, type-agnostic changed-count
+      convergence, localCheckpoint lineage cuts) runs over the
+      contracted — never larger — edge list.
 
     Output: one row per vertex appearing in ``pairs`` — (out_id,
     out_cluster).  Singleton documents (no pair) are their own cluster by
@@ -857,12 +862,106 @@ def duplicate_clusters(
             {out_id: verts, out_cluster: [find(v) for v in verts]}
         )
         return pairs.sparkSession.createDataFrame(out_pdf, schema)
-    p = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+    # ------------------------------------------------------------------
+    # r13: ONE star-contraction pass before any label-propagation round
+    # (guide §2.3 "shuffle fewer bytes" — VERDICT r12 #1: the clustering
+    # slice was 15.7 s of near_dedup's 19.3 s at sf10 because every
+    # round re-shuffled the FULL multi-million-row edge list).
+    #
+    # m(v) = min(v ∪ neighbors(v)) — one map-combined groupBy over the
+    # symmetrized edges.  Mapping both endpoints of every edge through m
+    # and dropping self-loops contracts each dense near-dup clique/star
+    # to (almost) nothing, EXACTLY preserving components: m only merges
+    # vertices already connected, and the component minimum w satisfies
+    # m(w) = w (all its neighbors are ≥ the component min), so w
+    # survives contraction and min-labels computed on the contracted
+    # graph ARE the original component minima; final(v) = final'(m(v)).
+    # Dup graphs are unions of band-bucket cliques/stars, so the
+    # contracted edge set is typically a few % of E — usually small
+    # enough for the driver union-find tier, which skips every per-round
+    # shuffle.  Pathological long chains merely fall through to the
+    # min-label loop over the contracted (never larger) edge set.
+    # ------------------------------------------------------------------
+    m = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.col("src")).alias("mlbl"))
+        .select(F.col("src").alias("mv"), "mlbl")
+        # lazy checkpoint, not persist: materialized by the contracted-
+        # edge count below, blocks freed with the DataFrame (no
+        # CacheManager entry to leak) — the caller's final action reads
+        # the checkpointed rows instead of re-running the edge pipeline
+        .localCheckpoint(eager=False)
+    )
+    contracted = (
+        # edges is symmetric, so (m(src), m(dst)) lands in both orders —
+        # the contracted set stays symmetric with no extra explode
+        edges.join(m.select(F.col("mv").alias("src"), F.col("mlbl").alias("__ms")), on="src")
+        .join(m.select(F.col("mv").alias("dst"), F.col("mlbl").alias("__md")), on="dst")
+        .where(F.col("__ms") != F.col("__md"))
+        .select(F.col("__ms").alias("src"), F.col("__md").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_c = contracted.count()
+    edges.unpersist()
+
+    def _finalize(root_lbls: DataFrame | None) -> DataFrame:
+        """out(v) = root(m(v)); m-values whose whole component collapsed
+        into them carry no contracted edge and keep label m(v)."""
+        if root_lbls is None:
+            return m.select(
+                F.col("mv").alias(out_id), F.col("mlbl").alias(out_cluster)
+            )
+        r = root_lbls.select(
+            F.col("v").alias("__rv"), F.col("lbl").alias("__rlbl")
+        )
+        return m.join(r, m.mlbl == F.col("__rv"), "left").select(
+            F.col("mv").alias(out_id),
+            F.coalesce(F.col("__rlbl"), F.col("mlbl")).alias(out_cluster),
+        )
+
+    if n_c == 0:
+        return _finalize(None)
+    if max_driver_edges and n_c <= max_driver_edges:
+        import pandas as pd
+
+        pdf = contracted.toPandas()
+        contracted.unpersist()
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+        verts = list(parent)
+        schema = T.StructType(
+            [
+                T.StructField("v", m.schema["mlbl"].dataType),
+                T.StructField("lbl", m.schema["mlbl"].dataType),
+            ]
+        )
+        roots = pairs.sparkSession.createDataFrame(
+            pd.DataFrame({"v": verts, "lbl": [find(v) for v in verts]}), schema
+        )
+        return _finalize(roots)
+    p = max(1, min(contracted.rdd.getNumPartitions(), n_c // 1_000_000 + 1))
     # keep the handle to the PERSISTED frame: rebinding `edges` to the
     # repartitioned child made the tail unpersist a no-op and leaked the
     # cached symmetrized edge list for the session (r9 review)
-    edges_cached = edges
-    edges = edges.repartition(p, "dst")
+    edges_cached = contracted
+    edges = contracted.repartition(p, "dst")
     labels = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
     ).persist()
@@ -900,7 +999,10 @@ def duplicate_clusters(
         if changed == 0:
             break
     edges_cached.unpersist()
-    return labels.select(F.col("v").alias(out_id), F.col("lbl").alias(out_cluster))
+    # labels cover the CONTRACTED vertices — compose with m to label every
+    # original vertex (labels is localCheckpoint-ed by the loop, so the
+    # caller's action reads materialized blocks, not the loop lineage)
+    return _finalize(labels)
 
 
 def near_deduplicate(
@@ -926,18 +1028,23 @@ def near_deduplicate(
     shuffle; pair enumeration, clustering, and the keeper anti-join all run
     on the (tiny, LSH-filtered) candidate subgraph.
 
-    ``max_bucket_size`` (default 10 000) bounds worst-case pair enumeration
-    on degenerate band buckets — see :func:`capped_bucket_pairs`.  Below the
-    cap the result is identical to uncapped; above it, oversized buckets
-    contribute an anchor star instead of a clique, which clusters to the
-    same single keeper.  Set None to force the uncapped plan.
+    Since r13 the clustering stage consumes each bucket's spanning STAR
+    (min member → every other member) instead of the enumerated pair
+    clique: connectivity — the only thing transitive clustering reads —
+    is identical per bucket, so survivors are bit-identical to the
+    clique formulation at EVERY ``max_bucket_size``/``spill_threshold``
+    setting (the capped clique above the cap was already the anchor
+    star), while the candidate edge list shrinks from Σ s(s-1)/2 to
+    Σ (s-1) rows.  ``max_bucket_size`` is kept for API stability (the
+    star makes the enumeration cap moot — per-bucket work is O(s)
+    regardless); ``None`` historically forced the uncapped clique and
+    now simply disables the spill guard, as before.
 
-    ``spill_threshold`` (default 1 000 000) guards task MEMORY on the same
-    degenerate buckets: a bucket beyond it enumerates its anchor star
-    through a join instead of re-assembling the member array in one row
-    (identical pairs, see :func:`sorted_bucket_pairs`) — the point where a
-    single array row reaches ~10 MB.  Ignored when ``max_bucket_size`` is
-    None (the uncapped plan has no bounded star to spill to).
+    ``spill_threshold`` (default 1 000 000) still guards task MEMORY on
+    degenerate buckets: a bucket beyond it enumerates its star through a
+    join instead of re-assembling the member array in one row (identical
+    edges, see :func:`sorted_bucket_pairs`).  Ignored when
+    ``max_bucket_size`` is None.
 
     ``keep_by`` names a numeric quality column of ``df`` (a
     ``hash_classifier_score`` / ``lm_quality_score`` output, a length…):
@@ -964,15 +1071,26 @@ def near_deduplicate(
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k, hasher=hasher
     )
-    pairs = lsh_candidate_pairs(
-        sig,
-        num_hashes=num_hashes,
-        bands=bands,
-        hasher=hasher,
-        max_bucket_size=max_bucket_size,
+    # r13 (guide §2.3): clustering needs CONNECTIVITY, not the clique —
+    # enumerate each band bucket's spanning STAR (min member → every other
+    # member; exactly the anchor-star cap at 1) instead of the full
+    # O(|bucket|²) pair clique.  Per bucket the star and the clique connect
+    # the same member set, and the capped plan above the cap IS the anchor
+    # star already, so clusters — and therefore survivors — are identical
+    # for every (max_bucket_size, spill_threshold) setting, while the edge
+    # list entering `duplicate_clusters` shrinks from Σ s(s-1)/2 to
+    # Σ (s-1) rows and the per-pair dedup groupBy disappears.  Callers who
+    # want the actual pair list (`lsh_candidate_pairs`) are unaffected.
+    exploded = _band_rows(sig, num_hashes, bands, hasher)
+    star = sorted_bucket_pairs(
+        exploded,
+        ["band", "bh"],
+        F.col("id"),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        max_bucket_size=1,
         spill_threshold=spill_threshold if max_bucket_size is not None else None,
-    )
-    clusters = duplicate_clusters(pairs, max_iter=max_iter)
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    clusters = duplicate_clusters(star, max_iter=max_iter)
     if keep_by is None:
         losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias(id_col)

@@ -244,23 +244,28 @@ def lsh_bucketed_topk(
     are unrelated to corpus ids (an accidental id collision would
     otherwise silently drop a legitimate neighbor; r7 review)."""
     planes = [_hyperplane(dim, i) for i in range(n_planes)]
+    # coalesce → NON-NULLABLE bucket (r13, same reason as _score_candidates:
+    # a nullable join key infers an IsNotNull Filter that re-evaluates the
+    # n_planes interpreted projection folds per corpus row; lsh_bucket()
+    # never returns null — the when/otherwise chain folds nulls to bit 0 —
+    # so the fallback is dead code and values are unchanged)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         _norm(F.col(vec_col).cast("array<double>")).alias("cn"),
-        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
+        F.coalesce(
+            lsh_bucket(F.col(vec_col).cast("array<double>"), planes), F.lit(0)
+        ).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
         _norm(F.col(vec_col).cast("array<double>")).alias("qn"),
-        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias("bucket"),
+        F.coalesce(
+            lsh_bucket(F.col(vec_col).cast("array<double>"), planes), F.lit(0)
+        ).alias("bucket"),
     )
-    # null-safe join key for the same reason as _score_candidates: the
-    # inferred IsNotNull(bucket) filter would re-evaluate the n_planes
-    # interpreted projection folds per corpus row; lsh_bucket() never
-    # returns null (the when/otherwise chain folds nulls to bit 0)
-    joined = c.join(F.broadcast(q), c["bucket"].eqNullSafe(q["bucket"]))
+    joined = c.join(F.broadcast(q), c["bucket"] == q["bucket"])
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
@@ -320,7 +325,20 @@ def ivf_topk(
         _norm(cv).alias("nn"),
     ).withColumn(
         "cell",
-        F.array_max(_cell_scores(cent_arr, F.col("nv"), F.col("nn")))["cell"],
+        # coalesce with a literal makes the column NON-NULLABLE (r13):
+        # array_max(...)["cell"] types as nullable even though it never IS
+        # null (non-empty literal centroid array, non-null cell ids), and a
+        # nullable join key makes Catalyst infer IsNotNull(cell) — a Filter
+        # that re-evaluates the ENTIRE interpreted assignment transform per
+        # corpus row below the projection (the r12 eqNullSafe attempt did
+        # NOT remove it: `<=>` normalizes back to `=`).  With the key
+        # non-nullable no filter is inferred at all; the fallback branch is
+        # dead code, so values are bit-identical (plan-verified:
+        # plans/r13/ann_ivf_after.txt has no transform in any Filter).
+        F.coalesce(
+            F.array_max(_cell_scores(cent_arr, F.col("nv"), F.col("nn")))["cell"],
+            F.lit(0),
+        ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -435,17 +453,20 @@ def _score_candidates(
     """Shared IVF tail: candidate join on cell (queries broadcast), exact
     cosine, per-query top-k.
 
-    The join key is NULL-SAFE equality, deliberately (r12): a plain
-    equi-join makes Catalyst infer ``IsNotNull(cell)`` onto both sides
-    (InferFiltersFromConstraints), and on the corpus side that Filter
-    re-evaluates the full interpreted cell-assignment transform once per
-    row ON TOP of the projection's evaluation — HOFs are CodegenFallback,
-    so no cross-operator subexpression elimination saves it.  ``cell`` is
-    never null by construction (array_max over a non-empty literal array
-    of non-null cell ids — even a NULL vector scores to a real cell), so
-    ``<=>`` is result-identical and halves the assignment work
-    (plan-verified: the Filter above the corpus scan is gone)."""
-    joined = c.join(F.broadcast(q), c["cell"].eqNullSafe(q["cell"]))
+    An equi-join on a NULLABLE key makes Catalyst infer
+    ``IsNotNull(cell)`` onto both sides (InferFiltersFromConstraints),
+    and on the corpus side that Filter re-evaluates the full interpreted
+    cell-assignment transform once per row ON TOP of the projection's
+    evaluation — HOFs are CodegenFallback, so no cross-operator
+    subexpression elimination saves it.  r12 tried ``eqNullSafe`` keys,
+    which does NOT work: Catalyst normalizes ``<=>`` back to ``=`` and
+    re-infers the filter (the committed r12 after-plan still showed it).
+    The real fix (r13) is upstream: every caller builds ``cell`` as a
+    NON-NULLABLE column (``coalesce(expr, lit(0))`` — the expr is never
+    null, so values are unchanged), and a non-nullable key generates no
+    IsNotNull constraint at all.  Plain equality is then both correct
+    and filter-free (plan-verified: plans/r13/ann_ivf_after.txt)."""
+    joined = c.join(F.broadcast(q), c["cell"] == q["cell"])
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
@@ -1042,10 +1063,16 @@ def kmeans_assign(
     with zero shuffle."""
     cent_arr = _centroid_literal(centroids)
     cv = F.col(vec_col).cast("array<double>")
+    # collision-checked temp name (r13 ADVICE): a fixed "__vn" silently
+    # replaced (and then dropped) a user column of that name, and out="__vn"
+    # lost the output column entirely
+    vn = "__vn"
+    while vn in df.columns or vn == out:
+        vn += "_"
     return (
-        df.withColumn("__vn", _norm(cv))
-        .withColumn(out, F.array_max(_cell_scores(cent_arr, cv, F.col("__vn")))["cell"])
-        .drop("__vn")
+        df.withColumn(vn, _norm(cv))
+        .withColumn(out, F.array_max(_cell_scores(cent_arr, cv, F.col(vn)))["cell"])
+        .drop(vn)
     )
 
 

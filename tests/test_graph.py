@@ -112,6 +112,70 @@ def test_connected_components_general_api(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
 
 
+def test_connected_components_contraction_tiers_vs_union_find(spark):
+    """r13: duplicate_clusters' distributed path runs a star-contraction
+    pass before any label-propagation round.  All three tiers —
+    driver-direct, contraction+driver union-find (edge count above the
+    driver bound, contracted below it), and contraction+min-label loop
+    (driver tier disabled) — must produce the exact min-label components
+    of a reference union-find, for int AND string ids."""
+    import random
+
+    from dask_groupby_spark.operators.dedup import duplicate_clusters
+
+    def ref_cc(edges):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        return sorted((v, find(v)) for v in parent)
+
+    rng = random.Random(7)
+    edges = []
+    base = 0
+    for s in [5, 3, 8, 2, 12]:  # chains of varied component sizes
+        mem = [base + i for i in range(s)]
+        edges += [(mem[i], mem[i + 1]) for i in range(s - 1)]
+        base += s + 3
+    # deep enough to force several 2-hop propagation rounds post-
+    # contraction, short enough to keep the test fast
+    edges += [(1000 + i, 1000 + i + 1) for i in range(10)]
+    edges += [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(30)]
+    edges += [(2000, 2000)]  # self loop
+
+    ref = ref_cc(edges)
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    for mde in (2_000_000, None, 4):
+        got = sorted(
+            (r["id"], r["cluster_id"])
+            for r in duplicate_clusters(df, max_driver_edges=mde).collect()
+        )
+        assert got == ref, f"max_driver_edges={mde}"
+
+    # string ids through the contraction + driver tier (the int runs above
+    # already cover the propagation loop; one string config keeps the test
+    # inside the suite's time budget)
+    s_edges = [("d%04d" % a, "d%04d" % b) for a, b in edges]
+    s_ref = ref_cc(s_edges)
+    s_df = spark.createDataFrame(s_edges, "id_a string, id_b string")
+    got = sorted(
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(s_df, max_driver_edges=4).collect()
+    )
+    assert got == s_ref, "string ids, contraction + driver tier"
+
+
 def test_hits_vs_numpy(spark):
     from dask_groupby_spark.operators import hits
 
