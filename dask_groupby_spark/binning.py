@@ -137,7 +137,10 @@ def quantile_bins(
     exposes it as ``res.qcut_edges`` — repeated identical calls reuse
     the computed edges (CacheManager dedupes by plan); call
     ``res.qcut_edges.unpersist()`` to release, reading the attribute
-    BEFORE transforming the result (it does not propagate).
+    BEFORE transforming the result (it does not propagate).  r13 adds
+    ``res.qcut_counts`` — the persisted |groups|-row count table (it
+    feeds three consumers in the edge pipeline; unpinned, each one
+    re-aggregated the base table) — release it the same way.
     """
     from pyspark.sql import Window
 
@@ -176,7 +179,19 @@ def quantile_bins(
     # ranked frame: ranked has several consumers below and Spark/AQE never
     # reuses an Exchange across consumers, so every reader re-runs the
     # per-group sort (r9 plan audit)
-    n_tbl = vals.groupBy(*by_list).agg(F.count(F.lit(1)).alias("__n"))
+    #
+    # ...and the count table itself is PERSISTED (r13): it feeds THREE
+    # consumers (`needed`, `spec_m`, and the auto probe), and each one
+    # re-aggregated the base table — the r12 grid-rescan disease; the edge
+    # pipeline's plan carried 3 extra base scans (4 total, plan-audited;
+    # sf1 edges-only slice 15.3 s vs 5.9 s for the rank pass it contains).
+    # persist, NOT localCheckpoint, deliberately: a checkpoint injects a
+    # fresh LogicalRDD per call, defeating CacheManager's canonicalized-
+    # plan dedup and with it the documented `qcut_edges` warm-call reuse
+    # (the r11 finding on the auto probe, same paragraph below).  The
+    # |groups|-row entry dedupes across calls the same way `qcut_edges`
+    # does and is exposed as ``res.qcut_counts`` (same handle convention).
+    n_tbl = vals.groupBy(*by_list).agg(F.count(F.lit(1)).alias("__n")).persist()
     execution = method
     if method == "auto":
         # r11 (the dispatch_auto ladder, VERDICT r10 #1): a driver-only
@@ -364,4 +379,5 @@ def quantile_bins(
         F.when(v.isNotNull() & F.col("__edges").isNotNull(), b).cast("int"),
     ).drop("__edges")
     res.qcut_edges = edge_arr  # documented persist handle (resample precedent)
+    res.qcut_counts = n_tbl  # r13: the persisted |groups|-row count table
     return res

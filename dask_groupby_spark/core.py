@@ -75,6 +75,35 @@ def _make_ctx(
     )
 
 
+def _pin_small(df: DataFrame) -> DataFrame:
+    """Pin a KB-class intermediate (a |groups|-row aggregate) so multiple
+    consumers read materialized rows instead of collapsing back onto the
+    base table (the r12 3-scans→1 grid fix).
+
+    Default is a LAZY ``localCheckpoint``: no CacheManager registry entry
+    to leak, blocks freed with the DataFrame.  Local checkpoints store
+    UNREPLICATED executor-local blocks with the lineage truncated, which
+    Spark documents as unsafe under dynamic allocation (a released
+    executor's blocks are unrecoverable and the job fails instead of
+    recomputing) — so when ``spark.dynamicAllocation.enabled`` is true we
+    fall back to ``persist()``: same single-materialization plan shape,
+    but recomputable on executor loss (r13, ADVICE r12 #2).  The persisted
+    frame lives in the CacheManager until the session drops the DataFrame;
+    callers on a dynamic-allocation cluster trade that registry entry for
+    fault tolerance.
+    """
+    try:
+        dyn = (
+            df.sparkSession.conf.get("spark.dynamicAllocation.enabled", "false")
+            or "false"
+        ).lower() == "true"
+    except Exception:  # pragma: no cover - conf access is best-effort
+        dyn = False
+    if dyn:
+        return df.persist()
+    return df.localCheckpoint(eager=False)
+
+
 def nullsafe_join(
     left: DataFrame,
     right: DataFrame,
@@ -300,7 +329,7 @@ def groupby_reduce(
         any(e is None for e in expected_list) if any_expected else len(key_names) > 1
     )
     if needs_observed_dims and not grouped.isStreaming:
-        grouped = grouped.localCheckpoint(eager=False)
+        grouped = _pin_small(grouped)
     result = grouped
     if any_expected:
         # per-grouper: given expected domain, or observed labels when None
@@ -1018,7 +1047,7 @@ def groupby_agg(
         # groupby_reduce grid (see step 3 there) — pin the aggregate so
         # observed dims read it, not the input
         if any(e is None for e in expected) and not result.isStreaming:
-            result = result.localCheckpoint(eager=False)
+            result = _pin_small(result)
         exp_df = expected_groups_df(
             df.sparkSession,
             key_names,

@@ -1573,6 +1573,18 @@ def _resolve_gram_cap(base: DataFrame, max_gram_df, rel_gram_df) -> int | None:
     return max_gram_df
 
 
+# Record-count crossover for edit_distance_pairs' bucket aggregate tier
+# (r13, VERDICT r12 #5): below it the inline count+slice groupBy wins
+# (sf0.1 bench, 15k records: salted +15%); at/above it — or when the
+# corpus row count cannot be bounded from metadata — the salted two-level
+# _capped_drop_buckets wins and is the memory-safe choice (sf10 A/B, 1.5M
+# records: 1.8× at the pinned cap 256, 1.34× at the density-robust cap;
+# outputs proven row-identical).  Measured endpoints 15k and 1.5M; the
+# crossover between them is uncharacterized, so the constant sits an
+# order of magnitude above the proven-small endpoint.
+_FUZZY_SALTED_MIN_RECORDS = 200_000
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1676,28 +1688,41 @@ def edit_distance_pairs(
     else:
         gl = grams.select("g", "id")
         if max_gram_df is not None:
-            # inline count + sliced output: the df drop uses the EXACT
-            # count while the emitted array is bounded at cap+1 — a hot
-            # stop-gram's row can never exceed ~2 KB.  The transient
-            # aggregation buffer still holds the hot gram's id list
-            # (8 B/member — 0.8 GB at a pathological 10⁸-degree gram,
-            # survivable; the r9 shape buffered whole TEXTS there, ~100×
-            # worse, and emitted them too).  Record-linkage inputs are
-            # bounded by the entity-table size, so the fully-bounded
-            # salted tier (:func:`_capped_drop_buckets`, used by the
-            # corpus-scale ngram path) is not worth its ~15% overhead
-            # here — measured on the sf0.1 bench.
-            buckets = (
-                gl.groupBy("g")
-                .agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    F.slice(
-                        F.array_sort(F.collect_list("id")), 1, max_gram_df + 1
-                    ).alias("mem"),
+            # Two value-identical bucket shapes, picked by the r11
+            # metadata-bound ladder (driver-only, zero jobs — valid here:
+            # `base` is a row-reducing plan over `df`):
+            #
+            # - small proven corpora (bound ≤ _FUZZY_SALTED_MIN_RECORDS):
+            #   inline count + sliced output — the df drop uses the EXACT
+            #   count while the emitted array is bounded at cap+1; one
+            #   ObjectHashAggregate, fastest at bench scale (the salted
+            #   tier measured +15% at sf0.1's 15k records);
+            # - large or unboundable corpora: the salted two-level
+            #   :func:`_capped_drop_buckets` — r13 sf10 A/B (1.5M
+            #   records): 7.79 → 4.33 s at the pinned cap 256 and
+            #   7.80 → 5.83 s at the density-robust default cap, because
+            #   the single-level aggregate's buffer holds every hot
+            #   stop-gram's FULL id list until the final `where` drops it
+            #   (0.8 GB at a pathological 10⁸-degree gram) while the
+            #   salted tier's per-row state is capped at every level.
+            #   Output proven row-identical by exceptAll at both caps.
+            from ..two_pass import _metadata_row_bound
+
+            bound = _metadata_row_bound(base)
+            if bound is not None and bound <= _FUZZY_SALTED_MIN_RECORDS:
+                buckets = (
+                    gl.groupBy("g")
+                    .agg(
+                        F.count(F.lit(1)).alias("__n"),
+                        F.slice(
+                            F.array_sort(F.collect_list("id")), 1, max_gram_df + 1
+                        ).alias("mem"),
+                    )
+                    .where(F.col("__n") <= max_gram_df)
+                    .select("g", "mem")
                 )
-                .where(F.col("__n") <= max_gram_df)
-                .select("g", "mem")
-            )
+            else:
+                buckets = _capped_drop_buckets(gl, "g", "id", max_gram_df)
         else:
             buckets = gl.groupBy("g").agg(
                 F.array_sort(F.collect_list("id")).alias("mem")

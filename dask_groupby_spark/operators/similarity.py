@@ -328,12 +328,13 @@ def ivf_topk(
         # coalesce with a literal makes the column NON-NULLABLE (r13):
         # array_max(...)["cell"] types as nullable even though it never IS
         # null (non-empty literal centroid array, non-null cell ids), and a
-        # nullable join key makes Catalyst infer IsNotNull(cell) — a Filter
-        # that re-evaluates the ENTIRE interpreted assignment transform per
-        # corpus row below the projection (the r12 eqNullSafe attempt did
-        # NOT remove it: `<=>` normalizes back to `=`).  With the key
-        # non-nullable no filter is inferred at all; the fallback branch is
-        # dead code, so values are bit-identical (plan-verified:
+        # nullable equi-join key makes Catalyst infer IsNotNull(cell) — a
+        # Filter that re-evaluates the ENTIRE interpreted assignment
+        # transform per corpus row below the projection (the ≤r11 shape;
+        # r12's eqNullSafe suppressed it at the cost of compound
+        # [coalesce(k,0), isnull(k)] hash keys).  Non-nullable key → no
+        # inferred filter, single-key join; the fallback branch is dead
+        # code, so values are bit-identical (plan-verified:
         # plans/r13/ann_ivf_after.txt has no transform in any Filter).
         F.coalesce(
             F.array_max(_cell_scores(cent_arr, F.col("nv"), F.col("nn")))["cell"],
@@ -458,14 +459,17 @@ def _score_candidates(
     and on the corpus side that Filter re-evaluates the full interpreted
     cell-assignment transform once per row ON TOP of the projection's
     evaluation — HOFs are CodegenFallback, so no cross-operator
-    subexpression elimination saves it.  r12 tried ``eqNullSafe`` keys,
-    which does NOT work: Catalyst normalizes ``<=>`` back to ``=`` and
-    re-infers the filter (the committed r12 after-plan still showed it).
-    The real fix (r13) is upstream: every caller builds ``cell`` as a
-    NON-NULLABLE column (``coalesce(expr, lit(0))`` — the expr is never
-    null, so values are unchanged), and a non-nullable key generates no
-    IsNotNull constraint at all.  Plain equality is then both correct
-    and filter-free (plan-verified: plans/r13/ann_ivf_after.txt)."""
+    subexpression elimination saves it (the ≤r11 plan shape).  r12's
+    ``eqNullSafe`` keys did suppress the filter at runtime — Spark
+    compiles ``<=>`` into compound ``[coalesce(k, 0), isnull(k)]`` hash
+    keys with no not-null inference — but the r12-committed after-plan
+    was stale (it still showed the old shape), and the compound key
+    hashes two expressions per row.  r13 settles it upstream: every
+    caller builds ``cell`` as a NON-NULLABLE column (``coalesce(expr,
+    lit(0))`` — the expr is never null, so values are unchanged), a
+    non-nullable key generates no IsNotNull constraint at all, and the
+    join is a single-key plain equality (plan-verified:
+    plans/r13/ann_ivf_{before,after}.txt)."""
     joined = c.join(F.broadcast(q), c["cell"] == q["cell"])
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))

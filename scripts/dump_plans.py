@@ -108,6 +108,30 @@ def build_queries(spark):
             docs, target, n=2, dim=1024, alpha=1.0, hasher="portable"
         )
 
+    def ann_lsh():
+        from dask_groupby_spark.operators.similarity import lsh_bucketed_topk
+
+        return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 50), k=10)
+
+    def near_dedup_edges():
+        """The candidate-edge frame near_deduplicate feeds to
+        duplicate_clusters.  r12 and earlier: the full lsh_candidate_pairs
+        clique + per-pair dedup groupBy (the dedup_minhash plan); r13: the
+        per-bucket spanning star (anchor cap 1), no pair groupBy."""
+        from dask_groupby_spark.operators import dedup as dd
+
+        sig = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_k=3)
+        if "spanning STAR" in (dd.near_deduplicate.__doc__ or ""):
+            exploded = dd._band_rows(sig, 8, 4, "fast")
+            return dd.sorted_bucket_pairs(
+                exploded, ["band", "bh"], F.col("id"),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                max_bucket_size=1,
+            ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        return dd.lsh_candidate_pairs(sig, num_hashes=8, bands=4).select(
+            "id_a", "id_b"
+        )
+
     def quantile():
         from dask_groupby_spark import groupby_reduce
 
@@ -128,8 +152,10 @@ def build_queries(spark):
     return {
         "dedup_minhash": dedup_minhash,
         "near_dedup": near_dedup,
+        "near_dedup_edges": near_dedup_edges,
         "text_pipeline": text_pipeline,
         "ann_ivf": ann_ivf,
+        "ann_lsh": ann_lsh,
         "ann_topk": ann_topk,
         "ngram_counts": ngram_counts,
         "clf_score": clf_score,
