@@ -7,7 +7,18 @@ from dask_groupby_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("dask-groupby-spark-tests", cpus=8, shuffle_partitions=8)
+    # r13 (VERDICT r12 #4, suite-runtime): 16 local slots instead of 8 —
+    # multi-stage micro-jobs overlap better and the full suite measured
+    # ~5-10% faster; capped at the host's core count so a smaller runner
+    # is never oversubscribed.  shuffle_partitions stays 8: the suite's
+    # frames are tiny and more reducers is pure scheduling overhead.
+    import os
+
+    s = get_spark(
+        "dask-groupby-spark-tests",
+        cpus=min(16, os.cpu_count() or 8),
+        shuffle_partitions=8,
+    )
     yield s
 
 

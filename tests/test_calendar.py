@@ -87,50 +87,43 @@ def test_grouped_mean_over_noleap_axis(spark):
 
 def test_roundtrip_property(spark):
     """Property: decode∘encode is the identity over the calendar's valid
-    date space (hypothesis over ymd-hms tuples per calendar)."""
-    from hypothesis import HealthCheck, given, settings
-    from hypothesis import strategies as st
+    date space — seeded random ymd-hms tuples per calendar.  r13
+    (suite-runtime, VERDICT r12 #4): sampling was hypothesis-driven with
+    one tiny Spark job per example, and per-query PLANNING of the deep
+    calendar CASE tree dominated (~60 s for 12 examples); the same ~100
+    sampled datetimes per calendar now ride ONE job per calendar — row
+    coverage equal (seeded, reproducible), only hypothesis shrinking is
+    lost, which a printed failing row replaces."""
+    import random
 
     month_days = {
         "noleap": [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
         "all_leap": [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
         "360_day": [30] * 12,
     }
-
-    @st.composite
-    def cal_dt(draw):
-        cal = draw(st.sampled_from(sorted(month_days)))
-        y = draw(st.integers(1, 9999))
-        m = draw(st.integers(1, 12))
-        d = draw(st.integers(1, month_days[cal][m - 1]))
-        hh = draw(st.integers(0, 23))
-        mm = draw(st.integers(0, 59))
-        ss = draw(st.integers(0, 59))
-        return cal, f"{y:04d}-{m:02d}-{d:02d} {hh:02d}:{mm:02d}:{ss:02d}"
-
-    @settings(
-        max_examples=12, deadline=None,
-        suppress_health_check=[
-            HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
-        ],
-    )
-    @given(items=st.lists(cal_dt(), min_size=1, max_size=8))
-    def run(items):
-        by_cal = {}
-        for cal, ts in items:
-            by_cal.setdefault(cal, []).append(ts)
-        for cal, vals in by_cal.items():
-            df = spark.createDataFrame([(v,) for v in vals], "t string")
-            back = df.select(
-                "t",
-                decode_calendar_datetime(
-                    encode_calendar_datetime(F.col("t"), cal), cal
-                ).alias("b"),
-            ).collect()
-            for r in back:
-                assert r["b"] == r["t"], (cal, r)
-
-    run()
+    rng = random.Random(0xCA1)
+    for cal, mlen in month_days.items():
+        vals = []
+        for _ in range(96):
+            y = rng.randint(1, 9999)
+            m = rng.randint(1, 12)
+            d = rng.randint(1, mlen[m - 1])
+            vals.append(
+                f"{y:04d}-{m:02d}-{d:02d} "
+                f"{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:"
+                f"{rng.randint(0, 59):02d}"
+            )
+        # domain edges ride along with the random sample
+        vals += ["0001-01-01 00:00:00", f"9999-12-{mlen[11]:02d} 23:59:59"]
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        back = df.select(
+            "t",
+            decode_calendar_datetime(
+                encode_calendar_datetime(F.col("t"), cal), cal
+            ).alias("b"),
+        ).collect()
+        for r in back:
+            assert r["b"] == r["t"], (cal, r["t"], r["b"])
 
 
 def test_decode_negative_offset_is_null(spark):

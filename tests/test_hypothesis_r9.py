@@ -33,18 +33,33 @@ def valid_noleap_datetimes(draw):
     return f"{y:04d}-{m:02d}-{d:02d} {hh:02d}:{mm:02d}:{ss:02d}"
 
 
-@given(st.lists(valid_noleap_datetimes(), min_size=1, max_size=20))
-@settings(**_SETTINGS)
-def test_calendar_encode_decode_identity(spark, dts):
+def test_calendar_encode_decode_identity(spark):
     """decode(encode(s)) == s for every valid noleap datetime — the exact
     integer-arithmetic identity the reference gets from its int64 view,
-    now over randomized dates (r9: the encode gained range validation and
-    the decode a year-domain guard; neither may break the identity)."""
+    over randomized dates (r9: the encode gained range validation and
+    the decode a year-domain guard; neither may break the identity).
+    r13 (suite-runtime): the hypothesis loop paid per-query planning of
+    the deep calendar CASE tree once per example (~40 s for 12 tiny
+    jobs); the same sampled row space — 240 seeded draws from the
+    identical strategy — now rides ONE Spark job."""
     from dask_groupby_spark.calendar import (
         decode_calendar_datetime,
         encode_calendar_datetime,
     )
 
+    import random
+
+    rng = random.Random(0x9E)
+    dts = []
+    for _ in range(240):
+        y = rng.randint(1, 9999)
+        m = rng.randint(1, 12)
+        d = rng.randint(1, _MLEN_NOLEAP[m - 1])
+        dts.append(
+            f"{y:04d}-{m:02d}-{d:02d} "
+            f"{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:"
+            f"{rng.randint(0, 59):02d}"
+        )
     df = spark.createDataFrame([(s,) for s in dts], "s string")
     out = df.select(
         "s",
